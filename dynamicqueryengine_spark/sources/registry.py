@@ -1,0 +1,96 @@
+"""Table registry: named Parquet tables → DataFrames / temp views.
+
+The reference has no storage layer at all — rows arrive inline in the HTTP
+body (RuleController.cs:31-35) or as in-process collections
+(RuleDefinitionExecutor.cs:8-13). The Spark-native equivalent of "one request
+= one dataset + one rule" is "registered table + rule document", with
+``spark.createDataFrame`` covering the inline-payload path (see
+``inline_table``).
+
+Scale notes: tables load lazily via ``spark.read.parquet`` — scans stay
+declarative so Catalyst pushes filters/column pruning into the Parquet
+reader; nothing is cached by default (at 100 TB you want pushdown, not
+driver-side caching).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# The driver's synthetic star schema (TESTDATA.md).
+DEFAULT_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class TableRegistry:
+    """Lazy name → DataFrame catalog over a directory of ``{name}.parquet``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        tables: Iterable[str] = DEFAULT_TABLES,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.tables = tuple(tables)
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in self.tables and not os.path.exists(self.path(name)):
+                raise KeyError(f"Unknown table '{name}' under {self.base_dir}")
+            self._cache[name] = load_table(self.spark, self.base_dir, name)
+        return self._cache[name]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.table(name)
+
+    def register_views(self) -> None:
+        """Expose every table as a temp view for ``spark.sql`` access."""
+        for name in self.tables:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Load one parquet table, normalizing known footer quirks.
+
+    The synthetic ``events`` table stores ``ts`` as INT64 TIMESTAMP(NANOS),
+    which Spark's Parquet reader rejects; read it as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs timestamp
+    with integer division (``div`` — float division would lose precision
+    above 2^53 ns). Matches DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation,
+    which oracle SQL must apply on its side when projecting ``ts``.
+    """
+    path = os.path.join(base_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def inline_table(
+    spark: SparkSession,
+    rows: Iterable[Mapping[str, Any]],
+    schema: Any = None,
+) -> DataFrame:
+    """Inline row payloads (the reference's HTTP-body ``List<User>`` path,
+    RuleController.cs:31-35) → DataFrame."""
+    return spark.createDataFrame(list(rows), schema=schema)
