@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship rule query at sf0.001;
+``queries()``/``oracle_sql()`` expose one named query per implemented
+operator family from SURVEY.md §2 (reference parity) plus the
+beyond-reference LLM-data-pipeline workloads. Every oracle SQL string is
+GENERATED from the same rule document the Spark path executes
+(dynamicqueryengine_spark.plans.sqlgen) — one source of truth.
 """
 
 from __future__ import annotations
@@ -13,26 +14,55 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dynamicqueryengine_spark import RuleDefinition, apply_rule
+from dynamicqueryengine_spark.sources.registry import load_table
+from dynamicqueryengine_spark.workloads import REFERENCE_QUERIES
+
+FLAGSHIP_RULE = {
+    "Name": "flagship-building-or-automobile-high-balance",
+    "Conditions": {
+        "LogicalOperator": "AND",
+        "Conditions": [
+            {"Property": "c_acctbal", "Operator": "GreaterThan", "Value": 1000}
+        ],
+        "Groups": [
+            {
+                "LogicalOperator": "OR",
+                "Conditions": [
+                    {
+                        "Property": "c_mktsegment",
+                        "Operator": "Equal",
+                        "Value": "BUILDING",
+                    },
+                    {
+                        "Property": "c_mktsegment",
+                        "Operator": "Equal",
+                        "Value": "AUTOMOBILE",
+                    },
+                ],
+            }
+        ],
+    },
+    "GroupBy": ["c_mktsegment"],
+    "Aggregation": {"AggregateProperty": "c_acctbal", "AggregateFunction": "Max"},
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    return apply_rule(customer, RuleDefinition.from_dict(FLAGSHIP_RULE))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, wl in REFERENCE_QUERIES.items():
+        out[name] = wl.spark_fn()
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query, generated from
+    the same rule documents via the rule→SQL transpiler."""
+    return {name: wl.oracle() for name, wl in REFERENCE_QUERIES.items()}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every declared query from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with ``df.count()`` (full pipeline execution, no
+driver-side materialization cost). A warmup pass primes the JVM/codegen and
+OS page cache so the timed pass measures engine throughput, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from dynamicqueryengine_spark import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("dqe-bench", cpus=cpus)
+
+    queries = entry_mod.queries()
+
+    # warmup: prime codegen + page cache (untimed)
+    for name, fn in queries.items():
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # pragma: no cover - surfaced in timed pass
+            print(f"warmup {name} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:
+            print(f"query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,15 @@ class SqlGenerator:
 
         raise missing_external_param(cond.property, cond.operator)
 
+    def _not_empty_sql(self, field: StructField) -> str:
+        """NotEmpty SQL mirroring predicates._not_empty_column."""
+        p = field.name
+        if isinstance(field.dataType, StringType):
+            return f"({p} IS NOT NULL AND {p} <> '')"
+        if isinstance(field.dataType, ArrayType):
+            return f"({p} IS NOT NULL AND len({p}) > 0)"
+        return f"({p} IS NOT NULL)"
+
     # -- predicates ------------------------------------------------------
 
     def group_sql(self, group: ConditionGroup | None) -> str:
