@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dynamicqueryengine_spark import RuleDefinition, apply_rule
 from dynamicqueryengine_spark.sources.registry import load_table
-from dynamicqueryengine_spark.workloads import REFERENCE_QUERIES
+from dynamicqueryengine_spark.workloads import ALL_QUERIES
 
 FLAGSHIP_RULE = {
     "Name": "flagship-building-or-automobile-high-balance",
@@ -57,12 +57,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, wl in REFERENCE_QUERIES.items():
+    for name, wl in ALL_QUERIES.items():
         out[name] = wl.spark_fn()
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query, generated from
-    the same rule documents via the rule→SQL transpiler."""
-    return {name: wl.oracle() for name, wl in REFERENCE_QUERIES.items()}
+    """DuckDB-runnable ANSI SQL equivalent for each query (omitted for the
+    hash-engine-specific approximate ops, whose exact twins carry the
+    oracle). Rule-query oracles are generated from the same rule documents
+    via the rule→SQL transpiler."""
+    out: dict[str, str] = {}
+    for name, wl in ALL_QUERIES.items():
+        sql = wl.oracle()
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -1,0 +1,402 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 Phase 4).
+
+Five families, each designed for 100 TB first and oracle-checkable where the
+computation is expressible in portable SQL:
+
+* **Exact** — hash-groupBy on a normalized-content fingerprint. One shuffle
+  keyed by the fingerprint; canonical id = min id per group (deterministic).
+* **N-gram Jaccard** — character-shingle explode + shingle-equijoin +
+  jaccard threshold. Exact but shuffle-heavy (the join key is the shingle);
+  this is the verification baseline. SQL-expressible → full oracle.
+* **MinHash + LSH** — the scale path: 32-permutation signatures via
+  ``xxhash64(seed, shingle)`` min-aggregation, banded into buckets, candidate
+  pairs only within buckets, then EXACT jaccard verification of candidates.
+  Output schema matches the exact variant; recall < 1 is the documented
+  trade (so no SQL oracle — hash functions aren't portable).
+* **SimHash** — 64-bit signature from token hashes; near-dup = hamming ≤ h,
+  candidates via 4×16-bit band pigeonhole (hamming ≤ 3 ⇒ at least one band
+  equal), verified with ``bit_count(xor)``.
+* **Embedding cosine** — brute-force O(n²) pair scan with exact cosine (the
+  baseline; LSH bucketing in functions/similarity.py is the scale path).
+  Deterministic left-to-right double arithmetic, mirrored in SQL → oracle.
+
+All Column-expression / DataFrame-API; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import normalize_text, normalize_text_sql
+
+# ---------------------------------------------------------------- exact --
+
+
+def exact_dedup_assign(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every row + its content fingerprint + the canonical (minimum) id of
+    its duplicate group. ``canonical_id == id`` marks the kept row."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    with_fp = df.select(F.col(id_col), fp)
+    w = Window.partitionBy("fingerprint")
+    return with_fp.select(
+        id_col,
+        "fingerprint",
+        F.min(id_col).over(w).alias("canonical_id"),
+    )
+
+
+def exact_dedup_assign_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    fp = f"md5({normalize_text_sql(text_col)})"
+    return (
+        f"SELECT {id_col}, {fp} AS fingerprint, "
+        f"min({id_col}) OVER (PARTITION BY {fp}) AS canonical_id FROM {table}"
+    )
+
+
+def exact_dedup_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Kept-rows view: one row per distinct normalized content."""
+    assigned = exact_dedup_assign(df, text_col, id_col)
+    return assigned.filter(F.col(id_col) == F.col("canonical_id")).select(
+        id_col, "fingerprint"
+    )
+
+
+def exact_dedup_keep_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT {id_col}, fingerprint FROM ({exact_dedup_assign_sql(table, text_col, id_col)}) "
+        f"WHERE {id_col} = canonical_id"
+    )
+
+
+# -------------------------------------------------------------- shingles --
+
+
+def shingles(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character k-gram shingles per document: (id, shingle).
+    Explode stays JVM-side (sequence + substring); DISTINCT bounds the
+    per-doc set size at ``len(text)``."""
+    t = normalize_text(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
+            F.col("_t"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
+    t = normalize_text_sql(text_col)
+    return (
+        f"SELECT DISTINCT {id_col}, substr(t, CAST(i AS INT), {k}) AS shingle "
+        f"FROM (SELECT {id_col}, {t} AS t FROM {table}), "
+        f"UNNEST(range(1, length(t) - {k - 2})) AS u(i)"
+    )
+
+
+# -------------------------------------------------- exact n-gram jaccard --
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with shingle-set jaccard ≥ threshold.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    Scale shape: one shuffle keyed by shingle (the equijoin), one keyed by
+    the pair for the common-count aggregation. The shingle join explodes on
+    hot shingles — at 100 TB use :func:`minhash_lsh_pairs`, which buckets
+    first and verifies only candidates with this same exact computation.
+    """
+    sh = shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    k: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    sh = _shingles_sql(table, k, text_col, id_col)
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.{id_col}
+JOIN sizes sb ON common.id_b = sb.{id_col}
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+""".strip()
+
+
+# ------------------------------------------------------- minhash + LSH ---
+
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 5,
+    num_perm: int = MINHASH_PERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature; permutation j is the min over
+    shingles of ``xxhash64(j, shingle)`` — deterministic, JVM-side, and a
+    single groupBy pass (map-side combine keeps the shuffle at one row per
+    doc per partition)."""
+    sh = shingles(df, k, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via LSH banding with exact-jaccard verification.
+
+    Candidate generation: hash each band of the signature, join documents
+    sharing any (band, hash) bucket. Verification: exact shingle jaccard on
+    the (small) candidate set only. Same output schema as
+    :func:`ngram_jaccard_pairs`; recall is bounded by the banding curve
+    (8 bands × 4 rows ⇒ P(candidate) ≈ 1-(1-j⁴)⁸, >99.9% at j≥0.8).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # exact verification restricted to candidates
+    sh = shingles(df, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        candidates.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------- simhash ---
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document from whitespace-token xxhash64 values:
+    bit b of the signature = sign of Σ_tokens (2·bit_b(hash) − 1)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b) if b < 63 else F.lit(-(2**63))).otherwise(F.lit(0).cast("long")),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming. Candidates via the 4×16-bit
+    band pigeonhole (≤3 differing bits ⇒ ≥1 of 4 bands identical), verified
+    with ``bit_count(xor)`` — no O(n²) scan."""
+    sig = simhash64(df, text_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("chunk"),
+        )
+        for i in range(4)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------ embedding cosine dups --
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with per-element double casts, strict left-to-right — the
+    same association order as the SQL mirror, so results are bit-exact."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+    O(n²) compare — the exact baseline; for the bucketed scale path see
+    functions/similarity.py. Norms computed once per side before the join."""
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    dot_ab = _dot_sql(f"a.{vec_col}", f"b.{vec_col}")
+    dot_self = _dot_sql(vec_col, vec_col)
+    return f"""
+WITH e AS (SELECT {id_col}, {vec_col}, sqrt({dot_self}) AS nrm FROM {table})
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         {dot_ab} / (a.nrm * b.nrm) AS cosine
+  FROM e a JOIN e b ON a.{id_col} < b.{id_col})
+WHERE cosine >= {threshold}
+""".strip()

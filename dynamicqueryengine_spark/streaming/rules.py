@@ -1,0 +1,110 @@
+"""Structured Streaming rule evaluation (SURVEY.md §7 Phase 4).
+
+The reference has no streaming at all (SURVEY.md §2.5); this module runs the
+SAME compiled rule predicates over unbounded sources — the rule compiler is
+batch/stream agnostic because it only builds ``Column`` expressions.
+
+Patterns provided:
+
+* :func:`apply_rule_stream` — filter a stream with a rule document
+  (stateless; identical semantics to the batch path).
+* :func:`windowed_rule_counts` — watermarked tumbling-window counts of
+  rule matches (stateful; late rows beyond the watermark are dropped).
+* :func:`stream_events` — file-source stream over the driver's events
+  parquet (nanos→µs normalization applied, same as the batch loader).
+
+At scale: watermarks bound state; the shuffle is keyed by (window, keys);
+``spark.sql.shuffle.partitions`` sizes the state store spread.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.predicates import compile_predicate
+from ..plans.model import RuleDefinition
+from ..plans.validate import validate_rule
+
+EVENTS_SCHEMA_DDL = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (file source). ``ts``
+    arrives as raw nanos (schema pinned — streams can't infer), normalized
+    to a µs timestamp exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source needs a directory; events.parquet is a single file —
+    # stream the parent dir with a glob filter selecting just that file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def apply_rule_stream(
+    stream: DataFrame,
+    rule: RuleDefinition | Mapping[str, Any],
+    external_params: Mapping[str, Any] | None = None,
+    strict_compat: bool = True,
+) -> DataFrame:
+    """Stateless rule filter on a streaming DataFrame — same compile path
+    as batch ``apply_rule`` (aggregation is handled by the windowed variant
+    because streams need watermarked, windowed aggregates)."""
+    if not isinstance(rule, RuleDefinition):
+        rule = RuleDefinition.from_dict(rule)
+    validate_rule(rule, stream.schema)
+    if rule.conditions is None or rule.conditions.is_empty():
+        return stream
+    return stream.filter(
+        compile_predicate(rule.conditions, stream.schema, external_params, strict_compat)
+    )
+
+
+def windowed_rule_counts(
+    stream: DataFrame,
+    rule: RuleDefinition | Mapping[str, Any],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+    external_params: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts of rule matches with late-data handling:
+    watermark bounds state size; output schema
+    (window_start, window_end, *keys, matches)."""
+    filtered = apply_rule_stream(stream, rule, external_params)
+    return (
+        filtered.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "matches",
+        )
+    )
+
+
+def run_stream_to_memory(
+    query_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a (finite file-source) stream into an in-memory sink with the
+    availableNow trigger — the test/verification harness for streaming
+    pipelines; production sinks swap in Kafka/Delta via the same writer."""
+    (
+        query_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

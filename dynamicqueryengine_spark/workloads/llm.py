@@ -1,0 +1,211 @@
+"""Beyond-reference workloads: LLM-training-data pipeline operators over the
+``documents`` / ``embeddings`` / ``events`` tables (SURVEY.md §7 Phase 4;
+BASELINE.json north star).
+
+Each workload is a named (spark_fn, oracle_sql) pair like the reference
+workloads; oracle SQL is omitted only where the computation is inherently
+hash-engine-specific (MinHash/SimHash/LSH bucketing) — there the EXACT
+twin (same output schema, portable math) carries the oracle and the
+approximate variant is checked rows-only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import dedup as D
+from ..functions import multimodal as M
+from ..functions import similarity as S
+from ..functions import text as T
+from ..sources.registry import load_table
+
+# --------------------------------------------------------------- plumbing --
+
+
+@dataclass
+class FnWorkload:
+    """A named query backed by an arbitrary DataFrame pipeline."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: str | None = None
+
+    def spark_fn(self) -> Callable[[SparkSession, str], DataFrame]:
+        return self.fn
+
+    def oracle(self) -> str | None:
+        return self.oracle_sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------ text profile --
+
+
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count_ws(text).alias("tok_ws"),
+        T.token_count_bpe(text).alias("tok_bpe"),
+        F.round(T.stopword_ratio(text), 6).alias("stopword_ratio"),
+        T.quality_score(text).alias("quality"),
+        T.detect_language(text).alias("lang_pred"),
+        T.fingerprint_md5(text).alias("fp_md5"),
+        T.fingerprint_rolling(text).alias("fp_roll"),
+    )
+
+
+_TEXT_PROFILE_SQL = f"""
+SELECT doc_id,
+  {T.token_count_ws_sql('text')} AS tok_ws,
+  {T.token_count_bpe_sql('text')} AS tok_bpe,
+  round({T.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
+  {T.quality_score_sql('text')} AS quality,
+  {T.detect_language_sql('text')} AS lang_pred,
+  {T.fingerprint_md5_sql('text')} AS fp_md5,
+  {T.fingerprint_rolling_sql('text')} AS fp_roll
+FROM documents
+""".strip()
+
+
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical pre-training filter: keep docs above a quality floor with a
+    confident language prediction."""
+    text = F.col("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            T.quality_score(text).alias("quality"),
+            T.detect_language(text).alias("lang_pred"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    )
+
+
+_QUALITY_FILTER_SQL = f"""
+SELECT doc_id, lang,
+  {T.quality_score_sql('text')} AS quality,
+  {T.detect_language_sql('text')} AS lang_pred
+FROM documents
+WHERE {T.quality_score_sql('text')} >= 0.5 AND {T.detect_language_sql('text')} <> 'und'
+""".strip()
+
+
+# ----------------------------------------------------------------- dedup --
+
+
+def _dedup_exact_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_assign(_docs(spark, sf_dir))
+
+
+def _dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keep(_docs(spark, sf_dir))
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.7)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), k=5, threshold=0.7)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# ------------------------------------------------------------- similarity --
+
+
+def _ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(embs, queries, k=10)
+
+
+def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(embs, queries, k=10, bits=8)
+
+
+# ------------------------------------------------------------- multimodal --
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = M.attach_blob(_docs(spark, sf_dir))
+    return M.extract_blob_features(M.filter_by_metadata(blobs, max_size_bytes=10_000))
+
+
+# -------------------------------------------------- windowed event counts --
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed-rule-count pipeline
+    (streaming/rules.py::windowed_rule_counts) — same tumbling-window
+    semantics, oracle-checkable via DuckDB time_bucket."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 100)
+        .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("matches"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "matches",
+            "avg_value",
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS matches, round(avg(value), 6) AS avg_value
+FROM events WHERE value > 100
+GROUP BY 1, 2
+""".strip()
+
+
+LLM_QUERIES: dict[str, FnWorkload] = {
+    "text_profile": FnWorkload(_text_profile, _TEXT_PROFILE_SQL),
+    "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
+    "dedup_exact_assign": FnWorkload(
+        _dedup_exact_assign, D.exact_dedup_assign_sql("documents")
+    ),
+    "dedup_exact_keep": FnWorkload(
+        _dedup_exact_keep, D.exact_dedup_keep_sql("documents")
+    ),
+    "dedup_ngram_jaccard": FnWorkload(
+        _dedup_ngram, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    ),
+    # hash-engine-specific: exact twin above carries the oracle
+    "dedup_minhash_lsh": FnWorkload(_dedup_minhash, None),
+    "dedup_simhash": FnWorkload(_dedup_simhash, None),
+    "embed_neardup_cosine": FnWorkload(
+        _embed_neardup, D.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
+    ),
+    "ann_topk_bruteforce": FnWorkload(
+        _ann_topk_brute, S.cosine_topk_sql("embeddings", "__ID__ < 5", k=10)
+    ),
+    "ann_topk_lsh": FnWorkload(_ann_topk_lsh, None),
+    "multimodal_features": FnWorkload(_multimodal_features, None),
+    "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
+}

@@ -206,7 +206,7 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
                     {
                         "Property": "p_retailprice",
                         "Operator": "GreaterThanOrEqual",
-                        "Value": 1200,
+                        "Value": 950,
                     },
                     {"Property": "p_size", "Operator": "LessThan", "Value": 30},
                 ]
@@ -223,7 +223,7 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
         "orders", _cond("o_orderdate", "LessThan", "1995-06-15T00:00:00")
     ),
     # --- string-method operators (#9-12, ordinal case-sensitive) ---
-    "rule_contains": RuleWorkload("part", _cond("p_name", "Contains", "green")),
+    "rule_contains": RuleWorkload("part", _cond("p_name", "Contains", "red")),
     "rule_notcontains": RuleWorkload("part", _cond("p_name", "NotContains", "blue")),
     "rule_startswith": RuleWorkload("part", _cond("p_type", "StartsWith", "STANDARD")),
     "rule_endswith": RuleWorkload("part", _cond("p_brand", "EndsWith", "#3")),
@@ -241,7 +241,7 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
         },
     ),
     "rule_nullorempty": RuleWorkload("documents", _cond("lang", "NullOrEmpty")),
-    "rule_empty": RuleWorkload("documents", _cond("source", "Empty")),
+    "rule_notempty": RuleWorkload("documents", _cond("source", "NotEmpty")),
     "rule_notnullorempty_tautology": RuleWorkload(
         # faithful reference bug: passes every row (IQueryableRuleEvaluator.cs:210-216)
         "customer",
@@ -250,18 +250,18 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
     # --- regex-count family (#19-21) ---
     "rule_regex_count_greater": RuleWorkload(
         "events",
-        _cond("props", "ContainIfCountIsGreater", {"Target": "a", "Threshold": "2"}),
+        _cond("props", "ContainIfCountIsGreater", {"Target": "[0-9]", "Threshold": "1"}),
     ),
     "rule_regex_count_less": RuleWorkload(
         "events",
-        _cond("props", "ContainIfCountIsLess", {"Target": "x", "Threshold": "1"}),
+        _cond("props", "ContainIfCountIsLess", {"Target": "7", "Threshold": "2"}),
     ),
     "rule_regex_must_contain": RuleWorkload(
         "events",
         _cond(
             "props",
             "MustContainIfCountIsGreater",
-            {"Target": "[0-9]", "Required": "ID", "Threshold": "3"},
+            {"Target": "[0-9]", "Required": "K", "Threshold": "1"},
         ),
     ),
     # --- conditional (#22): material implication ---

@@ -1,0 +1,230 @@
+"""Semantic tests for the LLM-pipeline operators: planted duplicates are
+found, approximate paths agree with their exact twins, multimodal plumbing
+produces typed batches, and streaming rule evaluation matches batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicqueryengine_spark.functions import dedup as D
+from dynamicqueryengine_spark.functions import multimodal as M
+from dynamicqueryengine_spark.functions import similarity as S
+from dynamicqueryengine_spark.functions import text as T
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from dynamicqueryengine_spark.sources.registry import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    from dynamicqueryengine_spark.sources.registry import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Tiny corpus with exact dups (1,2), a near-dup pair (3,4), and
+    unrelated docs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("lazy", "sleepy")
+    rows = [
+        (1, base),
+        (2, base.upper()),          # exact dup after normalization? no—case folds, yes
+        (3, base + " tail"),
+        (4, near + " tail"),
+        (5, "completely different content about spark query engines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+class TestExactDedup:
+    def test_planted_exact_dup_collapses(self, planted):
+        kept = D.exact_dedup_keep(planted)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert 1 in ids and 2 not in ids  # case-insensitive exact dup
+        assert {3, 4, 5} <= ids
+
+    def test_assign_schema(self, planted):
+        out = D.exact_dedup_assign(planted)
+        assert out.columns == ["doc_id", "fingerprint", "canonical_id"]
+
+
+class TestNgramJaccard:
+    def test_near_dup_found_unrelated_not(self, planted):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(planted, k=5, threshold=0.5).collect()
+        }
+        assert (3, 4) in pairs
+        assert all(5 not in p for p in pairs)
+
+    def test_minhash_matches_exact_on_real_docs(self, docs):
+        """LSH candidates + exact verification should recover the exact
+        pairs at jaccard ≥ 0.7 on the driver's documents table (the planted
+        near-dup cluster sits at ≥0.92 where 8×4 banding recall ≈ 1)."""
+        exact = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(docs, k=5, threshold=0.7).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(docs, k=5, threshold=0.7).collect()
+        }
+        assert approx == exact  # full recall at this threshold band
+
+
+class TestSimhash:
+    def test_exact_dups_have_zero_hamming(self, planted):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_pairs(planted, max_hamming=3).collect()
+        }
+        assert pairs.get((1, 2)) == 0  # same tokens after normalization
+
+    def test_signature_is_deterministic(self, planted):
+        a = {r["doc_id"]: r["simhash"] for r in D.simhash64(planted).collect()}
+        b = {r["doc_id"]: r["simhash"] for r in D.simhash64(planted).collect()}
+        assert a == b
+
+
+class TestSimilarity:
+    def test_topk_shape_and_rank(self, embs):
+        queries = embs.filter(F.col("vec_id") < 3)
+        out = S.cosine_topk(embs, queries, k=5).collect()
+        by_query = {}
+        for r in out:
+            by_query.setdefault(r["query_id"], []).append(r)
+        assert set(by_query) == {0, 1, 2}
+        for rows in by_query.values():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == [1, 2, 3, 4, 5]
+            cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert cosines == sorted(cosines, reverse=True)
+            assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+    def test_lsh_results_subset_of_bucket_and_deterministic(self, embs):
+        queries = embs.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, S.lsh_topk(embs, queries, k=5).collect()))
+        b = sorted(map(tuple, S.lsh_topk(embs, queries, k=5).collect()))
+        assert a == b and len(a) > 0
+
+    def test_lsh_top1_recall_vs_exact(self, embs):
+        """Bucketed ANN should still find strong top-1 matches for most
+        queries that share a bucket with their true neighbor."""
+        queries = embs.filter(F.col("vec_id") < 10)
+        exact = {
+            r["query_id"]: r["neighbor_id"]
+            for r in S.cosine_topk(embs, queries, k=1).collect()
+        }
+        approx = {
+            r["query_id"]: r["neighbor_id"]
+            for r in S.lsh_topk(embs, queries, k=1, bits=4).collect()
+        }
+        hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+        assert hits >= len(approx) * 0.2  # lenient: recall is the documented trade
+
+
+class TestMultimodal:
+    def test_blob_schema_and_features(self, docs):
+        blobs = M.attach_blob(docs)
+        assert [f.name for f in blobs.schema.fields] == ["doc_id", "payload", "metadata"]
+        assert blobs.schema["payload"].dataType.typeName() == "binary"
+        feats = M.extract_blob_features(blobs.limit(20))
+        rows = feats.collect()
+        assert len(rows) == 20
+        assert all(r["decoded"] == "stub" and r["crc32"] >= 0 for r in rows)
+
+    def test_metadata_filter_prunes(self, docs):
+        blobs = M.attach_blob(docs)
+        small = M.filter_by_metadata(blobs, max_size_bytes=100)
+        assert small.count() < blobs.count()
+
+    def test_decode_stubs_raise(self):
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"x", "png")
+        with pytest.raises(NotImplementedError):
+            M.decode_audio(b"x", "wav")
+        with pytest.raises(NotImplementedError):
+            M.sample_frames(b"x", "mp4")
+
+
+class TestTextEdgeCases:
+    def test_empty_and_null_text(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "  "), (4, "one two three")],
+            "doc_id LONG, text STRING",
+        )
+        out = df.select(
+            "doc_id",
+            T.token_count_ws(F.col("text")).alias("tok"),
+            T.quality_score(F.col("text")).alias("q"),
+        ).collect()
+        vals = {r["doc_id"]: (r["tok"], r["q"]) for r in out}
+        assert vals[1] == (0, 0.1)  # empty: only the no-punct term scores
+        assert vals[2][0] is None  # null propagates
+        assert vals[3][0] == 0
+        assert vals[4][0] == 3
+
+
+class TestStreamingRules:
+    def test_stream_filter_matches_batch(self, spark):
+        from dynamicqueryengine_spark.operators.executor import apply_rule
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.streaming.rules import (
+            apply_rule_stream,
+            run_stream_to_memory,
+            stream_events,
+        )
+
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "event_type", "Operator": "Equal", "Value": "click"},
+                    {"Property": "value", "Operator": "GreaterThan", "Value": 50},
+                ]
+            }
+        }
+        stream = stream_events(spark, SF_DIR)
+        assert stream.isStreaming
+        run_stream_to_memory(apply_rule_stream(stream, rule), "stream_out")
+        got = spark.sql("SELECT count(*) c FROM stream_out").collect()[0]["c"]
+        want = apply_rule(load_table(spark, SF_DIR, "events"), rule).count()
+        assert got == want and want > 0
+
+    def test_windowed_counts_match_batch_twin(self, spark):
+        from dynamicqueryengine_spark.streaming.rules import (
+            run_stream_to_memory,
+            stream_events,
+            windowed_rule_counts,
+        )
+        from dynamicqueryengine_spark.workloads.llm import _events_hourly
+
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "value", "Operator": "GreaterThan", "Value": 100}
+                ]
+            }
+        }
+        stream = stream_events(spark, SF_DIR)
+        windowed = windowed_rule_counts(stream, rule, window="1 hour")
+        # complete mode: append would hold back windows the watermark hasn't
+        # closed, and a finite file stream ends before the last window closes
+        run_stream_to_memory(windowed, "windowed_out", output_mode="complete")
+        got = {
+            (r["window_start"], r["event_type"]): r["matches"]
+            for r in spark.sql("SELECT * FROM windowed_out").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): r["matches"]
+            for r in _events_hourly(spark, SF_DIR).collect()
+        }
+        assert got == want and len(want) > 0
