@@ -42,6 +42,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        spark.catalog.clearCache()  # no cross-query cache pollution
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

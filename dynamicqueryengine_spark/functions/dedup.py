@@ -111,22 +111,76 @@ def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
 # -------------------------------------------------- exact n-gram jaccard --
 
 
+def _verify_candidate_jaccard(
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact jaccard for a candidate-pair set: join each pair back to the
+    shingle table, count the intersection, apply the threshold. Candidate
+    sets are small, so both joins broadcast the pair list."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        F.broadcast(candidates)
+        .join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 5,
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_dense_vocab: int = 200_000,
 ) -> DataFrame:
-    """All document pairs with shingle-set jaccard ≥ threshold.
+    """All document pairs with shingle-set jaccard ≥ threshold — EXACT.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
 
-    Scale shape: one shuffle keyed by shingle (the equijoin), one keyed by
-    the pair for the common-count aggregation. The shingle join explodes on
-    hot shingles — at 100 TB use :func:`minhash_lsh_pairs`, which buckets
-    first and verifies only candidates with this same exact computation.
+    Execution adapts to the shingle-frequency shape:
+
+    * **Small vocabulary** (≤ ``max_dense_vocab`` distinct shingles — e.g.
+      templated/near-duplicate-heavy corpora, where a shingle equijoin
+      explodes as Σ freq²): block matmul over the 0/1 shingle-incidence
+      matrix. Spark computes shingle sets distributed; the comparison block
+      broadcasts; the corpus streams through ``mapInPandas`` and one
+      float32 matmul per Arrow batch yields EXACT intersection counts
+      (0/1 sums ≤ vocab < 2²⁴ are exact in float32). Same pattern as
+      :func:`embedding_neardup_pairs`; at 100 TB the block becomes a tile
+      loop.
+    * **Large vocabulary** (diverse corpus — equijoin buckets are small):
+      plain shingle equijoin + per-pair counting, all Column ops.
+
+    Both paths produce identical results (and match the SQL oracle, which
+    uses the equijoin formulation).
     """
     sh = shingles(df, k, text_col, id_col)
+    vocab_pdf = (
+        sh.select("shingle").distinct().limit(max_dense_vocab + 1).toPandas()
+    )
+    if len(vocab_pdf) > max_dense_vocab:
+        return _ngram_jaccard_join(sh, threshold, id_col)
+    return _ngram_jaccard_dense(sh, threshold, id_col, vocab_pdf)
+
+
+def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Equijoin formulation: join on shingle, count per pair. Cost is
+    Σ_shingle freq² joined rows — right when shingle frequencies are low."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,6 +201,62 @@ def ngram_jaccard_pairs(
         .filter(jac >= F.lit(threshold))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def _ngram_jaccard_dense(
+    sh: DataFrame, threshold: float, id_col: str, vocab_pdf
+) -> DataFrame:
+    """Dense incidence-matrix formulation for small vocabularies. Shingles
+    are mapped to integer vocab indices Spark-side (broadcast hash join
+    against the tiny vocab), so only int lists cross the Arrow boundary —
+    not repeated shingle strings."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sh.sparkSession
+    vocab_sorted = sorted(vocab_pdf["shingle"])
+    n_vocab = len(vocab_sorted)
+    vocab_df = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(vocab_sorted)], "shingle STRING, _idx INT"
+    )
+    grouped = (
+        sh.join(F.broadcast(vocab_df), "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list("_idx").alias("_idx"))
+        .persist()
+    )
+
+    block_pdf = grouped.toPandas()
+    b_ids = block_pdf[id_col].to_numpy()
+    b_mat = np.zeros((len(b_ids), n_vocab), dtype=np.float32)
+    for r, lst in enumerate(block_pdf["_idx"]):
+        b_mat[r, list(lst)] = 1.0
+    b_sizes = b_mat.sum(axis=1)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
+
+    def block(batches):
+        bids, bmat, bsizes = bc.value
+        for batch in batches:
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.zeros((len(a_ids), bmat.shape[1]), dtype=np.float32)
+            for r, lst in enumerate(batch["_idx"]):
+                a_mat[r, list(lst)] = 1.0
+            a_sizes = a_mat.sum(axis=1)
+            c = (a_mat @ bmat.T).astype(np.float64)  # exact intersection counts
+            union = a_sizes[:, None] + bsizes[None, :] - c
+            jac = c / union
+            keep_a, keep_b = np.where(
+                (jac >= threshold) & (a_ids[:, None] < bids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[keep_a],
+                    "id_b": bids[keep_b],
+                    "jaccard": np.round(jac[keep_a, keep_b], 6),
+                }
+            )
+
+    return grouped.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
 
 
 def ngram_jaccard_pairs_sql(
@@ -189,8 +299,18 @@ def minhash_signatures(
     """(id, h0..h{n-1}) MinHash signature; permutation j is the min over
     shingles of ``xxhash64(j, shingle)`` — deterministic, JVM-side, and a
     single groupBy pass (map-side combine keeps the shuffle at one row per
-    doc per partition)."""
-    sh = shingles(df, k, text_col, id_col)
+    doc per partition). Uses the raw (non-distinct) shingle stream — min is
+    idempotent under duplicates, so the dedup shuffle is skipped."""
+    t = normalize_text(F.col(text_col))
+    sh = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
+            F.col("_t"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), k).alias("shingle"))
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
         for j in range(num_perm)
@@ -216,6 +336,8 @@ def minhash_lsh_pairs(
     (8 bands × 4 rows ⇒ P(candidate) ≈ 1-(1-j⁴)⁸, >99.9% at j≥0.8).
     """
     rows_per_band = num_perm // bands
+    # signatures use the raw shingle stream (min is idempotent → no distinct
+    # shuffle); verification builds its own distinct set only over candidates
     sig = minhash_signatures(df, k, num_perm, text_col, id_col)
     band_cols = [
         F.struct(
@@ -243,24 +365,7 @@ def minhash_lsh_pairs(
 
     # exact verification restricted to candidates
     sh = shingles(df, k, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        candidates.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= F.lit(threshold))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _verify_candidate_jaccard(candidates, sh, threshold, id_col)
 
 
 # ------------------------------------------------------------- simhash ---
@@ -359,28 +464,49 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Brute-force cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
-    O(n²) compare — the exact baseline; for the bucketed scale path see
-    functions/similarity.py. Norms computed once per side before the join."""
-    e = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    """Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Execution: block matrix multiply — the comparison block (ids + unit
+    vectors) is broadcast to executors; the corpus streams through
+    ``mapInPandas`` in Arrow batches and each batch does one float64 matmul
+    against the block. The corpus side never shuffles and compute is
+    vectorized (~100× the per-pair higher-order-function formulation).
+
+    At 100 TB the broadcast block becomes a loop over corpus blocks
+    (outer-product tiling); the per-block pipeline below is unchanged.
+    Float64 matmul accumulation may differ from strictly-sequential
+    summation in the last ulp; outputs are rounded to 6dp (shared with the
+    SQL oracle) which absorbs it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            a_ids = batch[id_col].to_numpy()
+            a_mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            keep_a, keep_b = np.where(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[keep_a],
+                    "id_b": b_ids[keep_b],
+                    "cosine": np.round(sims[keep_a, keep_b], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
     )
 
 
