@@ -1,0 +1,107 @@
+"""HTTP/request facade — the reference's entry point #1 re-expressed.
+
+Mirrors ``POST /rules/evaluate`` (RuleController.cs:12-28): the request body
+carries a rule document plus inline rows (``EvaluateRequest {Rule, Users}``,
+RuleController.cs:31-35); the response is the evaluated row list on 200 or
+``{"Error": msg}`` on 400 (RuleController.cs:24-27).
+
+Two layers:
+
+* :func:`evaluate_request` — pure function: payload dict → response dict.
+  The unit the controller wraps; usable in-process without any server.
+* :func:`serve` — a stdlib ``ThreadingHTTPServer`` exposing the same JSON
+  contract at ``POST /rules/evaluate`` (no web framework in the container;
+  the facade is deliberately thin — all real work is the engine pipeline).
+
+Inline-payload scale note: this path exists for reference parity and
+small interactive calls. Large datasets should flow through the table
+registry (Parquet scans with pushdown), not the request body — same as the
+reference, whose in-memory list was its only option (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Mapping
+
+from pyspark.sql import SparkSession
+
+from .operators.executor import apply_rule, execute_rules
+from .plans.model import RuleDefinition, _ci_get
+from .sources.registry import inline_table
+
+
+def evaluate_request(
+    spark: SparkSession,
+    payload: Mapping[str, Any],
+    type_name: str = "User",
+) -> dict[str, Any]:
+    """Evaluate ``{Rule: ..., Users: [...]}`` (or ``Rules: [...]`` for the
+    multi-rule batch executor, RuleDefinitionExecutor.cs:8-28).
+
+    Returns ``{"status": 200, "rows": [...]}`` or
+    ``{"status": 400, "Error": msg}`` — the reference's error envelope.
+    """
+    try:
+        rows = _ci_get(payload, "Users", "Rows")
+        if not rows:
+            raise ValueError("Request must include a non-empty 'Users' row list.")
+        df = inline_table(spark, rows)
+
+        params = _ci_get(payload, "ExternalParams", "Params")
+        rules_raw = _ci_get(payload, "Rules")
+        if rules_raw:
+            rules = [RuleDefinition.from_dict(r) for r in rules_raw]
+            out = execute_rules(df, rules, external_params=params)
+        else:
+            rule_raw = _ci_get(payload, "Rule")
+            if rule_raw is None:
+                raise ValueError("Request must include 'Rule' or 'Rules'.")
+            out = apply_rule(
+                df,
+                RuleDefinition.from_dict(rule_raw),
+                external_params=params,
+                type_name=type_name,
+            )
+        return {
+            "status": 200,
+            "rows": [row.asDict(recursive=True) for row in out.collect()],
+        }
+    except Exception as exc:  # any failure → 400 {Error} (RuleController.cs:24-27)
+        return {"status": 400, "Error": str(exc)}
+
+
+def serve(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    """Start the HTTP facade (non-blocking; call ``.shutdown()`` to stop)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
+            if self.path.rstrip("/") != "/rules/evaluate":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                result = evaluate_request(spark, payload)
+            except json.JSONDecodeError as exc:
+                result = {"status": 400, "Error": f"Invalid JSON: {exc}"}
+            body = dict(result)
+            status = body.pop("status")
+            data = json.dumps(body.get("rows", body), default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args: Any) -> None:  # silence request logging
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    import threading
+
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

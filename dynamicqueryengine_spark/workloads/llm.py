@@ -18,9 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import dedup as D
 from ..functions import multimodal as M
+from ..functions import sessions as SS
 from ..functions import similarity as S
 from ..functions import text as T
+from ..operators.aggregate import apply_aggregation
+from ..plans.model import AggregationDefinition
 from ..sources.registry import load_table
+from .reference import _EVENTS_ORACLE_SOURCE, TESTDATA_SCHEMAS
 
 # --------------------------------------------------------------- plumbing --
 
@@ -184,6 +188,34 @@ GROUP BY 1, 2
 """.strip()
 
 
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — batch twin of the applyInPandasWithState
+    streaming operator (streaming/sessionize.py)."""
+    return SS.session_stats(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+_SESSIONS_SQL = SS.session_stats_sql(_EVENTS_ORACLE_SOURCE, gap_seconds=1800)
+
+
+def _agg_argmax_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy always-aggregate path: empty GroupBy → one global group
+    (AggregationEngine.cs:12-14, RuleEvaluator.cs:12)."""
+    agg = AggregationDefinition.from_dict(
+        {"AggregateProperty": "o_totalprice", "AggregateFunction": "Max"}
+    )
+    return apply_aggregation(load_table(spark, sf_dir, "orders"), [], agg)
+
+
+def _argmax_global_sql() -> str:
+    from ..plans.sqlgen import SqlGenerator
+
+    schema = TESTDATA_SCHEMAS["orders"]
+    gen = SqlGenerator(schema)
+    return gen.arg_extreme_sql(
+        "SELECT * FROM orders", [], schema["o_totalprice"], descending=True
+    )
+
+
 LLM_QUERIES: dict[str, FnWorkload] = {
     "text_profile": FnWorkload(_text_profile, _TEXT_PROFILE_SQL),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
@@ -208,4 +240,6 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "ann_topk_lsh": FnWorkload(_ann_topk_lsh, None),
     "multimodal_features": FnWorkload(_multimodal_features, None),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
+    "events_sessionize": FnWorkload(_sessions, _SESSIONS_SQL),
+    "agg_argmax_global": FnWorkload(_agg_argmax_global, _argmax_global_sql()),
 }

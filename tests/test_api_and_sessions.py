@@ -1,0 +1,193 @@
+"""Tests for the HTTP facade (reference entry point #1) and the
+sessionization operator (batch + applyInPandasWithState streaming twin)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from dynamicqueryengine_spark.api import evaluate_request, serve
+from dynamicqueryengine_spark.functions.sessions import session_stats
+
+from .conftest import SF_DIR
+
+USERS_PAYLOAD = [
+    {"Id": "u1", "Title": "Engineer", "Score": 10},
+    {"Id": "u2", "Title": "Manager", "Score": 30},
+    {"Id": "u3", "Title": "Engineer", "Score": 20},
+]
+
+
+class TestEvaluateRequest:
+    def test_single_rule(self, spark):
+        res = evaluate_request(
+            spark,
+            {
+                "Rule": {
+                    "Conditions": {
+                        "Conditions": [
+                            {"Property": "Title", "Operator": "Equal", "Value": "Engineer"}
+                        ]
+                    }
+                },
+                "Users": USERS_PAYLOAD,
+            },
+        )
+        assert res["status"] == 200
+        assert sorted(r["Id"] for r in res["rows"]) == ["u1", "u3"]
+
+    def test_multi_rule_batch(self, spark):
+        res = evaluate_request(
+            spark,
+            {
+                "Rules": [
+                    {"Conditions": {"Conditions": [
+                        {"Property": "Id", "Operator": "Equal", "Value": "u1"}]}},
+                    {"Conditions": {"Conditions": [
+                        {"Property": "Score", "Operator": "GreaterThan", "Value": 15}]}},
+                ],
+                "Users": USERS_PAYLOAD,
+            },
+        )
+        assert res["status"] == 200
+        assert sorted(r["Id"] for r in res["rows"]) == ["u1", "u2", "u3"]
+
+    def test_error_envelope(self, spark):
+        res = evaluate_request(
+            spark,
+            {
+                "Rule": {
+                    "Conditions": {
+                        "Conditions": [
+                            {"Property": "Nope", "Operator": "Equal", "Value": 1}
+                        ]
+                    }
+                },
+                "Users": USERS_PAYLOAD,
+            },
+        )
+        assert res["status"] == 400
+        assert "Property 'Nope' not found" in res["Error"]
+
+    def test_missing_rows(self, spark):
+        res = evaluate_request(spark, {"Rule": {}})
+        assert res["status"] == 400
+
+    def test_group_aggregate_over_http_shape(self, spark):
+        res = evaluate_request(
+            spark,
+            {
+                "Rule": {
+                    "GroupBy": ["Title"],
+                    "Aggregation": {
+                        "AggregateProperty": "Score",
+                        "AggregateFunction": "Max",
+                    },
+                },
+                "Users": USERS_PAYLOAD,
+            },
+        )
+        assert res["status"] == 200
+        got = {r["Title"]: r["Id"] for r in res["rows"]}
+        assert got == {"Engineer": "u3", "Manager": "u2"}
+
+
+class TestHttpServer:
+    def test_post_roundtrip(self, spark):
+        server = serve(spark, port=0)
+        try:
+            port = server.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/rules/evaluate",
+                data=json.dumps(
+                    {
+                        "Rule": {
+                            "Conditions": {
+                                "Conditions": [
+                                    {
+                                        "Property": "Title",
+                                        "Operator": "Equal",
+                                        "Value": "Manager",
+                                    }
+                                ]
+                            }
+                        },
+                        "Users": USERS_PAYLOAD,
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                assert resp.status == 200
+                rows = json.loads(resp.read())
+            assert [r["Id"] for r in rows] == ["u2"]
+        finally:
+            server.shutdown()
+
+    def test_bad_rule_gives_400(self, spark):
+        server = serve(spark, port=0)
+        try:
+            port = server.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/rules/evaluate",
+                data=json.dumps(
+                    {"Rule": {"Conditions": {"Conditions": [
+                        {"Property": "Id", "Operator": "Frobnicate"}]}},
+                     "Users": USERS_PAYLOAD}
+                ).encode(),
+            )
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(req, timeout=60)
+            assert err.value.code == 400
+        finally:
+            server.shutdown()
+
+
+class TestSessionization:
+    def test_batch_sessions_shape(self, spark):
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        out = session_stats(load_table(spark, SF_DIR, "events"), gap_seconds=1800)
+        rows = out.collect()
+        assert len(rows) > 0
+        assert out.columns == [
+            "user_id", "session_idx", "session_start", "session_end",
+            "n_events", "sum_value",
+        ]
+        for r in rows:
+            assert r["session_start"] <= r["session_end"]
+            assert r["n_events"] >= 1
+
+    def test_streaming_sessions_are_prefix_of_batch(self, spark):
+        """Closed streaming sessions must agree exactly with batch sessions;
+        only the final (still-open) session per user may be missing."""
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.streaming.rules import (
+            run_stream_to_memory,
+            stream_events,
+        )
+        from dynamicqueryengine_spark.streaming.sessionize import (
+            streaming_sessionize,
+        )
+
+        stream = streaming_sessionize(
+            stream_events(spark, SF_DIR).select("user_id", "ts", "value"),
+            gap_seconds=1800,
+        )
+        run_stream_to_memory(stream, "sessions_out", output_mode="append")
+        got = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+        assert len(got) > 0
+        batch = {
+            (r["user_id"], r["session_idx"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in session_stats(
+                load_table(spark, SF_DIR, "events"), gap_seconds=1800
+            ).collect()
+        }
+        for key, (n, s) in got.items():
+            assert key in batch
+            assert batch[key] == (n, round(s, 6))
