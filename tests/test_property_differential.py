@@ -1,0 +1,124 @@
+"""Property-based differential tests (SURVEY.md §5 item 4): hypothesis
+generates random rule trees (nested groups, mixed operators, typed values);
+each rule compiles through BOTH the Spark predicate compiler and the SQL
+transpiler, and the row sets must agree on the sf0.001 customer table.
+
+This is the strongest net over the predicate surface: any divergence in
+null handling, coercion, negation, or nesting between the two compilers
+(or between Spark and DuckDB semantics) fails here with a minimal
+counterexample rule."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dynamicqueryengine_spark import RuleDefinition, SqlGenerator, apply_rule
+
+from .conftest import SF_DIR, assert_same_rows
+
+# --- rule-document strategies over the customer schema -------------------
+
+_NUMERIC_VALUES = st.one_of(
+    st.integers(min_value=-100, max_value=10_000),
+    st.floats(min_value=-100, max_value=10_000, allow_nan=False, width=32),
+)
+_SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE", "bogus"]
+
+_numeric_cond = st.builds(
+    lambda prop, op, val: {"Property": prop, "Operator": op, "Value": val},
+    st.sampled_from(["c_acctbal", "c_nationkey", "c_custkey"]),
+    st.sampled_from(
+        ["Equal", "NotEqual", "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual"]
+    ),
+    _NUMERIC_VALUES,
+)
+
+_string_eq_cond = st.builds(
+    lambda op, val: {"Property": "c_mktsegment", "Operator": op, "Value": val},
+    st.sampled_from(["Equal", "NotEqual"]),
+    st.sampled_from(_SEGMENTS),
+)
+
+_string_method_cond = st.builds(
+    lambda op, val: {"Property": "c_name", "Operator": op, "Value": val},
+    st.sampled_from(["Contains", "NotContains", "StartsWith", "EndsWith"]),
+    st.sampled_from(["Customer", "0000", "1", "zzz", ""]),
+)
+
+_in_cond = st.builds(
+    lambda op, vals: {"Property": "c_mktsegment", "Operator": op, "Value": vals},
+    st.sampled_from(["In", "NotIn"]),
+    st.lists(st.sampled_from(_SEGMENTS), min_size=1, max_size=4),
+)
+
+_null_cond = st.builds(
+    lambda prop, op: {"Property": prop, "Operator": op},
+    st.sampled_from(["c_name", "c_mktsegment", "c_acctbal"]),
+    st.sampled_from(["Null", "NotNull", "Empty", "NotEmpty", "NullOrEmpty", "NotNullOrEmpty"]),
+)
+
+_leaf = st.one_of(_numeric_cond, _string_eq_cond, _string_method_cond, _in_cond, _null_cond)
+
+
+def _group(children=None):
+    subgroups = (
+        st.lists(children, max_size=2) if children is not None else st.just([])
+    )
+    return st.builds(
+        lambda op, conds, groups, neg: {
+            "LogicalOperator": op,
+            "Conditions": conds,
+            "Groups": groups,
+            "Negate": neg,
+        },
+        st.sampled_from(["AND", "OR", "and", "or"]),
+        st.lists(_leaf, max_size=3),
+        subgroups,
+        st.booleans(),
+    )
+
+
+_condition_tree = st.recursive(_group(), _group, max_leaves=8)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(tree=_condition_tree)
+def test_random_rule_tree_matches_oracle(tree, spark, testdata_duck):
+    rule = RuleDefinition.from_dict({"Name": "prop", "Conditions": tree})
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    spark_out = apply_rule(customer, rule)
+    sql = SqlGenerator(customer.schema).rule_sql(rule, "customer")
+    assert_same_rows(spark_out, testdata_duck.sql(sql))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    tree=_condition_tree,
+    key=st.sampled_from(["c_mktsegment", "c_nationkey"]),
+    func=st.sampled_from(["Min", "Max", "Count"]),
+)
+def test_random_filter_plus_aggregate_matches_oracle(tree, key, func, spark, testdata_duck):
+    rule = RuleDefinition.from_dict(
+        {
+            "Name": "prop-agg",
+            "Conditions": tree,
+            "GroupBy": [key],
+            "Aggregation": {
+                "AggregateProperty": "c_acctbal" if func != "Count" else None,
+                "AggregateFunction": func,
+            },
+        }
+    )
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    spark_out = apply_rule(customer, rule)
+    sql = SqlGenerator(customer.schema).rule_sql(rule, "customer")
+    assert_same_rows(spark_out, testdata_duck.sql(sql))
