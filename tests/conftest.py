@@ -120,16 +120,22 @@ def ids_of(df, id_col="Id"):
     return sorted(r[id_col] for r in df.collect())
 
 
+def _null_safe_key(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+
 def assert_same_rows(spark_df, duck_rel):
     """Order-insensitive row-set comparison (mirrors the driver's
     order-insensitive value-hash at a readable granularity)."""
     spark_cols = sorted(spark_df.columns)
     spark_rows = sorted(
-        tuple(_norm(row[c]) for c in spark_cols) for row in spark_df.collect()
+        (tuple(_norm(row[c]) for c in spark_cols) for row in spark_df.collect()),
+        key=_null_safe_key,
     )
     duck_df = duck_rel.fetch_arrow_table().to_pylist()
     duck_rows = sorted(
-        tuple(_norm(row[c]) for c in spark_cols) for row in duck_df
+        (tuple(_norm(row[c]) for c in spark_cols) for row in duck_df),
+        key=_null_safe_key,
     )
     assert spark_rows == duck_rows
 
