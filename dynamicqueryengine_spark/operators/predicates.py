@@ -114,7 +114,9 @@ def _coerce_literal(value: Any, dtype: DataType) -> Any:
         if isinstance(dtype, DecimalType):
             return Decimal(str(value))
         if isinstance(dtype, NumericType):  # integral types
-            return int(float(value))
+            # C# Convert.ChangeType(double, int) rounds half-to-even —
+            # Python round() matches exactly (0.5→0, 1.5→2)
+            return round(float(value))
         if isinstance(dtype, StringType):
             if isinstance(value, bool):
                 return "true" if value else "false"

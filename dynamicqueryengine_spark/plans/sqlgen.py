@@ -52,24 +52,28 @@ def _sql_str(value: Any) -> str:
 
 
 def _sql_literal(value: Any, dtype: DataType) -> str:
+    """Render a rule literal for DuckDB AFTER running it through the SAME
+    coercion the Spark compiler applies (predicates._coerce_literal) — the
+    two engines must compare against the identical constant (e.g. the
+    reference's Convert.ChangeType rounds 0.5 → 0 for int columns)."""
+    from ..operators.predicates import _coerce_literal
+
     if value is None:
         return "NULL"
+    coerced = _coerce_literal(value, dtype)
     if isinstance(dtype, BooleanType):
-        if isinstance(value, str):
-            value = value.strip().lower() in ("true", "1")
-        return "TRUE" if value else "FALSE"
+        return "TRUE" if coerced else "FALSE"
     if isinstance(dtype, TimestampType):
-        ts = value if isinstance(value, _dt.datetime) else _dt.datetime.fromisoformat(str(value))
-        return f"TIMESTAMP {_sql_str(ts.isoformat(sep=' '))}"
+        return f"TIMESTAMP {_sql_str(coerced.isoformat(sep=' '))}"
     if isinstance(dtype, DateType):
-        return f"DATE {_sql_str(value)}"
+        return f"DATE {_sql_str(coerced.isoformat())}"
     if isinstance(dtype, NumericType):
-        if isinstance(value, str):
-            value = float(value)
-        if isinstance(value, bool):
-            value = int(value)
-        return repr(value)
-    return _sql_str(value)
+        import decimal
+
+        if isinstance(coerced, decimal.Decimal):
+            return str(coerced)
+        return repr(int(coerced) if isinstance(coerced, bool) else coerced)
+    return _sql_str(coerced)
 
 
 class SqlGenerator:
