@@ -58,7 +58,45 @@ _null_cond = st.builds(
     st.sampled_from(["Null", "NotNull", "Empty", "NotEmpty", "NullOrEmpty", "NotNullOrEmpty"]),
 )
 
-_leaf = st.one_of(_numeric_cond, _string_eq_cond, _string_method_cond, _in_cond, _null_cond)
+_regex_cond = st.builds(
+    lambda op, target, thr: {
+        "Property": "c_name",
+        "Operator": op,
+        "Value": {"Target": target, "Threshold": str(thr)},
+    },
+    st.sampled_from(["ContainIfCountIsGreater", "ContainIfCountIsLess"]),
+    st.sampled_from(["0", "[0-9]", "Customer", "00"]),
+    st.integers(min_value=0, max_value=6),
+)
+
+_must_contain_cond = st.builds(
+    lambda target, req, thr: {
+        "Property": "c_name",
+        "Operator": "MustContainIfCountIsGreater",
+        "Value": {"Target": target, "Required": req, "Threshold": str(thr)},
+    },
+    st.sampled_from(["0", "[1-5]"]),
+    st.sampled_from(["customer", "CUSTOMER", "#0000"]),
+    st.integers(min_value=0, max_value=5),
+)
+
+_if_cond = st.builds(
+    lambda check, then: {"Property": "c_name", "Operator": "If",
+                         "Value": {"Check": check, "Then": then}},
+    st.one_of(_numeric_cond, _string_eq_cond),
+    st.one_of(_numeric_cond, _string_eq_cond, _string_method_cond),
+)
+
+_leaf = st.one_of(
+    _numeric_cond,
+    _string_eq_cond,
+    _string_method_cond,
+    _in_cond,
+    _null_cond,
+    _regex_cond,
+    _must_contain_cond,
+    _if_cond,
+)
 
 
 def _group(children=None):
@@ -93,6 +131,51 @@ def test_random_rule_tree_matches_oracle(tree, spark, testdata_duck):
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     spark_out = apply_rule(customer, rule)
     sql = SqlGenerator(customer.schema).rule_sql(rule, "customer")
+    assert_same_rows(spark_out, testdata_duck.sql(sql))
+
+
+_ORDERS_VALUES = st.one_of(
+    st.sampled_from(["O", "F", "P"]),
+    st.sampled_from(
+        ["1992-01-01T00:00:00", "1995-06-15T12:30:00", "1998-01-01T00:00:00"]
+    ),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(
+        ["Equal", "NotEqual", "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual"]
+    ),
+    use_ts=st.booleans(),
+    value=_ORDERS_VALUES,
+    dyn=st.booleans(),
+)
+def test_orders_timestamp_and_dynamic_params(op, use_ts, value, dyn, spark, testdata_duck):
+    """Timestamp literals and external-parameter resolution across both
+    compilers on the orders table."""
+    from hypothesis import assume
+
+    # ordering ops on a string column trigger the numeric-coercion path,
+    # which (faithfully to decimal.Parse) REJECTS non-numeric literals —
+    # not a differential case
+    assume(use_ts or op in ("Equal", "NotEqual"))
+    prop = "o_orderdate" if use_ts else "o_orderstatus"
+    value = value if use_ts == ("-" in str(value)) else ("1994-01-01T00:00:00" if use_ts else "O")
+    cond = {"Property": prop, "Operator": op}
+    params = None
+    if dyn:
+        params = {prop: value}  # Value null → external-param resolution
+    else:
+        cond["Value"] = value
+    rule = RuleDefinition.from_dict({"Conditions": {"Conditions": [cond]}})
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spark_out = apply_rule(orders, rule, external_params=params)
+    sql = SqlGenerator(orders.schema, external_params=params).rule_sql(rule, "orders")
     assert_same_rows(spark_out, testdata_duck.sql(sql))
 
 
