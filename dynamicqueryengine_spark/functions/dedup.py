@@ -29,6 +29,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..util import spread
 from .text import normalize_text, normalize_text_sql
 
 # ---------------------------------------------------------------- exact --
@@ -85,7 +86,7 @@ def shingles(
     per-doc set size at ``len(text)``."""
     t = normalize_text(F.col(text_col))
     return (
-        df.select(
+        spread(df).select(
             F.col(id_col),
             t.alias("_t"),
         )
@@ -303,7 +304,7 @@ def minhash_signatures(
     idempotent under duplicates, so the dedup shuffle is skipped."""
     t = normalize_text(F.col(text_col))
     sh = (
-        df.select(F.col(id_col), t.alias("_t"))
+        spread(df).select(F.col(id_col), t.alias("_t"))
         .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
@@ -376,7 +377,7 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash per document from whitespace-token xxhash64 values:
     bit b of the signature = sign of Σ_tokens (2·bit_b(hash) − 1)."""
-    tokens = df.select(
+    tokens = spread(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64(F.col("tok")))
@@ -505,7 +506,7 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return spread(df.select(id_col, vec_col)).mapInPandas(
         block, schema="id_a long, id_b long, cosine double"
     )
 

@@ -18,6 +18,8 @@ import zlib
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..util import spread
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -128,7 +130,7 @@ def extract_blob_features(blobs: DataFrame) -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(extract, schema=BLOB_FEATURES_SCHEMA)
+    return spread(blobs).mapInPandas(extract, schema=BLOB_FEATURES_SCHEMA)
 
 
 def filter_by_metadata(

@@ -24,6 +24,7 @@ import random
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..util import spread
 from .dedup import _dot, _dot_sql
 
 
@@ -40,7 +41,7 @@ def cosine_topk(
     by neighbor id (deterministic). Self-matches are excluded when the query
     set is a subset of the corpus (same id space).
     """
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
@@ -126,7 +127,7 @@ def lsh_topk(
     query's bucket. At 100 TB the bucket join shuffles ~n/2^bits of the
     corpus per query bucket instead of the full corpus."""
     planes = hyperplanes(dim, bits, seed)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),

@@ -24,6 +24,7 @@ from ..functions import text as T
 from ..operators.aggregate import apply_aggregation
 from ..plans.model import AggregationDefinition
 from ..sources.registry import load_table
+from ..util import spread
 from .reference import _EVENTS_ORACLE_SOURCE, TESTDATA_SCHEMAS
 
 # --------------------------------------------------------------- plumbing --
@@ -44,7 +45,8 @@ class FnWorkload:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # single-file input → spread before the regex/explode-heavy projections
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
