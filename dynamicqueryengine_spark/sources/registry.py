@@ -79,6 +79,10 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     which oracle SQL must apply on its side when projecting ``ts``.
     """
     path = os.path.join(base_dir, f"{name}.parquet")
+    # timestamp literals compile against the session timezone; pin UTC so
+    # rule timestamps mean the same instant under any caller's session
+    # (DuckDB oracle timestamps are naive-UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
