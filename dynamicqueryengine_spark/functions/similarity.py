@@ -113,6 +113,157 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list":
+    """Deterministic distributed Lloyd's k-means (for the IVF index).
+
+    Init = the k lowest-id vectors (deterministic, no RNG). Each iteration:
+    executors assign their Arrow batch to the nearest broadcast centroid and
+    emit per-cell partial (sum, count); the driver reduces k rows and
+    re-broadcasts. Work per iteration is one corpus pass — the same
+    broadcast-block matmul pattern as the search itself; no MLlib needed.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    init = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    centroids = np.stack([np.array(r[0], dtype=np.float64) for r in init])
+
+    data = spread(corpus.select(vec_col))
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            import pandas as pd
+
+            cents = bc.value
+            kk, dim = cents.shape
+            for batch in batches:
+                mat = np.stack(batch.iloc[:, 0].to_numpy()).astype(np.float64)
+                d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                sums = np.zeros((kk, dim))
+                counts = np.zeros(kk)
+                np.add.at(sums, assign, mat)
+                np.add.at(counts, assign, 1)
+                yield pd.DataFrame(
+                    {
+                        "cell": range(kk),
+                        "s": [sums[i].tolist() for i in range(kk)],
+                        "n": counts,
+                    }
+                )
+
+        agg = (
+            data.mapInPandas(partials, schema="cell int, s array<double>, n double")
+            .groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("s")[i]).alias(f"d{i}")
+                        for i in range(centroids.shape[1])
+                    ]
+                ).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for row in agg:
+            if row["n"] > 0:
+                new[row["cell"]] = np.array(row["s"]) / row["n"]
+        centroids = new
+    return centroids.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "list | None" = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign the corpus to k-means
+    cells once, probe only the ``n_probe`` nearest cells per query, exact
+    cosine rerank within them. The classic ANN scale path: search cost drops
+    by ~n_cells/n_probe while the assignment is one linear pass.
+
+    Recall < 1 when a true neighbor lives in an unprobed cell (measured in
+    tests against the brute-force oracle)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, k=n_cells, vec_col=vec_col, id_col=id_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def cell_of(col: F.Column) -> F.Column:
+        # nearest centroid by squared L2, as a Column expression over the
+        # broadcast (literal) centroid array — JVM-side, no Python at row time
+        d2 = [
+            F.aggregate(
+                F.zip_with(
+                    col, F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+        best = F.least(*d2)
+        expr = F.lit(-1)
+        for i in reversed(range(len(d2))):
+            expr = F.when(d2[i] == best, F.lit(i)).otherwise(expr)
+        return expr
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+
+    # driver-side probe list per query would need a collect; instead explode
+    # each query into its n_probe nearest cells (queries are the small side)
+    import numpy as _np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = _np.array(r[vec_col], dtype=_np.float64)
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        for cell in _np.argsort(d2)[:n_probe]:
+            probe_rows.append((int(r[id_col]), int(cell), [float(x) for x in v]))
+    q = corpus.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, cell int, _qvec array<double>"
+    ).withColumn("_qnrm", F.sqrt(_dot(F.col("_qvec"), F.col("_qvec"))))
+
+    cos = _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnrm") * F.col("_cnrm"))
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

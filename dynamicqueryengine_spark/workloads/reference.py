@@ -242,6 +242,19 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
     ),
     "rule_nullorempty": RuleWorkload("documents", _cond("lang", "NullOrEmpty")),
     "rule_notempty": RuleWorkload("documents", _cond("source", "NotEmpty")),
+    "rule_empty_or_short": RuleWorkload(
+        # Empty op in a non-degenerate position: OR with a live predicate
+        "documents",
+        {
+            "Conditions": {
+                "LogicalOperator": "OR",
+                "Conditions": [
+                    {"Property": "lang", "Operator": "Empty"},
+                    {"Property": "n_chars", "Operator": "LessThan", "Value": 100},
+                ],
+            }
+        },
+    ),
     "rule_notnullorempty_tautology": RuleWorkload(
         # faithful reference bug: passes every row (IQueryableRuleEvaluator.cs:210-216)
         "customer",
@@ -289,6 +302,23 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
         "customer",
         _cond("c_mktsegment", "DynamicEqual"),
         params={"c_mktsegment": "BUILDING"},
+    ),
+    "rule_dynamic_unary_family": RuleWorkload(
+        # DynamicNullOrEmpty + DynamicNotEmpty as row-independent gates
+        # (they test the PARAMETER, not the column —
+        # IQueryableRuleEvaluator.cs:249-272) folded with a live predicate
+        "customer",
+        {
+            "Conditions": {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "blank_param", "Operator": "DynamicNullOrEmpty"},
+                    {"Property": "list_param", "Operator": "DynamicNotEmpty"},
+                    {"Property": "c_acctbal", "Operator": "GreaterThan", "Value": 500},
+                ],
+            }
+        },
+        params={"blank_param": "   ", "list_param": [1, 2]},
     ),
     "rule_dynamic_guard": RuleWorkload(
         # row-independent DynamicNotNullOrEmpty gate AND a real filter

@@ -228,3 +228,26 @@ class TestStreamingRules:
             for r in _events_hourly(spark, SF_DIR).collect()
         }
         assert got == want and len(want) > 0
+
+
+class TestIvf:
+    def test_kmeans_deterministic_and_recall(self, embs):
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.functions.similarity import (
+            cosine_topk,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        cents_a = kmeans_centroids(embs, k=8, iterations=3)
+        cents_b = kmeans_centroids(embs, k=8, iterations=3)
+        assert cents_a == cents_b  # deterministic init + iteration
+
+        queries = embs.filter(F.col("vec_id") < 5)
+        approx = ivf_topk(embs, queries, k=5, n_probe=3, centroids=cents_a).collect()
+        exact = cosine_topk(embs, queries, k=5).collect()
+        ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        assert len(ap) > 0
+        assert len(ex & ap) / len(ex) >= 0.4  # probing 3/8 cells
