@@ -73,17 +73,18 @@ def windowed_rule_counts(
     rule: RuleDefinition | Mapping[str, Any],
     ts_col: str = "ts",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     keys: Sequence[str] = ("event_type",),
     external_params: Mapping[str, Any] | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts of rule matches with late-data handling:
-    watermark bounds state size; output schema
-    (window_start, window_end, *keys, matches)."""
+    """Tumbling (or, with ``slide``, sliding/hopping) window counts of rule
+    matches with late-data handling: watermark bounds state size; output
+    schema (window_start, window_end, *keys, matches)."""
     filtered = apply_rule_stream(stream, rule, external_params)
     return (
         filtered.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .groupBy(F.window(F.col(ts_col), window, slide or window), *keys)
         .agg(F.count(F.lit(1)).alias("matches"))
         .select(
             F.col("window.start").alias("window_start"),

@@ -190,6 +190,31 @@ GROUP BY 1, 2
 """.strip()
 
 
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping windows (width 2h, slide 1h) — each event lands in
+    two windows; batch twin of windowed_rule_counts(slide=...)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 100)
+        .groupBy(F.window(F.col("ts"), "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("matches"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "matches"
+        )
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+SELECT window_start, event_type, count(*) AS matches FROM (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+           - (i * INTERVAL '1 hour') AS window_start,
+         event_type
+  FROM events, UNNEST([0, 1]) AS u(i)
+  WHERE value > 100)
+GROUP BY 1, 2
+""".strip()
+
+
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — batch twin of the applyInPandasWithState
     streaming operator (streaming/sessionize.py)."""
@@ -242,6 +267,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "ann_topk_lsh": FnWorkload(_ann_topk_lsh, None),
     "multimodal_features": FnWorkload(_multimodal_features, None),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
+    "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),
     "events_sessionize": FnWorkload(_sessions, _SESSIONS_SQL),
     "agg_argmax_global": FnWorkload(_agg_argmax_global, _argmax_global_sql()),
 }
