@@ -1,0 +1,85 @@
+"""General-analytics workloads beyond the rule surface: the registry tables
+are ordinary Spark tables, so the full DataFrame/SQL surface (joins, exact
+distinct counts, medians) is available around the rule engine. These queries
+document that breadth with oracle checks and give the bench a join-shaped
+headline.
+
+Numeric-parity notes: monetary sums go through DECIMAL(18,2) so the
+aggregation is exact in both engines (double summation order would differ),
+then cast to double for a stable comparison type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.registry import load_table
+from .llm import FnWorkload
+
+
+def _lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+    )
+
+
+_LINEITEM_STATS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(median(l_extendedprice), 6) AS median_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: orders ⋈ customer ⋈ nation ⋈ region — dimensions broadcast
+    (nation/region are tiny; customer is the smallest fact side), the orders
+    scan streams. One shuffle total (the final group-by)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'O'
+GROUP BY r_name, n_name
+""".strip()
+
+
+ANALYTICS_QUERIES: dict[str, FnWorkload] = {
+    "lineitem_stats": FnWorkload(_lineitem_stats, _LINEITEM_STATS_SQL),
+    "join_revenue_by_nation": FnWorkload(_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+}
