@@ -76,12 +76,13 @@ def exact_dedup_keep_sql(table: str, text_col: str = "text", id_col: str = "doc_
 # -------------------------------------------------------------- shingles --
 
 
-def shingles(
+def raw_shingles(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document: (id, shingle).
-    Explode stays JVM-side (sequence + substring); DISTINCT bounds the
-    per-doc set size at ``len(text)``."""
+    """Character k-gram shingle stream per document (duplicates retained):
+    explode stays JVM-side (sequence + substring). Consumers that are
+    duplicate-insensitive (minhash min-agg, incidence-matrix assignment)
+    use this directly and skip a full-table distinct shuffle."""
     t = normalize_text(F.col(text_col))
     return (
         spread(df).select(
@@ -94,8 +95,14 @@ def shingles(
             F.col("_t"),
         )
         .select(id_col, F.substring(F.col("_t"), F.col("_i"), k).alias("shingle"))
-        .distinct()
     )
+
+
+def shingles(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character k-gram shingles per document: (id, shingle)."""
+    return raw_shingles(df, k, text_col, id_col).distinct()
 
 
 def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
@@ -112,13 +119,21 @@ def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
 
 def _verify_candidate_jaccard(
     candidates: DataFrame,
-    sh: DataFrame,
+    raw_sh: DataFrame,
     threshold: float,
     id_col: str,
 ) -> DataFrame:
     """Exact jaccard for a candidate-pair set: join each pair back to the
     shingle table, count the intersection, apply the threshold. Candidate
-    sets are small, so both joins broadcast the pair list."""
+    sets are small, so the shingle stream is semi-joined down to candidate
+    ids BEFORE the distinct — the expensive dedup shuffle runs over only
+    the candidates' shingles, not the whole corpus."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = raw_sh.join(F.broadcast(cand_ids), id_col, "semi").distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
     shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -168,13 +183,14 @@ def ngram_jaccard_pairs(
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
     """
-    sh = shingles(df, k, text_col, id_col)
+    raw = raw_shingles(df, k, text_col, id_col)
     vocab_pdf = (
-        sh.select("shingle").distinct().limit(max_dense_vocab + 1).toPandas()
+        raw.select("shingle").distinct().limit(max_dense_vocab + 1).toPandas()
     )
     if len(vocab_pdf) > max_dense_vocab:
-        return _ngram_jaccard_join(sh, threshold, id_col)
-    return _ngram_jaccard_dense(sh, threshold, id_col, vocab_pdf)
+        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
+    # incidence-matrix assignment is idempotent → raw stream, no distinct
+    return _ngram_jaccard_dense(raw, threshold, id_col, vocab_pdf)
 
 
 def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
@@ -221,7 +237,7 @@ def _ngram_jaccard_dense(
     grouped = (
         sh.join(F.broadcast(vocab_df), "shingle")
         .groupBy(id_col)
-        .agg(F.collect_list("_idx").alias("_idx"))
+        .agg(F.collect_set("_idx").alias("_idx"))
         .persist()
     )
 
@@ -300,16 +316,7 @@ def minhash_signatures(
     single groupBy pass (map-side combine keeps the shuffle at one row per
     doc per partition). Uses the raw (non-distinct) shingle stream — min is
     idempotent under duplicates, so the dedup shuffle is skipped."""
-    t = normalize_text(F.col(text_col))
-    sh = (
-        spread(df).select(F.col(id_col), t.alias("_t"))
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
-            F.col("_t"),
-        )
-        .select(id_col, F.substring(F.col("_t"), F.col("_i"), k).alias("shingle"))
-    )
+    sh = raw_shingles(df, k, text_col, id_col)
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
         for j in range(num_perm)
@@ -362,9 +369,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates
-    sh = shingles(df, k, text_col, id_col)
-    return _verify_candidate_jaccard(candidates, sh, threshold, id_col)
+    # exact verification restricted to candidates (verifier semi-joins the
+    # raw shingle stream down to candidate ids before deduping)
+    return _verify_candidate_jaccard(
+        candidates, raw_shingles(df, k, text_col, id_col), threshold, id_col
+    )
 
 
 # ------------------------------------------------------------- simhash ---
