@@ -243,7 +243,67 @@ def _argmax_global_sql() -> str:
     )
 
 
+def _pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus pipeline — the composition story:
+    quality/language filter → exact dedup (keep min id per normalized
+    content) → near-dup removal (drop the higher id of every jaccard≥0.7
+    pair) → per-doc token/quality stats. Every stage is one of the engine's
+    operators; the oracle composes the same stages as SQL CTEs."""
+    from pyspark.sql.window import Window
+
+    text = F.col("text")
+    q = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            T.quality_score(text).alias("quality"),
+            T.detect_language(text).alias("lang_pred"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    )
+    fp = F.md5(T.normalize_text(F.col("text")))
+    keep = (
+        q.withColumn("_cid", F.min("doc_id").over(Window.partitionBy(fp)))
+        .filter(F.col("doc_id") == F.col("_cid"))
+        .drop("_cid")
+        .persist()  # consumed by pair-mining, the anti-join, and the output
+    )
+    pairs = D.ngram_jaccard_pairs(keep.select("doc_id", "text"), k=5, threshold=0.7)
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = keep.join(removed, "doc_id", "left_anti")
+    return final.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("tok_ws"),
+        "quality",
+    )
+
+
+def _pretraining_pipeline_sql() -> str:
+    q = (
+        f"SELECT doc_id, text, {T.quality_score_sql('text')} AS quality "
+        f"FROM documents WHERE {T.quality_score_sql('text')} >= 0.5 "
+        f"AND {T.detect_language_sql('text')} <> 'und'"
+    )
+    keep = (
+        f"SELECT doc_id, text, quality FROM ("
+        f"SELECT doc_id, text, quality, "
+        f"min(doc_id) OVER (PARTITION BY md5({T.normalize_text_sql('text')})) AS cid "
+        f"FROM ({q})) WHERE doc_id = cid"
+    )
+    pairs = D.ngram_jaccard_pairs_sql(f"({keep}) AS keep_t", k=5, threshold=0.7)
+    return f"""
+WITH keep AS ({keep}),
+pairs AS ({pairs})
+SELECT doc_id, {T.token_count_ws_sql('text')} AS tok_ws, quality
+FROM keep WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+""".strip()
+
+
 LLM_QUERIES: dict[str, FnWorkload] = {
+    "pipeline_pretraining_corpus": FnWorkload(
+        _pretraining_pipeline, _pretraining_pipeline_sql()
+    ),
     "text_profile": FnWorkload(_text_profile, _TEXT_PROFILE_SQL),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
     "dedup_exact_assign": FnWorkload(
