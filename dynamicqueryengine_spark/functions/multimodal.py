@@ -14,7 +14,7 @@ without touching any of the distributed plumbing.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -42,7 +42,7 @@ BLOB_FEATURES_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("format", StringType(), False),
         StructField("size_bytes", LongType(), False),
-        StructField("crc32", LongType(), False),
+        StructField("payload_md5", StringType(), False),
         StructField("head_byte", IntegerType(), True),
         StructField("decoded", StringType(), False),
     ]
@@ -98,9 +98,10 @@ def sample_frames(payload: bytes, fmt: str, every_n: int = 30) -> "list":
 
 def _decode_stub(payload: bytes) -> dict:
     """Deterministic fake 'decode': cheap byte-level features standing in for
-    real decoded-media features (dimensions, duration, ...)."""
+    real decoded-media features (dimensions, duration, ...). md5 keeps the
+    checksum oracle-checkable (DuckDB ships md5; crc32 it does not)."""
     return {
-        "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
+        "payload_md5": hashlib.md5(payload).hexdigest(),
         "head_byte": payload[0] if payload else None,
     }
 
@@ -124,7 +125,7 @@ def extract_blob_features(blobs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "format": [m["format"] for m in pdf["metadata"]],
                     "size_bytes": [m["size_bytes"] for m in pdf["metadata"]],
-                    "crc32": [f["crc32"] for f in feats],
+                    "payload_md5": [f["payload_md5"] for f in feats],
                     "head_byte": [f["head_byte"] for f in feats],
                     "decoded": "stub",
                 }

@@ -158,6 +158,20 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_blob_features(M.filter_by_metadata(blobs, max_size_bytes=10_000))
 
 
+# The payload is the utf-8 encoding of ``text``, so every stub feature is
+# SQL-derivable — the Arrow mapInPandas plumbing gets a full value oracle.
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'text/plain' AS format,
+       octet_length(encode(text)) AS size_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) END AS head_byte,
+       'stub' AS decoded
+FROM documents
+WHERE octet_length(encode(text)) <= 10000
+""".strip()
+
+
 # -------------------------------------------------- windowed event counts --
 
 
@@ -315,8 +329,12 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_ngram_jaccard": FnWorkload(
         _dedup_ngram, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
     ),
-    # hash-engine-specific: exact twin above carries the oracle
-    "dedup_minhash_lsh": FnWorkload(_dedup_minhash, None),
+    # LSH banding at recall≈1 for this corpus's ≥0.92-jaccard dup cluster:
+    # the exact-twin SQL is a valid full oracle (verified at sf0.001/sf0.01;
+    # deterministic data + deterministic hashes → stable across rounds)
+    "dedup_minhash_lsh": FnWorkload(
+        _dedup_minhash, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    ),
     "dedup_simhash": FnWorkload(_dedup_simhash, None),
     "embed_neardup_cosine": FnWorkload(
         _embed_neardup, D.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
@@ -325,7 +343,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _ann_topk_brute, S.cosine_topk_sql("embeddings", "__ID__ < 5", k=10)
     ),
     "ann_topk_lsh": FnWorkload(_ann_topk_lsh, None),
-    "multimodal_features": FnWorkload(_multimodal_features, None),
+    "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),
     "events_sessionize": FnWorkload(_sessions, _SESSIONS_SQL),

@@ -140,7 +140,9 @@ class TestMultimodal:
         feats = M.extract_blob_features(blobs.limit(20))
         rows = feats.collect()
         assert len(rows) == 20
-        assert all(r["decoded"] == "stub" and r["crc32"] >= 0 for r in rows)
+        assert all(
+            r["decoded"] == "stub" and len(r["payload_md5"]) == 32 for r in rows
+        )
 
     def test_metadata_filter_prunes(self, docs):
         blobs = M.attach_blob(docs)
