@@ -1,0 +1,68 @@
+"""Skew-handling utilities for hot-key workloads at scale.
+
+Spark already gives two layers of skew protection: map-side partial
+aggregation (hot groups collapse per-partition before the shuffle) and AQE
+skew-join splitting (enabled in session.py). The utilities here cover the
+cases those don't:
+
+* :func:`count_distinct_unskewed` — ``countDistinct`` keeps a per-group
+  hash set in the aggregation buffer; a hot key concentrates that whole set
+  on one task. The two-shuffle reformulation (dedupe on (keys, value) —
+  uniform hash distribution — then count) bounds every task's state.
+* :func:`salted_collect_set` — same problem for ``collect_set``-style
+  holistic aggregates: pre-aggregate per (keys, salt) so no single task
+  materializes a hot key's full set, then merge the ≤ ``salt`` partials.
+* :func:`with_salt` — deterministic salt column for manual two-phase
+  patterns (hash of the value column, NOT random — keeps runs reproducible
+  and co-locates equal values, which set-union semantics require).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, salt_col: str, source_col: str, buckets: int = 16) -> DataFrame:
+    """Deterministic salt in [0, buckets): hash of ``source_col``."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(source_col)), F.lit(buckets))
+    )
+
+
+def count_distinct_unskewed(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT value) GROUP BY keys.
+
+    Phase 1 shuffles on (keys, value) — uniformly distributed even when one
+    key dominates; phase 2 counts tiny deduped rows per key. Exactly
+    equivalent to ``groupBy(keys).agg(countDistinct(value))`` — including a
+    0-count row for groups whose values are all NULL — with bounded
+    per-task state."""
+    deduped = (
+        df.select(*keys, value_col).where(F.col(value_col).isNotNull()).distinct()
+    )
+    counts = deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
+    all_groups = df.select(*keys).distinct()
+    return all_groups.join(counts, list(keys), "left").fillna({out_col: 0})
+
+
+def salted_collect_set(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    buckets: int = 16,
+    out_col: str = "values",
+) -> DataFrame:
+    """Skew-safe collect_set: partial sets per (keys, salt) — each at most
+    the salt-bucket's share of a hot key — then a flatten+distinct merge of
+    ≤ ``buckets`` partial arrays per key."""
+    salted = with_salt(df, "_salt", value_col, buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.collect_set(value_col).alias("_partial")
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_distinct(F.flatten(F.collect_list("_partial"))).alias(out_col)
+    )
