@@ -47,8 +47,13 @@ def session_stats(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """One row per session: bounds, event count, value sum (rounded 6dp —
-    decimal-exact would also work; rounding keeps double parity simple)."""
+    """One row per session: bounds, event count, value sum.
+
+    ``sum_value`` aggregates through DECIMAL(38,9) so the summation is
+    exact and order-independent — plain ``sum(double)`` depends on the
+    engine's reduction order and diverges from the oracle at the 6-dp
+    rounding boundary (this was CORRECTNESS_r01's one hash mismatch).
+    Same pattern as analytics.py's ``sum_price``."""
     tagged = sessionize(events, gap_seconds, user_col, ts_col)
     return (
         tagged.groupBy(user_col, "session_idx")
@@ -56,7 +61,9 @@ def session_stats(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,9)")).cast("double"), 6
+            ).alias("sum_value"),
         )
     )
 
@@ -83,6 +90,7 @@ WITH tagged AS (
     FROM {table}))
 SELECT {user_col}, session_idx,
        min({ts_col}) AS session_start, max({ts_col}) AS session_end,
-       count(*) AS n_events, round(sum({value_col}), 6) AS sum_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST({value_col} AS DECIMAL(38,9))) AS DOUBLE), 6) AS sum_value
 FROM tagged GROUP BY {user_col}, session_idx
 """.strip()

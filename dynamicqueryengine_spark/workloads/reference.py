@@ -13,7 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -118,16 +118,28 @@ _EVENTS_ORACLE_SOURCE = (
 
 @dataclass
 class RuleWorkload:
-    """One named correctness query: rule document + target table."""
+    """One named correctness query: rule document + target table.
+
+    ``prepare``/``oracle_source``/``schema`` let a workload run its rule
+    over a DERIVED projection of a base table (the same derivation
+    expressed once as a DataFrame transform and once as a SQL subquery) —
+    used where the raw testdata is too clean to exercise a path (no NULLs,
+    no numeric strings) and a vacuous 0-row match would prove nothing.
+    """
 
     table: str
     rule: Mapping[str, Any]
     params: Mapping[str, Any] | None = None
     group_by_mode: str = "all"
+    prepare: Callable[[DataFrame], DataFrame] | None = None
+    oracle_source: str | None = None
+    schema: StructType | None = None
 
     def spark_fn(self) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = load_table(spark, sf_dir, self.table)
+            if self.prepare is not None:
+                df = self.prepare(df)
             return apply_rule(
                 df,
                 RuleDefinition.from_dict(self.rule),
@@ -138,8 +150,16 @@ class RuleWorkload:
         return run
 
     def oracle(self) -> str:
-        gen = SqlGenerator(TESTDATA_SCHEMAS[self.table], external_params=self.params)
-        table = _EVENTS_ORACLE_SOURCE if self.table == "events" else self.table
+        gen = SqlGenerator(
+            self.schema or TESTDATA_SCHEMAS[self.table],
+            external_params=self.params,
+        )
+        if self.oracle_source is not None:
+            table = self.oracle_source
+        elif self.table == "events":
+            table = _EVENTS_ORACLE_SOURCE
+        else:
+            table = self.table
         return gen.rule_sql(
             RuleDefinition.from_dict(self.rule), table, self.group_by_mode
         )
@@ -240,7 +260,26 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
             }
         },
     ),
-    "rule_nullorempty": RuleWorkload("documents", _cond("lang", "NullOrEmpty")),
+    # Testdata has no NULL/empty lang values, so NullOrEmpty runs over a
+    # derived projection that introduces both (same derivation both engines)
+    # — a 0-row match on the raw table would be vacuous.
+    "rule_nullorempty": RuleWorkload(
+        "documents",
+        _cond("lang", "NullOrEmpty"),
+        prepare=lambda df: df.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 5 == 0, F.lit(""))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+        ),
+        oracle_source=(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL "
+            "WHEN doc_id % 5 = 0 THEN '' ELSE lang END AS lang "
+            "FROM documents) AS documents"
+        ),
+        schema=_schema(("doc_id", LongType()), ("lang", StringType())),
+    ),
     "rule_notempty": RuleWorkload("documents", _cond("source", "NotEmpty")),
     "rule_empty_or_short": RuleWorkload(
         # Empty op in a non-degenerate position: OR with a live predicate
@@ -320,6 +359,22 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
         },
         params={"blank_param": "   ", "list_param": [1, 2]},
     ),
+    "rule_dynamic_empty": RuleWorkload(
+        # op #27 DynamicEmpty (IQueryableRuleEvaluator.cs:608): true when the
+        # PARAMETER is empty — row-independent gate folded with a live
+        # predicate so the result set is nontrivial
+        "customer",
+        {
+            "Conditions": {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "empty_param", "Operator": "DynamicEmpty"},
+                    {"Property": "c_acctbal", "Operator": "LessThan", "Value": 500},
+                ],
+            }
+        },
+        params={"empty_param": ""},
+    ),
     "rule_dynamic_guard": RuleWorkload(
         # row-independent DynamicNotNullOrEmpty gate AND a real filter
         "customer",
@@ -381,8 +436,25 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
         "region", {"Conditions": {"Conditions": [], "Groups": []}}
     ),
     # --- string-as-numeric coercion parity (try_cast NULL on malformed) ---
+    # The raw props column is JSON (never castable → 0 rows, vacuous), so
+    # coerce over a derived mixed column: the numeric payload extracted from
+    # props, with every 10th row replaced by a malformed string. Exercises
+    # both the numeric-string ordering and the try_cast-NULL path.
     "rule_string_numeric_coercion": RuleWorkload(
-        "events", _cond("props", "GreaterThan", 0)
+        "events",
+        _cond("knum", "GreaterThan", 50),
+        prepare=lambda df: df.select(
+            "event_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit("N/A"))
+            .otherwise(F.regexp_extract(F.col("props"), "[0-9]+", 0))
+            .alias("knum"),
+        ),
+        oracle_source=(
+            "(SELECT event_id, CASE WHEN event_id % 10 = 0 THEN 'N/A' "
+            "ELSE regexp_extract(props, '[0-9]+', 0) END AS knum "
+            "FROM events) AS events"
+        ),
+        schema=_schema(("event_id", LongType()), ("knum", StringType())),
     ),
     # --- aggregation (SURVEY §2.3): argmin/argmax whole rows, count ---
     "agg_argmax_by_segment": RuleWorkload(

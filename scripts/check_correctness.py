@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate: run each query from
+``__spark_entry__.queries()`` and its ``oracle_sql()`` DuckDB mirror at
+sf0.01, compare row counts, sorted schemas, and an order-insensitive
+value hash. Usage::
+
+    python scripts/check_correctness.py [query ...]   # default: all
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import json
+import math
+import sys
+import time
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style: stabilize float formatting
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(str(_norm(x)) for x in v) + "]"
+    return v
+
+
+def value_hash(cols, rows):
+    lines = sorted(
+        "|".join(str(_norm(r[c])) for c in cols) for r in rows
+    )
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(names):
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    if names:
+        queries = {k: v for k, v in queries.items() if k in names}
+
+    results = {}
+    failures = 0
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            cols = sorted(sdf.columns)
+            srows = sdf.collect()
+            if name not in oracles:
+                results[name] = {"err": "no_oracle", "spark_rows": len(srows)}
+                print(f"  {name}: NO_ORACLE rows={len(srows)}")
+                continue
+            orel = con.sql(oracles[name])
+            orows = orel.fetch_arrow_table().to_pylist()
+            ocols = sorted(orel.columns)
+            rows_match = len(srows) == len(orows)
+            schema_match = cols == ocols
+            sh = value_hash(cols, [r.asDict() for r in srows])
+            oh = value_hash(cols, orows) if schema_match else None
+            hash_match = schema_match and sh == oh
+            results[name] = {
+                "rows_match": rows_match,
+                "schema_match": schema_match,
+                "hash_match": hash_match,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+            }
+            ok = rows_match and schema_match and hash_match
+            failures += 0 if ok else 1
+            status = "OK" if ok else "FAIL"
+            print(
+                f"  {name}: {status} rows={len(srows)}/{len(orows)} "
+                f"schema={schema_match} hash={hash_match} ({time.time()-t0:.1f}s)"
+            )
+            if not schema_match:
+                print(f"    spark cols: {cols}\n    oracle cols: {ocols}")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            results[name] = {"err": str(e)[:500]}
+            print(f"  {name}: ERROR {str(e)[:300]}")
+        spark.catalog.clearCache()
+
+    print(json.dumps({"failures": failures, "n": len(results)}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
