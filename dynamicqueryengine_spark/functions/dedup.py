@@ -89,6 +89,11 @@ def raw_shingles(
             F.col(id_col),
             t.alias("_t"),
         )
+        # documents shorter than k yield no shingles; without this guard
+        # sequence(1, len-k+1) would run DESCENDING (stop < start defaults
+        # to step -1) and fabricate bogus shingles the SQL mirror's range()
+        # correctly omits
+        .filter(F.length("_t") >= k)
         .select(
             id_col,
             F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
@@ -155,6 +160,14 @@ def _verify_candidate_jaccard(
     )
 
 
+# Dense-path sizing: one broadcast tile holds at most MAX_BLOCK_CELLS
+# float32 incidence cells (2^28 ≈ 1 GiB); the dense path applies only while
+# the WHOLE incidence matrix is ≤ MAX_DENSE_CELLS (≤ 8 tiles) — beyond that
+# the equijoin formulation wins and nothing is ever driver-bound.
+MAX_BLOCK_CELLS = 2**28
+MAX_DENSE_CELLS = 2**31
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 5,
@@ -168,17 +181,18 @@ def ngram_jaccard_pairs(
 
     Execution adapts to the shingle-frequency shape:
 
-    * **Small vocabulary** (≤ ``max_dense_vocab`` distinct shingles — e.g.
-      templated/near-duplicate-heavy corpora, where a shingle equijoin
-      explodes as Σ freq²): block matmul over the 0/1 shingle-incidence
-      matrix. Spark computes shingle sets distributed; the comparison block
-      broadcasts; the corpus streams through ``mapInPandas`` and one
-      float32 matmul per Arrow batch yields EXACT intersection counts
-      (0/1 sums ≤ vocab < 2²⁴ are exact in float32). Same pattern as
-      :func:`embedding_neardup_pairs`; at 100 TB the block becomes a tile
-      loop.
-    * **Large vocabulary** (diverse corpus — equijoin buckets are small):
-      plain shingle equijoin + per-pair counting, all Column ops.
+    * **Small vocabulary AND bounded corpus** (incidence matrix ≤
+      ``MAX_DENSE_CELLS`` — templated/near-duplicate-heavy corpora, where
+      a shingle equijoin explodes as Σ freq²): tiled block matmul over the
+      0/1 shingle-incidence matrix. Spark computes shingle sets
+      distributed; ONE BOUNDED TILE of documents at a time (≤
+      ``MAX_BLOCK_CELLS`` cells) is collected and broadcast; the corpus
+      streams through ``mapInPandas`` and a float32 matmul per Arrow slice
+      yields EXACT intersection counts (0/1 sums ≤ vocab < 2²⁴ are exact
+      in float32). The driver never holds more than one tile.
+    * **Otherwise** (diverse corpus or too many docs — equijoin buckets
+      are small): plain shingle equijoin + per-pair counting, all Column
+      ops, nothing collected.
 
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
@@ -189,8 +203,11 @@ def ngram_jaccard_pairs(
     )
     if len(vocab_pdf) > max_dense_vocab:
         return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
+    n_docs = df.select(id_col).distinct().count()
+    if n_docs * max(len(vocab_pdf), 1) > MAX_DENSE_CELLS:
+        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
     # incidence-matrix assignment is idempotent → raw stream, no distinct
-    return _ngram_jaccard_dense(raw, threshold, id_col, vocab_pdf)
+    return _ngram_jaccard_dense(raw, threshold, id_col, vocab_pdf, n_docs)
 
 
 def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
@@ -219,12 +236,22 @@ def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFra
 
 
 def _ngram_jaccard_dense(
-    sh: DataFrame, threshold: float, id_col: str, vocab_pdf
+    sh: DataFrame, threshold: float, id_col: str, vocab_pdf, n_docs: int
 ) -> DataFrame:
-    """Dense incidence-matrix formulation for small vocabularies. Shingles
-    are mapped to integer vocab indices Spark-side (broadcast hash join
-    against the tiny vocab), so only int lists cross the Arrow boundary —
-    not repeated shingle strings."""
+    """Tiled dense incidence-matrix formulation for small vocabularies.
+    Shingles are mapped to integer vocab indices Spark-side (broadcast hash
+    join against the tiny vocab), so only int lists cross the Arrow
+    boundary — not repeated shingle strings.
+
+    The b-side (broadcast) matrix is built ONE TILE AT A TIME: documents
+    are hash-partitioned into ``n_tiles`` groups sized so a tile never
+    exceeds ``MAX_BLOCK_CELLS`` float32 cells; the driver materializes and
+    broadcasts one tile per iteration (broadcast payloads spill to disk
+    rather than pile up in driver memory), and the total across tiles is
+    capped by the ``MAX_DENSE_CELLS`` gate — beyond it the equijoin path
+    takes over. Each (a, b) pair is emitted exactly once because the tiles
+    partition the b-side and ``id_a < id_b`` dedupes within a tile.
+    """
     import numpy as np
     import pandas as pd
 
@@ -240,38 +267,55 @@ def _ngram_jaccard_dense(
         .agg(F.collect_set("_idx").alias("_idx"))
         .persist()
     )
+    n_tiles = max(1, -(-(n_docs * max(n_vocab, 1)) // MAX_BLOCK_CELLS))
+    # executor-side slice cap: an Arrow batch is re-sliced so the streaming
+    # a-matrix also stays ≤ ~2^25 cells
+    row_cap = max(1, 2**25 // max(n_vocab, 1))
 
-    block_pdf = grouped.toPandas()
-    b_ids = block_pdf[id_col].to_numpy()
-    b_mat = np.zeros((len(b_ids), n_vocab), dtype=np.float32)
-    for r, lst in enumerate(block_pdf["_idx"]):
-        b_mat[r, list(lst)] = 1.0
-    b_sizes = b_mat.sum(axis=1)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
-
-    def block(batches):
-        bids, bmat, bsizes = bc.value
-        for batch in batches:
-            a_ids = batch[id_col].to_numpy()
-            a_mat = np.zeros((len(a_ids), bmat.shape[1]), dtype=np.float32)
-            for r, lst in enumerate(batch["_idx"]):
-                a_mat[r, list(lst)] = 1.0
-            a_sizes = a_mat.sum(axis=1)
-            c = (a_mat @ bmat.T).astype(np.float64)  # exact intersection counts
-            union = a_sizes[:, None] + bsizes[None, :] - c
-            jac = c / union
-            keep_a, keep_b = np.where(
-                (jac >= threshold) & (a_ids[:, None] < bids[None, :])
+    out = None
+    for tile in range(n_tiles):
+        part = (
+            grouped
+            if n_tiles == 1
+            else grouped.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == tile
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[keep_a],
-                    "id_b": bids[keep_b],
-                    "jaccard": np.round(jac[keep_a, keep_b], 6),
-                }
-            )
+        )
+        block_pdf = part.toPandas()
+        b_ids = block_pdf[id_col].to_numpy()
+        b_mat = np.zeros((len(b_ids), n_vocab), dtype=np.float32)
+        for r, lst in enumerate(block_pdf["_idx"]):
+            b_mat[r, list(lst)] = 1.0
+        b_sizes = b_mat.sum(axis=1)
+        bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
 
-    return grouped.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
+        def block(batches, _bc=bc):
+            bids, bmat, bsizes = _bc.value
+            for batch in batches:
+                for lo in range(0, len(batch), row_cap):
+                    sl = batch.iloc[lo : lo + row_cap]
+                    a_ids = sl[id_col].to_numpy()
+                    a_mat = np.zeros((len(a_ids), bmat.shape[1]), dtype=np.float32)
+                    for r, lst in enumerate(sl["_idx"]):
+                        a_mat[r, list(lst)] = 1.0
+                    a_sizes = a_mat.sum(axis=1)
+                    c = (a_mat @ bmat.T).astype(np.float64)  # exact counts
+                    union = a_sizes[:, None] + bsizes[None, :] - c
+                    jac = c / union
+                    keep_a, keep_b = np.where(
+                        (jac >= threshold) & (a_ids[:, None] < bids[None, :])
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "id_a": a_ids[keep_a],
+                            "id_b": bids[keep_b],
+                            "jaccard": np.round(jac[keep_a, keep_b], 6),
+                        }
+                    )
+
+        res = grouped.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def ngram_jaccard_pairs_sql(
@@ -383,16 +427,20 @@ def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per document: bit b of the signature = sign of
-    Σ_tokens (2·bit_b(hash(token)) − 1).
+    Σ_tokens (2·bit_b(hash(token)) − 1); zero-token documents get sig 0.
 
     One Arrow pass, no explode/shuffle at all: each batch tokenizes its
-    documents, hashes tokens with memoized blake2b-64 (real corpora have
-    Zipfian vocabularies — the memo hits constantly), unpacks hash bits into
-    a (tokens × 64) ±1 matrix and sums per document in numpy. The earlier
-    pure-Column formulation (explode + 64 sum-aggregates) shuffled a
-    token-level table and built a 64-wide aggregate — ~4× slower at sf0.1.
-    Token hashing is engine-local (no cross-engine oracle needed; SimHash is
-    checked for self-consistency and against its own banding twin).
+    documents (lowercase whitespace split, empties dropped), hashes tokens
+    with memoized md5-64 (real corpora have Zipfian vocabularies — the memo
+    hits constantly), unpacks hash bits into a (tokens × 64) ±1 matrix and
+    sums per document in numpy. The earlier pure-Column formulation
+    (explode + 64 sum-aggregates) shuffled a token-level table and built a
+    64-wide aggregate — ~4× slower at sf0.1.
+
+    The token hash is the FIRST 8 BYTES OF md5(token), big-endian — chosen
+    because every engine has md5, so the whole signature pipeline is
+    mirrored exactly in portable SQL (:func:`simhash64_sql`) and the driver
+    gets a full value oracle instead of a rows-only check.
     """
     import hashlib
 
@@ -404,9 +452,7 @@ def simhash64(
     def tok_hash(tok: str) -> int:
         h = memo.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
             memo[tok] = h
         return h
 
@@ -418,7 +464,11 @@ def simhash64(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                toks = " ".join(str(text).lower().split()).split(" ")
+                toks = str(text).lower().split()
+                if not toks:
+                    ids.append(doc_id)
+                    sigs.append(0)
+                    continue
                 hashes = np.fromiter(
                     (tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
                 )
@@ -434,6 +484,80 @@ def simhash64(
     return spread(df.select(id_col, text_col)).mapInPandas(
         batch_simhash, schema=f"{id_col} long, simhash long"
     )
+
+
+def _hex_int_sql(expr: str) -> str:
+    """8-hex-char string → BIGINT (portable fold, no engine hex casts)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(split({expr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, d) -> a * 16 + d)"
+    )
+
+
+def simhash64_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`simhash64` — same md5-derived token hash,
+    same majority vote, bit arithmetic in two 32-bit halves (64-bit shifts
+    overflow DuckDB's checked ``<<``), recombined into the same
+    two's-complement BIGINT the Spark path emits."""
+    cnt_cols = ", ".join(
+        f"sum((lo >> {b}) & 1) AS c{b}" for b in range(32)
+    ) + ", " + ", ".join(f"sum((hi >> {b - 32}) & 1) AS c{b}" for b in range(32, 64))
+    sig_lo = " + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(32)
+    )
+    sig_hi = " + ".join(
+        f"CASE WHEN 2 * c{b} > n THEN CAST(1 AS BIGINT) << {b - 32} ELSE 0 END"
+        for b in range(32, 64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t FROM (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '\\s+')) AS t
+    FROM {table} WHERE {text_col} IS NOT NULL)
+  WHERE t <> ''),
+bits AS (
+  SELECT {id_col},
+         {_hex_int_sql("substr(md5(t), 1, 8)")} AS hi,
+         {_hex_int_sql("substr(md5(t), 9, 8)")} AS lo
+  FROM toks),
+cnt AS (
+  SELECT {id_col}, count(*) AS n, {cnt_cols}
+  FROM bits GROUP BY {id_col}),
+halves AS (
+  SELECT {id_col}, ({sig_lo}) AS sig_lo, ({sig_hi}) AS sig_hi FROM cnt),
+sig AS (
+  SELECT d.{id_col},
+         COALESCE(
+           (h.sig_hi - CASE WHEN h.sig_hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+             * 4294967296 + h.sig_lo,
+           0) AS simhash
+  FROM (SELECT {id_col} FROM {table} WHERE {text_col} IS NOT NULL) d
+  LEFT JOIN halves h USING ({id_col}))
+SELECT {id_col}, simhash FROM sig
+""".strip()
+
+
+def simhash_pairs_sql(
+    table: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Full value oracle for :func:`simhash_pairs`: O(n²) hamming scan over
+    the SQL-computed signatures. The Spark path's 4×16-bit banding is
+    mathematically lossless at hamming ≤ 3 (pigeonhole), so the outputs are
+    identical, not approximately equal."""
+    sig = simhash64_sql(table, text_col, id_col)
+    return f"""
+WITH sigs AS ({sig})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+""".strip()
 
 
 def simhash_pairs(
@@ -498,6 +622,11 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+# One broadcast tile of the embedding matrix holds at most this many rows
+# (500k × 64 dims × 8 B ≈ 256 MiB); the corpus streams against each tile.
+MAX_EMB_BLOCK_ROWS = 500_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -506,14 +635,17 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Execution: block matrix multiply — the comparison block (ids + unit
-    vectors) is broadcast to executors; the corpus streams through
-    ``mapInPandas`` in Arrow batches and each batch does one float64 matmul
-    against the block. The corpus side never shuffles and compute is
-    vectorized (~100× the per-pair higher-order-function formulation).
+    Execution: TILED block matrix multiply — the corpus is hash-partitioned
+    into tiles of ≤ ``MAX_EMB_BLOCK_ROWS`` vectors; the driver materializes
+    one tile at a time (never the whole table) and broadcasts it; the full
+    corpus streams through ``mapInPandas`` in Arrow batches and each batch
+    does one float64 matmul per tile. The corpus side never shuffles and
+    compute is vectorized (~100× the per-pair higher-order-function
+    formulation). Each qualifying pair appears exactly once: tiles
+    partition the b-side, ``id_a < id_b`` dedupes within a tile. O(n²/P)
+    work per executor is inherent to EXACT all-pairs — the sub-quadratic
+    scale path is the LSH/IVF bucketing in functions/similarity.py.
 
-    At 100 TB the broadcast block becomes a loop over corpus blocks
-    (outer-product tiling); the per-block pipeline below is unchanged.
     Float64 matmul accumulation may differ from strictly-sequential
     summation in the last ulp; outputs are rounded to 6dp (shared with the
     SQL oracle) which absorbs it.
@@ -521,33 +653,49 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    spark = df.sparkSession
+    slim = df.select(id_col, vec_col)
+    n = slim.count()
+    n_tiles = max(1, -(-n // MAX_EMB_BLOCK_ROWS))
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            a_ids = batch[id_col].to_numpy()
-            a_mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            keep_a, keep_b = np.where(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+    out = None
+    for tile in range(n_tiles):
+        part = (
+            slim
+            if n_tiles == 1
+            else slim.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == tile
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[keep_a],
-                    "id_b": b_ids[keep_b],
-                    "cosine": np.round(sims[keep_a, keep_b], 6),
-                }
-            )
+        )
+        pdf = part.toPandas()
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids, mat, norms))
 
-    return spread(df.select(id_col, vec_col)).mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
-    )
+        def block(batches, _bc=bc):
+            b_ids, b_mat, b_norms = _bc.value
+            for batch in batches:
+                a_ids = batch[id_col].to_numpy()
+                a_mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+                sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+                keep_a, keep_b = np.where(
+                    (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[keep_a],
+                        "id_b": b_ids[keep_b],
+                        "cosine": np.round(sims[keep_a, keep_b], 6),
+                    }
+                )
+
+        res = spread(slim).mapInPandas(
+            block, schema="id_a long, id_b long, cosine double"
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def embedding_neardup_pairs_sql(

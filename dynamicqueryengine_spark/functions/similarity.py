@@ -113,6 +113,55 @@ def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _plane_literal_sql(plane: list[float]) -> str:
+    """Hyperplane as a DuckDB double-list literal; ``repr`` round-trips
+    doubles exactly, so both engines see bit-identical coefficients."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def lsh_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """SQL mirror of :func:`lsh_bucket`: same literal hyperplanes, same
+    left-to-right dot-product fold, same sign-bit packing."""
+    terms = [
+        f"CASE WHEN {_dot_sql(vec_expr, _plane_literal_sql(p))} > 0 "
+        f"THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk_sql(
+    table: str,
+    query_pred: str,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Full value oracle for :func:`lsh_topk`. The hyperplanes are seeded
+    literals baked into both engines' plans, so bucketing — and therefore
+    the exact result set, recall loss included — is reproduced verbatim."""
+    planes = hyperplanes(dim, bits, seed)
+    bucket = lsh_bucket_sql(vec_col, planes)
+    dot_ab = _dot_sql(f"q.{vec_col}", f"c.{vec_col}")
+    dot_self = _dot_sql(vec_col, vec_col)
+    return f"""
+WITH e AS (SELECT {id_col}, {vec_col}, sqrt({dot_self}) AS nrm,
+                  {bucket} AS bucket FROM {table}),
+q AS (SELECT * FROM e WHERE {query_pred.replace('__ID__', id_col)})
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+         {dot_ab} / (q.nrm * c.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.{id_col}
+           ORDER BY {dot_ab} / (q.nrm * c.nrm) DESC, c.{id_col} ASC) AS rank
+  FROM q JOIN e c ON q.bucket = c.bucket AND q.{id_col} <> c.{id_col})
+WHERE rank <= {k}
+""".strip()
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -232,16 +281,24 @@ def ivf_topk(
     )
 
     # driver-side probe list per query would need a collect; instead explode
-    # each query into its n_probe nearest cells (queries are the small side)
-    import numpy as _np
-
+    # each query into its n_probe nearest cells (queries are the small side).
+    # d2 accumulates strictly left-to-right (not numpy pairwise summation)
+    # so the probe choice is bit-identical to the SQL mirror's fold, and
+    # ties break on the lower cell index in both engines.
     q_rows = queries.select(id_col, vec_col).collect()
     probe_rows = []
     for r in q_rows:
-        v = _np.array(r[vec_col], dtype=_np.float64)
-        d2 = ((cents - v) ** 2).sum(axis=1)
-        for cell in _np.argsort(d2)[:n_probe]:
-            probe_rows.append((int(r[id_col]), int(cell), [float(x) for x in v]))
+        v = [float(x) for x in r[vec_col]]
+        d2s = []
+        for ci in range(len(cents)):
+            acc = 0.0
+            for a, b in zip(v, cents[ci]):
+                diff = a - float(b)
+                acc = acc + diff * diff
+            d2s.append(acc)
+        order = sorted(range(len(d2s)), key=lambda i: (d2s[i], i))
+        for cell in order[:n_probe]:
+            probe_rows.append((int(r[id_col]), int(cell), v))
     q = corpus.sparkSession.createDataFrame(
         probe_rows, f"query_id long, cell int, _qvec array<double>"
     ).withColumn("_qnrm", F.sqrt(_dot(F.col("_qvec"), F.col("_qvec"))))
@@ -262,6 +319,67 @@ def ivf_topk(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
     )
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Σ (aᵢ−bᵢ)² with the same prepend-0 left-to-right fold as the Spark
+    Column expression in ``ivf_topk``'s cell assignment."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    query_pred: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Full value oracle for :func:`ivf_topk` with deterministic centroids
+    (the ``n_cells`` lowest-id corpus vectors — the same seeding the driver
+    query passes in). Cell ids are the rank of the centroid's ``vec_id``,
+    matching the Spark path's positional index; ties in both assignment and
+    probing break on the lower cell id in both engines."""
+    l2 = _l2_sql(f"e.{vec_col}", "c.cvec")
+    l2q = _l2_sql(f"q.{vec_col}", "c.cvec")
+    dot_ab = _dot_sql(f"q.{vec_col}", f"n.{vec_col}")
+    dot_self = _dot_sql(vec_col, vec_col)
+    return f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cell, {vec_col} AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_cells})),
+e AS (SELECT {id_col}, {vec_col}, sqrt({dot_self}) AS nrm FROM {table}),
+assign AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {l2} ASC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT * FROM e WHERE {query_pred.replace('__ID__', id_col)}),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.{id_col} AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_col}
+                              ORDER BY {l2q} ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= {n_probe})
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT p.query_id, n.{id_col} AS neighbor_id,
+         {dot_ab} / (q.nrm * n.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {dot_ab} / (q.nrm * n.nrm) DESC, n.{id_col} ASC) AS rank
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN e n ON n.{id_col} = a.{id_col}
+  JOIN q ON q.{id_col} = p.query_id
+  WHERE q.{id_col} <> n.{id_col})
+WHERE rank <= {k}
+""".strip()
 
 
 def lsh_topk(

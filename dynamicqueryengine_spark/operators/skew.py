@@ -46,7 +46,17 @@ def count_distinct_unskewed(
     )
     counts = deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col))
     all_groups = df.select(*keys).distinct()
-    return all_groups.join(counts, list(keys), "left").fillna({out_col: 0})
+    # groupBy treats NULL as a regular grouping value, so the join back must
+    # be null-safe — a plain equi-join would drop NULL-keyed groups to the
+    # fillna default instead of their true count
+    cond = None
+    for k in keys:
+        c = all_groups[k].eqNullSafe(counts[k])
+        cond = c if cond is None else cond & c
+    return all_groups.join(counts, cond, "left").select(
+        *[all_groups[k] for k in keys],
+        F.coalesce(counts[out_col], F.lit(0)).alias(out_col),
+    )
 
 
 def salted_collect_set(

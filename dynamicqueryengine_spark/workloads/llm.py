@@ -150,6 +150,23 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(embs, queries, k=10, bits=8)
 
 
+def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with deterministic centroid seeding (the 16 lowest-id vectors) so
+    the result — recall loss included — is exactly reproducible by the SQL
+    oracle. The Lloyd's-refined variant (kmeans_centroids) stays
+    pytest-covered; distributed float reduction order makes its centroids
+    engine-specific, which a value oracle can't absorb."""
+    embs = _embs(spark, sf_dir)
+    cents_rows = (
+        embs.orderBy(F.col("vec_id").asc()).limit(16).select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents_rows]
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        embs, queries, k=10, n_cells=16, n_probe=4, centroids=centroids
+    )
+
+
 # ------------------------------------------------------------- multimodal --
 
 
@@ -335,14 +352,22 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_minhash_lsh": FnWorkload(
         _dedup_minhash, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
     ),
-    "dedup_simhash": FnWorkload(_dedup_simhash, None),
+    "dedup_simhash": FnWorkload(
+        _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
+    ),
     "embed_neardup_cosine": FnWorkload(
         _embed_neardup, D.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
     ),
     "ann_topk_bruteforce": FnWorkload(
         _ann_topk_brute, S.cosine_topk_sql("embeddings", "__ID__ < 5", k=10)
     ),
-    "ann_topk_lsh": FnWorkload(_ann_topk_lsh, None),
+    "ann_topk_lsh": FnWorkload(
+        _ann_topk_lsh, S.lsh_topk_sql("embeddings", "__ID__ < 5", k=10, bits=8)
+    ),
+    "ann_topk_ivf": FnWorkload(
+        _ann_topk_ivf,
+        S.ivf_topk_sql("embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4),
+    ),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),

@@ -45,6 +45,36 @@ def test_collect_set_matches_naive(skewed):
     assert safe == naive
 
 
+def test_null_group_keys_counted(spark):
+    """NULL is a legal grouping value: the join back from the deduped count
+    table must be null-safe or NULL-keyed groups silently report 0."""
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (None, None), ("a", "x"), (None, "x")],
+        "k STRING, v STRING",
+    )
+    out = {
+        r["k"]: r["n_distinct"]
+        for r in count_distinct_unskewed(df, ["k"], "v").collect()
+    }
+    naive = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert out == naive == {None: 2, "a": 1}
+
+
+def test_null_multi_key_groups(spark):
+    df = spark.createDataFrame(
+        [(None, "g", "x"), (None, "g", "y"), ("a", None, "x"), (None, None, None)],
+        "k1 STRING, k2 STRING, v STRING",
+    )
+    out = {
+        (r["k1"], r["k2"]): r["n_distinct"]
+        for r in count_distinct_unskewed(df, ["k1", "k2"], "v").collect()
+    }
+    assert out == {(None, "g"): 2, ("a", None): 1, (None, None): 0}
+
+
 def test_null_values_excluded(spark):
     df = spark.createDataFrame(
         [("a", "x"), ("a", None), ("a", "y"), ("b", None)], "k STRING, v STRING"
