@@ -124,21 +124,25 @@ def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
 
 def _verify_candidate_jaccard(
     candidates: DataFrame,
-    raw_sh: DataFrame,
+    docs: DataFrame,
+    k: int,
     threshold: float,
+    text_col: str,
     id_col: str,
 ) -> DataFrame:
     """Exact jaccard for a candidate-pair set: join each pair back to the
     shingle table, count the intersection, apply the threshold. Candidate
-    sets are small, so the shingle stream is semi-joined down to candidate
-    ids BEFORE the distinct — the expensive dedup shuffle runs over only
-    the candidates' shingles, not the whole corpus."""
+    sets are small, so the DOCUMENTS are semi-joined down to candidate ids
+    BEFORE shingling — the explode and the distinct shuffle run over only
+    the candidates' text, not a second full-corpus shingle pass (that scan
+    already happened once, in the signature stage)."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = raw_sh.join(F.broadcast(cand_ids), id_col, "semi").distinct()
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
+    sh = raw_shingles(cand_docs, k, text_col, id_col).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
     shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -413,10 +417,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates (verifier semi-joins the
-    # raw shingle stream down to candidate ids before deduping)
+    # exact verification restricted to candidates (verifier re-shingles
+    # only the candidate documents — no second full-corpus explode)
     return _verify_candidate_jaccard(
-        candidates, raw_shingles(df, k, text_col, id_col), threshold, id_col
+        candidates, df.select(id_col, text_col), k, threshold, text_col, id_col
     )
 
 

@@ -175,6 +175,30 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_blob_features(M.filter_by_metadata(blobs, max_size_bytes=10_000))
 
 
+def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary round trip: synthesize a valid PNG per document
+    (dimensions derived from the row, pixels from md5(text)), then decode it
+    back with the chunk-walking parser — CRCs verified against the actual
+    bytes. The oracle predicts every parsed field from the source table, so
+    a broken encoder OR parser breaks the value hash."""
+    docs = _docs(spark, sf_dir)
+    return M.parse_png_metadata(M.synthesize_png(docs))
+
+
+# width = 1 + n_chars % 16, height = 1 + doc_id % 16 (synthesize_png);
+# 3 chunks = IHDR + IDAT + IEND; grayscale-8 → bit_depth 8, color_type 0.
+_MULTIMODAL_PNG_SQL = """
+SELECT doc_id,
+       CAST(1 + n_chars % 16 AS INT) AS width,
+       CAST(1 + doc_id % 16 AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS color_type,
+       CAST(3 AS INT) AS n_chunks,
+       'ok' AS crc_ok
+FROM documents
+""".strip()
+
+
 # The payload is the utf-8 encoding of ``text``, so every stub feature is
 # SQL-derivable — the Arrow mapInPandas plumbing gets a full value oracle.
 _MULTIMODAL_SQL = """
@@ -243,6 +267,65 @@ SELECT window_start, event_type, count(*) AS matches FROM (
   FROM events, UNNEST([0, 1]) AS u(i)
   WHERE value > 100)
 GROUP BY 1, 2
+""".strip()
+
+
+_STREAM_COUNTER = [0]
+
+
+def _events_stream_rule_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution inside the driver contract: the
+    events parquet is consumed via readStream, a nontrivial compiled rule
+    filters the stream, watermarked tumbling windows aggregate per the
+    rule's GroupBy keys, and the availableNow-triggered query drains into a
+    memory sink whose table is returned as an ordinary batch DataFrame.
+    Complete output mode flushes every window on the finite stream, so the
+    batch SQL oracle sees the same totals."""
+    from ..streaming.rules import stream_events, windowed_rule_counts
+
+    rule = {
+        "Name": "hot-events-with-double-seven",
+        "Conditions": {
+            "LogicalOperator": "AND",
+            "Conditions": [
+                {"Property": "value", "Operator": "GreaterThan", "Value": 50},
+                {
+                    "Property": "props",
+                    "Operator": "ContainIfCountIsGreater",
+                    "Value": {"Target": "7", "Threshold": "1"},
+                },
+            ],
+        },
+        "GroupBy": ["event_type"],
+    }
+    stream = stream_events(spark, sf_dir)
+    windowed = windowed_rule_counts(
+        stream,
+        {"Conditions": rule["Conditions"]},
+        window="1 hour",
+        keys=rule["GroupBy"],
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_rule_windows_{_STREAM_COUNTER[0]}"
+    (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+_EVENTS_STREAM_RULE_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour'
+         AS window_end,
+       event_type, count(*) AS matches
+FROM events
+WHERE value > 50 AND len(regexp_extract_all(props, '7')) > 1
+GROUP BY 1, 2, 3
 """.strip()
 
 
@@ -369,6 +452,10 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         S.ivf_topk_sql("embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4),
     ),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
+    "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
+    "events_stream_rule_windows": FnWorkload(
+        _events_stream_rule_windows, _EVENTS_STREAM_RULE_SQL
+    ),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),
     "events_sessionize": FnWorkload(_sessions, _SESSIONS_SQL),

@@ -157,6 +157,37 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             M.sample_frames(b"x", "mp4")
 
+    def test_png_roundtrip(self, docs):
+        parsed = M.parse_png_metadata(M.synthesize_png(docs.limit(25))).collect()
+        assert len(parsed) == 25
+        for r in parsed:
+            assert r["crc_ok"] == "ok" and r["n_chunks"] == 3
+            assert r["bit_depth"] == 8 and r["color_type"] == 0
+            assert 1 <= r["width"] <= 16 and 1 <= r["height"] <= 16
+
+    def test_png_parser_rejects_garbage(self, spark):
+        import struct
+        import zlib
+
+        good = M._encode_png(2, 2, b"\x01\x02\x03\x04")
+        # corrupt the IHDR crc without touching anything else
+        bad_crc = bytearray(good)
+        crc_off = len(M.PNG_SIG) + 8 + 13  # sig + len/tag + IHDR body
+        bad_crc[crc_off] ^= 0xFF
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"not a png")), (3, None),
+             (4, bad_crc)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in M.parse_png_metadata(df).collect()}
+        assert out[1]["crc_ok"] == "ok" and out[1]["width"] == 2
+        assert out[2]["crc_ok"] == "not_png" and out[2]["width"] is None
+        assert out[3]["crc_ok"] == "not_png"
+        assert out[4]["crc_ok"] == "bad"
+        # spot-check IHDR body length is where we think it is
+        (ln,) = struct.unpack(">I", good[len(M.PNG_SIG):len(M.PNG_SIG) + 4])
+        assert ln == 13 and zlib.crc32(b"") is not None
+
 
 class TestTextEdgeCases:
     def test_empty_and_null_text(self, spark):
