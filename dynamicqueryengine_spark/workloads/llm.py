@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import dedup as D
 from ..functions import multimodal as M
+from ..functions import sampling as SM
 from ..functions import sessions as SS
 from ..functions import similarity as S
 from ..functions import text as T
@@ -105,6 +106,45 @@ SELECT doc_id, lang,
   {T.detect_language_sql('text')} AS lang_pred
 FROM documents
 WHERE {T.quality_score_sql('text')} >= 0.5 AND {T.detect_language_sql('text')} <> 'und'
+""".strip()
+
+
+# -------------------------------------------------------------- sampling --
+
+_STRATA_FRACTIONS = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8}
+
+
+def _docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix subsampling: deterministically downsample the dominant
+    language, keep most of the rest — reproducible across engines because
+    the per-row coin is an md5-derived hash, not rand()."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return SM.sample_stratified(docs, _STRATA_FRACTIONS)
+
+
+_SAMPLE_STRATIFIED_SQL = SM.sample_stratified_sql(
+    "(SELECT doc_id, lang FROM documents) AS documents", _STRATA_FRACTIONS
+)
+
+
+def _corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training-style corpus stats: the 100 most document-frequent
+    character 5-grams. orderBy+limit compiles to TakeOrdered (per-partition
+    top-k then a 100-row driver merge — no global sort shuffle); ties at the
+    cut break deterministically on the shingle string."""
+    sh = D.shingles(_docs(spark, sf_dir), k=5)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(100)
+    )
+
+
+_VOCAB_TOPK_SQL = f"""
+WITH sh AS ({D._shingles_sql('documents', 5, 'text', 'doc_id')})
+SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
@@ -419,6 +459,10 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _pretraining_pipeline, _pretraining_pipeline_sql()
     ),
     "text_profile": FnWorkload(_text_profile, _TEXT_PROFILE_SQL),
+    "docs_sample_stratified": FnWorkload(
+        _docs_sample_stratified, _SAMPLE_STRATIFIED_SQL
+    ),
+    "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
     "dedup_exact_assign": FnWorkload(
         _dedup_exact_assign, D.exact_dedup_assign_sql("documents")

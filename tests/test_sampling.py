@@ -1,0 +1,45 @@
+"""Deterministic-sampling invariants: reproducibility, stratum cuts, and
+partitioning-independence (the property rand()-based sampling lacks)."""
+
+from __future__ import annotations
+
+from dynamicqueryengine_spark.functions.sampling import (
+    sample_stratified,
+    sample_uniform,
+)
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_uniform_sample_reproducible_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = _ids(sample_uniform(df, 0.3))
+    b = _ids(sample_uniform(df.repartition(7), 0.3))
+    assert a == b  # same rows regardless of partitioning or rerun
+    assert 0.2 < len(a) / 2000 < 0.4  # roughly the asked fraction
+
+
+def test_uniform_sample_monotone_in_fraction(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    small = set(_ids(sample_uniform(df, 0.1)))
+    big = set(_ids(sample_uniform(df, 0.5)))
+    assert small <= big  # nested samples: raising the fraction only adds rows
+
+
+def test_stratified_cuts_differ_by_stratum(spark):
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_stratified(df, {"en": 0.1, "rare": 0.9}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    rare = sum(1 for r in out if r["lang"] == "rare")
+    assert en < 1000 * 0.25 and rare > 1000 * 0.7
+
+
+def test_stratified_default_fraction_drops_unknown(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "xx")], "doc_id long, lang string"
+    )
+    out = sample_stratified(df, {"en": 1.0}).collect()
+    assert all(r["lang"] == "en" for r in out)
