@@ -106,7 +106,12 @@ def raw_shingles(
 def shingles(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document: (id, shingle)."""
+    """Distinct character k-gram shingles per document: (id, shingle).
+
+    Explode + distinct, NOT a row-local array_distinct(transform(...)):
+    higher-order array functions are interpreted per element (no
+    whole-stage codegen), and measured 2-7× slower than the codegen'd
+    explode pipeline + long-only shuffle at sf0.1."""
     return raw_shingles(df, k, text_col, id_col).distinct()
 
 
@@ -130,35 +135,34 @@ def _verify_candidate_jaccard(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Exact jaccard for a candidate-pair set: join each pair back to the
-    shingle table, count the intersection, apply the threshold. Candidate
-    sets are small, so the DOCUMENTS are semi-joined down to candidate ids
-    BEFORE shingling — the explode and the distinct shuffle run over only
-    the candidates' text, not a second full-corpus shingle pass (that scan
-    already happened once, in the signature stage)."""
+    """Exact jaccard for a candidate-pair set. The DOCUMENTS are
+    semi-joined down to candidate ids BEFORE shingling, each survivor's
+    shingle set is folded into ONE int64 hash array (the fingerprinting
+    trick from the dense path — collisions < 2⁻³⁰ corpus-wide, treated as
+    exact), and the intersection is a per-pair ``array_intersect`` after
+    two broadcast joins. No string-keyed shuffle: the earlier formulation
+    (pair ⋈ shingle ⋈ shingle, groupBy pair) shuffled exploded shingle
+    strings three times and was ~4s of the sf0.1 minhash wall time."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
-    sh = raw_shingles(cand_docs, k, text_col, id_col).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        F.broadcast(candidates)
-        .join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    hs = (
+        raw_shingles(cand_docs, k, text_col, id_col)
+        .select(id_col, F.xxhash64("shingle").alias("_h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_hs"))
+        .persist()  # consumed by BOTH broadcast sides — build once
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    pa = hs.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_ha"))
+    pb = hs.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hb"))
+    c = F.size(F.array_intersect("_ha", "_hb"))
+    jac = c / (F.size("_ha") + F.size("_hb") - c)
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
         .filter(jac >= F.lit(threshold))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -201,17 +205,31 @@ def ngram_jaccard_pairs(
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
     """
+    # ONE pass over the text explode: shingles are fingerprinted to int64
+    # (xxhash64) IN the codegen'd projection, so the collect_set shuffle
+    # moves only longs; every later stage (vocab gate, tile collection,
+    # matmul) reads this cached compact form instead of re-running
+    # substring+explode. Collision risk at the dense gate's 200k-vocab cap
+    # is < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB oracle,
+    # which equijoins raw strings, agrees).
     raw = raw_shingles(df, k, text_col, id_col)
-    vocab_pdf = (
-        raw.select("shingle").distinct().limit(max_dense_vocab + 1).toPandas()
+    doc_sets = (
+        raw.select(id_col, F.xxhash64("shingle").alias("_h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_hs"))
+        .persist()
     )
-    if len(vocab_pdf) > max_dense_vocab:
+    n_docs = doc_sets.count()
+    n_vocab = (
+        doc_sets.select(F.explode("_hs").alias("_h"))
+        .agg(F.countDistinct("_h"))
+        .collect()[0][0]
+        or 0
+    )
+    if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
+        doc_sets.unpersist()
         return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
-    n_docs = df.select(id_col).distinct().count()
-    if n_docs * max(len(vocab_pdf), 1) > MAX_DENSE_CELLS:
-        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
-    # incidence-matrix assignment is idempotent → raw stream, no distinct
-    return _ngram_jaccard_dense(raw, threshold, id_col, vocab_pdf, n_docs)
+    return _ngram_jaccard_dense(doc_sets, threshold, id_col, n_vocab, n_docs)
 
 
 def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
@@ -239,13 +257,29 @@ def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFra
     )
 
 
+def _incidence(hs_lists, vocab_arr, np):
+    """Ragged hash-lists → dense 0/1 matrix over ``vocab_arr`` columns
+    (sorted int64). Fully vectorized: flatten, searchsorted, scatter.
+    Hashes absent from ``vocab_arr`` are dropped (they contribute 0 to the
+    intersection); returns (matrix, true set sizes)."""
+    lens = np.fromiter((len(x) for x in hs_lists), dtype=np.int64, count=len(hs_lists))
+    if lens.sum() == 0 or len(vocab_arr) == 0:
+        return np.zeros((len(hs_lists), len(vocab_arr)), dtype=np.float32), lens
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs_lists])
+    rows = np.repeat(np.arange(len(hs_lists)), lens)
+    pos = np.searchsorted(vocab_arr, flat)
+    pos_c = np.minimum(pos, len(vocab_arr) - 1)
+    ok = vocab_arr[pos_c] == flat
+    mat = np.zeros((len(hs_lists), len(vocab_arr)), dtype=np.float32)
+    mat[rows[ok], pos_c[ok]] = 1.0
+    return mat, lens
+
+
 def _ngram_jaccard_dense(
-    sh: DataFrame, threshold: float, id_col: str, vocab_pdf, n_docs: int
+    doc_sets: DataFrame, threshold: float, id_col: str, n_vocab: int, n_docs: int
 ) -> DataFrame:
-    """Tiled dense incidence-matrix formulation for small vocabularies.
-    Shingles are mapped to integer vocab indices Spark-side (broadcast hash
-    join against the tiny vocab), so only int lists cross the Arrow
-    boundary — not repeated shingle strings.
+    """Tiled dense incidence-matrix formulation for small vocabularies,
+    fed by the cached per-document hash-set table (one explode total).
 
     The b-side (broadcast) matrix is built ONE TILE AT A TIME: documents
     are hash-partitioned into ``n_tiles`` groups sized so a tile never
@@ -253,59 +287,51 @@ def _ngram_jaccard_dense(
     broadcasts one tile per iteration (broadcast payloads spill to disk
     rather than pile up in driver memory), and the total across tiles is
     capped by the ``MAX_DENSE_CELLS`` gate — beyond it the equijoin path
-    takes over. Each (a, b) pair is emitted exactly once because the tiles
-    partition the b-side and ``id_a < id_b`` dedupes within a tile.
+    takes over. Column space is the TILE's own vocabulary (np.unique of
+    the tile's hashes): a-side hashes outside it cannot intersect the tile
+    anyway, and true set sizes keep the union term exact. Each (a, b) pair
+    is emitted exactly once because the tiles partition the b-side and
+    ``id_a < id_b`` dedupes within a tile.
     """
     import numpy as np
     import pandas as pd
 
-    spark = sh.sparkSession
-    vocab_sorted = sorted(vocab_pdf["shingle"])
-    n_vocab = len(vocab_sorted)
-    vocab_df = spark.createDataFrame(
-        [(s, i) for i, s in enumerate(vocab_sorted)], "shingle STRING, _idx INT"
-    )
-    grouped = (
-        sh.join(F.broadcast(vocab_df), "shingle")
-        .groupBy(id_col)
-        .agg(F.collect_set("_idx").alias("_idx"))
-        .persist()
-    )
+    spark = doc_sets.sparkSession
     n_tiles = max(1, -(-(n_docs * max(n_vocab, 1)) // MAX_BLOCK_CELLS))
-    # executor-side slice cap: an Arrow batch is re-sliced so the streaming
-    # a-matrix also stays ≤ ~2^25 cells
-    row_cap = max(1, 2**25 // max(n_vocab, 1))
 
     out = None
     for tile in range(n_tiles):
         part = (
-            grouped
+            doc_sets
             if n_tiles == 1
-            else grouped.filter(
+            else doc_sets.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == tile
             )
         )
         block_pdf = part.toPandas()
         b_ids = block_pdf[id_col].to_numpy()
-        b_mat = np.zeros((len(b_ids), n_vocab), dtype=np.float32)
-        for r, lst in enumerate(block_pdf["_idx"]):
-            b_mat[r, list(lst)] = 1.0
-        b_sizes = b_mat.sum(axis=1)
-        bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
+        vocab_arr = (
+            np.unique(np.concatenate([np.asarray(x, dtype=np.int64)
+                                      for x in block_pdf["_hs"]]))
+            if len(block_pdf)
+            else np.empty(0, dtype=np.int64)
+        )
+        b_mat, b_sizes = _incidence(block_pdf["_hs"], vocab_arr, np)
+        bc = spark.sparkContext.broadcast((b_ids, vocab_arr, b_mat, b_sizes))
+        # executor-side slice cap: an Arrow batch is re-sliced so the
+        # streaming a-matrix also stays ≤ ~2^25 cells
+        row_cap = max(1, 2**25 // max(len(vocab_arr), 1))
 
-        def block(batches, _bc=bc):
-            bids, bmat, bsizes = _bc.value
+        def block(batches, _bc=bc, _cap=row_cap):
+            bids, vocab, bmat, bsizes = _bc.value
             for batch in batches:
-                for lo in range(0, len(batch), row_cap):
-                    sl = batch.iloc[lo : lo + row_cap]
+                for lo in range(0, len(batch), _cap):
+                    sl = batch.iloc[lo : lo + _cap]
                     a_ids = sl[id_col].to_numpy()
-                    a_mat = np.zeros((len(a_ids), bmat.shape[1]), dtype=np.float32)
-                    for r, lst in enumerate(sl["_idx"]):
-                        a_mat[r, list(lst)] = 1.0
-                    a_sizes = a_mat.sum(axis=1)
+                    a_mat, a_sizes = _incidence(sl["_hs"], vocab, np)
                     c = (a_mat @ bmat.T).astype(np.float64)  # exact counts
                     union = a_sizes[:, None] + bsizes[None, :] - c
-                    jac = c / union
+                    jac = c / np.maximum(union, 1)
                     keep_a, keep_b = np.where(
                         (jac >= threshold) & (a_ids[:, None] < bids[None, :])
                     )
@@ -317,7 +343,9 @@ def _ngram_jaccard_dense(
                         }
                     )
 
-        res = grouped.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
+        res = doc_sets.mapInPandas(
+            block, schema="id_a long, id_b long, jaccard double"
+        )
         out = res if out is None else out.unionByName(res)
     return out
 
@@ -363,7 +391,9 @@ def minhash_signatures(
     shingles of ``xxhash64(j, shingle)`` — deterministic, JVM-side, and a
     single groupBy pass (map-side combine keeps the shuffle at one row per
     doc per partition). Uses the raw (non-distinct) shingle stream — min is
-    idempotent under duplicates, so the dedup shuffle is skipped."""
+    idempotent under duplicates, so the dedup shuffle is skipped. (An
+    array_min(transform(...)) row-local formulation avoids the shuffle but
+    runs interpreted per element — measured 4× slower at sf0.1.)"""
     sh = raw_shingles(df, k, text_col, id_col)
     aggs = [
         F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")

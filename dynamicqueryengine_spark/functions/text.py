@@ -167,15 +167,28 @@ def _lang_hits_sql(expr: str, lang: str) -> str:
 
 
 def detect_language(col: Column) -> Column:
-    """Predicted language code, or 'und' when no marker hits at all."""
+    """Predicted language code, or 'und' when no marker hits at all.
+
+    argmax via ``array_max`` over (hits, -rank, lang) structs — structs
+    compare field-by-field, so the max entry is the highest hit count with
+    ties broken toward the FIRST language in code order (greatest -rank),
+    exactly the SQL mirror's first-matching-WHEN semantics. One hits
+    subtree per language, vs O(langs²) for a greatest+CASE chain — keeps
+    Catalyst analysis/codegen time flat as languages are added."""
     langs = sorted(LANG_MARKERS)  # deterministic tie-break: code order
-    hits = {lang: _lang_hits(col, lang) for lang in langs}
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    # build reversed CASE chain: first lang in order wins ties
-    for lang in reversed(langs):
-        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _lang_hits(col, lang).alias("h"),
+                    F.lit(-i).alias("o"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def detect_language_sql(expr: str) -> str:

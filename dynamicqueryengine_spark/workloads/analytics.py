@@ -79,7 +79,95 @@ GROUP BY r_name, n_name
 """.strip()
 
 
+def _topn_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group: the 3 highest-value orders per market
+    segment (ties → lowest orderkey). Broadcast the customer dimension;
+    the rank is one shuffle on the 5-value segment key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank_in_segment",
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+
+
+_TOPN_ORDERS_SQL = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice, o_orderdate
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank_in_segment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank_in_segment <= 3
+""".strip()
+
+
+def _kmv_partkey_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch vs exact count: estimate distinct l_partkey per
+    return flag, with the exact countDistinct joined alongside so the
+    estimate quality is part of the checked result."""
+    from ..functions.sketches import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "l_returnflag")
+
+
+def _kmv_partkey_distinct_sql() -> str:
+    from ..functions.sketches import kmv_distinct_sql
+
+    sk = kmv_distinct_sql("lineitem", "l_partkey", ["l_returnflag"], k=64)
+    return f"""
+WITH sk AS ({sk}),
+ex AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT sk.l_returnflag, n_kept, kth_hash, est_distinct, exact_distinct
+FROM sk JOIN ex USING (l_returnflag)
+""".strip()
+
+
+def _embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embeddings import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def _embed_quantize_sql() -> str:
+    from ..functions.embeddings import quantize_int8_sql
+
+    return quantize_int8_sql("embeddings")
+
+
 ANALYTICS_QUERIES: dict[str, FnWorkload] = {
     "lineitem_stats": FnWorkload(_lineitem_stats, _LINEITEM_STATS_SQL),
     "join_revenue_by_nation": FnWorkload(_revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "window_topn_orders_by_segment": FnWorkload(
+        _topn_orders_by_segment, _TOPN_ORDERS_SQL
+    ),
+    "sketch_kmv_distinct": FnWorkload(
+        _kmv_partkey_distinct, _kmv_partkey_distinct_sql()
+    ),
+    "embed_quantize_int8": FnWorkload(_embed_quantize, _embed_quantize_sql()),
 }
