@@ -167,6 +167,25 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), k=5, threshold=0.7)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate clusters: transitive closure of the exact-jaccard
+    near-dup graph via distributed min-label propagation; every doc gets
+    its cluster exemplar (min member id) and cluster size."""
+    from ..functions.cluster import cluster_assign
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    return cluster_assign(docs, pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    from ..functions.cluster import cluster_assign_sql
+
+    return cluster_assign_sql(
+        D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    )
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -479,6 +498,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_minhash_lsh": FnWorkload(
         _dedup_minhash, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
     ),
+    "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
