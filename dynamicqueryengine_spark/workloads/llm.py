@@ -186,6 +186,28 @@ def _dedup_clusters_sql() -> str:
     )
 
 
+def _decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing any
+    5-word n-gram with the 'benchmark' slice (deterministic doc_id%97
+    sample standing in for an eval set — broadcast-sized, like a real
+    benchmark vs a 100 TB corpus)."""
+    from ..functions.decontaminate import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, benchmark, n=5)
+
+
+def _decontaminate_sql() -> str:
+    from ..functions.decontaminate import contamination_flags_sql
+
+    return contamination_flags_sql(
+        "documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        n=5,
+    )
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -499,6 +521,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _dedup_minhash, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
     ),
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
+    "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
