@@ -82,3 +82,55 @@ def sample_stratified_sql(
         f"SELECT * FROM {table} "
         f"WHERE {_hex_fraction_sql(id_col)} < {cut}"
     )
+
+
+def sample_temperature(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature (α = 0.5) resampling — the multilingual balancing rule
+    (mBERT / XLM-R exponential smoothing): group g with c_g rows is kept at
+    rate (c_g)^(α-1) normalized so the SMALLEST group keeps everything,
+    i.e. rate_g = sqrt(c_min / c_g). Big groups are squashed toward the
+    small ones without upsampling.
+
+    α is pinned to 0.5 so the rate is a single correctly-rounded IEEE
+    ``sqrt(division)`` — bit-identical across engines, which makes the
+    sampled row set exactly oracle-checkable (generic ``pow`` is not
+    correctly rounded and may disagree in the last ulp right at a hash
+    cut). One count-aggregate over the stratum column produces a
+    groups-sized rate table that is broadcast back; the corpus itself is
+    filtered at scan time, never shuffled."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        stratum_col,
+        F.sqrt(F.col("_cmin").cast("double") / F.col("_c")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_fraction(F.col(id_col)) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def sample_temperature_sql(
+    table: str,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    columns: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`sample_temperature` (same hash, same sqrt)."""
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col}, count(*) AS c FROM {table} GROUP BY {stratum_col}
+),
+rates AS (
+  SELECT {stratum_col},
+         sqrt(CAST((SELECT min(c) FROM counts) AS DOUBLE) / c) AS rate
+  FROM counts
+)
+SELECT {columns} FROM {table} t JOIN rates USING ({stratum_col})
+WHERE {_hex_fraction_sql("t." + id_col)} < rates.rate
+""".strip()

@@ -127,6 +127,19 @@ _SAMPLE_STRATIFIED_SQL = SM.sample_stratified_sql(
 )
 
 
+def _docs_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalancing across languages: rate_g =
+    sqrt(c_min/c_g), so the dominant language is squashed toward the
+    rarest one — the standard multilingual-pretraining mix smoothing."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return SM.sample_temperature(docs).select("doc_id", "lang")
+
+
+_SAMPLE_TEMPERATURE_SQL = SM.sample_temperature_sql(
+    "documents", columns="t.doc_id, t.lang"
+)
+
+
 def _corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training-style corpus stats: the 100 most document-frequent
     character 5-grams. orderBy+limit compiles to TakeOrdered (per-partition
@@ -502,6 +515,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "text_profile": FnWorkload(_text_profile, _TEXT_PROFILE_SQL),
     "docs_sample_stratified": FnWorkload(
         _docs_sample_stratified, _SAMPLE_STRATIFIED_SQL
+    ),
+    "docs_sample_temperature": FnWorkload(
+        _docs_sample_temperature, _SAMPLE_TEMPERATURE_SQL
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),

@@ -43,3 +43,27 @@ def test_stratified_default_fraction_drops_unknown(spark):
     )
     out = sample_stratified(df, {"en": 1.0}).collect()
     assert all(r["lang"] == "en" for r in out)
+
+
+def test_temperature_squashes_big_strata_keeps_small(spark):
+    from dynamicqueryengine_spark.functions.sampling import sample_temperature
+
+    rows = [(i, "en" if i < 1800 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_temperature(df).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    rare = sum(1 for r in out if r["lang"] == "rare")
+    # smallest stratum rate is exactly 1.0 -> all 200 rare rows kept
+    assert rare == 200
+    # en rate = sqrt(200/1800) = 1/3 -> about 600 of 1800
+    assert 450 < en < 750
+
+
+def test_temperature_reproducible_and_partition_invariant(spark):
+    from dynamicqueryengine_spark.functions.sampling import sample_temperature
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = _ids(sample_temperature(df))
+    b = _ids(sample_temperature(df.repartition(11)))
+    assert a == b
