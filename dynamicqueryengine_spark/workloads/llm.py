@@ -140,6 +140,20 @@ _SAMPLE_TEMPERATURE_SQL = SM.sample_temperature_sql(
 )
 
 
+def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (monotone tf*N/df score —
+    single IEEE division keeps the oracle exact; see functions/keywords)."""
+    from ..functions.keywords import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _tfidf_keywords_sql() -> str:
+    from ..functions.keywords import tfidf_top_terms_sql
+
+    return tfidf_top_terms_sql("documents", k=3)
+
+
 def _corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training-style corpus stats: the 100 most document-frequent
     character 5-grams. orderBy+limit compiles to TakeOrdered (per-partition
@@ -520,6 +534,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _docs_sample_temperature, _SAMPLE_TEMPERATURE_SQL
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
+    "tfidf_keywords": FnWorkload(_tfidf_keywords, _tfidf_keywords_sql()),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
     "dedup_exact_assign": FnWorkload(
         _dedup_exact_assign, D.exact_dedup_assign_sql("documents")
