@@ -14,7 +14,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["quantize_int8", "quantize_int8_sql"]
+__all__ = [
+    "quantize_int8",
+    "quantize_int8_sql",
+    "group_centroids",
+    "group_centroids_sql",
+]
 
 
 def quantize_int8(
@@ -74,4 +79,63 @@ SELECT {id_col}, scale, qvec,
                       list_transform(qvec, x -> CAST(abs(x) AS BIGINT))),
          (a, b) -> a + b) AS q_l1
 FROM q
+""".strip()
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector in long form: (group, dim (1-based), centroid,
+    n) — the cluster-center primitive behind IVF coarse quantizers, label
+    prototypes, and domain drift monitors.
+
+    Summing doubles across a shuffle is order-dependent, so the per-
+    dimension sum is done in DECIMAL(38,12) (exact, commutative —
+    the events_sessionize parity pattern) and converted to double only
+    for the final single division. posexplode → partial-agg groupBy:
+    the shuffle carries (group × dim) partial sums, not vectors, so
+    reducer state is bounded by |groups|·dims regardless of corpus
+    size."""
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("_p", "_v"),
+    ).select(
+        group_col,
+        (F.col("_p") + 1).alias("dim"),
+        F.col("_v").cast("double").cast("decimal(38,12)").alias("_vd"),
+    )
+    return (
+        exploded.groupBy(group_col, "dim")
+        .agg(
+            F.sum("_vd").alias("_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            group_col,
+            "dim",
+            (F.col("_s").cast("double") / F.col("n")).alias("centroid"),
+            "n",
+        )
+    )
+
+
+def group_centroids_sql(
+    table: str, group_col: str = "label", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of :func:`group_centroids` — parallel unnests align
+    element and ordinal; identical decimal-exact sum then one double
+    division."""
+    return f"""
+WITH exploded AS (
+  SELECT {group_col},
+         unnest(range(1, len({vec_col}) + 1)) AS dim,
+         CAST(CAST(unnest({vec_col}) AS DOUBLE) AS DECIMAL(38,12)) AS vd
+  FROM {table}
+)
+SELECT {group_col}, CAST(dim AS INT) AS dim,
+       CAST(sum(vd) AS DOUBLE) / count(*) AS centroid,
+       count(*) AS n
+FROM exploded GROUP BY {group_col}, dim
 """.strip()

@@ -105,3 +105,31 @@ class TestQuantizeInt8:
             assert got[vid]["scale"] == scale
             assert got[vid]["qvec"] == qvec
             assert got[vid]["q_l1"] == q_l1
+
+
+class TestGroupCentroids:
+    def test_known_means_and_partition_invariance(self, spark):
+        from dynamicqueryengine_spark.functions.embeddings import group_centroids
+
+        rows = [
+            ("a", [1.0, 2.0]),
+            ("a", [3.0, 6.0]),
+            ("b", [10.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "label string, embedding array<float>")
+        got = {
+            (r["label"], r["dim"]): (r["centroid"], r["n"])
+            for r in group_centroids(df).collect()
+        }
+        assert got == {
+            ("a", 1): (2.0, 2),
+            ("a", 2): (4.0, 2),
+            ("b", 1): (10.0, 1),
+            ("b", 2): (0.0, 1),
+        }
+        # decimal-exact sum: identical result under any partitioning
+        got2 = {
+            (r["label"], r["dim"]): (r["centroid"], r["n"])
+            for r in group_centroids(df.repartition(5)).collect()
+        }
+        assert got == got2
