@@ -205,30 +205,34 @@ def ngram_jaccard_pairs(
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
     """
-    # ONE pass over the text explode: shingles are fingerprinted to int64
-    # (xxhash64) IN the codegen'd projection, so the collect_set shuffle
-    # moves only longs; every later stage (vocab gate, tile collection,
-    # matmul) reads this cached compact form instead of re-running
-    # substring+explode. Collision risk at the dense gate's 200k-vocab cap
-    # is < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB oracle,
-    # which equijoins raw strings, agrees).
+    # Path selection uses CHEAP statistics — the expensive collect_set
+    # table is built only after the dense path is chosen, so it is
+    # materialized by exactly its two consumers (tile collection + the
+    # streaming mapInPandas side), not by gate probes: n_docs is a
+    # metadata-served count on the input, and the vocabulary estimate is
+    # a single map-side approx_count_distinct over the shingle stream
+    # (±2% — the cell gate is a sizing heuristic, both paths are exact).
     raw = raw_shingles(df, k, text_col, id_col)
+    n_docs = df.count()
+    n_vocab = (
+        raw.agg(
+            F.approx_count_distinct(F.xxhash64("shingle"), rsd=0.02).alias("v")
+        ).collect()[0][0]
+        or 0
+    )
+    if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
+        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
+    # Shingles are fingerprinted to int64 (xxhash64) IN the codegen'd
+    # projection, so the collect_set shuffle moves only longs. Collision
+    # risk at the dense gate's 200k-vocab cap is < 2⁻³⁰ corpus-wide —
+    # treated as exact (the sf0.01 DuckDB oracle, which equijoins raw
+    # strings, agrees).
     doc_sets = (
         raw.select(id_col, F.xxhash64("shingle").alias("_h"))
         .groupBy(id_col)
         .agg(F.collect_set("_h").alias("_hs"))
         .persist()
     )
-    n_docs = doc_sets.count()
-    n_vocab = (
-        doc_sets.select(F.explode("_hs").alias("_h"))
-        .agg(F.countDistinct("_h"))
-        .collect()[0][0]
-        or 0
-    )
-    if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
-        doc_sets.unpersist()
-        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
     return _ngram_jaccard_dense(doc_sets, threshold, id_col, n_vocab, n_docs)
 
 
