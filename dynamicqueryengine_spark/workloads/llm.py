@@ -235,6 +235,20 @@ def _decontaminate_sql() -> str:
     )
 
 
+def _embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (long form) — cluster-center primitive;
+    decimal-exact sums make the shuffle-order-blind mean oracle-exact."""
+    from ..functions.embeddings import group_centroids
+
+    return group_centroids(_embs(spark, sf_dir))
+
+
+def _embed_label_centroids_sql() -> str:
+    from ..functions.embeddings import group_centroids_sql
+
+    return group_centroids_sql("embeddings")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -535,6 +549,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "tfidf_keywords": FnWorkload(_tfidf_keywords, _tfidf_keywords_sql()),
+    "embed_label_centroids": FnWorkload(
+        _embed_label_centroids, _embed_label_centroids_sql()
+    ),
     "text_quality_filter": FnWorkload(_quality_filter, _QUALITY_FILTER_SQL),
     "dedup_exact_assign": FnWorkload(
         _dedup_exact_assign, D.exact_dedup_assign_sql("documents")
