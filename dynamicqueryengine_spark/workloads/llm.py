@@ -451,6 +451,42 @@ GROUP BY 1, 2, 3
 """.strip()
 
 
+def _events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed for real: readStream over events,
+    first-arrival-wins dropDuplicates on the (user_id, event_type, value)
+    identity, then per-type counts of the deduped stream — a
+    deterministic aggregate of a nondeterministic-survivor operator, so
+    the batch oracle (COUNT over DISTINCT) checks it exactly. Complete
+    mode flushes the finite stream's final counts."""
+    from ..streaming.dedup import stream_dedup_exact
+    from ..streaming.rules import stream_events
+
+    deduped = stream_dedup_exact(
+        stream_events(spark, sf_dir), ["user_id", "event_type", "value"]
+    )
+    counted = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("distinct_events")
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_dedup_counts_{_STREAM_COUNTER[0]}"
+    (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+_EVENTS_STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS distinct_events
+FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+GROUP BY event_type
+""".strip()
+
+
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — batch twin of the applyInPandasWithState
     streaming operator (streaming/sessionize.py)."""
@@ -590,6 +626,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
     "events_stream_rule_windows": FnWorkload(
         _events_stream_rule_windows, _EVENTS_STREAM_RULE_SQL
+    ),
+    "events_stream_dedup": FnWorkload(
+        _events_stream_dedup_counts, _EVENTS_STREAM_DEDUP_SQL
     ),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),
