@@ -33,12 +33,15 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warmup: prime codegen + page cache (untimed)
+    # warmup: prime codegen + page cache (untimed). clearCache here too —
+    # otherwise ~70 queries' persisted intermediates pile up on the heap
+    # and the timed pass measures GC pressure, not the engine.
     for name, fn in queries.items():
         try:
             fn(spark, sf_dir).count()
         except Exception as exc:  # pragma: no cover - surfaced in timed pass
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -249,6 +249,20 @@ def _embed_label_centroids_sql() -> str:
     return group_centroids_sql("embeddings")
 
 
+def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: dup-word and top-bigram fractions
+    per doc, with the Table-A1 keep verdict."""
+    from ..functions.repetition import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
+def _docs_repetition_sql() -> str:
+    from ..functions.repetition import repetition_profile_sql
+
+    return repetition_profile_sql("documents")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -606,6 +620,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
     "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
+    "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
