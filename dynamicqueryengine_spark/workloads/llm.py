@@ -249,6 +249,52 @@ def _embed_label_centroids_sql() -> str:
     return group_centroids_sql("embeddings")
 
 
+def _docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 64-token chunks with a 48-token stride (25%
+    overlap) — the corpus→training-sequences conversion."""
+    from ..functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
+def _docs_chunked_sql() -> str:
+    from ..functions.chunking import chunk_documents_sql
+
+    return chunk_documents_sql("documents", chunk_tokens=64, stride=48)
+
+
+def _docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic synthetic enrichment: the test
+    corpus contains no PII, so each doc gets an appended contact line
+    derived from its id (identical expression in the oracle) and the
+    redactor must find and replace exactly those spans."""
+    from ..functions.redact import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def _docs_pii_redacted_sql() -> str:
+    from ..functions.redact import redact_pii_sql
+
+    enriched = (
+        "SELECT doc_id, substr(text, 1, 40) || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 555-867-5309 at 10.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.1' AS text FROM documents"
+    )
+    return redact_pii_sql(f"({enriched})")
+
+
 def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: dup-word and top-bigram fractions
     per doc, with the Table-A1 keep verdict."""
@@ -621,6 +667,8 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
     "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
     "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),
+    "docs_chunk_sequences": FnWorkload(_docs_chunked, _docs_chunked_sql()),
+    "docs_pii_redact": FnWorkload(_docs_pii_redacted, _docs_pii_redacted_sql()),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
