@@ -20,7 +20,7 @@ from .errors import (
     UnsupportedOperatorError,
 )
 from .operators.aggregate import apply_aggregation
-from .operators.executor import apply_rule, execute_rules
+from .operators.executor import apply_rule, execute_rules, register_rule_view
 from .operators.predicates import PredicateCompiler, compile_predicate
 from .plans.model import (
     AggregateFunction,
@@ -52,6 +52,7 @@ __all__ = [
     "apply_rule",
     "compile_predicate",
     "execute_rules",
+    "register_rule_view",
     "get_spark",
     "inline_table",
     "validate",

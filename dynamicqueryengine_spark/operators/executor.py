@@ -84,3 +84,28 @@ def execute_rules(
         for r in rules
     ]
     return reduce(DataFrame.unionByName, results).dropDuplicates()
+
+
+def register_rule_view(
+    df: DataFrame,
+    view_name: str,
+    rule: RuleDefinition | Mapping[str, Any],
+    external_params: Mapping[str, Any] | None = None,
+    strict_compat: bool = True,
+    group_by_mode: str = "all",
+) -> DataFrame:
+    """Expose a compiled rule as a Spark SQL temp view, so rule results
+    compose with plain ``spark.sql`` (joins, windows, CTEs) without
+    touching the Python API again. The view wraps the LOGICAL plan —
+    every downstream SQL query re-optimizes through it, keeping filter
+    pushdown and column pruning intact (no materialization). Returns the
+    underlying DataFrame."""
+    result = apply_rule(
+        df,
+        rule,
+        external_params,
+        strict_compat=strict_compat,
+        group_by_mode=group_by_mode,
+    )
+    result.createOrReplaceTempView(view_name)
+    return result

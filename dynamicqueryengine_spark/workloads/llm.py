@@ -295,6 +295,46 @@ def _docs_pii_redacted_sql() -> str:
     return redact_pii_sql(f"({enriched})")
 
 
+def _corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card: per (lang, source) document counts, corpus share,
+    and exact length percentiles (p10/p50/p90 of n_chars, linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont` share
+    the (n-1)p formula). Share is one IEEE division; percentiles are
+    rounded to 6dp. One shuffle on the (lang, source) key."""
+    docs = _docs(spark, sf_dir)
+    total = docs.select(F.count(F.lit(1)).alias("_t"))
+    pct = F.percentile(F.col("n_chars"), F.lit([0.1, 0.5, 0.9]))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct[0], 6).alias("p10_chars"),
+            F.round(pct[1], 6).alias("p50_chars"),
+            F.round(pct[2], 6).alias("p90_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("_t")).alias("share"),
+            "p10_chars",
+            "p50_chars",
+            "p90_chars",
+        )
+    )
+
+
+_CORPUS_MIX_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share,
+       round(quantile_cont(n_chars, 0.1), 6) AS p10_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang, source
+""".strip()
+
+
 def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: dup-word and top-bigram fractions
     per doc, with the Table-A1 keep verdict."""
@@ -669,6 +709,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),
     "docs_chunk_sequences": FnWorkload(_docs_chunked, _docs_chunked_sql()),
     "docs_pii_redact": FnWorkload(_docs_pii_redacted, _docs_pii_redacted_sql()),
+    "corpus_mix_report": FnWorkload(_corpus_mix_report, _CORPUS_MIX_SQL),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),

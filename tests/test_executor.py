@@ -53,3 +53,28 @@ class TestExecuteRules:
         ]
         got = execute_rules(users_df, rules, external_params={"Title": "Director"})
         assert ids_of(got) == ["u10", "u12", "u5"]
+
+
+class TestRegisterRuleView:
+    def test_view_composes_with_sql(self, spark):
+        from dynamicqueryengine_spark.operators.executor import (
+            register_rule_view,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "US", 50), (2, "US", 150), (3, "DE", 200)],
+            "id long, country string, score long",
+        )
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "score", "Operator": "GreaterThan", "Value": 100}
+                ]
+            }
+        }
+        register_rule_view(df, "high_scores", rule)
+        got = spark.sql(
+            "SELECT country, count(*) AS n FROM high_scores "
+            "GROUP BY country ORDER BY country"
+        ).collect()
+        assert [(r["country"], r["n"]) for r in got] == [("DE", 1), ("US", 1)]
