@@ -205,34 +205,36 @@ def ngram_jaccard_pairs(
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
     """
-    # Path selection uses CHEAP statistics — the expensive collect_set
-    # table is built only after the dense path is chosen, so it is
-    # materialized by exactly its two consumers (tile collection + the
-    # streaming mapInPandas side), not by gate probes: n_docs is a
-    # metadata-served count on the input, and the vocabulary estimate is
-    # a single map-side approx_count_distinct over the shingle stream
-    # (±2% — the cell gate is a sizing heuristic, both paths are exact).
+    # The text is exploded EXACTLY ONCE: shingles are fingerprinted to
+    # int64 (xxhash64) in the codegen'd projection — the collect_set
+    # shuffle moves only longs — and the cached per-doc hash-set table
+    # feeds everything downstream: the sizing stats (one agg over the
+    # cached sets), the dense tiles, the streaming matmul side, and the
+    # equijoin fallback (re-exploded FROM CACHE, joining on hashes
+    # instead of strings). Collision risk at the dense gate's 200k-vocab
+    # cap is < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB
+    # oracle, which equijoins raw strings, agrees).
     raw = raw_shingles(df, k, text_col, id_col)
-    n_docs = df.count()
-    n_vocab = (
-        raw.agg(
-            F.approx_count_distinct(F.xxhash64("shingle"), rsd=0.02).alias("v")
-        ).collect()[0][0]
-        or 0
-    )
-    if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
-        return _ngram_jaccard_join(raw.distinct(), threshold, id_col)
-    # Shingles are fingerprinted to int64 (xxhash64) IN the codegen'd
-    # projection, so the collect_set shuffle moves only longs. Collision
-    # risk at the dense gate's 200k-vocab cap is < 2⁻³⁰ corpus-wide —
-    # treated as exact (the sf0.01 DuckDB oracle, which equijoins raw
-    # strings, agrees).
     doc_sets = (
         raw.select(id_col, F.xxhash64("shingle").alias("_h"))
         .groupBy(id_col)
         .agg(F.collect_set("_h").alias("_hs"))
         .persist()
     )
+    # first action materializes the cache; vocab is approximate (±2% —
+    # the cell gate is a sizing heuristic, both paths are exact)
+    n_vocab = (
+        doc_sets.select(F.explode("_hs").alias("_h"))
+        .agg(F.approx_count_distinct("_h", rsd=0.02).alias("v"))
+        .collect()[0][0]
+        or 0
+    )
+    n_docs = doc_sets.count()  # served from cache
+    if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
+        hashed = doc_sets.select(
+            id_col, F.explode("_hs").alias("shingle")
+        )
+        return _ngram_jaccard_join(hashed, threshold, id_col)
     return _ngram_jaccard_dense(doc_sets, threshold, id_col, n_vocab, n_docs)
 
 
