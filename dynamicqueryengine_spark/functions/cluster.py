@@ -38,20 +38,32 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; component =
     min node id reachable through the undirected pair graph."""
-    edges = (
+    base = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
+    # Size-aware parallelism: iterative rounds pay fixed cost per task,
+    # and near-dup edge lists are usually tiny relative to the corpus —
+    # shuffling 256 edges across 32 reducers makes every round pure
+    # scheduling overhead. One partition per ~2M edges (the label table
+    # is ≤ the edge table), bounded by the session's parallelism for the
+    # genuinely huge case.
+    n_edges = base.count()
+    parts = max(1, min(base.sparkSession.sparkContext.defaultParallelism,
+                       n_edges // 2_000_000 + 1))
+    edges = base.repartition(parts, "dst").localCheckpoint()
+    base.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
+        .repartition(parts, "id")
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -73,16 +85,17 @@ def connected_components(
             .select("id", F.least("component", "p_component").alias("component"))
             .localCheckpoint()
         )
+        prev, labels = labels, new_labels
+        if it == 0:
+            continue  # round 1 always changes on any non-empty graph
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            labels.alias("n")
+            .join(prev.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
