@@ -335,6 +335,92 @@ FROM documents GROUP BY lang, source
 """.strip()
 
 
+def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl bookkeeping: diff the corpus against a previous
+    snapshot by content fingerprint — per doc_id, status ∈ {added,
+    unchanged, changed}. The 'previous snapshot' is a deterministic slice
+    (doc_id % 3 != 0 keeps 2/3) with every 7th surviving doc's text
+    perturbed, so all three statuses occur. Fingerprint equijoin on
+    doc_id — one broadcast-or-shuffle join keyed by id, no content
+    comparison beyond the md5."""
+    docs = _docs(spark, sf_dir)
+    fp = T.fingerprint_md5(F.col("text"))
+    cur = docs.select("doc_id", fp.alias("fp"))
+    prev = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                T.fingerprint_md5(F.concat(F.col("text"), F.lit(" edited"))),
+            )
+            .otherwise(fp)
+            .alias("fp"),
+        )
+    )
+    joined = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "left"
+    )
+    return joined.select(
+        F.col("c.doc_id").alias("doc_id"),
+        F.when(F.col("p.fp").isNull(), F.lit("added"))
+        .when(F.col("c.fp") == F.col("p.fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH cur AS (
+  SELECT doc_id, {T.fingerprint_md5_sql('text')} AS fp FROM documents
+),
+prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN {T.fingerprint_md5_sql("text || ' edited'")}
+              ELSE {T.fingerprint_md5_sql('text')} END AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT c.doc_id,
+       CASE WHEN p.fp IS NULL THEN 'added'
+            WHEN c.fp = p.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM cur c LEFT JOIN prev p ON c.doc_id = p.doc_id
+""".strip()
+
+
+def _docs_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-language length-tail trimming: drop docs outside the
+    [p10, p90] n_chars band OF THEIR LANGUAGE. The per-lang band table is
+    |languages| rows — broadcast back; the corpus is filtered in one
+    scan after one small aggregate."""
+    docs = _docs(spark, sf_dir)
+    pct = F.percentile(F.col("n_chars"), F.lit([0.1, 0.9]))
+    bands = docs.groupBy("lang").agg(
+        pct[0].alias("_lo"), pct[1].alias("_hi")
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("_lo"))
+            & (F.col("n_chars") <= F.col("_hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_LENGTH_TRIM_SQL = """
+WITH bands AS (
+  SELECT lang, quantile_cont(n_chars, 0.1) AS lo,
+         quantile_cont(n_chars, 0.9) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN bands USING (lang)
+WHERE d.n_chars >= bands.lo AND d.n_chars <= bands.hi
+""".strip()
+
+
 def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: dup-word and top-bigram fractions
     per doc, with the Table-A1 keep verdict."""
@@ -710,6 +796,8 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "docs_chunk_sequences": FnWorkload(_docs_chunked, _docs_chunked_sql()),
     "docs_pii_redact": FnWorkload(_docs_pii_redacted, _docs_pii_redacted_sql()),
     "corpus_mix_report": FnWorkload(_corpus_mix_report, _CORPUS_MIX_SQL),
+    "corpus_snapshot_diff": FnWorkload(_corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
+    "docs_length_trim": FnWorkload(_docs_length_trim, _LENGTH_TRIM_SQL),
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
