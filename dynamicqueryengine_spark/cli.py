@@ -3,11 +3,15 @@
     python -m dynamicqueryengine_spark evaluate --table customer \\
         --rule rule.json [--params params.json] [--sf-dir DIR] [--out DIR]
     python -m dynamicqueryengine_spark sql "SELECT ... FROM customer ..."
+    python -m dynamicqueryengine_spark workload list
+    python -m dynamicqueryengine_spark workload run dedup_minhash_lsh [--out DIR]
     python -m dynamicqueryengine_spark serve --port 8080
 
 ``evaluate`` runs a rule document against a registry table (rows to stdout
 as JSON lines, or Parquet with ``--out``); ``sql`` opens the full Spark SQL
-surface over the registered tables; ``serve`` starts the HTTP facade.
+surface over the registered tables; ``workload`` lists/runs any named
+pipeline query from the contract surface (dedup, similarity, sampling,
+text analysis, …); ``serve`` starts the HTTP facade.
 """
 
 from __future__ import annotations
@@ -47,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sq.add_argument("--limit", type=int, default=100)
 
+    wl = sub.add_parser("workload", help="list or run named pipeline queries")
+    wl.add_argument("action", choices=["list", "run"])
+    wl.add_argument("name", nargs="?", help="workload name (for run)")
+    wl.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    wl.add_argument("--out", help="write result as parquet to this dir")
+    wl.add_argument("--limit", type=int, default=100)
+
     sv = sub.add_parser("serve", help="start the HTTP rule-evaluation facade")
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--host", default="127.0.0.1")
@@ -74,6 +85,26 @@ def main(argv: list[str] | None = None) -> int:
         reg = TableRegistry(spark, args.sf_dir)
         reg.register_views()
         _print_rows(spark.sql(args.query), args.limit)
+        return 0
+
+    if args.cmd == "workload":
+        from .workloads import ALL_QUERIES as workloads
+        if args.action == "list":
+            for name in workloads:
+                print(name)
+            return 0
+        if not args.name or args.name not in workloads:
+            print(
+                f"unknown workload {args.name!r}; see 'workload list'",
+                file=sys.stderr,
+            )
+            return 2
+        result = workloads[args.name].spark_fn()(spark, args.sf_dir)
+        if args.out:
+            write_parquet(result, args.out)
+            print(f"wrote {args.out}", file=sys.stderr)
+        else:
+            _print_rows(result, args.limit)
         return 0
 
     if args.cmd == "serve":

@@ -52,3 +52,22 @@ class TestCli:
         write_parquet(out, str(tmp_path / "result"))
         back = spark.read.parquet(str(tmp_path / "result"))
         assert back.count() == out.count() > 0
+
+
+class TestCliWorkloads:
+    def test_workload_registry_is_the_contract_surface(self, spark):
+        import __spark_entry__ as e
+        from dynamicqueryengine_spark.workloads import ALL_QUERIES
+
+        assert set(ALL_QUERIES) == set(e.queries())
+
+    def test_workload_run_in_process(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.writers import write_parquet
+        from dynamicqueryengine_spark.workloads import ALL_QUERIES
+
+        df = ALL_QUERIES["docs_length_trim"].spark_fn()(
+            spark, "/root/testdata/sf0.001"
+        )
+        out = str(tmp_path / "trim")
+        write_parquet(df, out)
+        assert spark.read.parquet(out).count() == df.count() > 0
