@@ -72,12 +72,57 @@ def evaluate_request(
         return {"status": 400, "Error": str(exc)}
 
 
+# Self-description payload — the engine's analog of the reference's
+# Swagger/OpenAPI exposure (Program.cs:9-17): machine-readable inventory
+# of endpoints, the 27 predicate operators, and the aggregation surface.
+API_DESCRIPTION: dict[str, Any] = {
+    "service": "dynamicqueryengine_spark",
+    "endpoints": {
+        "POST /rules/evaluate": "evaluate {Rule|Rules, Users} -> rows | 400 {Error}",
+        "GET /rules/describe": "this document",
+    },
+    "operators": [
+        "Equal", "NotEqual", "GreaterThan", "GreaterThanOrEqual", "LessThan",
+        "LessThanOrEqual", "In", "NotIn", "Contains", "NotContains",
+        "StartsWith", "EndsWith", "Null", "NotNull", "NotEmpty", "Empty",
+        "NullOrEmpty", "NotNullOrEmpty", "ContainIfCountIsGreater",
+        "ContainIfCountIsLess", "MustContainIfCountIsGreater", "If",
+        "DynamicEqual", "DynamicNullOrEmpty", "DynamicNotNullOrEmpty",
+        "DynamicNotEmpty", "DynamicEmpty",
+    ],
+    "logical_operators": ["AND", "OR"],
+    "aggregate_functions": ["Min", "Max", "Count"],
+    "rule_shape": {
+        "Name": "str?",
+        "Conditions": {
+            "LogicalOperator": "AND|OR",
+            "Negate": "bool?",
+            "Conditions": [{"Property": "str", "Operator": "str", "Value": "any"}],
+            "Groups": ["(recursive)"],
+        },
+        "GroupBy": ["str"],
+        "Aggregation": {"AggregateProperty": "str", "AggregateFunction": "Min|Max|Count"},
+    },
+}
+
+
 def serve(
     spark: SparkSession, host: str = "127.0.0.1", port: int = 8080
 ) -> ThreadingHTTPServer:
     """Start the HTTP facade (non-blocking; call ``.shutdown()`` to stop)."""
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self) -> None:  # noqa: N802 (stdlib casing)
+            if self.path.rstrip("/") != "/rules/describe":
+                self.send_error(404)
+                return
+            data = json.dumps(API_DESCRIPTION).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
             if self.path.rstrip("/") != "/rules/evaluate":
                 self.send_error(404)

@@ -191,3 +191,34 @@ class TestSessionization:
         for key, (n, s) in got.items():
             assert key in batch
             assert batch[key] == (n, round(s, 6))
+
+
+class TestDescribeEndpoint:
+    def test_get_describe(self, spark):
+        server = serve(spark, port=0)
+        try:
+            port = server.server_address[1]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/rules/describe"
+            ) as resp:
+                body = json.loads(resp.read())
+            assert resp.status == 200
+            assert len(body["operators"]) == 27
+            assert "POST /rules/evaluate" in body["endpoints"]
+            assert body["aggregate_functions"] == ["Min", "Max", "Count"]
+        finally:
+            server.shutdown()
+
+    def test_get_unknown_path_404(self, spark):
+        server = serve(spark, port=0)
+        try:
+            port = server.server_address[1]
+            import urllib.error
+
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
