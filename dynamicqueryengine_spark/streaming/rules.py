@@ -95,6 +95,28 @@ def windowed_rule_counts(
     )
 
 
+class scoped_state_partitions:
+    """Temporarily set ``spark.sql.shuffle.partitions`` around a streaming
+    query start. For STREAMING this conf does double duty: it fixes the
+    number of state-store instances for the query's lifetime. Batch sizing
+    (≈ cores) is wrong for small-keyspace streams — each microbatch pays
+    per-instance overhead for mostly-empty stores — so size to expected
+    key cardinality instead. The conf is captured at query START, so a
+    scoped set/restore affects only the query begun inside the block."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self._old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def run_stream_to_memory(
     query_df: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:

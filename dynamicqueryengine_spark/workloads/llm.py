@@ -615,14 +615,17 @@ def _events_stream_rule_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"stream_rule_windows_{_STREAM_COUNTER[0]}"
-    (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from ..streaming.rules import scoped_state_partitions
+
+    with scoped_state_partitions(spark, 8):  # small keyspace: (window, type)
+        (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 
@@ -655,14 +658,17 @@ def _events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"stream_dedup_counts_{_STREAM_COUNTER[0]}"
-    (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    from ..streaming.rules import scoped_state_partitions
+
+    with scoped_state_partitions(spark, 8):  # dedup keys ≪ batch parallelism
+        (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 
