@@ -306,6 +306,7 @@ def _ngram_jaccard_dense(
     n_tiles = max(1, -(-(n_docs * max(n_vocab, 1)) // MAX_BLOCK_CELLS))
 
     out = None
+    bcs = []
     for tile in range(n_tiles):
         part = (
             doc_sets
@@ -353,6 +354,18 @@ def _ngram_jaccard_dense(
             block, schema="id_a long, id_b long, jaccard double"
         )
         out = res if out is None else out.unionByName(res)
+        bcs.append(bc)
+    # Eagerly materialize the (tiny) pair list so the heavyweight inputs
+    # can be released NOW: without this, every invocation leaks its
+    # ~tens-of-MB tile broadcasts and the cached set table until driver
+    # GC — in a long-lived session (bench loops, notebooks) that
+    # accumulates into heap pressure that slows every later query. The
+    # pair list is the natural pipeline break: it is orders of magnitude
+    # smaller than the corpus at any scale.
+    out = out.localCheckpoint()
+    for b in bcs:
+        b.destroy()
+    doc_sets.unpersist()
     return out
 
 
