@@ -261,6 +261,213 @@ def parse_png_metadata(blobs: DataFrame) -> DataFrame:
     )
 
 
+# --- a REAL decodable audio format: WAV (RIFF/PCM) -----------------------
+# Like the PNG path: stdlib-only (struct), so encode → decode is a genuine
+# binary round trip through the Arrow plumbing, and every parsed field is
+# predictable from the source row — value-oracle-checkable end to end.
+
+
+def _encode_wav(channels: int, sample_rate: int, samples: bytes) -> bytes:
+    """Minimal valid PCM WAV: RIFF header + fmt chunk + data chunk."""
+    import struct
+
+    bits = 16
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nchars_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic REAL PCM WAV payload per document: channels/rate/length
+    derive from the row (channels = 1 + id % 2, rate = 8000·(1 + id % 3),
+    n_samples = 16 + n_chars % 241) and sample bytes tile md5(text). The
+    audio twin of :func:`synthesize_png`."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    def synth(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, n_chars in zip(
+                pdf[id_col], pdf[text_col], pdf[nchars_col]
+            ):
+                channels = 1 + int(doc_id) % 2
+                rate = 8000 * (1 + int(doc_id) % 3)
+                n_samples = 16 + int(n_chars) % 241
+                nbytes = n_samples * channels * 2
+                digest = _h.md5(str(text).encode()).digest()
+                samples = (digest * (nbytes // len(digest) + 1))[:nbytes]
+                payloads.append(_encode_wav(channels, rate, samples))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread(df.select(id_col, text_col, nchars_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def parse_wav_metadata(blobs: DataFrame) -> DataFrame:
+    """Real WAV header decode in the Arrow batch path: validates the RIFF
+    signature, walks the chunk stream (fmt / data / any others), and derives
+    sample count + duration from the header fields and actual data length.
+    Non-WAV / truncated payloads produce NULL fields and status='not_wav'
+    instead of failing the batch."""
+    import struct
+
+    import pandas as pd
+
+    def parse_one(p: bytes):
+        if p is None or len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return (None, None, None, None, None, None, "not_wav")
+        off = 12
+        audio_format = channels = rate = bits = None
+        block_align = data_len = None
+        while off + 8 <= len(p):
+            tag = p[off : off + 4]
+            (length,) = struct.unpack("<I", p[off + 4 : off + 8])
+            body = p[off + 8 : off + 8 + length]
+            # a truncated payload can declare more bytes than exist; trust
+            # only what's actually present
+            if tag == b"fmt " and len(body) >= 16:
+                audio_format, channels, rate, _byte_rate, block_align, bits = (
+                    struct.unpack("<HHIIHH", body[:16])
+                )
+            elif tag == b"data":
+                data_len = len(body)
+            off += 8 + length + (length % 2)  # RIFF chunks pad to even
+        if channels is None or data_len is None or not block_align:
+            return (audio_format, channels, rate, bits, None, None, "bad")
+        n_samples = data_len // block_align
+        duration_ms = n_samples * 1000.0 / rate if rate else None
+        return (audio_format, channels, rate, bits, n_samples, duration_ms, "ok")
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [parse_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio_format": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "sample_rate": [r[2] for r in rows],
+                    "bits_per_sample": [r[3] for r in rows],
+                    "n_samples": [r[4] for r in rows],
+                    "duration_ms": [r[5] for r in rows],
+                    "status": [r[6] for r in rows],
+                }
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, audio_format int, channels int, sample_rate int, "
+            "bits_per_sample int, n_samples int, duration_ms double, "
+            "status string"
+        ),
+    )
+
+
+# --- frame sampling over a deterministic video-like container -------------
+# A real video decoder (ffmpeg) is not in this container, so the container
+# format is a transparent stand-in: magic + frame count + frame size +
+# fixed-size frames. Frame PAYLOADS are ascii md5-hex tiles, so the sampled
+# frames' checksums are predictable from the source table by the SQL oracle
+# — the frame-slicing arithmetic, every-Nth selection, and Arrow batch
+# mechanics are exactly what an ffmpeg-backed version would keep.
+
+VIDEO_MAGIC = b"VID0"
+_FRAME_TILE = 4  # frame payload = md5-hex (32 ascii bytes) × 4 = 128 bytes
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic multi-frame container per document: n_frames =
+    1 + doc_id % 8 fixed-size frames; frame i's bytes are the ascii md5 hex
+    of ``text:i`` tiled ×4."""
+    import hashlib as _h
+    import struct
+
+    import pandas as pd
+
+    def synth(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n_frames = 1 + int(doc_id) % 8
+                frames = b"".join(
+                    _h.md5(f"{text}:{i}".encode()).hexdigest().encode()
+                    * _FRAME_TILE
+                    for i in range(n_frames)
+                )
+                payloads.append(
+                    VIDEO_MAGIC
+                    + struct.pack("<II", n_frames, 32 * _FRAME_TILE)
+                    + frames
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def sample_video_frames(blobs: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every-Nth frame sampling: parse the container header, slice out
+    frames 0, N, 2N, … and emit one row per sampled frame with its md5.
+    One input row fans out to ceil(n_frames/N) output rows inside the same
+    Arrow batch — no shuffle, no driver involvement, linear in corpus size."""
+    import hashlib as _h
+    import struct
+
+    import pandas as pd
+
+    def sample(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, totals, md5s = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None or p[:4] != VIDEO_MAGIC or len(p) < 12:
+                    continue
+                n_frames, frame_size = struct.unpack("<II", p[4:12])
+                for i in range(0, n_frames, every_n):
+                    start = 12 + i * frame_size
+                    frame = p[start : start + frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    md5s.append(_h.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        sample,
+        schema="doc_id long, frame_idx int, n_frames int, frame_md5 string",
+    )
+
+
 def filter_by_metadata(
     blobs: DataFrame, max_size_bytes: int | None = None, formats: list[str] | None = None
 ) -> DataFrame:

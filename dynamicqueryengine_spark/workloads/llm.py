@@ -507,6 +507,55 @@ FROM documents
 """.strip()
 
 
+def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the PNG round trip: synthesize a valid PCM WAV per
+    document, then decode the RIFF/fmt/data headers back. Every field —
+    including duration_ms, a single IEEE division both engines perform
+    bit-identically — is predicted by the oracle from the source row."""
+    docs = _docs(spark, sf_dir)
+    return M.parse_wav_metadata(M.synthesize_wav(docs))
+
+
+# channels = 1 + id % 2, rate = 8000·(1 + id % 3), n_samples = 16 + n_chars
+# % 241 (synthesize_wav); PCM → audio_format 1, 16-bit.
+_MULTIMODAL_WAV_SQL = """
+SELECT doc_id,
+       CAST(1 AS INT) AS audio_format,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(16 + n_chars % 241 AS INT) AS n_samples,
+       CAST((16 + n_chars % 241) * 1000 AS DOUBLE)
+           / (8000 * (1 + doc_id % 3)) AS duration_ms,
+       'ok' AS status
+FROM documents
+""".strip()
+
+
+def _multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a deterministic multi-frame container: parse the
+    header, slice every-2nd frame, emit one row per sampled frame with its
+    md5 — the fan-out shape (1 row → ceil(n_frames/N) rows inside one Arrow
+    batch, no shuffle) a real ffmpeg-backed sampler would keep."""
+    docs = _docs(spark, sf_dir)
+    return M.sample_video_frames(M.synthesize_video(docs), every_n=2)
+
+
+# n_frames = 1 + doc_id % 8; frame i bytes = ascii md5-hex(text:i) × 4
+# (synthesize_video) — so each sampled frame's md5 is md5(repeat(hex, 4)).
+_MULTIMODAL_VIDEO_SQL = """
+SELECT doc_id, frame_idx, n_frames,
+       md5(repeat(md5(text || ':' || frame_idx), 4)) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         CAST(1 + doc_id % 8 AS INT) AS n_frames,
+         CAST(unnest(range(0, 1 + doc_id % 8)) AS INT) AS frame_idx
+  FROM documents
+)
+WHERE frame_idx % 2 = 0
+""".strip()
+
+
 # The payload is the utf-8 encoding of ``text``, so every stub feature is
 # SQL-derivable — the Arrow mapInPandas plumbing gets a full value oracle.
 _MULTIMODAL_SQL = """
@@ -822,6 +871,10 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
+    "multimodal_wav_metadata": FnWorkload(_multimodal_wav, _MULTIMODAL_WAV_SQL),
+    "multimodal_video_frames": FnWorkload(
+        _multimodal_video_frames, _MULTIMODAL_VIDEO_SQL
+    ),
     "events_stream_rule_windows": FnWorkload(
         _events_stream_rule_windows, _EVENTS_STREAM_RULE_SQL
     ),

@@ -188,6 +188,61 @@ class TestMultimodal:
         (ln,) = struct.unpack(">I", good[len(M.PNG_SIG):len(M.PNG_SIG) + 4])
         assert ln == 13 and zlib.crc32(b"") is not None
 
+    def test_wav_roundtrip(self, docs):
+        parsed = M.parse_wav_metadata(M.synthesize_wav(docs.limit(25))).collect()
+        assert len(parsed) == 25
+        for r in parsed:
+            assert r["status"] == "ok" and r["audio_format"] == 1
+            assert r["channels"] in (1, 2) and r["bits_per_sample"] == 16
+            assert r["sample_rate"] in (8000, 16000, 24000)
+            assert 16 <= r["n_samples"] <= 256
+            assert abs(
+                r["duration_ms"] - r["n_samples"] * 1000.0 / r["sample_rate"]
+            ) == 0.0
+
+    def test_wav_parser_rejects_garbage(self, spark):
+        good = M._encode_wav(2, 16000, b"\x00" * 64)
+        truncated = good[:20]  # RIFF/WAVE ok, chunks cut off
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"RIFFxxxxJUNK")), (3, None),
+             (4, bytearray(truncated))],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in M.parse_wav_metadata(df).collect()}
+        assert out[1]["status"] == "ok" and out[1]["n_samples"] == 16
+        assert out[2]["status"] == "not_wav"
+        assert out[3]["status"] == "not_wav"
+        assert out[4]["status"] == "bad"
+
+    def test_video_frame_sampling(self, docs):
+        import hashlib
+
+        vids = M.synthesize_video(docs.limit(16))
+        out = M.sample_video_frames(vids, every_n=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        src = {r["doc_id"]: r["text"] for r in docs.limit(16).collect()}
+        for doc_id, rows in by_doc.items():
+            n_frames = 1 + doc_id % 8
+            assert sorted(r["frame_idx"] for r in rows) == list(
+                range(0, n_frames, 2)
+            )
+            for r in rows:
+                frame = (
+                    hashlib.md5(f"{src[doc_id]}:{r['frame_idx']}".encode())
+                    .hexdigest()
+                    .encode()
+                    * 4
+                )
+                assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+
+    def test_video_sampler_skips_garbage(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"nope")), (2, None)], "doc_id long, payload binary"
+        )
+        assert M.sample_video_frames(df).count() == 0
+
 
 class TestTextEdgeCases:
     def test_empty_and_null_text(self, spark):
