@@ -13,6 +13,7 @@ OS page cache so the timed pass measures engine throughput, not startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -33,19 +34,28 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warmup: prime codegen + page cache (untimed). clearCache here too —
-    # otherwise ~70 queries' persisted intermediates pile up on the heap
-    # and the timed pass measures GC pressure, not the engine.
+    def scrub() -> None:
+        """Release cross-query state: clearCache drops persisted plans, but
+        broadcasts, localCheckpoint RDDs, and temp shuffle files are only
+        reclaimed by the ContextCleaner AFTER their Python-side DataFrames
+        are garbage-collected (py4j holds JVM refs until then). Without the
+        explicit gc + JVM gc, ~150 query executions accumulate into heap
+        pressure that inflates every later timing ~2×."""
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    # warmup: prime codegen + page cache (untimed).
     for name, fn in queries.items():
         try:
             fn(spark, sf_dir).count()
         except Exception as exc:  # pragma: no cover - surfaced in timed pass
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
-        spark.catalog.clearCache()
+        scrub()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        spark.catalog.clearCache()  # no cross-query cache pollution
+        scrub()  # measure the engine, not the previous query's garbage
         start = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

@@ -127,6 +127,29 @@ def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
 # -------------------------------------------------- exact n-gram jaccard --
 
 
+def doc_hash_sets(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document distinct shingle-hash sets (id, _hs: array<long>) built
+    ENTIRELY row-locally: transform over the position sequence → xxhash64
+    per k-gram → array_distinct. Zero shuffle — the explode + collect_set
+    formulation moves every shingle hash through a groupBy exchange and
+    measured 2-5× slower at sf0.1 (and its explode stage carries the full
+    text string per generated row). Higher-order transforms run interpreted
+    per element, but ~200 distinct shingles/doc × no exchange beats
+    codegen × 1M-row shuffle here; see minhash_signatures for the opposite
+    trade (min over 32 permutations favors the exploded stream)."""
+    t = normalize_text(F.col(text_col))
+    d = spread(df).select(id_col, t.alias("_t")).filter(F.length("_t") >= k)
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+            lambda i: F.xxhash64(F.substring(F.col("_t"), i, F.lit(k))),
+        )
+    )
+    return d.select(id_col, arr.alias("_hs"))
+
+
 def _verify_candidate_jaccard(
     candidates: DataFrame,
     docs: DataFrame,
@@ -149,13 +172,8 @@ def _verify_candidate_jaccard(
         .distinct()
     )
     cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
-    hs = (
-        raw_shingles(cand_docs, k, text_col, id_col)
-        .select(id_col, F.xxhash64("shingle").alias("_h"))
-        .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_hs"))
-        .persist()  # consumed by BOTH broadcast sides — build once
-    )
+    hs = doc_hash_sets(cand_docs, k, text_col, id_col).persist()
+    # persisted: consumed by BOTH broadcast sides — build once
     pa = hs.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_ha"))
     pb = hs.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hb"))
     c = F.size(F.array_intersect("_ha", "_hb"))
@@ -205,22 +223,15 @@ def ngram_jaccard_pairs(
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
     """
-    # The text is exploded EXACTLY ONCE: shingles are fingerprinted to
-    # int64 (xxhash64) in the codegen'd projection — the collect_set
-    # shuffle moves only longs — and the cached per-doc hash-set table
-    # feeds everything downstream: the sizing stats (one agg over the
-    # cached sets), the dense tiles, the streaming matmul side, and the
-    # equijoin fallback (re-exploded FROM CACHE, joining on hashes
-    # instead of strings). Collision risk at the dense gate's 200k-vocab
-    # cap is < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB
-    # oracle, which equijoins raw strings, agrees).
-    raw = raw_shingles(df, k, text_col, id_col)
-    doc_sets = (
-        raw.select(id_col, F.xxhash64("shingle").alias("_h"))
-        .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_hs"))
-        .persist()
-    )
+    # Per-doc hash sets are built row-locally (doc_hash_sets — zero
+    # shuffle, no text duplication) and cached ONCE; the cache feeds
+    # everything downstream: the sizing stats (one agg over the cached
+    # sets), the dense tiles, the streaming matmul side, and the equijoin
+    # fallback (exploded FROM CACHE, joining on hashes instead of
+    # strings). Collision risk at the dense gate's 200k-vocab cap is
+    # < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB oracle,
+    # which equijoins raw strings, agrees).
+    doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
     # first action materializes the cache; vocab is approximate (±2% —
     # the cell gate is a sizing heuristic, both paths are exact)
     n_vocab = (
@@ -355,16 +366,16 @@ def _ngram_jaccard_dense(
         )
         out = res if out is None else out.unionByName(res)
         bcs.append(bc)
-    # Eagerly materialize the (tiny) pair list so the heavyweight inputs
-    # can be released NOW: without this, every invocation leaks its
-    # ~tens-of-MB tile broadcasts and the cached set table until driver
-    # GC — in a long-lived session (bench loops, notebooks) that
-    # accumulates into heap pressure that slows every later query. The
-    # pair list is the natural pipeline break: it is orders of magnitude
-    # smaller than the corpus at any scale.
-    out = out.localCheckpoint()
-    for b in bcs:
-        b.destroy()
+    # Stay LAZY. The tile broadcasts live exactly as long as the returned
+    # plan references them and the ContextCleaner reclaims them when the
+    # consumer drops the DataFrame — standard Spark lifetime. (An earlier
+    # revision localCheckpoint()ed here to free them eagerly; checkpoint
+    # RDDs are invisible to catalog.clearCache() and accumulated across a
+    # long session into heap pressure that slowed every later query —
+    # strictly worse than the leak it prevented.) The set cache has done
+    # its construction-time job (sizing stats + tile pulls); unpersist it
+    # now so re-executions recompute the row-local projection (~no
+    # shuffle) instead of pinning executor memory.
     doc_sets.unpersist()
     return out
 

@@ -507,6 +507,23 @@ FROM documents
 """.strip()
 
 
+def _docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span duplication profile (Lee et al. span-dedup
+    signal): per document, the fraction of its distinct word 5-grams that
+    appear in ≥2 documents. Complements docs_repetition_filter (within-doc
+    repetition) — this one needs corpus state: one int64 groupBy for
+    document frequency, one join back, no strings shuffled."""
+    from ..functions.spans import repeated_span_profile
+
+    return repeated_span_profile(_docs(spark, sf_dir), n=5, min_df=2)
+
+
+def _docs_repeated_spans_sql() -> str:
+    from ..functions.spans import repeated_span_profile_sql
+
+    return repeated_span_profile_sql("documents", n=5, min_df=2)
+
+
 def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the PNG round trip: synthesize a valid PCM WAV per
     document, then decode the RIFF/fmt/data headers back. Every field —
@@ -848,6 +865,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
     "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
     "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),
+    "docs_repeated_spans": FnWorkload(
+        _docs_repeated_spans, _docs_repeated_spans_sql()
+    ),
     "docs_chunk_sequences": FnWorkload(_docs_chunked, _docs_chunked_sql()),
     "docs_pii_redact": FnWorkload(_docs_pii_redacted, _docs_pii_redacted_sql()),
     "corpus_mix_report": FnWorkload(_corpus_mix_report, _CORPUS_MIX_SQL),
