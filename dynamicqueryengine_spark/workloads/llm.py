@@ -443,6 +443,20 @@ def _embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def _embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: the scale path for embedding near-dup — within-cell pairs
+    only (Σ|cell|² vs n²); same keep-lowest-id policy as exact dedup."""
+    from ..functions.semdedup import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), n_cells=8, threshold=0.4)
+
+
+def _embed_semdedup_sql() -> str:
+    from ..functions.semdedup import semantic_dedup_sql
+
+    return semantic_dedup_sql("embeddings", n_cells=8, threshold=0.4)
+
+
 # ------------------------------------------------------------- similarity --
 
 
@@ -876,6 +890,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_simhash": FnWorkload(
         _dedup_simhash, D.simhash_pairs_sql("documents", max_hamming=3)
     ),
+    "embed_semantic_dedup": FnWorkload(_embed_semdedup, _embed_semdedup_sql()),
     "embed_neardup_cosine": FnWorkload(
         _embed_neardup, D.embedding_neardup_pairs_sql("embeddings", threshold=0.4)
     ),
