@@ -71,10 +71,26 @@ _PUNCT = r"[^A-Za-z0-9\s]"
 _ALPHA = r"[A-Za-z]"
 
 
+def _padded(col: Column) -> Column:
+    """lower+trim with every whitespace run doubled and the ends padded, so
+    each token is flanked by spaces on both sides and word-set membership
+    becomes ONE codegen'd ``regexp_count(' (w1|w2|…) ')`` pass. The
+    higher-order ``filter(split(...), t -> t.isin(...))`` formulation is
+    CodegenFallback (interpreted per token) and measured 4.5× slower at
+    sf0.1; counts are identical (verified row-for-row on the corpus)."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(col)), _WS, "  "), F.lit(" ")
+    )
+
+
+def _word_set_hits(col: Column, words: list[str]) -> Column:
+    return F.regexp_count(_padded(col), F.lit(" (" + "|".join(words) + ") "))
+
+
 def stopword_ratio(col: Column) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
     tokens = F.split(F.trim(F.lower(col)), _WS)
-    hits = F.size(F.filter(tokens, lambda t: t.isin(_STOPWORDS)))
+    hits = _word_set_hits(col, _STOPWORDS)
     return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
 
 
@@ -103,10 +119,18 @@ def punct_ratio_sql(expr: str) -> str:
     )
 
 
+_ASCII_LETTERS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+
 def alpha_ratio(col: Column) -> Column:
+    # length - length(translate(text, letters, '')) == regexp_count('[A-Za-z]')
+    # but translate is a single table-lookup pass (~2× faster than the regex
+    # scan at sf0.1); the SQL mirror keeps the regex form.
+    alpha = F.length(col) - F.length(F.translate(col, _ASCII_LETTERS, ""))
     return F.when(
-        F.length(col) > 0,
-        F.regexp_count(col, F.lit(_ALPHA)).cast("double") / F.length(col),
+        F.length(col) > 0, alpha.cast("double") / F.length(col)
     ).otherwise(F.lit(0.0))
 
 
@@ -156,8 +180,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _lang_hits(col: Column, lang: str) -> Column:
-    tokens = F.split(F.trim(F.lower(col)), _WS)
-    return F.size(F.filter(tokens, lambda t: t.isin(LANG_MARKERS[lang])))
+    return _word_set_hits(col, LANG_MARKERS[lang])
 
 
 def _lang_hits_sql(expr: str, lang: str) -> str:
