@@ -84,6 +84,152 @@ def sample_stratified_sql(
     )
 
 
+def sample_token_budget(
+    df: DataFrame,
+    budget: int | Mapping[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact token-budget mixture sampling: per stratum, take documents in
+    deterministic hash order until the cumulative whitespace-token count
+    reaches the stratum's budget — the final "mix to N tokens per source"
+    step of a pretraining data recipe, reproducible across runs and engines.
+
+    A document is kept iff the token total of all documents BEFORE it (in
+    (hash_fraction, id) order within its stratum) is `< budget` — so the
+    budget-crossing document is included and every selection is a prefix.
+
+    Scale shape: the naive formulation is one window per stratum — which
+    puts an ENTIRE stratum in a single task. Instead, a two-level prefix
+    sum: documents land in ``buckets`` hash-range buckets; per-(stratum,
+    bucket) token sums (tiny: strata × buckets rows) get a running total on
+    the aggregated table; buckets wholly under budget are taken with a
+    pure filter (no sort anywhere), buckets wholly past it are dropped,
+    and only the ONE boundary bucket per stratum — ~1/buckets of the
+    stratum — pays an exact windowed cumsum. Output values are identical
+    to the naive window (the bucket order refines the hash order), which
+    is exactly what the SQL oracle runs.
+
+    Returns (id, stratum, tok_ws, cum_before) for every kept document.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import token_count_ws
+
+    if isinstance(budget, Mapping):
+        b = F.lit(None).cast("long")
+        for value, amount in sorted(budget.items()):
+            b = F.when(F.col(stratum_col) == value, F.lit(int(amount))).otherwise(b)
+    else:
+        b = F.lit(int(budget))
+
+    base = df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        token_count_ws(F.col(text_col)).cast("long").alias("tok_ws"),
+        hash_fraction(F.col(id_col)).alias("_frac"),
+    ).withColumn("_bkt", F.floor(F.col("_frac") * buckets).cast("int"))
+
+    bstats = base.groupBy(stratum_col, "_bkt").agg(F.sum("tok_ws").alias("_bsum"))
+    wb = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bstats = bstats.withColumn(
+        "_bstart", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+    )
+
+    tagged = base.join(F.broadcast(bstats), [stratum_col, "_bkt"])
+    take_all = tagged.filter(F.col("_bstart") + F.col("_bsum") < b).select(
+        id_col,
+        stratum_col,
+        "tok_ws",
+        F.col("_bstart").alias("_pre_base"),
+        F.lit(None).cast("long").alias("_prefix"),
+        "_frac",
+        "_bkt",
+    )
+    boundary = tagged.filter(
+        (F.col("_bstart") < b) & (F.col("_bstart") + F.col("_bsum") >= b)
+    )
+    wd = (
+        Window.partitionBy(stratum_col, "_bkt")
+        .orderBy(F.col("_frac").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary_kept = (
+        boundary.withColumn("_prefix", F.coalesce(F.sum("tok_ws").over(wd), F.lit(0)))
+        .filter(F.col("_bstart") + F.col("_prefix") < b)
+        .select(
+            id_col,
+            stratum_col,
+            "tok_ws",
+            F.col("_bstart").alias("_pre_base"),
+            "_prefix",
+            "_frac",
+            "_bkt",
+        )
+    )
+    kept = take_all.unionByName(boundary_kept)
+    # cum_before for take-all rows still needs the exact within-bucket
+    # prefix; compute it over the KEPT set only (take-all buckets are kept
+    # in full, so the kept-set prefix equals the full prefix there)
+    wk = (
+        Window.partitionBy(stratum_col, "_bkt")
+        .orderBy(F.col("_frac").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        kept.withColumn(
+            "cum_before",
+            F.col("_pre_base")
+            + F.coalesce(F.col("_prefix"), F.coalesce(F.sum("tok_ws").over(wk), F.lit(0))),
+        )
+        .select(id_col, stratum_col, "tok_ws", "cum_before")
+    )
+
+
+def sample_token_budget_sql(
+    table: str,
+    budget: int | Mapping[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`sample_token_budget` — the naive one-window
+    formulation (prefix in (hash, id) order per stratum), which the bucketed
+    Spark plan reproduces value-for-value."""
+    from .text import token_count_ws_sql
+
+    if isinstance(budget, Mapping):
+        whens = " ".join(
+            f"WHEN {stratum_col} = '{v}' THEN {int(a)}"
+            for v, a in sorted(budget.items())
+        )
+        b = f"(CASE {whens} END)"
+    else:
+        b = str(int(budget))
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {stratum_col},
+         CAST({token_count_ws_sql(text_col)} AS BIGINT) AS tok_ws,
+         {_hex_fraction_sql(id_col)} AS frac
+  FROM {table}
+),
+cum AS (
+  SELECT *, COALESCE(SUM(tok_ws) OVER (
+      PARTITION BY {stratum_col} ORDER BY frac ASC, {id_col} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM base
+)
+SELECT {id_col}, {stratum_col}, tok_ws, cum_before
+FROM cum WHERE cum_before < {b}
+""".strip()
+
+
 def sample_temperature(
     df: DataFrame,
     stratum_col: str = "lang",

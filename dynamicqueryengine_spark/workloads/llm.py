@@ -140,6 +140,16 @@ _SAMPLE_TEMPERATURE_SQL = SM.sample_temperature_sql(
 )
 
 
+def _docs_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-to-budget: per source, take documents in deterministic hash
+    order until 800 whitespace tokens — the final token-budget recipe step.
+    Bucketed two-level prefix sum, so no stratum ever sorts in one task."""
+    return SM.sample_token_budget(_docs(spark, sf_dir), budget=800)
+
+
+_SAMPLE_TOKEN_BUDGET_SQL = SM.sample_token_budget_sql("documents", budget=800)
+
+
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (monotone tf*N/df score —
     single IEEE division keeps the oracle exact; see functions/keywords)."""
@@ -854,6 +864,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "docs_sample_temperature": FnWorkload(
         _docs_sample_temperature, _SAMPLE_TEMPERATURE_SQL
+    ),
+    "docs_sample_token_budget": FnWorkload(
+        _docs_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "tfidf_keywords": FnWorkload(_tfidf_keywords, _tfidf_keywords_sql()),
