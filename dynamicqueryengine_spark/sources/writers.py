@@ -37,6 +37,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED managed table — the co-located-join lever.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle on either side (and without the sort, if ``sort_cols``
+    matches the join keys): at 100 TB this turns every repeated
+    fact-to-fact join on the bucket key from a full-network exchange into a
+    local per-bucket merge. Bucket pruning likewise serves point lookups on
+    the bucket key from 1/``num_buckets`` of the files. The layout is
+    invisible to readers (`spark.table(name)`), so pipelines opt in purely
+    at write time. (tests/test_plan_audit.py asserts the no-Exchange plan.)
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 

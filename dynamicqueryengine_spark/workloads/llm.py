@@ -769,6 +769,65 @@ GROUP BY event_type
 """.strip()
 
 
+def _events_stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed for real: the events readStream is
+    enriched with the (static, broadcast) customer dimension on
+    user_id = c_custkey — stateless in Structured Streaming, the canonical
+    "enrich a firehose with a dim table" pattern — then aggregated into
+    watermarked 1-hour windows per market segment. The value sum goes
+    through decimal(38,12) so microbatch accumulation order can't drift
+    from the oracle's one-shot sum; complete mode flushes every window of
+    the finite stream."""
+    from ..streaming.rules import scoped_state_partitions, stream_events
+
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = stream_events(spark, sf_dir).join(
+        F.broadcast(customers), F.col("user_id") == F.col("c_custkey")
+    )
+    windowed = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window(F.col("ts"), "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_enrich_segment_{_STREAM_COUNTER[0]}"
+    with scoped_state_partitions(spark, 8):  # keyspace: (window, 5 segments)
+        (
+            windowed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(name)
+
+
+_EVENTS_STREAM_ENRICH_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL '1 hour'
+         AS window_end,
+       c.c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(38,12))), 6) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+""".strip()
+
+
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — batch twin of the applyInPandasWithState
     streaming operator (streaming/sessionize.py)."""
@@ -928,6 +987,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "events_stream_dedup": FnWorkload(
         _events_stream_dedup_counts, _EVENTS_STREAM_DEDUP_SQL
+    ),
+    "events_stream_enrich_segment": FnWorkload(
+        _events_stream_enrich_segment, _EVENTS_STREAM_ENRICH_SQL
     ),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),

@@ -90,3 +90,32 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan, (
             f"{query_name} degenerated into a cartesian product"
         )
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path_factory):
+        """Two tables bucketed on the join key must sort-merge join with NO
+        Exchange on either side — the co-located-join contract that makes
+        repeated fact-to-fact joins shuffle-free at scale."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.sources.writers import write_bucketed_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        stats = docs.select("doc_id", F.length("text").alias("n"))
+        write_bucketed_table(docs.select("doc_id", "lang"), "b_docs", ["doc_id"], 8, ["doc_id"])
+        write_bucketed_table(stats, "b_stats", ["doc_id"], 8, ["doc_id"])
+        try:
+            joined = (
+                spark.table("b_docs")
+                .hint("merge")
+                .join(spark.table("b_stats"), "doc_id")
+            )
+            plan = _physical(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert joined.count() == docs.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_docs")
+            spark.sql("DROP TABLE IF EXISTS b_stats")
