@@ -59,6 +59,44 @@ def count_distinct_unskewed(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    buckets: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when BOTH sides are too big to broadcast and
+    the join key is hot (a handful of values carrying most rows — the case
+    AQE's skew splitting mitigates per-partition but a 1000-executor
+    shuffle still funnels each hot key through one reducer).
+
+    The big side gets a deterministic salt in [0, buckets) — hashed from
+    ``salt_source`` (any high-cardinality column; defaults to ALL non-key
+    columns) so a hot key's rows spread across ``buckets`` reducers — and
+    the small side is replicated once per salt value. Joining on
+    (keys, salt) is then row-for-row identical to the plain join for
+    ``inner``/``left`` joins, with per-reducer work bounded by
+     1/``buckets`` of the hottest key."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    on = list(on)
+    if salt_source is not None:
+        salt_cols = [F.col(salt_source)]
+    else:
+        salt_cols = [F.col(c) for c in big.columns if c not in on] or [
+            F.col(on[0])
+        ]
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(buckets)).cast("int")
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_big.join(replicated, on + ["_salt"], how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame,
     keys: Sequence[str],

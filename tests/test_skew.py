@@ -85,3 +85,47 @@ def test_null_values_excluded(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert out == naive == {"a": 2, "b": 0}  # all-null group keeps its 0 row
+
+
+class TestSaltedJoin:
+    def test_inner_matches_plain_join(self, spark, skewed):
+        from dynamicqueryengine_spark.operators.skew import salted_join
+
+        dim = spark.createDataFrame(
+            [("hot", 1), ("k1", 2), ("k2", 3), ("missing", 9)], "k STRING, tag INT"
+        )
+        got = sorted(
+            (r["k"], r["v"], r["tag"])
+            for r in salted_join(skewed, dim, ["k"], buckets=8).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["tag"]) for r in skewed.join(dim, "k").collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_left_keeps_unmatched_rows(self, spark, skewed):
+        from dynamicqueryengine_spark.operators.skew import salted_join
+
+        dim = spark.createDataFrame([("k1", 2)], "k STRING, tag INT")
+        got = salted_join(skewed, dim, ["k"], buckets=4, how="left")
+        assert got.count() == skewed.count()
+        assert got.filter(F.col("tag").isNull()).count() == skewed.filter(
+            F.col("k") != "k1"
+        ).count()
+
+    def test_null_keys_never_match(self, spark):
+        from dynamicqueryengine_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([("a", 1), (None, 2)], "k STRING, x INT")
+        dim = spark.createDataFrame([("a", 10), (None, 20)], "k STRING, tag INT")
+        got = sorted(
+            (r["k"], r["x"], r["tag"])
+            for r in salted_join(big, dim, ["k"], buckets=2).collect()
+        )
+        assert got == [("a", 1, 10)]
+
+    def test_rejects_outer_joins(self, spark, skewed):
+        from dynamicqueryengine_spark.operators.skew import salted_join
+
+        with pytest.raises(ValueError):
+            salted_join(skewed, skewed, ["k"], how="full")
