@@ -150,6 +150,21 @@ def _docs_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_TOKEN_BUDGET_SQL = SM.sample_token_budget_sql("documents", budget=800)
 
 
+def _docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: linear-classifier margin over engineered
+    text features (fastText-style plumbing — swap in trained weights and
+    the plan is unchanged). Scan-time projection, zero shuffles."""
+    from ..functions.classifier import classify_quality
+
+    return classify_quality(_docs(spark, sf_dir))
+
+
+def _docs_quality_classifier_sql() -> str:
+    from ..functions.classifier import classify_quality_sql
+
+    return classify_quality_sql("documents")
+
+
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (monotone tf*N/df score —
     single IEEE division keeps the oracle exact; see functions/keywords)."""
@@ -928,6 +943,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _docs_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
+    "docs_quality_classifier": FnWorkload(
+        _docs_quality_classifier, _docs_quality_classifier_sql()
+    ),
     "tfidf_keywords": FnWorkload(_tfidf_keywords, _tfidf_keywords_sql()),
     "embed_label_centroids": FnWorkload(
         _embed_label_centroids, _embed_label_centroids_sql()
