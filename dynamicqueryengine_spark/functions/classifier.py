@@ -33,7 +33,13 @@ from .text import (
     token_count_ws_sql,
 )
 
-__all__ = ["quality_margin", "classify_quality", "classify_quality_sql"]
+__all__ = [
+    "quality_margin",
+    "classify_quality",
+    "classify_quality_sql",
+    "curriculum_buckets",
+    "curriculum_buckets_sql",
+]
 
 # (name, weight) — stand-in coefficients for a trained linear model; the
 # SQL mirror bakes the same literals, so both engines run the identical
@@ -107,3 +113,68 @@ def classify_quality_sql(
         f"SELECT {id_col}, {margin} AS margin, "
         f"{margin} >= 0.0 AS keep FROM {table}"
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, stratum, margin, bucket 1-4): difficulty quartiles per stratum
+    for curriculum ordering (easy→hard schedules, quality-tiered mixing).
+
+    NOT ntile(): ranking a stratum forces its global sort into one task.
+    Instead, per-stratum exact quartile CUTS (one aggregate; Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the (n−1)·p
+    interpolation, so the cuts agree bit-for-bit) are broadcast back and
+    the bucket is three comparisons at scan time — no sort at any scale.
+    Ties sharing a cut value land in the same bucket (the semantically
+    right call for equal difficulty; ntile would split them arbitrarily)."""
+    m = quality_margin(F.col(text_col))
+    scored = df.select(
+        F.col(id_col), F.col(stratum_col), m.alias("margin")
+    )
+    cuts = scored.groupBy(stratum_col).agg(
+        F.percentile("margin", F.lit(0.25)).alias("_q1"),
+        F.percentile("margin", F.lit(0.50)).alias("_q2"),
+        F.percentile("margin", F.lit(0.75)).alias("_q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("margin") > F.col("_q1")).cast("int")
+        + (F.col("margin") > F.col("_q2")).cast("int")
+        + (F.col("margin") > F.col("_q3")).cast("int")
+    )
+    return scored.join(F.broadcast(cuts), stratum_col).select(
+        id_col, stratum_col, "margin", bucket.alias("bucket")
+    )
+
+
+def curriculum_buckets_sql(
+    table: str,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror: quantile_cont cuts + identical comparisons."""
+    feats = _features_sql(text_col)
+    margin = f"{float(BIAS)!r}"
+    for name, w in WEIGHTS:
+        margin = f"({margin} + {float(w)!r} * {feats[name]})"
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {stratum_col}, {margin} AS margin FROM {table}
+),
+cuts AS (
+  SELECT {stratum_col},
+         quantile_cont(margin, 0.25) AS q1,
+         quantile_cont(margin, 0.50) AS q2,
+         quantile_cont(margin, 0.75) AS q3
+  FROM scored GROUP BY {stratum_col}
+)
+SELECT s.{id_col}, s.{stratum_col}, s.margin,
+       1 + CAST(s.margin > c.q1 AS INT) + CAST(s.margin > c.q2 AS INT)
+         + CAST(s.margin > c.q3 AS INT) AS bucket
+FROM scored s JOIN cuts c USING ({stratum_col})
+""".strip()

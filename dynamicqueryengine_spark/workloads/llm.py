@@ -165,6 +165,20 @@ def _docs_quality_classifier_sql() -> str:
     return classify_quality_sql("documents")
 
 
+def _docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language difficulty quartiles via broadcast percentile cuts —
+    curriculum ordering without any per-stratum global sort."""
+    from ..functions.classifier import curriculum_buckets
+
+    return curriculum_buckets(_docs(spark, sf_dir))
+
+
+def _docs_curriculum_sql() -> str:
+    from ..functions.classifier import curriculum_buckets_sql
+
+    return curriculum_buckets_sql("documents")
+
+
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (monotone tf*N/df score —
     single IEEE division keeps the oracle exact; see functions/keywords)."""
@@ -945,6 +959,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()
+    ),
+    "docs_curriculum_buckets": FnWorkload(
+        _docs_curriculum, _docs_curriculum_sql()
     ),
     "tfidf_keywords": FnWorkload(_tfidf_keywords, _tfidf_keywords_sql()),
     "embed_label_centroids": FnWorkload(

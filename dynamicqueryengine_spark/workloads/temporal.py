@@ -163,8 +163,78 @@ GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
 """.strip()
 
 
+def _events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (hour, event_type): open/close are the values at the
+    window's first/last event — argmin/argmax over (ts, event_id, value)
+    structs, the same single-pass no-window-sort technique as the rule
+    engine's Min/Max aggregation (operators/aggregate.py) — high/low/count/
+    decimal-sum ride the same ONE shuffle. Ties on ts break by event_id,
+    so open/close are deterministic and value-oracle-checkable."""
+    events = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(
+            first["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_OHLC_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+b AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+         event_type, ts, event_id, value
+  FROM ev
+),
+o AS (
+  SELECT ws, event_type, value AS open FROM b
+  QUALIFY row_number() OVER (
+    PARTITION BY ws, event_type ORDER BY ts ASC, event_id ASC) = 1
+),
+c AS (
+  SELECT ws, event_type, value AS close FROM b
+  QUALIFY row_number() OVER (
+    PARTITION BY ws, event_type ORDER BY ts DESC, event_id DESC) = 1
+),
+agg AS (
+  SELECT ws, event_type, max(value) AS high, min(value) AS low,
+         count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE)
+           AS sum_value
+  FROM b GROUP BY 1, 2
+)
+SELECT agg.ws AS window_start, agg.ws + INTERVAL '1 hour' AS window_end,
+       agg.event_type, o.open, agg.high, agg.low, c.close,
+       agg.n_events, agg.sum_value
+FROM agg
+JOIN o ON o.ws = agg.ws AND o.event_type = agg.event_type
+JOIN c ON c.ws = agg.ws AND c.event_type = agg.event_type
+""".strip()
+
+
 TEMPORAL_QUERIES: dict[str, FnWorkload] = {
     "events_asof_join": FnWorkload(_events_asof, _EVENTS_ASOF_SQL),
     "events_range_join": FnWorkload(_events_range, _EVENTS_RANGE_SQL),
     "events_rollup_multires": FnWorkload(_events_rollup, _EVENTS_ROLLUP_SQL),
+    "events_ohlc_hourly": FnWorkload(_events_ohlc, _EVENTS_OHLC_SQL),
 }

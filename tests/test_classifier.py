@@ -41,3 +41,22 @@ class TestClassifier:
             om, ok = oracle[r["doc_id"]]
             assert r["margin"] == om, r["doc_id"]  # exact, not approx
             assert r["keep"] == ok
+
+
+class TestCurriculum:
+    def test_quartile_buckets(self, spark):
+        from dynamicqueryengine_spark.functions.classifier import (
+            curriculum_buckets,
+        )
+
+        rows = [
+            (i, "en", " ".join(["the quick fox is on it"] * (1 + i % 8)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = curriculum_buckets(df).collect()
+        assert {r["bucket"] for r in out} == {1, 2, 3, 4}
+        # monotone: higher margin never lands in a lower bucket
+        by_margin = sorted(out, key=lambda r: r["margin"])
+        buckets = [r["bucket"] for r in by_margin]
+        assert buckets == sorted(buckets)
