@@ -846,6 +846,68 @@ def _events_stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+def _events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join executed for real — the hardest Structured
+    Streaming join shape: purchases joined to each user's clicks from the
+    preceding 6 hours. Both sides carry watermarks and the join condition
+    bounds event time on both, which is exactly what lets Spark expire
+    state (clicks older than the bound can never match a future purchase).
+    Inner-join matches emit as soon as both sides arrive, so append mode
+    drains the complete pair set on a finite replay. Oracle: the batch
+    interval theta-join."""
+    from ..streaming.rules import scoped_state_partitions, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "7 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_stream_join_{_STREAM_COUNTER[0]}"
+    with scoped_state_partitions(spark, 8):
+        (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(name)
+
+
+_EVENTS_STREAM_STREAM_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+ AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+""".strip()
+
+
 _EVENTS_STREAM_ENRICH_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
        time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL '1 hour'
@@ -1025,6 +1087,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "events_stream_enrich_segment": FnWorkload(
         _events_stream_enrich_segment, _EVENTS_STREAM_ENRICH_SQL
+    ),
+    "events_stream_stream_join": FnWorkload(
+        _events_stream_stream_join, _EVENTS_STREAM_STREAM_SQL
     ),
     "events_hourly_rule_counts": FnWorkload(_events_hourly, _EVENTS_HOURLY_SQL),
     "events_sliding_windows": FnWorkload(_events_sliding, _EVENTS_SLIDING_SQL),
