@@ -468,6 +468,132 @@ def sample_video_frames(blobs: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+# --- a REAL decodable image format #2: JPEG/JFIF marker stream -----------
+# Baseline JPEG metadata lives in the marker stream (SOI → APP0 → [DQT] →
+# SOF0 → SOS → entropy data → EOI); real ingest extracts dimensions from
+# SOF0 without entropy-decoding the scan. The synthesis writes a
+# structurally valid JFIF marker sequence (entropy bytes are deterministic
+# md5 filler with 0xFF masked out so no spurious markers appear), and the
+# parser does the genuine marker walk every JPEG tool does.
+
+
+def _encode_jpeg(width: int, height: int, n_comp: int, with_dqt: bool, fill: bytes) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b""
+    if with_dqt:
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(range(1, 65))
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * n_comp)
+        + struct.pack(">BHHB", 8, height, width, n_comp)
+        + b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_comp))
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * n_comp)
+        + struct.pack(">B", n_comp)
+        + b"".join(struct.pack(">BB", i + 1, 0) for i in range(n_comp))
+        + b"\x00\x3f\x00"
+    )
+    entropy = bytes(b & 0x7F for b in fill)
+    return b"\xff\xd8" + app0 + dqt + sof + sos + entropy + b"\xff\xd9"
+
+
+def synthesize_jpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nchars_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic structurally-valid JFIF payload per document:
+    width = 1 + n_chars % 32, height = 1 + id % 24, components =
+    1 + 2·(id % 2) (grayscale/YCbCr), DQT present iff id % 3 == 0 —
+    every parsed field is predictable from the source row."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    def synth(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, n_chars in zip(
+                pdf[id_col], pdf[text_col], pdf[nchars_col]
+            ):
+                payloads.append(
+                    _encode_jpeg(
+                        1 + int(n_chars) % 32,
+                        1 + int(doc_id) % 24,
+                        1 + 2 * (int(doc_id) % 2),
+                        int(doc_id) % 3 == 0,
+                        _h.md5(str(text).encode()).digest(),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread(df.select(id_col, text_col, nchars_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def parse_jpeg_metadata(blobs: DataFrame) -> DataFrame:
+    """Real JPEG marker walk in the Arrow batch path: validate SOI framing,
+    step marker segments by their declared lengths, pull dimensions/
+    precision/component count from SOF0, count header segments up to SOS,
+    and check the payload terminates with EOI. Malformed payloads yield
+    NULL fields and framing='bad' instead of failing the batch."""
+    import struct
+
+    import pandas as pd
+
+    def parse_one(p: bytes):
+        if p is None or len(p) < 4 or p[:2] != b"\xff\xd8":
+            return (None, None, None, None, None, "not_jpeg")
+        off = 2
+        width = height = precision = n_comp = None
+        n_segments = 0
+        while off + 4 <= len(p):
+            if p[off] != 0xFF:
+                return (width, height, precision, n_comp, n_segments, "bad")
+            marker = p[off + 1]
+            (length,) = struct.unpack(">H", p[off + 2 : off + 4])
+            body = p[off + 4 : off + 2 + length]
+            n_segments += 1
+            if marker == 0xC0:  # SOF0
+                precision, height, width, n_comp = struct.unpack(
+                    ">BHHB", body[:6]
+                )
+            off += 2 + length
+            if marker == 0xDA:  # SOS: entropy data follows, runs to EOI
+                break
+        framing = "ok" if p.endswith(b"\xff\xd9") else "bad"
+        return (width, height, precision, n_comp, n_segments, framing)
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [parse_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([r[0] for r in rows], dtype="Int32"),
+                    "height": pd.Series([r[1] for r in rows], dtype="Int32"),
+                    "precision": pd.Series([r[2] for r in rows], dtype="Int32"),
+                    "n_components": pd.Series([r[3] for r in rows], dtype="Int32"),
+                    "n_segments": pd.Series([r[4] for r in rows], dtype="Int32"),
+                    "framing": [r[5] for r in rows],
+                }
+            )
+
+    return blobs.mapInPandas(
+        parse,
+        schema=(
+            "doc_id long, width int, height int, precision int, "
+            "n_components int, n_segments int, framing string"
+        ),
+    )
+
+
 def filter_by_metadata(
     blobs: DataFrame, max_size_bytes: int | None = None, formats: list[str] | None = None
 ) -> DataFrame:

@@ -577,6 +577,29 @@ def _docs_repeated_spans_sql() -> str:
     return repeated_span_profile_sql("documents", n=5, min_df=2)
 
 
+def _multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG twin of the PNG round trip: synthesize a structurally valid
+    JFIF marker stream per document, then decode it back with the genuine
+    marker walk (dimensions from SOF0, segment count, EOI framing)."""
+    docs = _docs(spark, sf_dir)
+    return M.parse_jpeg_metadata(M.synthesize_jpeg(docs))
+
+
+# width = 1 + n_chars % 32, height = 1 + id % 24, comps = 1 + 2*(id % 2),
+# precision 8; segments APP0 + [DQT iff id%3=0] + SOF0 + SOS.
+_MULTIMODAL_JPEG_SQL = """
+SELECT doc_id,
+       CAST(1 + n_chars % 32 AS INT) AS width,
+       CAST(1 + doc_id % 24 AS INT) AS height,
+       CAST(8 AS INT) AS precision,
+       CAST(1 + 2 * (doc_id % 2) AS INT) AS n_components,
+       CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_segments,
+       'ok' AS framing
+FROM documents
+""".strip()
+
+
 def _multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the PNG round trip: synthesize a valid PCM WAV per
     document, then decode the RIFF/fmt/data headers back. Every field —
@@ -1075,6 +1098,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
+    "multimodal_jpeg_metadata": FnWorkload(_multimodal_jpeg, _MULTIMODAL_JPEG_SQL),
     "multimodal_wav_metadata": FnWorkload(_multimodal_wav, _MULTIMODAL_WAV_SQL),
     "multimodal_video_frames": FnWorkload(
         _multimodal_video_frames, _MULTIMODAL_VIDEO_SQL

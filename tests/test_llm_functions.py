@@ -188,6 +188,30 @@ class TestMultimodal:
         (ln,) = struct.unpack(">I", good[len(M.PNG_SIG):len(M.PNG_SIG) + 4])
         assert ln == 13 and zlib.crc32(b"") is not None
 
+    def test_jpeg_roundtrip(self, docs):
+        parsed = M.parse_jpeg_metadata(M.synthesize_jpeg(docs.limit(25))).collect()
+        assert len(parsed) == 25
+        for r in parsed:
+            assert r["framing"] == "ok" and r["precision"] == 8
+            assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 24
+            assert r["n_components"] in (1, 3)
+            assert r["n_segments"] == 3 + (1 if r["doc_id"] % 3 == 0 else 0)
+
+    def test_jpeg_parser_rejects_garbage(self, spark):
+        good = M._encode_jpeg(4, 3, 3, True, b"\x01" * 16)
+        no_eoi = good[:-2]  # valid markers, missing EOI terminator
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"GIF89a junk")), (3, None),
+             (4, bytearray(no_eoi))],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in M.parse_jpeg_metadata(df).collect()}
+        assert out[1]["framing"] == "ok" and out[1]["width"] == 4
+        assert out[1]["height"] == 3 and out[1]["n_components"] == 3
+        assert out[2]["framing"] == "not_jpeg" and out[2]["width"] is None
+        assert out[3]["framing"] == "not_jpeg"
+        assert out[4]["framing"] == "bad" and out[4]["width"] == 4
+
     def test_wav_roundtrip(self, docs):
         parsed = M.parse_wav_metadata(M.synthesize_wav(docs.limit(25))).collect()
         assert len(parsed) == 25
