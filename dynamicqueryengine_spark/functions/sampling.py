@@ -220,9 +220,9 @@ WITH base AS (
   FROM {table}
 ),
 cum AS (
-  SELECT *, COALESCE(SUM(tok_ws) OVER (
+  SELECT *, CAST(COALESCE(SUM(tok_ws) OVER (
       PARTITION BY {stratum_col} ORDER BY frac ASC, {id_col} ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
   FROM base
 )
 SELECT {id_col}, {stratum_col}, tok_ws, cum_before
