@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "quantize_int8",
+    "quantize_int8_long",
     "quantize_int8_sql",
+    "quantize_int8_long_sql",
     "group_centroids",
     "group_centroids_sql",
 ]
@@ -45,6 +47,33 @@ def quantize_int8(
             qvec.alias("qvec"),
         )
         .withColumn("q_l1", q_l1)
+    )
+
+
+def quantize_int8_long(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Driver-contract projection of :func:`quantize_int8`: the quantized
+    code posexploded to long form (id, scale, dim (1-based), q, q_l1) —
+    every element value-checked, no top-level array column. (The r2 driver
+    canonicalizes result rows through pandas ``factorize``, which cannot
+    hash list cells; a top-level ``array<int>`` column aborts the whole
+    comparison. Long form is also the stronger oracle: a wrong element
+    flips its own row's hash rather than hiding inside an opaque array.)"""
+    q = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+    return q.select(
+        id_col,
+        "scale",
+        F.posexplode("qvec").alias("_p", "q"),
+        "q_l1",
+    ).select(
+        id_col,
+        "scale",
+        (F.col("_p") + 1).alias("dim"),
+        "q",
+        "q_l1",
     )
 
 
@@ -79,6 +108,21 @@ SELECT {id_col}, scale, qvec,
                       list_transform(qvec, x -> CAST(abs(x) AS BIGINT))),
          (a, b) -> a + b) AS q_l1
 FROM q
+""".strip()
+
+
+def quantize_int8_long_sql(
+    table: str, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    """DuckDB mirror of :func:`quantize_int8_long` — the array mirror
+    unnested with parallel ordinals (same pattern as group_centroids_sql)."""
+    return f"""
+WITH wide AS ({quantize_int8_sql(table, vec_col=vec_col, id_col=id_col)})
+SELECT {id_col}, scale,
+       CAST(unnest(range(1, len(qvec) + 1)) AS INT) AS dim,
+       unnest(qvec) AS q,
+       q_l1
+FROM wide
 """.strip()
 
 

@@ -80,10 +80,10 @@ def session_stats_sql(
     return f"""
 WITH tagged AS (
   SELECT {user_col}, {ts_col}, {value_col},
-    SUM(CASE WHEN prev_us IS NULL OR epoch_us({ts_col}) - prev_us > {gap_us}
+    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us({ts_col}) - prev_us > {gap_us}
              THEN 1 ELSE 0 END)
       OVER (PARTITION BY {user_col} ORDER BY {ts_col}
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM (
     SELECT {user_col}, {ts_col}, {value_col},
            LAG(epoch_us({ts_col})) OVER (PARTITION BY {user_col} ORDER BY {ts_col}) AS prev_us

@@ -71,12 +71,14 @@ class TableRegistry:
 def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Load one parquet table, normalizing known footer quirks.
 
-    The synthetic ``events`` table stores ``ts`` as INT64 TIMESTAMP(NANOS),
-    which Spark's Parquet reader rejects; read it as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs timestamp
-    with integer division (``div`` — float division would lose precision
-    above 2^53 ns). Matches DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation,
-    which oracle SQL must apply on its side when projecting ``ts``.
+    Some generations of the synthetic ``events`` table store ``ts`` as
+    INT64 TIMESTAMP(NANOS), which Spark's Parquet reader rejects; read it
+    as long (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a µs
+    timestamp with integer division (``div`` — float division would lose
+    precision above 2^53 ns). Other generations already store µs; the
+    rebuild is gated on the loaded dtype so both footers work. Either way
+    the result matches DuckDB's ``CAST(ts AS TIMESTAMP)`` (a no-op on µs,
+    truncation on nanos), which oracle SQL applies on its side.
     """
     path = os.path.join(base_dir, f"{name}.parquet")
     # timestamp literals compile against the session timezone; pin UTC so
@@ -86,7 +88,14 @@ def load_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":  # nanos footer
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # µs footer arrives as TIMESTAMP_NTZ; with the session pinned
+            # to UTC the cast to TIMESTAMP is wall-clock identity and keeps
+            # every downstream window/watermark/unix_micros type stable
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -35,18 +35,33 @@ EVENTS_SCHEMA_DDL = (
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet directory (file source). ``ts``
-    arrives as raw nanos (schema pinned — streams can't infer), normalized
-    to a µs timestamp exactly like the batch loader."""
+    """readStream over the events parquet directory (file source). The
+    schema must be pinned (streams can't infer), but the footer's ``ts``
+    physical type varies by testdata generation — INT64 nanos vs plain µs
+    timestamp — so probe it with a batch footer read (metadata only, no
+    scan) and normalize nanos to a µs timestamp exactly like the batch
+    loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    batch_ts = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    )["ts"]
+    nanos = batch_ts == "bigint"
+    ts_ddl = "ts LONG" if nanos else "ts TIMESTAMP_NTZ"
+    schema = EVENTS_SCHEMA_DDL.replace("ts LONG", ts_ddl)
     # the file source needs a directory; events.parquet is a single file —
     # stream the parent dir with a glob filter selecting just that file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_DDL)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def apply_rule_stream(

@@ -149,15 +149,18 @@ FROM sk JOIN ex USING (l_returnflag)
 
 
 def _embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.embeddings import quantize_int8
+    # Long form (vec_id, scale, dim, q, q_l1): the r2 driver's pandas
+    # canonicalizer cannot hash a top-level array<int> column, and the
+    # exploded form value-checks every element individually anyway.
+    from ..functions.embeddings import quantize_int8_long
 
-    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return quantize_int8_long(load_table(spark, sf_dir, "embeddings"))
 
 
 def _embed_quantize_sql() -> str:
-    from ..functions.embeddings import quantize_int8_sql
+    from ..functions.embeddings import quantize_int8_long_sql
 
-    return quantize_int8_sql("embeddings")
+    return quantize_int8_long_sql("embeddings")
 
 
 ANALYTICS_QUERIES: dict[str, FnWorkload] = {
