@@ -55,10 +55,19 @@ def connected_components(
                        n_edges // 2_000_000 + 1))
     edges = base.repartition(parts, "dst").localCheckpoint()
     base.unpersist()
+    # Seed every node at min(self, direct neighbors) — one propagation
+    # round folded into initialization as a single agg over the edge list
+    # (no join): the edge table carries both directions, so grouping by
+    # src covers every node and min(dst) is the true neighbor minimum.
+    # Dense quasi-cliques (the shape real near-dup graphs take) converge
+    # at the seed; the loop then only pays for verification.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "_m").alias("component"),
+        )
         .repartition(parts, "id")
         .localCheckpoint()
     )
@@ -86,8 +95,13 @@ def connected_components(
             .localCheckpoint()
         )
         prev, labels = labels, new_labels
-        if it == 0:
-            continue  # round 1 always changes on any non-empty graph
+        # Convergence check every OTHER round: the equality count is a
+        # join+count job costing as much as a propagation round, so at the
+        # small-graph per-job floor halving the checks beats detecting
+        # convergence one round earlier. (Seeded labels make round 1 a
+        # no-op on clique-shaped graphs, so the first check fires at it=1.)
+        if it % 2 == 0:
+            continue
         changed = (
             labels.alias("n")
             .join(prev.alias("o"), "id")
@@ -108,9 +122,13 @@ def cluster_assign(
 ) -> DataFrame:
     """Every document with its duplicate-cluster exemplar and cluster
     size: (id, cluster_id, cluster_size). Docs in no pair are singleton
-    clusters of themselves. The components table is tiny relative to the
-    corpus (only paired docs), so the final attach is a broadcast join —
-    the corpus scan never shuffles."""
+    clusters of themselves. The final attach is a PLAIN left join: the
+    components table holds every doc that appears in any near-dup pair,
+    which on web-scale corpora is 30-50%% of the corpus — forcing a
+    broadcast there OOMs every executor exactly when dedup matters most.
+    AQE turns the join into a broadcast at runtime whenever the measured
+    size actually fits, so the clean-corpus case still skips the shuffle
+    without hard-coding the catastrophic one."""
     comp = connected_components(pairs, id_a, id_b)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -121,7 +139,7 @@ def cluster_assign(
         "cluster_size",
     )
     return docs.select(id_col).join(
-        F.broadcast(comp_sized), id_col, "left"
+        comp_sized, id_col, "left"
     ).select(
         id_col,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

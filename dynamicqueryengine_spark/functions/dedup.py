@@ -366,17 +366,24 @@ def _ngram_jaccard_dense(
         )
         out = res if out is None else out.unionByName(res)
         bcs.append(bc)
-    # Stay LAZY. The tile broadcasts live exactly as long as the returned
-    # plan references them and the ContextCleaner reclaims them when the
-    # consumer drops the DataFrame — standard Spark lifetime. (An earlier
-    # revision localCheckpoint()ed here to free them eagerly; checkpoint
-    # RDDs are invisible to catalog.clearCache() and accumulated across a
-    # long session into heap pressure that slowed every later query —
-    # strictly worse than the leak it prevented.) The set cache has done
-    # its construction-time job (sizing stats + tile pulls); unpersist it
-    # now so re-executions recompute the row-local projection (~no
-    # shuffle) instead of pinning executor memory.
+    # Materialize the pair list EAGERLY while the set cache is hot. The
+    # returned plan is a union of one mapInPandas branch per tile, each
+    # streaming the full a-side; left lazy, every branch would re-derive
+    # doc_sets AFTER the unpersist below (n_tiles× shingle rebuild at the
+    # consumer's first action — the r2 pipeline_pretraining_corpus 1.7×
+    # regression). The survivor pair set is tiny (only jaccard≥threshold
+    # pairs), so persisting it costs ~nothing, and a single count() runs
+    # every tile exactly once against the cached sets. Tile broadcasts are
+    # released from executors right after (re-broadcast on demand if the
+    # pair cache is ever evicted). (An earlier revision localCheckpoint()ed
+    # instead; checkpoint RDDs are invisible to catalog.clearCache() and
+    # accumulated heap across long sessions — persist+count is strictly
+    # better: cache-managed, LRU-evictable, recomputable.)
+    out = out.persist()
+    out.count()
     doc_sets.unpersist()
+    for bc in bcs:
+        bc.unpersist()
     return out
 
 

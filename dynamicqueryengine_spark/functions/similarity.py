@@ -293,28 +293,35 @@ def ivf_topk(
         .drop("_d2")
     )
 
-    # driver-side probe list per query would need a collect; instead explode
-    # each query into its n_probe nearest cells (queries are the small side).
-    # d2 accumulates strictly left-to-right (not numpy pairwise summation)
-    # so the probe choice is bit-identical to the SQL mirror's fold, and
-    # ties break on the lower cell index in both engines.
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        v = [float(x) for x in r[vec_col]]
-        d2s = []
-        for ci in range(len(cents)):
-            acc = 0.0
-            for a, b in zip(v, cents[ci]):
-                diff = a - float(b)
-                acc = acc + diff * diff
-            d2s.append(acc)
-        order = sorted(range(len(d2s)), key=lambda i: (d2s[i], i))
-        for cell in order[:n_probe]:
-            probe_rows.append((int(r[id_col]), int(cell), v))
-    q = corpus.sparkSession.createDataFrame(
-        probe_rows, f"query_id long, cell int, _qvec array<double>"
-    ).withColumn("_qnrm", F.sqrt(_dot(F.col("_qvec"), F.col("_qvec"))))
+    # Probe assignment stays JVM-side: the same d2_array fold evaluated on
+    # the query rows (strict left-to-right accumulation — bit-identical to
+    # the SQL mirror's fold), zipped with cell indexes into (d2, cell)
+    # structs, array_sort (struct order = field order, so ties break on the
+    # lower cell id in both engines), sliced to n_probe and exploded. No
+    # queries.collect(): a 10^6-query set costs one distributed scan
+    # instead of a driver-side Python distance loop.
+    idxs = F.array(*[F.lit(int(i)) for i in range(len(cents))])
+    probes = F.slice(
+        F.array_sort(
+            F.zip_with(
+                d2_array(F.col(vec_col)),
+                idxs,
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        spread(queries.select(id_col, vec_col))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qnrm"),
+            F.explode(probes).alias("_p"),
+        )
+        .select("query_id", F.col("_p.i").alias("cell"), "_qvec", "_qnrm")
+    )
 
     cos = _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnrm") * F.col("_cnrm"))
     scored = (
