@@ -30,7 +30,16 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    spark = get_spark("dqe-bench", cpus=cpus)
+    # the result JSON must be the SOLE stdout line (the driver's parser
+    # reads a bounded tail of combined output — r2's total had to be
+    # reconstructed after progress noise pushed the JSON head out of its
+    # window): no console progress bar, everything else to stderr.
+    spark = get_spark(
+        "dqe-bench",
+        cpus=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
 
@@ -65,17 +74,17 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line, flush=True)
+    print(line, file=sys.stderr, flush=True)  # survives stdout truncation
     spark.stop()
 
 

@@ -88,13 +88,16 @@ def bpe_pair_counts_sql(table: str, k: int = 50, text_col: str = "text") -> str:
 WITH words AS (
   SELECT unnest({norm}) AS w FROM {table}
 ),
+positions AS (
+  SELECT w, unnest(range(1, length(w))) AS i
+  FROM words WHERE length(w) >= 2
+),
 pairs AS (
-  SELECT substring(w, i, 1) AS left, substring(w, i + 1, 1) AS right
-  FROM words, UNNEST(range(1, length(w))) AS u(i)
-  WHERE length(w) >= 2
+  SELECT substring(w, i, 1) AS "left", substring(w, i + 1, 1) AS "right"
+  FROM positions
 )
-SELECT left, right, count(*) AS pair_count
+SELECT "left", "right", count(*) AS pair_count
 FROM pairs GROUP BY 1, 2
-ORDER BY pair_count DESC, left ASC, right ASC
+ORDER BY pair_count DESC, "left" ASC, "right" ASC
 LIMIT {k}
 """.strip()

@@ -13,11 +13,12 @@ _MERGED = {
 # The driver records correctness for only the first 50 dict entries. Round 2
 # front-loaded reference parity, leaving the entire LLM-pipeline surface
 # (dedup/ANN/multimodal/streaming) driver-unverified. Round 3 rotates: the
-# 36 never-driver-checked queries plus the two driver-red ones
-# (embed_quantize_int8, docs_sample_token_budget — both fixed this round)
-# take positions 0-37, followed by 12 rule/agg/join canaries from the
-# twice-green reference set. Everything else sits behind the window, still
-# runnable and still covered by scripts/check_correctness.py locally.
+# never-driver-checked queries (including the newly wired corpus_bpe_merges)
+# plus the two driver-red ones (embed_quantize_int8,
+# docs_sample_token_budget — both fixed this round) take positions 0-38,
+# followed by 11 rule/agg/join canaries from the twice-green reference set.
+# Everything else sits behind the window, still runnable and still covered
+# by scripts/check_correctness.py locally.
 _PRIORITY = [
     # driver-red in r2, fixed this round — must re-verify first
     "embed_quantize_int8",
@@ -45,6 +46,7 @@ _PRIORITY = [
     "docs_length_trim",
     "corpus_mix_report",
     "corpus_snapshot_diff",
+    "corpus_bpe_merges",
     # ANN family
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -68,7 +70,6 @@ _PRIORITY = [
     # canaries: one per reference-parity family, all green in r1+r2
     "rule_equal",
     "rule_in",
-    "rule_regex_count_greater",
     "rule_dynamic_guard",
     "rule_nested_tree",
     "agg_argmax_by_segment",

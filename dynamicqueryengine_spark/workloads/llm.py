@@ -214,6 +214,21 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
+def _corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE pair counting — the distributed aggregation at the
+    heart of byte-pair-encoding tokenizer training (functions/bpe.py). Row 1
+    of the total-ordered top-50 is deterministically the first merge rule."""
+    from ..functions.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+def _corpus_bpe_merges_sql() -> str:
+    from ..functions.bpe import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("documents", k=50)
+
+
 # ----------------------------------------------------------------- dedup --
 
 
@@ -1042,6 +1057,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _docs_sample_token_budget, _SAMPLE_TOKEN_BUDGET_SQL
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
+    "corpus_bpe_merges": FnWorkload(_corpus_bpe_merges, _corpus_bpe_merges_sql()),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()
     ),

@@ -1,0 +1,42 @@
+"""Tests for BPE pair counting (functions/bpe.py)."""
+
+from __future__ import annotations
+
+from dynamicqueryengine_spark.functions.bpe import bpe_pair_counts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBpePairCounts:
+    def test_counts_and_total_order(self, spark):
+        # "abab": pairs ab, ba, ab; "abba": ab, bb, ba
+        docs = _docs(spark, [(1, "abab"), (2, "abba")])
+        rows = bpe_pair_counts(docs, k=10).collect()
+        got = {(r["left"], r["right"]): r["pair_count"] for r in rows}
+        assert got == {("a", "b"): 3, ("b", "a"): 2, ("b", "b"): 1}
+        # total order: count desc, then (left, right) asc — row 1 is the merge
+        assert (rows[0]["left"], rows[0]["right"]) == ("a", "b")
+
+    def test_occurrence_weighted_not_distinct(self, spark):
+        # the same word repeated contributes every occurrence (BPE objective)
+        docs = _docs(spark, [(1, "of of of"), (2, "of")])
+        rows = bpe_pair_counts(docs, k=1).collect()
+        assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == (
+            "o", "f", 4)
+
+    def test_normalization_and_short_words(self, spark):
+        # punctuation splits words; single chars form no pair; case folds
+        docs = _docs(spark, [(1, "A.B c-d! x")])
+        rows = bpe_pair_counts(docs, k=10).collect()
+        assert rows == []  # a, b, c, d, x all length-1 after splitting
+
+    def test_tie_break_is_deterministic(self, spark):
+        docs = _docs(spark, [(1, "xy"), (2, "ab")])
+        rows = bpe_pair_counts(docs, k=2).collect()
+        assert [(r["left"], r["right"]) for r in rows] == [("a", "b"), ("x", "y")]
+
+    def test_k_limits(self, spark):
+        docs = _docs(spark, [(1, "abcdef")])
+        assert len(bpe_pair_counts(docs, k=3).collect()) == 3
