@@ -479,7 +479,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     # signatures use the raw shingle stream (min is idempotent → no distinct
     # shuffle); verification builds its own distinct set only over candidates
-    sig = minhash_signatures(df, k, num_perm, text_col, id_col).persist()
+    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -489,41 +489,47 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # The full signature ARRAY rides along through banding so the estimate
+    # prune applies INSIDE the band join. The earlier staging (bare-id
+    # candidates → distinct → two wide joins back to the signature table)
+    # paid a distinct over the RAW candidate stream and two more
+    # signature shuffles; dup-heavy corpora generate ~100× more banding
+    # collisions than survivors (measured 237k → 2.7k at sf0.1), so
+    # pruning first and distinct-ing the survivor trickle wins. The
+    # banding shuffle grows by num_perm longs per row — linear in docs,
+    # while the joins it replaces are linear in candidate pairs, which is
+    # the quantity that explodes on exactly the corpora dedup targets.
     banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bb"),
+        F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("_sig"),
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "_sig",
+    )
 
+    est_floor = max(0.0, threshold - 0.2)
     a = banded.alias("a")
     b = banded.alias("b")
-    candidates = (
+    est_matches = F.aggregate(
+        F.zip_with(
+            F.col("a._sig"),
+            F.col("b._sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    survivors = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(est_matches >= F.lit(est_floor * num_perm))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-    )
-
-    # stage 2: signature-estimate pruning (pure column ops on the cached
-    # signature table — no shingles touched)
-    est_floor = max(0.0, threshold - 0.2)
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{j}").alias(f"_a{j}") for j in range(num_perm)],
-    )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{j}").alias(f"_b{j}") for j in range(num_perm)],
-    )
-    est_matches = sum(
-        F.when(F.col(f"_a{j}") == F.col(f"_b{j}"), 1).otherwise(0)
-        for j in range(num_perm)
-    )
-    survivors = (
-        candidates.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .filter(est_matches >= F.lit(est_floor * num_perm))
-        .select("id_a", "id_b")
         # the verifier references the survivor set three times (both sides
         # of the id union + the pair join); persist so banding + estimate
         # stages execute once, not per reference

@@ -33,20 +33,46 @@ def quantize_int8(
     q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. All-zero vectors get
     scale 0 and an all-zero code. Output: (id, scale (6dp), qvec,
     q_l1 = Σ|q_i| — an exact-integer checksum of the code)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(maxabs == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / maxabs)
-    qvec = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
-    q_l1 = F.aggregate(
-        F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+    # Two structural tricks keep this linear-per-row. (1) Lambda-variable
+    # LET-BINDING: naming the casted vector and its max-|x| as lambda vars
+    # of single-element transforms binds each ONCE per row — written as
+    # plain named Columns, CollapseProject inlines the scale fold into the
+    # per-element qvec lambda and the row cost explodes from O(dim) to
+    # O(dim²) (measured 6× wall on the 64-dim table, worse as dim grows).
+    # (2) inline_outer as a PROJECTION BARRIER: a Generate's input is
+    # evaluated exactly once per row and its outputs are plain attributes,
+    # so downstream projections (q_l1, the long-form posexplode) reference
+    # qvec instead of re-deriving it (the _outer variant also skips the
+    # emptiness Filter, which would re-evaluate the struct a second time).
+    def scale_of(m: F.Column) -> F.Column:
+        return F.when(m == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / m)
+
+    packed = F.transform(
+        F.array(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        lambda v: F.transform(
+            F.array(F.array_max(F.transform(v, F.abs))),
+            lambda m: F.struct(
+                scale_of(m).alias("_scale_raw"),
+                F.transform(
+                    v,
+                    lambda x: F.floor(x * scale_of(m) + F.lit(0.5)).cast("int"),
+                ).alias("qvec"),
+            ),
+        )[0],
     )
     return (
-        df.select(
+        df.select(F.col(id_col), F.inline_outer(packed))
+        .select(
             id_col,
-            F.round(scale, 6).alias("scale"),
-            qvec.alias("qvec"),
+            F.round(F.col("_scale_raw"), 6).alias("scale"),
+            "qvec",
         )
-        .withColumn("q_l1", q_l1)
+        .withColumn(
+            "q_l1",
+            F.aggregate(
+                F.col("qvec"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+            ),
+        )
     )
 
 
