@@ -22,6 +22,7 @@ from ..functions import sampling as SM
 from ..functions import sessions as SS
 from ..functions import similarity as S
 from ..functions import text as T
+from ..util import bind_columns
 from ..operators.aggregate import apply_aggregation
 from ..plans.model import AggregationDefinition
 from ..sources.registry import load_table
@@ -88,15 +89,17 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typical pre-training filter: keep docs above a quality floor with a
     confident language prediction."""
     text = F.col("text")
+    # bind_columns: the regex-battery scores are evaluated once per row;
+    # a plain select+filter would inline both expressions into the filter
+    # AND the projection (2× the dominant cost of this query)
     return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "lang",
-            T.quality_score(text).alias("quality"),
-            T.detect_language(text).alias("lang_pred"),
+        bind_columns(
+            _docs(spark, sf_dir),
+            quality=T.quality_score(text),
+            lang_pred=T.detect_language(text),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .select("doc_id", "lang", "quality", "lang_pred")
     )
 
 
@@ -994,15 +997,17 @@ def _pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     text = F.col("text")
+    # bind_columns: evaluate the two scores once per row (see
+    # _quality_filter) — they were the largest single cost of this
+    # pipeline at sf0.1, ahead of the pair mining itself
     q = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            "text",
-            T.quality_score(text).alias("quality"),
-            T.detect_language(text).alias("lang_pred"),
+        bind_columns(
+            _docs(spark, sf_dir),
+            quality=T.quality_score(text),
+            lang_pred=T.detect_language(text),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .select("doc_id", "text", "quality", "lang_pred")
     )
     fp = F.md5(T.normalize_text(F.col("text")))
     keep = (
