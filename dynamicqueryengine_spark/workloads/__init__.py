@@ -47,6 +47,7 @@ _PRIORITY = [
     "corpus_mix_report",
     "corpus_snapshot_diff",
     "corpus_bpe_merges",
+    "docs_pack_sequences",
     # ANN family
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -69,7 +70,6 @@ _PRIORITY = [
     "agg_argmax_global",
     # canaries: one per reference-parity family, all green in r1+r2
     "rule_equal",
-    "rule_in",
     "rule_dynamic_guard",
     "rule_nested_tree",
     "agg_argmax_by_segment",

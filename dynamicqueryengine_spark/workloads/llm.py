@@ -217,6 +217,22 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
+def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: which fixed-length training
+    window does each document start in, at what offset, spanning how many
+    windows (functions/packing.py — two-level prefix sum, no global
+    window)."""
+    from ..functions.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=2048)
+
+
+def _docs_pack_sequences_sql() -> str:
+    from ..functions.packing import pack_sequences_sql
+
+    return pack_sequences_sql("documents", seq_len=2048)
+
+
 def _corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide BPE pair counting — the distributed aggregation at the
     heart of byte-pair-encoding tokenizer training (functions/bpe.py). Row 1
@@ -1063,6 +1079,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "corpus_vocab_topk": FnWorkload(_corpus_vocab_topk, _VOCAB_TOPK_SQL),
     "corpus_bpe_merges": FnWorkload(_corpus_bpe_merges, _corpus_bpe_merges_sql()),
+    "docs_pack_sequences": FnWorkload(
+        _docs_pack_sequences, _docs_pack_sequences_sql()
+    ),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()
     ),
