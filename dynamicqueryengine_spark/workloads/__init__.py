@@ -48,6 +48,7 @@ _PRIORITY = [
     "corpus_snapshot_diff",
     "corpus_bpe_merges",
     "docs_pack_sequences",
+    "corpus_cms_heavyhitters",
     # ANN family
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -73,7 +74,6 @@ _PRIORITY = [
     "rule_dynamic_guard",
     "rule_nested_tree",
     "agg_argmax_by_segment",
-    "agg_count_multikey",
     "multi_rule_union_distinct",
     "lineitem_stats",
     "join_revenue_by_nation",

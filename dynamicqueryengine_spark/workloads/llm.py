@@ -217,6 +217,21 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
+def _corpus_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: exact top-20 corpus words with their
+    bounded-memory sketch estimates side by side (functions/cms.py) —
+    estimate ≥ truth by construction, the one-sided CMS guarantee."""
+    from ..functions.cms import cms_topk_estimates
+
+    return cms_topk_estimates(_docs(spark, sf_dir), k=20, depth=4, width=256)
+
+
+def _corpus_cms_heavyhitters_sql() -> str:
+    from ..functions.cms import cms_topk_estimates_sql
+
+    return cms_topk_estimates_sql("documents", k=20, depth=4, width=256)
+
+
 def _docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: which fixed-length training
     window does each document start in, at what offset, spanning how many
@@ -1081,6 +1096,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "corpus_bpe_merges": FnWorkload(_corpus_bpe_merges, _corpus_bpe_merges_sql()),
     "docs_pack_sequences": FnWorkload(
         _docs_pack_sequences, _docs_pack_sequences_sql()
+    ),
+    "corpus_cms_heavyhitters": FnWorkload(
+        _corpus_cms_heavyhitters, _corpus_cms_heavyhitters_sql()
     ),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()
