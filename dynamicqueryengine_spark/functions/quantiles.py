@@ -1,0 +1,97 @@
+"""Exact grouped quantiles — nearest-rank percentiles of a numeric column
+per group, the corpus-stats primitive behind "p50/p95 document length per
+source" dashboards and length-filter threshold tuning.
+
+Definition: the p-quantile of n sorted values is the value at rank
+``ceil(p·n)`` (1-based) — the classic nearest-rank percentile. Chosen over
+interpolated definitions deliberately: the result is always an actual data
+value selected by integer arithmetic, so Spark and any oracle agree
+bit-for-bit with no interpolation-rounding escape hatch.
+
+Scale shape (100 TB): one window sort per group — the irreducible cost of
+EXACT quantiles (selection requires a total order per group). Groups
+parallelize across the cluster; a single pathological group degrades to
+that group's sort, which is the honest bound of exactness. When error
+tolerance is acceptable at scale, ``F.percentile_approx`` (t-digest-style
+bounded state, no sort) is the production path; this operator is the
+exact reference that verifies it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["group_quantiles", "group_quantiles_sql"]
+
+DEFAULT_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: Sequence[float] = DEFAULT_PS,
+) -> DataFrame:
+    """(group, p, quantile, n) — one row per group per requested p.
+
+    Ties in the value order break on nothing: rank is assigned by value
+    alone via ``row_number`` over (value asc), which is deterministic for
+    the SELECTED value even when equal values straddle the rank (any of
+    the tied rows yields the same value).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(group_col, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.ceil(F.lit(float(p)) * F.col("_n")).cast("long").alias("_r"),
+            )
+            for p in ps
+        ]
+    )
+    return (
+        ranked.select(
+            group_col,
+            F.col(value_col).alias("quantile"),
+            "_rn",
+            "_n",
+            F.explode(picks).alias("pk"),
+        )
+        .filter(F.col("_rn") == F.col("pk._r"))
+        .select(
+            group_col,
+            F.col("pk.p").alias("p"),
+            "quantile",
+            F.col("_n").alias("n"),
+        )
+    )
+
+
+def group_quantiles_sql(
+    inner_sql: str,
+    value_col: str,
+    group_col: str,
+    ps: Sequence[float] = DEFAULT_PS,
+) -> str:
+    """DuckDB mirror — identical rank arithmetic over ``inner_sql``
+    (a query producing at least (group_col, value_col))."""
+    ps_rows = " UNION ALL ".join(f"SELECT CAST({float(p)} AS DOUBLE) AS p" for p in ps)
+    return f"""
+WITH src AS ({inner_sql}),
+ranked AS (
+  SELECT {group_col}, {value_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_col} ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY {group_col}) AS BIGINT) AS n
+  FROM src
+),
+ps AS ({ps_rows})
+SELECT r.{group_col}, ps.p, r.{value_col} AS quantile, r.n
+FROM ranked r JOIN ps ON r.rn = CAST(ceil(ps.p * r.n) AS BIGINT)
+""".strip()

@@ -49,6 +49,7 @@ _PRIORITY = [
     "corpus_bpe_merges",
     "docs_pack_sequences",
     "corpus_cms_heavyhitters",
+    "corpus_length_quantiles",
     # ANN family
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -75,7 +76,6 @@ _PRIORITY = [
     "rule_nested_tree",
     "agg_argmax_by_segment",
     "multi_rule_union_distinct",
-    "lineitem_stats",
     "join_revenue_by_nation",
     "sketch_kmv_distinct",
     "events_asof_join",

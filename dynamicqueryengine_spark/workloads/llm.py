@@ -217,6 +217,28 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
+def _corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank token-length percentiles per source
+    (functions/quantiles.py) — the per-stratum length profile a
+    length-filter threshold is tuned against."""
+    from ..functions.quantiles import group_quantiles
+
+    base = _docs(spark, sf_dir).select(
+        "source", T.token_count_ws(F.col("text")).cast("long").alias("tok_ws")
+    )
+    return group_quantiles(base, value_col="tok_ws", group_col="source")
+
+
+def _corpus_length_quantiles_sql() -> str:
+    from ..functions.quantiles import group_quantiles_sql
+
+    inner = (
+        f"SELECT source, CAST({T.token_count_ws_sql('text')} AS BIGINT)"
+        f" AS tok_ws FROM documents"
+    )
+    return group_quantiles_sql(inner, value_col="tok_ws", group_col="source")
+
+
 def _corpus_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: exact top-20 corpus words with their
     bounded-memory sketch estimates side by side (functions/cms.py) —
@@ -1099,6 +1121,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "corpus_cms_heavyhitters": FnWorkload(
         _corpus_cms_heavyhitters, _corpus_cms_heavyhitters_sql()
+    ),
+    "corpus_length_quantiles": FnWorkload(
+        _corpus_length_quantiles, _corpus_length_quantiles_sql()
     ),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()

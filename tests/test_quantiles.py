@@ -1,0 +1,42 @@
+"""Tests for exact nearest-rank grouped quantiles (functions/quantiles.py)."""
+
+from __future__ import annotations
+
+from dynamicqueryengine_spark.functions.quantiles import group_quantiles
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def _got(df):
+    return {(r["g"], r["p"]): (r["quantile"], r["n"]) for r in df.collect()}
+
+
+class TestGroupQuantiles:
+    def test_nearest_rank_definition(self, spark):
+        # n=4, values 10..40: p=0.25→rank 1→10; p=0.5→rank 2→20;
+        # p=0.75→rank 3→30; p=0.9→rank ceil(3.6)=4→40; p=0.99→rank 4→40
+        df = _vals(spark, [("a", 10), ("a", 20), ("a", 30), ("a", 40)])
+        got = _got(group_quantiles(df, "v", "g"))
+        assert got[("a", 0.25)] == (10, 4)
+        assert got[("a", 0.5)] == (20, 4)
+        assert got[("a", 0.75)] == (30, 4)
+        assert got[("a", 0.9)] == (40, 4)
+        assert got[("a", 0.99)] == (40, 4)
+
+    def test_groups_independent(self, spark):
+        df = _vals(spark, [("a", 1), ("a", 100), ("b", 7)])
+        got = _got(group_quantiles(df, "v", "g", ps=(0.5,)))
+        assert got[("a", 0.5)] == (1, 2)   # ceil(0.5*2)=1
+        assert got[("b", 0.5)] == (7, 1)
+
+    def test_ties_pick_the_value(self, spark):
+        df = _vals(spark, [("a", 5), ("a", 5), ("a", 5), ("a", 9)])
+        got = _got(group_quantiles(df, "v", "g", ps=(0.5, 0.99)))
+        assert got[("a", 0.5)] == (5, 4)
+        assert got[("a", 0.99)] == (9, 4)
+
+    def test_row_count(self, spark):
+        df = _vals(spark, [("a", i) for i in range(100)] + [("b", 1)])
+        assert group_quantiles(df, "v", "g").count() == 10
