@@ -1,0 +1,218 @@
+"""Product quantization (PQ) ANN — asymmetric-distance search over
+subspace-coded embeddings (Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011). The third ANN path beside
+hyperplane LSH and IVF (similarity.py), and the one that changes the
+STORAGE equation: a 64-dim float32 vector (256 B) compresses to
+``n_sub`` uint8 codes (8 B at the default 8×16 configuration), so a
+100 TB embedding corpus scans as ~3 TB of codes.
+
+Mechanics: the vector splits into ``n_sub`` contiguous subspaces; each
+subspace has its own ``n_codes``-entry codebook; a vector's code is the
+per-subspace nearest centroid. A query never decompresses the corpus —
+it builds a ``n_sub × n_codes`` lookup table of subspace distances
+(ADC), and each corpus row's distance is the sum of ``n_sub`` table
+lookups: O(n_sub) per candidate instead of O(dim).
+
+Scale shape (100 TB): encoding is one map-only pass (pure Column
+expressions, no shuffle); the search broadcasts the (small) query side
+with its LUTs and scans codes — the only exchange is the per-query
+top-k window, identical to the brute-force path but over an 8-byte
+payload. Codebooks here are DETERMINISTIC (subspace slices of the
+``n_codes`` lowest-id corpus vectors — the same seeding contract as
+``ivf_topk_sql``), which makes the whole pipeline value-checkable in
+DuckDB; a production deployment would train them with per-subspace
+Lloyd iterations (``kmeans_centroids`` on slices) at identical plan
+shape, trading oracle-exactness for quantization quality.
+
+Recall < 1 by construction (quantization error moves neighbors across
+the top-k boundary); measured against the brute-force oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..util import bind_columns, spread
+
+__all__ = ["pq_codebooks", "pq_topk", "pq_topk_sql"]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list":
+    """Deterministic codebooks: ``cb[s][c]`` = subspace-``s`` slice of the
+    (c+1)-th lowest-id corpus vector. A bounded ``n_codes``-row collect —
+    the same deterministic-seeding contract the IVF oracle uses."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(n_codes).select(vec_col).collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    dim = len(vecs[0])
+    dsub = dim // n_sub
+    return [
+        [v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(n_sub)
+    ]
+
+
+def _sub_d2(sl: Column, cent: "list[float]") -> Column:
+    """Strict left-to-right Σ(xᵢ−cᵢ)² fold over one subspace slice —
+    bit-identical to the SQL mirror's list_reduce."""
+    return F.aggregate(
+        F.zip_with(
+            sl,
+            F.array(*[F.lit(float(x)) for x in cent]),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: "list | None" = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_d2, rank): per query, the ``k`` corpus
+    rows with the smallest ADC squared-L2 distance (ties → lower id);
+    self-matches excluded."""
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, n_sub, n_codes, vec_col, id_col
+    )
+    dim = sum(len(cb[s][0]) for s in range(n_sub))
+    dsub = dim // n_sub
+
+    def sl(s: int) -> Column:
+        return F.slice(F.col(vec_col), s * dsub + 1, dsub)
+
+    # Per-subspace code: argmin over the d2 array with first-occurrence
+    # (lowest code) tie-break — bind_columns keeps each d2 array
+    # single-instanced (array_position + array_min reference it twice).
+    code_cols = {}
+    for s in range(n_sub):
+        d2s = F.array(*[_sub_d2(sl(s), cb[s][c]) for c in range(n_codes)])
+        code_cols[f"_d2s{s}"] = d2s
+    enc = bind_columns(spread(corpus).select(id_col, vec_col), **code_cols)
+    codes = F.array(
+        *[
+            (
+                F.array_position(
+                    F.col(f"_d2s{s}"), F.array_min(F.col(f"_d2s{s}"))
+                )
+                - 1
+            ).cast("int")
+            for s in range(n_sub)
+        ]
+    )
+    enc = enc.select(F.col(id_col).alias("neighbor_id"), codes.alias("_codes"))
+
+    # Query-side ADC lookup tables: n_sub × n_codes subspace distances.
+    luts = F.array(
+        *[
+            F.array(*[_sub_d2(sl(s), cb[s][c]) for c in range(n_codes)])
+            for s in range(n_sub)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), luts.alias("_luts"))
+
+    # ADC distance: sum of one LUT lookup per subspace, folded strictly
+    # left-to-right in subspace order (FP addition order is part of the
+    # oracle contract).
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            F.col("_luts"),
+            lambda c, l: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_d2", 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    query_pred: str,
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Full value oracle with the same deterministic codebooks (subspace
+    slices of the ``n_codes`` lowest-id vectors). ``__ID__`` in
+    ``query_pred`` is substituted with the id column."""
+    dsub = dim // n_sub
+
+    def l2(a_sl: str, b_sl: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({a_sl}, {b_sl}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+        )
+
+    def sl(expr: str, s: str) -> str:
+        return f"list_slice({expr}, {s} * {dsub} + 1, ({s} + 1) * {dsub})"
+
+    return f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS c, {vec_col} AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_codes})),
+subs AS (SELECT unnest(range({n_sub})) AS s),
+cb AS (
+  SELECT s, c, {sl('cvec', 's')} AS cent FROM cents CROSS JOIN subs),
+codes AS (
+  SELECT {id_col}, s, c AS code FROM (
+    SELECT e.{id_col}, cb.s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}, cb.s
+                              ORDER BY {l2(sl(f'e.{vec_col}', 'cb.s'), 'cb.cent')} ASC,
+                                       cb.c ASC) AS rn
+    FROM {table} e CROSS JOIN cb) WHERE rn = 1),
+q AS (SELECT {id_col}, {vec_col} FROM {table}
+      WHERE {query_pred.replace('__ID__', id_col)}),
+luts AS (
+  SELECT q.{id_col} AS query_id, cb.s, cb.c,
+         {l2(sl(f'q.{vec_col}', 'cb.s'), 'cb.cent')} AS d2
+  FROM q CROSS JOIN cb),
+dists AS (
+  SELECT l.query_id, e.{id_col} AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(l.d2 ORDER BY l.s)),
+                     (x, y) -> x + y) AS adc_d2
+  FROM codes e
+  JOIN luts l ON l.s = e.s AND l.c = e.code
+  WHERE l.query_id <> e.{id_col}
+  GROUP BY l.query_id, e.{id_col})
+SELECT query_id, neighbor_id, round(adc_d2, 6) AS adc_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM dists)
+WHERE rank <= {k}
+""".strip()

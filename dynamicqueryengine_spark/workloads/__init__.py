@@ -54,6 +54,7 @@ _PRIORITY = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     # multimodal family
     "multimodal_features",
     "multimodal_png_metadata",
@@ -77,7 +78,6 @@ _PRIORITY = [
     "agg_argmax_by_segment",
     "multi_rule_union_distinct",
     "join_revenue_by_nation",
-    "sketch_kmv_distinct",
     "events_asof_join",
 ]
 

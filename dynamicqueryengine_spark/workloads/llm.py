@@ -539,6 +539,26 @@ def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_docs(spark, sf_dir))
 
 
+def _ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (functions/pq.py) with the
+    deterministic codebook seeding (subspace slices of the 16 lowest-id
+    vectors) so the result — quantization error included — is exactly
+    reproducible by the SQL oracle."""
+    from ..functions.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return pq_topk(embs, queries, k=10, n_sub=8, n_codes=16)
+
+
+def _ann_topk_pq_sql() -> str:
+    from ..functions.pq import pq_topk_sql
+
+    return pq_topk_sql(
+        "embeddings", "__ID__ < 5", k=10, n_sub=8, n_codes=16, dim=64
+    )
+
+
 def _docs_repetition_sql() -> str:
     from ..functions.repetition import repetition_profile_sql
 
@@ -1179,6 +1199,7 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _ann_topk_ivf,
         S.ivf_topk_sql("embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4),
     ),
+    "ann_topk_pq": FnWorkload(_ann_topk_pq, _ann_topk_pq_sql()),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
     "multimodal_jpeg_metadata": FnWorkload(_multimodal_jpeg, _MULTIMODAL_JPEG_SQL),
