@@ -107,3 +107,36 @@ def inline_table(
     """Inline row payloads (the reference's HTTP-body ``List<User>`` path,
     RuleController.cs:31-35) → DataFrame."""
     return spark.createDataFrame(list(rows), schema=schema)
+
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: Any = None,
+    **options: Any,
+) -> DataFrame:
+    """Format-dispatching reader: parquet / csv / json / orc → DataFrame.
+
+    Column pruning reaches every format; filter PUSHDOWN only the columnar
+    ones (parquet/orc — check ``PushedFilters`` in ``.explain``), which is
+    why they are the recommended lake format and csv/json are ingest
+    formats you convert ONCE (``writers.write_parquet``) rather than scan
+    repeatedly at 100 TB. For csv/json, pass an explicit ``schema``:
+    schema inference reads the data twice and types drift between files —
+    a pinned schema is both faster and stable. csv defaults to
+    ``header=true`` to round-trip ``writers.write_csv``.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"Unsupported format '{fmt}' (one of {_FORMATS})")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    if options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    return getattr(reader, fmt)(path)
