@@ -209,3 +209,92 @@ SELECT {group_col}, CAST(dim AS INT) AS dim,
        count(*) AS n
 FROM exploded GROUP BY {group_col}, dim
 """.strip()
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: y_j = x · r_j over
+    ``out_dim`` seeded Gaussian directions — the standard cheap step
+    BEFORE sketch/ANN indexing when the raw embedding is wider than the
+    search needs (distances are preserved within (1±ε) at out_dim =
+    O(ln n / ε²); the hyperplane-LSH buckets in similarity.py are exactly
+    the SIGNS of such projections).
+
+    Output: (id, rp — array<double> length out_dim, rp_norm (6dp)).
+
+    Scale shape: map-only Column pass, one strict left-to-right fold per
+    output dim (out_dim × in_dim mul-adds per row), no shuffle, no UDF.
+    The projection matrix is seeded-deterministic and baked into BOTH
+    plans as literals, so results are bit-exact against the mirror."""
+    from .dedup import _dot
+    from .similarity import hyperplanes
+
+    planes = hyperplanes(in_dim, out_dim, seed)
+    rp = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+            for p in planes
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.inline_outer(F.array(F.struct(rp.alias("rp")))))
+        .withColumn(
+            "rp_norm",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("rp"), F.lit(0.0), lambda a, v: a + v * v
+                    )
+                ),
+                6,
+            ),
+        )
+        .select(id_col, F.posexplode("rp").alias("_p", "y"), "rp_norm")
+        .select(
+            id_col,
+            (F.col("_p") + 1).alias("dim"),
+            F.round(F.col("y"), 6).alias("y"),
+            "rp_norm",
+        )
+    )
+
+
+def random_projection_sql(
+    table: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror — identical plane literals (repr round-trips doubles
+    exactly), identical fold order, long form via parallel unnest."""
+    from .dedup import _dot_sql
+    from .similarity import _plane_literal_sql, hyperplanes
+
+    planes = hyperplanes(in_dim, out_dim, seed)
+    rp_items = ", ".join(
+        _dot_sql(vec_col, _plane_literal_sql(p)) for p in planes
+    )
+    return f"""
+WITH proj AS (
+  SELECT {id_col}, [{rp_items}] AS rp FROM {table}
+),
+normed AS (
+  SELECT {id_col}, rp,
+         round(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(rp, v -> v * v)), (a, b) -> a + b)), 6) AS rp_norm
+  FROM proj
+)
+SELECT {id_col},
+       CAST(unnest(range(1, {out_dim} + 1)) AS INT) AS dim,
+       round(unnest(rp), 6) AS y,
+       rp_norm
+FROM normed
+""".strip()

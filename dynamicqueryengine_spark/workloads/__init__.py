@@ -27,6 +27,7 @@ _PRIORITY = [
     "docs_curriculum_buckets",
     "tfidf_keywords",
     "embed_label_centroids",
+    "embed_random_projection",
     "text_quality_filter",
     # dedup family
     "dedup_exact_assign",
@@ -74,7 +75,6 @@ _PRIORITY = [
     # canaries: one per reference-parity family, all green in r1+r2
     "rule_equal",
     "rule_dynamic_guard",
-    "rule_nested_tree",
     "agg_argmax_by_segment",
     "multi_rule_union_distinct",
     "join_revenue_by_nation",

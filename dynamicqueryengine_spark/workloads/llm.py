@@ -217,6 +217,21 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 100
 """.strip()
 
 
+def _embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims
+    (functions/embeddings.py) — the cheap width-reduction step before
+    sketching/ANN; seeded plane literals make it bit-exact vs the oracle."""
+    from ..functions.embeddings import random_projection
+
+    return random_projection(_embs(spark, sf_dir), out_dim=16, in_dim=64)
+
+
+def _embed_random_projection_sql() -> str:
+    from ..functions.embeddings import random_projection_sql
+
+    return random_projection_sql("embeddings", out_dim=16, in_dim=64)
+
+
 def _corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank token-length percentiles per source
     (functions/quantiles.py) — the per-stratum length profile a
@@ -1144,6 +1159,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "corpus_length_quantiles": FnWorkload(
         _corpus_length_quantiles, _corpus_length_quantiles_sql()
+    ),
+    "embed_random_projection": FnWorkload(
+        _embed_random_projection, _embed_random_projection_sql()
     ),
     "docs_quality_classifier": FnWorkload(
         _docs_quality_classifier, _docs_quality_classifier_sql()
