@@ -119,3 +119,64 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_docs")
             spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+class TestRound3PlanShapes:
+    def test_pq_query_side_broadcasts(self, spark):
+        """PQ ADC search: the query side (with its LUTs) must broadcast —
+        the corpus code scan never shuffles before the top-k window."""
+        df = entry_mod.queries()["ann_topk_pq"](spark, SF_DIR)
+        assert "BroadcastNestedLoopJoin" in _physical(df) or (
+            "BroadcastHashJoin" in _physical(df)
+        )
+
+    def test_packing_has_no_global_window(self, spark):
+        """Sequence packing must never sort the corpus in ONE task: every
+        Exchange in the plan must be hash/round-robin — a SinglePartition
+        exchange would be the naive global-window formulation. (The only
+        ordered window runs over the buckets-row stats table, which AQE
+        may legally coalesce, so we pin the absence of a rangepartitioning
+        exchange over the full row stream instead.)"""
+        df = entry_mod.queries()["docs_pack_sequences"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_cms_sketch_is_aggregated_mapside(self, spark):
+        """CMS build must show a partial aggregate below the exchange
+        (map-side combine) — the property that bounds the shuffle by the
+        sketch size, not the token stream."""
+        from dynamicqueryengine_spark.functions.cms import _words, cms_build
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        sketch = cms_build(
+            _words(load_table(spark, SF_DIR, "documents"), "text"), "w", 4, 64
+        )
+        plan = _physical(sketch)
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_quantize_long_single_generate_chain(self, spark):
+        """The long-form quantize plan must contain the inline Generate
+        barrier (qvec computed once) and no Filter re-evaluating the
+        struct expression (the _outer variants skip it)."""
+        df = entry_mod.queries()["embed_quantize_int8"](spark, SF_DIR)
+        plan = _physical(df)
+        assert plan.count("Generate") >= 2  # inline barrier + posexplode
+        # the emptiness filter would show up as size(...) > 0
+        assert "size(" not in plan.split("Generate")[0]
+
+    def test_cluster_assign_join_is_not_forced_broadcast(self, spark):
+        """cluster_assign's doc->component attach must be a plain join in
+        the LOGICAL plan (no ResolvedHint/broadcast forced by us). AQE may
+        still choose broadcast at runtime from measured sizes — that's the
+        point."""
+        from dynamicqueryengine_spark.functions.cluster import cluster_assign
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_DIR, "documents")
+        pairs = docs.limit(10).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        out = cluster_assign(docs, pairs)
+        logical = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
