@@ -30,10 +30,10 @@ the top-k boundary); measured against the brute-force oracle in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..util import bind_columns, spread
+from ..util import spread
 
 __all__ = ["pq_codebooks", "pq_topk", "pq_topk_sql"]
 
@@ -59,20 +59,6 @@ def pq_codebooks(
     ]
 
 
-def _sub_d2(sl: Column, cent: "list[float]") -> Column:
-    """Strict left-to-right Σ(xᵢ−cᵢ)² fold over one subspace slice —
-    bit-identical to the SQL mirror's list_reduce."""
-    return F.aggregate(
-        F.zip_with(
-            sl,
-            F.array(*[F.lit(float(x)) for x in cent]),
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,44 +72,70 @@ def pq_topk(
     """(query_id, neighbor_id, adc_d2, rank): per query, the ``k`` corpus
     rows with the smallest ADC squared-L2 distance (ties → lower id);
     self-matches excluded."""
+    import numpy as np
+    import pandas as pd
+
     cb = codebooks if codebooks is not None else pq_codebooks(
         corpus, n_sub, n_codes, vec_col, id_col
     )
     dim = sum(len(cb[s][0]) for s in range(n_sub))
     dsub = dim // n_sub
+    # cb as (n_sub, n_codes, dsub) float64 — broadcast-by-closure (KBs)
+    cb_arr = np.asarray(cb, dtype=np.float64)
 
-    def sl(s: int) -> Column:
-        return F.slice(F.col(vec_col), s * dsub + 1, dsub)
+    def _sub_d2_np(x: "np.ndarray", s: int) -> "np.ndarray":
+        """(rows, n_codes) strict left-to-right Σ(xᵢ−cᵢ)² — a Python loop
+        over the dsub dims of VECTORIZED ops, so the accumulation order is
+        element order, bit-identical to the SQL fold (np.sum's pairwise
+        reduction would differ in the last ulp, enough to flip an argmin
+        on near-tied centroids)."""
+        sl = x[:, s * dsub : (s + 1) * dsub]
+        acc = np.zeros((sl.shape[0], cb_arr.shape[1]))
+        for d in range(dsub):
+            diff = sl[:, d : d + 1] - cb_arr[s, :, d][None, :]
+            acc = acc + diff * diff
+        return acc
 
-    # Per-subspace code: argmin over the d2 array with first-occurrence
-    # (lowest code) tie-break — bind_columns keeps each d2 array
-    # single-instanced (array_position + array_min reference it twice).
-    code_cols = {}
-    for s in range(n_sub):
-        d2s = F.array(*[_sub_d2(sl(s), cb[s][c]) for c in range(n_codes)])
-        code_cols[f"_d2s{s}"] = d2s
-    enc = bind_columns(spread(corpus).select(id_col, vec_col), **code_cols)
-    codes = F.array(
-        *[
-            (
-                F.array_position(
-                    F.col(f"_d2s{s}"), F.array_min(F.col(f"_d2s{s}"))
-                )
-                - 1
-            ).cast("int")
-            for s in range(n_sub)
-        ]
+    # Encode via Arrow-vectorized mapInPandas: n_sub × n_codes × dsub
+    # mul-adds per row as ~n_sub·dsub numpy array ops per BATCH. The
+    # first formulation was pure Column folds — semantically identical
+    # but 128 interpreted higher-order lambdas per row (~2M lambda calls
+    # at sf0.1, 5× this whole query's budget). Map-only either way: the
+    # scan never shuffles.
+    def encode(batches):
+        for b in batches:
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(b), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                codes[:, s] = np.argmin(_sub_d2_np(x, s), axis=1)  # first min
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b[id_col].to_numpy(),
+                    "_codes": list(codes),
+                }
+            )
+
+    enc = spread(corpus).select(id_col, vec_col).mapInPandas(
+        encode, schema="neighbor_id long, _codes array<int>"
     )
-    enc = enc.select(F.col(id_col).alias("neighbor_id"), codes.alias("_codes"))
 
-    # Query-side ADC lookup tables: n_sub × n_codes subspace distances.
-    luts = F.array(
-        *[
-            F.array(*[_sub_d2(sl(s), cb[s][c]) for c in range(n_codes)])
-            for s in range(n_sub)
-        ]
+    # Query-side ADC lookup tables, same strict fold.
+    def make_luts(batches):
+        for b in batches:
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            luts = np.stack(
+                [_sub_d2_np(x, s) for s in range(n_sub)], axis=1
+            )  # (rows, n_sub, n_codes)
+            yield pd.DataFrame(
+                {
+                    "query_id": b[id_col].to_numpy(),
+                    "_luts": [row.tolist() for row in luts],
+                }
+            )
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        make_luts, schema="query_id long, _luts array<array<double>>"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), luts.alias("_luts"))
 
     # ADC distance: sum of one LUT lookup per subspace, folded strictly
     # left-to-right in subspace order (FP addition order is part of the
