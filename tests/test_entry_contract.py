@@ -35,3 +35,23 @@ def test_query_matches_oracle(name, spark, testdata_duck):
     duck_cols = sorted(duck_rel.columns)
     assert sorted(spark_df.columns) == duck_cols, f"{name}: column-name mismatch"
     assert_same_rows(spark_df, duck_rel)
+
+
+def test_no_driver_hostile_output_types(spark):
+    """The round driver canonicalizes result rows through pandas
+    ``sort_values``/``factorize``, which cannot hash list/dict cells — a
+    single top-level array/map/struct column ERRORs the whole comparison
+    (embed_quantize_int8, round 2). Analysis-only: resolve each contract
+    query's schema and reject complex top-level types. Queries must
+    posexplode arrays to long form instead."""
+    bad = {}
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"complex top-level output columns: {bad}"
