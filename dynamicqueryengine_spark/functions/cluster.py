@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "cluster_assign"]
 
+# Edge-count gate for the driver union-find fast path (≈16 MB collected).
+# Tests pin both paths by patching this to 0.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -51,6 +55,40 @@ def connected_components(
     # is ≤ the edge table), bounded by the session's parallelism for the
     # genuinely huge case.
     n_edges = base.count()
+    # Driver fast path: below ~1M edges the graph fits in MBs and a
+    # union-find computes min-label components in microseconds, where the
+    # iterative plan pays ~8 scheduled jobs of pure latency (measured
+    # ~3 s for 256 edges at sf0.1). Same gating philosophy as the dense-
+    # jaccard tile: the data a SINGLE round would broadcast anyway is
+    # cheaper to finish on the driver; bigger graphs take the distributed
+    # pointer-jumping path unchanged.
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = base.select("src", "dst").collect()
+        base.unpersist()
+        for s, d in rows:
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        labels = [(node, comp_min[find(node)]) for node in parent]
+        return pairs.sparkSession.createDataFrame(
+            labels or [], "id long, component long"
+        )
     parts = max(1, min(base.sparkSession.sparkContext.defaultParallelism,
                        n_edges // 2_000_000 + 1))
     edges = base.repartition(parts, "dst").localCheckpoint()

@@ -78,3 +78,33 @@ class TestClusterAssign:
             4: (1, 3),
             5: (5, 1),
         }
+
+
+class TestDistributedPath:
+    """The driver union-find gate covers every small unit graph; force the
+    distributed pointer-jumping loop by zeroing the gate so both paths
+    stay verified against the same reference."""
+
+    @pytest.fixture(autouse=True)
+    def _force_distributed(self, monkeypatch):
+        from dynamicqueryengine_spark.functions import cluster as C
+
+        monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+
+    @pytest.mark.parametrize(
+        "edges",
+        [
+            [(1, 2), (2, 3), (3, 4)],
+            [(1, 2), (5, 6), (8, 9), (9, 5)],
+            [(10, 1), (2, 10), (7, 3)],
+            [(i, i + 1) for i in range(30)],  # chain: pointer jumping
+        ],
+    )
+    def test_matches_union_find(self, spark, edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, max_iter=40).collect()
+        }
+        ids = sorted({x for e in edges for x in e})
+        assert got == _union_find(ids, edges)
