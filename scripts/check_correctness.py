@@ -84,12 +84,39 @@ def main(names):
         try:
             sdf = fn(spark, SF_DIR)
             cols = sorted(sdf.columns)
+            # Driver-hostility check 1: the real driver canonicalizes rows
+            # through pandas factorize, which cannot hash list/dict cells —
+            # a top-level complex column ERRORs its whole comparison even
+            # though this replica (Arrow to_pylist) would sail through.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                raise RuntimeError(
+                    f"driver-hostile output: complex top-level columns "
+                    f"{complex_cols} (posexplode to long form)"
+                )
             srows = sdf.collect()
             if name not in oracles:
                 results[name] = {"err": "no_oracle", "spark_rows": len(srows)}
                 print(f"  {name}: NO_ORACLE rows={len(srows)}")
                 continue
             orel = con.sql(oracles[name])
+            # Driver-hostility check 2: DuckDB HUGEINT (uncast integer SUM)
+            # reaches the driver's pandas as float64 and hash-mismatches
+            # Spark's bigint; Arrow to_pylist hides it here.
+            hugeints = [
+                c
+                for c, t in zip(orel.columns, orel.types)
+                if str(t) in ("HUGEINT", "INT128")
+            ]
+            if hugeints:
+                raise RuntimeError(
+                    f"driver-hostile oracle: HUGEINT columns {hugeints} "
+                    f"(CAST the aggregate AS BIGINT in the mirror)"
+                )
             orows = orel.fetch_arrow_table().to_pylist()
             ocols = sorted(orel.columns)
             rows_match = len(srows) == len(orows)
