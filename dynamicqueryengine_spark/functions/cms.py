@@ -72,6 +72,11 @@ def cms_build(
             ]
         )
     ).alias("rs")
+    # works unchanged on a STREAMING input (bounded key space → bounded
+    # streaming-aggregation state); spread()'s partition probe touches
+    # .rdd, which streams forbid, so it applies to batch inputs only
+    if not items.isStreaming:
+        items = spread(items)
     return (
         items.select(rows)
         .select(F.col("rs.row").alias("row"), F.col("rs.slot").alias("slot"))

@@ -67,6 +67,7 @@ _PRIORITY = [
     "events_stream_dedup",
     "events_stream_enrich_segment",
     "events_stream_stream_join",
+    "events_stream_cms_sketch",
     # temporal stragglers never inside the window
     "events_hourly_rule_counts",
     "events_sliding_windows",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "rule_equal",
     "rule_dynamic_guard",
     "agg_argmax_by_segment",
-    "multi_rule_union_distinct",
     "join_revenue_by_nation",
     "events_asof_join",
 ]

@@ -888,6 +888,59 @@ GROUP BY 1, 2, 3
 """.strip()
 
 
+def _events_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch executed for real: readStream over
+    events, each event explodes into ``depth`` (row, slot) counter
+    increments, and a streaming groupBy maintains the counters
+    incrementally — the canonical BOUNDED-STATE streaming aggregation
+    (state = at most depth × width rows at ANY stream length, the whole
+    point of sketching a firehose). Complete mode flushes the finite
+    stream's final counter table, which equals the batch sketch the
+    DuckDB mirror computes — sketches are order-insensitive, so
+    micro-batch boundaries cannot change the result."""
+    from ..functions.cms import cms_build
+    from ..streaming.rules import scoped_state_partitions, stream_events
+
+    stream = stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("w")
+    )
+    sketch = cms_build(stream, "w", depth=4, width=64)
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_cms_{_STREAM_COUNTER[0]}"
+    with scoped_state_partitions(spark, 8):  # keyspace ≤ depth×width
+        (
+            sketch.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table(name)
+
+
+def _events_stream_cms_sql() -> str:
+    from ..functions.cms import cms_topk_estimates_sql  # noqa: F401 (doc link)
+    from ..functions.dedup import _hex_int_sql
+
+    width, depth = 64, 4
+    parts = []
+    for j in range(depth):
+        h = _hex_int_sql(
+            f"substr(md5(CAST({j} AS VARCHAR) || '|' || "
+            f"CAST(event_type AS VARCHAR)), 1, 15)"
+        )
+        parts.append(
+            f"SELECT {j} AS row, CAST(({h}) % {width} AS INT) AS slot "
+            f"FROM events"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+SELECT row, slot, count(*) AS cnt
+FROM ({union}) GROUP BY row, slot
+""".strip()
+
+
 def _events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup executed for real: readStream over events,
     first-arrival-wins dropDuplicates on the (user_id, event_type, value)
@@ -1218,6 +1271,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         S.ivf_topk_sql("embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4),
     ),
     "ann_topk_pq": FnWorkload(_ann_topk_pq, _ann_topk_pq_sql()),
+    "events_stream_cms_sketch": FnWorkload(
+        _events_stream_cms_sketch, _events_stream_cms_sql()
+    ),
     "multimodal_features": FnWorkload(_multimodal_features, _MULTIMODAL_SQL),
     "multimodal_png_metadata": FnWorkload(_multimodal_png, _MULTIMODAL_PNG_SQL),
     "multimodal_jpeg_metadata": FnWorkload(_multimodal_jpeg, _MULTIMODAL_JPEG_SQL),

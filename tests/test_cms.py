@@ -50,3 +50,29 @@ class TestCms:
             sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
         )
         assert sorted(r["s"] for r in sums) == [5, 5, 5]
+
+
+class TestStreamingCms:
+    def test_stream_equals_batch_sketch(self, spark):
+        """The streaming CMS (readStream → incremental groupBy) must equal
+        the batch sketch over the same events — sketches are
+        order-insensitive, so micro-batching cannot change counters."""
+        import __spark_entry__ as entry_mod
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.functions.cms import cms_build
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        sf = "/root/testdata/sf0.001"
+        streamed = entry_mod.queries()["events_stream_cms_sketch"](spark, sf)
+        batch = cms_build(
+            load_table(spark, sf, "events").select(
+                F.col("event_type").alias("w")
+            ),
+            "w",
+            depth=4,
+            width=64,
+        )
+        a = sorted(map(tuple, streamed.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        assert a == b and len(a) > 0
