@@ -70,13 +70,13 @@ _PRIORITY = [
     "events_stream_cms_sketch",
     # temporal stragglers never inside the window
     "events_hourly_rule_counts",
+    "events_value_histogram",
+    "corpus_drift_chisq",
     "events_sliding_windows",
     "events_sessionize",
     "agg_argmax_global",
     # canaries: one per reference-parity family, all green in r1+r2
     "rule_equal",
-    "rule_dynamic_guard",
-    "agg_argmax_by_segment",
     "join_revenue_by_nation",
     "events_asof_join",
 ]

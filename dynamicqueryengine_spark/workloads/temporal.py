@@ -238,3 +238,128 @@ TEMPORAL_QUERIES: dict[str, FnWorkload] = {
     "events_rollup_multires": FnWorkload(_events_rollup, _EVENTS_ROLLUP_SQL),
     "events_ohlc_hourly": FnWorkload(_events_ohlc, _EVENTS_OHLC_SQL),
 }
+
+
+def _events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile behind alert thresholds and drift monitors. Bin edges are
+    ANCHORED to constants (lo=0, width=5), not data-derived min/max: at
+    100 TB a data-dependent range needs an extra full pass and makes
+    histograms from different snapshots non-comparable; anchored bins are
+    one map-only pass + one bounded aggregate (state = types × bins).
+    Out-of-range values clamp into the edge bins so mass is conserved.
+    Integer bin arithmetic (floor of a non-negative double / constant) is
+    engine-exact — no float-boundary ambiguity in the group keys."""
+    from ..sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_bins, width = 20, 5.0
+    raw = F.floor(F.col("value") / F.lit(width)).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        ev.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * width).alias("bin_lo"),
+            ((F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+_EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT event_type, bin,
+       bin * 5.0 AS bin_lo, (bin + 1) * 5.0 AS bin_hi,
+       count(*) AS n
+FROM (
+  SELECT event_type,
+         least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 19) AS bin
+  FROM events)
+GROUP BY event_type, bin
+""".strip()
+
+
+def _corpus_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift report between two corpus snapshots — the
+    distribution-shift monitor a recurring ingest pipeline runs before
+    accepting a new crawl. Snapshots are simulated deterministically
+    (doc_id parity: even = baseline, odd = candidate); categories are
+    (source, lang) cells. Per-cell output — observed counts, expected
+    under homogeneity, and the cell's χ² contribution — keeps every
+    number a short rational expression of integer counts (one division,
+    one square), so the value oracle is exact; the global χ² is the
+    caller's trivial sum and a global FP-sum would only add an
+    engine-specific reduction order. Scale shape: two bounded aggregates
+    (cells × 2 state), no shuffle wider than the category table."""
+    from ..sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("_base"),
+    )
+    cells = tagged.groupBy("source", "lang").agg(
+        F.sum(F.when(F.col("_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("_base"), 0).otherwise(1)).alias("n_cand"),
+    )
+    totals = cells.agg(
+        F.sum("n_base").alias("_tb"), F.sum("n_cand").alias("_tc")
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    row_tot = F.col("n_base") + F.col("n_cand")
+    grand = F.col("_tb") + F.col("_tc")
+    e_base = (row_tot * F.col("_tb")).cast("double") / grand
+    e_cand = (row_tot * F.col("_tc")).cast("double") / grand
+    contrib = (
+        (F.col("n_base") - e_base) * (F.col("n_base") - e_base) / e_base
+        + (F.col("n_cand") - e_cand) * (F.col("n_cand") - e_cand) / e_cand
+    )
+    return j.select(
+        "source",
+        "lang",
+        "n_base",
+        "n_cand",
+        F.round(e_base, 6).alias("expect_base"),
+        F.round(contrib, 6).alias("chisq_contrib"),
+    )
+
+
+_CORPUS_DRIFT_SQL = """
+WITH cells AS (
+  SELECT source, lang,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_cand
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cand) AS BIGINT) AS tc
+  FROM cells
+)
+SELECT source, lang, n_base, n_cand,
+       round(CAST((n_base + n_cand) * tb AS DOUBLE) / (tb + tc), 6) AS expect_base,
+       round(
+         (n_base - CAST((n_base + n_cand) * tb AS DOUBLE) / (tb + tc))
+           * (n_base - CAST((n_base + n_cand) * tb AS DOUBLE) / (tb + tc))
+           / (CAST((n_base + n_cand) * tb AS DOUBLE) / (tb + tc))
+         + (n_cand - CAST((n_base + n_cand) * tc AS DOUBLE) / (tb + tc))
+           * (n_cand - CAST((n_base + n_cand) * tc AS DOUBLE) / (tb + tc))
+           / (CAST((n_base + n_cand) * tc AS DOUBLE) / (tb + tc)), 6)
+         AS chisq_contrib
+FROM cells CROSS JOIN tot
+""".strip()
+
+
+TEMPORAL_QUERIES.update(
+    {
+        "events_value_histogram": FnWorkload(
+            _events_value_histogram, _EVENTS_VALUE_HISTOGRAM_SQL
+        ),
+        "corpus_drift_chisq": FnWorkload(
+            _corpus_drift_chisq, _CORPUS_DRIFT_SQL
+        ),
+    }
+)

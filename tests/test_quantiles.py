@@ -40,3 +40,30 @@ class TestGroupQuantiles:
     def test_row_count(self, spark):
         df = _vals(spark, [("a", i) for i in range(100)] + [("b", 1)])
         assert group_quantiles(df, "v", "g").count() == 10
+
+
+class TestHistogramAndDrift:
+    """Unit checks for the two temporal-analytics additions (the oracle
+    covers values; these pin semantics edge cases)."""
+
+    def test_histogram_clamps_out_of_range(self, spark):
+        import __spark_entry__ as entry_mod
+
+        rows = entry_mod.queries()["events_value_histogram"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["bin"] <= 19
+            assert r["bin_hi"] - r["bin_lo"] == 5.0
+
+    def test_drift_mass_conservation(self, spark):
+        import __spark_entry__ as entry_mod
+
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry_mod.queries()["corpus_drift_chisq"](spark, sf).collect()
+        total = load_table(spark, sf, "documents").count()
+        assert sum(r["n_base"] + r["n_cand"] for r in rows) == total
+        assert all(r["chisq_contrib"] >= 0 for r in rows)
