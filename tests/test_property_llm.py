@@ -66,3 +66,79 @@ class TestRepetitionProperties:
             assert r["n_distinct_words"] == len(set(words))
             top = max(bigrams.count(b) for b in set(bigrams))
             assert r["top_bigram_fraction"] == top / len(bigrams)
+
+
+class TestPackingProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(_DOC, min_size=1, max_size=12),
+        seq_len=st.integers(2, 9),
+        buckets=st.integers(1, 7),
+    )
+    def test_matches_python_prefix_sum(self, spark, docs, seq_len, buckets):
+        from dynamicqueryengine_spark.functions.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["start_offset"], r["seq_idx"], r["n_seqs"])
+            for r in pack_sequences(
+                df, seq_len=seq_len, buckets=buckets
+            ).collect()
+        }
+        # independent reference: ws token counts in id order
+        start = 0
+        expect = {}
+        for i, text in enumerate(docs):
+            tok = len(text.split()) if text.strip() else 0
+            if tok > 0:
+                expect[i] = (
+                    start,
+                    start // seq_len,
+                    (start + tok - 1) // seq_len - start // seq_len + 1,
+                )
+                start += tok
+        assert got == expect
+
+
+class TestCmsProperties:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(_DOC, min_size=1, max_size=8),
+        width=st.sampled_from([8, 32, 512]),
+    )
+    def test_one_sided_error_and_mass(self, spark, docs, width):
+        from collections import Counter
+
+        from dynamicqueryengine_spark.functions.cms import (
+            _words,
+            cms_build,
+            cms_topk_estimates,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        exact = Counter(
+            w for d in docs for w in d.lower().split() if w
+        )
+        rows = cms_topk_estimates(df, k=50, depth=3, width=width).collect()
+        for r in rows:
+            assert r["exact_count"] == exact[r["word"]]
+            assert r["cms_est"] >= r["exact_count"]  # one-sided guarantee
+        sketch = cms_build(_words(df, "text"), "w", depth=3, width=width)
+        from pyspark.sql import functions as F
+
+        mass = sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+        total = sum(exact.values())
+        if total:
+            assert sorted(r["s"] for r in mass) == [total] * 3
