@@ -363,3 +363,79 @@ TEMPORAL_QUERIES.update(
         ),
     }
 )
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: for every user, each ``view`` event joined to the
+    user's FIRST subsequent ``purchase`` within 30 minutes — the
+    conversion primitive of event analytics. Formulated as one per-user
+    ordered window (min of future purchase times via a range frame on the
+    event-time long), not a self-join: the window shuffles each user's
+    events ONCE, where the join formulation shuffles views × purchases
+    and explodes on hot users. Output: (user_id, view_ts, purchase_ts,
+    secs_to_convert) for converted views only — µs-exact integer
+    arithmetic end to end."""
+    from ..sources.registry import load_table
+    from pyspark.sql.window import Window
+
+    horizon_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("_us"),
+        F.col("ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_us").asc())
+        .rangeBetween(1, horizon_us)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("_us"))
+    ).over(w)
+    return (
+        ev.withColumn("_next_purchase_us", nxt)
+        .filter(
+            (F.col("event_type") == "view")
+            & F.col("_next_purchase_us").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.timestamp_micros(F.col("_next_purchase_us")).alias("purchase_ts"),
+            ((F.col("_next_purchase_us") - F.col("_us")) / 1_000_000.0).alias(
+                "secs_to_convert"
+            ),
+        )
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+tagged AS (
+  SELECT user_id, event_type, ts, us,
+         min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us ASC
+           RANGE BETWEEN 1 FOLLOWING AND 1800000000 FOLLOWING
+         ) AS next_purchase_us
+  FROM ev
+)
+SELECT user_id, ts AS view_ts,
+       make_timestamp(next_purchase_us) AS purchase_ts,
+       (next_purchase_us - us) / 1000000.0 AS secs_to_convert
+FROM tagged
+WHERE event_type = 'view' AND next_purchase_us IS NOT NULL
+""".strip()
+
+
+TEMPORAL_QUERIES.update(
+    {
+        "events_funnel_view_purchase": FnWorkload(
+            _events_funnel, _EVENTS_FUNNEL_SQL
+        ),
+    }
+)
