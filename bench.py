@@ -62,16 +62,23 @@ def main() -> None:
             print(f"warmup {name} failed: {exc}", file=sys.stderr)
         scrub()
 
+    # Two timed passes, min per query: single-shot timings on this box
+    # swing ±2-4× (full-GC scrub + shared tenancy); the min of two
+    # scrubbed runs is a stable steady-state measure and costs one extra
+    # pass over an already-warm session.
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        scrub()  # measure the engine, not the previous query's garbage
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:
-            print(f"query {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+    for _pass in range(2):
+        for name, fn in queries.items():
+            scrub()  # measure the engine, not the previous query's garbage
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                t = round(time.perf_counter() - start, 4)
+                prev = timings.get(name)
+                timings[name] = t if prev is None or prev < 0 else min(prev, t)
+            except Exception as exc:
+                print(f"query {name} failed: {exc}", file=sys.stderr)
+                timings.setdefault(name, -1.0)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     line = json.dumps(
