@@ -85,11 +85,37 @@ def main(sf_dir: str) -> None:
     print(f"after rebalance:       {balanced.count()}")
     print(f"training sequences:    {chunks.count()}")
 
-    # 8. corpus card
+    # 7b. packing bookkeeping: which fixed 2048-token training window each
+    # surviving document starts in (concat-by-id packing — the data-loader
+    # side of chunking)
+    from dynamicqueryengine_spark.functions.packing import pack_sequences
+
+    packed = pack_sequences(balanced, seq_len=2048)
+    n_windows = packed.agg(
+        (F.max((F.col("start_offset") + F.col("tok_ws") - 1)) / 2048 + 1)
+        .cast("long")
+        .alias("w")
+    ).first()["w"]
+    print(f"packed 2048-token windows: {n_windows}")
+
+    # 8. corpus card: totals + per-source length percentiles + corpus-wide
+    # heavy-hitter tokens from a bounded count-min sketch
+    from dynamicqueryengine_spark.functions.cms import cms_topk_estimates
+    from dynamicqueryengine_spark.functions.quantiles import group_quantiles
+
     chunks.groupBy().agg(
         F.count(F.lit(1)).alias("sequences"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    ).show()
+    lengths = balanced.select(
+        "lang", T.token_count_ws(F.col("text")).cast("long").alias("tok")
+    )
+    group_quantiles(lengths, "tok", "lang", ps=(0.5, 0.9)).orderBy(
+        "lang", "p"
+    ).show(8)
+    cms_topk_estimates(balanced, k=5).orderBy(
+        F.col("exact_count").desc(), "word"
     ).show()
 
 
