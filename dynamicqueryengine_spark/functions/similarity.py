@@ -253,74 +253,72 @@ def ivf_topk(
         centroids = kmeans_centroids(corpus, k=n_cells, vec_col=vec_col, id_col=id_col)
     cents = np.asarray(centroids, dtype=np.float64)
 
-    def d2_array(col: F.Column) -> F.Column:
-        # squared L2 to every centroid, as ONE array column over broadcast
-        # (literal) centroids — JVM-side, no Python at row time; the fold is
-        # strict left-to-right, matching the SQL mirror exactly
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        col, F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in cents
-            ]
-        )
+    import pandas as pd
 
-    # argmin with lowest-index tie-break: array_position finds the FIRST
-    # occurrence of the minimum (1-based). Materializing the d2 array in its
-    # own projection keeps each distance expression single-instanced — the
-    # earlier least()+when-chain form embedded every fold twice and codegen
-    # compile time dominated the query.
+    def _d2_np(x: "np.ndarray") -> "np.ndarray":
+        # (rows, n_cells) squared L2 with a Python loop over DIMS of
+        # vectorized ops — accumulation order is element order, exactly
+        # the SQL mirror's left-to-right fold (np.sum's pairwise
+        # reduction can differ in the last ulp, enough to flip an argmin
+        # between near-tied centroids). Same order-exact pattern as pq.py.
+        acc = np.zeros((x.shape[0], cents.shape[0]))
+        for d in range(cents.shape[1]):
+            diff = x[:, d : d + 1] - cents[:, d][None, :]
+            acc = acc + diff * diff
+        return acc
+
+    # Cell assignment via Arrow-vectorized mapInPandas (map-only, no
+    # shuffle): the earlier Column-fold formulation was semantically
+    # identical but ran n_cells × dim interpreted lambda steps per row
+    # (~2M at sf0.1 — the dominant query cost). np.argmin returns the
+    # FIRST minimum — the same lowest-cell tie-break as the mirror's
+    # ROW_NUMBER ... ORDER BY l2, cell.
+    def assign(batches):
+        for b in batches:
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b[id_col].to_numpy(),
+                    "_cvec": b[vec_col],
+                    "cell": np.argmin(_d2_np(x), axis=1).astype(np.int32),
+                }
+            )
+
     c = (
         spread(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cvec"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
-            d2_array(F.col(vec_col)).alias("_d2"),
+        .select(id_col, vec_col)
+        .mapInPandas(
+            assign,
+            schema="neighbor_id long, _cvec array<float>, cell int",
         )
-        .withColumn(
-            "cell",
-            (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1).cast(
-                "int"
-            ),
-        )
-        .drop("_d2")
+        .withColumn("_cnrm", F.sqrt(_dot(F.col("_cvec"), F.col("_cvec"))))
     )
 
-    # Probe assignment stays JVM-side: the same d2_array fold evaluated on
-    # the query rows (strict left-to-right accumulation — bit-identical to
-    # the SQL mirror's fold), zipped with cell indexes into (d2, cell)
-    # structs, array_sort (struct order = field order, so ties break on the
-    # lower cell id in both engines), sliced to n_probe and exploded. No
-    # queries.collect(): a 10^6-query set costs one distributed scan
-    # instead of a driver-side Python distance loop.
-    idxs = F.array(*[F.lit(int(i)) for i in range(len(cents))])
-    probes = F.slice(
-        F.array_sort(
-            F.zip_with(
-                d2_array(F.col(vec_col)),
-                idxs,
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    # Probe assignment: n_probe smallest cells per query by (d2, cell) —
+    # stable argsort on the order-exact d2 matrix gives index-order ties,
+    # matching the mirror. No queries.collect(): a 10^6-query set costs
+    # one distributed scan.
+    def probe(batches):
+        for b in batches:
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(_d2_np(x), axis=1, kind="stable")[:, :n_probe]
+            qid = b[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid, n_probe),
+                    "cell": order.astype(np.int32).ravel(),
+                    "_qvec": b[vec_col].iloc[
+                        np.repeat(np.arange(len(b)), n_probe)
+                    ].to_numpy(),
+                }
             )
-        ),
-        1,
-        n_probe,
-    )
+
     q = (
         spread(queries.select(id_col, vec_col))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qvec"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qnrm"),
-            F.explode(probes).alias("_p"),
+        .mapInPandas(
+            probe, schema="query_id long, cell int, _qvec array<float>"
         )
-        .select("query_id", F.col("_p.i").alias("cell"), "_qvec", "_qnrm")
+        .withColumn("_qnrm", F.sqrt(_dot(F.col("_qvec"), F.col("_qvec"))))
     )
 
     cos = _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnrm") * F.col("_cnrm"))
