@@ -413,18 +413,69 @@ def lsh_topk(
     """Approximate top-k: bucket by hyperplane signs, exact-rerank within the
     query's bucket. At 100 TB the bucket join shuffles ~n/2^bits of the
     corpus per query bucket instead of the full corpus."""
+    import numpy as np
+    import pandas as pd
+
     planes = hyperplanes(dim, bits, seed)
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cnrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    pl = np.asarray(planes, dtype=np.float64)  # (bits, dim)
+
+    def _buckets_np(x: "np.ndarray") -> "np.ndarray":
+        # sign-pattern bucket with the projection accumulated in ELEMENT
+        # order (per-dim vectorized loop) — the sign of a near-zero
+        # projection is exactly where np.dot's pairwise/BLAS reduction
+        # order could disagree with the SQL mirror's left-to-right fold
+        out = np.zeros(x.shape[0], dtype=np.int64)
+        for i in range(pl.shape[0]):
+            acc = np.zeros(x.shape[0])
+            for d in range(pl.shape[1]):
+                acc = acc + x[:, d] * pl[i, d]
+            out = out + ((acc > 0).astype(np.int64) << i)
+        return out
+
+    def _tag(alias: str):
+        def tag(batches):
+            for b in batches:
+                x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        alias: b[id_col].to_numpy(),
+                        "_vec": b[vec_col],
+                        "bucket": _buckets_np(x),
+                    }
+                )
+
+        return tag
+
+    # Bucket assignment via Arrow-vectorized mapInPandas — the Column-fold
+    # form ran bits × dim interpreted lambda steps per row; map-only
+    # either way (lsh_bucket stays the Column-side reference, used by the
+    # SQL-mirror parity tests).
+    c = (
+        spread(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(
+            _tag("neighbor_id"),
+            schema="neighbor_id long, _vec array<float>, bucket long",
+        )
+        .select(
+            "neighbor_id",
+            F.col("_vec").alias("_cvec"),
+            F.sqrt(_dot(F.col("_vec"), F.col("_vec"))).alias("_cnrm"),
+            "bucket",
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_qnrm"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(
+            _tag("query_id"),
+            schema="query_id long, _vec array<float>, bucket long",
+        )
+        .select(
+            "query_id",
+            F.col("_vec").alias("_qvec"),
+            F.sqrt(_dot(F.col("_vec"), F.col("_vec"))).alias("_qnrm"),
+            "bucket",
+        )
     )
     cos = _dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnrm") * F.col("_cnrm"))
     scored = (
