@@ -10,87 +10,82 @@ _MERGED = {
     **LLM_QUERIES,
 }
 
-# The driver records correctness for only the first 50 dict entries. Round 2
-# front-loaded reference parity, leaving the entire LLM-pipeline surface
-# (dedup/ANN/multimodal/streaming) driver-unverified. Round 3 rotates: the
-# 36 never-driver-checked r2 queries, the two r2 driver-red ones
-# (embed_quantize_int8, docs_sample_token_budget — both fixed this round),
-# and the nine operators ADDED this round (bpe, packing, CMS ×2, quantiles,
-# PQ, random projection, histogram, drift) fill positions 0-46, leaving
-# three canaries from the twice-driver-green reference-parity set (one rule
-# compile, one broadcast join, one as-of join). Every query OUTSIDE the
-# window carries r1/r2 driver evidence, except the last two temporal
-# additions (events_funnel_view_purchase, events_retention_cohorts —
-# added after the window filled; rotate them in next round). All queries
-# stay covered by scripts/check_correctness.py locally.
-_PRIORITY = [
-    # driver-red in r2, fixed this round — must re-verify first
-    "embed_quantize_int8",
-    "docs_sample_token_budget",
-    # never driver-checked: curriculum / keywords / embeddings / filters
-    "docs_curriculum_buckets",
-    "tfidf_keywords",
-    "embed_label_centroids",
-    "embed_random_projection",
-    "text_quality_filter",
-    # dedup family
-    "dedup_exact_assign",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster_assign",
-    "dedup_simhash",
-    "embed_semantic_dedup",
-    "embed_neardup_cosine",
-    "decontaminate_flags",
-    # document transforms
-    "docs_repetition_filter",
-    "docs_repeated_spans",
-    "docs_chunk_sequences",
-    "docs_pii_redact",
-    "docs_length_trim",
-    "corpus_mix_report",
-    "corpus_snapshot_diff",
-    "corpus_bpe_merges",
-    "docs_pack_sequences",
-    "corpus_cms_heavyhitters",
-    "corpus_length_quantiles",
-    # ANN family
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_pq",
-    # multimodal family
-    "multimodal_features",
-    "multimodal_png_metadata",
-    "multimodal_jpeg_metadata",
-    "multimodal_wav_metadata",
-    "multimodal_video_frames",
-    # streaming family (executed readStream -> memory sink, batch-twin oracles)
-    "events_stream_rule_windows",
-    "events_stream_dedup",
-    "events_stream_enrich_segment",
-    "events_stream_stream_join",
-    "events_stream_cms_sketch",
-    # temporal stragglers never inside the window
-    "events_hourly_rule_counts",
-    "events_value_histogram",
-    "corpus_drift_chisq",
-    "events_sliding_windows",
-    "events_sessionize",
-    "agg_argmax_global",
-    # canaries: one per reference-parity family, all green in r1+r2
-    "rule_equal",
-    "join_revenue_by_nation",
-    "events_asof_join",
-]
+# Standing freshness-rotation policy (adopted round 4, per r3 verdict ask #2).
+#
+# The round driver records correctness evidence for only the FIRST 50 entries
+# of `queries()`, and /root/testdata regenerates between rounds, so driver
+# evidence goes stale. Instead of a hand-picked list, the window is DERIVED
+# from the accumulated CORRECTNESS_r*.json evidence files at import time:
+#
+#   1. queries whose most recent driver check was RED (any of rows/schema/
+#      hash false, or err) — regressions re-verify first;
+#   2. queries NEVER driver-checked in any round (newly added operators land
+#      here automatically);
+#   3. everything else ordered by oldest green evidence first (ties broken
+#      by name for determinism).
+#
+# Twice-green "canaries" need no reserved slots: the oldest-evidence-first
+# rule re-checks every query on a rotating cadence by construction — the
+# tail of the window is exactly the longest-unverified green queries.
+# If no evidence files are present (e.g. the package is imported outside
+# the graded repo), every query is "never checked" and the order falls back
+# to name order — deterministic and safe.
+# All 97+ queries stay covered locally every round by
+# scripts/check_correctness.py regardless of window position.
 
-_missing = [n for n in _PRIORITY if n not in _MERGED]
-if _missing:  # fail loudly at import: a typo here silently shrinks coverage
-    raise RuntimeError(f"unknown queries in priority list: {_missing}")
 
-ALL_QUERIES = {n: _MERGED[n] for n in _PRIORITY}
-ALL_QUERIES.update({n: q for n, q in _MERGED.items() if n not in ALL_QUERIES})
+def _driver_evidence():
+    """Map query name -> (last_checked_round, last_green_round or None)."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    evidence = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        match = re.search(r"_r(\d+)\.json$", path.name)
+        if not match:
+            continue
+        rnd = int(match.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            green = (
+                isinstance(rec, dict)
+                and bool(rec.get("rows_match"))
+                and bool(rec.get("schema_match"))
+                and bool(rec.get("hash_match"))
+                and not rec.get("err")
+            )
+            checked, last_green = evidence.get(name, (None, None))
+            if checked is None or rnd > checked:
+                checked = rnd
+            if green and (last_green is None or rnd > last_green):
+                last_green = rnd
+            evidence[name] = (checked, last_green)
+    return evidence
+
+
+def _window_order(names, evidence):
+    """Order query names per the freshness-rotation policy above."""
+
+    def key(name):
+        checked, last_green = evidence.get(name, (None, None))
+        if checked is not None and (last_green is None or last_green < checked):
+            return (0, 0, name)  # most recent driver check was red
+        if checked is None:
+            return (1, 0, name)  # never driver-checked
+        return (2, last_green, name)  # green: oldest evidence first
+
+    return sorted(names, key=key)
+
+
+_ORDER = _window_order(_MERGED, _driver_evidence())
+ALL_QUERIES = {n: _MERGED[n] for n in _ORDER}
 
 __all__ = [
     "ALL_QUERIES",
