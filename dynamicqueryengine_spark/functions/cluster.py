@@ -86,8 +86,20 @@ def connected_components(
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
         labels = [(node, comp_min[find(node)]) for node in parent]
+        # Derive the output schema from the (union-reconciled) id type so
+        # the driver path and the distributed path — which inherits types
+        # from the input via least(src, dst) — agree for non-long ids.
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = base.schema["src"].dataType
         return pairs.sparkSession.createDataFrame(
-            labels or [], "id long, component long"
+            labels or [],
+            StructType(
+                [
+                    StructField("id", id_type),
+                    StructField("component", id_type),
+                ]
+            ),
         )
     parts = max(1, min(base.sparkSession.sparkContext.defaultParallelism,
                        n_edges // 2_000_000 + 1))

@@ -98,10 +98,43 @@ def cms_topk_estimates(
     word asc). ``cms_est ≥ exact_count`` always — the one-sided guarantee
     the tests assert. The exact side exists to VERIFY the sketch; the
     production use is point-querying the bounded counter table directly."""
-    words = _words(df, text_col).persist()
-    sketch = cms_build(words, "w", depth, width)
-
-    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    # One pass over the raw word stream: aggregate to exact per-word counts,
+    # then derive the sketch as a WEIGHTED sum over the (vocab-sized)
+    # count table — each word w with count c adds c to slot(w, j) for every
+    # row j, which is exactly cms_build's per-occurrence count, reassociated.
+    # The count table is persisted and materialized HERE (persist + count,
+    # not the r3 eager-unpersist that dropped the cache before the returned
+    # lazy frame ever ran) so the sketch and top-k branches share one corpus
+    # scan; Spark 4.1 does not reuse the exchange between the two branches
+    # on its own (verified empirically), hence the explicit cache.
+    words = _words(df, text_col)
+    exact = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count")).persist()
+    )
+    exact.count()
+    sketch = (
+        exact.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row"),
+                            _slot(F.col("w"), j, width).alias("slot"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("rs"),
+            "exact_count",
+        )
+        .select(
+            F.col("rs.row").alias("row"),
+            F.col("rs.slot").alias("slot"),
+            "exact_count",
+        )
+        .groupBy("row", "slot")
+        .agg(F.sum("exact_count").alias("cnt"))
+    )
     top = (
         exact.orderBy(F.col("exact_count").desc(), F.col("w").asc())
         .limit(k)
@@ -131,7 +164,6 @@ def cms_topk_estimates(
             "cms_est",
         )
     )
-    words.unpersist()
     return out
 
 

@@ -41,9 +41,16 @@ def group_quantiles(
     alone via ``row_number`` over (value asc), which is deterministic for
     the SELECTED value even when equal values straddle the rank (any of
     the tied rows yields the same value).
+
+    NULL values are excluded before ranking: a NULL is not a data value, so
+    it must neither occupy a rank nor inflate ``n`` — and engines disagree
+    on NULL sort placement (Spark ASC = NULLS FIRST, DuckDB default = NULLS
+    LAST), so admitting them would silently break cross-engine parity.
     """
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
-    ranked = df.select(group_col, value_col).withColumn(
+    ranked = df.select(group_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    ).withColumn(
         "_rn", F.row_number().over(w)
     ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
     picks = F.array(
@@ -90,6 +97,7 @@ ranked AS (
                             ORDER BY {value_col} ASC) AS rn,
          CAST(count(*) OVER (PARTITION BY {group_col}) AS BIGINT) AS n
   FROM src
+  WHERE {value_col} IS NOT NULL
 ),
 ps AS ({ps_rows})
 SELECT r.{group_col}, ps.p, r.{value_col} AS quantile, r.n

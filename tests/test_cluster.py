@@ -60,6 +60,37 @@ class TestConnectedComponents:
         assert set(got.values()) == {0}
 
 
+class TestSchemaParity:
+    """Both paths must emit the same schema, derived from the input id
+    type — the driver fast path used to hardcode long/long."""
+
+    @pytest.mark.parametrize("force_distributed", [False, True])
+    def test_string_ids_both_paths(self, spark, monkeypatch, force_distributed):
+        from dynamicqueryengine_spark.functions import cluster as C
+
+        if force_distributed:
+            monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+        )
+        out = connected_components(pairs, max_iter=10)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "string",
+            "string",
+        ]
+        got = {r["id"]: r["component"] for r in out.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_empty_pairs_schema(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = connected_components(pairs)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == [
+            "bigint",
+            "bigint",
+        ]
+        assert out.count() == 0
+
+
 class TestClusterAssign:
     def test_singletons_and_sizes(self, spark):
         docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")

@@ -14,6 +14,13 @@ from .conftest import SF_DIR, assert_same_rows
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Resolved output schemas, filled as the oracle-parity tests run. The
+# schema-policy test below reuses these instead of re-invoking each query
+# fn: for the five events_stream_* queries "building" the DataFrame runs a
+# full readStream→memory-sink cycle, so a second invocation for a
+# schema-only assertion would double the streaming test cost.
+_RESOLVED_SCHEMAS: dict = {}
+
 
 def test_every_query_has_an_oracle():
     assert set(ORACLES) <= set(QUERIES)
@@ -28,6 +35,7 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, testdata_duck):
     spark_df = QUERIES[name](spark, SF_DIR)
+    _RESOLVED_SCHEMAS[name] = spark_df.schema
     if name not in ORACLES:
         assert spark_df.count() >= 0  # rows-only check (non-SQL-expressible)
         return
@@ -46,7 +54,9 @@ def test_no_driver_hostile_output_types(spark):
     posexplode arrays to long form instead."""
     bad = {}
     for name, fn in QUERIES.items():
-        schema = fn(spark, SF_DIR).schema
+        # Prefer the schema resolved during the oracle-parity run above;
+        # recompute only when this test runs in isolation.
+        schema = _RESOLVED_SCHEMAS.get(name) or fn(spark, SF_DIR).schema
         complex_cols = [
             f.name
             for f in schema.fields

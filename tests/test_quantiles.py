@@ -41,6 +41,21 @@ class TestGroupQuantiles:
         df = _vals(spark, [("a", i) for i in range(100)] + [("b", 1)])
         assert group_quantiles(df, "v", "g").count() == 10
 
+    def test_nulls_excluded_from_rank_and_n(self, spark):
+        # NULLs must neither occupy a rank nor inflate n — Spark sorts
+        # NULLS FIRST on ASC while DuckDB defaults to NULLS LAST, so
+        # admitting them would diverge across engines.
+        df = _vals(spark, [("a", None), ("a", 10), ("a", None), ("a", 20)])
+        got = _got(group_quantiles(df, "v", "g", ps=(0.5, 0.99)))
+        assert got[("a", 0.5)] == (10, 2)
+        assert got[("a", 0.99)] == (20, 2)
+
+    def test_all_null_group_vanishes(self, spark):
+        df = _vals(spark, [("a", None), ("b", 3)])
+        got = _got(group_quantiles(df, "v", "g", ps=(0.5,)))
+        assert ("a", 0.5) not in got
+        assert got[("b", 0.5)] == (3, 1)
+
 
 class TestHistogramAndDrift:
     """Unit checks for the two temporal-analytics additions (the oracle
