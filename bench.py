@@ -65,28 +65,62 @@ def main() -> None:
     # Two timed passes, min per query: single-shot timings on this box
     # swing ±2-4× (full-GC scrub + shared tenancy); the min of two
     # scrubbed runs is a stable steady-state measure and costs one extra
-    # pass over an already-warm session.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    # pass over an already-warm session. BOTH the pass-1 (single-pass)
+    # total and the min-of-2 total are emitted, with the protocol named
+    # explicitly ("passes"/"stat"), so round-over-round comparisons never
+    # depend on knowing which protocol a given round used.
+    from dynamicqueryengine_spark.streaming.rules import STREAM_PROGRESS
+
+    per_pass: list[dict[str, float]] = [{}, {}]
+    stream_compute: dict[str, float] = {}
+    for p in range(2):
         for name, fn in queries.items():
             scrub()  # measure the engine, not the previous query's garbage
+            STREAM_PROGRESS.clear()
             start = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
-                t = round(time.perf_counter() - start, 4)
-                prev = timings.get(name)
-                timings[name] = t if prev is None or prev < 0 else min(prev, t)
+                per_pass[p][name] = round(time.perf_counter() - start, 4)
             except Exception as exc:
                 print(f"query {name} failed: {exc}", file=sys.stderr)
-                timings.setdefault(name, -1.0)
+                per_pass[p][name] = -1.0
+                continue
+            if STREAM_PROGRESS:
+                # compute-only time for streaming queries: the engine's own
+                # per-microbatch triggerExecution total, excluding stream
+                # planning / sink setup / await polling — the overhead that
+                # amortizes away on a real unbounded stream.
+                compute = round(
+                    sum(v["compute_ms"] for v in STREAM_PROGRESS.values())
+                    / 1000.0,
+                    4,
+                )
+                prev = stream_compute.get(name)
+                stream_compute[name] = (
+                    compute if prev is None else min(prev, compute)
+                )
 
+    timings = {
+        name: (
+            min(t for t in (per_pass[0][name], per_pass[1][name]) if t >= 0)
+            if max(per_pass[0][name], per_pass[1][name]) >= 0
+            else -1.0
+        )
+        for name in per_pass[0]
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total_single = round(sum(t for t in per_pass[0].values() if t >= 0), 4)
     line = json.dumps(
         {
             "metric": "total_query_wall_clock",
             "value": total,
             "unit": "sec",
+            "passes": 2,
+            "stat": "min",
+            "total_min2": total,
+            "total_single": total_single,
             "queries": timings,
+            "streaming_compute_sec": stream_compute,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -132,17 +132,35 @@ class scoped_state_partitions:
         return False
 
 
+# Per-sink progress of the most recent drain: {table: {"batches", "compute_ms"}}.
+# ``compute_ms`` sums each micro-batch's triggerExecution duration — the
+# engine's own measure of work done, excluding stream planning / sink setup /
+# await polling. The bench harness reads this to report compute-only time
+# for the events_stream_* queries alongside wall clock (micro-batch startup
+# amortizes on a real unbounded stream, so wall clock alone overstates the
+# steady-state cost of a finite availableNow drain).
+STREAM_PROGRESS: dict[str, dict] = {}
+
+
 def run_stream_to_memory(
     query_df: DataFrame, table_name: str, output_mode: str = "append"
 ) -> None:
     """Drain a (finite file-source) stream into an in-memory sink with the
     availableNow trigger — the test/verification harness for streaming
     pipelines; production sinks swap in Kafka/Delta via the same writer."""
-    (
+    query = (
         query_df.writeStream.format("memory")
         .queryName(table_name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    query.awaitTermination()
+    progress = query.recentProgress
+    STREAM_PROGRESS[table_name] = {
+        "batches": len(progress),
+        "compute_ms": sum(
+            (p.get("durationMs") or {}).get("triggerExecution", 0)
+            for p in progress
+        ),
+    }

@@ -863,17 +863,10 @@ def _events_stream_rule_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"stream_rule_windows_{_STREAM_COUNTER[0]}"
-    from ..streaming.rules import scoped_state_partitions
+    from ..streaming.rules import run_stream_to_memory, scoped_state_partitions
 
     with scoped_state_partitions(spark, 8):  # small keyspace: (window, type)
-        (
-            windowed.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        run_stream_to_memory(windowed, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -899,7 +892,11 @@ def _events_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror computes — sketches are order-insensitive, so
     micro-batch boundaries cannot change the result."""
     from ..functions.cms import cms_build
-    from ..streaming.rules import scoped_state_partitions, stream_events
+    from ..streaming.rules import (
+        run_stream_to_memory,
+        scoped_state_partitions,
+        stream_events,
+    )
 
     stream = stream_events(spark, sf_dir).select(
         F.col("event_type").alias("w")
@@ -908,14 +905,7 @@ def _events_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER[0] += 1
     name = f"stream_cms_{_STREAM_COUNTER[0]}"
     with scoped_state_partitions(spark, 8):  # keyspace ≤ depth×width
-        (
-            sketch.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        run_stream_to_memory(sketch, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -959,17 +949,10 @@ def _events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_COUNTER[0] += 1
     name = f"stream_dedup_counts_{_STREAM_COUNTER[0]}"
-    from ..streaming.rules import scoped_state_partitions
+    from ..streaming.rules import run_stream_to_memory, scoped_state_partitions
 
     with scoped_state_partitions(spark, 8):  # dedup keys ≪ batch parallelism
-        (
-            counted.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        run_stream_to_memory(counted, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -1016,15 +999,10 @@ def _events_stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     _STREAM_COUNTER[0] += 1
     name = f"stream_enrich_segment_{_STREAM_COUNTER[0]}"
+    from ..streaming.rules import run_stream_to_memory
+
     with scoped_state_partitions(spark, 8):  # keyspace: (window, 5 segments)
-        (
-            windowed.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        run_stream_to_memory(windowed, name, output_mode="complete")
     return spark.table(name)
 
 
@@ -1067,15 +1045,10 @@ def _events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
     _STREAM_COUNTER[0] += 1
     name = f"stream_stream_join_{_STREAM_COUNTER[0]}"
+    from ..streaming.rules import run_stream_to_memory
+
     with scoped_state_partitions(spark, 8):
-        (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        run_stream_to_memory(joined, name, output_mode="append")
     return spark.table(name)
 
 
