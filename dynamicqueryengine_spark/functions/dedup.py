@@ -186,12 +186,19 @@ def _verify_candidate_jaccard(
     )
 
 
-# Dense-path sizing: one broadcast tile holds at most MAX_BLOCK_CELLS
-# float32 incidence cells (2^28 ≈ 1 GiB); the dense path applies only while
-# the WHOLE incidence matrix is ≤ MAX_DENSE_CELLS (≤ 8 tiles) — beyond that
-# the equijoin formulation wins and nothing is ever driver-bound.
-MAX_BLOCK_CELLS = 2**28
-MAX_DENSE_CELLS = 2**31
+# Dense-path sizing: the dense path applies only while the WHOLE incidence
+# matrix fits ONE broadcast tile of MAX_DENSE_CELLS float32 cells (2^28 ≈
+# 1 GiB) — beyond that the fully-distributed equijoin takes over. Round 3
+# allowed up to 8 tiles materialized serially on the driver, which made a
+# T-tile run T sequential driver round-trips exactly when the dense path
+# was near its gate; single-tile-or-equijoin removes the only corpus-sized
+# serial driver loop in the package.
+MAX_DENSE_CELLS = 2**28
+# Flops gate for finishing the already-collected single tile with one
+# driver BLAS call instead of broadcast + mapInPandas (~1.4e11 fused
+# mul-adds ≈ 0.3 s on one multicore node). Tests patch this to pin route
+# equivalence.
+DRIVER_MATMUL_MAX_FLOPS = 2**37
 
 
 def ngram_jaccard_pairs(
@@ -207,18 +214,19 @@ def ngram_jaccard_pairs(
 
     Execution adapts to the shingle-frequency shape:
 
-    * **Small vocabulary AND bounded corpus** (incidence matrix ≤
-      ``MAX_DENSE_CELLS`` — templated/near-duplicate-heavy corpora, where
-      a shingle equijoin explodes as Σ freq²): tiled block matmul over the
-      0/1 shingle-incidence matrix. Spark computes shingle sets
-      distributed; ONE BOUNDED TILE of documents at a time (≤
-      ``MAX_BLOCK_CELLS`` cells) is collected and broadcast; the corpus
-      streams through ``mapInPandas`` and a float32 matmul per Arrow slice
-      yields EXACT intersection counts (0/1 sums ≤ vocab < 2²⁴ are exact
-      in float32). The driver never holds more than one tile.
+    * **Small vocabulary AND bounded corpus** (incidence matrix fits ONE
+      broadcast tile of ``MAX_DENSE_CELLS`` cells — templated/near-
+      duplicate-heavy corpora, where a shingle equijoin explodes as
+      Σ freq²): dense matmul over the 0/1 shingle-incidence matrix. Spark
+      computes shingle sets distributed; the single bounded tile is
+      collected and broadcast; the corpus streams through ``mapInPandas``
+      and a float32 matmul per Arrow slice yields EXACT intersection
+      counts (0/1 sums ≤ vocab < 2²⁴ are exact in float32).
     * **Otherwise** (diverse corpus or too many docs — equijoin buckets
       are small): plain shingle equijoin + per-pair counting, all Column
-      ops, nothing collected.
+      ops, nothing collected. Multi-tile dense work routes HERE by design:
+      a serial per-tile driver loop is a driver-throughput bottleneck at
+      exactly the scale where tiling would matter.
 
     Both paths produce identical results (and match the SQL oracle, which
     uses the equijoin formulation).
@@ -295,38 +303,32 @@ def _incidence(hs_lists, vocab_arr, np):
 def _ngram_jaccard_dense(
     doc_sets: DataFrame, threshold: float, id_col: str, n_vocab: int, n_docs: int
 ) -> DataFrame:
-    """Tiled dense incidence-matrix formulation for small vocabularies,
-    fed by the cached per-document hash-set table (one explode total).
+    """Single-tile dense incidence-matrix formulation for small
+    vocabularies, fed by the cached per-document hash-set table (one
+    explode total).
 
-    The b-side (broadcast) matrix is built ONE TILE AT A TIME: documents
-    are hash-partitioned into ``n_tiles`` groups sized so a tile never
-    exceeds ``MAX_BLOCK_CELLS`` float32 cells; the driver materializes and
-    broadcasts one tile per iteration (broadcast payloads spill to disk
-    rather than pile up in driver memory), and the total across tiles is
-    capped by the ``MAX_DENSE_CELLS`` gate — beyond it the equijoin path
-    takes over. Column space is the TILE's own vocabulary (np.unique of
-    the tile's hashes): a-side hashes outside it cannot intersect the tile
-    anyway, and true set sizes keep the union term exact. Each (a, b) pair
-    is emitted exactly once because the tiles partition the b-side and
-    ``id_a < id_b`` dedupes within a tile.
+    The caller guarantees the WHOLE incidence matrix fits one broadcast
+    tile (``n_docs × n_vocab ≤ MAX_DENSE_CELLS`` float32 cells); larger
+    inputs route to the fully-distributed equijoin instead, so nothing
+    here is ever a corpus-sized serial driver loop. The tile is collected
+    once, broadcast, and the corpus streams against it through
+    ``mapInPandas``; ``id_a < id_b`` emits each pair exactly once.
     """
     import numpy as np
     import pandas as pd
 
     spark = doc_sets.sparkSession
-    n_tiles = max(1, -(-(n_docs * max(n_vocab, 1)) // MAX_BLOCK_CELLS))
 
-    # Driver fast path for the genuinely small single-tile case: the tile
-    # is ALREADY collected for broadcasting, so when the full all-pairs
-    # product is a sub-second BLAS call (flops gate below ≈ 1.4e11 fused
-    # mul-adds — ~0.3 s on one multicore node) the broadcast + Arrow
-    # round-trip + distributed job cost MORE than just multiplying the
-    # matrix we are holding. Measured at sf0.1 (5000 docs × 2043 vocab):
-    # 0.24 s driver matmul vs ~4 s for the same product through
-    # mapInPandas. Row-sliced so the c block never exceeds ~2^26 float64
-    # cells. Anything bigger — more docs, more vocab, multiple tiles —
+    # Driver fast path for the genuinely small case: the tile is ALREADY
+    # collected for broadcasting, so when the full all-pairs product is a
+    # sub-second BLAS call (flops gate below ≈ 1.4e11 fused mul-adds —
+    # ~0.3 s on one multicore node) the broadcast + Arrow round-trip +
+    # distributed job cost MORE than just multiplying the matrix we are
+    # holding. Measured at sf0.1 (5000 docs × 2043 vocab): 0.24 s driver
+    # matmul vs ~4 s for the same product through mapInPandas. Row-sliced
+    # so the c block never exceeds ~2^26 float64 cells. Anything bigger
     # takes the distributed path below, which is the 100 TB design.
-    if n_tiles == 1 and n_docs * n_docs * max(n_vocab, 1) <= 2**37:
+    if n_docs * n_docs * max(n_vocab, 1) <= DRIVER_MATMUL_MAX_FLOPS:
         block_pdf = doc_sets.toPandas()
         ids = block_pdf[id_col].to_numpy()
         vocab_arr = (
@@ -368,74 +370,59 @@ def _ngram_jaccard_dense(
             pairs_pdf, schema="id_a long, id_b long, jaccard double"
         )
 
-    out = None
-    bcs = []
-    for tile in range(n_tiles):
-        part = (
-            doc_sets
-            if n_tiles == 1
-            else doc_sets.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == tile
-            )
-        )
-        block_pdf = part.toPandas()
-        b_ids = block_pdf[id_col].to_numpy()
-        vocab_arr = (
-            np.unique(np.concatenate([np.asarray(x, dtype=np.int64)
-                                      for x in block_pdf["_hs"]]))
-            if len(block_pdf)
-            else np.empty(0, dtype=np.int64)
-        )
-        b_mat, b_sizes = _incidence(block_pdf["_hs"], vocab_arr, np)
-        bc = spark.sparkContext.broadcast((b_ids, vocab_arr, b_mat, b_sizes))
-        # executor-side slice cap: an Arrow batch is re-sliced so the
-        # streaming a-matrix also stays ≤ ~2^25 cells
-        row_cap = max(1, 2**25 // max(len(vocab_arr), 1))
+    block_pdf = doc_sets.toPandas()
+    b_ids = block_pdf[id_col].to_numpy()
+    vocab_arr = (
+        np.unique(np.concatenate([np.asarray(x, dtype=np.int64)
+                                  for x in block_pdf["_hs"]]))
+        if len(block_pdf)
+        else np.empty(0, dtype=np.int64)
+    )
+    b_mat, b_sizes = _incidence(block_pdf["_hs"], vocab_arr, np)
+    bc = spark.sparkContext.broadcast((b_ids, vocab_arr, b_mat, b_sizes))
+    # executor-side slice cap: an Arrow batch is re-sliced so the
+    # streaming a-matrix also stays ≤ ~2^25 cells
+    row_cap = max(1, 2**25 // max(len(vocab_arr), 1))
 
-        def block(batches, _bc=bc, _cap=row_cap):
-            bids, vocab, bmat, bsizes = _bc.value
-            for batch in batches:
-                for lo in range(0, len(batch), _cap):
-                    sl = batch.iloc[lo : lo + _cap]
-                    a_ids = sl[id_col].to_numpy()
-                    a_mat, a_sizes = _incidence(sl["_hs"], vocab, np)
-                    c = (a_mat @ bmat.T).astype(np.float64)  # exact counts
-                    union = a_sizes[:, None] + bsizes[None, :] - c
-                    jac = c / np.maximum(union, 1)
-                    keep_a, keep_b = np.where(
-                        (jac >= threshold) & (a_ids[:, None] < bids[None, :])
-                    )
-                    yield pd.DataFrame(
-                        {
-                            "id_a": a_ids[keep_a],
-                            "id_b": bids[keep_b],
-                            "jaccard": np.round(jac[keep_a, keep_b], 6),
-                        }
-                    )
+    def block(batches, _bc=bc, _cap=row_cap):
+        bids, vocab, bmat, bsizes = _bc.value
+        for batch in batches:
+            for lo in range(0, len(batch), _cap):
+                sl = batch.iloc[lo : lo + _cap]
+                a_ids = sl[id_col].to_numpy()
+                a_mat, a_sizes = _incidence(sl["_hs"], vocab, np)
+                c = (a_mat @ bmat.T).astype(np.float64)  # exact counts
+                union = a_sizes[:, None] + bsizes[None, :] - c
+                jac = c / np.maximum(union, 1)
+                keep_a, keep_b = np.where(
+                    (jac >= threshold) & (a_ids[:, None] < bids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[keep_a],
+                        "id_b": bids[keep_b],
+                        "jaccard": np.round(jac[keep_a, keep_b], 6),
+                    }
+                )
 
-        res = doc_sets.mapInPandas(
-            block, schema="id_a long, id_b long, jaccard double"
-        )
-        out = res if out is None else out.unionByName(res)
-        bcs.append(bc)
-    # Materialize the pair list EAGERLY while the set cache is hot. The
-    # returned plan is a union of one mapInPandas branch per tile, each
-    # streaming the full a-side; left lazy, every branch would re-derive
-    # doc_sets AFTER the unpersist below (n_tiles× shingle rebuild at the
-    # consumer's first action — the r2 pipeline_pretraining_corpus 1.7×
-    # regression). The survivor pair set is tiny (only jaccard≥threshold
-    # pairs), so persisting it costs ~nothing, and a single count() runs
-    # every tile exactly once against the cached sets. Tile broadcasts are
-    # released from executors right after (re-broadcast on demand if the
-    # pair cache is ever evicted). (An earlier revision localCheckpoint()ed
-    # instead; checkpoint RDDs are invisible to catalog.clearCache() and
-    # accumulated heap across long sessions — persist+count is strictly
-    # better: cache-managed, LRU-evictable, recomputable.)
+    out = doc_sets.mapInPandas(
+        block, schema="id_a long, id_b long, jaccard double"
+    )
+    # Materialize the pair list EAGERLY while the set cache is hot: left
+    # lazy, the mapInPandas would re-derive doc_sets AFTER the unpersist
+    # below (a full shingle rebuild at the consumer's first action — the
+    # r2 pipeline_pretraining_corpus 1.7× regression). The survivor pair
+    # set is tiny (only jaccard≥threshold pairs), so persisting it costs
+    # ~nothing. The broadcast is released from executors right after
+    # (re-broadcast on demand if the pair cache is ever evicted). (An
+    # earlier revision localCheckpoint()ed instead; checkpoint RDDs are
+    # invisible to catalog.clearCache() and accumulated heap across long
+    # sessions — persist+count is strictly better: cache-managed,
+    # LRU-evictable, recomputable.)
     out = out.persist()
     out.count()
     doc_sets.unpersist()
-    for bc in bcs:
-        bc.unpersist()
+    bc.unpersist()
     return out
 
 
@@ -810,16 +797,27 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Execution: TILED block matrix multiply — the corpus is hash-partitioned
-    into tiles of ≤ ``MAX_EMB_BLOCK_ROWS`` vectors; the driver materializes
-    one tile at a time (never the whole table) and broadcasts it; the full
-    corpus streams through ``mapInPandas`` in Arrow batches and each batch
-    does one float64 matmul per tile. The corpus side never shuffles and
-    compute is vectorized (~100× the per-pair higher-order-function
-    formulation). Each qualifying pair appears exactly once: tiles
-    partition the b-side, ``id_a < id_b`` dedupes within a tile. O(n²/P)
-    work per executor is inherent to EXACT all-pairs — the sub-quadratic
-    scale path is the LSH/IVF bucketing in functions/similarity.py.
+    Execution adapts to corpus size, and NEITHER path is a serial driver
+    loop (the r3 revision materialized multi-tile broadcasts one at a time
+    on the driver — the same driver-throughput bottleneck the dense-jaccard
+    path had):
+
+    * **Single tile** (≤ ``MAX_EMB_BLOCK_ROWS`` vectors): the tile is
+      collected once, broadcast, and the corpus streams through
+      ``mapInPandas`` — one float64 matmul per Arrow batch, corpus side
+      never shuffles.
+    * **Multi-tile**: fully-distributed block matmul. Both sides are
+      hash-assigned to a T×T tile grid (T = ceil(n / block_rows)): the
+      a-side replicates across its grid ROW, the b-side across its grid
+      COLUMN, and a ``cogroup().applyInPandas`` meets each (a-tile,
+      b-tile) cell in ONE executor task — each (a, b) vector pair meets in
+      exactly one cell, ``id_a < id_b`` dedupes within it. Shuffle volume
+      is 2·n·T rows, the textbook replication cost of distributed block
+      matrix multiply; the driver never materializes anything.
+
+    O(n²/P) work per executor is inherent to EXACT all-pairs — the
+    sub-quadratic scale path is the LSH/IVF bucketing in
+    functions/similarity.py.
 
     Float64 matmul accumulation may differ from strictly-sequential
     summation in the last ulp; outputs are rounded to 6dp (shared with the
@@ -831,46 +829,63 @@ def embedding_neardup_pairs(
     spark = df.sparkSession
     slim = df.select(id_col, vec_col)
     n = slim.count()
-    n_tiles = max(1, -(-n // MAX_EMB_BLOCK_ROWS))
 
-    out = None
-    for tile in range(n_tiles):
-        part = (
-            slim
-            if n_tiles == 1
-            else slim.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)) == tile
-            )
+    def pair_block(a_ids, a_mat, b_ids, b_mat):
+        a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+        keep_a, keep_b = np.where(
+            (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
         )
-        pdf = part.toPandas()
+        return pd.DataFrame(
+            {
+                "id_a": a_ids[keep_a],
+                "id_b": b_ids[keep_b],
+                "cosine": np.round(sims[keep_a, keep_b], 6),
+            }
+        )
+
+    if n <= MAX_EMB_BLOCK_ROWS:
+        pdf = slim.toPandas()
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids, mat, norms))
+        bc = spark.sparkContext.broadcast((ids, mat))
 
         def block(batches, _bc=bc):
-            b_ids, b_mat, b_norms = _bc.value
+            b_ids, b_mat = _bc.value
             for batch in batches:
                 a_ids = batch[id_col].to_numpy()
                 a_mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-                a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-                sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-                keep_a, keep_b = np.where(
-                    (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-                )
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[keep_a],
-                        "id_b": b_ids[keep_b],
-                        "cosine": np.round(sims[keep_a, keep_b], 6),
-                    }
-                )
+                yield pair_block(a_ids, a_mat, b_ids, b_mat)
 
-        res = spread(slim).mapInPandas(
+        return spread(slim).mapInPandas(
             block, schema="id_a long, id_b long, cosine double"
         )
-        out = res if out is None else out.unionByName(res)
-    return out
+
+    n_tiles = -(-n // MAX_EMB_BLOCK_ROWS)
+    grid = F.array(*[F.lit(t) for t in range(n_tiles)])
+    tile_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)).cast("int")
+    a_rep = slim.withColumn("_ta", tile_of).withColumn(
+        "_tb", F.explode(grid)
+    )
+    b_rep = slim.withColumn("_tb", tile_of).withColumn(
+        "_ta", F.explode(grid)
+    )
+
+    def cell(a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a_ids = a_pdf[id_col].to_numpy()
+        a_mat = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64)
+        b_ids = b_pdf[id_col].to_numpy()
+        b_mat = np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64)
+        return pair_block(a_ids, a_mat, b_ids, b_mat)
+
+    return (
+        a_rep.groupby("_ta", "_tb")
+        .cogroup(b_rep.groupby("_ta", "_tb"))
+        .applyInPandas(cell, schema="id_a long, id_b long, cosine double")
+    )
 
 
 def embedding_neardup_pairs_sql(

@@ -66,6 +66,36 @@ class TestNgramJaccard:
         assert (3, 4) in pairs
         assert all(5 not in p for p in pairs)
 
+    def test_three_routes_identical_pairs(self, docs, monkeypatch):
+        """Driver-BLAS, broadcast-mapInPandas, and equijoin formulations
+        must emit the identical pair set. Also pins the r4 design change:
+        anything beyond ONE dense tile routes to the equijoin — there is no
+        multi-tile serial driver loop to diverge."""
+        def pairs():
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(
+                    docs, k=5, threshold=0.5
+                ).collect()
+            )
+
+        blas = pairs()  # small input: flops gate admits the driver matmul
+        monkeypatch.setattr(D, "DRIVER_MATMUL_MAX_FLOPS", 0)
+        distributed = pairs()  # same tile via broadcast + mapInPandas
+        monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)
+        equijoin = pairs()  # dense gate closed entirely
+        assert blas and blas == distributed == equijoin
+
+    def test_oversize_input_routes_to_equijoin(self, docs, monkeypatch):
+        """When the incidence matrix exceeds one tile, the plan must be the
+        fully-distributed equijoin — no mapInPandas, nothing collected."""
+        monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)
+        plan = D.ngram_jaccard_pairs(
+            docs, k=5, threshold=0.5
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
     def test_minhash_matches_exact_on_real_docs(self, docs):
         """LSH candidates + exact verification should recover the exact
         pairs at jaccard ≥ 0.7 on the driver's documents table (the planted
@@ -93,6 +123,28 @@ class TestSimhash:
         a = {r["doc_id"]: r["simhash"] for r in D.simhash64(planted).collect()}
         b = {r["doc_id"]: r["simhash"] for r in D.simhash64(planted).collect()}
         assert a == b
+
+
+class TestEmbeddingNeardupTiling:
+    def test_multi_tile_grid_matches_single_tile(self, embs, monkeypatch):
+        """The distributed T×T block-matmul grid (multi-tile path) must
+        emit the identical pair set as the single-tile broadcast path —
+        and do it without any driver-side tile loop."""
+        single = sorted(
+            map(tuple, D.embedding_neardup_pairs(embs, threshold=0.4).collect())
+        )
+        monkeypatch.setattr(D, "MAX_EMB_BLOCK_ROWS", 7)  # force many tiles
+        multi = sorted(
+            map(tuple, D.embedding_neardup_pairs(embs, threshold=0.4).collect())
+        )
+        assert single and single == multi
+
+    def test_multi_tile_plan_has_no_driver_collect(self, embs, monkeypatch):
+        monkeypatch.setattr(D, "MAX_EMB_BLOCK_ROWS", 7)
+        plan = D.embedding_neardup_pairs(
+            embs, threshold=0.4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
 
 
 class TestSimilarity:
