@@ -230,6 +230,90 @@ def kmeans_centroids(
     return centroids.tolist()
 
 
+def kmeans_centroids_exact(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "list":
+    """ENGINE-EXACT fixed-iteration Lloyd's k-means: centroids any engine
+    can reproduce bit-for-bit, making the refined-IVF search fully
+    value-oracle-checkable (``ivf_topk_lloyd_sql`` unrolls the identical
+    iterations in DuckDB SQL).
+
+    Three determinism ingredients, shared with the rest of the package:
+
+    * seeding: the ``k`` lowest-id vectors (no RNG);
+    * assignment: squared-L2 accumulated in ELEMENT order (per-dim
+      vectorized loop — np's pairwise/BLAS order could flip an argmin
+      between near-tied centroids), first-minimum tie-break = lowest cell;
+    * mean update: per-(cell, dim) sums in DECIMAL(38,12) — exact and
+      commutative, so shuffle/reduction order cannot perturb them — cast
+      to double only for the final single division (the
+      ``group_centroids`` pattern from functions/embeddings.py).
+
+    Per iteration: one corpus pass for assignment (map-only Arrow), one
+    posexplode → groupBy(cell, dim) aggregation whose post-shuffle state
+    is k × dim rows regardless of corpus size, and a k × dim collect.
+    The float-reduction variant (:func:`kmeans_centroids`) remains the
+    cheaper choice when cross-engine exactness isn't needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    init = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    cents = [np.asarray(r[0], dtype=np.float64) for r in init]
+
+    data = spread(corpus.select(vec_col)).persist()
+    data.count()
+    for _ in range(iterations):
+        carr = np.stack(cents)
+        bc = spark.sparkContext.broadcast(carr)
+
+        def assign(batches, _bc=bc):
+            cc = _bc.value
+            for b in batches:
+                x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                acc = np.zeros((x.shape[0], cc.shape[0]))
+                for d in range(cc.shape[1]):
+                    diff = x[:, d : d + 1] - cc[:, d][None, :]
+                    acc = acc + diff * diff
+                yield pd.DataFrame(
+                    {
+                        "cell": np.argmin(acc, axis=1).astype(np.int32),
+                        vec_col: b[vec_col],
+                    }
+                )
+
+        stats = (
+            data.mapInPandas(assign, schema=f"cell int, {vec_col} array<float>")
+            .select("cell", F.posexplode(vec_col).alias("_p", "_v"))
+            .select(
+                "cell",
+                (F.col("_p") + 1).alias("dim"),
+                F.col("_v").cast("double").cast("decimal(38,12)").alias("_vd"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("_vd").alias("_s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell", "dim", (F.col("_s").cast("double") / F.col("n")).alias("mu")
+            )
+            .collect()
+        )
+        per_cell: dict = {}
+        for row in stats:
+            per_cell.setdefault(row["cell"], {})[row["dim"]] = row["mu"]
+        new = [c.copy() for c in cents]  # empty cells keep their centroid
+        for cell, dims in per_cell.items():
+            new[cell] = np.array([dims[d] for d in sorted(dims)])
+        cents = new
+        bc.unpersist()
+    data.unpersist()
+    return [c.tolist() for c in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -393,6 +477,100 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
            ORDER BY {dot_ab} / (q.nrm * n.nrm) DESC, n.{id_col} ASC) AS rank
   FROM probe p
   JOIN assign a ON a.cell = p.cell
+  JOIN e n ON n.{id_col} = a.{id_col}
+  JOIN q ON q.{id_col} = p.query_id
+  WHERE q.{id_col} <> n.{id_col})
+WHERE rank <= {k}
+""".strip()
+
+
+def ivf_topk_lloyd_sql(
+    table: str,
+    query_pred: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Full value oracle for IVF over :func:`kmeans_centroids_exact`
+    centroids: the fixed ``iterations`` Lloyd's rounds are UNROLLED as
+    chained CTEs — seed = the ``n_cells`` lowest-id vectors, assignment =
+    element-order L2 with lowest-cell tie-break, mean update =
+    DECIMAL(38,12) sums cast to double for one division — followed by the
+    same assign/probe/rerank search as :func:`ivf_topk_sql`. Because every
+    arithmetic step mirrors the Spark path exactly, the refined centroids
+    (and therefore the approximate search result, recall loss included)
+    hash-match across engines."""
+    l2 = _l2_sql(f"e.{vec_col}", "c.cvec")
+    l2q = _l2_sql(f"q.{vec_col}", "c.cvec")
+    dot_ab = _dot_sql(f"q.{vec_col}", f"n.{vec_col}")
+    dot_self = _dot_sql(vec_col, vec_col)
+    final = f"cents{iterations}"
+    ctes = [
+        f"""e AS (SELECT {id_col}, {vec_col}, sqrt({dot_self}) AS nrm FROM {table})""",
+        f"""ex AS (
+  SELECT {id_col},
+         unnest(range(1, len({vec_col}) + 1)) AS dim,
+         CAST(CAST(unnest({vec_col}) AS DOUBLE) AS DECIMAL(38,12)) AS vd
+  FROM {table})""",
+        f"""cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cell, {vec_col} AS cvec
+  FROM (SELECT * FROM {table} ORDER BY {id_col} LIMIT {n_cells}))""",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""assign{i} AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {l2} ASC, c.cell ASC) AS rn
+    FROM e CROSS JOIN cents{i} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""sums{i} AS (
+  SELECT a.cell, x.dim, CAST(sum(x.vd) AS DOUBLE) / count(*) AS mu
+  FROM assign{i} a JOIN ex x USING ({id_col})
+  GROUP BY a.cell, x.dim)"""
+        )
+        ctes.append(
+            f"""cents{i + 1} AS (
+  SELECT cell, list(mu ORDER BY dim) AS cvec FROM sums{i} GROUP BY cell
+  UNION ALL
+  SELECT c.cell, CAST(c.cvec AS DOUBLE[]) AS cvec FROM cents{i} c
+  WHERE c.cell NOT IN (SELECT cell FROM sums{i}))"""
+        )
+    ctes.append(
+        f"""assignf AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {l2} ASC, c.cell ASC) AS rn
+    FROM e CROSS JOIN {final} c) WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"""q AS (SELECT * FROM e WHERE {query_pred.replace('__ID__', id_col)})"""
+    )
+    ctes.append(
+        f"""probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.{id_col} AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_col}
+                              ORDER BY {l2q} ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN {final} c) WHERE rn <= {n_probe})"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT p.query_id, n.{id_col} AS neighbor_id,
+         {dot_ab} / (q.nrm * n.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {dot_ab} / (q.nrm * n.nrm) DESC, n.{id_col} ASC) AS rank
+  FROM probe p
+  JOIN assignf a ON a.cell = p.cell
   JOIN e n ON n.{id_col} = a.{id_col}
   JOIN q ON q.{id_col} = p.query_id
   WHERE q.{id_col} <> n.{id_col})

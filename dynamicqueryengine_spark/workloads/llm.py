@@ -620,9 +620,8 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with deterministic centroid seeding (the 16 lowest-id vectors) so
     the result — recall loss included — is exactly reproducible by the SQL
-    oracle. The Lloyd's-refined variant (kmeans_centroids) stays
-    pytest-covered; distributed float reduction order makes its centroids
-    engine-specific, which a value oracle can't absorb."""
+    oracle. ann_topk_ivf_lloyd refines these same seeds with engine-exact
+    Lloyd's iterations; this entry pins the fixed-centroid baseline."""
     embs = _embs(spark, sf_dir)
     cents_rows = (
         embs.orderBy(F.col("vec_id").asc()).limit(16).select("embedding").collect()
@@ -631,6 +630,21 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
         embs, queries, k=10, n_cells=16, n_probe=4, centroids=centroids
+    )
+
+
+def _ann_topk_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over Lloyd's-REFINED centroids, fully value-oracle-checked: two
+    fixed k-means iterations with element-order L2 assignment and
+    DECIMAL(38,12) mean updates produce centroids DuckDB reproduces
+    bit-for-bit (similarity.kmeans_centroids_exact), so the refined index's
+    search result — including which neighbors its recall loss drops — is
+    hash-matched, not just recall-tested."""
+    embs = _embs(spark, sf_dir)
+    cents = S.kmeans_centroids_exact(embs, k=16, iterations=2)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        embs, queries, k=10, n_cells=16, n_probe=4, centroids=cents
     )
 
 
@@ -1238,6 +1252,12 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "ann_topk_lsh": FnWorkload(
         _ann_topk_lsh, S.lsh_topk_sql("embeddings", "__ID__ < 5", k=10, bits=8)
+    ),
+    "ann_topk_ivf_lloyd": FnWorkload(
+        _ann_topk_ivf_lloyd,
+        S.ivf_topk_lloyd_sql(
+            "embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4, iterations=2
+        ),
     ),
     "ann_topk_ivf": FnWorkload(
         _ann_topk_ivf,

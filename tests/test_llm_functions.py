@@ -415,3 +415,27 @@ class TestIvf:
         ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
         assert len(ap) > 0
         assert len(ex & ap) / len(ex) >= 0.4  # probing 3/8 cells
+
+    def test_exact_kmeans_refines_and_is_deterministic(self, embs):
+        import numpy as np
+
+        from dynamicqueryengine_spark.functions.similarity import (
+            kmeans_centroids_exact,
+        )
+
+        a = kmeans_centroids_exact(embs, k=8, iterations=2)
+        b = kmeans_centroids_exact(embs, k=8, iterations=2)
+        assert a == b  # bit-identical across runs (decimal-exact sums)
+        seeds = kmeans_centroids_exact(embs, k=8, iterations=0)
+        assert a != seeds  # Lloyd's iterations actually moved the centroids
+
+        def sse(cents):
+            mat = np.array(
+                [r["embedding"] for r in embs.select("embedding").collect()],
+                dtype=np.float64,
+            )
+            c = np.array(cents)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return d2.min(axis=1).sum()
+
+        assert sse(a) < sse(seeds)  # refinement reduced within-cell SSE
