@@ -24,7 +24,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["group_quantiles", "group_quantiles_sql"]
+__all__ = [
+    "group_quantiles",
+    "group_quantiles_approx_check",
+    "group_quantiles_approx_check_sql",
+    "group_quantiles_sql",
+]
 
 DEFAULT_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -78,6 +83,98 @@ def group_quantiles(
             F.col("_n").alias("n"),
         )
     )
+
+
+def group_quantiles_approx_check(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: Sequence[float] = DEFAULT_PS,
+    accuracy: int = 100,
+) -> DataFrame:
+    """The APPROXIMATE-quantile scale path, run for real and checked
+    against its own guarantee: (group, p, quantile, n, approx_ok).
+
+    ``quantile``/``n`` are the exact nearest-rank values (value-oracled in
+    SQL); ``approx_ok`` verifies Spark's ``percentile_approx`` output — a
+    Greenwald-Khanna sketch with bounded state and rank error ≤ n/accuracy
+    — by computing the true rank interval of the value it returned and
+    asserting it overlaps [p·n − ε·n, p·n + ε·n], ε = 1/accuracy. The
+    sketch value itself is engine-specific (DuckDB has no GK twin), so the
+    ORACLE pins the guarantee (``approx_ok = TRUE``): if the approximate
+    path ever returned a value outside its error bound, the hash check
+    would go red.
+
+    Scale shape: the production path is the ``percentile_approx``
+    aggregate alone — bounded O(accuracy) state per group, map-side
+    combined, NO per-group sort. The rank-interval verification join
+    (per-group value histogram) is the verification harness, same
+    cost-positioning as the exact side of cms_topk_estimates.
+    """
+    src = (
+        df.select(group_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .persist()
+    )
+    src.count()
+    exact = group_quantiles(src, value_col, group_col, ps)
+    approx = src.groupBy(group_col).agg(
+        F.percentile_approx(
+            F.col(value_col), [float(p) for p in ps], accuracy
+        ).alias("_aq")
+    )
+    pairs = approx.select(
+        group_col,
+        F.posexplode("_aq").alias("_i", "_av"),
+    ).select(
+        group_col,
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in ps]), F.col("_i") + 1
+        ).alias("p"),
+        "_av",
+    )
+    hist = src.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    bounds = (
+        pairs.join(hist, group_col)
+        .groupBy(group_col, "p", "_av")
+        .agg(
+            F.sum(F.when(F.col(value_col) < F.col("_av"), F.col("_c")).otherwise(0)).alias("_rlo"),
+            F.sum(F.when(F.col(value_col) <= F.col("_av"), F.col("_c")).otherwise(0)).alias("_rhi"),
+        )
+    )
+    target = F.ceil(F.col("p") * F.col("n"))
+    eps_n = F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(int(accuracy))))
+    ok = (
+        (F.col("_rhi") > F.col("_rlo"))  # returned value actually occurs
+        & (F.col("_rhi") >= target - eps_n)
+        & (F.col("_rlo") + 1 <= target + eps_n)
+    )
+    return (
+        exact.join(bounds, [group_col, "p"])
+        .select(
+            group_col,
+            "p",
+            "quantile",
+            "n",
+            ok.alias("approx_ok"),
+        )
+    )
+
+
+def group_quantiles_approx_check_sql(
+    inner_sql: str,
+    value_col: str,
+    group_col: str,
+    ps: Sequence[float] = DEFAULT_PS,
+) -> str:
+    """DuckDB mirror: the exact columns come from the identical rank
+    arithmetic; ``approx_ok`` is the GK guarantee itself (TRUE) — see
+    :func:`group_quantiles_approx_check` for why the sketch value is not
+    directly comparable across engines."""
+    base = group_quantiles_sql(inner_sql, value_col, group_col, ps)
+    return f"SELECT *, TRUE AS approx_ok FROM ({base})"
 
 
 def group_quantiles_sql(

@@ -254,6 +254,33 @@ def _corpus_length_quantiles_sql() -> str:
     return group_quantiles_sql(inner, value_col="tok_ws", group_col="source")
 
 
+def _corpus_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state approximate-quantile path (percentile_approx, GK
+    sketch) run for real and verified against its rank-error guarantee,
+    with the exact nearest-rank values carrying the value oracle
+    (functions/quantiles.py group_quantiles_approx_check)."""
+    from ..functions.quantiles import group_quantiles_approx_check
+
+    base = _docs(spark, sf_dir).select(
+        "source", T.token_count_ws(F.col("text")).cast("long").alias("tok_ws")
+    )
+    return group_quantiles_approx_check(
+        base, value_col="tok_ws", group_col="source", accuracy=100
+    )
+
+
+def _corpus_length_quantiles_approx_sql() -> str:
+    from ..functions.quantiles import group_quantiles_approx_check_sql
+
+    inner = (
+        f"SELECT source, CAST({T.token_count_ws_sql('text')} AS BIGINT)"
+        f" AS tok_ws FROM documents"
+    )
+    return group_quantiles_approx_check_sql(
+        inner, value_col="tok_ws", group_col="source"
+    )
+
+
 def _corpus_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: exact top-20 corpus words with their
     bounded-memory sketch estimates side by side (functions/cms.py) —
@@ -1199,6 +1226,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "corpus_length_quantiles": FnWorkload(
         _corpus_length_quantiles, _corpus_length_quantiles_sql()
+    ),
+    "corpus_length_quantiles_approx": FnWorkload(
+        _corpus_length_quantiles_approx, _corpus_length_quantiles_approx_sql()
     ),
     "embed_random_projection": FnWorkload(
         _embed_random_projection, _embed_random_projection_sql()

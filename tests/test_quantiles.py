@@ -57,6 +57,30 @@ class TestGroupQuantiles:
         assert got[("b", 0.5)] == (3, 1)
 
 
+class TestApproxQuantileCheck:
+    def test_exact_columns_and_guarantee_hold(self, spark):
+        from dynamicqueryengine_spark.functions.quantiles import (
+            group_quantiles_approx_check,
+        )
+
+        df = _vals(spark, [("a", i) for i in range(200)] + [("b", 7), ("b", 9)])
+        rows = group_quantiles_approx_check(df, "v", "g", accuracy=50).collect()
+        assert len(rows) == 10  # 2 groups x 5 default ps
+        assert all(r["approx_ok"] for r in rows)
+        got = {(r["g"], r["p"]): (r["quantile"], r["n"]) for r in rows}
+        assert got[("a", 0.5)] == (99, 200)  # ceil(0.5*200)=100 -> value 99
+        assert got[("b", 0.5)] == (7, 2)
+
+    def test_low_accuracy_still_within_bound(self, spark):
+        from dynamicqueryengine_spark.functions.quantiles import (
+            group_quantiles_approx_check,
+        )
+
+        df = _vals(spark, [("a", i) for i in range(1000)])
+        rows = group_quantiles_approx_check(df, "v", "g", accuracy=10).collect()
+        assert rows and all(r["approx_ok"] for r in rows)
+
+
 class TestHistogramAndDrift:
     """Unit checks for the two temporal-analytics additions (the oracle
     covers values; these pin semantics edge cases)."""
