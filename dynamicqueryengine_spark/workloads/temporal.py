@@ -441,6 +441,134 @@ TEMPORAL_QUERIES.update(
 )
 
 
+def funnel_ksteps(
+    events: DataFrame,
+    steps: "list[str]",
+    horizon_us: int = 30 * 60 * 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered K-step funnel in ONE per-user pass: the earliest chain
+    s1 → s2 → … → sK where each step occurs strictly after the previous
+    matched step and within ``horizon_us`` of it (greedy-earliest, the
+    standard funnel semantics). Output: one row per user who entered the
+    funnel — (user, step1_ts … stepK_ts, steps_completed).
+
+    Plan shape: filter to the K step types, ONE groupBy(user) building the
+    user's time-sorted (us, type) array, then a single ``F.aggregate``
+    fold whose state is the K matched timestamps — one shuffle total,
+    state bounded by events-per-user (human-bounded), no self-join and no
+    per-step repartition. The chained-min formulation (step i = min
+    qualifying ts after step i-1) is provably equal to this fold on
+    time-sorted events, which is what the SQL oracle uses — so the
+    one-pass plan is value-checked against the K-aggregate formulation.
+    """
+    from ..util import spread
+
+    ev = spread(events).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).filter(F.col("t").isin(list(steps)))
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("us"), F.col("t")))
+        ).alias("evs")
+    )
+
+    k = len(steps)
+    names = [f"t{i + 1}" for i in range(k)]
+    init = F.struct(
+        *[F.lit(None).cast("long").alias(n) for n in names]
+    )
+
+    def merge(acc, e):
+        fields = []
+        for i, name in enumerate(names):
+            cur = acc[name]
+            if i == 0:
+                hit = cur.isNull() & (e["t"] == steps[0])
+            else:
+                prev = acc[names[i - 1]]
+                hit = (
+                    cur.isNull()
+                    & prev.isNotNull()
+                    & (e["t"] == steps[i])
+                    & (e["us"] > prev)
+                    & (e["us"] <= prev + F.lit(int(horizon_us)))
+                )
+            fields.append(F.when(hit, e["us"]).otherwise(cur).alias(name))
+        return F.struct(*fields)
+
+    chain = F.aggregate(F.col("evs"), init, merge)
+    done = sum(
+        (F.when(chain[n].isNotNull(), 1).otherwise(0) for n in names),
+        F.lit(0),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            *[
+                F.timestamp_micros(chain[n]).alias(f"step{i + 1}_ts")
+                for i, n in enumerate(names)
+            ],
+            done.cast("int").alias("steps_completed"),
+        )
+        .filter(F.col("step1_ts").isNotNull())
+    )
+
+
+def _events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step view → click → purchase funnel via the K-step one-pass
+    fold (funnel_ksteps) — the r3 verdict's stretch ask."""
+    from ..sources.registry import load_table
+
+    return funnel_ksteps(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+_EVENTS_FUNNEL_3STEP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type AS t, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+u1 AS (
+  SELECT user_id, min(us) AS t1 FROM ev WHERE t = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT ev.user_id, min(us) AS t2 FROM ev JOIN u1 USING (user_id)
+  WHERE t = 'click' AND us > t1 AND us <= t1 + 1800000000
+  GROUP BY ev.user_id
+),
+u3 AS (
+  SELECT ev.user_id, min(us) AS t3 FROM ev JOIN u2 USING (user_id)
+  WHERE t = 'purchase' AND us > t2 AND us <= t2 + 1800000000
+  GROUP BY ev.user_id
+)
+SELECT u1.user_id,
+       make_timestamp(t1) AS step1_ts,
+       make_timestamp(t2) AS step2_ts,
+       make_timestamp(t3) AS step3_ts,
+       CAST(1 + COALESCE(CAST(t2 IS NOT NULL AS INT), 0)
+              + COALESCE(CAST(t3 IS NOT NULL AS INT), 0) AS INT)
+         AS steps_completed
+FROM u1
+LEFT JOIN u2 USING (user_id)
+LEFT JOIN u3 USING (user_id)
+""".strip()
+
+
+TEMPORAL_QUERIES.update(
+    {
+        "events_funnel_3step": FnWorkload(
+            _events_funnel_3step, _EVENTS_FUNNEL_3STEP_SQL
+        ),
+    }
+)
+
+
 def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-seen week, then
     for every (cohort_week, week_offset) the count of cohort members
