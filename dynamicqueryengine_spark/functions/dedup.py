@@ -127,27 +127,53 @@ def _shingles_sql(table: str, k: int, text_col: str, id_col: str) -> str:
 # -------------------------------------------------- exact n-gram jaccard --
 
 
+# Odd 64-bit base for the rolling polynomial shingle hash (FNV prime).
+_SHINGLE_HASH_BASE = 1099511628211
+
+
 def doc_hash_sets(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Per-document distinct shingle-hash sets (id, _hs: array<long>) built
-    ENTIRELY row-locally: transform over the position sequence → xxhash64
-    per k-gram → array_distinct. Zero shuffle — the explode + collect_set
-    formulation moves every shingle hash through a groupBy exchange and
-    measured 2-5× slower at sf0.1 (and its explode stage carries the full
-    text string per generated row). Higher-order transforms run interpreted
-    per element, but ~200 distinct shingles/doc × no exchange beats
-    codegen × 1M-row shuffle here; see minhash_signatures for the opposite
-    trade (min over 32 permutations favors the exploded stream)."""
+    """Per-document distinct shingle-hash sets (id, _hs: array<long>),
+    zero shuffle: normalization is ONE codegen'd regex pass in the JVM,
+    then an Arrow-vectorized pass hashes every k-gram with a numpy
+    polynomial over the codepoint array (sliding windows × base powers,
+    uint64 wraparound) and dedupes per doc.
+
+    The earlier higher-order-function form (transform over the position
+    sequence → xxhash64(substring) per k-gram) ran INTERPRETED per
+    position — ~chars-per-doc lambda steps per row, the dominant cost of
+    the near-dup stage at sf0.1 (the same vectorize-the-HOF trade measured
+    4×+ on PQ/IVF/LSH). The hash VALUES are engine-internal — every
+    consumer (dense matmul, equijoin on hashes, candidate verification)
+    treats them as opaque set elements and the SQL oracle equijoins raw
+    shingle strings — so swapping xxhash64 for the vectorizable polynomial
+    only changes the (negligible, < 2⁻³⁰ corpus-wide) collision profile,
+    not any checked result. The explode + collect_set formulation stays
+    rejected: it moves every shingle hash through a groupBy exchange
+    (2-5× slower measured); see minhash_signatures for the opposite trade
+    (min over 32 permutations favors the exploded stream)."""
+    import numpy as np
+    import pandas as pd
+
     t = normalize_text(F.col(text_col))
     d = spread(df).select(id_col, t.alias("_t")).filter(F.length("_t") >= k)
-    arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length("_t") - (k - 1)),
-            lambda i: F.xxhash64(F.substring(F.col("_t"), i, F.lit(k))),
-        )
-    )
-    return d.select(id_col, arr.alias("_hs"))
+
+    def hash_sets(batches):
+        base = np.uint64(_SHINGLE_HASH_BASE)
+        powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        for b in batches:
+            out = []
+            for s in b["_t"]:
+                cps = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                wins = np.lib.stride_tricks.sliding_window_view(cps, k)
+                h = (wins * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                out.append(np.unique(h).view(np.int64))
+            yield pd.DataFrame({id_col: b[id_col], "_hs": out})
+
+    return d.mapInPandas(hash_sets, schema=f"{id_col} long, _hs array<long>")
 
 
 def _verify_candidate_jaccard(

@@ -60,13 +60,14 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
-    return _docs(spark, sf_dir).select(
+    pad = F.col("_pad")  # one padded pass feeds all seven word-set scans
+    return bind_columns(_docs(spark, sf_dir), _pad=T._padded(text)).select(
         "doc_id",
         T.token_count_ws(text).alias("tok_ws"),
         T.token_count_bpe(text).alias("tok_bpe"),
-        F.round(T.stopword_ratio(text), 6).alias("stopword_ratio"),
-        T.quality_score(text).alias("quality"),
-        T.detect_language(text).alias("lang_pred"),
+        F.round(T.stopword_ratio(text, padded=pad), 6).alias("stopword_ratio"),
+        T.quality_score(text, padded=pad).alias("quality"),
+        T.detect_language(text, padded=pad).alias("lang_pred"),
         T.fingerprint_md5(text).alias("fp_md5"),
         T.fingerprint_rolling(text).alias("fp_roll"),
     )
@@ -89,14 +90,14 @@ def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typical pre-training filter: keep docs above a quality floor with a
     confident language prediction."""
     text = F.col("text")
-    # bind_columns: the regex-battery scores are evaluated once per row;
-    # a plain select+filter would inline both expressions into the filter
-    # AND the projection (2× the dominant cost of this query)
+    # Two-level bind: the padded normal form once for all six word-set
+    # scans, then the scores once so the filter can't re-inline them (a
+    # plain select+filter would evaluate both regex batteries twice).
     return (
         bind_columns(
-            _docs(spark, sf_dir),
-            quality=T.quality_score(text),
-            lang_pred=T.detect_language(text),
+            bind_columns(_docs(spark, sf_dir), _pad=T._padded(text)),
+            quality=T.quality_score(text, padded=F.col("_pad")),
+            lang_pred=T.detect_language(text, padded=F.col("_pad")),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
         .select("doc_id", "lang", "quality", "lang_pred")
@@ -1152,14 +1153,17 @@ def _pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     text = F.col("text")
-    # bind_columns: evaluate the two scores once per row (see
-    # _quality_filter) — they were the largest single cost of this
-    # pipeline at sf0.1, ahead of the pair mining itself
+    # Two-level bind (see _quality_filter): the padded normal form is
+    # bound ONCE and shared by all six word-set scans of the quality +
+    # language battery, then the two scores are bound once so the filter
+    # can't re-inline them — the regex battery was the largest single cost
+    # of this pipeline at sf0.1, ahead of the pair mining itself.
+    padded = bind_columns(_docs(spark, sf_dir), _pad=T._padded(text))
     q = (
         bind_columns(
-            _docs(spark, sf_dir),
-            quality=T.quality_score(text),
-            lang_pred=T.detect_language(text),
+            padded,
+            quality=T.quality_score(text, padded=F.col("_pad")),
+            lang_pred=T.detect_language(text, padded=F.col("_pad")),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
         .select("doc_id", "text", "quality", "lang_pred")

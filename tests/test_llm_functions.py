@@ -88,13 +88,20 @@ class TestNgramJaccard:
 
     def test_oversize_input_routes_to_equijoin(self, docs, monkeypatch):
         """When the incidence matrix exceeds one tile, the plan must be the
-        fully-distributed equijoin — no mapInPandas, nothing collected."""
+        fully-distributed equijoin (a real join on the exploded shingle
+        stream — the dense path has no join at all; its pair set arrives
+        pre-materialized from the tile matmul). The only Python stage in
+        the equijoin plan is the row-local shingle hasher."""
         monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)
         plan = D.ngram_jaccard_pairs(
             docs, k=5, threshold=0.5
         )._jdf.queryExecution().executedPlan().toString()
-        assert "MapInPandas" not in plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        assert (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
+        assert "Generate explode" in plan or "explode" in plan
 
     def test_minhash_matches_exact_on_real_docs(self, docs):
         """LSH candidates + exact verification should recover the exact
