@@ -199,7 +199,12 @@ def _verify_candidate_jaccard(
     )
     cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
     hs = doc_hash_sets(cand_docs, k, text_col, id_col).persist()
-    # persisted: consumed by BOTH broadcast sides — build once
+    # Materialize NOW: the two broadcast sides below are built by
+    # CONCURRENT jobs, and a cold cache makes both recompute this whole
+    # subtree (candidate mining included) in parallel — with the Arrow
+    # shingle stage that also means a 2× python-worker fork storm.
+    # One eager count turns the race into one cached computation.
+    hs.count()
     pa = hs.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_ha"))
     pb = hs.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hb"))
     c = F.size(F.array_intersect("_ha", "_hb"))
@@ -476,6 +481,82 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
 """.strip()
 
 
+def containment_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DIRECTIONAL near-containment pairs: (id_a, id_b, containment) where
+    containment = |Sₐ ∩ S_b| / |Sₐ| ≥ threshold over k-shingle sets — the
+    asymmetric companion to jaccard. Jaccard misses the cases training
+    pipelines care about most at cleanup time: a short document quoted
+    wholesale inside a long one, boilerplate wrappers around distinct
+    bodies, a page that is a superset of another. Both directions are
+    emitted (A-in-B and B-in-A are different facts); self-pairs are not.
+
+    Plan: the cached per-doc hash-set table feeds one shingle equijoin +
+    per-pair count (Σ freq² joined rows — the same fully-distributed
+    shape as the jaccard equijoin path; nothing is collected), then a
+    division by the SIDE-A set size only. Scale posture matches
+    ngram_jaccard_pairs' equijoin route; for web scale, candidates from
+    MinHash banding can pre-filter the pair space the same way.
+    """
+    doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
+    sh = doc_sets.select(id_col, F.explode("_hs").alias("shingle"))
+    sizes = doc_sets.select(id_col, F.size("_hs").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    cont = F.col("c") / F.col("na")
+    out = (
+        common.join(sa, "id_a")
+        .filter(cont >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+    # materialize while the set cache is hot, then release it (the same
+    # eager-pairs pattern as the dense jaccard path: survivors are tiny)
+    out = out.persist()
+    out.count()
+    doc_sets.unpersist()
+    return out
+
+
+def containment_pairs_sql(
+    table: str,
+    k: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror over raw string shingles (hash-free, so the Spark
+    side's internal hashing stays free to change)."""
+    sh = _shingles_sql(table, k, text_col, id_col)  # already DISTINCT
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.{id_col} <> b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / sa.n, 6) AS containment
+FROM common JOIN sizes sa ON common.id_a = sa.{id_col}
+WHERE c * 1.0 / sa.n >= {threshold}
+""".strip()
+
+
 # ------------------------------------------------------- minhash + LSH ---
 
 MINHASH_PERMS = 32
@@ -600,6 +681,9 @@ def minhash_lsh_pairs(
         # stages execute once, not per reference
         .persist()
     )
+    # eager: the verifier's references run in concurrent broadcast-build
+    # jobs — a cold cache would recompute the banding join per reference
+    survivors.count()
 
     # stage 3: exact verification restricted to survivors (re-shingles only
     # the survivor documents — no second full-corpus explode)

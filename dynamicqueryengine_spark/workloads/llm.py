@@ -608,6 +608,13 @@ def _docs_repetition_sql() -> str:
     return repetition_profile_sql("documents")
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-containment (|A∩B|/|A| over 5-shingle sets) — the
+    quote/boilerplate/superset detector jaccard misses (functions/dedup.py
+    containment_pairs)."""
+    return D.containment_pairs(_docs(spark, sf_dir), k=5, threshold=0.8)
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -1256,6 +1263,10 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     ),
     "dedup_ngram_jaccard": FnWorkload(
         _dedup_ngram, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    ),
+    "dedup_containment": FnWorkload(
+        _dedup_containment,
+        D.containment_pairs_sql("documents", k=5, threshold=0.8),
     ),
     # LSH banding at recall≈1 for this corpus's ≥0.92-jaccard dup cluster:
     # the exact-twin SQL is a valid full oracle (verified at sf0.001/sf0.01;

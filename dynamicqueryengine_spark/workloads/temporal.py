@@ -560,10 +560,31 @@ LEFT JOIN u3 USING (user_id)
 """.strip()
 
 
+def _events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel REPORT: how many users completed exactly N steps of the
+    view → click → purchase sequence — the chart product analytics draws
+    from the per-user chains."""
+    return (
+        _events_funnel_3step(spark, sf_dir)
+        .groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+_EVENTS_FUNNEL_STEPS_SQL = f"""
+SELECT steps_completed, count(*) AS users
+FROM ({_EVENTS_FUNNEL_3STEP_SQL})
+GROUP BY steps_completed
+""".strip()
+
+
 TEMPORAL_QUERIES.update(
     {
         "events_funnel_3step": FnWorkload(
             _events_funnel_3step, _EVENTS_FUNNEL_3STEP_SQL
+        ),
+        "events_funnel_steps": FnWorkload(
+            _events_funnel_steps, _EVENTS_FUNNEL_STEPS_SQL
         ),
     }
 )

@@ -118,6 +118,47 @@ class TestNgramJaccard:
         assert approx == exact  # full recall at this threshold band
 
 
+class TestContainment:
+    def test_subset_doc_is_contained_not_jaccard_near(self, spark):
+        body = (
+            "the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd watches in silence near the old pier"
+        )
+        long_doc = body + (
+            " meanwhile entirely different framing content continues for a "
+            "while discussing spark query engines partition strategies "
+            "shuffle behavior broadcast joins and adaptive execution plans"
+        )
+        df = spark.createDataFrame(
+            [(1, body), (2, long_doc), (3, "unrelated text about nothing")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in D.containment_pairs(df, k=5, threshold=0.8).collect()
+        }
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in D.ngram_jaccard_pairs(df, k=5, threshold=0.8).collect()
+        }
+        assert cont.get((1, 2), 0) >= 0.8   # short doc contained in long
+        assert (2, 1) not in cont           # not the reverse direction
+        assert (1, 2) not in jac            # jaccard misses the pair
+        assert all(3 not in p for p in cont)
+
+    def test_directionality_and_no_self_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeee")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in D.containment_pairs(df, k=5, threshold=0.5).collect()
+        }
+        # identical docs contain each other in BOTH directions, never self
+        assert cont == {(1, 2): 1.0, (2, 1): 1.0}
+
+
 class TestSimhash:
     def test_exact_dups_have_zero_hamming(self, planted):
         pairs = {
