@@ -2,11 +2,13 @@ from .analytics import ANALYTICS_QUERIES
 from .llm import LLM_QUERIES
 from .reference import REFERENCE_QUERIES, TESTDATA_SCHEMAS
 from .temporal import TEMPORAL_QUERIES
+from .trends import TREND_QUERIES
 
 _MERGED = {
     **REFERENCE_QUERIES,
     **ANALYTICS_QUERIES,
     **TEMPORAL_QUERIES,
+    **TREND_QUERIES,
     **LLM_QUERIES,
 }
 

@@ -163,7 +163,64 @@ def _embed_quantize_sql() -> str:
     return quantize_int8_long_sql("embeddings")
 
 
+def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join demo wired through :func:`operators.skew.salted_join`:
+    events (fact) join a per-event-type stats dim on a 5-value key — the
+    worst-case hot-key shape for a shuffle join (every row funnels through
+    ≤5 reducers). The salted formulation spreads each hot key across 8
+    salt buckets; the oracle is the PLAIN join, pinning that salting is
+    row-for-row invisible in the result.
+
+    At production scale this dim would broadcast (and the plain path
+    should); salted_join is the designated fallback when BOTH sides are
+    too big to broadcast and the key histogram is spiked — this query
+    keeps that path value-verified. Deviation sums go through per-row
+    DECIMAL(38,12) casts so the aggregate is order-insensitive."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_v")
+    )
+    joined = salted_join(
+        events, dim, on=["event_type"], buckets=8, salt_source="event_id"
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                (F.col("value") - F.col("avg_v")).cast("decimal(38,12)")
+            ).cast("double"),
+            6,
+        ).alias("sum_dev"),
+    )
+
+
+def _join_salted_skew_sql() -> str:
+    from .reference import _EVENTS_ORACLE_SOURCE
+
+    cte = _EVENTS_ORACLE_SOURCE.removesuffix(" AS events")
+    return f"""
+WITH ev AS ({cte}),
+dim AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_v
+  FROM ev GROUP BY 1
+)
+SELECT e.user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(e.value - d.avg_v AS DECIMAL(38,12)))
+                  AS DOUBLE), 6) AS sum_dev
+FROM ev e JOIN dim d USING (event_type)
+GROUP BY e.user_id
+""".strip()
+
+
 ANALYTICS_QUERIES: dict[str, FnWorkload] = {
+    "join_salted_skew": FnWorkload(_join_salted_skew, _join_salted_skew_sql()),
     "lineitem_stats": FnWorkload(_lineitem_stats, _LINEITEM_STATS_SQL),
     "join_revenue_by_nation": FnWorkload(_revenue_by_nation, _REVENUE_BY_NATION_SQL),
     "window_topn_orders_by_segment": FnWorkload(

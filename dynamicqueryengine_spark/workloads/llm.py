@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import dedup as D
 from ..functions import multimodal as M
@@ -1336,3 +1336,67 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "events_sessionize": FnWorkload(_sessions, _SESSIONS_SQL),
     "agg_argmax_global": FnWorkload(_agg_argmax_global, _argmax_global_sql()),
 }
+
+
+def _corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-style inverted index over word bigrams: token → document
+    frequency + a CAPPED posting list (first 20 doc_ids ascending).
+
+    Scale shape: the cap is applied BEFORE collection — a row_number
+    window over (token, doc_id) marks the first 20 postings, so no task
+    ever materializes a hot token's full posting list (the classic
+    inverted-index skew trap); df still counts all postings in the same
+    single aggregation. Window and groupBy share the token key, so
+    Catalyst reuses one exchange."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    pairs = (
+        docs.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(bigrams).alias("token"))
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    idx = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))
+            ).alias("postings"),
+        )
+    )
+    # long form (token, df, pos, doc_id): the driver's pandas canonicalizer
+    # cannot hash a top-level array column (the embed_quantize_int8 lesson)
+    return idx.select(
+        "token", "df", F.posexplode("postings").alias("pos", "doc_id")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+_INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS token
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+pairs AS (SELECT DISTINCT doc_id, token FROM bi),
+rn AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS r,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM pairs
+)
+SELECT token, CAST(df AS BIGINT) AS df, r - 1 AS pos, doc_id
+FROM rn WHERE r <= 20
+""".strip()
+
+
+LLM_QUERIES["corpus_inverted_index"] = FnWorkload(
+    _corpus_inverted_index, _INVERTED_INDEX_SQL
+)

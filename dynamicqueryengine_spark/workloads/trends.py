@@ -1,0 +1,299 @@
+"""Behavioral-trend workloads over the events table: Markov transition
+matrix, grouped OLS trend lines, z-score outliers, and gap-fill +
+forward-fill resampling.
+
+The reference has no window/temporal surface at all (SURVEY.md §2.5);
+these extend the engine's product-analytics breadth, each with a full
+DuckDB value oracle.
+
+Numeric parity strategy (the events_sessionize lesson, VERDICT r1):
+every SUM over doubles goes through a per-row CAST to DECIMAL(38,12)
+(exactly mirrored in the oracle SQL), so the aggregation is
+order-insensitive and engine-exact; derived statistics (slope, mean,
+variance, z) are then computed from those exact sums with ONE shared
+double-precision formula written identically on both sides — identical
+IEEE-754 operation sequences produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.registry import load_table
+from .llm import FnWorkload
+from .reference import _EVENTS_ORACLE_SOURCE
+
+_EVENTS_CTE = _EVENTS_ORACLE_SOURCE.removesuffix(" AS events")
+
+# Fixed epoch offset (2023-10-14T12:26:40Z) keeping x small enough that
+# x*x stays well inside double's 2^53 integer-exact window at second
+# scale; both engines subtract the same exactly-representable literal.
+_X_OFFSET = 1_700_000_000.0
+
+_DEC = "decimal(38,12)"
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    """Order-insensitive exact sum of a double expression."""
+    return F.sum(col.cast(_DEC))
+
+
+# ------------------------------------------------- transition matrix --
+
+
+def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of event types: for each user's
+    time-ordered event stream (ties broken by event_id), count src→dst
+    transitions and the conditional probability P(dst | src).
+
+    Plan shape: ONE shuffle by user_id for the lead() window, then an
+    aggregation onto the (src,dst) key space — bounded by
+    |event_types|², so the second stage is trivially small no matter the
+    corpus size. The probability is an exact-integer double division,
+    identical in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n_pairs",
+        F.sum("n_pairs").over(tot).alias("total_from_src"),
+        (
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(tot).cast("double")
+        ).alias("prob"),
+    )
+
+
+_EVENTS_TRANSITION_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+nx AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM ev
+),
+c AS (
+  SELECT src_type, dst_type, count(*) AS n_pairs
+  FROM nx WHERE dst_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_pairs,
+       CAST(sum(n_pairs) OVER (PARTITION BY src_type) AS BIGINT)
+         AS total_from_src,
+       CAST(n_pairs AS DOUBLE)
+         / CAST(sum(n_pairs) OVER (PARTITION BY src_type) AS DOUBLE)
+         AS prob
+FROM c
+""".strip()
+
+
+# ------------------------------------------------------ grouped OLS --
+
+
+def _events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time: slope and
+    intercept from the five classical moments (n, Σx, Σy, Σx², Σxy),
+    each accumulated as an exact DECIMAL(38,12) sum of per-row double
+    expressions, then combined with one shared double formula.
+
+    Plan shape: a single map + partial-aggregated shuffle onto
+    |event_types| groups — the textbook scale-out regression; no window,
+    no second pass."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") - F.lit(_X_OFFSET)
+    y = F.col("value")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x).cast("double").alias("sx"),
+        _dec_sum(y).cast("double").alias("sy"),
+        _dec_sum(x * x).cast("double").alias("sxx"),
+        _dec_sum(x * y).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+    )
+
+
+_EVENTS_TREND_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(epoch(ts) - {_X_OFFSET!r} AS DECIMAL(38,12)))
+           AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST((epoch(ts) - {_X_OFFSET!r})
+                       * (epoch(ts) - {_X_OFFSET!r}) AS DECIMAL(38,12)))
+           AS DOUBLE) AS sxx,
+         CAST(sum(CAST((epoch(ts) - {_X_OFFSET!r}) * value
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM ev GROUP BY 1
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+       (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
+""".strip()
+
+
+# --------------------------------------------------- z-score outliers --
+
+
+def _events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flags: mean and sample variance
+    from exact decimal sums (Σy, Σy²), then z = (y − mean)/std per row;
+    keep |z| ≥ 2.5.
+
+    Plan shape: one aggregation onto |event_types| rows, broadcast back
+    onto the stream (AQE picks broadcast — the stats side is tiny by
+    construction), then a map-side filter. Two scans of events but zero
+    wide shuffles of the raw stream."""
+    events = load_table(spark, sf_dir, "events")
+    y = F.col("value")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(y).cast("double").alias("sy"),
+        _dec_sum(y * y).cast("double").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("sy") / n_d
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / n_d) / (n_d - F.lit(1.0))
+    stats = stats.select(
+        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+_EVENTS_ZSCORE_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM ev GROUP BY 1
+),
+st AS (
+  SELECT event_type,
+         sy / CAST(n AS DOUBLE) AS mean_v,
+         sqrt((syy - sy * sy / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - st.mean_v) / st.std_v AS z
+FROM ev e JOIN st USING (event_type)
+WHERE abs((e.value - st.mean_v) / st.std_v) >= 2.5
+""".strip()
+
+
+# ---------------------------------------------- gap-fill + forward fill --
+
+
+def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill: per user, build the
+    hourly grid spanning their first..last active hour, attach the last
+    observed value in each hour (ties broken by event_id), and
+    forward-fill gaps with last(ignorenulls) over the grid.
+
+    Plan shape: hourly argmax and per-user bounds are ONE aggregation
+    each on the user key; the grid is generated executor-side with
+    sequence()+explode (no driver loop, no cross join); the fill is a
+    per-user running window over the bounded grid (≤ span-hours rows per
+    user), never over the raw event stream."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "hour")
+        .agg(F.max(F.struct("ts", "event_id", "value"))["value"].alias("obs"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.last("obs", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("obs").isNotNull().alias("is_observed"),
+    )
+
+
+_EVENTS_GAPFILL_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value AS obs
+  FROM ev
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, date_trunc('hour', ts)
+    ORDER BY ts DESC, event_id DESC) = 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS hour
+  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY 1)
+)
+SELECT g.user_id, g.hour,
+       last_value(h.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       h.obs IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN hourly h
+  ON h.user_id = g.user_id AND h.hour = g.hour
+""".strip()
+
+
+TREND_QUERIES: dict[str, FnWorkload] = {
+    "events_transition_matrix": FnWorkload(
+        _events_transition_matrix, _EVENTS_TRANSITION_SQL
+    ),
+    "events_value_trend": FnWorkload(_events_value_trend, _EVENTS_TREND_SQL),
+    "events_zscore_outliers": FnWorkload(
+        _events_zscore_outliers, _EVENTS_ZSCORE_SQL
+    ),
+    "events_gapfill_ffill": FnWorkload(_events_gapfill, _EVENTS_GAPFILL_SQL),
+}
