@@ -1,0 +1,130 @@
+"""Fixed-iteration PageRank over an edge list — the iterative-graph
+pattern (power iteration) expressed as plain DataFrame joins/aggregates,
+with every per-iteration float sum made engine-exact so the whole
+T-iteration computation is value-oracle-checkable in DuckDB.
+
+Used for authority scoring over document-similarity graphs (the
+near-dup pair lists from functions/dedup.py) — "which documents sit at
+the center of a duplicate cluster" is the canonical keep-the-canonical
+signal after near-dup detection.
+
+Numeric parity: rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u).
+The Σ is a shuffle-order-dependent double sum, so each contribution is
+cast to DECIMAL(38,12) per row and summed exactly (the repo-wide
+decimal-sum discipline); the (1-d)/N + d·s combination is one shared
+IEEE formula. Both engines therefore produce bit-identical ranks at
+every iteration, and after T of them.
+
+Plan shape at scale: per iteration, ONE join of the edge list against
+the N-row rank table (both keyed by node — co-partitioned across
+iterations) and ONE aggregation onto N rows. State never exceeds
+O(nodes + edges); T is fixed. At production scale each iteration's
+result would be checkpointed to cut lineage — here T=5 keeps the lazy
+plan shallow enough that a single action executes it directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank", "pagerank_sql"]
+
+_DEC = "decimal(38,12)"
+
+
+def pagerank(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(node, rank) after ``iterations`` power steps over the UNDIRECTED
+    graph given as (a_col, b_col) pairs (symmetrized internally, so every
+    node has outdeg ≥ 1 — no dangling-mass term needed)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(outdeg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()  # bounded scalar (graph node count), like the
+    # centroid-seed collects — not a corpus-sized materialization
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / float(n)
+    ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst",
+                (F.col("rank") / F.col("outdeg").cast("double")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast(_DEC)).cast("double").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    damping: float = 0.85,
+    iterations: int = 5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> str:
+    """DuckDB mirror of :func:`pagerank`: same symmetrized edges, same
+    decimal-exact contribution sums, same shared double formula, T
+    unrolled iteration CTEs. ``pairs_sql`` selects the (a_col, b_col)
+    pair list."""
+    d = repr(float(damping))
+    iters = []
+    prev = "r0"
+    for t in range(1, iterations + 1):
+        iters.append(
+            f"""r{t} AS (
+  SELECT n.node,
+         (1.0 - {d}) / nn.n + {d} * coalesce(s.s, 0.0) AS rank
+  FROM nodes n CROSS JOIN ncount nn
+  LEFT JOIN (
+    SELECT e.dst,
+           CAST(sum(CAST(r.rank / CAST(e.outdeg AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS s
+    FROM edges e JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.node
+)"""
+        )
+        prev = f"r{t}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (
+  SELECT {a_col} AS src, {b_col} AS dst FROM pairs
+  UNION
+  SELECT {b_col} AS src, {a_col} AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+edges AS (SELECT sym.src, sym.dst, deg.outdeg FROM sym JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+ncount AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncount nn
+),
+{chain}
+SELECT node, rank FROM {prev}
+""".strip()

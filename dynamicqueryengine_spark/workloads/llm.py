@@ -1400,3 +1400,58 @@ FROM rn WHERE r <= 20
 LLM_QUERIES["corpus_inverted_index"] = FnWorkload(
     _corpus_inverted_index, _INVERTED_INDEX_SQL
 )
+
+
+def _docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state decontamination: the same benchmark slice as
+    decontaminate_flags, checked through a 2 KiB Bloom bitmap instead of
+    the broadcast n-gram set (functions/bloom.py) — executor state is
+    constant in benchmark size; the (deterministic, md5-mirrored) false
+    positives hash-match the oracle bit-for-bit."""
+    from ..functions.bloom import bloom_contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return bloom_contamination_flags(docs, benchmark, n=5)
+
+
+def _docs_bloom_decontaminate_sql() -> str:
+    from ..functions.bloom import bloom_contamination_flags_sql
+
+    return bloom_contamination_flags_sql(
+        "documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        n=5,
+    )
+
+
+LLM_QUERIES["docs_bloom_decontaminate"] = FnWorkload(
+    _docs_bloom_decontaminate, _docs_bloom_decontaminate_sql()
+)
+
+
+def _graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority ranking over the near-dup similarity graph: PageRank
+    (d=0.85, 5 power iterations, functions/pagerank.py) over the exact
+    jaccard≥0.7 pair list — the keep-the-canonical signal after near-dup
+    detection. Every iteration's contribution sum is decimal-exact, so
+    the 5-step fixpoint is bit-identical to the DuckDB mirror."""
+    from ..functions.pagerank import pagerank
+
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.7)
+    return pagerank(pairs, damping=0.85, iterations=5)
+
+
+def _graph_pagerank_sql() -> str:
+    from ..functions.pagerank import pagerank_sql
+
+    return pagerank_sql(
+        D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7),
+        damping=0.85,
+        iterations=5,
+    )
+
+
+LLM_QUERIES["graph_pagerank_neardup"] = FnWorkload(
+    _graph_pagerank_neardup, _graph_pagerank_sql()
+)

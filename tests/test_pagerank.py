@@ -1,0 +1,52 @@
+"""PageRank semantics (functions/pagerank.py) on hand-built graphs:
+symmetry, conservation, and centrality ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _run(spark, edges, **kw):
+    from dynamicqueryengine_spark.functions.pagerank import pagerank
+
+    return {
+        r["node"]: r["rank"] for r in pagerank(_pairs(spark, edges), **kw).collect()
+    }
+
+
+def test_ring_is_uniform(spark):
+    # 4-cycle: perfect symmetry -> equal ranks, summing to 1
+    ranks = _run(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert len(ranks) == 4
+    for v in ranks.values():
+        assert v == pytest.approx(0.25, rel=1e-9)
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_star_center_dominates(spark):
+    # star: center 0 linked to 1..5 -> center rank strictly highest,
+    # leaves all equal
+    ranks = _run(spark, [(0, i) for i in range(1, 6)])
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 2
+    leaves = [v for k, v in ranks.items() if k != 0]
+    assert max(leaves) == pytest.approx(min(leaves), rel=1e-12)
+    # symmetrized graph has no dangling nodes -> total mass conserved
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_two_components_split_mass(spark):
+    # a 2-clique and a 3-clique; per-node rank inside each component is
+    # uniform (vertex-transitive), so mass splits 2/5 vs 3/5
+    ranks = _run(spark, [(0, 1), (10, 11), (11, 12), (10, 12)])
+    assert ranks[0] == pytest.approx(ranks[1], rel=1e-12)
+    assert ranks[10] == pytest.approx(ranks[11], rel=1e-12)
+    assert ranks[0] == pytest.approx(1 / 5, rel=1e-9)
+    assert ranks[10] == pytest.approx(1 / 5, rel=1e-9)
+
+
+def test_empty_graph(spark):
+    assert _run(spark, []) == {}
