@@ -332,7 +332,12 @@ def _incidence(hs_lists, vocab_arr, np):
 
 
 def _ngram_jaccard_dense(
-    doc_sets: DataFrame, threshold: float, id_col: str, n_vocab: int, n_docs: int
+    doc_sets: DataFrame,
+    threshold: float,
+    id_col: str,
+    n_vocab: int,
+    n_docs: int,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Single-tile dense incidence-matrix formulation for small
     vocabularies, fed by the cached per-document hash-set table (one
@@ -344,11 +349,27 @@ def _ngram_jaccard_dense(
     here is ever a corpus-sized serial driver loop. The tile is collected
     once, broadcast, and the corpus streams against it through
     ``mapInPandas``; ``id_a < id_b`` emits each pair exactly once.
+
+    ``metric`` selects the score/pair shape from the same intersection
+    counts: ``"jaccard"`` → c/|A∪B|, one row per unordered pair
+    (id_a < id_b); ``"containment"`` → c/|Sₐ|, DIRECTIONAL, both
+    orientations emitted (id_a ≠ id_b).
     """
     import numpy as np
     import pandas as pd
 
     spark = doc_sets.sparkSession
+    out_col = "jaccard" if metric == "jaccard" else "containment"
+
+    def _score_mask(c, a_sizes, b_sizes, a_ids, b_ids):
+        if metric == "jaccard":
+            union = a_sizes[:, None] + b_sizes[None, :] - c
+            score = c / np.maximum(union, 1)
+            keep = (score >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        else:
+            score = c / np.maximum(a_sizes[:, None], 1)
+            keep = (score >= threshold) & (a_ids[:, None] != b_ids[None, :])
+        return score, keep
 
     # Driver fast path for the genuinely small case: the tile is ALREADY
     # collected for broadcasting, so when the full all-pairs product is a
@@ -377,28 +398,25 @@ def _ngram_jaccard_dense(
         for lo in range(0, len(ids), row_cap):
             sl = slice(lo, lo + row_cap)
             c = (mat[sl] @ mat.T).astype(np.float64)
-            union = sizes[sl, None] + sizes[None, :] - c
-            jac = c / np.maximum(union, 1)
-            ka, kb = np.where(
-                (jac >= threshold) & (ids[sl, None] < ids[None, :])
-            )
+            score, keep = _score_mask(c, sizes[sl], sizes, ids[sl], ids)
+            ka, kb = np.where(keep)
             outs.append(
                 pd.DataFrame(
                     {
                         "id_a": ids[lo + ka],
                         "id_b": ids[kb],
-                        "jaccard": np.round(jac[ka, kb], 6),
+                        out_col: np.round(score[ka, kb], 6),
                     }
                 )
             )
         pairs_pdf = (
             pd.concat(outs, ignore_index=True)
             if outs
-            else pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            else pd.DataFrame({"id_a": [], "id_b": [], out_col: []})
         )
         doc_sets.unpersist()
         return spark.createDataFrame(
-            pairs_pdf, schema="id_a long, id_b long, jaccard double"
+            pairs_pdf, schema=f"id_a long, id_b long, {out_col} double"
         )
 
     block_pdf = doc_sets.toPandas()
@@ -423,21 +441,18 @@ def _ngram_jaccard_dense(
                 a_ids = sl[id_col].to_numpy()
                 a_mat, a_sizes = _incidence(sl["_hs"], vocab, np)
                 c = (a_mat @ bmat.T).astype(np.float64)  # exact counts
-                union = a_sizes[:, None] + bsizes[None, :] - c
-                jac = c / np.maximum(union, 1)
-                keep_a, keep_b = np.where(
-                    (jac >= threshold) & (a_ids[:, None] < bids[None, :])
-                )
+                score, keep = _score_mask(c, a_sizes, bsizes, a_ids, bids)
+                keep_a, keep_b = np.where(keep)
                 yield pd.DataFrame(
                     {
                         "id_a": a_ids[keep_a],
                         "id_b": bids[keep_b],
-                        "jaccard": np.round(jac[keep_a, keep_b], 6),
+                        out_col: np.round(score[keep_a, keep_b], 6),
                     }
                 )
 
     out = doc_sets.mapInPandas(
-        block, schema="id_a long, id_b long, jaccard double"
+        block, schema=f"id_a long, id_b long, {out_col} double"
     )
     # Materialize the pair list EAGERLY while the set cache is hot: left
     # lazy, the mapInPandas would re-derive doc_sets AFTER the unpersist
@@ -496,14 +511,27 @@ def containment_pairs(
     bodies, a page that is a superset of another. Both directions are
     emitted (A-in-B and B-in-A are different facts); self-pairs are not.
 
-    Plan: the cached per-doc hash-set table feeds one shingle equijoin +
-    per-pair count (Σ freq² joined rows — the same fully-distributed
-    shape as the jaccard equijoin path; nothing is collected), then a
-    division by the SIDE-A set size only. Scale posture matches
-    ngram_jaccard_pairs' equijoin route; for web scale, candidates from
-    MinHash banding can pre-filter the pair space the same way.
+    Plan: ADAPTIVE, the same two routes as :func:`ngram_jaccard_pairs`
+    (the r4 bench caught the always-equijoin version at 29 s on sf0.1's
+    templated corpus — Σ freq² explodes exactly when the vocabulary is
+    small): a bounded incidence tile → dense matmul with the containment
+    score/mask when it fits, else the fully-distributed shingle equijoin
+    + per-pair count, then a division by the SIDE-A set size only. For
+    web scale, candidates from MinHash banding can pre-filter the pair
+    space the same way.
     """
     doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
+    n_vocab = (
+        doc_sets.select(F.explode("_hs").alias("_h"))
+        .agg(F.approx_count_distinct("_h", rsd=0.02).alias("v"))
+        .collect()[0][0]
+        or 0
+    )
+    n_docs = doc_sets.count()  # served from cache
+    if n_vocab <= 200_000 and n_docs * n_vocab <= MAX_DENSE_CELLS:
+        return _ngram_jaccard_dense(
+            doc_sets, threshold, id_col, n_vocab, n_docs, metric="containment"
+        )
     sh = doc_sets.select(id_col, F.explode("_hs").alias("shingle"))
     sizes = doc_sets.select(id_col, F.size("_hs").alias("n"))
     a = sh.alias("a")

@@ -146,6 +146,27 @@ class TestContainment:
         assert (1, 2) not in jac            # jaccard misses the pair
         assert all(3 not in p for p in cont)
 
+    def test_three_routes_identical_pairs(self, docs, monkeypatch):
+        """Containment now rides the same adaptive machinery as jaccard
+        (the r4 bench found the always-equijoin version 13× slower on the
+        templated sf0.1 corpus): driver-BLAS, broadcast-mapInPandas, and
+        equijoin must emit the identical directional pair set."""
+
+        def pairs():
+            return sorted(
+                (r["id_a"], r["id_b"], r["containment"])
+                for r in D.containment_pairs(
+                    docs, k=5, threshold=0.8
+                ).collect()
+            )
+
+        blas = pairs()
+        monkeypatch.setattr(D, "DRIVER_MATMUL_MAX_FLOPS", 0)
+        distributed = pairs()
+        monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)
+        equijoin = pairs()
+        assert blas and blas == distributed == equijoin
+
     def test_directionality_and_no_self_pairs(self, spark):
         df = spark.createDataFrame(
             [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeee")],
