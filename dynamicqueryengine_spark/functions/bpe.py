@@ -101,3 +101,101 @@ FROM pairs GROUP BY 1, 2
 ORDER BY pair_count DESC, "left" ASC, "right" ASC
 LIMIT {k}
 """.strip()
+
+
+# ------------------------------------------------------- tokenizer apply --
+
+# A fixed, ordered merge table (the artifact BPE *training* produces —
+# corpus_bpe_merges computes live pair stats; applying a tokenizer uses a
+# frozen table like this one). Later merges build on earlier merges'
+# output symbols, exercising the real merge-chain mechanics.
+DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("e", "r"), ("o", "n"), ("i", "n"), ("a", "n"),
+)
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a frozen BPE merge table and report per-document token
+    counts: (id, n_sym, n_bpe, compression) where n_sym is the pre-merge
+    symbol count (characters), n_bpe the post-merge token count.
+
+    Everything is a scan-time Column expression — zero shuffles, stays
+    inside whole-stage codegen: the symbol stream is space-separated
+    characters with ``|`` word boundaries; each merge (a, b) is a literal
+    ``" a b " → " ab "`` replace applied twice (a global regex pass
+    cannot match overlapping occurrences — the second pass catches the
+    alternation leftovers, which are always space-isolated after pass
+    one). Merges apply in table order, exactly the greedy BPE-apply
+    semantics for a frozen table.
+
+    The identical literal replaces are mirrored in
+    :func:`bpe_encode_counts_sql`, so the oracle is a full value check.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), _NORM_RE, " ")
+    seq = F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.regexp_replace(F.trim(norm), " ", "|"), "(.)", "$1 "
+        ),
+    )
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        seq = F.regexp_replace(F.regexp_replace(seq, pat, rep), pat, rep)
+    toks = F.expr("filter(split(trim(_seq), ' '), x -> x != '|')")
+    out = (
+        spread(df)
+        .withColumn("_seq", seq)
+        .select(
+            id_col,
+            F.length(
+                F.regexp_replace(F.trim(norm), " ", "")
+            ).cast("long").alias("n_sym"),
+            F.size(toks).cast("long").alias("n_bpe"),
+        )
+    )
+    return out.withColumn(
+        "compression",
+        F.round(
+            F.col("n_sym").cast("double")
+            / F.greatest(F.col("n_bpe").cast("double"), F.lit(1.0)),
+            6,
+        ),
+    )
+
+
+def bpe_encode_counts_sql(
+    table: str,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bpe_encode_counts` — same normal form,
+    same literal merge replaces in the same order, each applied twice."""
+    norm = f"regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g')"
+    seq = (
+        f"' ' || regexp_replace(replace(trim({norm}), ' ', '|'),"
+        f" '(.)', '\\1 ', 'g')"
+    )
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        once = f"regexp_replace({seq}, '{pat}', '{rep}', 'g')"
+        seq = f"regexp_replace({once}, '{pat}', '{rep}', 'g')"
+    return f"""
+SELECT {id_col},
+       CAST(length(replace(trim({norm}), ' ', '')) AS BIGINT) AS n_sym,
+       CAST(len(list_filter(string_split(trim({seq}), ' '),
+                            x -> x != '|')) AS BIGINT) AS n_bpe,
+       round(CAST(length(replace(trim({norm}), ' ', '')) AS DOUBLE)
+             / greatest(CAST(len(list_filter(string_split(trim({seq}), ' '),
+                                             x -> x != '|')) AS DOUBLE),
+                        1.0), 6) AS compression
+FROM {table}
+""".strip()

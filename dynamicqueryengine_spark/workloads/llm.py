@@ -1455,3 +1455,25 @@ def _graph_pagerank_sql() -> str:
 LLM_QUERIES["graph_pagerank_neardup"] = FnWorkload(
     _graph_pagerank_neardup, _graph_pagerank_sql()
 )
+
+
+def _docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (the other half of corpus_bpe_merges' training
+    stats): encode every document with a frozen 16-entry BPE merge table
+    as pure scan-time regex replaces — zero shuffles, whole-stage
+    codegen, the shape a 100 TB tokenize pass needs (functions/bpe.py
+    bpe_encode_counts)."""
+    from ..functions.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(spark, sf_dir))
+
+
+def _docs_bpe_encode_sql() -> str:
+    from ..functions.bpe import bpe_encode_counts_sql
+
+    return bpe_encode_counts_sql("documents")
+
+
+LLM_QUERIES["docs_bpe_encode"] = FnWorkload(
+    _docs_bpe_encode, _docs_bpe_encode_sql()
+)

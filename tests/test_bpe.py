@@ -40,3 +40,31 @@ class TestBpePairCounts:
     def test_k_limits(self, spark):
         docs = _docs(spark, [(1, "abcdef")])
         assert len(bpe_pair_counts(docs, k=3).collect()) == 3
+
+
+class TestBpeEncode:
+    def test_merge_chain_collapses_known_words(self, spark):
+        from dynamicqueryengine_spark.functions.bpe import bpe_encode_counts
+
+        df = spark.createDataFrame(
+            [(1, "table"), (2, "query"), (3, "xyz"), (4, "table query")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in bpe_encode_counts(df).collect()}
+        assert out[1]["n_bpe"] == 1       # t-a-b-l-e fully merged
+        assert out[2]["n_bpe"] == 1       # q-u-e-r-y fully merged
+        assert out[3]["n_bpe"] == 3       # no merges apply
+        assert out[4]["n_bpe"] == 2       # boundaries block cross-word merges
+        assert out[1]["compression"] == 5.0
+
+    def test_overlap_chain_needs_second_pass(self, spark):
+        from dynamicqueryengine_spark.functions.bpe import bpe_encode_counts
+
+        # "tatata": three overlapping 'ta' merge sites — a single global
+        # regex pass merges sites 1 and 3, the second pass catches site 2
+        df = spark.createDataFrame(
+            [(1, "tatata")], "doc_id long, text string"
+        )
+        r = bpe_encode_counts(df).collect()[0]
+        assert r["n_sym"] == 6
+        assert r["n_bpe"] == 3  # ta ta ta
