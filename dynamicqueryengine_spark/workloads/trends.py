@@ -297,3 +297,55 @@ TREND_QUERIES: dict[str, FnWorkload] = {
     ),
     "events_gapfill_ffill": FnWorkload(_events_gapfill, _EVENTS_GAPFILL_SQL),
 }
+
+
+# ------------------------------------------------------- per-user EWMA --
+
+
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of value (α=0.25,
+    seeded with the first observation) — the classic sequential
+    recurrence, expressed as an ORDERED ARRAY FOLD: one groupBy(user)
+    collects the time-sorted value array, then ``aggregate`` folds
+    acc·0.75 + v·0.25 left-to-right.
+
+    Parity: α=0.25 and 1−α=0.75 are exact binary fractions and both
+    engines fold the identical sorted sequence with identical IEEE ops,
+    so the result is bit-exact vs DuckDB's list_reduce mirror. Scale
+    shape: ONE shuffle by user_id; per-user state is that user's own
+    event list (the funnel_ksteps pattern) — no window over the raw
+    stream, no cross-user state."""
+    events = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    return (
+        events.groupBy("user_id")
+        .agg(arr.alias("_a"))
+        .select(
+            "user_id",
+            F.size("_a").cast("long").alias("n_events"),
+            F.expr(
+                "aggregate("
+                " slice(transform(_a, x -> x.value), 2,"
+                "       greatest(size(_a) - 1, 0)),"
+                " CAST(element_at(_a, 1).value AS DOUBLE),"
+                " (acc, v) -> acc * 0.75 + v * 0.25)"
+            ).alias("ewma"),
+        )
+    )
+
+
+_EVENTS_EWMA_SQL = f"""
+WITH ev AS ({_EVENTS_CTE})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       list_reduce(
+         list_prepend(
+           (list(value ORDER BY ts, event_id))[1],
+           (list(value ORDER BY ts, event_id))[2:]),
+         (acc, v) -> acc * 0.75 + v * 0.25) AS ewma
+FROM ev
+GROUP BY user_id
+""".strip()
+
+
+TREND_QUERIES["events_ewma_user"] = FnWorkload(_events_ewma, _EVENTS_EWMA_SQL)

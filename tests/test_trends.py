@@ -240,3 +240,29 @@ class TestSaltedSkewJoin:
         )
         want = {r["user_id"]: (r["n"], r["s"]) for r in plain.collect()}
         assert got == want
+
+
+class TestEwma:
+    def test_known_sequence(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import _events_ewma
+
+        # values 8, 4, 0 in time order: seed 8 -> 8*.75+4*.25=7 -> 7*.75+0*.25=5.25
+        sf = events_dir([(1, 1, "a", 0, 8.0), (2, 1, "a", 10, 4.0), (3, 1, "a", 20, 0.0)])
+        r = _events_ewma(spark, sf).collect()[0]
+        assert r["n_events"] == 3
+        assert r["ewma"] == 5.25
+
+    def test_single_event_is_seed(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import _events_ewma
+
+        sf = events_dir([(1, 7, "a", 0, 42.0)])
+        r = _events_ewma(spark, sf).collect()[0]
+        assert r["user_id"] == 7 and r["ewma"] == 42.0
+
+    def test_order_is_by_ts_then_event_id(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import _events_ewma
+
+        # same ts: event_id order decides the fold sequence
+        sf = events_dir([(2, 1, "a", 0, 0.0), (1, 1, "a", 0, 8.0)])
+        r = _events_ewma(spark, sf).collect()[0]
+        assert r["ewma"] == 8.0 * 0.75 + 0.0 * 0.25
