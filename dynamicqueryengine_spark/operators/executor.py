@@ -62,15 +62,26 @@ def execute_rules(
     external_params: Mapping[str, Any] | None = None,
     strict_compat: bool = True,
     group_by_mode: str = "all",
+    combine: str = "union",
 ) -> DataFrame:
-    """Multi-rule batch: per-rule results, UNION DISTINCT
-    (RuleDefinitionExecutor.cs:8-28 — concat + HashSet dedupe).
+    """Multi-rule batch. ``combine="union"`` (the reference semantics):
+    per-rule results, UNION DISTINCT (RuleDefinitionExecutor.cs:8-28 —
+    concat + HashSet dedupe). Spark: ``reduce(unionByName) →
+    dropDuplicates()`` — one job; the shuffle for the distinct is the
+    only extra exchange. The reference implicitly requires compatible
+    result schemas via its ``Cast<T>`` (RuleDefinitionExecutor.cs:38);
+    ``unionByName`` enforces that explicitly.
 
-    Spark: ``reduce(unionByName) → dropDuplicates()`` — one job; the shuffle
-    for the distinct is the only extra exchange. The reference implicitly
-    requires compatible result schemas via its ``Cast<T>``
-    (RuleDefinitionExecutor.cs:38); ``unionByName`` enforces that explicitly.
+    Beyond-reference set modes over the same per-rule results (the
+    reference has no set surface beyond the union — SURVEY.md §2.5):
+    ``combine="intersect"`` → rows matching EVERY rule (``INTERSECT``
+    semantics, distinct); ``combine="except"`` → rows matching the first
+    rule and none of the rest (``EXCEPT`` semantics, distinct). All
+    three compose into ONE logical plan, so the shared scan dedupes and
+    per-rule filters still push down.
     """
+    if combine not in ("union", "intersect", "except"):
+        raise ValueError(f"unknown combine mode: {combine!r}")
     if not rules:
         return df.limit(0)
     results = [
@@ -83,6 +94,10 @@ def execute_rules(
         )
         for r in rules
     ]
+    if combine == "intersect":
+        return reduce(DataFrame.intersect, results)  # INTERSECT DISTINCT
+    if combine == "except":
+        return reduce(DataFrame.subtract, results)  # EXCEPT DISTINCT
     return reduce(DataFrame.unionByName, results).dropDuplicates()
 
 

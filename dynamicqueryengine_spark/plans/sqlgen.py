@@ -315,3 +315,17 @@ class SqlGenerator:
         """Multi-rule UNION DISTINCT oracle (RuleDefinitionExecutor.cs:22-27)."""
         selects = [self.rule_sql(r, table, group_by_mode) for r in rules]
         return " UNION ".join(f"({s})" for s in selects)
+
+    def rules_set_sql(
+        self,
+        rules: Sequence[RuleDefinition],
+        table: str,
+        combine: str,
+        group_by_mode: str = "all",
+    ) -> str:
+        """Beyond-reference set-mode oracles: ``INTERSECT`` / ``EXCEPT``
+        (both DISTINCT, left-associative — exactly DataFrame.intersect /
+        DataFrame.subtract chained by reduce)."""
+        op = {"intersect": " INTERSECT ", "except": " EXCEPT "}[combine]
+        selects = [self.rule_sql(r, table, group_by_mode) for r in rules]
+        return op.join(f"({s})" for s in selects)

@@ -167,17 +167,22 @@ class RuleWorkload:
 
 @dataclass
 class MultiRuleWorkload:
-    """Union-distinct batch (RuleDefinitionExecutor.cs:8-28)."""
+    """Union-distinct batch (RuleDefinitionExecutor.cs:8-28); the
+    beyond-reference ``combine`` modes ride the same per-rule compile
+    (operators/executor.py execute_rules)."""
 
     table: str
     rules: list[Mapping[str, Any]] = dc_field(default_factory=list)
     params: Mapping[str, Any] | None = None
+    combine: str = "union"
 
     def spark_fn(self) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = load_table(spark, sf_dir, self.table)
             rules = [RuleDefinition.from_dict(r) for r in self.rules]
-            return execute_rules(df, rules, external_params=self.params)
+            return execute_rules(
+                df, rules, external_params=self.params, combine=self.combine
+            )
 
         return run
 
@@ -185,6 +190,8 @@ class MultiRuleWorkload:
         gen = SqlGenerator(TESTDATA_SCHEMAS[self.table], external_params=self.params)
         rules = [RuleDefinition.from_dict(r) for r in self.rules]
         table = _EVENTS_ORACLE_SOURCE if self.table == "events" else self.table
+        if self.combine != "union":
+            return gen.rules_set_sql(rules, table, self.combine)
         return gen.rules_union_sql(rules, table)
 
 
@@ -535,5 +542,23 @@ REFERENCE_QUERIES: dict[str, RuleWorkload | MultiRuleWorkload] = {
             _cond("c_mktsegment", "Equal", "BUILDING"),
             _cond("c_acctbal", "GreaterThan", 9000),
         ],
+    ),
+    # --- beyond-reference set modes over the same rule batch (§2.5:
+    # the reference has no set surface beyond union-distinct) ---
+    "multi_rule_intersect": MultiRuleWorkload(
+        "customer",
+        rules=[
+            _cond("c_mktsegment", "Equal", "BUILDING"),
+            _cond("c_acctbal", "GreaterThan", 5000),
+        ],
+        combine="intersect",
+    ),
+    "multi_rule_except": MultiRuleWorkload(
+        "customer",
+        rules=[
+            _cond("c_mktsegment", "Equal", "BUILDING"),
+            _cond("c_acctbal", "GreaterThan", 5000),
+        ],
+        combine="except",
     ),
 }

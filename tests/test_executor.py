@@ -55,6 +55,30 @@ class TestExecuteRules:
         assert ids_of(got) == ["u10", "u12", "u5"]
 
 
+class TestExecuteRulesSetModes:
+    def test_intersect_keeps_rows_matching_every_rule(self, users_df):
+        rules = [
+            filt("Title", "Equal", "Engineer"),      # u1,u4,u6,u8
+            filt("CompanyCode", "Equal", "GLOBEX"),  # u4,u5,u6,u12
+        ]
+        got = execute_rules(users_df, rules, combine="intersect")
+        assert ids_of(got) == ["u4", "u6"]
+
+    def test_except_keeps_first_minus_rest(self, users_df):
+        rules = [
+            filt("Title", "Equal", "Engineer"),      # u1,u4,u6,u8
+            filt("CompanyCode", "Equal", "GLOBEX"),  # u4,u5,u6,u12
+        ]
+        got = execute_rules(users_df, rules, combine="except")
+        assert ids_of(got) == ["u1", "u8"]
+
+    def test_unknown_mode_raises(self, users_df):
+        import pytest
+
+        with pytest.raises(ValueError, match="unknown combine mode"):
+            execute_rules(users_df, [filt("Title", "Equal", "x")], combine="xor")
+
+
 class TestRegisterRuleView:
     def test_view_composes_with_sql(self, spark):
         from dynamicqueryengine_spark.operators.executor import (
