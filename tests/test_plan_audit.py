@@ -180,3 +180,57 @@ class TestRound3PlanShapes:
         out = cluster_assign(docs, pairs)
         logical = out._jdf.queryExecution().optimizedPlan().toString()
         assert "ResolvedHint" not in logical
+
+
+class TestRound4PlanShapes:
+    def test_salted_join_joins_on_salt(self, spark):
+        """The salted-join demo must actually join on the salt column —
+        the point of the query is exercising the spread, not a broadcast
+        that happens to be row-equivalent."""
+        df = entry_mod.queries()["join_salted_skew"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "_salt" in plan
+
+    def test_gapfill_grid_is_generated_not_joined(self, spark):
+        """The hourly grid must come from an executor-side Generate
+        (sequence+explode), never a cartesian/range join against a
+        calendar table."""
+        df = entry_mod.queries()["events_gapfill_ffill"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "Generate explode(sequence" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_transition_matrix_single_user_shuffle(self, spark):
+        """One hashpartitioning exchange on user_id feeds the lead()
+        window; the (src,dst) aggregation is bounded by |types|² and no
+        rangepartitioning (global sort) may appear."""
+        df = entry_mod.queries()["events_transition_matrix"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "rangepartitioning" not in plan.lower()
+        assert plan.lower().count("hashpartitioning(user_id") >= 1
+
+    def test_bloom_probe_broadcasts_bitmap(self, spark):
+        """The Bloom probe must broadcast the ≤512-row bitmap — the
+        corpus gram stream never wide-shuffles before the membership
+        test."""
+        df = entry_mod.queries()["docs_bloom_decontaminate"](spark, SF_DIR)
+        assert "BroadcastHashJoin" in _physical(df)
+
+    def test_bpe_encode_is_shuffle_free(self, spark):
+        """Tokenizer apply is a pure scan-time projection: the only
+        allowed exchange is the deliberate roundrobin spread() that
+        re-partitions the single-file input — no keyed or ranged
+        shuffle anywhere."""
+        df = entry_mod.queries()["docs_bpe_encode"](spark, SF_DIR)
+        plan = _physical(df).lower()
+        assert "hashpartitioning" not in plan
+        assert "rangepartitioning" not in plan
+
+    def test_ewma_has_no_raw_stream_window(self, spark):
+        """The EWMA fold must be a groupBy aggregation (partial_ allowed)
+        with NO window over the raw event stream — no rangepartitioning
+        anywhere."""
+        df = entry_mod.queries()["events_ewma_user"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "rangepartitioning" not in plan.lower()
+        assert "Window" not in plan
