@@ -298,3 +298,98 @@ SELECT {id_col},
        rp_norm
 FROM normed
 """.strip()
+
+
+def centroid_confusion(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label-vs-nearest-centroid confusion counts: assign every vector to
+    its nearest label centroid (squared L2, ties → smallest label) and
+    report (label, nearest_label, n) — the standard "are my labels
+    separable in embedding space" diagnostic before training a
+    classifier on them.
+
+    Plan shape: centroids are |labels|·dims rows (decimal-exact means,
+    :func:`group_centroids`) broadcast onto the exploded vector stream;
+    distances aggregate per (vec, candidate label) with DECIMAL(38,12)
+    sums — bit-exact, so the argmin (min over (d², label) structs — the
+    rule engine's single-pass argmin shape, no per-vec sort) matches the
+    oracle's ROW_NUMBER formulation exactly. The confusion matrix is a
+    final |labels|²-bounded aggregation."""
+    cents = group_centroids(df, group_col, vec_col).select(
+        F.col(group_col).alias("_clabel"), "dim", "centroid"
+    )
+    exploded = df.select(
+        id_col,
+        group_col,
+        F.posexplode(F.col(vec_col)).alias("_p", "_v"),
+    ).select(
+        id_col,
+        group_col,
+        (F.col("_p") + 1).alias("dim"),
+        F.col("_v").cast("double").alias("_v"),
+    )
+    diff = F.col("_v") - F.col("centroid")
+    d2 = (
+        exploded.join(F.broadcast(cents), "dim")
+        .select(
+            id_col,
+            group_col,
+            "_clabel",
+            (diff * diff).cast("decimal(38,12)").alias("_sq"),
+        )
+        .groupBy(id_col, group_col, "_clabel")
+        .agg(F.sum("_sq").cast("double").alias("_d2"))
+    )
+    nearest = (
+        d2.groupBy(id_col, group_col)
+        .agg(F.min(F.struct("_d2", "_clabel")).alias("_m"))
+        .select(id_col, group_col, F.col("_m._clabel").alias("nearest_label"))
+    )
+    return (
+        nearest.groupBy(group_col, "nearest_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "is_match", F.col(group_col) == F.col("nearest_label")
+        )
+    )
+
+
+def centroid_confusion_sql(
+    table: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of :func:`centroid_confusion` — same decimal-exact
+    centroids and distance sums, ROW_NUMBER argmin with the same
+    (d², label) tie order."""
+    cents = group_centroids_sql(table, group_col, vec_col)
+    return f"""
+WITH cents AS ({cents}),
+exploded AS (
+  SELECT {id_col}, {group_col},
+         unnest(range(1, len({vec_col}) + 1)) AS dim,
+         CAST(unnest({vec_col}) AS DOUBLE) AS v
+  FROM {table}
+),
+d2 AS (
+  SELECT e.{id_col}, e.{group_col} AS lbl, c.{group_col} AS clabel,
+         CAST(sum(CAST((e.v - c.centroid) * (e.v - c.centroid)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS d2
+  FROM exploded e JOIN cents c ON c.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+near AS (
+  SELECT {id_col}, lbl, clabel FROM d2
+  QUALIFY row_number() OVER (
+    PARTITION BY {id_col} ORDER BY d2, clabel) = 1
+)
+SELECT lbl AS {group_col}, clabel AS nearest_label,
+       count(*) AS n,
+       lbl = clabel AS is_match
+FROM near GROUP BY 1, 2
+""".strip()

@@ -1477,3 +1477,63 @@ def _docs_bpe_encode_sql() -> str:
 LLM_QUERIES["docs_bpe_encode"] = FnWorkload(
     _docs_bpe_encode, _docs_bpe_encode_sql()
 )
+
+
+def _embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label separability: nearest-centroid confusion
+    matrix (functions/embeddings.py centroid_confusion) — broadcast
+    |labels|·dims centroid table, decimal-exact distances, argmin via
+    the single-pass struct-min."""
+    from ..functions.embeddings import centroid_confusion
+
+    return centroid_confusion(_embs(spark, sf_dir))
+
+
+def _embed_centroid_confusion_sql() -> str:
+    from ..functions.embeddings import centroid_confusion_sql
+
+    return centroid_confusion_sql("embeddings")
+
+
+LLM_QUERIES["embed_centroid_confusion"] = FnWorkload(
+    _embed_centroid_confusion, _embed_centroid_confusion_sql()
+)
+
+
+def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table
+    (functions/profile.py): one scan computes every column's null and
+    exact-distinct counts via a single multi-distinct aggregation, then
+    a stack unpivot — no per-column rescan."""
+    from ..functions.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "documents"),
+        dtypes={
+            "doc_id": "bigint",
+            "text": "varchar",
+            "lang": "varchar",
+            "source": "varchar",
+            "n_chars": "bigint",
+        },
+    )
+
+
+def _profile_documents_sql() -> str:
+    from ..functions.profile import profile_table_sql
+
+    return profile_table_sql(
+        "documents",
+        [
+            ("doc_id", "bigint"),
+            ("text", "varchar"),
+            ("lang", "varchar"),
+            ("source", "varchar"),
+            ("n_chars", "bigint"),
+        ],
+    )
+
+
+LLM_QUERIES["profile_documents"] = FnWorkload(
+    _profile_documents, _profile_documents_sql()
+)
