@@ -231,3 +231,65 @@ ANALYTICS_QUERIES: dict[str, FnWorkload] = {
     ),
     "embed_quantize_int8": FnWorkload(_embed_quantize, _embed_quantize_sql()),
 }
+
+
+def _join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: the classic 3-table
+    star join (customer⋈orders⋈lineitem) with selective date filters on
+    both fact sides and a top-10 by revenue.
+
+    Plan shape: both date predicates and the segment filter push to the
+    parquet scans; customer (the small filtered dim) broadcasts under
+    AQE; revenue is a per-row double product cast to DECIMAL(38,12) so
+    the aggregation is shuffle-order-exact; orderBy+limit compiles to
+    TakeOrdered (per-partition top-k, no global sort). Tie order
+    (revenue desc, o_orderdate asc, l_orderkey asc) is total, so the
+    cut is deterministic and oracle-checkable."""
+    cutoff = "1998-01-01"
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""".strip()
+
+
+ANALYTICS_QUERIES["join_shipping_priority"] = FnWorkload(
+    _join_shipping_priority, _SHIPPING_PRIORITY_SQL
+)

@@ -234,3 +234,34 @@ class TestRound4PlanShapes:
         plan = _physical(df)
         assert "rangepartitioning" not in plan.lower()
         assert "Window" not in plan
+
+
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path_factory):
+        """Hive-style partitioned layout + a rule filter on the partition
+        column must prune at PLANNING time: the scan's PartitionFilters
+        carries the predicate and only the matching directory is read —
+        the 2%-vs-100% scan lever for date/type-partitioned 100 TB
+        tables."""
+        from dynamicqueryengine_spark import apply_rule
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.sources.writers import write_parquet
+
+        d = str(tmp_path_factory.mktemp("part") / "events_by_type")
+        events = load_table(spark, SF_DIR, "events")
+        write_parquet(events, d, partition_by=["event_type"])
+        back = spark.read.parquet(d)
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {
+                        "Property": "event_type",
+                        "Operator": "Equal",
+                        "Value": "purchase",
+                    }
+                ]
+            }
+        }
+        plan = _physical(apply_rule(back, rule))
+        assert "PartitionFilters: [" in plan
+        assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
