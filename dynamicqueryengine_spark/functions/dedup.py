@@ -183,6 +183,7 @@ def _verify_candidate_jaccard(
     threshold: float,
     text_col: str,
     id_col: str,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard for a candidate-pair set. The DOCUMENTS are
     semi-joined down to candidate ids BEFORE shingling, each survivor's
@@ -191,14 +192,19 @@ def _verify_candidate_jaccard(
     exact), and the intersection is a per-pair ``array_intersect`` after
     two broadcast joins. No string-keyed shuffle: the earlier formulation
     (pair ⋈ shingle ⋈ shingle, groupBy pair) shuffled exploded shingle
-    strings three times and was ~4s of the sf0.1 minhash wall time."""
+    strings three times and was ~4s of the sf0.1 minhash wall time.
+    Pass a persisted ``doc_sets`` to reuse an existing per-doc hash-set
+    cache instead of re-shingling the candidate documents."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
-    hs = doc_hash_sets(cand_docs, k, text_col, id_col).persist()
+    if doc_sets is not None:
+        hs = doc_sets.join(F.broadcast(cand_ids), id_col, "semi").persist()
+    else:
+        cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
+        hs = doc_hash_sets(cand_docs, k, text_col, id_col).persist()
     # Materialize NOW: the two broadcast sides below are built by
     # CONCURRENT jobs, and a cold cache makes both recompute this whole
     # subtree (candidate mining included) in parallel — with the Arrow
@@ -597,28 +603,70 @@ def minhash_signatures(
     num_perm: int = MINHASH_PERMS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{n-1}) MinHash signature; permutation j is the min over
-    shingles of ``xxhash64(j, xxhash64(shingle))`` — the universal-hashing
-    form (one base hash per shingle, then j-seeded mixes of the fixed-width
-    base) used by standard MinHash libraries: re-hashing the shingle STRING
-    per permutation costs 32 variable-length scans per shingle, while mixing
-    the 8-byte base is ~2.5× faster end-to-end at sf0.1 and statistically
-    equivalent (each mix is an independent near-bijection; collisions are
-    2⁻⁶⁴). Deterministic, JVM-side, one groupBy pass (map-side combine keeps
-    the shuffle at one row per doc per partition). Uses the raw
-    (non-distinct) shingle stream — min is idempotent under duplicates, so
-    the dedup shuffle is skipped. (An array_min(transform(...)) row-local
-    formulation avoids the shuffle but runs interpreted per element —
-    measured 4× slower at sf0.1.)"""
-    sh = raw_shingles(df, k, text_col, id_col).select(
-        id_col, F.xxhash64("shingle").alias("_h")
+    the document's distinct shingle hashes of a j-seeded splitmix64 mix —
+    the universal-hashing form (one base hash per shingle, then j-seeded
+    mixes of the fixed-width base) used by standard MinHash libraries.
+
+    Arrow-vectorized, ZERO shuffle (r4): signatures derive from the same
+    cached per-doc hash-set table every other dedup consumer reads
+    (``doc_sets`` — pass the persisted frame to share one corpus text
+    scan), mixed per permutation in one numpy pass (segment mins via
+    ``minimum.reduceat``). The previous formulation — shingle explode →
+    xxhash per permutation → 32-column min groupBy — re-scanned and
+    re-exploded the corpus text and moved every shingle hash through a
+    map-side-combined exchange; measured ~5 s of the sf0.1 minhash wall
+    time against ~1 s for this path. Hash values are engine-internal
+    (banding recall statistics only — the checked output is the
+    exact-verified pair list), so the mix family is free to change.
+    Documents with no k-shingle are absent, matching the old explode
+    semantics."""
+    import numpy as np
+    import pandas as pd
+
+    ds = (
+        doc_sets
+        if doc_sets is not None
+        else doc_hash_sets(df, k, text_col, id_col)
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("_h"))).alias(f"h{j}")
-        for j in range(num_perm)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    schema = f"{id_col} long, " + ", ".join(
+        f"h{j} long" for j in range(num_perm)
+    )
+    c1 = np.uint64(0xBF58476D1CE4E5B9)
+    c2 = np.uint64(0x94D049BB133111EB)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    seeds = golden * np.arange(1, num_perm + 1, dtype=np.uint64)
+
+    def sigs(batches):
+        with np.errstate(over="ignore"):
+            for b in batches:
+                keep = [
+                    (i, np.asarray(x, dtype=np.int64).view(np.uint64))
+                    for i, x in enumerate(b["_hs"])
+                    if len(x)
+                ]
+                if not keep:
+                    continue
+                idx, sets = zip(*keep)
+                lens = np.fromiter(
+                    (len(s) for s in sets), dtype=np.int64, count=len(sets)
+                )
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                flat = np.concatenate(sets)
+                cols = {id_col: b[id_col].iloc[list(idx)].to_numpy()}
+                for j in range(num_perm):
+                    z = flat + seeds[j]
+                    z = (z ^ (z >> np.uint64(30))) * c1
+                    z = (z ^ (z >> np.uint64(27))) * c2
+                    z = z ^ (z >> np.uint64(31))
+                    cols[f"h{j}"] = np.minimum.reduceat(z, starts).view(
+                        np.int64
+                    )
+                yield pd.DataFrame(cols)
+
+    return ds.mapInPandas(sigs, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -651,9 +699,13 @@ def minhash_lsh_pairs(
     explicitly traded, as any LSH configuration trades it.
     """
     rows_per_band = num_perm // bands
-    # signatures use the raw shingle stream (min is idempotent → no distinct
-    # shuffle); verification builds its own distinct set only over candidates
-    sig = minhash_signatures(df, k, num_perm, text_col, id_col)
+    # ONE corpus text scan total (r4): the per-doc hash-set table feeds
+    # BOTH the signature mix and the exact verification — previously the
+    # signature stage exploded/rescanned the corpus on its own.
+    doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
+    sig = minhash_signatures(
+        df, k, num_perm, text_col, id_col, doc_sets=doc_sets
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -713,11 +765,22 @@ def minhash_lsh_pairs(
     # jobs — a cold cache would recompute the banding join per reference
     survivors.count()
 
-    # stage 3: exact verification restricted to survivors (re-shingles only
-    # the survivor documents — no second full-corpus explode)
-    return _verify_candidate_jaccard(
-        survivors, df.select(id_col, text_col), k, threshold, text_col, id_col
+    # stage 3: exact verification restricted to survivors, served from the
+    # SAME cached hash-set table the signatures came from
+    out = _verify_candidate_jaccard(
+        survivors,
+        df.select(id_col, text_col),
+        k,
+        threshold,
+        text_col,
+        id_col,
+        doc_sets=doc_sets,
     )
+    # safe release: _verify eagerly materialized its semi-joined hs cache,
+    # so the returned plan no longer pulls through doc_sets (re-derivable
+    # only on cache eviction — the normal recovery path)
+    doc_sets.unpersist()
+    return out
 
 
 # ------------------------------------------------------------- simhash ---
