@@ -265,3 +265,19 @@ class TestPartitionPruning:
         plan = _physical(apply_rule(back, rule))
         assert "PartitionFilters: [" in plan
         assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+class TestMinhashPlanShape:
+    def test_signatures_have_no_aggregate_exchange(self, spark):
+        """r4: MinHash signatures are an Arrow map over the hash-set
+        table — the 32-column hash-min groupBy (a full shingle-stream
+        exchange) must not reappear."""
+        from dynamicqueryengine_spark.functions.dedup import (
+            minhash_signatures,
+        )
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        sig = minhash_signatures(load_table(spark, SF_DIR, "documents"))
+        plan = _physical(sig).lower()
+        assert "hashpartitioning" not in plan
+        assert "mapinpandas" in plan
