@@ -349,3 +349,63 @@ GROUP BY user_id
 
 
 TREND_QUERIES["events_ewma_user"] = FnWorkload(_events_ewma, _EVENTS_EWMA_SQL)
+
+
+# --------------------------------------------------- JSON property stats --
+
+
+def _events_json_kstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the ``props`` JSON string
+    at scan time (``get_json_object`` — JVM-side, codegen, no UDF),
+    extract the integer property ``k``, and aggregate per event_type.
+
+    Malformed JSON degrades to NULL on both engines (Spark natively;
+    the oracle guards with json_valid), counted in n_null_k. Integer
+    sums are exact; the mean is one shared double division. Scale
+    shape: scan-time projection + one aggregation onto |event_types|
+    rows — JSON parsing never causes a shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_null_k"
+            ),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (
+                F.sum("k").cast("double") / F.count("k").cast("double")
+            ).alias("avg_k"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k')
+         AS BIGINT) AS k
+  FROM ev
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k
+FROM parsed
+GROUP BY event_type
+""".strip()
+
+
+TREND_QUERIES["events_json_kstats"] = FnWorkload(
+    _events_json_kstats, _EVENTS_JSON_SQL
+)

@@ -266,3 +266,31 @@ class TestEwma:
         sf = events_dir([(2, 1, "a", 0, 0.0), (1, 1, "a", 0, 8.0)])
         r = _events_ewma(spark, sf).collect()[0]
         assert r["ewma"] == 8.0 * 0.75 + 0.0 * 0.25
+
+
+class TestJsonKstats:
+    def test_malformed_json_counts_as_null(self, spark, tmp_path):
+        from dynamicqueryengine_spark.workloads.trends import (
+            _events_json_kstats,
+        )
+        import datetime as dt
+
+        data = [
+            (1, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"k": 10}'),
+            (2, dt.datetime(2024, 1, 1), 1, "a", 1.0, "not json"),
+            (3, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"other": 1}'),
+            (4, dt.datetime(2024, 1, 1), 1, "a", 1.0, '{"k": 30}'),
+        ]
+        df = spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = tmp_path / "sf"
+        df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+        r = _events_json_kstats(spark, str(d)).collect()[0]
+        assert r["n"] == 4
+        assert r["n_null_k"] == 2
+        assert r["sum_k"] == 40
+        assert (r["min_k"], r["max_k"]) == (10, 30)
+        assert r["avg_k"] == 20.0
