@@ -293,3 +293,27 @@ LIMIT 10
 ANALYTICS_QUERIES["join_shipping_priority"] = FnWorkload(
     _join_shipping_priority, _SHIPPING_PRIORITY_SQL
 )
+
+
+def _sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union/intersection distinct-count
+    estimates between every pair of return flags, exact counts alongside
+    (functions/sketches.py kmv_set_estimates) — the mergeability
+    property that lets per-partition sketches combine without revisiting
+    the key stream."""
+    from ..functions.sketches import kmv_set_estimates
+
+    return kmv_set_estimates(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", "l_returnflag"
+    )
+
+
+def _sketch_kmv_setops_sql() -> str:
+    from ..functions.sketches import kmv_set_estimates_sql
+
+    return kmv_set_estimates_sql("lineitem", "l_partkey", "l_returnflag")
+
+
+ANALYTICS_QUERIES["sketch_kmv_setops"] = FnWorkload(
+    _sketch_kmv_setops, _sketch_kmv_setops_sql()
+)

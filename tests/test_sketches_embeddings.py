@@ -133,3 +133,53 @@ class TestGroupCentroids:
             for r in group_centroids(df.repartition(5)).collect()
         }
         assert got == got2
+
+
+class TestKmvSetEstimates:
+    def test_overlapping_groups(self, spark):
+        from dynamicqueryengine_spark.functions.sketches import (
+            kmv_set_estimates,
+        )
+
+        # group A: keys 0..999; group B: keys 500..1499 -> union 1500,
+        # intersection 500
+        rows = [("A", i) for i in range(1000)] + [
+            ("B", i) for i in range(500, 1500)
+        ]
+        df = spark.createDataFrame(rows, "g string, key long")
+        r = kmv_set_estimates(df, "key", "g", k=64).collect()[0]
+        assert (r["group_a"], r["group_b"]) == ("A", "B")
+        assert r["union_exact"] == 1500
+        assert r["inter_exact"] == 500
+        # k=64 -> stderr ~ 1/sqrt(62) ~ 12.7%; allow 4 sigma
+        assert abs(r["union_est"] - 1500) < 1500 * 0.51
+        assert abs(r["inter_est"] - 500) < 500 * 1.0
+        assert r["inter_est"] <= r["union_est"]
+
+    def test_disjoint_groups_estimate_zero_intersection(self, spark):
+        from dynamicqueryengine_spark.functions.sketches import (
+            kmv_set_estimates,
+        )
+
+        rows = [("A", i) for i in range(300)] + [
+            ("B", i) for i in range(1000, 1300)
+        ]
+        df = spark.createDataFrame(rows, "g string, key long")
+        r = kmv_set_estimates(df, "key", "g", k=64).collect()[0]
+        assert r["inter_exact"] == 0
+        assert r["inter_est"] == 0.0
+        assert r["union_exact"] == 600
+
+    def test_small_groups_are_exact(self, spark):
+        from dynamicqueryengine_spark.functions.sketches import (
+            kmv_set_estimates,
+        )
+
+        rows = [("A", i) for i in range(20)] + [("B", i) for i in range(10, 40)]
+        df = spark.createDataFrame(rows, "g string, key long")
+        r = kmv_set_estimates(df, "key", "g", k=64).collect()[0]
+        # both groups under k -> union sketch is exact, and so is the
+        # intersection estimate (|L| denominator, not k)
+        assert r["union_est"] == r["union_exact"] == 40
+        assert r["inter_exact"] == 10
+        assert r["inter_est"] == 10.0
