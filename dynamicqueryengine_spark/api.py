@@ -72,6 +72,41 @@ def evaluate_request(
         return {"status": 400, "Error": str(exc)}
 
 
+
+def explain_request(
+    spark: SparkSession,
+    payload: Mapping[str, Any],
+    type_name: str = "User",
+) -> dict[str, Any]:
+    """Explain ``{Rule, Users}`` WITHOUT executing it: compile the rule
+    against the inline rows and return Catalyst's optimized + physical
+    plans — the introspection surface a rule author uses to confirm the
+    predicate folded/pushed the way SCALE.md promises (the engine analog
+    of ``EXPLAIN``). Same 400 {Error} envelope as evaluate."""
+    try:
+        rows = _ci_get(payload, "Users", "Rows")
+        if not rows:
+            raise ValueError("Request must include a non-empty 'Users' row list.")
+        df = inline_table(spark, rows)
+        rule_raw = _ci_get(payload, "Rule")
+        if rule_raw is None:
+            raise ValueError("Request must include 'Rule'.")
+        out = apply_rule(
+            df,
+            RuleDefinition.from_dict(rule_raw),
+            external_params=_ci_get(payload, "ExternalParams", "Params"),
+            type_name=type_name,
+        )
+        qe = out._jdf.queryExecution()
+        return {
+            "status": 200,
+            "optimized_plan": qe.optimizedPlan().toString(),
+            "physical_plan": qe.executedPlan().toString(),
+        }
+    except Exception as exc:
+        return {"status": 400, "Error": str(exc)}
+
+
 # Self-description payload — the engine's analog of the reference's
 # Swagger/OpenAPI exposure (Program.cs:9-17): machine-readable inventory
 # of endpoints, the 27 predicate operators, and the aggregation surface.
@@ -79,6 +114,7 @@ API_DESCRIPTION: dict[str, Any] = {
     "service": "dynamicqueryengine_spark",
     "endpoints": {
         "POST /rules/evaluate": "evaluate {Rule|Rules, Users} -> rows | 400 {Error}",
+        "POST /rules/explain": "compile {Rule, Users}; return Catalyst plans, no execution",
         "GET /rules/describe": "this document",
     },
     "operators": [
@@ -124,13 +160,19 @@ def serve(
             self.wfile.write(data)
 
         def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
-            if self.path.rstrip("/") != "/rules/evaluate":
+            route = self.path.rstrip("/")
+            if route not in ("/rules/evaluate", "/rules/explain"):
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                result = evaluate_request(spark, payload)
+                handler = (
+                    explain_request
+                    if route == "/rules/explain"
+                    else evaluate_request
+                )
+                result = handler(spark, payload)
             except json.JSONDecodeError as exc:
                 result = {"status": 400, "Error": f"Invalid JSON: {exc}"}
             body = dict(result)

@@ -222,3 +222,49 @@ class TestDescribeEndpoint:
                 assert e.code == 404
         finally:
             server.shutdown()
+
+
+class TestExplainEndpoint:
+    PAYLOAD = {
+        "Rule": {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "Age", "Operator": "GreaterThan", "Value": 30}
+                ]
+            }
+        },
+        "Users": [{"Name": "a", "Age": 25}, {"Name": "b", "Age": 40}],
+    }
+
+    def test_explain_returns_plans_without_executing(self, spark):
+        from dynamicqueryengine_spark.api import explain_request
+
+        out = explain_request(spark, self.PAYLOAD)
+        assert out["status"] == 200
+        assert "Filter" in out["optimized_plan"]
+        assert "Age" in out["optimized_plan"]
+        assert "rows" not in out  # no execution, no materialized rows
+
+    def test_explain_http_route(self, spark):
+        server = serve(spark, port=0)
+        try:
+            port = server.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/rules/explain",
+                data=json.dumps(self.PAYLOAD).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                body = json.loads(resp.read())
+            assert resp.status == 200
+            assert "physical_plan" in body and "optimized_plan" in body
+        finally:
+            server.shutdown()
+
+    def test_explain_bad_rule_gives_400(self, spark):
+        from dynamicqueryengine_spark.api import explain_request
+
+        out = explain_request(
+            spark, {"Users": [{"Name": "a"}]}  # no Rule
+        )
+        assert out["status"] == 400 and "Error" in out
