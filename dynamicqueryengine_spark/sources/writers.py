@@ -68,3 +68,46 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+) -> None:
+    """Keyed MERGE (upsert) into a parquet directory: rows in ``updates``
+    replace current rows with the same key; unmatched keys are inserted.
+
+    Pattern, not table format: at production scale this is what Delta/
+    Iceberg MERGE INTO does transactionally; on plain parquet the same
+    semantics need copy-on-write — current ⟕(anti) update-keys ∪ updates
+    staged to a NEW directory, then swapped in. The staged write fully
+    executes (and therefore finishes reading the current table) before
+    the swap, so a failed write leaves the current table untouched; the
+    swap itself is two renames. Readers caching the old DataFrame keep
+    a stale-but-consistent view (parquet files are immutable once
+    written).
+
+    The anti-join is keyed and AQE-planned (broadcast for small update
+    batches — the common CDC case); nothing is collected.
+    """
+    import os
+    import shutil
+    import uuid
+
+    keys = list(key_cols)
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    staged = f"{path}._staged_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staged)
+    old = f"{path}._old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)

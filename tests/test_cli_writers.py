@@ -71,3 +71,36 @@ class TestCliWorkloads:
         out = str(tmp_path / "trim")
         write_parquet(df, out)
         assert spark.read.parquet(out).count() == df.count() > 0
+
+
+class TestMergeUpsert:
+    def test_insert_then_update(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.writers import merge_upsert
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+        )
+        merge_upsert(spark, path, base, ["id"])
+        upd = spark.createDataFrame(
+            [(2, "b2", 99), (3, "c", 30)], "id long, name string, v long"
+        )
+        merge_upsert(spark, path, upd, ["id"])
+        got = {
+            r["id"]: (r["name"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30)}
+
+    def test_failed_stage_leaves_table_intact(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.writers import merge_upsert
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame([(1, "a")], "id long, name string")
+        merge_upsert(spark, path, base, ["id"])
+        bad = spark.createDataFrame([(2, "x")], "id long, other string")
+        import pytest
+
+        with pytest.raises(Exception):
+            merge_upsert(spark, path, bad, ["id"])  # schema mismatch
+        assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
