@@ -1537,3 +1537,41 @@ def _profile_documents_sql() -> str:
 LLM_QUERIES["profile_documents"] = FnWorkload(
     _profile_documents, _profile_documents_sql()
 )
+
+
+def _events_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialized view, EXECUTED: readStream over events
+    → foreachBatch keyed merge/upsert into a parquet totals table
+    (streaming/upsert.py) → read the final state back. Cross-batch sums
+    accumulate in DECIMAL(38,12), so the incrementally-maintained table
+    hash-matches the one-shot batch aggregation the oracle runs."""
+    import tempfile
+
+    from ..streaming.rules import stream_events
+    from ..streaming.upsert import stream_upsert_totals
+
+    base = tempfile.mkdtemp(prefix="dqe_upsert_")
+    path = f"{base}/totals"
+    stream_upsert_totals(
+        stream_events(spark, sf_dir), path, f"{base}/ckpt"
+    )
+    t = spark.read.parquet(path)
+    return t.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+_EVENTS_STREAM_UPSERT_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS sum_value
+FROM {_EVENTS_ORACLE_SOURCE}
+GROUP BY user_id
+""".strip()
+
+
+LLM_QUERIES["events_stream_upsert_totals"] = FnWorkload(
+    _events_stream_upsert_totals, _EVENTS_STREAM_UPSERT_SQL
+)
