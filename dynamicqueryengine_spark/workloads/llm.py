@@ -1575,3 +1575,51 @@ GROUP BY user_id
 LLM_QUERIES["events_stream_upsert_totals"] = FnWorkload(
     _events_stream_upsert_totals, _EVENTS_STREAM_UPSERT_SQL
 )
+
+
+def _corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: unique word bigrams / total word
+    bigrams — the standard repetition/diversity signal for a corpus
+    slice (low ratio ⇒ templated or repetitive text). One explode + one
+    aggregation per source; the distinct count is the only wide state
+    and is vocabulary-bounded."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    grams = docs.select("source", toks.alias("t")).select(
+        "source", F.explode(bigrams).alias("g")
+    )
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        (
+            F.countDistinct("g").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("diversity"),
+    )
+
+
+_CORPUS_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT source, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+)
+SELECT source,
+       count(*) AS n_grams,
+       count(DISTINCT g) AS n_distinct,
+       CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS diversity
+FROM grams
+GROUP BY source
+""".strip()
+
+
+LLM_QUERIES["corpus_ngram_diversity"] = FnWorkload(
+    _corpus_ngram_diversity, _CORPUS_DIVERSITY_SQL
+)

@@ -409,3 +409,60 @@ GROUP BY event_type
 TREND_QUERIES["events_json_kstats"] = FnWorkload(
     _events_json_kstats, _EVENTS_JSON_SQL
 )
+
+
+# --------------------------------------------------- MAD robust outliers --
+
+
+def _events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: per
+    event_type, med = median(value), MAD = median(|value − med|); flag
+    |value − med| ≥ 6·MAD. Unlike the z-score variant the thresholds
+    are insensitive to the outliers themselves (median breakdown point
+    50% vs the mean's 0%) — the robust twin of events_zscore_outliers.
+
+    Parity: both engines interpolate even-count medians identically
+    (the lineitem_stats precedent); deviations are per-row IEEE
+    subtractions of the broadcast median. Plan: two |groups|-row
+    aggregations (each an exact median over the group's values), stats
+    broadcast back, flagging is a map-side filter."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.median("value").alias("med_v")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("med_v"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("_adev").alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("_adev") > F.lit(6.0) * F.col("mad_v"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med_v", 6).alias("med_v"),
+            F.round("mad_v", 6).alias("mad_v"),
+        )
+    )
+
+
+_EVENTS_MAD_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+med AS (SELECT event_type, median(value) AS med_v FROM ev GROUP BY 1),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, med.med_v,
+         abs(e.value - med.med_v) AS adev
+  FROM ev e JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, median(adev) AS mad_v FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med_v, 6) AS med_v, round(mad.mad_v, 6) AS mad_v
+FROM dev d JOIN mad USING (event_type)
+WHERE d.adev > 6.0 * mad.mad_v
+""".strip()
+
+
+TREND_QUERIES["events_mad_outliers"] = FnWorkload(
+    _events_mad_outliers, _EVENTS_MAD_SQL
+)

@@ -294,3 +294,32 @@ class TestJsonKstats:
         assert r["sum_k"] == 40
         assert (r["min_k"], r["max_k"]) == (10, 30)
         assert r["avg_k"] == 20.0
+
+
+class TestMadOutliers:
+    def test_robust_to_the_outlier_itself(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import (
+            _events_mad_outliers,
+        )
+
+        # ten 9s + ten 11s + one extreme: n=21 -> median 11, deviations
+        # [0 x10, 2 x10, 989] -> MAD = 2; only the extreme passes 6*MAD
+        rows = [(i, 1, "a", i, 9.0 if i % 2 else 11.0) for i in range(20)]
+        rows.append((99, 1, "a", 99, 1000.0))
+        sf = events_dir(rows)
+        out = _events_mad_outliers(spark, sf).collect()
+        assert [r["event_id"] for r in out] == [99]
+        assert out[0]["mad_v"] == 2.0
+        assert out[0]["med_v"] == 11.0
+
+    def test_zero_mad_group_flags_any_deviation(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import (
+            _events_mad_outliers,
+        )
+
+        # constant group -> MAD 0 -> any deviating value flags
+        rows = [(i, 1, "a", i, 5.0) for i in range(9)]
+        rows.append((99, 1, "a", 99, 5.1))
+        sf = events_dir(rows)
+        out = _events_mad_outliers(spark, sf).collect()
+        assert [r["event_id"] for r in out] == [99]
