@@ -317,3 +317,60 @@ def _sketch_kmv_setops_sql() -> str:
 ANALYTICS_QUERIES["sketch_kmv_setops"] = FnWorkload(
     _sketch_kmv_setops, _sketch_kmv_setops_sql()
 )
+
+
+def _join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: find orders whose
+    total line quantity exceeds a threshold (HAVING over the fact
+    aggregate), then attach customer and order attributes via joins that
+    AQE turns into broadcasts of the tiny qualifying set.
+
+    Plan shape: ONE aggregation over lineitem (map-side combined, keyed
+    by orderkey), the HAVING filter collapses it to a handful of rows,
+    and everything downstream joins against that trickle — the
+    aggregate-then-join ordering that keeps the big table from ever
+    being joined raw. Quantity sums are integral doubles (exact);
+    deterministic total order for the checked result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,12)")).alias("_q"))
+        .filter(F.col("_q") >= 150)
+        .select(
+            "l_orderkey", F.col("_q").cast("double").alias("total_qty")
+        )
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,12))) >= 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""".strip()
+
+
+ANALYTICS_QUERIES["join_large_orders"] = FnWorkload(
+    _join_large_orders, _LARGE_ORDERS_SQL
+)

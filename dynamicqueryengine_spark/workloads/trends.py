@@ -466,3 +466,56 @@ WHERE d.adev > 6.0 * mad.mad_v
 TREND_QUERIES["events_mad_outliers"] = FnWorkload(
     _events_mad_outliers, _EVENTS_MAD_SQL
 )
+
+
+# ------------------------------------------------- top user journeys --
+
+
+def _events_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys: consecutive event-type triples
+    per user's time-ordered stream (ties by event_id), counted corpus-
+    wide and top-20 by frequency (ties on the journey string).
+
+    Plan shape: the same single user-keyed window shuffle as the
+    transition matrix (two leads ride one window), then an aggregation
+    onto the |types|³-bounded journey space; orderBy+limit compiles to
+    TakeOrdered — no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat_ws(" > ", "s1", "s2", "s3").alias("journey"), "n"
+        )
+        .orderBy(F.col("n").desc(), F.col("journey").asc())
+        .limit(20)
+    )
+
+
+_EVENTS_JOURNEYS_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+steps AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1 || ' > ' || s2 || ' > ' || s3 AS journey, count(*) AS n
+FROM steps WHERE s3 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n DESC, journey ASC
+LIMIT 20
+""".strip()
+
+
+TREND_QUERIES["events_top_journeys"] = FnWorkload(
+    _events_top_journeys, _EVENTS_JOURNEYS_SQL
+)
