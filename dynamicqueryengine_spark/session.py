@@ -28,6 +28,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default-on under AQE, pinned explicitly: runtime splitting of
+        # skewed join partitions is a load-bearing 100 TB behavior, not
+        # an accident of defaults (operators/skew.py documents when
+        # manual salting is still required — aggregation skew and
+        # both-sides-huge joins)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
