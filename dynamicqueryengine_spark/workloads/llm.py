@@ -1623,3 +1623,52 @@ GROUP BY source
 LLM_QUERIES["corpus_ngram_diversity"] = FnWorkload(
     _corpus_ngram_diversity, _CORPUS_DIVERSITY_SQL
 )
+
+
+def _docs_stream_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming text-quality gate, EXECUTED: readStream over the
+    documents parquet → the SAME compiled quality/language Column
+    battery the batch filter uses (pure scan-time expressions — they
+    run unchanged on a stream) → per-language pass counts, complete-
+    mode memory sink. Pins that the text-pipeline operators are
+    stream-ready, not batch-only."""
+    import uuid
+
+    from ..streaming.rules import run_stream_to_memory
+
+    raw = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING,"
+            " n_chars LONG"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    text = F.col("text")
+    passed = (
+        bind_columns(
+            bind_columns(raw, _pad=T._padded(text)),
+            quality=T.quality_score(text, padded=F.col("_pad")),
+            lang_pred=T.detect_language(text, padded=F.col("_pad")),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_passed"))
+    )
+    table = f"docs_stream_quality_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(passed, table, output_mode="complete")
+    return spark.table(table)
+
+
+_DOCS_STREAM_QUALITY_SQL = f"""
+SELECT lang, count(*) AS n_passed
+FROM documents
+WHERE {T.quality_score_sql('text')} >= 0.5
+  AND {T.detect_language_sql('text')} <> 'und'
+GROUP BY lang
+""".strip()
+
+
+LLM_QUERIES["docs_stream_quality_counts"] = FnWorkload(
+    _docs_stream_quality_counts, _DOCS_STREAM_QUALITY_SQL
+)
