@@ -519,3 +519,97 @@ LIMIT 20
 TREND_QUERIES["events_top_journeys"] = FnWorkload(
     _events_top_journeys, _EVENTS_JOURNEYS_SQL
 )
+
+
+# -------------------------------------- percentile-rank normalization --
+
+
+def _events_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile-rank normalization of value — the rank-based
+    feature transform (quantile normalization) that makes heavy-tailed
+    metrics comparable across groups. percent_rank = (rank−1)/(n−1) is
+    exact integer arithmetic in one IEEE division, so the normalized
+    column is bit-identical across engines.
+
+    Plan: ONE window shuffle keyed by event_type; no second pass."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+_EVENTS_PCTRANK_SQL = f"""
+WITH ev AS ({_EVENTS_CTE})
+SELECT event_id, event_type, value,
+       percent_rank() OVER (
+         PARTITION BY event_type ORDER BY value, event_id) AS pct_rank
+FROM ev
+""".strip()
+
+
+# ------------------------------------------------ seasonal baselines --
+
+
+def _events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type: mean value and the
+    largest absolute deviation from it in each (type, hour-of-day) cell
+    — the profile a time-of-day-adjusted anomaly detector thresholds
+    against. Means from exact decimal sums; the max deviation is an
+    argmax over per-row IEEE subtractions against the broadcast
+    baseline. Output bounded by |types|·24."""
+    events = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").alias("hod")
+    base = events.select("event_type", hod, "value").groupBy(
+        "event_type", "hod"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_v"),
+    )
+    dev = (
+        events.select("event_type", hod, "value")
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max(F.abs(F.col("value") - F.col("mean_v"))).alias(
+                "max_abs_dev"
+            )
+        )
+    )
+    return base.join(dev, ["event_type", "hod"]).select(
+        "event_type", "hod", "n", "mean_v", "max_abs_dev"
+    )
+
+
+_EVENTS_SEASONAL_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+base AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_v
+  FROM ev GROUP BY 1, 2
+),
+dev AS (
+  SELECT e.event_type, CAST(hour(e.ts) AS INT) AS hod,
+         max(abs(e.value - b.mean_v)) AS max_abs_dev
+  FROM ev e JOIN base b
+    ON b.event_type = e.event_type AND b.hod = hour(e.ts)
+  GROUP BY 1, 2
+)
+SELECT base.event_type, base.hod, base.n, base.mean_v, dev.max_abs_dev
+FROM base JOIN dev USING (event_type, hod)
+""".strip()
+
+
+TREND_QUERIES["events_percentile_rank"] = FnWorkload(
+    _events_percentile_rank, _EVENTS_PCTRANK_SQL
+)
+TREND_QUERIES["events_seasonal_baseline"] = FnWorkload(
+    _events_seasonal_baseline, _EVENTS_SEASONAL_SQL
+)
