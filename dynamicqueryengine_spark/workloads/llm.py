@@ -1672,3 +1672,57 @@ GROUP BY lang
 LLM_QUERIES["docs_stream_quality_counts"] = FnWorkload(
     _docs_stream_quality_counts, _DOCS_STREAM_QUALITY_SQL
 )
+
+
+def _pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table curation pipeline: quality-gate the documents, join
+    their embeddings (vec_id = doc_id), SemDeDup the surviving vectors,
+    and emit per-doc keep/dup verdicts with the quality score attached —
+    the docs⋈embeddings composition a semantic curation pass actually
+    runs. The embedding join is keyed by id (no shuffle of vectors
+    beyond it); SemDeDup stays cell-partitioned sub-quadratic."""
+    from ..functions.semdedup import semantic_dedup
+
+    text = F.col("text")
+    q = (
+        bind_columns(
+            bind_columns(_docs(spark, sf_dir), _pad=T._padded(text)),
+            quality=T.quality_score(text, padded=F.col("_pad")),
+            lang_pred=T.detect_language(text, padded=F.col("_pad")),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+        .select("doc_id", "quality")
+    )
+    corpus = (
+        _embs(spark, sf_dir)
+        .join(q, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "embedding")
+    )
+    sd = semantic_dedup(corpus)
+    return sd.join(q, sd.vec_id == q.doc_id).select(
+        "vec_id", "cell", "dup_of", "is_kept", "quality"
+    )
+
+
+def _pipeline_semantic_curation_sql() -> str:
+    from ..functions.semdedup import semantic_dedup_sql
+
+    q = (
+        f"SELECT doc_id, {T.quality_score_sql('text')} AS quality "
+        f"FROM documents WHERE {T.quality_score_sql('text')} >= 0.5 "
+        f"AND {T.detect_language_sql('text')} <> 'und'"
+    )
+    sub = (
+        f"(SELECT v.vec_id, v.embedding FROM embeddings v "
+        f"JOIN ({q}) q ON v.vec_id = q.doc_id)"
+    )
+    sd = semantic_dedup_sql(sub)
+    return f"""
+SELECT sd.vec_id, sd.cell, sd.dup_of, sd.is_kept, q.quality
+FROM ({sd}) sd JOIN ({q}) q ON sd.vec_id = q.doc_id
+""".strip()
+
+
+LLM_QUERIES["pipeline_semantic_curation"] = FnWorkload(
+    _pipeline_semantic_curation, _pipeline_semantic_curation_sql()
+)
