@@ -84,3 +84,43 @@ class TestTransitionProperty:
                 want[(seq[u], t)] = want.get((seq[u], t), 0) + 1
             seq[u] = t
         assert got == want
+
+
+class TestGapfillProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=st.lists(_EV, min_size=1, max_size=25), n=st.integers(0, 10**6))
+    def test_grid_contiguous_and_ffill_correct(
+        self, spark, tmp_path_factory, rows, n
+    ):
+        from dynamicqueryengine_spark.workloads.trends import _events_gapfill
+
+        tmp = tmp_path_factory.mktemp("gap")
+        sf, data = _write(spark, tmp, rows, f"t{n}")
+        out = _events_gapfill(spark, sf).collect()
+        by_user: dict = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # python reference: last observed value per (user, hour)
+        obs: dict = {}
+        for eid, u, t, ts, v in sorted(data, key=lambda r: (r[3], r[0])):
+            hour = ts.replace(minute=0, second=0, microsecond=0)
+            obs[(u, hour)] = v
+        for u, rs in by_user.items():
+            rs.sort(key=lambda r: r["hour"])
+            hours = [r["hour"] for r in rs]
+            # contiguous hourly grid spanning min..max observed hour
+            for a, b in zip(hours, hours[1:]):
+                assert (b - a).total_seconds() == 3600
+            last = None
+            for r in rs:
+                key = (u, r["hour"])
+                if key in obs:
+                    last = obs[key]
+                    assert r["is_observed"]
+                else:
+                    assert not r["is_observed"]
+                assert r["value_ffill"] == last
