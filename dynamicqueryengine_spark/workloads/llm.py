@@ -1726,3 +1726,56 @@ FROM ({sd}) sd JOIN ({q}) q ON sd.vec_id = q.doc_id
 LLM_QUERIES["pipeline_semantic_curation"] = FnWorkload(
     _pipeline_semantic_curation, _pipeline_semantic_curation_sql()
 )
+
+
+def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ANN quality as a CHECKED result: recall@10 of each
+    approximate search path (LSH / IVF / PQ) against the brute-force
+    exact top-k, as one report row per method. Every path is
+    deterministic, so the recall numbers themselves are value-oracled —
+    a quality regression in any index (bucketing, probing, codebooks)
+    becomes a hash mismatch, not a silent degradation."""
+    brute = _ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    methods = {
+        "lsh": _ann_topk_lsh,
+        "ivf": _ann_topk_ivf,
+        "pq": _ann_topk_pq,
+    }
+    n_q = brute.select("query_id").distinct().count()  # bounded scalar
+    reports = []
+    for name, fn in methods.items():
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = approx.join(brute, ["query_id", "neighbor_id"]).count()
+        reports.append((name, hits, n_q, float(hits) / float(n_q * 10)))
+    return spark.createDataFrame(
+        reports, "method string, hits long, n_queries long, recall_at_10 double"
+    )
+
+
+def _ann_recall_report_sql() -> str:
+    brute = S.cosine_topk_sql("embeddings", "__ID__ < 5", k=10)
+    lsh = S.lsh_topk_sql("embeddings", "__ID__ < 5", k=10, bits=8)
+    ivf = S.ivf_topk_sql("embeddings", "__ID__ < 5", k=10, n_cells=16, n_probe=4)
+    pq = _ann_topk_pq_sql()
+    return f"""
+WITH brute AS ({brute}),
+lshq AS ({lsh}), ivfq AS ({ivf}), pqq AS ({pq}),
+nq AS (SELECT count(DISTINCT query_id) AS n FROM brute),
+m AS (
+  SELECT 'lsh' AS method, count(*) AS hits
+  FROM lshq JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'ivf', count(*) FROM ivfq JOIN brute USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'pq', count(*) FROM pqq JOIN brute USING (query_id, neighbor_id)
+)
+SELECT method, CAST(hits AS BIGINT) AS hits,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       CAST(hits AS DOUBLE) / CAST(nq.n * 10 AS DOUBLE) AS recall_at_10
+FROM m CROSS JOIN nq
+""".strip()
+
+
+LLM_QUERIES["ann_recall_report"] = FnWorkload(
+    _ann_recall_report, _ann_recall_report_sql()
+)
