@@ -275,8 +275,8 @@ def _join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey,
-       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -373,4 +373,55 @@ JOIN customer ON c_custkey = o_custkey
 
 ANALYTICS_QUERIES["join_large_orders"] = FnWorkload(
     _join_large_orders, _LARGE_ORDERS_SQL
+)
+
+
+def _join_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: lineitem joined to BOTH of its
+    dimensions (part, supplier) plus the supplier's nation — the last
+    previously-unexercised testdata table — aggregating revenue per
+    (nation, part brand).
+
+    Plan shape: part and supplier⋈nation broadcast (dimension tables);
+    lineitem streams through both hash joins and ONE aggregation shuffle
+    onto the (nation × brand)-bounded key space. Revenue is the per-row
+    double product cast to DECIMAL(38,12) — shuffle-order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # round the EXACT decimal, then cast: double-rounding of the
+            # cast-to-double sum hits half-even/half-up tie divergence at
+            # .xx5 boundaries (caught by the oracle on 2 of 625 groups)
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SUPPLIER_PART_SQL = """
+SELECT n_name, p_brand, count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, p_brand
+""".strip()
+
+
+ANALYTICS_QUERIES["join_supplier_part_revenue"] = FnWorkload(
+    _join_supplier_part_revenue, _SUPPLIER_PART_SQL
 )
