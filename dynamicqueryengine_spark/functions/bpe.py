@@ -161,13 +161,12 @@ def bpe_encode_counts(
             F.size(toks).cast("long").alias("n_bpe"),
         )
     )
+    # no rounding: the shared IEEE division is bit-identical across
+    # engines, while round(double) diverges on decimal-tie boundaries
     return out.withColumn(
         "compression",
-        F.round(
-            F.col("n_sym").cast("double")
-            / F.greatest(F.col("n_bpe").cast("double"), F.lit(1.0)),
-            6,
-        ),
+        F.col("n_sym").cast("double")
+        / F.greatest(F.col("n_bpe").cast("double"), F.lit(1.0)),
     )
 
 
@@ -193,9 +192,9 @@ SELECT {id_col},
        CAST(length(replace(trim({norm}), ' ', '')) AS BIGINT) AS n_sym,
        CAST(len(list_filter(string_split(trim({seq}), ' '),
                             x -> x != '|')) AS BIGINT) AS n_bpe,
-       round(CAST(length(replace(trim({norm}), ' ', '')) AS DOUBLE)
-             / greatest(CAST(len(list_filter(string_split(trim({seq}), ' '),
-                                             x -> x != '|')) AS DOUBLE),
-                        1.0), 6) AS compression
+       CAST(length(replace(trim({norm}), ' ', '')) AS DOUBLE)
+         / greatest(CAST(len(list_filter(string_split(trim({seq}), ' '),
+                                         x -> x != '|')) AS DOUBLE),
+                    1.0) AS compression
 FROM {table}
 """.strip()

@@ -62,8 +62,8 @@ def session_stats(
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col(value_col).cast("decimal(38,9)")).cast("double"), 6
-            ).alias("sum_value"),
+                F.sum(F.col(value_col).cast("decimal(38,9)")), 6
+            ).cast("double").alias("sum_value"),
         )
     )
 
@@ -91,6 +91,6 @@ WITH tagged AS (
 SELECT {user_col}, session_idx,
        min({ts_col}) AS session_start, max({ts_col}) AS session_end,
        count(*) AS n_events,
-       round(CAST(sum(CAST({value_col} AS DECIMAL(38,9))) AS DOUBLE), 6) AS sum_value
+       CAST(round(sum(CAST({value_col} AS DECIMAL(38,9))), 6) AS DOUBLE) AS sum_value
 FROM tagged GROUP BY {user_col}, session_idx
 """.strip()

@@ -193,9 +193,9 @@ def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 (F.col("value") - F.col("avg_v")).cast("decimal(38,12)")
-            ).cast("double"),
+            ),
             6,
-        ).alias("sum_dev"),
+        ).cast("double").alias("sum_dev"),
     )
 
 
@@ -212,8 +212,8 @@ dim AS (
   FROM ev GROUP BY 1
 )
 SELECT e.user_id, count(*) AS n_events,
-       round(CAST(sum(CAST(e.value - d.avg_v AS DECIMAL(38,12)))
-                  AS DOUBLE), 6) AS sum_dev
+       CAST(round(sum(CAST(e.value - d.avg_v AS DECIMAL(38,12))), 6)
+            AS DOUBLE) AS sum_dev
 FROM ev e JOIN dim d USING (event_type)
 GROUP BY e.user_id
 """.strip()
@@ -262,7 +262,7 @@ def _join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(
             F.col("revenue").desc(),
             F.col("o_orderdate").asc(),

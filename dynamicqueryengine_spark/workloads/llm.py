@@ -1559,13 +1559,13 @@ def _events_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "user_id",
         "n_events",
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(F.col("sum_value"), 6).cast("double").alias("sum_value"),
     )
 
 
 _EVENTS_STREAM_UPSERT_SQL = f"""
 SELECT user_id, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 6)
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
          AS sum_value
 FROM {_EVENTS_ORACLE_SOURCE}
 GROUP BY user_id

@@ -100,8 +100,8 @@ def _events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(
-            F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 6
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,9)")), 6
+        ).cast("double").alias("sum_value"),
     )
 
 
@@ -119,7 +119,7 @@ wins AS (
 )
 SELECT w.w_hour AS w_hour, count(*) AS n_events,
        count(DISTINCT e.user_id) AS n_users,
-       round(CAST(sum(CAST(e.value AS DECIMAL(38,9))) AS DOUBLE), 6)
+       CAST(round(sum(CAST(e.value AS DECIMAL(38,9))), 6) AS DOUBLE)
          AS sum_value
 FROM ev e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY 1
@@ -143,8 +143,8 @@ def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("day").cast("int").alias("g_day"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 6
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,9)")), 6
+        ).cast("double").alias("sum_value"),
     )
 
 
@@ -156,7 +156,7 @@ SELECT event_type,
        CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS INTEGER)
          AS g_day,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+       CAST(round(sum(CAST(value AS DECIMAL(38,9))), 6) AS DOUBLE)
          AS sum_value
 FROM ev
 GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
@@ -182,8 +182,8 @@ def _events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             last["value"].alias("close"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.col("value").cast("decimal(38,9)")).cast("double"), 6
-            ).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(38,9)")), 6
+            ).cast("double").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
