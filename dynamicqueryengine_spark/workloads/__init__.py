@@ -32,7 +32,7 @@ _MERGED = {
 # If no evidence files are present (e.g. the package is imported outside
 # the graded repo), every query is "never checked" and the order falls back
 # to name order — deterministic and safe.
-# All 97+ queries stay covered locally every round by
+# All 130 queries stay covered locally every round by
 # scripts/check_correctness.py regardless of window position.
 
 
