@@ -613,3 +613,70 @@ TREND_QUERIES["events_percentile_rank"] = FnWorkload(
 TREND_QUERIES["events_seasonal_baseline"] = FnWorkload(
     _events_seasonal_baseline, _EVENTS_SEASONAL_SQL
 )
+
+
+# ----------------------------------------------------------- DAU / WAU --
+
+
+def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / weekly active users with stickiness (DAU/WAU): per day,
+    distinct users that day and distinct users over the trailing 7 days.
+
+    COUNT DISTINCT over a sliding range frame isn't a window aggregate
+    either engine supports, so the trailing-week distinct uses the
+    standard reformulation: dedupe to the (day, user) activity table
+    first (the bounded state — |days|·|users| worst case), then a
+    bounded range join of each day against its trailing 7 activity days
+    and one distinct count. Stickiness is one shared IEEE division of
+    exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    du = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        )
+        .distinct()
+        .persist()
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = du.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("a"),
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+_EVENTS_DAU_WAU_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM ev
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day, count(DISTINCT a.user_id) AS wau
+  FROM days d JOIN du a
+    ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (day)
+""".strip()
+
+
+TREND_QUERIES["events_dau_wau"] = FnWorkload(_events_dau_wau, _EVENTS_DAU_WAU_SQL)

@@ -323,3 +323,33 @@ class TestMadOutliers:
         sf = events_dir(rows)
         out = _events_mad_outliers(spark, sf).collect()
         assert [r["event_id"] for r in out] == [99]
+
+
+class TestDauWau:
+    def test_trailing_week_distinct(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import _events_dau_wau
+
+        # user 1 active day 0; user 2 active day 5; user 3 active day 10
+        rows = [
+            (1, 1, "a", 0, 1.0),
+            (2, 2, "a", 5 * 86400, 1.0),
+            (3, 3, "a", 10 * 86400, 1.0),
+        ]
+        sf = events_dir(rows)
+        got = {r["day"].day: (r["dau"], r["wau"], r["stickiness"])
+               for r in _events_dau_wau(spark, sf).collect()}
+        # day 1 (Jan 1): only user1 -> dau 1, wau 1
+        assert got[1] == (1, 1, 1.0)
+        # day 6 (Jan 6): user2 active; user1 was 5 days ago -> wau 2
+        assert got[6] == (1, 2, 0.5)
+        # day 11 (Jan 11): user3; user2 was 5 days earlier -> wau 2
+        assert got[11] == (1, 2, 0.5)
+
+    def test_same_user_multiple_events_counts_once(self, spark, events_dir):
+        from dynamicqueryengine_spark.workloads.trends import _events_dau_wau
+
+        rows = [(i, 1, "a", i * 60, 1.0) for i in range(10)]
+        sf = events_dir(rows)
+        out = _events_dau_wau(spark, sf).collect()
+        assert len(out) == 1
+        assert (out[0]["dau"], out[0]["wau"]) == (1, 1)
