@@ -18,9 +18,13 @@ every iteration, and after T of them.
 Plan shape at scale: per iteration, ONE join of the edge list against
 the N-row rank table (both keyed by node — co-partitioned across
 iterations) and ONE aggregation onto N rows. State never exceeds
-O(nodes + edges); T is fixed. At production scale each iteration's
-result would be checkpointed to cut lineage — here T=5 keeps the lazy
-plan shallow enough that a single action executes it directly.
+O(nodes + edges); T is fixed. Lineage is cut with an eager
+``localCheckpoint`` every ``checkpoint_every`` iterations (default 5 —
+inactive for the contract query's T=5, active for any deeper run), so
+the lazy plan depth is bounded regardless of T. The final ranks are
+materialized inside the function so the edge/node caches can be
+released before returning (no storage leak across a long session —
+the repo-wide persist/unpersist discipline).
 """
 
 from __future__ import annotations
@@ -38,10 +42,17 @@ def pagerank(
     iterations: int = 5,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    checkpoint_every: int | None = 5,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` power steps over the UNDIRECTED
     graph given as (a_col, b_col) pairs (symmetrized internally, so every
-    node has outdeg ≥ 1 — no dangling-mass term needed)."""
+    node has outdeg ≥ 1 — no dangling-mass term needed).
+
+    ``checkpoint_every``: eager ``localCheckpoint`` cadence that truncates
+    the per-iteration join lineage (a T-deep lazy plan otherwise grows
+    unboundedly — analyzer/optimizer time alone goes superlinear past
+    ~10 joins). ``None`` disables (identical ranks either way — the
+    checkpoint only cuts lineage, it never changes values)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -55,10 +66,11 @@ def pagerank(
     n = nodes.count()  # bounded scalar (graph node count), like the
     # centroid-seed collects — not a corpus-sized materialization
     if n == 0:
+        edges.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / float(n)
     ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
-    for _ in range(iterations):
+    for t in range(1, iterations + 1):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .select(
@@ -77,6 +89,17 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )
+        if checkpoint_every and t % checkpoint_every == 0 and t < iterations:
+            # eager: executes the prefix NOW and replaces the lineage
+            # with the materialized N-row result — bounded plan depth
+            ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final ranks while the edge/node caches are hot,
+    # then RELEASE those caches — the returned frame no longer needs
+    # them (recomputable from the cached ranks on eviction only)
+    ranks = ranks.persist()
+    ranks.count()
+    edges.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -55,11 +55,39 @@ def write_bucketed_table(
     the bucket key from 1/``num_buckets`` of the files. The layout is
     invisible to readers (`spark.table(name)`), so pipelines opt in purely
     at write time. (tests/test_plan_audit.py asserts the no-Exchange plan.)
+
+    Overwrite is made crash-resilient: a killed prior run can leave the
+    table's warehouse DIRECTORY behind without a catalog entry, which
+    fails the next saveAsTable with LOCATION_ALREADY_EXISTS — so the
+    table is dropped if registered AND its default-database location is
+    cleared when it exists unregistered (local/file warehouses only; an
+    object-store warehouse relies on the committer's overwrite).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        _clear_stale_table_location(spark, name)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def _clear_stale_table_location(spark, name: str) -> None:
+    """Remove a dropped/unregistered managed table's leftover warehouse
+    directory (default database, local/file warehouse only) so a
+    re-create never hits LOCATION_ALREADY_EXISTS after a killed run."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return
+    root = wh.path or wh.netloc
+    loc = os.path.join(root, name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

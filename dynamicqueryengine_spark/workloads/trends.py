@@ -624,30 +624,35 @@ def _events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     COUNT DISTINCT over a sliding range frame isn't a window aggregate
     either engine supports, so the trailing-week distinct uses the
-    standard reformulation: dedupe to the (day, user) activity table
-    first (the bounded state — |days|·|users| worst case), then a
-    bounded range join of each day against its trailing 7 activity days
-    and one distinct count. Stickiness is one shared IEEE division of
-    exact integers."""
+    bounded-interval reformulation: dedupe to the (day, user) activity
+    table first (the bounded state — |days|·|users| worst case), then
+    EXPLODE each activity day to the ≤7 target days whose trailing week
+    it falls in and equi-group — a map-side ×7 expansion feeding one
+    hash aggregation. (A theta range join here plans as a
+    BroadcastNestedLoopJoin testing every activity row against every
+    day — |du|·|days| predicate evaluations, the one plan shape that
+    dies at years-of-days × 10⁹ activity rows; the explode is linear
+    and tests/test_plan_audit.py pins the nested-loop-free plan.)
+    The inner join against the observed-day list (broadcast — bounded
+    by the calendar) drops the up-to-6 future target days past each
+    activity day that no event ever lands on. Stickiness is one shared
+    IEEE division of exact integers."""
     events = load_table(spark, sf_dir, "events")
-    du = (
-        events.select(
-            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-        )
-        .distinct()
-        .persist()
-    )
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
     dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     days = du.select("day").distinct()
+    cover = du.select(
+        F.explode(
+            F.sequence(F.to_date("day"), F.date_add(F.to_date("day"), 6))
+        ).alias("d"),
+        "user_id",
+    ).select(F.col("d").cast("timestamp").alias("day"), "user_id")
     wau = (
-        days.alias("d")
-        .join(
-            du.alias("a"),
-            (F.col("a.day") <= F.col("d.day"))
-            & (F.col("a.day") >= F.date_sub(F.col("d.day"), 6)),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("a.user_id").alias("wau"))
+        cover.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     return dau.join(wau, "day").select(
         "day",

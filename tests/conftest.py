@@ -18,7 +18,13 @@ from pyspark.sql.types import (
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # Managed tables (write_bucketed_table) land in the warehouse dir; the
+    # default is the repo-cwd `spark-warehouse/`, where a killed run leaves
+    # stale table directories that fail the NEXT run's saveAsTable with
+    # LOCATION_ALREADY_EXISTS. Pinning the warehouse to a per-run pytest
+    # tmp dir makes every run start from a clean catalog location.
+    warehouse = str(tmp_path_factory.mktemp("spark-warehouse"))
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("dqe-tests")
@@ -26,6 +32,7 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -50,3 +50,30 @@ def test_two_components_split_mass(spark):
 
 def test_empty_graph(spark):
     assert _run(spark, []) == {}
+
+
+EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 4)]
+
+
+def test_checkpoint_preserves_ranks_exactly(spark):
+    # lineage truncation must be value-invariant: bit-identical ranks
+    # with and without checkpointing at several cadences
+    base = _run(spark, EDGES, iterations=7, checkpoint_every=None)
+    for every in (1, 2, 3):
+        assert _run(spark, EDGES, iterations=7, checkpoint_every=every) == base
+
+
+def test_checkpoint_bounds_plan_depth(spark):
+    # T=20 with the default cadence must complete AND return a plan whose
+    # lineage is truncated at the last checkpoint (t=15): only 5
+    # iterations of joins remain. Measured: ~16 Join nodes per remaining
+    # iteration (edges/nodes lineage re-expands at every reference), so
+    # the truncated plan holds ~80 while an uncheckpointed T=8 already
+    # carries ~136 — pin "5 iterations' worth", not the raw constant.
+    from dynamicqueryengine_spark.functions.pagerank import pagerank
+
+    out = pagerank(_pairs(spark, EDGES), iterations=20, checkpoint_every=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 90, "lineage not truncated at checkpoint"
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)

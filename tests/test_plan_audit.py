@@ -236,6 +236,20 @@ class TestRound4PlanShapes:
         assert "Window" not in plan
 
 
+class TestRound5PlanShapes:
+    def test_dau_wau_has_no_nested_loop_join(self, spark):
+        """r5: the trailing-week distinct must be the explode-to-covered-
+        days equi-plan — a theta range join here plans as a
+        BroadcastNestedLoopJoin testing every (day,user) activity row
+        against EVERY day (|du|·|days| predicate evaluations), the one
+        plan shape that dies at years-of-days × 10⁹ activity rows."""
+        df = entry_mod.queries()["events_dau_wau"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Generate explode(sequence" in plan
+
+
 class TestPartitionPruning:
     def test_partitioned_write_prunes_on_read(self, spark, tmp_path_factory):
         """Hive-style partitioned layout + a rule filter on the partition
