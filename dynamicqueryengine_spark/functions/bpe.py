@@ -138,7 +138,15 @@ def bpe_encode_counts(
 
     The identical literal replaces are mirrored in
     :func:`bpe_encode_counts_sql`, so the oracle is a full value check.
+
+    ``merges`` is a public parameter: each symbol is regex-escaped before
+    being interpolated into the replace patterns (and quote/backref-
+    escaped in the SQL mirror), so merge symbols containing regex or SQL
+    metacharacters encode literally instead of breaking the pattern or
+    injecting into the generated oracle.
     """
+    import re
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), _NORM_RE, " ")
     seq = F.concat(
         F.lit(" "),
@@ -147,7 +155,9 @@ def bpe_encode_counts(
         ),
     )
     for a, b in merges:
-        pat, rep = f" {a} {b} ", f" {a}{b} "
+        pat = f" {re.escape(a)} {re.escape(b)} "
+        # replacement string: \ and $ are Java-regex replacement metachars
+        rep = f" {a}{b} ".replace("\\", "\\\\").replace("$", "\\$")
         seq = F.regexp_replace(F.regexp_replace(seq, pat, rep), pat, rep)
     toks = F.expr("filter(split(trim(_seq), ' '), x -> x != '|')")
     out = (
@@ -177,14 +187,23 @@ def bpe_encode_counts_sql(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB mirror of :func:`bpe_encode_counts` — same normal form,
-    same literal merge replaces in the same order, each applied twice."""
+    same literal merge replaces in the same order, each applied twice.
+    Merge symbols are regex-escaped and SQL-quote-escaped (and the
+    replacement's backslashes doubled — RE2 backref syntax) before
+    interpolation, mirroring the Spark side's escaping."""
+    import re
+
+    def _lit(s: str) -> str:  # SQL single-quoted literal body
+        return s.replace("'", "''")
+
     norm = f"regexp_replace(lower({text_col}), '{_NORM_RE}', ' ', 'g')"
     seq = (
         f"' ' || regexp_replace(replace(trim({norm}), ' ', '|'),"
         f" '(.)', '\\1 ', 'g')"
     )
     for a, b in merges:
-        pat, rep = f" {a} {b} ", f" {a}{b} "
+        pat = _lit(f" {re.escape(a)} {re.escape(b)} ")
+        rep = _lit(f" {a}{b} ".replace("\\", "\\\\"))
         once = f"regexp_replace({seq}, '{pat}', '{rep}', 'g')"
         seq = f"regexp_replace({once}, '{pat}', '{rep}', 'g')"
     return f"""

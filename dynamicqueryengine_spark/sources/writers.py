@@ -119,10 +119,28 @@ def merge_upsert(
 
     The anti-join is keyed and AQE-planned (broadcast for small update
     batches — the common CDC case); nothing is collected.
+
+    Crash recovery (single-writer, LOCAL/file paths only — os.rename is
+    what makes the swap atomic here; on an object store this pattern
+    needs a transactional table format instead): entry first restores
+    the newest ``._old_*`` backup if an interrupted swap left no table
+    at ``path``, then clears stale ``._staged_*``/``._old_*`` debris;
+    the swap itself restores the backup if the second rename fails, so
+    no failure point loses the current table.
     """
+    import glob
     import os
     import shutil
     import uuid
+
+    # recover from a swap interrupted between its two renames (table
+    # moved aside but replacement never landed), then drop stale debris
+    # from previously failed/killed runs
+    olds = sorted(glob.glob(f"{path}._old_*"))
+    if olds and not os.path.exists(path):
+        os.rename(olds.pop(), path)
+    for stale in glob.glob(f"{path}._staged_*") + olds:
+        shutil.rmtree(stale, ignore_errors=True)
 
     keys = list(key_cols)
     if os.path.exists(path):
@@ -135,7 +153,15 @@ def merge_upsert(
     staged = f"{path}._staged_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staged)
     old = f"{path}._old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
+    had_current = os.path.exists(path)
+    if had_current:
         os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.rename(staged, path)
+    except OSError:
+        if had_current and not os.path.exists(path):
+            os.rename(old, path)  # restore — never leave no table behind
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    if had_current:
+        shutil.rmtree(old, ignore_errors=True)

@@ -68,3 +68,37 @@ class TestBpeEncode:
         r = bpe_encode_counts(df).collect()[0]
         assert r["n_sym"] == 6
         assert r["n_bpe"] == 3  # ta ta ta
+
+    def test_metachar_merges_are_escaped(self, spark, users_duck):
+        """Merge symbols with regex/SQL metacharacters must be treated
+        literally on BOTH sides: the Spark encode must not blow up or
+        mis-merge, and the generated SQL must still parse in DuckDB.
+        (The alnum normal form strips such symbols from the TEXT, so
+        these merges match nothing — output equals the no-merge case.)"""
+        import duckdb
+
+        from dynamicqueryengine_spark.functions.bpe import (
+            bpe_encode_counts,
+            bpe_encode_counts_sql,
+        )
+
+        hostile = (("a", "+"), ("$", "b"), ("'", "x"), ("\\", "d"), ("a", "n"))
+        df = spark.createDataFrame(
+            [(1, "an a+b table's $5")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_sym"], r["n_bpe"])
+            for r in bpe_encode_counts(df, merges=hostile).collect()
+        }
+        # normalized stream: "an a b table s 5" (11 symbols) → only
+        # ("a","n") merges, collapsing "a n" to one token: 10 tokens
+        assert got == {1: (11, 10)}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO docs VALUES (1, 'an a+b table''s $5')")
+        sql = bpe_encode_counts_sql("docs", merges=hostile)
+        oracle = {
+            r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()
+        }
+        assert oracle == got
+        con.close()

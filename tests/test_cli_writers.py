@@ -104,3 +104,32 @@ class TestMergeUpsert:
         with pytest.raises(Exception):
             merge_upsert(spark, path, bad, ["id"])  # schema mismatch
         assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+    def test_recovers_interrupted_swap_and_clears_debris(self, spark, tmp_path):
+        """A crash between the swap's two renames leaves the table at
+        ._old_* with nothing at path; the next merge must restore the
+        backup before merging, and stale ._staged_* debris from killed
+        runs must be swept."""
+        import os
+
+        from dynamicqueryengine_spark.sources.writers import merge_upsert
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, v long"
+        )
+        merge_upsert(spark, path, base, ["id"])
+        # simulate the interrupted swap + an orphaned staging dir
+        os.rename(path, f"{path}._old_deadbeef")
+        os.makedirs(f"{path}._staged_feedface")
+        upd = spark.createDataFrame(
+            [(2, "b2", 99)], "id long, name string, v long"
+        )
+        merge_upsert(spark, path, upd, ["id"])
+        got = {
+            r["id"]: (r["name"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {1: ("a", 10), 2: ("b2", 99)}
+        assert not os.path.exists(f"{path}._old_deadbeef")
+        assert not os.path.exists(f"{path}._staged_feedface")

@@ -36,6 +36,41 @@ class TestProfileTable:
         )
         assert plan.count("Range (0, 100") == 1
 
+    def test_hostile_column_names(self, spark):
+        """Names with spaces, hyphens, and quotes must profile correctly
+        on the Spark side AND generate valid DuckDB SQL — identifiers
+        are never string-interpolated unquoted."""
+        import duckdb
+
+        from dynamicqueryengine_spark.functions.profile import (
+            profile_table,
+            profile_table_sql,
+        )
+
+        names = ["a b", "a-b", "it's", 'dq"name']
+        df = spark.createDataFrame(
+            [(1, "x", 2.0, None), (None, "y", 2.0, "z")],
+            "`a b` long, `a-b` string, `it's` double, `dq\"name` string",
+        )
+        prof = {r["col_name"]: r for r in profile_table(df).collect()}
+        assert set(prof) == set(names)
+        assert prof["a b"]["n_nulls"] == 1
+        assert prof["it's"]["n_distinct"] == 1
+        con = duckdb.connect()
+        con.execute(
+            'CREATE TABLE t ("a b" BIGINT, "a-b" VARCHAR, '
+            "\"it's\" DOUBLE, \"dq\"\"name\" VARCHAR)"
+        )
+        con.execute("INSERT INTO t VALUES (1, 'x', 2.0, NULL)")
+        con.execute("INSERT INTO t VALUES (NULL, 'y', 2.0, 'z')")
+        sql = profile_table_sql("t", [(n, "x") for n in names])
+        oracle = {r[0]: r for r in con.execute(sql).fetchall()}
+        assert set(oracle) == set(names)
+        for n in names:
+            assert oracle[n][3] == prof[n]["n_nulls"]
+            assert oracle[n][4] == prof[n]["n_distinct"]
+        con.close()
+
 
 class TestCentroidConfusion:
     def test_separated_labels_are_diagonal(self, spark):
