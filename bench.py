@@ -115,6 +115,7 @@ def main() -> None:
             "metric": "total_query_wall_clock",
             "value": total,
             "unit": "sec",
+            "n_queries": len(queries),  # THE query count — docs cite this
             "passes": 2,
             "stat": "min",
             "total_min2": total,

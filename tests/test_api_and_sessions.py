@@ -192,6 +192,64 @@ class TestSessionization:
             assert key in batch
             assert batch[key] == (n, round(s, 6))
 
+    def test_idle_session_closes_via_event_time_timeout(self, spark, tmp_path):
+        """r5: an idle session must emit WITHOUT a follow-up event from
+        its key — a later event from a DIFFERENT key advances the
+        watermark past last+gap and the event-time timeout fires,
+        emitting the session closed at its true last event with the
+        same aggregates the batch twin computes."""
+        import datetime as dt
+        import glob
+        import shutil
+
+        from dynamicqueryengine_spark.streaming.rules import (
+            run_stream_to_memory,
+        )
+        from dynamicqueryengine_spark.streaming.sessionize import (
+            streaming_sessionize,
+        )
+
+        def ts(h, m=0):
+            return dt.datetime(2024, 1, 1, h, m)
+
+        src = tmp_path / "src"
+        schema = "user_id long, ts timestamp, value double"
+
+        def stage(rows, name):
+            stagedir = tmp_path / f"stage_{name}"
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(stagedir)
+            )
+            src.mkdir(exist_ok=True)
+            shutil.move(
+                glob.glob(str(stagedir / "part-*.parquet"))[0],
+                str(src / name),
+            )
+
+        # user 1: two events then silence; user 2: two later events whose
+        # arrival (in separate micro-batches) advances the watermark
+        stage([(1, ts(10, 0), 2.5), (1, ts(10, 10), 1.0)], "a.parquet")
+        stage([(2, ts(12, 0), 9.0)], "b.parquet")
+        stage([(2, ts(14, 0), 9.0)], "c.parquet")
+
+        stream = streaming_sessionize(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            gap_seconds=1800,
+        )
+        run_stream_to_memory(stream, "idle_sessions_out", output_mode="append")
+        rows = {
+            r["user_id"]: r
+            for r in spark.sql("SELECT * FROM idle_sessions_out").collect()
+        }
+        assert 1 in rows, "idle session never closed"
+        r = rows[1]
+        assert r["n_events"] == 2
+        assert r["sum_value"] == 3.5
+        assert r["session_start"] == ts(10, 0)
+        assert r["session_end"] == ts(10, 10)  # closed at its TRUE last event
+
 
 class TestDescribeEndpoint:
     def test_get_describe(self, spark):
