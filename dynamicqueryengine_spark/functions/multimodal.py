@@ -68,32 +68,104 @@ def attach_blob(
     )
 
 
-# --- decode stubs (marked; the container has no media libraries) ---------
+# --- decoders: real where a library (or the stdlib) allows, loud stubs
+# otherwise. Import-guarded so the same code is a working decoder in a
+# container WITH media libraries and a clearly-marked NotImplementedError
+# in one without — never a silent fake.
 
 
 def decode_image(payload: bytes, fmt: str) -> "object":
-    """STUB — real implementation would use PIL/torchvision.
+    """Decode an image payload to (width, height, mode, pixel bytes).
 
-    Raises NotImplementedError so pipelines fail loudly rather than fake
-    image decoding silently."""
-    raise NotImplementedError(
-        "image decode requires a media library not present in this container; "
-        "replace multimodal.decode_image with a PIL/torchvision decoder"
-    )
+    Real when Pillow is importable (any PIL-supported format); otherwise
+    raises NotImplementedError so pipelines fail loudly rather than fake
+    image decoding silently. (This container ships no media libraries —
+    tests importorskip accordingly.)"""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires Pillow, not present in this container; "
+            "pip install Pillow to activate this path"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "pixels": img.tobytes(),
+    }
 
 
 def decode_audio(payload: bytes, fmt: str) -> "object":
-    """STUB — see :func:`decode_image`."""
-    raise NotImplementedError(
-        "audio decode requires a media library not present in this container"
-    )
+    """Decode an audio payload to (rate, channels, width, samples).
+
+    REAL for PCM WAV via the stdlib ``wave`` module (no external library
+    needed); other formats use soundfile when importable, else raise
+    NotImplementedError."""
+    import io
+
+    if fmt.lower() in ("wav", "audio/wav", "audio/x-wav"):
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n, width = w.getnframes(), w.getsampwidth()
+            raw = w.readframes(n)
+            if width == 2:
+                samples = list(
+                    struct.unpack(f"<{len(raw) // 2}h", raw)
+                )
+            elif width == 1:  # unsigned 8-bit PCM
+                samples = [b - 128 for b in raw]
+            else:
+                samples = list(raw)  # pass bytes through for exotic widths
+            return {
+                "rate": w.getframerate(),
+                "channels": w.getnchannels(),
+                "sample_width": width,
+                "samples": samples,
+            }
+    try:
+        import soundfile as sf
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"decoding {fmt!r} requires soundfile, not present in this "
+            "container (WAV decodes via the stdlib regardless)"
+        ) from exc
+    data, rate = sf.read(io.BytesIO(payload))
+    return {
+        "rate": rate,
+        "channels": 1 if data.ndim == 1 else data.shape[1],
+        "sample_width": None,
+        "samples": data.tolist(),
+    }
 
 
 def sample_frames(payload: bytes, fmt: str, every_n: int = 30) -> "list":
-    """STUB — video frame sampling; see :func:`decode_image`."""
-    raise NotImplementedError(
-        "video decode requires a media library not present in this container"
-    )
+    """Sample every ``every_n``-th frame from a multi-frame payload.
+
+    Real for multi-frame formats Pillow handles (GIF/TIFF) when Pillow is
+    importable; true video containers need ffmpeg-class tooling, so
+    anything else raises NotImplementedError."""
+    try:
+        import io
+
+        from PIL import Image, ImageSequence
+    except ImportError as exc:
+        raise NotImplementedError(
+            "frame sampling requires Pillow (GIF/TIFF) or ffmpeg-class "
+            "tooling (video), not present in this container"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    return [
+        frame.copy()
+        for i, frame in enumerate(ImageSequence.Iterator(img))
+        if i % every_n == 0
+    ]
 
 
 def _decode_stub(payload: bytes) -> dict:

@@ -270,13 +270,47 @@ class TestMultimodal:
         small = M.filter_by_metadata(blobs, max_size_bytes=100)
         assert small.count() < blobs.count()
 
-    def test_decode_stubs_raise(self):
-        with pytest.raises(NotImplementedError):
-            M.decode_image(b"x", "png")
-        with pytest.raises(NotImplementedError):
-            M.decode_audio(b"x", "wav")
-        with pytest.raises(NotImplementedError):
-            M.sample_frames(b"x", "mp4")
+    def test_decode_guards_raise_without_libs(self):
+        """Paths that NEED an absent media library must fail loudly; in a
+        container WITH Pillow/soundfile these decoders are real and the
+        guard assertions are skipped."""
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                M.decode_image(b"x", "png")
+            with pytest.raises(NotImplementedError):
+                M.sample_frames(b"x", "mp4")
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                M.decode_audio(b"x", "mp3")  # non-WAV needs soundfile
+
+    def test_decode_image_real_when_pillow_present(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841 — skips cleanly here
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2), (255, 0, 0)).save(buf, format="PNG")
+        out = M.decode_image(buf.getvalue(), "png")
+        assert (out["width"], out["height"]) == (3, 2)
+        assert len(out["pixels"]) == 3 * 2 * 3
+
+    def test_decode_audio_wav_is_real_stdlib(self):
+        """PCM WAV decodes with NO external library: stdlib wave module.
+        Round-trip the repo's own encoder and check exact samples."""
+        import struct
+
+        samples = struct.pack("<4h", 0, 1000, -1000, 32767)
+        payload = M._encode_wav(1, 8000, samples)
+        out = M.decode_audio(payload, "wav")
+        assert out["rate"] == 8000
+        assert out["channels"] == 1
+        assert out["sample_width"] == 2
+        assert out["samples"] == [0, 1000, -1000, 32767]
 
     def test_png_roundtrip(self, docs):
         parsed = M.parse_png_metadata(M.synthesize_png(docs.limit(25))).collect()
