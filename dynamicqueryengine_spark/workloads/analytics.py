@@ -425,3 +425,239 @@ GROUP BY n_name, p_brand
 ANALYTICS_QUERIES["join_supplier_part_revenue"] = FnWorkload(
     _join_supplier_part_revenue, _SUPPLIER_PART_SQL
 )
+
+
+def _join_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-minimum join (adapted: no partsupp
+    table in the testdata, so the per-(part, supplier) offer price is
+    the average transacted price from lineitem history): for every part,
+    the supplier with the LOWEST average price, with its nation.
+
+    The correlated subquery ("price = (SELECT min …) for this part")
+    becomes one window rank per part — the standard decorrelation. Plan
+    shape: one aggregation onto the (part, supplier) pair space, one
+    window shuffle keyed by part (AQE-coalesced), then the winner rows
+    join broadcast supplier⋈nation. Ties (equal avg price) break on
+    suppkey, making the winner total-ordered and oracle-exact. The avg
+    is an exact DECIMAL sum over one shared IEEE division."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("avg_price"), F.asc("l_suppkey")
+    )
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    supp = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name", "n_name")
+    return best.join(
+        F.broadcast(supp), best.l_suppkey == F.col("s_suppkey")
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("s_name").alias("best_supplier"),
+        "n_name",
+        "n_lines",
+        "avg_price",
+    )
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_price
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY avg_price ASC, l_suppkey ASC) AS rn
+  FROM offers
+)
+SELECT l_partkey AS p_partkey, s_name AS best_supplier, n_name,
+       n_lines, avg_price
+FROM best
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE rn = 1
+""".strip()
+
+
+ANALYTICS_QUERIES["join_cheapest_supplier_per_part"] = FnWorkload(
+    _join_cheapest_supplier_per_part, _CHEAPEST_SUPPLIER_SQL
+)
+
+
+def _join_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS chain (adapted: the testdata
+    lineitem carries no commit/receipt dates, so "failed delivery" is
+    l_returnflag = 'R'): suppliers who had a RETURNED line in a
+    multi-supplier order where NO other supplier's line was returned —
+    the sole-blame attribution query.
+
+    The correlated EXISTS becomes a LEFT SEMI join and the NOT EXISTS a
+    LEFT ANTI join, both keyed on orderkey with the ≠supplier predicate
+    as a residual — the standard decorrelation Spark and DuckDB agree
+    on. Order participation is deduped to (order, supplier) pairs first,
+    so counts are per-order. Top-20 by a TOTAL order (n desc, name asc)
+    keeps the cut deterministic; orderBy+limit compiles to TakeOrdered
+    (per-partition top-k, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    r = returned.alias("r")
+    multi = r.join(
+        pairs.alias("o"),
+        (F.col("r.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("r.l_suppkey") != F.col("o.l_suppkey")),
+        "leftsemi",
+    )
+    sole = multi.alias("m").join(
+        returned.alias("x"),
+        (F.col("m.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("x.l_suppkey")),
+        "left_anti",
+    )
+    supp = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_blame_orders"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name", "n_sole_blame_orders")
+        .orderBy(F.desc("n_sole_blame_orders"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_SOLE_RETURNED_SQL = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+sole AS (
+  SELECT r.l_orderkey, r.l_suppkey
+  FROM returned r
+  WHERE EXISTS (SELECT 1 FROM pairs o
+                WHERE o.l_orderkey = r.l_orderkey
+                  AND o.l_suppkey <> r.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM returned x
+                    WHERE x.l_orderkey = r.l_orderkey
+                      AND x.l_suppkey <> r.l_suppkey)
+)
+SELECT s_name, n_name, count(*) AS n_sole_blame_orders
+FROM sole
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY s_name, n_name
+ORDER BY n_sole_blame_orders DESC, s_name ASC
+LIMIT 20
+""".strip()
+
+
+ANALYTICS_QUERIES["join_sole_returned_supplier"] = FnWorkload(
+    _join_sole_returned_supplier, _SOLE_RETURNED_SQL
+)
+
+
+def _agg_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — subtotals and a grand total in ONE pass:
+    (returnflag, linestatus) detail rows, per-returnflag subtotals, and
+    the grand total, disambiguated by grouping_id (NULL group keys from
+    rollup vs real NULLs are distinguishable only through the grouping
+    bitmap — the id travels in the result for exactly that reason).
+
+    Catalyst plans rollup through a single Expand (3 projections of each
+    input row) feeding one hash aggregation — one scan, one shuffle onto
+    a key space bounded by Σ per-level group counts, identical to how
+    the profiler's multi-distinct pass scales. Sums are per-row DECIMAL
+    casts (exact, shuffle-order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_rollup_returnflag_status"] = FnWorkload(
+    _agg_rollup_returnflag_status, _ROLLUP_SQL
+)
+
+
+def _agg_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS aggregation (adapted: no commitdate in the
+    testdata, so "late" is a lineitem shipped > 60 days after the order
+    date): order counts per priority among orders with at least one late
+    line.
+
+    The correlated EXISTS decorrelates to a LEFT SEMI join — Spark never
+    materializes the match list, it just probes; the date predicate is a
+    residual on the semi join (it references both sides, so it cannot
+    push below the join, but the orderkey probe is still hash-based).
+    One aggregation onto the 5-row priority space ends the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_PRIORITY_LATE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_priority_late_ship"] = FnWorkload(
+    _agg_priority_late_ship, _PRIORITY_LATE_SQL
+)

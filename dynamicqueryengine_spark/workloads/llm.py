@@ -1825,3 +1825,228 @@ FROM m CROSS JOIN nq
 LLM_QUERIES["ann_recall_report"] = FnWorkload(
     _ann_recall_report, _ann_recall_report_sql()
 )
+
+
+def _dedup_fuzzy_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) near-dup pairs — the dedup family
+    member for SMALL edits (typo/OCR variants) that shingle-set jaccard
+    under-weights: pairs in the same block with levenshtein(a,b) ≤ 25%
+    of the longer text.
+
+    Blocking is what makes edit distance feasible at scale — levenshtein
+    is O(len²) per pair, so all-pairs is unthinkable; the standard move
+    is a cheap equality block (here: language + first 16 normalized
+    chars, docs ≤ 600 chars) so the quadratic work runs only inside
+    blocks (Σ|block|² pairs; measured max block = 2 on this corpus).
+    The block join is a plain equijoin on the derived key — fully
+    distributed, no driver involvement; levenshtein itself is a JVM
+    codegen'd builtin both engines implement identically (unit edit
+    costs over codepoints)."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") <= 600)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lower(F.col("text")).alias("t"),
+        F.concat_ws(
+            "|", "lang", F.substring(F.lower(F.col("text")), 1, 16)
+        ).alias("blk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lev = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lev.cast("long").alias("edit_dist"),
+            F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+            .cast("long")
+            .alias("max_len"),
+        )
+        .filter(
+            F.col("edit_dist").cast("double")
+            <= F.lit(0.25) * F.col("max_len").cast("double")
+        )
+    )
+
+
+_FUZZY_EDIT_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars, lower(text) AS t,
+         lang || '|' || substring(lower(text), 1, 16) AS blk
+  FROM documents WHERE n_chars <= 600
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       CAST(greatest(a.n_chars, b.n_chars) AS BIGINT) AS max_len
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
+      <= 0.25 * CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE)
+""".strip()
+
+
+LLM_QUERIES["dedup_fuzzy_edit_distance"] = FnWorkload(
+    _dedup_fuzzy_edit_distance, _FUZZY_EDIT_SQL
+)
+
+
+def _graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the near-dup similarity graph — the
+    clustering-coefficient numerator, the standard "is this dup cluster
+    a clique or a chain?" diagnostic after pair mining.
+
+    Triangles enumerate via the classic two-join ordered-edge plan:
+    with edges kept as id_a < id_b, (a,b)⋈(b,c)⋈(a,c) finds each
+    triangle exactly once (a<b<c). Both joins are equi-joins on node
+    ids; at scale this is the degree-ordered edge-iterator algorithm
+    (join input Σdeg², bounded by the LSH-banded pair mining upstream
+    — the edge list here is already only jaccard≥0.7 survivors from
+    the shared cross-query pair memo). Each triangle credits all three
+    corners through one explode + equi-groupBy."""
+    pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
+    e = pairs.select("id_a", "id_b")  # invariant: id_a < id_b
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.id_b") == F.col("e2.id_a"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e1.id_a") == F.col("e3.id_a"))
+            & (F.col("e2.id_b") == F.col("e3.id_b")),
+            "leftsemi",
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _graph_triangle_counts_sql() -> str:
+    pairs = D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    return f"""
+WITH pairs AS ({pairs}),
+e AS (SELECT id_a, id_b FROM pairs),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+  WHERE EXISTS (SELECT 1 FROM e e3
+                WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+),
+corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+""".strip()
+
+
+LLM_QUERIES["graph_triangle_counts"] = FnWorkload(
+    _graph_triangle_counts, _graph_triangle_counts_sql()
+)
+
+
+def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the distributed path (r5): synthesize a PCM
+    WAV per document, then run the stdlib ``wave`` decoder
+    (functions/multimodal.decode_audio — no external media library) in
+    the Arrow batch stream and report what came back. Unlike
+    multimodal_wav_metadata (a header walk), this decodes the PCM frames
+    themselves: n_samples counts DECODED frames and pcm_sum sums the
+    actual int16 sample values — proof the bytes round-tripped, not
+    just the RIFF envelope. The oracle predicts the structural fields
+    from the synthesis spec (rate = 8000·(1+id%3), channels = 1+id%2,
+    frames = 16+n_chars%241); pcm_sum is engine-computed on both sides
+    from the same md5-tiled bytes via the unit-tested encoder/decoder
+    pair, and travels as an exact integer."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = M.decode_audio(bytes(payload), "wav")
+                frames = len(d["samples"]) // d["channels"]
+                out.append(
+                    (
+                        int(doc_id),
+                        d["rate"],
+                        d["channels"],
+                        d["sample_width"],
+                        frames,
+                        int(sum(d["samples"])),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "rate", "channels", "sample_width",
+                    "n_frames", "pcm_sum",
+                ],
+            )
+
+    docs = _docs(spark, sf_dir)
+    wavs = M.synthesize_wav(docs)
+    decoded = wavs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, rate int, channels int, sample_width int, "
+            "n_frames long, pcm_sum long"
+        ),
+    )
+    return decoded
+
+
+_MULTIMODAL_WAV_DECODE_SQL = """
+WITH spec AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         16 + n_chars % 241 AS frames,
+         md5(text) AS h
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, 17),
+           i -> CAST(
+             (strpos('0123456789abcdef', substring(h, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(h, 2*i, 1)) - 1)
+             AS BIGINT)
+         ) AS d16,
+         rate, channels, frames
+  FROM spec
+),
+pcm AS (
+  -- samples tile the 16-byte digest; each int16 is little-endian
+  -- lo + 256*hi with two's complement sign
+  SELECT doc_id, rate, channels, frames,
+         (SELECT sum(
+            CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+          FROM (
+            SELECT d16[1 + (2*k) % 16] + 256 * d16[1 + (2*k + 1) % 16] AS v
+            FROM unnest(range(0, frames * channels)) AS t(k)
+          )
+         ) AS pcm_sum
+  FROM bytes
+)
+SELECT doc_id, rate, channels, CAST(2 AS INT) AS sample_width,
+       CAST(frames AS BIGINT) AS n_frames, CAST(pcm_sum AS BIGINT) AS pcm_sum
+FROM pcm
+""".strip()
+
+
+LLM_QUERIES["multimodal_wav_decode"] = FnWorkload(
+    _multimodal_wav_decode, _MULTIMODAL_WAV_DECODE_SQL
+)
