@@ -2050,3 +2050,65 @@ FROM pcm
 LLM_QUERIES["multimodal_wav_decode"] = FnWorkload(
     _multimodal_wav_decode, _MULTIMODAL_WAV_DECODE_SQL
 )
+
+
+def _corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup report — the summary a curation run logs
+    before/after each stage: document count, exact-duplicate rows
+    (non-canonical members of md5 fingerprint groups), near-dup pairs at
+    jaccard ≥ 0.7 (from the shared cross-query pair memo — mined once
+    per corpus), and blocked fuzzy edit-distance pairs, with the exact
+    dup fraction as one shared IEEE division.
+
+    Each input is an already-bounded aggregate (counts over the dedup
+    family's own outputs), combined with cross joins of single-row
+    frames — no data movement beyond the upstream operators' own."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = D.exact_dedup_assign(docs).filter(
+        F.col("doc_id") != F.col("canonical_id")
+    ).agg(F.count(F.lit(1)).alias("n_exact_dup_rows"))
+    near = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7).agg(
+        F.count(F.lit(1)).alias("n_near_pairs")
+    )
+    fuzzy = _dedup_fuzzy_edit_distance(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_fuzzy_pairs")
+    )
+    return (
+        n_docs.crossJoin(exact)
+        .crossJoin(near)
+        .crossJoin(fuzzy)
+        .select(
+            "n_docs",
+            "n_exact_dup_rows",
+            "n_near_pairs",
+            "n_fuzzy_pairs",
+            (
+                F.col("n_exact_dup_rows").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_frac"),
+        )
+    )
+
+
+def _corpus_dedup_rate_report_sql() -> str:
+    near = D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    exact = D.exact_dedup_assign_sql("documents")
+    return f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+ex AS (
+  SELECT count(*) AS n_exact_dup_rows FROM ({exact})
+  WHERE doc_id <> canonical_id
+),
+np AS (SELECT count(*) AS n_near_pairs FROM ({near})),
+fz AS (SELECT count(*) AS n_fuzzy_pairs FROM ({_FUZZY_EDIT_SQL}))
+SELECT n_docs, n_exact_dup_rows, n_near_pairs, n_fuzzy_pairs,
+       CAST(n_exact_dup_rows AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS exact_dup_frac
+FROM nd, ex, np, fz
+""".strip()
+
+
+LLM_QUERIES["corpus_dedup_rate_report"] = FnWorkload(
+    _corpus_dedup_rate_report, _corpus_dedup_rate_report_sql()
+)

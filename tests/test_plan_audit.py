@@ -237,6 +237,31 @@ class TestRound4PlanShapes:
 
 
 class TestRound5PlanShapes:
+    def test_rollup_is_single_scan_expand(self, spark):
+        """ROLLUP must plan as ONE scan feeding an Expand — never a
+        per-grouping-set union of scans."""
+        df = entry_mod.queries()["agg_rollup_returnflag_status"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "Expand" in plan
+        assert plan.count("Scan parquet") == 1
+
+    def test_exists_chain_plans_as_semi_and_anti(self, spark):
+        """The Q21-shape EXISTS/NOT-EXISTS chain must decorrelate to
+        hash-based semi/anti joins — no nested-loop fallback."""
+        df = entry_mod.queries()["join_sole_returned_supplier"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_fuzzy_dedup_blocks_are_equijoined(self, spark):
+        """Blocked edit-distance dedup must join on the block key (hash
+        equijoin) — levenshtein runs only inside blocks, never all-pairs."""
+        df = entry_mod.queries()["dedup_fuzzy_edit_distance"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_dau_wau_has_no_nested_loop_join(self, spark):
         """r5: the trailing-week distinct must be the explode-to-covered-
         days equi-plan — a theta range join here plans as a
