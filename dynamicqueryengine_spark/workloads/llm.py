@@ -2112,3 +2112,36 @@ FROM nd, ex, np, fz
 LLM_QUERIES["corpus_dedup_rate_report"] = FnWorkload(
     _corpus_dedup_rate_report, _corpus_dedup_rate_report_sql()
 )
+
+
+def _ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (functions/pq.py ivfpq_topk) — cell-pruned
+    candidate set × 8-byte ADC codes, the FAISS-style production
+    combination. Deterministic seeding (lowest-id centroids AND
+    codebooks) makes the full composition — probe-miss recall loss and
+    quantization error included — value-exact against the SQL mirror."""
+    from ..functions.pq import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        embs, queries, k=10, n_cells=16, n_probe=4, n_sub=8, n_codes=16
+    )
+
+
+def _ann_topk_ivfpq_sql() -> str:
+    from ..functions.pq import ivfpq_topk_sql
+
+    return ivfpq_topk_sql(
+        "embeddings",
+        "__ID__ < 5",
+        k=10,
+        n_cells=16,
+        n_probe=4,
+        n_sub=8,
+        n_codes=16,
+        dim=64,
+    )
+
+
+LLM_QUERIES["ann_topk_ivfpq"] = FnWorkload(_ann_topk_ivfpq, _ann_topk_ivfpq_sql())

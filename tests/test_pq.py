@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
-from dynamicqueryengine_spark.functions.pq import pq_codebooks, pq_topk
+from dynamicqueryengine_spark.functions.pq import (
+    ivfpq_topk,
+    pq_codebooks,
+    pq_topk,
+)
 from dynamicqueryengine_spark.functions.similarity import cosine_topk
 
 
@@ -70,3 +74,44 @@ class TestPq:
             exact_top3 = {r["neighbor_id"] for r in ex if r["query_id"] == qid}
             ok += nid in exact_top3
         assert ok >= 3  # recall@(1 in exact-top3) ≥ 60% on clustered data
+
+
+class TestIvfPq:
+    def test_single_cell_equals_flat_pq(self, spark):
+        """With n_cells=1 every row lands in the only cell, so IVF-PQ
+        must return EXACTLY the flat-PQ result — the composition's
+        pruning is the only thing that may differ, and here it prunes
+        nothing."""
+        vecs = [[float((i * 7 + j * 3) % 11) for j in range(8)] for i in range(14)]
+        df = _embs(spark, vecs)
+        q = df.filter("vec_id < 2")
+        flat = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_d2"])
+            for r in pq_topk(df, q, k=5, n_sub=4, n_codes=4).collect()
+        }
+        comp = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_d2"])
+            for r in ivfpq_topk(
+                df, q, k=5, n_cells=1, n_probe=1, n_sub=4, n_codes=4
+            ).collect()
+        }
+        assert comp == flat
+
+    def test_probe_prunes_to_cell_subset(self, spark):
+        """Two well-separated clusters, n_probe=1: a query only ever
+        sees neighbors from its own cell."""
+        # interleave so the 2 lowest-id seed vectors (the deterministic
+        # centroids) land one per cluster: even ids = A, odd ids = B
+        vecs = []
+        for i in range(6):
+            vecs.append([10.0 + 0.01 * i] * 8)   # id 2i   cluster A
+            vecs.append([-10.0 - 0.01 * i] * 8)  # id 2i+1 cluster B
+        df = _embs(spark, vecs)
+        q = df.filter("vec_id IN (0, 1)")
+        rows = ivfpq_topk(
+            df, q, k=5, n_cells=2, n_probe=1, n_sub=4, n_codes=2
+        ).collect()
+        assert rows
+        for r in rows:
+            same_side = r["query_id"] % 2 == r["neighbor_id"] % 2
+            assert same_side, rows
