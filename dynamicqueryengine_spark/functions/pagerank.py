@@ -30,10 +30,58 @@ the repo-wide persist/unpersist discipline).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 __all__ = ["pagerank", "pagerank_sql"]
 
 _DEC = "decimal(38,12)"
+
+# Below this many symmetrized edges the whole graph is driver-resident
+# state anyway (the rank table and edge list both fit trivially), and the
+# T×(join+agg) stage overhead dominates wall time ~100:1 — so tiny graphs
+# take an exact driver route (same decimal-quantized contribution math,
+# bit-identical ranks; pinned by tests/test_pagerank.py equivalence).
+# Bigger graphs ALWAYS take the distributed path — the 100 TB design.
+DRIVER_PAGERANK_MAX_EDGES = 500_000
+
+
+def _pagerank_driver(spark, rows, node_type, damping, iterations):
+    """Exact driver-side twin of the distributed loop: contributions are
+    double divisions quantized to DECIMAL(38,12) HALF_UP (= Spark's
+    double→decimal cast), summed exactly, cast back to double for the
+    shared IEEE combine — the identical value path, so both routes and
+    the SQL oracle agree bit-for-bit."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    twelve = Decimal("1e-12")
+    outdeg: dict = defaultdict(int)
+    for src, dst in rows:
+        outdeg[src] += 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    schema = StructType(
+        [
+            StructField("node", node_type, True),
+            StructField("rank", DoubleType(), True),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    base = (1.0 - damping) / float(n)
+    ranks = {v: 1.0 / float(n) for v in nodes}
+    for _ in range(iterations):
+        sums: dict = defaultdict(lambda: Decimal(0))
+        for src, dst in rows:
+            c = ranks[src] / float(outdeg[src])
+            sums[dst] += Decimal(c).quantize(twelve, rounding=ROUND_HALF_UP)
+        ranks = {
+            v: base + damping * (float(sums[v]) if v in sums else 0.0)
+            for v in nodes
+        }
+    return spark.createDataFrame(
+        [(v, ranks[v]) for v in nodes], schema
+    )
 
 
 def pagerank(
@@ -43,6 +91,7 @@ def pagerank(
     a_col: str = "id_a",
     b_col: str = "id_b",
     checkpoint_every: int | None = 5,
+    driver_max_edges: int = DRIVER_PAGERANK_MAX_EDGES,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` power steps over the UNDIRECTED
     graph given as (a_col, b_col) pairs (symmetrized internally, so every
@@ -52,7 +101,11 @@ def pagerank(
     the per-iteration join lineage (a T-deep lazy plan otherwise grows
     unboundedly — analyzer/optimizer time alone goes superlinear past
     ~10 joins). ``None`` disables (identical ranks either way — the
-    checkpoint only cuts lineage, it never changes values)."""
+    checkpoint only cuts lineage, it never changes values).
+
+    ``driver_max_edges`` gates the exact driver fast path for tiny
+    graphs (0 forces the distributed route); both routes produce
+    bit-identical ranks."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -60,6 +113,16 @@ def pagerank(
         )
         .distinct()
     )
+    n_edges = edges.count()  # bounded scalar (post-dedup edge count)
+    if n_edges <= driver_max_edges:
+        rows = [(r[0], r[1]) for r in edges.collect()]  # gate-bounded
+        return _pagerank_driver(
+            edges.sparkSession,
+            rows,
+            edges.schema["src"].dataType,
+            damping,
+            iterations,
+        )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(outdeg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()

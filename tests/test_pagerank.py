@@ -55,12 +55,29 @@ def test_empty_graph(spark):
 EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 4)]
 
 
+def test_driver_route_equals_distributed_exactly(spark):
+    # the size-gated driver fast path must be BIT-identical to the
+    # distributed join/agg loop (same decimal-quantized contributions)
+    fast = _run(spark, EDGES, iterations=5)  # tiny graph → driver route
+    dist = _run(spark, EDGES, iterations=5, driver_max_edges=0)
+    assert fast == dist
+
+
 def test_checkpoint_preserves_ranks_exactly(spark):
     # lineage truncation must be value-invariant: bit-identical ranks
-    # with and without checkpointing at several cadences
-    base = _run(spark, EDGES, iterations=7, checkpoint_every=None)
+    # with and without checkpointing at several cadences (distributed
+    # route forced — the driver route never builds iteration lineage)
+    base = _run(
+        spark, EDGES, iterations=7, checkpoint_every=None, driver_max_edges=0
+    )
     for every in (1, 2, 3):
-        assert _run(spark, EDGES, iterations=7, checkpoint_every=every) == base
+        assert base == _run(
+            spark,
+            EDGES,
+            iterations=7,
+            checkpoint_every=every,
+            driver_max_edges=0,
+        )
 
 
 def test_checkpoint_bounds_plan_depth(spark):
@@ -72,7 +89,12 @@ def test_checkpoint_bounds_plan_depth(spark):
     # carries ~136 — pin "5 iterations' worth", not the raw constant.
     from dynamicqueryengine_spark.functions.pagerank import pagerank
 
-    out = pagerank(_pairs(spark, EDGES), iterations=20, checkpoint_every=5)
+    out = pagerank(
+        _pairs(spark, EDGES),
+        iterations=20,
+        checkpoint_every=5,
+        driver_max_edges=0,
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 90, "lineage not truncated at checkpoint"
     ranks = {r["node"]: r["rank"] for r in out.collect()}
