@@ -661,3 +661,123 @@ GROUP BY o_orderpriority
 ANALYTICS_QUERIES["agg_priority_late_ship"] = FnWorkload(
     _agg_priority_late_ship, _PRIORITY_LATE_SQL
 )
+
+
+def _customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: exact per-customer order totals
+    (DECIMAL sums), ntile(10) over a TOTAL order (value desc, custkey
+    asc — deterministic bucket edges), then per-decile aggregates.
+
+    Plan shape: one aggregation onto |customers|, ONE global-sort window
+    for the ntile — the only defensible global sort in the repo, because
+    ntile's bucket edges are inherently rank-global; at 100 TB the same
+    cut uses approx percentile boundaries + a broadcast bucket join
+    (docs_curriculum_buckets does exactly that) — this query pins the
+    exact-rank semantics the approximation is judged against. Final
+    output is 10 rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"),
+    )
+    w = Window.orderBy(F.desc("ltv"), F.asc("o_custkey"))
+    return (
+        ltv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("ltv"), 2).cast("double").alias("total_ltv"),
+            F.round(F.min("ltv"), 2).cast("double").alias("min_ltv"),
+            F.round(F.max("ltv"), 2).cast("double").alias("max_ltv"),
+        )
+    )
+
+
+_LTV_DECILES_SQL = """
+WITH ltv AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT *, ntile(10) OVER (ORDER BY ltv DESC, o_custkey ASC) AS decile
+  FROM ltv
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(round(sum(ltv), 2) AS DOUBLE) AS total_ltv,
+       CAST(round(min(ltv), 2) AS DOUBLE) AS min_ltv,
+       CAST(round(max(ltv), 2) AS DOUBLE) AS max_ltv
+FROM tiled GROUP BY decile
+""".strip()
+
+
+ANALYTICS_QUERIES["window_customer_ltv_deciles"] = FnWorkload(
+    _customer_ltv_deciles, _LTV_DECILES_SQL
+)
+
+
+def _pivot_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual PIVOT — discount bands to columns: per (returnflag,
+    linestatus), line counts and exact revenue split across three
+    discount bands as COLUMNS (none <2%, low 2-5%, high >5%).
+
+    Conditional aggregation (sum(CASE WHEN …)) IS the scale-correct
+    pivot: one scan, one aggregation, map-side partials, no per-band
+    rescan and no dynamic-column inference pass (Spark's pivot() first
+    runs a distinct scan to discover columns — fixed bands skip it).
+    Revenue per band is the per-row double product cast to
+    DECIMAL(38,12), exact under any shuffle order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+
+    def band(lo: float | None, hi: float | None):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("l_discount") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("l_discount") < hi)
+        return cond
+
+    bands = {"none": band(None, 0.02), "low": band(0.02, 0.05), "high": band(0.05, None)}
+    aggs = []
+    for name, cond in bands.items():
+        aggs.append(
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{name}")
+        )
+        aggs.append(
+            F.round(F.sum(F.when(cond, rev)), 2)
+            .cast("double")
+            .alias(f"rev_{name}")
+        )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
+
+
+_PIVOT_BANDS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(CASE WHEN l_discount < 0.02 THEN 1 END) AS n_none,
+       CAST(round(sum(CASE WHEN l_discount < 0.02
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))
+             END), 2) AS DOUBLE) AS rev_none,
+       count(CASE WHEN l_discount >= 0.02 AND l_discount < 0.05 THEN 1 END)
+         AS n_low,
+       CAST(round(sum(CASE WHEN l_discount >= 0.02 AND l_discount < 0.05
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))
+             END), 2) AS DOUBLE) AS rev_low,
+       count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS n_high,
+       CAST(round(sum(CASE WHEN l_discount >= 0.05
+             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12))
+             END), 2) AS DOUBLE) AS rev_high
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_pivot_discount_bands"] = FnWorkload(
+    _pivot_discount_bands, _PIVOT_BANDS_SQL
+)

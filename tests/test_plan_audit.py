@@ -262,6 +262,21 @@ class TestRound5PlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivfpq_scan_is_cell_equijoin(self, spark):
+        """IVF-PQ's candidate scan must be a hash equijoin on the cell
+        id — never the flat-PQ all-pairs BroadcastNestedLoopJoin."""
+        df = entry_mod.queries()["ann_topk_ivfpq"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_pivot_bands_single_scan(self, spark):
+        """The manual pivot must aggregate every band in ONE scan — no
+        per-band rescan, no pivot column-discovery pass."""
+        df = entry_mod.queries()["agg_pivot_discount_bands"](spark, SF_DIR)
+        plan = _physical(df)
+        assert plan.count("Scan parquet") == 1
+
     def test_dau_wau_has_no_nested_loop_join(self, spark):
         """r5: the trailing-week distinct must be the explode-to-covered-
         days equi-plan — a theta range join here plans as a
