@@ -781,3 +781,39 @@ GROUP BY l_returnflag, l_linestatus
 ANALYTICS_QUERIES["agg_pivot_discount_bands"] = FnWorkload(
     _pivot_discount_bands, _PIVOT_BANDS_SQL
 )
+
+
+def _agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping combinations of (priority,
+    status) in one pass: detail, both one-dimension margins, and the
+    grand total, disambiguated by grouping_id. Same single-Expand scale
+    shape as ROLLUP (agg_rollup_returnflag_status) with 4 projections
+    per input row instead of 3; the post-shuffle key space is
+    Σ per-grouping cardinalities — bounded by the dimension domains,
+    never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_cube_priority_status"] = FnWorkload(
+    _agg_cube_priority_status, _CUBE_SQL
+)

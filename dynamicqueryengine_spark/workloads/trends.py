@@ -685,3 +685,75 @@ FROM dau JOIN wau USING (day)
 
 
 TREND_QUERIES["events_dau_wau"] = FnWorkload(_events_dau_wau, _EVENTS_DAU_WAU_SQL)
+
+
+# ------------------------------------------- trailing-week range frame --
+
+
+def _events_trailing_week_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day): that user's event count and exact value sum over
+    the TRAILING 7 days — the interval RANGE-frame window (`RANGE
+    BETWEEN 6 days PRECEDING AND CURRENT ROW`), the per-key analog of
+    the corpus-wide DAU/WAU reformulation.
+
+    Here the range frame IS the scale-correct plan: the window
+    partitions by user (one keyed shuffle), each partition sorts its own
+    bounded day list, and Spark evaluates the sliding frame
+    incrementally — no self-join, no explode needed because the frame is
+    per-user (the DAU/WAU case needed the explode only because its
+    distinct-count is NOT decomposable per user). Spark range frames
+    need a numeric ordering column, so the day orders by epoch-day long;
+    the DuckDB mirror uses the identical integer frame. The sum is a
+    pre-aggregated per-day DECIMAL (exact), summed again by the frame —
+    decimal addition is associative, so frame order cannot perturb it."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("value"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum(F.col("value").cast(_DEC)).alias("v_day"),
+        )
+        .withColumn(
+            "epoch_day", (F.unix_timestamp("day") / F.lit(86400.0)).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n_day").over(w).alias("n_week"),
+        F.round(F.sum("v_day").over(w), 6).cast("double").alias("v_week"),
+    )
+
+
+_EVENTS_TRAILING_WEEK_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n_day,
+         sum(CAST(value AS DECIMAL(38,12))) AS v_day,
+         CAST(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 86400
+              AS BIGINT) AS epoch_day
+  FROM ev GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+)
+SELECT user_id, day,
+       CAST(sum(n_day) OVER w AS BIGINT) AS n_week,
+       CAST(round(sum(v_day) OVER w, 6) AS DOUBLE) AS v_week
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""".strip()
+
+
+TREND_QUERIES["events_trailing_week_sum"] = FnWorkload(
+    _events_trailing_week_sum, _EVENTS_TRAILING_WEEK_SQL
+)
