@@ -2145,3 +2145,72 @@ def _ann_topk_ivfpq_sql() -> str:
 
 
 LLM_QUERIES["ann_topk_ivfpq"] = FnWorkload(_ann_topk_ivfpq, _ann_topk_ivfpq_sql())
+
+
+def _events_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table MERGE with TIME TRAVEL, EXECUTED
+    (sources/versioned.py — the transaction-log table format): commit
+    per-user totals over half the events as version 1, MERGE in the
+    recomputed combined totals for users touched by the other half
+    (classic CDC backfill), then read BOTH snapshots — version 1 by
+    time travel, the head after the merge — and join them per user.
+
+    Every step is deterministic (the halves split on event_id parity),
+    so both snapshots are fully value-oracled: v1 = the even-half
+    aggregation, v2 = the all-events aggregation (merged users carry
+    combined totals; untouched users' v1 rows — all-even users — were
+    already complete). Commits are atomic manifest creates; the v1
+    reader resolves its snapshot unaffected by the later merge."""
+    import tempfile
+
+    from ..sources.versioned import vt_merge, vt_read, vt_write
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("s"),
+        )
+
+    path = f"{tempfile.mkdtemp(prefix='dqe_vt_')}/totals"
+    vt_write(spark, path, totals(ev.filter(F.col("event_id") % 2 == 0)))
+    touched = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    vt_merge(
+        spark, path, totals(ev.join(touched, "user_id", "semi")), ["user_id"]
+    )
+    v1 = vt_read(spark, path, version=1).select(
+        "user_id",
+        F.col("n").alias("n_v1"),
+        F.round(F.col("s"), 6).cast("double").alias("sum_v1"),
+    )
+    head = vt_read(spark, path).select(
+        "user_id",
+        F.col("n").alias("n_v2"),
+        F.round(F.col("s"), 6).cast("double").alias("sum_v2"),
+    )
+    return head.join(v1, "user_id", "left")
+
+
+_EVENTS_UPSERT_TT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+v1 AS (
+  SELECT user_id, count(*) AS n_v1,
+         CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+           AS sum_v1
+  FROM ev WHERE event_id % 2 = 0 GROUP BY 1
+),
+v2 AS (
+  SELECT user_id, count(*) AS n_v2,
+         CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+           AS sum_v2
+  FROM ev GROUP BY 1
+)
+SELECT v2.user_id, v2.n_v2, v2.sum_v2, v1.n_v1, v1.sum_v1
+FROM v2 LEFT JOIN v1 USING (user_id)
+""".strip()
+
+
+LLM_QUERIES["events_upsert_time_travel"] = FnWorkload(
+    _events_upsert_time_travel, _EVENTS_UPSERT_TT_SQL
+)

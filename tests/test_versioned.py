@@ -1,0 +1,99 @@
+"""Versioned parquet table (sources/versioned.py): snapshot isolation,
+time travel, optimistic commit, keyed merge, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dynamicqueryengine_spark.sources.versioned import (
+    vt_merge,
+    vt_read,
+    vt_vacuum,
+    vt_versions,
+    vt_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _rows(df):
+    return {(r["id"], r["v"]) for r in df.collect()}
+
+
+class TestVersionedTable:
+    def test_write_read_and_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        v2 = vt_write(spark, path, _df(spark, [(3, "c")]), mode="append")
+        v3 = vt_write(spark, path, _df(spark, [(9, "z")]), mode="overwrite")
+        assert (v1, v2, v3) == (1, 2, 3)
+        assert vt_versions(path) == [1, 2, 3]
+        # latest = overwrite
+        assert _rows(vt_read(spark, path)) == {(9, "z")}
+        # time travel to every retained version
+        assert _rows(vt_read(spark, path, 1)) == {(1, "a"), (2, "b")}
+        assert _rows(vt_read(spark, path, 2)) == {(1, "a"), (2, "b"), (3, "c")}
+
+    def test_merge_upserts_and_keeps_history(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_merge(spark, path, _df(spark, [(2, "B2"), (3, "c")]), ["id"])
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "B2"), (3, "c")}
+        # pre-merge snapshot unchanged — snapshot isolation across commits
+        assert _rows(vt_read(spark, path, 1)) == {(1, "a"), (2, "b")}
+
+    def test_reader_snapshot_survives_later_commits(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        snap = vt_read(spark, path)  # resolves version 1's file list NOW
+        vt_merge(spark, path, _df(spark, [(1, "A2")]), ["id"])
+        # the already-resolved reader still sees its snapshot (old files
+        # are never modified or deleted by writers)
+        assert _rows(snap) == {(1, "a")}
+
+    def test_stale_commit_conflict_surfaces(self, spark, tmp_path):
+        """The atomic-create commit must reject a writer holding a stale
+        head: writer A reads head=1, writer B commits 2, then A's commit
+        of 'version 2' must fail rather than clobber B's."""
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        from dynamicqueryengine_spark.sources.versioned import _commit
+
+        stale_head = vt_versions(path)[-1]  # A reads head = 1
+        _commit(path, [], "write", stale_head)  # B commits version 2
+        with pytest.raises(FileExistsError):
+            _commit(path, [], "write", stale_head)  # A's stale commit
+
+    def test_merge_retries_through_commit_race(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        # pre-claim version 2 with a manifest referencing version 1's
+        # data (as a real racing merge would); the merge must lose once,
+        # re-read head = 2, and commit as version 3
+        from dynamicqueryengine_spark.sources.versioned import (
+            _commit,
+            _read_manifest,
+        )
+
+        _commit(path, _read_manifest(path, 1)["dirs"], "merge", 1)
+        v = vt_merge(spark, path, _df(spark, [(2, "b")]), ["id"])
+        assert v == 3
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
+
+    def test_vacuum_drops_only_unreferenced(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_merge(spark, path, _df(spark, [(2, "b")]), ["id"])
+        vt_merge(spark, path, _df(spark, [(3, "c")]), ["id"])
+        removed = vt_vacuum(spark, path, keep_last=2)
+        assert len(removed) == 1  # version 1's directory
+        assert vt_versions(path) == [2, 3]
+        # both retained versions still fully readable
+        assert _rows(vt_read(spark, path, 2)) == {(1, "a"), (2, "b")}
+        assert _rows(vt_read(spark, path, 3)) == {(1, "a"), (2, "b"), (3, "c")}
+        data_dirs = [n for n in os.listdir(path) if n.startswith("d_")]
+        assert len(data_dirs) == 2
