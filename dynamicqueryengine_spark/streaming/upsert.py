@@ -24,6 +24,10 @@ write; a per-key column inside the table has no such window.)
 At production scale the same ``foreachBatch`` body targets Delta/Iceberg
 MERGE INTO; bounded per-batch work, key-proportional state reads, and
 the per-key batch-id guard are the properties that survive the swap.
+(``sources/versioned.py`` provides the transaction-log variant of the
+same merge — atomic manifest commits, snapshot isolation, time travel —
+for sinks that need readable history rather than a single head table;
+``events_upsert_time_travel`` executes it.)
 """
 
 from __future__ import annotations
