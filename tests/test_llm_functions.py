@@ -542,3 +542,26 @@ class TestIvf:
             return d2.min(axis=1).sum()
 
         assert sse(a) < sse(seeds)  # refinement reduced within-cell SSE
+
+
+class TestSharedPairMemo:
+    def test_size_gate_and_route_equivalence(self, spark, monkeypatch):
+        """r5: the cross-query pair memo must (a) refuse to hold an
+        over-gate pair list on the driver — the distributed frame comes
+        back instead and nothing is memoized — and (b) return the
+        identical pair set from the memo-hit path."""
+        import dynamicqueryengine_spark.workloads.llm as L
+
+        L._PAIR_MEMO.clear()
+        monkeypatch.setattr(L, "_PAIR_MEMO_MAX_ROWS", 0)
+        distributed = L._shared_jaccard_pairs(spark, SF_DIR)
+        dist_rows = {tuple(r) for r in distributed.collect()}
+        assert not L._PAIR_MEMO, "over-gate list must not be memoized"
+
+        monkeypatch.setattr(L, "_PAIR_MEMO_MAX_ROWS", 500_000)
+        first = L._shared_jaccard_pairs(spark, SF_DIR)  # mines + memoizes
+        assert L._PAIR_MEMO, "under-gate list must be memoized"
+        hit = L._shared_jaccard_pairs(spark, SF_DIR)  # pure memo hit
+        assert {tuple(r) for r in first.collect()} == dist_rows
+        assert {tuple(r) for r in hit.collect()} == dist_rows
+        L._PAIR_MEMO.clear()
