@@ -817,3 +817,67 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ANALYTICS_QUERIES["agg_cube_priority_status"] = FnWorkload(
     _agg_cube_priority_status, _CUBE_SQL
 )
+
+
+def _quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over lineitem
+    (functions/constraints.py — the Deequ pattern): completeness,
+    domain, range, regex, compound-key uniqueness, and referential
+    integrity against orders, all reported as one
+    (constraint, n_checked, n_violations, passed) table.
+
+    Plan shape: every row-level check and the uniqueness count ride ONE
+    conditional-aggregation pass over lineitem (single scan, map-side
+    combine, |constraints|-row result); the FK check is the one keyed
+    anti-join. The violation counts are part of the value oracle — this
+    is the pre-flight gate a 100 TB ingest runs before anything else."""
+    from ..functions.constraints import constraint_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spec = [
+        {"name": "orderkey_complete", "kind": "not_null", "col": "l_orderkey"},
+        {"name": "qty_positive", "kind": "range", "col": "l_quantity",
+         "lo": 1.0, "hi": None},
+        {"name": "discount_band", "kind": "range", "col": "l_discount",
+         "lo": 0.0, "hi": 0.1},
+        {"name": "returnflag_domain", "kind": "accepted_values",
+         "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"name": "linestatus_regex", "kind": "regex", "col": "l_linestatus",
+         "pattern": "^[OF]$"},
+        {"name": "line_pk_unique", "kind": "unique",
+         "cols": ["l_orderkey", "l_linenumber"]},
+        {"name": "order_fk", "kind": "foreign_key", "cols": ["l_orderkey"],
+         "parent": orders, "parent_cols": ["o_orderkey"]},
+    ]
+    return constraint_report(li, spec)
+
+
+def _quality_constraint_report_sql() -> str:
+    from ..functions.constraints import constraint_report_sql
+
+    return constraint_report_sql(
+        "lineitem",
+        [
+            {"name": "orderkey_complete", "kind": "not_null",
+             "col": "l_orderkey"},
+            {"name": "qty_positive", "kind": "range", "col": "l_quantity",
+             "lo": 1.0, "hi": None},
+            {"name": "discount_band", "kind": "range", "col": "l_discount",
+             "lo": 0.0, "hi": 0.1},
+            {"name": "returnflag_domain", "kind": "accepted_values",
+             "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {"name": "linestatus_regex", "kind": "regex",
+             "col": "l_linestatus", "pattern": "^[OF]$"},
+            {"name": "line_pk_unique", "kind": "unique",
+             "cols": ["l_orderkey", "l_linenumber"]},
+            {"name": "order_fk", "kind": "foreign_key",
+             "cols": ["l_orderkey"], "parent_table": "orders",
+             "parent_cols": ["o_orderkey"]},
+        ],
+    )
+
+
+ANALYTICS_QUERIES["quality_constraint_report"] = FnWorkload(
+    _quality_constraint_report, _quality_constraint_report_sql()
+)
