@@ -881,3 +881,63 @@ def _quality_constraint_report_sql() -> str:
 ANALYTICS_QUERIES["quality_constraint_report"] = FnWorkload(
     _quality_constraint_report, _quality_constraint_report_sql()
 )
+
+
+def _agg_top_orders_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the LISTAGG/STRING_AGG shape: per
+    order priority, the 3 highest-value order keys concatenated in rank
+    order, plus their exact combined revenue.
+
+    Determinism is the whole trick with string aggregation at scale: an
+    unordered collect produces shuffle-dependent strings, so the rank
+    window (total order: price desc, key asc) fixes membership AND
+    order BEFORE the aggregation, and the concat sorts by rank — both
+    engines then emit byte-identical strings. Plan: one window shuffle
+    on the 5-value priority key (top-3 rows survive), one tiny
+    aggregation."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top = orders.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+    return top.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "o_orderkey"))
+                ),
+                lambda s: s["o_orderkey"].cast("string"),
+            ),
+        ).alias("top_orderkeys"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("top_revenue"),
+    )
+
+
+_LISTAGG_SQL = """
+WITH top AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk) AS top_orderkeys,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS top_revenue
+FROM top WHERE rk <= 3
+GROUP BY o_orderpriority
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_top_orders_listagg"] = FnWorkload(
+    _agg_top_orders_listagg, _LISTAGG_SQL
+)

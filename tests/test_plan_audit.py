@@ -277,6 +277,44 @@ class TestRound5PlanShapes:
         plan = _physical(df)
         assert plan.count("Scan parquet") == 1
 
+    def test_runtime_bloom_filter_injects_on_selective_join(self, spark):
+        """r5: with broadcast disabled (the both-sides-big regime), a
+        selective dim filter must inject a runtime Bloom filter on the
+        fact side — rows from non-matching orderkeys drop BEFORE the
+        shuffle. This is the semi-join-reduction lever that, at 100 TB,
+        cuts the exchanged bytes by the dim filter's selectivity."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = load_table(spark, SF_DIR, "lineitem")
+            orders = load_table(spark, SF_DIR, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            plan = _physical(j)
+            assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     def test_dau_wau_has_no_nested_loop_join(self, spark):
         """r5: the trailing-week distinct must be the explode-to-covered-
         days equi-plan — a theta range join here plans as a
