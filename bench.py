@@ -110,18 +110,24 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     total_single = round(sum(t for t in per_pass[0].values() if t >= 0), 4)
+    # Field ORDER is part of the contract: the driver's capture keeps only
+    # a bounded TAIL of the output line (r2-r4 all recorded parsed:null
+    # because the headline totals sat at the HEAD and were truncated
+    # away), so the big per-query map goes FIRST and every headline
+    # scalar (totals, count, protocol, sf) goes LAST — inside any
+    # reasonable tail window, making the artifact self-verifying.
     line = json.dumps(
         {
             "metric": "total_query_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(queries),  # THE query count — docs cite this
-            "passes": 2,
-            "stat": "min",
-            "total_min2": total,
-            "total_single": total_single,
             "queries": timings,
             "streaming_compute_sec": stream_compute,
+            "unit": "sec",
+            "passes": 2,
+            "stat": "min",
+            "n_queries": len(queries),  # THE query count — docs cite this
+            "total_single": total_single,
+            "total_min2": total,
+            "value": total,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
