@@ -941,3 +941,79 @@ GROUP BY o_orderpriority
 ANALYTICS_QUERIES["agg_top_orders_listagg"] = FnWorkload(
     _agg_top_orders_listagg, _LISTAGG_SQL
 )
+
+
+def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles: per customer, days since last order (from the dataset's
+    own max date — deterministic, no wall clock), order count, and
+    exact decimal spend; each dimension scored 1-5 by ntile over a
+    TOTAL order (value, then custkey), concatenated to the classic
+    'RFM' segment code; output aggregates per segment.
+
+    Plan shape: one aggregation onto |customers|, three ntile windows
+    over the same rows (Catalyst shares one global-sort exchange — same
+    caveat and same approx-percentile production alternative as the LTV
+    deciles), final aggregation onto ≤125 segment rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("_maxd"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r"),
+        F.ntile(5).over(f_w).alias("f"),
+        F.ntile(5).over(m_w).alias("m"),
+    )
+    return scored.groupBy(
+        F.concat_ws("", "r", "f", "m").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
+    )
+
+
+_RFM_SQL = """
+WITH maxd AS (SELECT max(o_orderdate) AS d FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         min(datediff('day', o_orderdate, (SELECT d FROM maxd)))
+           AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+  FROM per_cust
+)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment,
+       count(*) AS n_customers,
+       CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_value
+FROM scored GROUP BY 1
+""".strip()
+
+
+ANALYTICS_QUERIES["window_customer_rfm_segments"] = FnWorkload(
+    _customer_rfm_segments, _RFM_SQL
+)

@@ -2214,3 +2214,46 @@ FROM v2 LEFT JOIN v1 USING (user_id)
 LLM_QUERIES["events_upsert_time_travel"] = FnWorkload(
     _events_upsert_time_travel, _EVENTS_UPSERT_TT_SQL
 )
+
+
+def _docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram language detector
+    (functions/text.py detect_language) scored against the corpus's
+    labeled lang column — (labeled, predicted, n, recall share of the
+    labeled row). The quality report every heuristic classifier ships
+    with; one scan + one aggregation onto the |langs|² matrix, recall
+    as an exact-integer IEEE division."""
+    docs = _docs(spark, sf_dir)
+    pred = T.detect_language(F.col("text"))
+    cells = docs.select(
+        F.col("lang").alias("labeled"), pred.alias("predicted")
+    ).groupBy("labeled", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = Window.partitionBy("labeled")
+    return cells.select(
+        "labeled",
+        "predicted",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(row_tot).cast("double")
+        ).alias("row_share"),
+    )
+
+
+def _docs_lang_confusion_sql() -> str:
+    pred = T.detect_language_sql("text")
+    return f"""
+WITH cells AS (
+  SELECT lang AS labeled, {pred} AS predicted, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT labeled, predicted, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY labeled) AS DOUBLE) AS row_share
+FROM cells
+""".strip()
+
+
+LLM_QUERIES["docs_lang_confusion"] = FnWorkload(
+    _docs_lang_confusion, _docs_lang_confusion_sql()
+)

@@ -642,3 +642,92 @@ TEMPORAL_QUERIES.update(
         ),
     }
 )
+
+
+def _events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel — the composition story: gap-sessionize
+    (functions/sessions.py) tags each event, then the K-step one-pass
+    fold (funnel_ksteps) runs PER SESSION by passing the composite
+    (user, session) struct as the funnel's grouping key (struct group
+    keys are first-class in both engines). No step horizon — the
+    session gap already bounds the chain. Output: sessions that entered
+    the funnel, counted by how many ordered steps they completed.
+
+    Plan shape: one keyed window shuffle for the session tagging, one
+    groupBy((user, session)) for the fold, one tiny aggregation onto
+    ≤K rows. The oracle uses the chained-min formulation per (user,
+    session) — provably equal to the fold on time-sorted events."""
+    from ..functions.sessions import sessionize
+    from ..sources.registry import load_table
+
+    tagged = sessionize(load_table(spark, sf_dir, "events"), 1800)
+    keyed = tagged.select(
+        F.struct("user_id", "session_idx").alias("_usess"),
+        "event_type",
+        "ts",
+    )
+    per_session = funnel_ksteps(
+        keyed,
+        ["view", "click", "purchase"],
+        horizon_us=10**15,  # unbounded within a session
+        user_col="_usess",
+    )
+    return (
+        per_session.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+_EVENTS_SESSION_FUNNEL_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_type,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts, event_type,
+    CAST(SUM(CASE WHEN prev_us IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_idx
+  FROM lagged
+),
+f AS (
+  SELECT user_id, session_idx,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS t
+  FROM tagged WHERE event_type IN ('view', 'click', 'purchase')
+),
+u1 AS (
+  SELECT user_id, session_idx, min(us) AS t1
+  FROM f WHERE t = 'view' GROUP BY 1, 2
+),
+u2 AS (
+  SELECT f.user_id, f.session_idx, min(us) AS t2
+  FROM f JOIN u1 USING (user_id, session_idx)
+  WHERE t = 'click' AND us > t1 GROUP BY 1, 2
+),
+u3 AS (
+  SELECT f.user_id, f.session_idx, min(us) AS t3
+  FROM f JOIN u2 USING (user_id, session_idx)
+  WHERE t = 'purchase' AND us > t2 GROUP BY 1, 2
+),
+lev AS (
+  SELECT u1.user_id, u1.session_idx,
+         CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS steps_completed
+  FROM u1
+  LEFT JOIN u2 USING (user_id, session_idx)
+  LEFT JOIN u3 USING (user_id, session_idx)
+)
+SELECT steps_completed, count(*) AS n_sessions
+FROM lev GROUP BY 1
+""".strip()
+
+
+TEMPORAL_QUERIES["events_session_funnel"] = FnWorkload(
+    _events_session_funnel, _EVENTS_SESSION_FUNNEL_SQL
+)

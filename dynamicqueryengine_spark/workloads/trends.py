@@ -757,3 +757,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
 TREND_QUERIES["events_trailing_week_sum"] = FnWorkload(
     _events_trailing_week_sum, _EVENTS_TRAILING_WEEK_SQL
 )
+
+
+# ------------------------------------------------ last-touch attribution --
+
+
+def _events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase credits the
+    user's most recent NON-purchase event within the trailing 7 days
+    (ties broken by event_id); purchases with no qualifying touch are
+    'direct'. Output: per attributed channel, conversion count and the
+    exact purchase-value sum.
+
+    The carry is the ignore-nulls running window — `last(non-purchase
+    row) OVER (user ORDER BY ts, id ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)` — one keyed shuffle, evaluated incrementally per
+    partition; both engines implement identical IGNORE NULLS frame
+    semantics, and the two carried fields (type, ts) come from the same
+    row because both windows ignore nulls over the same predicate. The
+    final aggregation lands on the ≤|event_types|+1 channel space."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touch_type = F.last(
+        F.when(non_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(non_purchase, F.col("ts")), ignorenulls=True
+    ).over(w)
+    pur = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            touch_type.alias("_tt"),
+            touch_ts.alias("_tts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    channel = F.when(
+        F.col("_tts").isNull()
+        | (F.col("_tts") < F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.lit("direct"),
+    ).otherwise(F.col("_tt"))
+    return pur.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(F.col("value").cast(_DEC)), 6)
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+_EVENTS_ATTRIBUTION_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+carried AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS tt,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS tts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN tts IS NULL OR tts < ts - INTERVAL 7 DAY
+            THEN 'direct' ELSE tt END AS channel,
+       count(*) AS n_conversions,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS attributed_value
+FROM carried WHERE event_type = 'purchase'
+GROUP BY 1
+""".strip()
+
+
+TREND_QUERIES["events_attribution_last_touch"] = FnWorkload(
+    _events_attribution_last_touch, _EVENTS_ATTRIBUTION_SQL
+)
