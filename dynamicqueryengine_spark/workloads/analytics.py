@@ -1017,3 +1017,71 @@ FROM scored GROUP BY 1
 ANALYTICS_QUERIES["window_customer_rfm_segments"] = FnWorkload(
     _customer_rfm_segments, _RFM_SQL
 )
+
+
+def _customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per market segment, the distribution of
+    customers' gaps between CONSECUTIVE orders — n gaps, mean gap days
+    (exact-integer division), min/max. The purchase-cadence profile
+    behind churn/replenishment models.
+
+    Plan shape: one lag() window keyed by customer (the only raw-stream
+    shuffle), gaps aggregated straight onto the 5-row segment space with
+    map-side partials. Day gaps are exact integers, so every statistic
+    is reduction-order-safe without decimal scaffolding."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            gaps.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.sum("gap_days").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+    )
+
+
+_ORDER_GAP_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_gap_days,
+       min(gap_days) AS min_gap,
+       max(gap_days) AS max_gap
+FROM gaps JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+""".strip()
+
+
+ANALYTICS_QUERIES["window_order_gap_stats"] = FnWorkload(
+    _customer_order_gap_stats, _ORDER_GAP_SQL
+)

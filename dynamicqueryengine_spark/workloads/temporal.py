@@ -731,3 +731,93 @@ FROM lev GROUP BY 1
 TEMPORAL_QUERIES["events_session_funnel"] = FnWorkload(
     _events_session_funnel, _EVENTS_SESSION_FUNNEL_SQL
 )
+
+
+def _events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line (interval
+    stabbing) pattern: every session (functions/sessions.py, 30-min
+    gap) emits +1 at its start and −1 just after its end; the running
+    sum over the time-ordered delta stream is the live concurrency, and
+    its per-day max is the capacity-planning number.
+
+    Plan shape: the sweep runs over SESSION boundaries, not events —
+    2·|sessions| rows — so the one global-ordered running-sum window is
+    bounded by the session count (already aggregated); ties are
+    total-ordered (us, delta asc — ends strictly before starts at the
+    same instant, the conservative convention — then user/session id),
+    making the running sum deterministic in both engines. At true
+    multi-tenant scale the same sweep shards by tenant and the window
+    keys by it."""
+    from ..functions.sessions import session_stats
+    from ..sources.registry import load_table
+    from pyspark.sql import Window
+
+    sess = session_stats(load_table(spark, sf_dir, "events"), 1800).select(
+        "user_id",
+        "session_idx",
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta"),
+        "user_id", "session_idx",
+    ).unionByName(
+        sess.select(
+            (F.col("e_us") + 1).alias("us"), F.lit(-1).alias("delta"),
+            "user_id", "session_idx",
+        )
+    )
+    w = Window.orderBy(
+        "us", F.asc("delta"), "user_id", "session_idx"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live = deltas.select(
+        F.timestamp_micros(F.col("us")).alias("t"),
+        F.sum("delta").over(w).alias("concurrency"),
+    )
+    return (
+        live.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+    )
+
+
+_EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH sess AS (
+  SELECT user_id, session_idx,
+         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS s_us,
+         epoch_us(CAST(max(ts) AS TIMESTAMP)) AS e_us
+  FROM (
+    SELECT user_id, ts,
+      CAST(SUM(CASE WHEN prev_us IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+               THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx
+    FROM (
+      SELECT user_id, ts,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events))
+  GROUP BY user_id, session_idx
+),
+deltas AS (
+  SELECT s_us AS us, 1 AS delta, user_id, session_idx FROM sess
+  UNION ALL
+  SELECT e_us + 1, -1, user_id, session_idx FROM sess
+),
+live AS (
+  SELECT make_timestamp(us) AS t,
+         SUM(delta) OVER (ORDER BY us, delta ASC, user_id, session_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrency
+  FROM deltas
+)
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+FROM live GROUP BY 1
+""".strip()
+
+
+TEMPORAL_QUERIES["events_peak_concurrency"] = FnWorkload(
+    _events_peak_concurrency, _EVENTS_PEAK_CONCURRENCY_SQL
+)
