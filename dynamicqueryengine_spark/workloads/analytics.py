@@ -1085,3 +1085,71 @@ GROUP BY c_mktsegment
 ANALYTICS_QUERIES["window_order_gap_stats"] = FnWorkload(
     _customer_order_gap_stats, _ORDER_GAP_SQL
 )
+
+
+def _nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's open-order
+    revenue, plus its rank within the region — the percent-of-parent
+    window shape every BI rollup uses.
+
+    Plan shape: the star join + one aggregation onto |nations| rows,
+    then the share/rank windows run over that already-tiny aggregate
+    keyed by region — the window input is |nations|, never the fact
+    stream. Shares are one shared IEEE division of exact decimal sums
+    (cast to double only at the division)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    rank_w = w.orderBy(F.desc("rev"), F.asc("n_name"))
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("region_share"),
+        F.rank().over(rank_w).cast("int").alias("rank_in_region"),
+    )
+
+
+_NATION_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE o_orderstatus = 'O'
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS region_share,
+       CAST(rank() OVER (PARTITION BY r_name
+                         ORDER BY rev DESC, n_name ASC) AS INT)
+         AS rank_in_region
+FROM per_nation
+""".strip()
+
+
+ANALYTICS_QUERIES["window_nation_revenue_share"] = FnWorkload(
+    _nation_revenue_share, _NATION_SHARE_SQL
+)
