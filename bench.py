@@ -49,7 +49,16 @@ def main() -> None:
         reclaimed by the ContextCleaner AFTER their Python-side DataFrames
         are garbage-collected (py4j holds JVM refs until then). Without the
         explicit gc + JVM gc, ~150 query executions accumulate into heap
-        pressure that inflates every later timing ~2×."""
+        pressure that inflates every later timing ~2×.
+
+        The cross-query mined-pair memo (workloads/llm.py _PAIR_MEMO) is
+        also cleared: it is a legitimate shared-computation optimization
+        for production sessions, but inside the timing protocol it would
+        let the memo-fed graph/dedup queries skip the mining work they
+        semantically perform — every timed query must pay its own cost."""
+        from dynamicqueryengine_spark.workloads import llm as _llm
+
+        _llm._PAIR_MEMO.clear()
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()

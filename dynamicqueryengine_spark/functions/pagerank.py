@@ -36,21 +36,28 @@ __all__ = ["pagerank", "pagerank_sql"]
 
 _DEC = "decimal(38,12)"
 
-# Below this many symmetrized edges the whole graph is driver-resident
-# state anyway (the rank table and edge list both fit trivially), and the
-# T×(join+agg) stage overhead dominates wall time ~100:1 — so tiny graphs
-# take an exact driver route (same decimal-quantized contribution math,
-# bit-identical ranks; pinned by tests/test_pagerank.py equivalence).
-# Bigger graphs ALWAYS take the distributed path — the 100 TB design.
+# Opt-in driver fast path: below this many symmetrized edges the whole
+# graph is driver-resident state anyway (the rank table and edge list both
+# fit trivially), and the T×(join+agg) stage overhead dominates wall time
+# ~100:1 — so a caller MAY route tiny graphs through an exact driver loop
+# (same decimal-quantized contribution math, matching ranks; pinned by
+# tests/test_pagerank.py equivalence). The DEFAULT is the distributed
+# path at every size (driver_max_edges=0): benchmarks and contract
+# queries must measure the 100 TB design, not a driver loop, and the
+# driver route also makes pagerank() eager (count/collect on call) —
+# acceptable only when explicitly requested for interactive tiny graphs.
 DRIVER_PAGERANK_MAX_EDGES = 500_000
 
 
 def _pagerank_driver(spark, rows, node_type, damping, iterations):
     """Exact driver-side twin of the distributed loop: contributions are
-    double divisions quantized to DECIMAL(38,12) HALF_UP (= Spark's
-    double→decimal cast), summed exactly, cast back to double for the
-    shared IEEE combine — the identical value path, so both routes and
-    the SQL oracle agree bit-for-bit."""
+    double divisions quantized to DECIMAL(38,12) HALF_UP, summed exactly,
+    cast back to double for the shared IEEE combine. Spark's
+    double→decimal cast goes through BigDecimal.valueOf(double) — the
+    SHORTEST decimal representation (Python ``repr``), not the exact
+    binary expansion — so the quantize input is ``Decimal(repr(c))``;
+    ``Decimal(c)`` could round the 12th digit differently when the exact
+    expansion and the shortest repr straddle a half-way point."""
     from collections import defaultdict
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -74,7 +81,7 @@ def _pagerank_driver(spark, rows, node_type, damping, iterations):
         sums: dict = defaultdict(lambda: Decimal(0))
         for src, dst in rows:
             c = ranks[src] / float(outdeg[src])
-            sums[dst] += Decimal(c).quantize(twelve, rounding=ROUND_HALF_UP)
+            sums[dst] += Decimal(repr(c)).quantize(twelve, rounding=ROUND_HALF_UP)
         ranks = {
             v: base + damping * (float(sums[v]) if v in sums else 0.0)
             for v in nodes
@@ -91,7 +98,7 @@ def pagerank(
     a_col: str = "id_a",
     b_col: str = "id_b",
     checkpoint_every: int | None = 5,
-    driver_max_edges: int = DRIVER_PAGERANK_MAX_EDGES,
+    driver_max_edges: int = 0,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` power steps over the UNDIRECTED
     graph given as (a_col, b_col) pairs (symmetrized internally, so every
@@ -103,9 +110,10 @@ def pagerank(
     ~10 joins). ``None`` disables (identical ranks either way — the
     checkpoint only cuts lineage, it never changes values).
 
-    ``driver_max_edges`` gates the exact driver fast path for tiny
-    graphs (0 forces the distributed route); both routes produce
-    bit-identical ranks."""
+    ``driver_max_edges`` opts INTO the exact driver fast path for tiny
+    graphs (default 0 = always distributed — the 100 TB design, and the
+    route benchmarks measure); both routes produce matching ranks
+    (tests/test_pagerank.py pins the equivalence)."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -113,16 +121,18 @@ def pagerank(
         )
         .distinct()
     )
-    n_edges = edges.count()  # bounded scalar (post-dedup edge count)
-    if n_edges <= driver_max_edges:
-        rows = [(r[0], r[1]) for r in edges.collect()]  # gate-bounded
-        return _pagerank_driver(
-            edges.sparkSession,
-            rows,
-            edges.schema["src"].dataType,
-            damping,
-            iterations,
-        )
+    if driver_max_edges > 0:
+        # opt-in only: the count/collect pair makes the call eager
+        n_edges = edges.count()  # bounded scalar (post-dedup edge count)
+        if n_edges <= driver_max_edges:
+            rows = [(r[0], r[1]) for r in edges.collect()]  # gate-bounded
+            return _pagerank_driver(
+                edges.sparkSession,
+                rows,
+                edges.schema["src"].dataType,
+                damping,
+                iterations,
+            )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(outdeg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()

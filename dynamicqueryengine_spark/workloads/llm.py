@@ -65,6 +65,10 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `spark.catalog.clearCache()` and session swaps. Oversized pair lists
 # skip the memo and stay fully distributed. `dedup_ngram_jaccard` itself
 # does NOT read the memo — the mining query keeps paying its real cost.
+# TIMING PROTOCOL: bench.py's scrub() clears this memo before every
+# timed query, so benchmark numbers always include the mining work each
+# query semantically performs — the memo is a production-session
+# optimization only, never a way to pre-pay benchmarked computation.
 _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX_ROWS = 500_000
 
@@ -1481,7 +1485,10 @@ def _graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5-step fixpoint is bit-identical to the DuckDB mirror. The edge
     list comes from the cross-query pair memo (_shared_jaccard_pairs) —
     pagerank and cluster-assign consume the identical mined list, so it
-    is mined once per corpus, not once per query."""
+    is mined once per corpus, not once per query (bench.py clears the
+    memo before every TIMED run, so benchmark numbers include mining).
+    The iteration always takes the distributed join/agg route — the
+    driver fast path is opt-in and never used by contract queries."""
     from ..functions.pagerank import pagerank
 
     pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)

@@ -56,11 +56,24 @@ EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 4)]
 
 
 def test_driver_route_equals_distributed_exactly(spark):
-    # the size-gated driver fast path must be BIT-identical to the
-    # distributed join/agg loop (same decimal-quantized contributions)
-    fast = _run(spark, EDGES, iterations=5)  # tiny graph → driver route
-    dist = _run(spark, EDGES, iterations=5, driver_max_edges=0)
+    # the OPT-IN driver fast path must match the distributed join/agg
+    # loop (same decimal-quantized contributions, Decimal(repr(c)) =
+    # Spark's shortest-repr double→decimal cast). The default route is
+    # distributed at every size — the driver loop needs the explicit gate.
+    fast = _run(spark, EDGES, iterations=5, driver_max_edges=500_000)
+    dist = _run(spark, EDGES, iterations=5)  # default: distributed
     assert fast == dist
+
+
+def test_default_route_is_distributed(spark):
+    # driver_max_edges defaults to 0: even a tiny graph must go through
+    # the join/agg loop (lazy plan, no eager count/collect on call) so
+    # benchmarks measure the 100 TB design, never a driver loop.
+    from dynamicqueryengine_spark.functions.pagerank import pagerank
+
+    out = pagerank(_pairs(spark, EDGES), iterations=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan, "default pagerank route must be the join/agg loop"
 
 
 def test_checkpoint_preserves_ranks_exactly(spark):
