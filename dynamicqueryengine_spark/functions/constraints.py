@@ -100,9 +100,17 @@ def constraint_report(df: DataFrame, constraints: Sequence[Mapping]) -> DataFram
                 (F.col("_n") - F.col(f"_u_{i}")).alias("n_violations"),
             )
         )
-    report = row.select(F.explode(F.array(*entries)).alias("e")).select(
-        "e.name", "e.kind", "e.n_checked", "e.n_violations"
-    )
+    if entries:
+        report = row.select(F.explode(F.array(*entries)).alias("e")).select(
+            "e.name", "e.kind", "e.n_checked", "e.n_violations"
+        )
+    else:
+        # FK-only (or empty) spec: explode(array()) would type as
+        # array<null> and break the struct-field select — start from an
+        # empty frame with the report schema and union the FK rows on.
+        report = df.sparkSession.createDataFrame(
+            [], "name string, kind string, n_checked long, n_violations long"
+        )
 
     for c in fk_cs:
         keys = list(c["cols"])

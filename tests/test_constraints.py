@@ -118,3 +118,27 @@ class TestConstraintReport:
             .toString()
         )
         assert plan.count("Range (0, 100") == 1
+
+    def test_fk_only_spec(self, spark):
+        """A spec with ONLY foreign_key constraints must not explode an
+        empty array (array<null> broke the struct select): the report is
+        just the FK rows."""
+        df = spark.createDataFrame([(1,), (2,), (99,)], "pid long")
+        parent = spark.createDataFrame([(1,), (2,)], "pid long")
+        rows = constraint_report(
+            df,
+            [{"name": "fk", "kind": "foreign_key", "cols": ["pid"],
+              "parent": parent, "parent_cols": ["pid"]}],
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["name"], r["kind"]) == ("fk", "foreign_key")
+        assert (r["n_checked"], r["n_violations"], r["passed"]) == (3, 1, False)
+
+    def test_empty_spec_returns_empty_report(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        out = constraint_report(df, [])
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "name", "kind", "n_checked", "n_violations", "passed"
+        ]
