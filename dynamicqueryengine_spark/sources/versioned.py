@@ -115,7 +115,14 @@ def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
     dirs = [new_dir]
     if mode == "append" and head:
         dirs = _read_manifest(path, expected)["dirs"] + dirs
-    return _commit(path, dirs, mode, expected)
+    try:
+        return _commit(path, dirs, mode, expected)
+    except FileExistsError:
+        # lost the commit race: our data directory will never be
+        # referenced — remove it now (as vt_merge does) instead of
+        # leaving an orphan for a later vacuum to find
+        shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+        raise
 
 
 def vt_read(spark, path: str, version: int | None = None) -> DataFrame:
@@ -164,21 +171,45 @@ def vt_merge(
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
 
 
-def vt_vacuum(spark, path: str, keep_last: int = 2) -> list[str]:
+def vt_vacuum(
+    spark, path: str, keep_last: int = 2, grace_seconds: float = 600.0
+) -> list[str]:
     """Delete data directories unreferenced by the last ``keep_last``
     versions (and drop the older manifests). Returns removed dirs.
     The only deletion in the design — run it only when no reader needs
-    the expired versions."""
+    the expired versions.
+
+    Directories referenced by SOME manifest (just an expired one) are
+    committed garbage and removed unconditionally. A ``d_*`` directory
+    referenced by NO manifest at all is ambiguous: it is either debris
+    from a crashed writer or a CONCURRENT writer's not-yet-committed
+    data — so those are only removed once older than ``grace_seconds``
+    (Delta's VACUUM retention logic in miniature). ``grace_seconds=0``
+    forces debris collection when no writer can be live."""
     versions = vt_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_read_manifest(path, v)["dirs"])
+    ever_referenced: set[str] = set(referenced)
+    for v in versions:
+        if v not in keep:
+            ever_referenced.update(_read_manifest(path, v)["dirs"])
+    now = time.time()
     removed = []
     for name in os.listdir(path):
-        if name.startswith("d_") and name not in referenced:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
-            removed.append(name)
+        if not name.startswith("d_") or name in referenced:
+            continue
+        if name not in ever_referenced:
+            # possibly an in-flight concurrent write — honor the grace
+            try:
+                age = now - os.path.getmtime(os.path.join(path, name))
+            except OSError:
+                continue  # vanished mid-scan (writer cleaned it up)
+            if age < grace_seconds:
+                continue
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        removed.append(name)
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))

@@ -135,8 +135,12 @@ def merge_upsert(
 
     # recover from a swap interrupted between its two renames (table
     # moved aside but replacement never landed), then drop stale debris
-    # from previously failed/killed runs
-    olds = sorted(glob.glob(f"{path}._old_*"))
+    # from previously failed/killed runs. The backup suffix is a random
+    # uuid, so NAME order says nothing about recency — restore by mtime
+    # (the rename preserves the directory's own mtime, and a newer backup
+    # was written strictly later) so accumulated stale backups from prior
+    # failed sweeps can never shadow the true latest snapshot.
+    olds = sorted(glob.glob(f"{path}._old_*"), key=lambda p: os.path.getmtime(p))
     if olds and not os.path.exists(path):
         os.rename(olds.pop(), path)
     for stale in glob.glob(f"{path}._staged_*") + olds:

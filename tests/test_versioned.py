@@ -97,3 +97,44 @@ class TestVersionedTable:
         assert _rows(vt_read(spark, path, 3)) == {(1, "a"), (2, "b"), (3, "c")}
         data_dirs = [n for n in os.listdir(path) if n.startswith("d_")]
         assert len(data_dirs) == 2
+
+    def test_lost_write_race_removes_orphan_dir(self, spark, tmp_path, monkeypatch):
+        """vt_write that loses the commit race must clean up its own
+        uncommitted data directory (vt_merge already did). The race is
+        injected between vt_write's data write and its commit."""
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        before = {n for n in os.listdir(path) if n.startswith("d_")}
+        real = V._write_data_dir
+
+        def racy(df, p):
+            d = real(df, p)
+            V._commit(p, [], "write", vt_versions(p)[-1])  # winner lands now
+            return d
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        with pytest.raises(FileExistsError):
+            vt_write(spark, path, _df(spark, [(2, "b")]))
+        after = {n for n in os.listdir(path) if n.startswith("d_")}
+        assert after == before  # loser's d_* removed, no orphan left
+
+    def test_vacuum_grace_spares_unreferenced_fresh_dirs(self, spark, tmp_path):
+        """A d_* directory referenced by NO manifest (a concurrent
+        writer's in-flight data) survives vacuum inside the grace
+        window, and is collected once the grace is zero."""
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_write(spark, path, _df(spark, [(2, "b")]))
+        vt_write(spark, path, _df(spark, [(3, "c")]))
+        inflight = os.path.join(path, "d_inflight00000")
+        os.makedirs(inflight)
+        removed = vt_vacuum(spark, path, keep_last=2)  # default grace
+        # version 1's expired-manifest dir goes; the in-flight dir stays
+        assert len(removed) == 1
+        assert "d_inflight00000" not in removed
+        assert os.path.isdir(inflight)
+        removed2 = vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+        assert removed2 == ["d_inflight00000"]
+        assert not os.path.isdir(inflight)
