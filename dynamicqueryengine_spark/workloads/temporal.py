@@ -740,14 +740,21 @@ def _events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over the time-ordered delta stream is the live concurrency, and
     its per-day max is the capacity-planning number.
 
-    Plan shape: the sweep runs over SESSION boundaries, not events —
-    2·|sessions| rows — so the one global-ordered running-sum window is
-    bounded by the session count (already aggregated); ties are
-    total-ordered (us, delta asc — ends strictly before starts at the
-    same instant, the conservative convention — then user/session id),
-    making the running sum deterministic in both engines. At true
-    multi-tenant scale the same sweep shards by tenant and the window
-    keys by it."""
+    Plan shape (100 TB): the running sum is a TWO-LEVEL prefix sum —
+    the functions/packing.py machinery — never a global-ordered window:
+    boundary events land in contiguous time-range buckets (integer
+    arithmetic, monotone in us); per-bucket delta sums (a buckets-row
+    table) take the only ordered window; every boundary row then pays
+    one bucket-local running sum keyed by (_bkt), i.e. buckets-way
+    parallel. Values are identical to the naive global window, which is
+    what the SQL oracle runs, because bucketing by us-range preserves
+    the global order: prefix(r) = Σ earlier buckets + bucket-local
+    prefix. Ties are total-ordered (us, delta asc — ends strictly
+    before starts at the same instant, the conservative convention —
+    then user/session id) and tie groups share one us, hence one
+    bucket, so the running sum is deterministic in both engines.
+    tests/test_plan_audit.py pins that the full delta stream never
+    crosses a single-partition exchange."""
     from ..functions.sessions import session_stats
     from ..sources.registry import load_table
     from pyspark.sql import Window
@@ -757,7 +764,9 @@ def _events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
         F.unix_micros("session_start").alias("s_us"),
         F.unix_micros("session_end").alias("e_us"),
-    )
+    ).persist()  # consumed by bounds, bucket stats, and the bucket join —
+    # without it every lazy reference re-derives the sessionize windows
+    # (~8 full scans of events in the un-persisted plan)
     deltas = sess.select(
         F.col("s_us").alias("us"), F.lit(1).alias("delta"),
         "user_id", "session_idx",
@@ -767,12 +776,25 @@ def _events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "session_idx",
         )
     )
-    w = Window.orderBy(
-        "us", F.asc("delta"), "user_id", "session_idx"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    live = deltas.select(
+    buckets = 64
+    bounds = deltas.agg(F.min("us").alias("_lo"), F.max("us").alias("_hi"))
+    ranged = deltas.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.expr(f"CAST(((us - _lo) * {buckets}) div (_hi - _lo + 1) AS INT)"),
+    )
+    bstats = ranged.groupBy("_bkt").agg(F.sum("delta").alias("_bsum"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bstats = bstats.withColumn(
+        "_boff", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+    ).drop("_bsum")
+    wd = (
+        Window.partitionBy("_bkt")
+        .orderBy("us", F.asc("delta"), "user_id", "session_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = ranged.join(F.broadcast(bstats), "_bkt").select(
         F.timestamp_micros(F.col("us")).alias("t"),
-        F.sum("delta").over(w).alias("concurrency"),
+        (F.col("_boff") + F.sum("delta").over(wd)).alias("concurrency"),
     )
     return (
         live.groupBy(F.date_trunc("day", F.col("t")).alias("day"))

@@ -373,3 +373,19 @@ class TestMinhashPlanShape:
         plan = _physical(sig).lower()
         assert "hashpartitioning" not in plan
         assert "mapinpandas" in plan
+
+
+class TestPeakConcurrency:
+    def test_running_sum_is_bucketed_not_global(self, spark):
+        """The sweep-line running sum over the 2·|sessions| delta stream
+        must be the two-level prefix sum: the stream's window is keyed by
+        the time-range bucket (hashpartitioning on _bkt), and the only
+        single-partition exchange in the whole plan is the buckets-row
+        stats window — never the full boundary stream (the r5 flagged
+        scale-killer: one task absorbing every session at 10^9)."""
+        df = entry_mod.queries()["events_peak_concurrency"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "hashpartitioning(_bkt" in plan
+        # a global running sum would plan as a window ORDERED by us with
+        # no partition key: windowspecdefinition(us#... as its first arg
+        assert "windowspecdefinition(us#" not in plan
