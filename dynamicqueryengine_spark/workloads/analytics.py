@@ -720,6 +720,125 @@ ANALYTICS_QUERIES["window_customer_ltv_deciles"] = FnWorkload(
 )
 
 
+def _customer_ltv_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB SCALE PATH for the LTV deciles, contract-tied to the
+    exact ntile twin: decile cut points from ONE ``percentile_approx``
+    aggregate (Greenwald-Khanna sketch, bounded O(accuracy) state,
+    map-side combined, NO global sort), then a broadcast bucket join
+    assigning every customer its approximate decile — the
+    docs_curriculum_buckets machinery at the LTV shape.
+
+    The sketch's cut values are engine-specific, so the ORACLE carries
+    (a) the exact ntile decile aggregates (identical arithmetic to
+    window_customer_ltv_deciles) and (b) two guarantee booleans pinned
+    TRUE — the corpus_length_quantiles_approx pattern:
+
+    * ``approx_ok``: every cut value's true rank interval overlaps
+      [p·n − εn, p·n + εn], ε = 1/accuracy — the GK guarantee itself;
+    * ``disagree_ok``: the TOTAL number of customers whose bucket-join
+      decile differs from their exact ntile decile is within the rank
+      budget Σᵢ(slackᵢ + 1), where slackᵢ is the measured rank distance
+      between cut i's value span and its ideal boundary ceil(pᵢ·n) —
+      ntile boundaries differ from ceil(pᵢ·n) by at most 1, so every
+      misassigned customer lies inside some cut's slack span.
+
+    The exact ntile window and value histogram here are the
+    VERIFICATION harness (same cost-positioning as the exact side of
+    cms_topk_estimates); the production path is the aggregate + the
+    broadcast bucket join alone."""
+    from pyspark.sql import Window
+
+    accuracy = 100
+    ps = [i / 10.0 for i in range(1, 10)]
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"),
+    ).persist()  # consumed by the cut aggregate, the bucket join, and
+    # the verification histogram
+
+    scalars = ltv.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx("ltv", ps, accuracy).alias("_cuts"),
+    )
+    # production path: broadcast the 1-row cut list, bucket every
+    # customer by how many ascending cuts its ltv exceeds (desc-decile
+    # orientation: decile 1 = highest LTV, matching the exact twin)
+    bucketed = ltv.crossJoin(F.broadcast(scalars)).withColumn(
+        "approx_decile",
+        F.lit(10)
+        - F.size(F.filter("_cuts", lambda c: F.col("ltv") > c)),
+    )
+    w = Window.orderBy(F.desc("ltv"), F.asc("o_custkey"))
+    tiled = bucketed.withColumn("decile", F.ntile(10).over(w))
+
+    # verification: true rank interval of each cut value from the value
+    # histogram (ties included: _rhi − _rlo = tie-group size)
+    cuts = scalars.select("_n", F.posexplode("_cuts").alias("_i", "_cv"))
+    hist = ltv.groupBy("ltv").agg(F.count(F.lit(1)).alias("_c"))
+    ranks = hist.crossJoin(F.broadcast(cuts)).groupBy("_i", "_cv", "_n").agg(
+        F.sum(
+            F.when(F.col("ltv") < F.col("_cv"), F.col("_c")).otherwise(0)
+        ).alias("_rlo"),
+        F.sum(
+            F.when(F.col("ltv") <= F.col("_cv"), F.col("_c")).otherwise(0)
+        ).alias("_rhi"),
+    )
+    t = F.ceil((F.col("_i") + 1) / F.lit(10.0) * F.col("_n"))
+    eps_n = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(accuracy)))
+    checks = ranks.select(
+        (
+            (F.col("_rhi") > F.col("_rlo"))
+            & (F.col("_rhi") >= t - eps_n)
+            & (F.col("_rlo") + 1 <= t + eps_n)
+        ).alias("_gk_ok"),
+        (
+            F.greatest(F.col("_rhi"), t) - F.least(F.col("_rlo"), t) + 1
+        ).alias("_slack1"),
+    ).agg(
+        F.bool_and("_gk_ok").alias("approx_ok"),
+        F.sum("_slack1").alias("_budget"),
+    )
+    dis = tiled.agg(
+        F.sum(
+            F.when(F.col("decile") != F.col("approx_decile"), 1).otherwise(0)
+        ).alias("_ndis")
+    )
+    report = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.round(F.sum("ltv"), 2).cast("double").alias("total_ltv"),
+        F.round(F.min("ltv"), 2).cast("double").alias("min_ltv"),
+        F.round(F.max("ltv"), 2).cast("double").alias("max_ltv"),
+    )
+    return (
+        report.crossJoin(F.broadcast(checks))
+        .crossJoin(F.broadcast(dis))
+        .select(
+            "decile",
+            "n_customers",
+            "n_orders",
+            "total_ltv",
+            "min_ltv",
+            "max_ltv",
+            "approx_ok",
+            (F.col("_ndis") <= F.col("_budget")).alias("disagree_ok"),
+        )
+    )
+
+
+_LTV_DECILES_APPROX_SQL = f"""
+SELECT *, TRUE AS approx_ok, TRUE AS disagree_ok FROM (
+{_LTV_DECILES_SQL}
+)
+""".strip()
+
+
+ANALYTICS_QUERIES["window_customer_ltv_deciles_approx"] = FnWorkload(
+    _customer_ltv_deciles_approx, _LTV_DECILES_APPROX_SQL
+)
+
+
 def _pivot_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual PIVOT — discount bands to columns: per (returnflag,
     linestatus), line counts and exact revenue split across three
