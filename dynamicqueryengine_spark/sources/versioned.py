@@ -25,10 +25,21 @@ and retries (optimistic concurrency, the same loop Delta's log runs;
 derivable from the new head, while blind ``vt_write`` surfaces the
 conflict to the caller by default).
 
-Production deltas from this miniature: manifests would hold per-FILE
-stats for data skipping, checkpoints would compact the log, and the
-atomic-create primitive would come from the object store's
-put-if-absent. The reader/writer contracts are the same.
+Manifests carry per-directory column MIN/MAX stats harvested from the
+written parquet footers (``"stats": {dir: {col: [min, max]}}``);
+``vt_read(predicate=...)`` prunes directories whose stats cannot
+satisfy the predicate BEFORE Spark ever lists their files — the Delta/
+Iceberg data-skipping mechanism. Stats cover only non-null values
+(parquet footer semantics) and every supported predicate op is
+null-rejecting, so pruning never changes results; directories without
+stats (older manifests, non-scalar columns) are conservatively kept.
+
+``vt_checkpoint`` snapshots the head manifest into ``_vlog/
+_checkpoint.json`` so head resolution probes forward from the
+checkpointed version (O(commits since checkpoint)) instead of listing
+the whole log (O(total commits)) — log compaction in miniature; the
+remaining production delta is the object store's put-if-absent as the
+atomic-create primitive. The reader/writer contracts are the same.
 
 ``vt_vacuum`` deletes data directories unreferenced by the last
 ``keep_last`` manifests — the only deletion in the design, explicitly
@@ -52,6 +63,8 @@ __all__ = [
     "vt_merge",
     "vt_versions",
     "vt_vacuum",
+    "vt_checkpoint",
+    "vt_head",
 ]
 
 _DEC = "decimal(38,12)"
@@ -86,22 +99,81 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, dirs: list[str], op: str, expected_head: int) -> int:
+def _commit(
+    path: str,
+    dirs: list[str],
+    op: str,
+    expected_head: int,
+    stats: dict | None = None,
+) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first."""
     os.makedirs(_log_dir(path), exist_ok=True)
     version = expected_head + 1
     manifest = {"dirs": dirs, "op": op, "ts": time.time()}
+    if stats:
+        manifest["stats"] = stats
     target = _manifest_path(path, version)
     with open(target, "x") as f:  # atomic create-if-absent = the commit
         json.dump(manifest, f)
     return version
 
 
-def _write_data_dir(df: DataFrame, path: str) -> str:
+def _dir_stats(full_dir: str) -> dict:
+    """Per-directory column (min, max) harvested from the written parquet
+    FOOTERS — no second pass over the data (the same place Delta collects
+    its add-file stats). Only JSON-safe scalar types are kept; a column
+    missing min/max in ANY file is dropped entirely, because a dir-level
+    range that does not cover every file would make pruning unsound."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is a hard Spark dep
+        return {}
+
+    merged: dict = {}
+    dropped: set = set()
+    for fp in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
+        per_file: dict = {}
+        try:
+            md = pq.ParquetFile(fp).metadata
+        except Exception:
+            return {}  # unreadable footer → no stats, never unsound ones
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                name = col.path_in_schema
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))
+                    or isinstance(st.min, bool) != isinstance(st.max, bool)
+                ):
+                    dropped.add(name)
+                    continue
+                lo, hi = per_file.get(name, (st.min, st.max))
+                per_file[name] = (min(lo, st.min), max(hi, st.max))
+        for name, (lo, hi) in per_file.items():
+            if name in merged:
+                plo, phi = merged[name]
+                merged[name] = (min(plo, lo), max(phi, hi))
+            else:
+                merged[name] = (lo, hi)
+    return {
+        name: [lo, hi]
+        for name, (lo, hi) in merged.items()
+        if name not in dropped
+    }
+
+
+def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict]:
     d = f"d_{uuid.uuid4().hex[:12]}"
-    df.write.mode("error").parquet(os.path.join(path, d))
-    return d
+    full = os.path.join(path, d)
+    df.write.mode("error").parquet(full)
+    return d, _dir_stats(full)
 
 
 def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
@@ -111,12 +183,15 @@ def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
     must not silently clobber a state they did not read."""
     head = vt_versions(path)
     expected = head[-1] if head else 0
-    new_dir = _write_data_dir(df, path)
+    new_dir, new_stats = _write_data_dir(df, path)
     dirs = [new_dir]
+    stats = {new_dir: new_stats} if new_stats else {}
     if mode == "append" and head:
-        dirs = _read_manifest(path, expected)["dirs"] + dirs
+        prev = _read_manifest(path, expected)
+        dirs = prev["dirs"] + dirs
+        stats = {**prev.get("stats", {}), **stats}
     try:
-        return _commit(path, dirs, mode, expected)
+        return _commit(path, dirs, mode, expected, stats)
     except FileExistsError:
         # lost the commit race: our data directory will never be
         # referenced — remove it now (as vt_merge does) instead of
@@ -125,17 +200,118 @@ def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
         raise
 
 
-def vt_read(spark, path: str, version: int | None = None) -> DataFrame:
+# predicate ops supported by data skipping — ALL null-rejecting, which is
+# what makes footer-stats pruning (min/max over non-null values) sound
+_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stats_may_match(minmax, op: str, value) -> bool:
+    """Could a directory with column range ``minmax`` contain a row
+    satisfying ``col <op> value``? Missing/uncomparable stats → True
+    (never skip on uncertainty)."""
+    if minmax is None:
+        return True
+    lo, hi = minmax
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        return hi >= value  # ">="
+    except TypeError:
+        return True  # cross-type comparison — keep the directory
+
+
+def vt_read(
+    spark,
+    path: str,
+    version: int | None = None,
+    predicate: tuple | None = None,
+) -> DataFrame:
     """Snapshot read: the latest committed version, or ``version=`` for
-    time travel. Never sees uncommitted or later data."""
+    time travel. Never sees uncommitted or later data.
+
+    ``predicate=(col, op, value)`` with op in ``=, <, <=, >, >=`` both
+    FILTERS the result and SKIPS whole data directories whose manifest
+    min/max stats cannot satisfy it — the files of a pruned directory
+    are never even listed. The predicate is also applied as a normal
+    Spark filter (and pushed to the remaining parquet scans), so the
+    result is identical to filtering an unpruned read."""
     versions = vt_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
     v = version if version is not None else versions[-1]
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
-    dirs = _read_manifest(path, v)["dirs"]
-    return spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    manifest = _read_manifest(path, v)
+    dirs = manifest["dirs"]
+    if predicate is not None:
+        col, op, value = predicate
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
+        stats = manifest.get("stats", {})
+        kept = [
+            d
+            for d in dirs
+            if _stats_may_match(stats.get(d, {}).get(col), op, value)
+        ]
+        # all pruned → keep one dir for the schema; the filter still
+        # yields zero rows, so results never depend on pruning
+        dirs = kept or dirs[:1]
+    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    if predicate is not None:
+        col, op, value = predicate
+        c = F.col(col)
+        cond = {
+            "=": c == F.lit(value),
+            "<": c < F.lit(value),
+            "<=": c <= F.lit(value),
+            ">": c > F.lit(value),
+            ">=": c >= F.lit(value),
+        }[op]
+        df = df.filter(cond)
+    return df
+
+
+def vt_checkpoint(spark, path: str) -> int:
+    """Snapshot the head manifest into ``_vlog/_checkpoint.json`` so head
+    resolution can probe forward from the checkpointed version instead
+    of listing the whole log. Returns the checkpointed version. The
+    checkpoint is advisory — manifests stay the source of truth — so a
+    torn/stale checkpoint can never corrupt reads."""
+    versions = vt_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    head = versions[-1]
+    snap = {"version": head, "manifest": _read_manifest(path, head)}
+    tmp = os.path.join(_log_dir(path), f"_checkpoint.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, os.path.join(_log_dir(path), "_checkpoint.json"))
+    return head
+
+
+def vt_head(path: str) -> int:
+    """Latest committed version, resolved via the checkpoint when one
+    exists: probe ``checkpoint.version + 1, + 2, …`` until the first
+    missing manifest — O(commits since checkpoint) stat calls instead of
+    an O(total commits) directory listing."""
+    cp = os.path.join(_log_dir(path), "_checkpoint.json")
+    try:
+        with open(cp) as f:
+            v = int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError):
+        versions = vt_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        return versions[-1]
+    while os.path.exists(_manifest_path(path, v + 1)):
+        v += 1
+    return v
 
 
 def vt_merge(
@@ -161,9 +337,15 @@ def vt_merge(
             ).unionByName(updates)
         else:
             merged = updates
-        new_dir = _write_data_dir(merged, path)
+        new_dir, new_stats = _write_data_dir(merged, path)
         try:
-            return _commit(path, [new_dir], "merge", expected)
+            return _commit(
+                path,
+                [new_dir],
+                "merge",
+                expected,
+                {new_dir: new_stats} if new_stats else {},
+            )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
             # directory and re-derive from the new head

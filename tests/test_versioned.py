@@ -138,3 +138,65 @@ class TestVersionedTable:
         removed2 = vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
         assert removed2 == ["d_inflight00000"]
         assert not os.path.isdir(inflight)
+
+    def test_data_skipping_prunes_directories(self, spark, tmp_path):
+        """A selective predicate read must list FEWER files: directories
+        whose manifest min/max stats cannot satisfy the predicate are
+        skipped before Spark ever lists them (pinned via inputFiles)."""
+        path = str(tmp_path / "t")
+        lo = spark.createDataFrame([(i, "lo") for i in range(100)], "id long, v string")
+        hi = spark.createDataFrame([(i, "hi") for i in range(1000, 1100)], "id long, v string")
+        vt_write(spark, path, lo)
+        vt_write(spark, path, hi, mode="append")
+        full = vt_read(spark, path)
+        assert len(full.inputFiles()) >= 2
+        pruned = vt_read(spark, path, predicate=("id", ">=", 1000))
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        assert pruned.count() == 100
+        # identical results to an unpruned filter — pruning is invisible
+        unpruned = full.filter("id >= 1000")
+        assert {r["id"] for r in pruned.collect()} == {
+            r["id"] for r in unpruned.collect()
+        }
+        # equality predicate inside only the low range
+        only_lo = vt_read(spark, path, predicate=("id", "=", 5))
+        assert len(only_lo.inputFiles()) < len(full.inputFiles())
+        assert only_lo.count() == 1
+
+    def test_data_skipping_all_pruned_keeps_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        out = vt_read(spark, path, predicate=("id", ">", 999))
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["id", "v"]
+
+    def test_string_stats_prune(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "apple"), (2, "berry")]))
+        vt_write(spark, path, _df(spark, [(3, "yam"), (4, "zebra")]), mode="append")
+        pruned = vt_read(spark, path, predicate=("v", ">=", "yam"))
+        full = vt_read(spark, path)
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        assert {r["v"] for r in pruned.collect()} == {"yam", "zebra"}
+
+    def test_checkpoint_head_resolution(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_checkpoint,
+            vt_head,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        assert vt_checkpoint(spark, path) == 2
+        assert vt_head(path) == 2
+        # commits AFTER the checkpoint are found by forward probing
+        vt_merge(spark, path, _df(spark, [(3, "c")]), ["id"])
+        assert vt_head(path) == 3
+        assert _rows(vt_read(spark, path, vt_head(path))) == {
+            (1, "a"), (2, "b"), (3, "c")
+        }
+        # stale checkpoint is advisory only: vacuum away old versions,
+        # head still resolves
+        vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
+        assert vt_head(path) == 3
