@@ -22,6 +22,13 @@ from .errors import (
 from .operators.aggregate import apply_aggregation
 from .operators.executor import apply_rule, execute_rules, register_rule_view
 from .operators.predicates import PredicateCompiler, compile_predicate
+from .operators.registry import (
+    CustomOperator,
+    lookup_operator,
+    register_operator,
+    registered_operators,
+    unregister_operator,
+)
 from .plans.model import (
     AggregateFunction,
     AggregationDefinition,
@@ -39,6 +46,7 @@ __all__ = [
     "AggregationDefinition",
     "Condition",
     "ConditionGroup",
+    "CustomOperator",
     "DEFAULT_TABLES",
     "PredicateCompiler",
     "RuleCompilationError",
@@ -52,7 +60,11 @@ __all__ = [
     "apply_rule",
     "compile_predicate",
     "execute_rules",
+    "lookup_operator",
+    "register_operator",
     "register_rule_view",
+    "registered_operators",
+    "unregister_operator",
     "get_spark",
     "inline_table",
     "validate",

@@ -68,6 +68,7 @@ from ..errors import (
     property_not_found,
 )
 from ..plans.model import Condition, ConditionGroup, _ci_get
+from .registry import lookup_operator as _lookup_custom
 
 # Decimal shape used for string-as-numeric coercion; wide enough for every
 # fixture value while keeping comparisons exact.
@@ -224,6 +225,18 @@ class PredicateCompiler:
     def compile_condition(self, cond: Condition) -> Column:
         """Leaf dispatch (BuildCondition, IQueryableRuleEvaluator.cs:120-311)."""
         op = cond.operator.strip().lower()
+
+        # --- registered custom operators (operators/registry.py) ---
+        # Consulted first for dispatch simplicity; registration REJECTS
+        # built-in names, so this can never shadow the parity surface.
+        custom = _lookup_custom(op)
+        if custom is not None:
+            field = (
+                None
+                if custom.param_only
+                else resolve_field(self.schema, cond.property, self.type_name)
+            )
+            return custom.compile_fn(field, cond.value, dict(self.params))
 
         # --- row-independent Dynamic* unary ops: evaluate the PARAMETER ---
         if op == "dynamicnullorempty":

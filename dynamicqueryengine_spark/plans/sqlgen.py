@@ -124,6 +124,26 @@ class SqlGenerator:
     def condition_sql(self, cond: Condition) -> str:
         op = cond.operator.strip().lower()
 
+        # registered custom operators stay oracle-able via their sql_fn
+        # mirror (operators/registry.py); a missing mirror fails LOUDLY —
+        # a silent skip would let the oracle drift from the engine
+        from ..operators.registry import lookup_operator as _lookup_custom
+
+        custom = _lookup_custom(op)
+        if custom is not None:
+            if custom.sql_fn is None:
+                raise RuleCompilationError(
+                    f"Custom operator '{cond.operator}' has no SQL mirror "
+                    "registered — pass sql_fn to register_operator for "
+                    "oracle generation."
+                )
+            field = (
+                None
+                if custom.param_only
+                else resolve_field(self.schema, cond.property)
+            )
+            return custom.sql_fn(field, cond.value, dict(self.params))
+
         if op in (
             "dynamicnullorempty",
             "dynamicnotnullorempty",

@@ -43,8 +43,16 @@ def validate_rule(
     fields = schema_fields_ci(schema)
 
     if rule.conditions is not None:
+        from ..operators.registry import lookup_operator
+
         for cond in rule.conditions.iter_conditions():
-            if cond.operator.lower() in _PARAM_ONLY_OPS:
+            op = cond.operator.lower()
+            if op in _PARAM_ONLY_OPS:
+                continue
+            custom = lookup_operator(op)
+            if custom is not None and custom.param_only:
+                # registered param-only ops mirror the Dynamic* family:
+                # their Property is a parameter key, never a column
                 continue
             if cond.property and cond.property.lower() not in fields:
                 raise property_not_found(cond.property, type_name)
