@@ -938,6 +938,66 @@ ANALYTICS_QUERIES["agg_cube_priority_status"] = FnWorkload(
 )
 
 
+def _agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY grouping-set lists beyond ROLLUP/CUBE — the general
+    GROUPING SETS surface: one lineitem⋈orders pass aggregated
+    simultaneously at {(returnflag, linestatus), (orderpriority), ()},
+    disambiguated by grouping_id (bit i set ⇔ column i NOT in the set:
+    gid 1 = detail pair, 6 = priority margin, 7 = grand total — the
+    convention Spark and DuckDB share, verified empirically).
+
+    Scale shape: the join shuffles on orderkey once (AQE-planned); the
+    grouping sets compile to ONE Expand of 3 projections per joined row
+    feeding a single hash aggregate — the post-shuffle key space is the
+    sum of the three groupings' cardinalities (≤ |rf|·|ls| + |prio| + 1),
+    never the fact table. No second scan, no union of separate GROUP
+    BYs — the property that makes multi-granularity reporting one job
+    at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        (
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).cast("decimal(38,12)").alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    return j.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["o_orderpriority"], []],
+        "l_returnflag",
+        "l_linestatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, o_orderpriority,
+       CAST(GROUPING(l_returnflag, l_linestatus, o_orderpriority) AS BIGINT)
+         AS gid,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (o_orderpriority), ())
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_grouping_sets_mixed"] = FnWorkload(
+    _agg_grouping_sets_mixed, _GROUPING_SETS_SQL
+)
+
+
 def _quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract over lineitem
     (functions/constraints.py — the Deequ pattern): completeness,

@@ -245,6 +245,16 @@ class TestRound5PlanShapes:
         assert "Expand" in plan
         assert plan.count("Scan parquet") == 1
 
+    def test_grouping_sets_single_expand(self, spark):
+        """Arbitrary GROUPING SETS must plan exactly like ROLLUP/CUBE:
+        one joined pass feeding an Expand into a single hash aggregate —
+        never a union of per-grouping GROUP BYs (which would re-scan and
+        re-join the fact table per set)."""
+        df = entry_mod.queries()["agg_grouping_sets_mixed"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "Expand" in plan
+        assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
     def test_exists_chain_plans_as_semi_and_anti(self, spark):
         """The Q21-shape EXISTS/NOT-EXISTS chain must decorrelate to
         hash-based semi/anti joins — no nested-loop fallback."""
