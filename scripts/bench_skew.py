@@ -56,9 +56,27 @@ def timed(fn):
     return out, round(time.perf_counter() - start, 2)
 
 
-def run(spark, aqe: bool, salted: bool):
+def run(spark, aqe: bool, salted: bool, skew_threshold_mb: int | None = None):
     spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
+    if skew_threshold_mb is not None:
+        # make AQE's runtime split FIRE at local scale: the hot partition
+        # here (~300 MB) sits near the 256 MB default threshold, which is
+        # exactly the regime where the split is threshold-sensitive; at
+        # 100 TB the hot partition is tens of GB and the DEFAULTS split it
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            f"{skew_threshold_mb}MB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            f"{max(skew_threshold_mb // 2, 1)}MB",
+        )
+    else:
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     fact, dim = build(spark)
     if salted:
         joined = salted_join(fact, dim, on=["k"], buckets=16)
@@ -83,13 +101,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
-    for name, aqe, salted in (
-        ("plain_noaqe", False, False),
-        ("plain_aqe", True, False),
-        ("salted_noaqe", False, True),
+    for name, aqe, salted, thresh in (
+        ("plain_noaqe", False, False, None),
+        ("plain_aqe_default", True, False, None),
+        ("plain_aqe_split", True, False, 32),  # threshold lowered → split fires
+        ("salted_noaqe", False, True, None),
     ):
-        run(spark, aqe, salted)  # warm (codegen + page cache)
-        results[name] = min(run(spark, aqe, salted), run(spark, aqe, salted))
+        run(spark, aqe, salted, thresh)  # warm (codegen + page cache)
+        results[name] = min(
+            run(spark, aqe, salted, thresh), run(spark, aqe, salted, thresh)
+        )
     print(json.dumps({"n_rows": N, "hot_frac": HOT_FRAC, **results}))
     spark.stop()
 

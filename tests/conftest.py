@@ -17,6 +17,20 @@ from pyspark.sql.types import (
 )
 
 
+def pytest_configure(config):
+    # The `media` marker tags tests whose REAL assertions need optional
+    # media libraries (Pillow / soundfile). This container ships neither,
+    # so those tests importorskip cleanly; in a container WITH the libs,
+    # `pytest -m media tests/` runs the real decode assertions with ZERO
+    # skips (the r5 verdict stretch ask #9 CI leg). The guard tests that
+    # assert loud NotImplementedError without the libs are unmarked and
+    # run everywhere.
+    config.addinivalue_line(
+        "markers",
+        "media: real image/audio decode assertions requiring Pillow/soundfile",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     # Managed tables (write_bucketed_table) land in the warehouse dir; the

@@ -287,6 +287,7 @@ class TestMultimodal:
             with pytest.raises(NotImplementedError):
                 M.decode_audio(b"x", "mp3")  # non-WAV needs soundfile
 
+    @pytest.mark.media
     def test_decode_image_real_when_pillow_present(self):
         PIL = pytest.importorskip("PIL")  # noqa: F841 — skips cleanly here
         import io
@@ -298,6 +299,34 @@ class TestMultimodal:
         out = M.decode_image(buf.getvalue(), "png")
         assert (out["width"], out["height"]) == (3, 2)
         assert len(out["pixels"]) == 3 * 2 * 3
+
+    @pytest.mark.media
+    def test_decode_audio_real_when_soundfile_present(self):
+        sf = pytest.importorskip("soundfile")
+        import io
+
+        buf = io.BytesIO()
+        sf.write(buf, [0.0, 0.5, -0.5, 0.25], 8000, format="FLAC",
+                 subtype="PCM_16")
+        out = M.decode_audio(buf.getvalue(), "flac")
+        assert out["rate"] == 8000
+        assert out["channels"] == 1
+        assert len(out["samples"]) == 4
+
+    @pytest.mark.media
+    def test_frame_sampling_real_when_pillow_present(self):
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        from PIL import Image
+
+        frames = [Image.new("P", (4, 4), i) for i in range(5)]
+        buf = io.BytesIO()
+        frames[0].save(
+            buf, format="GIF", save_all=True, append_images=frames[1:]
+        )
+        sampled = M.sample_frames(buf.getvalue(), "gif", every_n=2)
+        assert len(sampled) == 3  # frames 0, 2, 4
 
     def test_decode_audio_wav_is_real_stdlib(self):
         """PCM WAV decodes with NO external library: stdlib wave module.
