@@ -1198,6 +1198,170 @@ ANALYTICS_QUERIES["window_customer_rfm_segments"] = FnWorkload(
 )
 
 
+def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB SCALE PATH for RFM segmentation, contract-tied to the
+    exact three-ntile twin — the window_customer_ltv_deciles_approx
+    pattern at the three-dimensional shape: ONE aggregate computes
+    percentile_approx quintile cuts for recency/frequency/monetary
+    (bounded GK state, map-side combined, NO global sorts), then a
+    single broadcast bucket join scores every customer on all three
+    dimensions at once.
+
+    Oracle carries the exact ntile segment aggregates (identical
+    arithmetic to window_customer_rfm_segments) plus two pinned-TRUE
+    booleans: ``approx_ok`` (every one of the 12 cut values — 4 per
+    dimension — satisfies the GK rank-interval guarantee, ε =
+    1/accuracy) and ``disagree_ok`` (per dimension, the number of
+    customers whose bucket-join quintile differs from exact ntile is
+    within that dimension's measured rank-slack budget Σᵢ(slackᵢ+1);
+    ntile boundaries sit within 1 rank of ceil(pᵢ·n) for every quintile
+    remainder split, which the +1 absorbs — both orientations).
+
+    The exact ntile windows and per-dimension value histograms are the
+    verification harness; the production path is the one aggregate +
+    one broadcast join."""
+    from pyspark.sql import Window
+
+    accuracy = 100
+    K = 5
+    ps = [i / K for i in range(1, K)]
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("_maxd"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .persist()  # consumed by the cut aggregate, the bucket join,
+        # and three verification histograms
+    )
+    dims = [("recency_days", True), ("frequency", False), ("monetary", False)]
+
+    scalars = per_cust.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.percentile_approx(c, ps, accuracy).alias(f"_cuts_{c}")
+            for c, _ in dims
+        ],
+    )
+    # production path: ONE broadcast of the 1-row cut lists scores all
+    # three dimensions (asc dim: quintile 1 = smallest; desc dims:
+    # quintile 1 = largest — matching the exact twin's orientations)
+    b = per_cust.crossJoin(F.broadcast(scalars))
+
+    def _exceeded(col_name: str) -> F.Column:
+        # closure binds col_name per call (a loop-local lambda with a
+        # default arg would grow a second parameter, which F.filter
+        # interprets as the element-index argument)
+        return F.size(
+            F.filter(f"_cuts_{col_name}", lambda x: F.col(col_name) > x)
+        )
+
+    for c, asc in dims:
+        exceeded = _exceeded(c)
+        b = b.withColumn(
+            f"_aq_{c}",
+            (F.lit(1) + exceeded) if asc else (F.lit(K) - exceeded),
+        )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = b.select(
+        "*",
+        F.ntile(K).over(r_w).alias("r"),
+        F.ntile(K).over(f_w).alias("f"),
+        F.ntile(K).over(m_w).alias("m"),
+    )
+
+    # verification: per-dimension cut-rank intervals from value histograms
+    def _dim_checks(c: str) -> DataFrame:
+        cuts = scalars.select(
+            "_n", F.posexplode(f"_cuts_{c}").alias("_i", "_cv")
+        )
+        hist = per_cust.groupBy(c).agg(F.count(F.lit(1)).alias("_c"))
+        ranks = hist.crossJoin(F.broadcast(cuts)).groupBy(
+            "_i", "_cv", "_n"
+        ).agg(
+            F.sum(
+                F.when(F.col(c) < F.col("_cv"), F.col("_c")).otherwise(0)
+            ).alias("_rlo"),
+            F.sum(
+                F.when(F.col(c) <= F.col("_cv"), F.col("_c")).otherwise(0)
+            ).alias("_rhi"),
+        )
+        t = F.ceil((F.col("_i") + 1) / F.lit(float(K)) * F.col("_n"))
+        eps_n = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(accuracy)))
+        return ranks.select(
+            (
+                (F.col("_rhi") > F.col("_rlo"))
+                & (F.col("_rhi") >= t - eps_n)
+                & (F.col("_rlo") + 1 <= t + eps_n)
+            ).alias("_gk"),
+            (
+                F.greatest(F.col("_rhi"), t) - F.least(F.col("_rlo"), t) + 1
+            ).alias("_s1"),
+        ).agg(
+            F.bool_and("_gk").alias(f"_ok_{c}"),
+            F.sum("_s1").alias(f"_budget_{c}"),
+        )
+
+    checks = _dim_checks("recency_days").crossJoin(
+        _dim_checks("frequency")
+    ).crossJoin(_dim_checks("monetary"))
+    ntile_of = {"recency_days": "r", "frequency": "f", "monetary": "m"}
+    dis = scored.agg(
+        *[
+            F.sum(
+                F.when(F.col(ntile_of[c]) != F.col(f"_aq_{c}"), 1).otherwise(0)
+            ).alias(f"_nd_{c}")
+            for c, _ in dims
+        ]
+    )
+
+    report = scored.groupBy(
+        F.concat_ws("", "r", "f", "m").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
+    )
+    return (
+        report.crossJoin(F.broadcast(checks))
+        .crossJoin(F.broadcast(dis))
+        .select(
+            "segment",
+            "n_customers",
+            "segment_value",
+            (
+                F.col("_ok_recency_days")
+                & F.col("_ok_frequency")
+                & F.col("_ok_monetary")
+            ).alias("approx_ok"),
+            (
+                (F.col("_nd_recency_days") <= F.col("_budget_recency_days"))
+                & (F.col("_nd_frequency") <= F.col("_budget_frequency"))
+                & (F.col("_nd_monetary") <= F.col("_budget_monetary"))
+            ).alias("disagree_ok"),
+        )
+    )
+
+
+_RFM_APPROX_SQL = f"""
+SELECT *, TRUE AS approx_ok, TRUE AS disagree_ok FROM (
+{_RFM_SQL}
+)
+""".strip()
+
+
+ANALYTICS_QUERIES["window_customer_rfm_segments_approx"] = FnWorkload(
+    _customer_rfm_segments_approx, _RFM_APPROX_SQL
+)
+
+
 def _customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival analysis: per market segment, the distribution of
     customers' gaps between CONSECUTIVE orders — n gaps, mean gap days

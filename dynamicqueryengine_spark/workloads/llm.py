@@ -2223,6 +2223,92 @@ LLM_QUERIES["events_upsert_time_travel"] = FnWorkload(
 )
 
 
+def _events_vt_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table DATA SKIPPING, EXECUTED (sources/versioned.py r6):
+    commit the low half of events (by event_id) as version 1, APPEND the
+    high half as version 2 — the head manifest now lists two immutable
+    directories with per-directory event_id min/max harvested from the
+    parquet footers — then read with a predicate selective to the high
+    half. The manifest stats prune the low directory BEFORE file
+    listing; ``dirs_scanned``/``dirs_total`` pin that 1-of-2 pruning in
+    the value oracle, and the aggregate over the pruned read must equal
+    the plain filtered aggregate (which is what the SQL mirror runs) —
+    pruning is invisible to results by construction.
+
+    Split (mid) and probe points derive from min/max(event_id) with
+    floor division, deterministic in both engines."""
+    import tempfile
+
+    from ..sources.versioned import (
+        _read_manifest,
+        _stats_may_match,
+        vt_read,
+        vt_versions,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]  # two bounded scalars (drive the deterministic split)
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    probe = mid + (bounds["hi"] - mid) // 2
+
+    path = f"{tempfile.mkdtemp(prefix='dqe_vtskip_')}/ev"
+    vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    vt_write(spark, path, ev.filter(F.col("event_id") > mid), mode="append")
+
+    manifest = _read_manifest(path, vt_versions(path)[-1])
+    stats = manifest.get("stats", {})
+    kept = [
+        d
+        for d in manifest["dirs"]
+        if _stats_may_match(stats.get(d, {}).get("event_id"), ">", probe)
+    ]
+    out = (
+        vt_read(spark, path, predicate=("event_id", ">", probe))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(len(kept)).cast("long").alias("dirs_scanned"),
+        F.lit(len(manifest["dirs"])).cast("long").alias("dirs_total"),
+    )
+
+
+_EVENTS_VT_SKIP_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+b AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid,
+         max(event_id) AS hi
+  FROM ev
+),
+p AS (SELECT mid + (hi - mid) // 2 AS probe FROM b)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       CAST(1 AS BIGINT) AS dirs_scanned,
+       CAST(2 AS BIGINT) AS dirs_total
+FROM ev, p WHERE event_id > probe
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_skip_read"] = FnWorkload(
+    _events_vt_skip_read, _EVENTS_VT_SKIP_SQL
+)
+
+
 def _docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: the n-gram language detector
     (functions/text.py detect_language) scored against the corpus's

@@ -77,3 +77,17 @@ class TestLtvDecilesApprox:
             if approx_d != exact[k]:
                 n_dis += 1
         assert n_dis <= budget
+
+
+class TestRfmSegmentsApprox:
+    def test_guarantees_hold_and_exact_columns_match_twin(self, spark):
+        qs = entry_mod.queries()
+        approx = qs["window_customer_rfm_segments_approx"](spark, SF_DIR)
+        exact = qs["window_customer_rfm_segments"](spark, SF_DIR)
+        arows = approx.collect()
+        assert all(r["approx_ok"] for r in arows)
+        assert all(r["disagree_ok"] for r in arows)
+        trimmed = {
+            (r["segment"], r["n_customers"], r["segment_value"]) for r in arows
+        }
+        assert trimmed == _rows(exact)
