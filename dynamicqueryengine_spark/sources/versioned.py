@@ -65,6 +65,7 @@ __all__ = [
     "vt_vacuum",
     "vt_checkpoint",
     "vt_head",
+    "vt_last_txn",
 ]
 
 _DEC = "decimal(38,12)"
@@ -105,18 +106,40 @@ def _commit(
     op: str,
     expected_head: int,
     stats: dict | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
-    Raises FileExistsError if another writer committed first."""
+    Raises FileExistsError if another writer committed first.
+    ``txn`` = ``{"app": str, "version": int}`` application transaction
+    metadata recorded IN the manifest (Delta's txn/appId mechanism):
+    because it commits atomically with the data, an at-least-once
+    producer can make replays exact no-ops (see vt_last_txn)."""
     os.makedirs(_log_dir(path), exist_ok=True)
     version = expected_head + 1
     manifest = {"dirs": dirs, "op": op, "ts": time.time()}
     if stats:
         manifest["stats"] = stats
+    if txn:
+        manifest["txn"] = txn
     target = _manifest_path(path, version)
     with open(target, "x") as f:  # atomic create-if-absent = the commit
         json.dump(manifest, f)
     return version
+
+
+def vt_last_txn(path: str, app: str) -> int | None:
+    """Highest application transaction version committed by ``app``
+    (None if the app never committed). Commits for one app are ordered,
+    so the newest manifest carrying the app's txn holds its highest
+    version — scan newest → oldest."""
+    for v in reversed(vt_versions(path)):
+        try:
+            txn = _read_manifest(path, v).get("txn")
+        except (OSError, ValueError):
+            continue
+        if txn and txn.get("app") == app:
+            return int(txn["version"])
+    return None
 
 
 def _dir_stats(full_dir: str) -> dict:
@@ -320,16 +343,30 @@ def vt_merge(
     updates: DataFrame,
     key_cols: Sequence[str],
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Keyed MERGE as a committed version: rows in ``updates`` replace
     current rows with the same key, unmatched keys insert. Copy-on-write
     against the HEAD snapshot; on a commit race the merge re-reads the
     new head and retries (its result is derivable from any head, unlike
-    a blind write). Returns the committed version."""
+    a blind write). Returns the committed version.
+
+    ``txn=(app, version)`` makes the merge EXACTLY-ONCE for an
+    at-least-once producer: if the app already committed this (or a
+    later) version, the call is a no-op returning the current head —
+    the guard and the data share one atomic manifest create, so there
+    is no window where data landed but the marker did not. Callers
+    whose ``updates`` are DERIVED from a head snapshot (streaming
+    combine-then-merge) must be single-writer per app; the retry loop
+    re-checks the guard each attempt."""
     keys = list(key_cols)
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
+        if txn is not None:
+            last = vt_last_txn(path, txn[0])
+            if last is not None and txn[1] <= last:
+                return expected  # replay of an already-committed txn
         if head:
             current = vt_read(spark, path, expected)
             merged = current.join(
@@ -345,6 +382,7 @@ def vt_merge(
                 "merge",
                 expected,
                 {new_dir: new_stats} if new_stats else {},
+                {"app": txn[0], "version": int(txn[1])} if txn else None,
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
