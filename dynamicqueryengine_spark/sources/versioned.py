@@ -100,6 +100,29 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _txns_at(path: str, version: int) -> dict:
+    """The app → highest-committed-txn-version map AS OF ``version``.
+    New-format manifests carry the full map (``"txns"``, see _commit);
+    legacy manifests carried only their own ``"txn"`` marker, so for a
+    legacy head the map is reconstructed by folding the live log
+    oldest → newest — a one-time compat path that disappears after the
+    next commit writes a carried map."""
+    manifest = _read_manifest(path, version)
+    if "txns" in manifest:
+        return dict(manifest["txns"])
+    txns: dict = {}
+    for v in vt_versions(path):
+        if v > version:
+            break
+        try:
+            txn = _read_manifest(path, v).get("txn")
+        except (OSError, ValueError):
+            continue
+        if txn and "app" in txn:
+            txns[txn["app"]] = int(txn["version"])
+    return txns
+
+
 def _commit(
     path: str,
     dirs: list[str],
@@ -113,14 +136,23 @@ def _commit(
     ``txn`` = ``{"app": str, "version": int}`` application transaction
     metadata recorded IN the manifest (Delta's txn/appId mechanism):
     because it commits atomically with the data, an at-least-once
-    producer can make replays exact no-ops (see vt_last_txn)."""
+    producer can make replays exact no-ops (see vt_last_txn).
+
+    Every manifest also carries the CUMULATIVE ``"txns"`` app → version
+    map (previous head's map merged with this commit's marker) — Delta's
+    SetTransaction checkpoint-retention idea — so vt_vacuum expiring the
+    manifest that first recorded a marker can never void the
+    exactly-once guard: the head always knows every app's latest txn."""
     os.makedirs(_log_dir(path), exist_ok=True)
     version = expected_head + 1
     manifest = {"dirs": dirs, "op": op, "ts": time.time()}
     if stats:
         manifest["stats"] = stats
+    txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
+        txns[txn["app"]] = int(txn["version"])
+    manifest["txns"] = txns
     target = _manifest_path(path, version)
     with open(target, "x") as f:  # atomic create-if-absent = the commit
         json.dump(manifest, f)
@@ -129,17 +161,15 @@ def _commit(
 
 def vt_last_txn(path: str, app: str) -> int | None:
     """Highest application transaction version committed by ``app``
-    (None if the app never committed). Commits for one app are ordered,
-    so the newest manifest carrying the app's txn holds its highest
-    version — scan newest → oldest."""
-    for v in reversed(vt_versions(path)):
-        try:
-            txn = _read_manifest(path, v).get("txn")
-        except (OSError, ValueError):
-            continue
-        if txn and txn.get("app") == app:
-            return int(txn["version"])
-    return None
+    (None if the app never committed). Reads the HEAD manifest's
+    carried ``txns`` map — O(1) manifests and immune to vt_vacuum
+    expiring the manifest that originally recorded the marker (legacy
+    logs without the map fall back to a full-log fold in _txns_at)."""
+    versions = vt_versions(path)
+    if not versions:
+        return None
+    v = _txns_at(path, versions[-1]).get(app)
+    return int(v) if v is not None else None
 
 
 def _dir_stats(full_dir: str) -> dict:
@@ -322,19 +352,29 @@ def vt_head(path: str) -> int:
     """Latest committed version, resolved via the checkpoint when one
     exists: probe ``checkpoint.version + 1, + 2, …`` until the first
     missing manifest — O(commits since checkpoint) stat calls instead of
-    an O(total commits) directory listing."""
+    an O(total commits) directory listing.
+
+    The checkpoint is advisory, so the resolved version is VALIDATED
+    against the log: if vt_vacuum expired the checkpointed manifest
+    (checkpoint at v2, commits to v5, vacuum keeps only 4-5 → probing
+    from v2 stops at the missing v3), the fast path would name a
+    version that no longer exists — fall back to the full listing
+    instead of ever returning an unreadable head."""
     cp = os.path.join(_log_dir(path), "_checkpoint.json")
     try:
         with open(cp) as f:
             v = int(json.load(f)["version"])
     except (OSError, ValueError, KeyError):
-        versions = vt_versions(path)
-        if not versions:
-            raise FileNotFoundError(f"no committed versions at {path}")
-        return versions[-1]
-    while os.path.exists(_manifest_path(path, v + 1)):
-        v += 1
-    return v
+        v = None
+    if v is not None:
+        while os.path.exists(_manifest_path(path, v + 1)):
+            v += 1
+        if os.path.exists(_manifest_path(path, v)):
+            return v
+    versions = vt_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    return versions[-1]
 
 
 def vt_merge(
@@ -433,4 +473,17 @@ def vt_vacuum(
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))
+    # if the checkpoint pointed at a manifest we just expired, refresh it
+    # so vt_head's forward probe starts from a live version again (vt_head
+    # also validates and falls back, so this is a performance repair, not
+    # a correctness requirement)
+    cp = os.path.join(_log_dir(path), "_checkpoint.json")
+    if keep and os.path.exists(cp):
+        try:
+            with open(cp) as f:
+                cp_v = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            cp_v = None
+        if cp_v is not None and cp_v not in keep:
+            vt_checkpoint(spark, path)
     return removed

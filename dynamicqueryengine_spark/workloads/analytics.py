@@ -946,6 +946,13 @@ def _agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gid 1 = detail pair, 6 = priority margin, 7 = grand total — the
     convention Spark and DuckDB share, verified empirically).
 
+    Contract note: every output column is cast to double/long — the r6
+    driver run hashed this query's raw decimal(38,2) sum_qty column
+    differently than the local replica did (the only decimal-typed
+    output among all contract queries), so the catalog convention is
+    now enforced: no decimal types cross the contract boundary. The
+    sums stay exact (quantity totals ≪ 2^53).
+
     Scale shape: the join shuffles on orderkey once (AQE-planned); the
     grouping sets compile to ONE Expand of 3 projections per joined row
     feeding a single hash aggregate — the post-shuffle key space is the
@@ -974,7 +981,7 @@ def _agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("qty").cast("decimal(38,2)").alias("sum_qty"),
+        F.sum("qty").cast("double").alias("sum_qty"),
         F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
     )
 
@@ -984,7 +991,7 @@ SELECT l_returnflag, l_linestatus, o_orderpriority,
        CAST(GROUPING(l_returnflag, l_linestatus, o_orderpriority) AS BIGINT)
          AS gid,
        count(*) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
                            AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue

@@ -205,6 +205,64 @@ class TestCustomOperators:
             except Exception:
                 pass  # wrong value shape etc. — fine, it IS dispatched
 
+    def test_compiler_dispatch_matches_builtin_set(self):
+        """REVERSE lockstep (r6 advisor finding): every operator name the
+        compiler's leaf dispatch actually handles must appear in
+        BUILTIN_OPERATORS. Custom lookup runs BEFORE built-in dispatch
+        (predicates.py compile_condition), so a new built-in missing from
+        the frozenset would silently become registrable — and a
+        registration could then shadow reference-parity behavior.
+        Extract the dispatched names from the compile_condition source
+        AST (string constants compared against ``op``, plus the
+        _NUMERIC_OPS frozenset) and require exact set equality."""
+        import ast
+        import inspect
+
+        from dynamicqueryengine_spark.operators import predicates as pred_mod
+        from dynamicqueryengine_spark.operators.predicates import (
+            PredicateCompiler,
+        )
+
+        src = inspect.getsource(PredicateCompiler.compile_condition)
+        tree = ast.parse("class _C:\n" + src)
+        dispatched: set[str] = set()
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Compare):
+                continue
+            if not (
+                isinstance(node.left, ast.Name) and node.left.id == "op"
+            ):
+                continue
+            for comp in node.comparators:
+                if isinstance(comp, ast.Constant) and isinstance(
+                    comp.value, str
+                ):
+                    dispatched.add(comp.value)
+                elif isinstance(comp, (ast.Tuple, ast.List, ast.Set)):
+                    dispatched.update(
+                        e.value
+                        for e in comp.elts
+                        if isinstance(e, ast.Constant)
+                        and isinstance(e.value, str)
+                    )
+                elif isinstance(comp, ast.Name):
+                    # `op in _NUMERIC_OPS` — resolve from the module
+                    members = getattr(pred_mod, comp.id, None)
+                    assert members is not None and all(
+                        isinstance(m, str) for m in members
+                    ), f"cannot resolve dispatch collection {comp.id!r}"
+                    dispatched.update(members)
+        assert dispatched, "AST extraction found no dispatched operators"
+        missing_from_set = dispatched - BUILTIN_OPERATORS
+        assert not missing_from_set, (
+            "compiler dispatches operators absent from BUILTIN_OPERATORS "
+            f"(registrable → shadowable!): {sorted(missing_from_set)}"
+        )
+        stale_in_set = BUILTIN_OPERATORS - dispatched
+        assert not stale_in_set, (
+            f"BUILTIN_OPERATORS lists undispatched names: {sorted(stale_in_set)}"
+        )
+
     def test_missing_sql_mirror_fails_oracle_generation(self, spark):
         register_operator("NoMirror", lambda f, v, p: F.lit(True))
         try:

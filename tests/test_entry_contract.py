@@ -49,9 +49,13 @@ def test_no_driver_hostile_output_types(spark):
     """The round driver canonicalizes result rows through pandas
     ``sort_values``/``factorize``, which cannot hash list/dict cells — a
     single top-level array/map/struct column ERRORs the whole comparison
-    (embed_quantize_int8, round 2). Analysis-only: resolve each contract
-    query's schema and reject complex top-level types. Queries must
-    posexplode arrays to long form instead."""
+    (embed_quantize_int8, round 2). Decimal columns are rejected too: the
+    r6 driver hashed the one decimal(38,2) output in the catalog
+    (agg_grouping_sets_mixed's sum_qty) differently than DuckDB's decimal
+    even though the values were identical — cast aggregates to double at
+    the contract boundary instead. Analysis-only: resolve each contract
+    query's schema and reject complex/decimal top-level types. Queries
+    must posexplode arrays to long form instead."""
     bad = {}
     for name, fn in QUERIES.items():
         # Prefer the schema resolved during the oracle-parity run above;
@@ -61,7 +65,8 @@ def test_no_driver_hostile_output_types(spark):
             f.name
             for f in schema.fields
             if f.dataType.typeName() in ("array", "map", "struct")
+            or f.dataType.typeName().startswith("decimal")
         ]
         if complex_cols:
             bad[name] = complex_cols
-    assert not bad, f"complex top-level output columns: {bad}"
+    assert not bad, f"complex/decimal top-level output columns: {bad}"

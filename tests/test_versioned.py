@@ -200,3 +200,62 @@ class TestVersionedTable:
         # head still resolves
         vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
         assert vt_head(path) == 3
+
+    def test_head_valid_after_vacuum_breaks_probe_chain(
+        self, spark, tmp_path
+    ):
+        """Checkpoint at v2, commits to v5, vacuum keeps only 4-5: the
+        forward probe from v2 hits the missing v3 immediately, so without
+        validation vt_head would return the vacuumed v2 (r6 advisor
+        finding). It must fall back to the live log — and vacuum refreshes
+        the checkpoint so the fast path recovers."""
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_checkpoint,
+            vt_head,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        assert vt_checkpoint(spark, path) == 2
+        for i in range(3, 6):
+            vt_write(spark, path, _df(spark, [(i, "x")]), mode="append")
+        vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+        assert vt_versions(path) == [4, 5]
+        assert vt_head(path) == 5
+        assert _rows(vt_read(spark, path, vt_head(path))) >= {(5, "x")}
+        # vacuum refreshed the checkpoint to a live version
+        cp = os.path.join(path, "_vlog", "_checkpoint.json")
+        with open(cp) as f:
+            assert _json.load(f)["version"] == 5
+
+    def test_txn_guard_survives_vacuum(self, spark, tmp_path):
+        """The exactly-once merge guard must not be voided by vacuum
+        (r6 advisor finding): the app → txn-version map is carried
+        forward in every manifest, so expiring the manifest that first
+        recorded a marker keeps the guard intact."""
+        from dynamicqueryengine_spark.sources.versioned import vt_last_txn
+
+        path = str(tmp_path / "t")
+        vt_merge(spark, path, _df(spark, [(1, "a")]), ["id"], txn=("app1", 7))
+        # several unrelated commits, then vacuum away the txn's manifest
+        for i in range(2, 6):
+            vt_write(spark, path, _df(spark, [(i, "x")]), mode="append")
+        vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+        assert 1 not in vt_versions(path)
+        assert vt_last_txn(path, "app1") == 7
+        # a replayed producer txn is still an exact no-op
+        head = vt_versions(path)[-1]
+        assert (
+            vt_merge(
+                spark, path, _df(spark, [(1, "DUP")]), ["id"], txn=("app1", 7)
+            )
+            == head
+        )
+        assert (1, "DUP") not in _rows(vt_read(spark, path))
+        # and a NEW txn still applies and records the higher version
+        vt_merge(spark, path, _df(spark, [(1, "b")]), ["id"], txn=("app1", 8))
+        assert vt_last_txn(path, "app1") == 8
+        assert (1, "b") in _rows(vt_read(spark, path))
