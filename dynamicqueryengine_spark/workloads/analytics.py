@@ -1503,3 +1503,695 @@ FROM per_nation
 ANALYTICS_QUERIES["window_nation_revenue_share"] = FnWorkload(
     _nation_revenue_share, _NATION_SHARE_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the remaining classic TPC-H shapes, adapted to the reduced
+# testdata schema (no partsupp/shipmode/commitdate/phone/comment columns).
+# Shared numeric-parity rules: monetary aggregates sum DECIMAL, divisions
+# happen AFTER casting both operands to double (decimal-division scale
+# rules differ between engines), and threshold comparisons against an
+# average are rewritten multiplicatively (x * n > sum) so no
+# order-dependent double average ever decides row membership.
+# ---------------------------------------------------------------------------
+
+
+def _join_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    specific nations (either direction) by ship year. Scale plan: the
+    nation pair filter cuts supplier/customer to ~2/25 BEFORE any fact
+    join — the filtered supplier⋈nation side is broadcast (supplier is
+    the smallest fact table), lineitem⋈orders shuffles on orderkey once,
+    then the customer side shuffles on custkey; the final aggregate's key
+    space is 2 × years, trivially small. No join touches unfiltered
+    dimension rows, which is what keeps the broadcast legal at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(*pair))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin(*pair))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                    ).cast("decimal(38,12)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(vol), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12)) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+ANALYTICS_QUERIES["join_volume_shipping_q7"] = FnWorkload(
+    _join_volume_shipping_q7, _Q7_SQL
+)
+
+
+def _join_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one consuming region and one
+    part type, the share of revenue supplied by one nation, per order
+    year. The share is a conditional-sum / total-sum ratio computed in
+    ONE aggregation pass (no self-join, no second scan). Scale plan: the
+    filtered part set broadcasts into the lineitem scan (the most
+    selective edge first), supplier⋈nation broadcasts to tag
+    supp_nation, and customers restrict to the region via broadcast
+    nation⋈region — the only big shuffles are lineitem⋈orders on
+    orderkey and orders⋈customer on custkey. Both decimal sums are cast
+    to double before the division."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    vol = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("vol")
+    ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(target).cast("double") / F.sum("vol").cast("double"), 6
+        ).alias("mkt_share"),
+        F.round(F.sum("vol"), 2).cast("double").alias("total_volume"),
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum(vol), 2) AS DOUBLE) AS total_volume
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12)) AS vol,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+)
+GROUP BY o_year
+""".strip()
+
+
+ANALYTICS_QUERIES["join_market_share_q8"] = FnWorkload(
+    _join_market_share_q8, _Q8_SQL
+)
+
+
+def _join_top_returned_customers_q10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item customer ranking: revenue lost to
+    returns (l_returnflag = 'R') per customer in one quarter, top 20.
+    The TakeOrdered(20) pattern: Spark plans a per-partition top-20 then
+    a single tiny driver merge — no global sort of the aggregate. The
+    order key is the EXACT decimal revenue (tie-broken by custkey), so
+    both engines pick identical rows; the displayed value is the rounded
+    double."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+            "n_name",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal,
+       n_name,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(38,12))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+ORDER BY rev DESC, c_custkey ASC
+LIMIT 20
+""".strip()
+
+
+ANALYTICS_QUERIES["join_top_returned_customers_q10"] = FnWorkload(
+    _join_top_returned_customers_q10, _Q10_SQL
+)
+
+
+def _agg_custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT join so
+    zero-order customers land in the c_count = 0 bucket (the whole point
+    of Q13 — an inner join silently drops them), with a residual
+    predicate on the JOIN (not a WHERE, which would turn the outer join
+    inner). Two aggregations: per-customer count shuffles on custkey,
+    then the distribution aggregate's key space is the handful of
+    distinct counts. Scale note: both shuffles are on high-cardinality
+    or tiny keys — no skew, no global sort."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_custdist_q13"] = FnWorkload(
+    _agg_custdist_q13, _Q13_SQL
+)
+
+
+def _agg_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share for one ship month: a
+    conditional-sum / total-sum ratio in one pass over the
+    month-filtered lineitem⋈part join (part broadcasts; the month filter
+    prunes the scan FIRST — at 100 TB with date-partitioned lineitem
+    this is partition pruning, not a full scan). Division happens in
+    double on both engines after exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,12)")
+    )
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(38,12)) END)
+                     AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+FROM (
+  SELECT p_type,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,12)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_promo_revenue_q14"] = FnWorkload(
+    _agg_promo_revenue_q14, _Q14_SQL
+)
+
+
+def _agg_supplier_relationship_q16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier relationship count (adapted: the
+    observed DISTINCT (l_partkey, l_suppkey) pairs stand in for the
+    missing partsupp table): how many distinct suppliers can provide
+    parts of each (brand, type, size) combination, excluding one brand,
+    a size whitelist, and suppliers with negative balances (the NOT IN
+    subquery → broadcast LEFT ANTI join, the decorrelation Spark plans
+    as BroadcastHashJoin LeftAnti). The distinct pair set shuffles once
+    on partkey; countDistinct(suppkey) per small group key is exact."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad"))
+    return (
+        rel.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("_bad"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_supplier_relationship_q16"] = FnWorkload(
+    _agg_supplier_relationship_q16, _Q16_SQL
+)
+
+
+def _join_small_qty_revenue_q17(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: lineitems of one brand
+    whose quantity is below 20% of that part's average quantity — the
+    canonical correlated scalar subquery, decorrelated into one per-part
+    aggregate joined back to the detail rows. The membership test is
+    rewritten MULTIPLICATIVELY (5 · qty · n_li < sum_qty, all exact
+    decimals) so no order-dependent double average ever decides which
+    rows qualify — bit-identical row sets in both engines by
+    construction. Brand-filtered part broadcasts into both passes; the
+    per-part aggregate and the join share one partkey shuffle."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = li.join(per_part, F.col("l_partkey") == F.col("_pk")).filter(
+        F.lit(5) * F.col("qty") * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum("price").cast("double") / F.lit(7.0), 2
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+    )
+
+
+_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), per_part AS (
+  SELECT l_partkey AS pk, sum(qty) AS sum_qty, count(*) AS n_li
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(price) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_lineitems
+FROM li JOIN per_part ON l_partkey = pk
+WHERE 5 * qty * n_li < sum_qty
+""".strip()
+
+
+ANALYTICS_QUERIES["join_small_qty_revenue_q17"] = FnWorkload(
+    _join_small_qty_revenue_q17, _Q17_SQL
+)
+
+
+def _join_untapped_customers_q22(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22-shaped untapped-customer analysis (adapted: c_nationkey
+    stands in for the missing phone country code, and "untapped" means
+    no orders in the final year of the calendar — this testdata gives
+    every customer at least one lifetime order, so the classic NO-orders
+    predicate would be vacuously empty). Customers from a nation
+    whitelist with above-average positive balances and no recent
+    orders. The global average is ONE scalar row cross-joined
+    (broadcast) into the scan, and the threshold compares
+    multiplicatively (bal · n > sum) in exact decimals — no
+    double-average membership flips. The NOT EXISTS is a LEFT ANTI join
+    on custkey, the highest-cardinality shuffle here; the final
+    aggregate's key space is the 7-nation whitelist."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*nations)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    thresh = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("_sum_bal"),
+        F.count(F.lit(1)).alias("_n_bal"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("_ok"))
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal") * F.col("_n_bal") > F.col("_sum_bal"))
+        .join(orders, F.col("c_custkey") == F.col("_ok"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+), thresh AS (
+  SELECT sum(bal) AS sum_bal, count(*) AS n_bal FROM cust WHERE bal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+FROM cust, thresh
+WHERE bal * n_bal > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY c_nationkey
+""".strip()
+
+
+ANALYTICS_QUERIES["join_untapped_customers_q22"] = FnWorkload(
+    _join_untapped_customers_q22, _Q22_SQL
+)
+
+
+def _agg_median_price_per_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-group order statistics: median and p90 of order price
+    per priority via linear-interpolation percentiles (both engines
+    index at (n-1)·q and interpolate — Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). Exact percentiles need the group's values
+    together, but the GROUP's data is the unit of shuffle — 5 priority
+    keys × |orders|/5 values per task, the bounded-state shape; the
+    approx twin for truly unbounded groups is corpus_length_quantiles_
+    approx's percentile_approx machinery."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", 0.99), 6).alias("p99_price"),
+    )
+
+
+_MEDIAN_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(median(o_totalprice), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_median_price_per_priority"] = FnWorkload(
+    _agg_median_price_per_priority, _MEDIAN_PRIORITY_SQL
+)
+
+
+def _window_acctbal_percent_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """percent_rank + cume_dist within market segments — the two
+    distribution window functions not yet pinned (rank/row_number/ntile
+    are). Both are rank-global per partition, but the PARTITION is the
+    shuffle unit (5 segments × |customers|/5 rows per task) — the same
+    bounded-partition argument as every per-user window here; the
+    values are exact rational functions of rank and partition size, so
+    cross-engine float parity needs only the final round."""
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+_PCT_RANK_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+""".strip()
+
+
+ANALYTICS_QUERIES["window_acctbal_percent_rank"] = FnWorkload(
+    _window_acctbal_percent_rank, _PCT_RANK_SQL
+)
+
+
+def _window_nation_monthly_cumshare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative revenue share per nation over order months: aggregate
+    to (nation, month) FIRST (the shuffle), then the running sum's
+    window partitions by nation — ≤ |months| rows per partition, so the
+    sort inside each window task is bounded by the calendar, not the
+    fact table (the anti-pattern this replaces is a global
+    Window.orderBy over raw orders). Share division in double after
+    exact decimal sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("n_name")
+    return monthly.select(
+        "n_name",
+        "month",
+        F.round("_rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w).cast("double")
+            / F.sum("_rev").over(tot).cast("double"),
+            9,
+        ).alias("cum_share"),
+    )
+
+
+_CUMSHARE_SQL = """
+WITH monthly AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', o_orderdate)
+)
+SELECT n_name, CAST(month AS TIMESTAMP) AS month,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(sum(rev) OVER (PARTITION BY n_name ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY n_name) AS DOUBLE), 9)
+         AS cum_share
+FROM monthly
+""".strip()
+
+
+ANALYTICS_QUERIES["window_nation_monthly_cumshare"] = FnWorkload(
+    _window_nation_monthly_cumshare, _CUMSHARE_SQL
+)
