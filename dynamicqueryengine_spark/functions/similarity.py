@@ -96,6 +96,80 @@ WHERE rank <= {k}
 """.strip()
 
 
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k MAXIMUM INNER PRODUCT search per query vector — the
+    retrieval objective for un-normalized embeddings (recommender /
+    reranker scores), distinct from cosine: a long vector can win on
+    inner product while losing on angle.
+
+    Same execution shape as :func:`cosine_topk`: broadcast the query
+    set, score JVM-side (zip_with+aggregate, strict left-to-right), one
+    per-query window for the top-k — the corpus never shuffles. Scale
+    path beyond brute force: the order-isomorphic augmentation
+    [x; sqrt(M² − ‖x‖²)] (Bachrach et al. 2014, RecSys) turns MIPS into
+    cosine over d+1 dims, after which the IVF/PQ machinery here
+    (:func:`ivf_topk`, functions/pq.py) prunes cells exactly as for
+    cosine — this entry pins the exact baseline those variants are
+    judged against.
+
+    Output: (query_id, neighbor_id, inner_product, rank), rank 1..k,
+    ties broken by neighbor id. Self-matches excluded."""
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    ip = _dot(F.col("_qvec"), F.col("_cvec"))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", ip.alias("inner_product"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("inner_product").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("inner_product", 6).alias("inner_product"),
+            "rank",
+        )
+    )
+
+
+def mips_topk_sql(
+    table: str,
+    query_pred: str,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for :func:`mips_topk` — same fold order, same
+    tie-break."""
+    dot_ab = _dot_sql(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+WITH q AS (SELECT * FROM {table} WHERE {query_pred.replace('__ID__', id_col)})
+SELECT query_id, neighbor_id, round(ip, 6) AS inner_product, rank FROM (
+  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+         {dot_ab} AS ip,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.{id_col}
+           ORDER BY {dot_ab} DESC, c.{id_col} ASC) AS rank
+  FROM q, {table} c WHERE q.{id_col} <> c.{id_col})
+WHERE rank <= {k}
+""".strip()
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (seeded Gaussian)."""
     rng = random.Random(seed)

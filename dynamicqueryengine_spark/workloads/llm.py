@@ -2369,3 +2369,147 @@ FROM cells
 LLM_QUERIES["docs_lang_confusion"] = FnWorkload(
     _docs_lang_confusion, _docs_lang_confusion_sql()
 )
+
+
+def _ann_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-k (functions/similarity.py
+    mips_topk) — the un-normalized retrieval objective cosine misses;
+    the docstring there covers the [x; sqrt(M²−‖x‖²)] augmentation that
+    reduces MIPS to the IVF/PQ cell-pruned path at 10⁹ vectors."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5)
+    return S.mips_topk(embs, queries, k=10)
+
+
+LLM_QUERIES["ann_topk_mips"] = FnWorkload(
+    _ann_topk_mips, S.mips_topk_sql("embeddings", "__ID__ < 5", k=10)
+)
+
+
+def _docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the whitespace-token distribution per source —
+    the corpus-diversity diagnostic (a source whose token entropy
+    collapses is template spam; one whose entropy explodes is noise).
+    Two bounded shuffles: explode→count per (source, token), then the
+    per-source fold H = log2(N) − Σ c·log2(c) / N — the count-form
+    identity avoids a per-term division and keeps every aggregate a
+    plain sum, so the key space is vocab-bounded, never corpus-bounded.
+    Both engines sum c·log2(c) in double and round 6."""
+    docs = _docs(spark, sf_dir)
+    tok_counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tok_counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("_clogc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("token_entropy_bits"),
+        )
+    )
+
+
+_DOCS_TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, tok, count(*) AS c FROM (
+    SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct_tokens,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS token_entropy_bits
+FROM toks
+GROUP BY source
+""".strip()
+
+
+LLM_QUERIES["docs_token_entropy"] = FnWorkload(
+    _docs_token_entropy, _DOCS_TOKEN_ENTROPY_SQL
+)
+
+
+def _events_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k trending: REAL readStream → watermarked SLIDING
+    windows (6h width, 3h slide) counting events per type, drained
+    complete-mode into a memory sink; the top-3 rank per window is a
+    BATCH window over the final state (rank is not an incremental
+    streaming op — maintaining counts incrementally and ranking the
+    materialized state is exactly how a trending dashboard serves this).
+    State is watermark-bounded: |windows in watermark| × |event types|
+    rows regardless of stream length. Deterministic ties: count desc,
+    event_type asc."""
+    from ..streaming.rules import (
+        run_stream_to_memory,
+        scoped_state_partitions,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "12 hours")
+        .groupBy(F.window(F.col("ts"), "6 hours", "3 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"stream_topk_trending_{_STREAM_COUNTER[0]}"
+    with scoped_state_partitions(spark, 8):  # keyspace: windows × 5 types
+        run_stream_to_memory(windowed, name, output_mode="complete")
+    state = spark.table(name)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+    )
+
+
+_EVENTS_STREAM_TOPK_SQL = """
+WITH counts AS (
+  SELECT window_start, event_type, count(*) AS n FROM (
+    SELECT time_bucket(INTERVAL '3 hours', CAST(ts AS TIMESTAMP))
+             - (i * INTERVAL '3 hours') AS window_start,
+           event_type
+    FROM events, UNNEST([0, 1]) AS u(i))
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rank FROM (
+  SELECT window_start, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type ASC) AS INT)
+           AS rank
+  FROM counts)
+WHERE rank <= 3
+""".strip()
+
+
+LLM_QUERIES["events_stream_topk_trending"] = FnWorkload(
+    _events_stream_topk_trending, _EVENTS_STREAM_TOPK_SQL
+)

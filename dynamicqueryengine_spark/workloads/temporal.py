@@ -843,3 +843,59 @@ FROM live GROUP BY 1
 TEMPORAL_QUERIES["events_peak_concurrency"] = FnWorkload(
     _events_peak_concurrency, _EVENTS_PEAK_CONCURRENCY_SQL
 )
+
+
+def _events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: observed share of each
+    weekday vs the uniform 1/7 baseline — the STL-lite seasonality
+    profile behind anomaly baselines (events_seasonal_baseline holds the
+    hour-of-day twin). One scan, one aggregation onto the 5 types × 7
+    days matrix; the index is 7·n_dow / n_type computed in double after
+    exact integer counts. Weekday numbering pinned to 1 = Sunday … 7 =
+    Saturday in both engines (DuckDB's EXTRACT(dow) is 0-based)."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,12)")), 6
+        ).cast("double").alias("sum_value"),
+    )
+    tot = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "dow",
+        "n",
+        "sum_value",
+        F.round(
+            F.lit(7.0)
+            * F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+_DOW_SEASONALITY_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+         count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+           AS sum_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, dow, n, sum_value,
+       round(7.0 * CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+         AS seasonal_index
+FROM per
+""".strip()
+
+
+TEMPORAL_QUERIES["events_dow_seasonality"] = FnWorkload(
+    _events_dow_seasonality, _DOW_SEASONALITY_SQL
+)
