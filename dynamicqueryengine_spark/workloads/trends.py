@@ -839,3 +839,170 @@ GROUP BY 1
 TREND_QUERIES["events_attribution_last_touch"] = FnWorkload(
     _events_attribution_last_touch, _EVENTS_ATTRIBUTION_SQL
 )
+
+
+def _events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, reported as the
+    streak-length distribution — the canonical GAPS-AND-ISLANDS shape:
+    distinct (user, day) → row_number per user over days → island key =
+    day_index − row_number (constant within a consecutive run) → streak
+    lengths → per-user max → histogram. Every step is a keyed shuffle
+    on user_id (the islands trick needs no self-join and no global
+    sort); the final histogram's key space is ≤ |days in calendar|.
+    Day indexes are exact integer datediffs from a pinned epoch, so the
+    island keys are bit-identical in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long").alias("day_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = days.select(
+        "user_id",
+        (F.col("day_idx") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return per_user.groupBy("max_streak").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg(F.col("n_streaks").cast("double")), 6).alias(
+            "avg_n_streaks"
+        ),
+    )
+
+
+_EVENTS_STREAKS_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+  FROM ev
+),
+islands AS (
+  SELECT user_id,
+         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day_idx) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM islands GROUP BY user_id, island
+),
+per_user AS (
+  SELECT user_id, max(streak_len) AS max_streak,
+         count(*) AS n_streaks
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users,
+       round(avg(CAST(n_streaks AS DOUBLE)), 6) AS avg_n_streaks
+FROM per_user
+GROUP BY max_streak
+""".strip()
+
+
+TREND_QUERIES["events_user_streaks"] = FnWorkload(
+    _events_user_streaks, _EVENTS_STREAKS_SQL
+)
+
+
+def _events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-touch attribution with half-life time decay — the
+    fractional-credit model last-touch (events_attribution_last_touch)
+    approximates: every purchase splits its value across ALL its
+    non-purchase touches in the trailing 7 days, weighted
+    2^(−floor(age_days)) and normalized per purchase. Numeric-parity
+    design: the weights are exact powers of two with integer exponents
+    0..6, so weight sums are EXACT in double and the only float steps
+    are one correctly-rounded division per touch and the final rounded
+    aggregate — no libm pow/exp whose last-ulp behavior could differ
+    between engines.
+
+    Execution: purchases ⋈ touches is a per-user range self-join (equi
+    on user_id + ts band), the same bounded shape as events_asof_join —
+    per-user event counts bound the fan-out, the join shuffles on
+    user_id once, and the final aggregate lands on the channel space."""
+    events = load_table(spark, sf_dir, "events")
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touch = events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = pur.join(
+        touch,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    age_days = F.floor(
+        (
+            F.col("p_ts").cast("double") - F.col("t_ts").cast("double")
+        )
+        / F.lit(86400.0)
+    ).cast("int")
+    weighted = joined.select(
+        "p_id",
+        "p_value",
+        "t_type",
+        F.pow(F.lit(2.0), (-age_days).cast("double")).alias("w"),
+    )
+    per_pur = Window.partitionBy("p_id")
+    credit = weighted.select(
+        "t_type",
+        (
+            F.col("p_value").cast("double")
+            * F.col("w")
+            / F.sum("w").over(per_pur)
+        ).alias("credit"),
+    )
+    return credit.groupBy(F.col("t_type").alias("channel")).agg(
+        F.round(F.sum("credit"), 4).alias("attributed_value"),
+        F.count(F.lit(1)).alias("n_touchpoints"),
+    )
+
+
+_EVENTS_TIME_DECAY_SQL = f"""
+WITH ev AS ({_EVENTS_CTE}),
+joined AS (
+  SELECT p.event_id AS p_id, p.value AS p_value, t.event_type AS t_type,
+         pow(2.0, -CAST(floor((epoch(p.ts) - epoch(t.ts)) / 86400.0)
+                        AS INT)) AS w
+  FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM ev WHERE event_type <> 'purchase') t
+    ON p.user_id = t.user_id
+   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+credits AS (
+  SELECT t_type,
+         CAST(p_value AS DOUBLE) * w
+           / sum(w) OVER (PARTITION BY p_id) AS credit
+  FROM joined
+)
+SELECT t_type AS channel,
+       round(sum(credit), 4) AS attributed_value,
+       count(*) AS n_touchpoints
+FROM credits
+GROUP BY t_type
+""".strip()
+
+
+TREND_QUERIES["events_attribution_time_decay"] = FnWorkload(
+    _events_attribution_time_decay, _EVENTS_TIME_DECAY_SQL
+)
