@@ -25,14 +25,21 @@ and retries (optimistic concurrency, the same loop Delta's log runs;
 derivable from the new head, while blind ``vt_write`` surfaces the
 conflict to the caller by default).
 
-Manifests carry per-directory column MIN/MAX stats harvested from the
-written parquet footers (``"stats": {dir: {col: [min, max]}}``);
-``vt_read(predicate=...)`` prunes directories whose stats cannot
-satisfy the predicate BEFORE Spark ever lists their files — the Delta/
-Iceberg data-skipping mechanism. Stats cover only non-null values
+Manifests carry column MIN/MAX stats harvested from the written parquet
+footers at BOTH granularities (``"stats": {dir: {col: [min, max]}}``
+and ``"file_stats": {dir: {file: {col: [min, max]}}}``);
+``vt_read(predicate=...)`` prunes directories — and files inside
+surviving directories — whose stats cannot satisfy the predicate BEFORE
+Spark ever lists them: the Delta/Iceberg data-skipping mechanism at
+Delta's actual (per-file) granularity. Stats cover only non-null values
 (parquet footer semantics) and every supported predicate op is
-null-rejecting, so pruning never changes results; directories without
-stats (older manifests, non-scalar columns) are conservatively kept.
+null-rejecting, so pruning never changes results; directories/files
+without stats (older manifests, non-scalar columns) are conservatively
+kept. ``vt_optimize`` range-clusters the snapshot on a key so those
+per-file ranges become disjoint and tight (file-level skipping then
+keeps O(1) files for a selective predicate), and ``vt_read_delta``
+exposes the rows added across an append-only version range — the
+incremental-maintenance feed for continuous aggregates.
 
 ``vt_checkpoint`` snapshots the head manifest into ``_vlog/
 _checkpoint.json`` so head resolution probes forward from the
@@ -60,12 +67,15 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "vt_write",
     "vt_read",
+    "vt_read_delta",
     "vt_merge",
     "vt_versions",
     "vt_vacuum",
     "vt_checkpoint",
     "vt_head",
     "vt_last_txn",
+    "vt_optimize",
+    "vt_scan_plan",
 ]
 
 _DEC = "decimal(38,12)"
@@ -130,6 +140,8 @@ def _commit(
     expected_head: int,
     stats: dict | None = None,
     txn: dict | None = None,
+    file_stats: dict | None = None,
+    files: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -148,6 +160,10 @@ def _commit(
     manifest = {"dirs": dirs, "op": op, "ts": time.time()}
     if stats:
         manifest["stats"] = stats
+    if file_stats:
+        manifest["file_stats"] = file_stats
+    if files:
+        manifest["files"] = files
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -172,27 +188,39 @@ def vt_last_txn(path: str, app: str) -> int | None:
     return int(v) if v is not None else None
 
 
-def _dir_stats(full_dir: str) -> dict:
-    """Per-directory column (min, max) harvested from the written parquet
-    FOOTERS — no second pass over the data (the same place Delta collects
-    its add-file stats). Only JSON-safe scalar types are kept; a column
-    missing min/max in ANY file is dropped entirely, because a dir-level
-    range that does not cover every file would make pruning unsound."""
+def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
+    """(dir_stats, file_stats) harvested from the written parquet FOOTERS —
+    no second pass over the data (the same place Delta collects its
+    add-file stats).
+
+    * ``dir_stats``: column → [min, max] over the WHOLE directory. A column
+      missing min/max in ANY file is dropped entirely — a dir-level range
+      that does not cover every file would make dir pruning unsound.
+    * ``file_stats``: filename → {column → [min, max]} per file — Delta's
+      actual granularity; a file merely lacking stats for a column stays
+      unprunable on that column without poisoning its siblings. This is
+      what makes ``vt_optimize``'s range clustering pay off: files sorted
+      on the cluster key have disjoint tight ranges, so a point/range
+      predicate keeps O(1) of them.
+
+    Only JSON-safe scalar types are kept."""
     import glob as _glob
 
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is a hard Spark dep
-        return {}
+        return {}, {}
 
     merged: dict = {}
     dropped: set = set()
+    file_stats: dict = {}
     for fp in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
         per_file: dict = {}
+        file_dropped: set = set()
         try:
             md = pq.ParquetFile(fp).metadata
         except Exception:
-            return {}  # unreadable footer → no stats, never unsound ones
+            return {}, {}  # unreadable footer → no stats, never unsound ones
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -205,28 +233,50 @@ def _dir_stats(full_dir: str) -> dict:
                     or not isinstance(st.min, (int, float, str, bool))
                     or isinstance(st.min, bool) != isinstance(st.max, bool)
                 ):
+                    # unsound for THIS file (and therefore for the dir)
                     dropped.add(name)
+                    file_dropped.add(name)
+                    per_file.pop(name, None)
+                    continue
+                if name in file_dropped:
                     continue
                 lo, hi = per_file.get(name, (st.min, st.max))
                 per_file[name] = (min(lo, st.min), max(hi, st.max))
+        if per_file:
+            file_stats[os.path.basename(fp)] = {
+                n: [lo, hi] for n, (lo, hi) in per_file.items()
+            }
         for name, (lo, hi) in per_file.items():
             if name in merged:
                 plo, phi = merged[name]
                 merged[name] = (min(plo, lo), max(phi, hi))
             else:
                 merged[name] = (lo, hi)
-    return {
+    dir_stats = {
         name: [lo, hi]
         for name, (lo, hi) in merged.items()
         if name not in dropped
     }
+    return dir_stats, file_stats
 
 
-def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict]:
+def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict, dict, list]:
+    """Returns (dirname, dir_stats, file_stats, file_list). The file
+    LIST is authoritative and separate from file_stats: a part file
+    whose footer yields no stats (zero rows, non-scalar-only columns)
+    must still be scanned by file-granular reads — pruning keys off
+    stats, membership keys off this list."""
     d = f"d_{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, d)
     df.write.mode("error").parquet(full)
-    return d, _dir_stats(full)
+    dir_stats, file_stats = _harvest_stats(full)
+    import glob as _glob
+
+    files = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(full, "*.parquet"))
+    )
+    return d, dir_stats, file_stats, files
 
 
 def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
@@ -236,15 +286,21 @@ def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
     must not silently clobber a state they did not read."""
     head = vt_versions(path)
     expected = head[-1] if head else 0
-    new_dir, new_stats = _write_data_dir(df, path)
+    new_dir, new_stats, new_fstats, new_files = _write_data_dir(df, path)
     dirs = [new_dir]
     stats = {new_dir: new_stats} if new_stats else {}
+    fstats = {new_dir: new_fstats} if new_fstats else {}
+    files = {new_dir: new_files}
     if mode == "append" and head:
         prev = _read_manifest(path, expected)
         dirs = prev["dirs"] + dirs
         stats = {**prev.get("stats", {}), **stats}
+        fstats = {**prev.get("file_stats", {}), **fstats}
+        files = {**prev.get("files", {}), **files}
     try:
-        return _commit(path, dirs, mode, expected, stats)
+        return _commit(
+            path, dirs, mode, expected, stats, file_stats=fstats, files=files
+        )
     except FileExistsError:
         # lost the commit race: our data directory will never be
         # referenced — remove it now (as vt_merge does) instead of
@@ -279,6 +335,82 @@ def _stats_may_match(minmax, op: str, value) -> bool:
         return True  # cross-type comparison — keep the directory
 
 
+def _resolve_version(path: str, version: int | None) -> int:
+    versions = vt_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return v
+
+
+def vt_scan_plan(
+    path: str, version: int | None = None, predicate: tuple | None = None
+) -> dict:
+    """Resolve the exact scan for a (version, predicate): which data
+    directories survive dir-level stats pruning, and within surviving
+    dirs that carry per-FILE stats, which files survive file-level
+    pruning. Returns ``{"paths": [...], "dirs_total", "dirs_kept",
+    "files_total", "files_kept"}`` where ``paths`` mixes whole-dir paths
+    (dirs without file stats) and individual file paths. Pruning is
+    sound by construction: every skip op is null-rejecting and stats
+    cover non-null values, so a pruned file/dir cannot contain a
+    matching row; missing stats always keep."""
+    v = _resolve_version(path, version)
+    manifest = _read_manifest(path, v)
+    dirs = manifest["dirs"]
+    stats = manifest.get("stats", {})
+    fstats = manifest.get("file_stats", {})
+    # authoritative per-dir file lists: pruning keys off STATS, but
+    # membership keys off this list — a file with no harvestable stats
+    # (zero-row part file) must still be scanned
+    flists = manifest.get("files", {})
+    plan = {
+        "dirs_total": len(dirs),
+        "files_total": sum(len(flists.get(d, [])) for d in dirs),
+    }
+    if predicate is None:
+        plan.update(
+            dirs_kept=len(dirs),
+            files_kept=plan["files_total"],
+            paths=[os.path.join(path, d) for d in dirs],
+        )
+        return plan
+    col, op, value = predicate
+    if op not in _SKIP_OPS:
+        raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
+    kept_dirs = [
+        d
+        for d in dirs
+        if _stats_may_match(stats.get(d, {}).get(col), op, value)
+    ]
+    paths: list[str] = []
+    files_kept = 0
+    for d in kept_dirs:
+        flist = flists.get(d)
+        if not flist:
+            # legacy manifest without a file list → whole-dir read
+            paths.append(os.path.join(path, d))
+            continue
+        per_file = fstats.get(d, {})
+        kept_files = [
+            f
+            for f in flist
+            if _stats_may_match(per_file.get(f, {}).get(col), op, value)
+        ]
+        files_kept += len(kept_files)
+        paths.extend(os.path.join(path, d, f) for f in kept_files)
+    # all pruned → keep one dir for the schema; the filter still yields
+    # zero rows, so results never depend on pruning
+    if not paths:
+        paths = [os.path.join(path, dirs[0])]
+    plan.update(
+        dirs_kept=len(kept_dirs), files_kept=files_kept, paths=paths
+    )
+    return plan
+
+
 def vt_read(
     spark,
     path: str,
@@ -289,33 +421,14 @@ def vt_read(
     time travel. Never sees uncommitted or later data.
 
     ``predicate=(col, op, value)`` with op in ``=, <, <=, >, >=`` both
-    FILTERS the result and SKIPS whole data directories whose manifest
-    min/max stats cannot satisfy it — the files of a pruned directory
-    are never even listed. The predicate is also applied as a normal
-    Spark filter (and pushed to the remaining parquet scans), so the
-    result is identical to filtering an unpruned read."""
-    versions = vt_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed versions at {path}")
-    v = version if version is not None else versions[-1]
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    manifest = _read_manifest(path, v)
-    dirs = manifest["dirs"]
-    if predicate is not None:
-        col, op, value = predicate
-        if op not in _SKIP_OPS:
-            raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
-        stats = manifest.get("stats", {})
-        kept = [
-            d
-            for d in dirs
-            if _stats_may_match(stats.get(d, {}).get(col), op, value)
-        ]
-        # all pruned → keep one dir for the schema; the filter still
-        # yields zero rows, so results never depend on pruning
-        dirs = kept or dirs[:1]
-    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    FILTERS the result and SKIPS whole data directories — and, inside
+    directories carrying per-file stats (``vt_optimize`` output),
+    individual FILES — whose min/max stats cannot satisfy it; pruned
+    files are never even listed. The predicate is also applied as a
+    normal Spark filter (and pushed to the remaining parquet scans), so
+    the result is identical to filtering an unpruned read."""
+    plan = vt_scan_plan(path, version, predicate)
+    df = spark.read.parquet(*plan["paths"])
     if predicate is not None:
         col, op, value = predicate
         c = F.col(col)
@@ -328,6 +441,45 @@ def vt_read(
         }[op]
         df = df.filter(cond)
     return df
+
+
+def vt_read_delta(
+    spark, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Rows ADDED between two versions — the incremental-maintenance
+    feed (a continuous aggregate refreshes from exactly these rows
+    instead of rescanning the snapshot). Valid only when every commit
+    in the range is an ``append``/initial write: overwrite, merge, and
+    optimize rewrite or retract rows, so their delta is not expressible
+    as added-files-only — those raise, and the caller falls back to a
+    full refresh (Delta's CDF makes the same distinction)."""
+    versions = vt_versions(path)
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if to_version < from_version:
+        raise ValueError("to_version must be >= from_version")
+    for v in range(from_version + 1, to_version + 1):
+        op = _read_manifest(path, v).get("op")
+        if op != "append":
+            raise ValueError(
+                f"version {v} is op={op!r}: delta reads require "
+                "append-only history in the range"
+            )
+    old = set(_read_manifest(path, from_version)["dirs"])
+    new_dirs = [
+        d
+        for d in _read_manifest(path, to_version)["dirs"]
+        if d not in old
+    ]
+    if not new_dirs:
+        base = spark.read.parquet(
+            os.path.join(path, _read_manifest(path, to_version)["dirs"][0])
+        )
+        return base.filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(path, d) for d in new_dirs]
+    )
 
 
 def vt_checkpoint(spark, path: str) -> int:
@@ -414,7 +566,9 @@ def vt_merge(
             ).unionByName(updates)
         else:
             merged = updates
-        new_dir, new_stats = _write_data_dir(merged, path)
+        new_dir, new_stats, new_fstats, new_files = _write_data_dir(
+            merged, path
+        )
         try:
             return _commit(
                 path,
@@ -423,12 +577,64 @@ def vt_merge(
                 expected,
                 {new_dir: new_stats} if new_stats else {},
                 {"app": txn[0], "version": int(txn[1])} if txn else None,
+                {new_dir: new_fstats} if new_fstats else None,
+                {new_dir: new_files},
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
             # directory and re-derive from the new head
             shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
+
+
+def vt_optimize(
+    spark,
+    path: str,
+    cluster_by: Sequence[str],
+    n_partitions: int = 8,
+) -> int:
+    """Rewrite the HEAD snapshot range-clustered on ``cluster_by`` —
+    Delta OPTIMIZE ZORDER's single-key analogue: ``repartitionByRange``
+    puts disjoint key ranges in separate tasks, ``sortWithinPartitions``
+    tightens each output FILE's footer min/max, and the commit carries
+    per-file stats — so a selective ``vt_read(predicate=...)`` afterward
+    keeps O(1) of the files instead of all of them (file-level data
+    skipping), and small appended files compact away. Commits as a new
+    version (``op="optimize"``): old versions stay time-travelable until
+    vacuumed, and concurrent-commit losers clean up their orphan
+    directory exactly like vt_write. Range boundaries come from Spark's
+    reservoir sampling — layout, not results, depends on them.
+
+    At 100 TB this is the maintenance job that keeps skipping effective:
+    run it per partition-of-the-keyspace, not whole-table (the same
+    advice Delta gives); the manifest format doesn't care how many
+    optimize commits cover the table."""
+    keys = [F.col(c) for c in cluster_by]
+    head = vt_versions(path)
+    if not head:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    expected = head[-1]
+    snap = vt_read(spark, path, expected)
+    clustered = snap.repartitionByRange(n_partitions, *keys).sortWithinPartitions(
+        *keys
+    )
+    new_dir, new_stats, new_fstats, new_files = _write_data_dir(
+        clustered, path
+    )
+    try:
+        return _commit(
+            path,
+            [new_dir],
+            "optimize",
+            expected,
+            {new_dir: new_stats} if new_stats else {},
+            None,
+            {new_dir: new_fstats} if new_fstats else None,
+            {new_dir: new_files},
+        )
+    except FileExistsError:
+        shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+        raise
 
 
 def vt_vacuum(

@@ -11,6 +11,7 @@ approximate variant is checked rows-only.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -53,6 +54,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """Per-process scratch dir for queries that STAGE a table (versioned-
+    table demos): keyed by (tag, pid, sf_dir) so reruns in one process
+    wipe and rebuild instead of accumulating, registered for atexit
+    removal the first time each key appears. Deletion cannot be eager —
+    returned DataFrames read the staged files lazily at the caller's
+    collect."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"dqe_{tag}_{os.getpid()}_{key}"
+    )
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch, ignore_errors=True)
+    else:
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    return scratch
 
 
 # Driver-side memo of the mined jaccard≥threshold pair list over the full
@@ -2244,12 +2268,6 @@ def _events_vt_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fresh mkdtemp per invocation — and an atexit hook removes it when
     the process ends. The dir cannot be deleted eagerly because the
     returned DataFrame reads it lazily at the caller's collect."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..sources.versioned import (
         _read_manifest,
         _stats_may_match,
@@ -2269,15 +2287,7 @@ def _events_vt_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (bounds["lo"] + bounds["hi"]) // 2
     probe = mid + (bounds["hi"] - mid) // 2
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"dqe_vtskip_{os.getpid()}_{key}"
-    )
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    path = os.path.join(scratch, "ev")
+    path = os.path.join(_scratch_dir("vtskip", sf_dir), "ev")
     vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
     vt_write(spark, path, ev.filter(F.col("event_id") > mid), mode="append")
 
@@ -2512,4 +2522,159 @@ WHERE rank <= 3
 
 LLM_QUERIES["events_stream_topk_trending"] = FnWorkload(
     _events_stream_topk_trending, _EVENTS_STREAM_TOPK_SQL
+)
+
+
+def _events_vt_optimize_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vt_optimize → FILE-level data skipping, EXECUTED
+    (sources/versioned.py r7): stage events as two PARITY-interleaved
+    commits (every directory spans the full event_id range, so
+    directory-level stats can prune NOTHING — exactly the layout that
+    defeats r6's dir-granular skipping), then OPTIMIZE range-clustered
+    on event_id into 8 files with disjoint tight per-file footer ranges,
+    and read back with a predicate selective to the top eighth. The
+    pinned booleans assert the mechanism: dir pruning kept everything
+    before optimize, file pruning discarded most files after — while
+    the aggregate equals the plain filtered aggregate the SQL mirror
+    computes (pruning is invisible to results by construction; range
+    boundaries come from Spark's reservoir sampling, so the exact kept-
+    file COUNT is layout-dependent and only the inequalities are
+    contract)."""
+    from ..sources.versioned import (
+        vt_optimize,
+        vt_read,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]  # two bounded scalars (drive the deterministic probe)
+    probe = bounds["lo"] + ((bounds["hi"] - bounds["lo"]) * 7) // 8
+
+    path = os.path.join(_scratch_dir("vtopt", sf_dir), "ev")
+    vt_write(spark, path, ev.filter(F.col("event_id") % 2 == 0))
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") % 2 == 1), mode="append"
+    )
+    pre = vt_scan_plan(path, predicate=("event_id", ">", probe))
+    vt_optimize(spark, path, ["event_id"], n_partitions=8)
+    post = vt_scan_plan(path, predicate=("event_id", ">", probe))
+    out = (
+        vt_read(spark, path, predicate=("event_id", ">", probe))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(pre["dirs_kept"] == pre["dirs_total"]).alias(
+            "dir_pruning_was_blind"
+        ),
+        F.lit(
+            0 < post["files_kept"] < post["files_total"]
+        ).alias("file_pruning_effective"),
+    )
+
+
+_EVENTS_VT_OPTIMIZE_SQL = """
+WITH b AS (
+  SELECT min(event_id) + ((max(event_id) - min(event_id)) * 7) // 8
+           AS probe
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS dir_pruning_was_blind,
+       TRUE AS file_pruning_effective
+FROM events, b
+WHERE event_id > probe
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_optimize_skip"] = FnWorkload(
+    _events_vt_optimize_skip, _EVENTS_VT_OPTIMIZE_SQL
+)
+
+
+def _events_vt_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL continuous-aggregate maintenance over the versioned
+    table (sources/versioned.py vt_read_delta, r7): commit the first
+    half of events, materialize the per-type rollup, APPEND the second
+    half, then refresh the rollup by aggregating ONLY the delta rows
+    (the dirs added between versions) and combining partials — never
+    rescanning the v1 snapshot. Works because count/decimal-sum are
+    associative partial aggregates, so incremental == full-recompute
+    EXACTLY — which is precisely what the SQL mirror checks by
+    computing the rollup over the whole events table. The scale story:
+    a 100-TB hypertable's hourly rollup refresh touches only the new
+    files, Timescale's continuous-aggregate mechanism on Delta-style
+    logs."""
+    from ..sources.versioned import vt_read, vt_read_delta, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+
+    path = os.path.join(_scratch_dir("vtroll", sf_dir), "ev")
+    v1 = vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    base = (
+        vt_read(spark, path, v1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+        )
+    )
+    v2 = vt_write(
+        spark, path, ev.filter(F.col("event_id") > mid), mode="append"
+    )
+    delta = (
+        vt_read_delta(spark, path, v1, v2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("s"), 6).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_VT_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_incremental_rollup"] = FnWorkload(
+    _events_vt_incremental_rollup, _EVENTS_VT_ROLLUP_SQL
 )

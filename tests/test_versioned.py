@@ -231,6 +231,85 @@ class TestVersionedTable:
         with open(cp) as f:
             assert _json.load(f)["version"] == 5
 
+    def test_optimize_file_level_skipping(self, spark, tmp_path):
+        """vt_optimize range-clusters the snapshot so per-FILE stats
+        become disjoint; a selective read then scans strictly fewer
+        files than the total while returning identical rows, and old
+        versions stay time-travelable."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_scan_plan,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "id long, v string"
+        )
+        # interleaved writes: every dir spans the full id range, so
+        # dir-level pruning alone can prune nothing
+        vt_write(spark, path, df.filter("id % 2 = 0"))
+        v2 = vt_write(spark, path, df.filter("id % 2 = 1"), mode="append")
+        pre = vt_scan_plan(path, predicate=("id", ">", 900))
+        assert pre["dirs_kept"] == pre["dirs_total"]
+        v3 = vt_optimize(spark, path, ["id"], n_partitions=8)
+        assert v3 == v2 + 1
+        plan = vt_scan_plan(path, predicate=("id", ">", 900))
+        assert plan["files_total"] > 1
+        assert 0 < plan["files_kept"] < plan["files_total"]
+        pruned = vt_read(spark, path, predicate=("id", ">", 900))
+        assert {r["id"] for r in pruned.collect()} == set(range(901, 1000))
+        # full snapshot intact, history intact
+        assert vt_read(spark, path).count() == 1000
+        assert vt_read(spark, path, v2).count() == 1000
+        assert vt_read(spark, path, 1).count() == 500
+
+    def test_statless_files_are_scanned_not_skipped(self, spark, tmp_path):
+        """A part file with no harvestable footer stats (here: zero-row
+        files from empty partitions) must still be SCANNED — membership
+        comes from the manifest's authoritative file list, pruning only
+        from stats. Losing such a file would silently drop rows."""
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        # 2 rows across 4 partitions → at least 2 zero-row part files
+        df = spark.createDataFrame(
+            [(1, "a"), (1000, "z")], "id long, v string"
+        ).repartition(4)
+        vt_write(spark, path, df)
+        plan = vt_scan_plan(path, predicate=("id", ">", 500))
+        assert plan["files_total"] >= 2
+        # row-carrying file(s) whose range excludes >500 may prune, but
+        # the scan must still return the matching row
+        assert _rows(vt_read(spark, path, predicate=("id", ">", 500))) == {
+            (1000, "z")
+        }
+
+    def test_read_delta_incremental_feed(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_read_delta,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_write(spark, path, _df(spark, [(3, "c")]), mode="append")
+        vt_write(spark, path, _df(spark, [(4, "d"), (5, "e")]), mode="append")
+        assert _rows(vt_read_delta(spark, path, 1, 3)) == {
+            (3, "c"), (4, "d"), (5, "e")
+        }
+        assert _rows(vt_read_delta(spark, path, 2, 3)) == {(4, "d"), (5, "e")}
+        # identical versions → empty delta with the snapshot schema
+        empty = vt_read_delta(spark, path, 3, 3)
+        assert empty.count() == 0
+        assert set(empty.columns) == {"id", "v"}
+        # non-append ops in the range refuse (caller must full-refresh)
+        vt_optimize(spark, path, ["id"], n_partitions=2)
+        with pytest.raises(ValueError, match="append-only"):
+            vt_read_delta(spark, path, 3, 4)
+        vt_merge(spark, path, _df(spark, [(1, "A")]), ["id"])
+        with pytest.raises(ValueError, match="append-only"):
+            vt_read_delta(spark, path, 4, 5)
+
     def test_txn_guard_survives_vacuum(self, spark, tmp_path):
         """The exactly-once merge guard must not be voided by vacuum
         (r6 advisor finding): the app → txn-version map is carried
