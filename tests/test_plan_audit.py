@@ -399,3 +399,76 @@ class TestPeakConcurrency:
         # a global running sum would plan as a window ORDERED by us with
         # no partition key: windowspecdefinition(us#... as its first arg
         assert "windowspecdefinition(us#" not in plan
+
+
+class TestRound7PlanShapes:
+    def test_q7_broadcasts_filtered_dims_no_cartesian(self, spark):
+        """Q7: nation-pair-filtered supplier side must broadcast; the
+        fact joins stay hash equijoins (no nested loop despite the
+        supp<>cust residual inequality, which rides on the custkey
+        equijoin)."""
+        df = entry_mod.queries()["join_volume_shipping_q7"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q8_market_share_single_aggregate(self, spark):
+        """Q8: the share is ONE aggregation pass (conditional sum /
+        total sum) — no self-join of the joined fact and no second
+        HashAggregate chain over it."""
+        df = entry_mod.queries()["join_market_share_q8"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # part/supplier/nation/region dims broadcast into the scan side
+        assert plan.count("BroadcastHashJoin") >= 3
+
+    def test_q16_not_in_plans_as_anti_join(self, spark):
+        """Q16: the negative-balance supplier exclusion must be a
+        broadcast LEFT ANTI join, not a per-row subquery."""
+        df = entry_mod.queries()["agg_supplier_relationship_q16"](
+            spark, SF_DIR
+        )
+        plan = _physical(df)
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q17_threshold_join_is_equijoin(self, spark):
+        """Q17: the decorrelated avg-quantity membership test must ride
+        the partkey equijoin (filter AFTER join), never a theta join."""
+        df = entry_mod.queries()["join_small_qty_revenue_q17"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_time_decay_attribution_user_equijoin(self, spark):
+        """Multi-touch attribution: purchases ⋈ touches must join on
+        user_id (hash equijoin with the ts band as residual) — an
+        unkeyed interval join would be a nested loop over every
+        (purchase, touch) pair."""
+        df = entry_mod.queries()["events_attribution_time_decay"](
+            spark, SF_DIR
+        )
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_streaks_have_no_global_window(self, spark):
+        """Gaps-and-islands: every window partitions by user_id — a
+        missing partition key would plan windowspecdefinition ordered
+        over a SinglePartition exchange."""
+        df = entry_mod.queries()["events_user_streaks"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "SinglePartition" not in plan
+
+    def test_cumshare_windows_partition_by_nation(self, spark):
+        """The monthly cumulative share must window over the pre-
+        aggregated (nation, month) rows with nation as partition key —
+        no single-partition global sort."""
+        df = entry_mod.queries()["window_nation_monthly_cumshare"](
+            spark, SF_DIR
+        )
+        plan = _physical(df)
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(n_name" in plan
