@@ -698,7 +698,6 @@ def minhash_lsh_pairs(
     both ≈1 in the dup regime LSH targets; exactness below j≈0.75 is
     explicitly traded, as any LSH configuration trades it.
     """
-    rows_per_band = num_perm // bands
     # ONE corpus text scan total (r4): the per-doc hash-set table feeds
     # BOTH the signature mix and the exact verification — previously the
     # signature stage exploded/rescanned the corpus on its own.
@@ -706,15 +705,6 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, k, num_perm, text_col, id_col, doc_sets=doc_sets
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
     # The full signature ARRAY rides along through banding so the estimate
     # prune applies INSIDE the band join. The earlier staging (bare-id
     # candidates → distinct → two wide joins back to the signature table)
@@ -725,16 +715,7 @@ def minhash_lsh_pairs(
     # banding shuffle grows by num_perm longs per row — linear in docs,
     # while the joins it replaces are linear in candidate pairs, which is
     # the quantity that explodes on exactly the corpora dedup targets.
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bb"),
-        F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("_sig"),
-    ).select(
-        id_col,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-        "_sig",
-    )
+    banded = _banded(sig, num_perm, bands, id_col)
 
     est_floor = max(0.0, threshold - 0.2)
     a = banded.alias("a")
@@ -781,6 +762,110 @@ def minhash_lsh_pairs(
     # only on cache eviction — the normal recovery path)
     doc_sets.unpersist()
     return out
+
+
+def _banded(sig: DataFrame, num_perm: int, bands: int, id_col: str) -> DataFrame:
+    """Signature rows → exploded (id, band, bucket, _sig) banding stream —
+    the shared shape of the full and incremental LSH joins."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bb"),
+        F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("_sig"),
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "_sig",
+    )
+
+
+def minhash_lsh_pairs_delta(
+    all_docs: DataFrame,
+    base_sigs: DataFrame,
+    delta_docs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delta_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: all pairs (jaccard ≥ threshold,
+    LSH recall) touching a NEWLY-ARRIVED document slice, without ever
+    re-shingling or re-signing the existing corpus — the daily job of a
+    production training-data pipeline (dedup today's crawl against the
+    accumulated corpus).
+
+    Inputs make the incrementality explicit: ``base_sigs`` is the
+    PERSISTED signature table of the pre-existing docs (maintained
+    alongside the corpus — see the versioned-table contract query),
+    ``delta_docs`` are the new arrivals (the only text shingled and
+    signed this run), ``all_docs`` is consulted exclusively to
+    re-shingle the bounded candidate set during exact verification.
+    The band join probes DELTA signatures against the UNION of base and
+    delta signatures, so cost scales with |delta| × bucket sizes, not
+    |corpus|²; estimate pruning and exact verification are identical to
+    :func:`minhash_lsh_pairs`. Output (id_a, id_b, jaccard), id_a <
+    id_b, at least one side new; delta×delta duplicates collapse via
+    the post-join distinct. Pass ``delta_sigs`` (e.g. a persisted frame
+    the caller also commits to the signature index) to avoid signing the
+    delta twice."""
+    sig_delta = (
+        delta_sigs
+        if delta_sigs is not None
+        else minhash_signatures(delta_docs, k, num_perm, text_col, id_col)
+    )
+    all_sigs = base_sigs.unionByName(sig_delta)
+    a = _banded(sig_delta, num_perm, bands, id_col).alias("a")
+    b = _banded(all_sigs, num_perm, bands, id_col).alias("b")
+    est_matches = F.aggregate(
+        F.zip_with(
+            F.col("a._sig"),
+            F.col("b._sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est_floor = max(0.0, threshold - 0.2)
+    survivors = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(est_matches >= F.lit(est_floor * num_perm))
+        .select(
+            F.least(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    survivors.count()  # same concurrent-broadcast-build guard as the full path
+    return _verify_candidate_jaccard(
+        survivors,
+        all_docs.select(id_col, text_col),
+        k,
+        threshold,
+        text_col,
+        id_col,
+    )
 
 
 # ------------------------------------------------------------- simhash ---

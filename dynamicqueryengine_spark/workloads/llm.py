@@ -2678,3 +2678,91 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_incremental_rollup"] = FnWorkload(
     _events_vt_incremental_rollup, _EVENTS_VT_ROLLUP_SQL
 )
+
+
+def _dedup_vt_incremental_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup INDEX maintenance, end-to-end (functions/
+    dedup.py minhash_lsh_pairs_delta × sources/versioned.py, r7): the
+    production daily job of a 100-TB training-data pipeline — dedup the
+    new crawl against the accumulated corpus without re-shingling it.
+
+    Staged for real: the corpus lives in a versioned table (v1 = the
+    pre-existing 3/4 of documents, v2 = APPEND of the doc_id%4==0 "new
+    crawl"); a SECOND versioned table holds the MinHash signature index,
+    maintained in lockstep — v1 signatures computed once and committed,
+    then the delta run reads ONLY vt_read_delta(docs), signs just those,
+    probes them against the persisted base signatures via LSH banding,
+    exact-verifies the bounded candidate set, and commits the delta
+    signatures back (the index table's head now covers the whole
+    corpus, pinned by ``index_in_sync``). Incremental cost: |delta|
+    shingling + banding probe + candidate verification — the existing
+    corpus text is touched only for candidate re-shingles.
+
+    Oracle: the exact jaccard pair list restricted to pairs touching a
+    new doc (same recall≈1-at-0.7 argument as dedup_minhash_lsh,
+    checked by the value oracle itself)."""
+    from ..sources.versioned import (
+        vt_head,
+        vt_read,
+        vt_read_delta,
+        vt_write,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    scratch = _scratch_dir("vtmhidx", sf_dir)
+    docs_path = os.path.join(scratch, "docs")
+    sigs_path = os.path.join(scratch, "sigs")
+
+    is_new = F.col("doc_id") % 4 == 0
+    v1 = vt_write(spark, docs_path, docs.filter(~is_new))
+    base_sigs = D.minhash_signatures(vt_read(spark, docs_path, v1))
+    vt_write(spark, sigs_path, base_sigs)
+
+    v2 = vt_write(spark, docs_path, docs.filter(is_new), mode="append")
+    delta_docs = vt_read_delta(spark, docs_path, v1, v2)
+    # sign the delta ONCE: the same persisted frame feeds the LSH probe
+    # and the index-table commit
+    sig_delta = D.minhash_signatures(delta_docs).persist()
+    pairs = D.minhash_lsh_pairs_delta(
+        vt_read(spark, docs_path, v2),
+        vt_read(spark, sigs_path),
+        delta_docs,
+        k=5,
+        threshold=0.7,
+        delta_sigs=sig_delta,
+    )
+    vt_write(spark, sigs_path, sig_delta, mode="append")
+    sig_delta.unpersist()
+    index_rows = vt_read(spark, sigs_path, vt_head(sigs_path)).count()
+    # signature rows cover every doc with ≥1 shingle — i.e. normalized
+    # length ≥ k, the exact membership gate of doc_hash_sets — so the
+    # sync pin is ONE cheap column scan, never a corpus re-shingle
+    from ..functions.text import normalize_text
+
+    corpus_rows = (
+        vt_read(spark, docs_path)
+        .filter(F.length(normalize_text(F.col("text"))) >= 5)
+        .count()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.lit(index_rows == corpus_rows).alias("index_in_sync"),
+    )
+
+
+def _dedup_vt_incremental_index_sql() -> str:
+    inner = D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    return f"""
+SELECT id_a, id_b, jaccard, TRUE AS index_in_sync
+FROM ({inner})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0
+""".strip()
+
+
+LLM_QUERIES["dedup_vt_incremental_index"] = FnWorkload(
+    _dedup_vt_incremental_index, _dedup_vt_incremental_index_sql()
+)

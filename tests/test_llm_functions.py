@@ -117,6 +117,31 @@ class TestNgramJaccard:
         }
         assert approx == exact  # full recall at this threshold band
 
+    def test_incremental_delta_matches_full_restricted(self, spark, docs):
+        """The incremental path (sign only the delta, probe against the
+        persisted base signatures) must produce exactly the full path's
+        pairs restricted to delta-touching ones — same banding, same
+        estimate floor, same exact verification, so equality is by
+        construction; this pins the probe-side plumbing (union, !=
+        filter, least/greatest normalization, distinct)."""
+        is_new = F.col("doc_id") % 4 == 0
+        base = docs.filter(~is_new)
+        delta = docs.filter(is_new)
+        base_sigs = D.minhash_signatures(base)
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs_delta(
+                docs, base_sigs, delta, k=5, threshold=0.7
+            ).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(docs, k=5, threshold=0.7).collect()
+            if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+        }
+        assert got == full
+        assert got  # the planted near-dup cluster must cross the split
+
 
 class TestContainment:
     def test_subset_doc_is_contained_not_jaccard_near(self, spark):
