@@ -2195,3 +2195,235 @@ FROM monthly
 ANALYTICS_QUERIES["window_nation_monthly_cumshare"] = FnWorkload(
     _window_nation_monthly_cumshare, _CUMSHARE_SQL
 )
+
+
+def _agg_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue change: one filtered scan, one
+    global aggregate — the pure predicate-pushdown query (year band on
+    shipdate + discount band + quantity cap all reach the parquet scan
+    as PushedFilters; at 100 TB with date-partitioned lineitem the year
+    band is partition pruning). The revenue delta sums
+    extendedprice·discount in exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(38,12)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_forecast_revenue_q6"] = FnWorkload(
+    _agg_forecast_revenue_q6, _Q6_SQL
+)
+
+
+def _join_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier(s): per-supplier revenue over one
+    quarter, then the supplier(s) achieving the maximum — the classic
+    view + scalar-subquery shape, decorrelated as aggregate → 1-row max
+    → broadcast equality join. Membership compares EXACT decimal sums
+    (bit-identical in both engines), so ties are handled correctly by
+    keeping every argmax supplier instead of sorting and taking one."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    top = per_supp.agg(F.max("_rev").alias("_max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(38,12))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-10-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM per_supp)
+""".strip()
+
+
+ANALYTICS_QUERIES["join_top_supplier_q15"] = FnWorkload(
+    _join_top_supplier_q15, _Q15_SQL
+)
+
+
+def _agg_disjunctive_bands_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive band predicate: revenue over an OR
+    of three (brand × size-band × quantity-band) conjunctions — the
+    query that tests DISJUNCTIVE pushdown: Catalyst splits the common
+    part-side conjuncts (brand/size reach the part scan) from the mixed
+    residual, and the join stays a broadcast equijoin with the OR as a
+    post-join filter — never a plan-per-branch union. One scan each
+    side, one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    return j.filter(band).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_disjunctive_bands_q19"] = FnWorkload(
+    _agg_disjunctive_bands_q19, _Q19_SQL
+)
+
+
+def _join_promo_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped supplier shortlist (adapted: shipped quantities
+    from lineitem stand in for the missing partsupp availability):
+    suppliers who moved more than a threshold of PROMO-type parts in
+    1995 — the nested semi-join chain decorrelated to aggregate → filter
+    → broadcast joins. The part filter broadcasts INTO the lineitem scan
+    before any aggregation; the per-supplier quantity sum is exact
+    decimal; supplier⋈nation decorates the survivors."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    per_supp = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty")
+        )
+        .filter(F.col("_qty") > 400)
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("_qty").cast("double").alias("promo_qty"),
+        )
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name,
+       CAST(qty AS DOUBLE) AS promo_qty
+FROM (
+  SELECT l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty > 400
+""".strip()
+
+
+ANALYTICS_QUERIES["join_promo_suppliers_q20"] = FnWorkload(
+    _join_promo_suppliers_q20, _Q20_SQL
+)
