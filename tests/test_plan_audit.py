@@ -472,3 +472,35 @@ class TestRound7PlanShapes:
         plan = _physical(df)
         assert "SinglePartition" not in plan
         assert "hashpartitioning(n_name" in plan
+
+    def test_q19_disjunctive_pushdown_stays_equijoin(self, spark):
+        """Q19: the OR-of-ANDs band predicate must not break the
+        broadcast equijoin into a nested loop, and the part-side
+        conjuncts common to all branches (brand/size ranges) must reach
+        the part scan as pushed filters."""
+        df = entry_mod.queries()["agg_disjunctive_bands_q19"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the brand IN (...) disjunction is extractable → pushed to part
+        assert "PushedFilters" in plan
+
+    def test_incremental_index_probe_is_banded_equijoin(self, spark):
+        """The incremental MinHash probe must join delta signatures to
+        the signature union ON (band, bucket) — a hash equijoin, never
+        an all-pairs comparison of delta × corpus."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.functions import dedup as D
+        from dynamicqueryengine_spark.sources.registry import load_table
+
+        d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        base = d.filter(F.col("doc_id") % 4 != 0)
+        delta = d.filter(F.col("doc_id") % 4 == 0)
+        pairs = D.minhash_lsh_pairs_delta(
+            d, D.minhash_signatures(base), delta, k=5, threshold=0.7
+        )
+        plan = _physical(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
