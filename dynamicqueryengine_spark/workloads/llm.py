@@ -2766,3 +2766,91 @@ WHERE id_a % 4 = 0 OR id_b % 4 = 0
 LLM_QUERIES["dedup_vt_incremental_index"] = FnWorkload(
     _dedup_vt_incremental_index, _dedup_vt_incremental_index_sql()
 )
+
+
+def _corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS of
+    ln(freq) on ln(rank) for the top-2000 tokens — the one-number
+    linguistic health check (natural text slopes ≈ −1; template spam
+    flattens the head, noise steepens the tail). Same distributed OLS
+    shape as the grouped trend regression (trends.py): token counts are
+    one explode→count shuffle, ranks one window over the 2000-row
+    TOP-K (count desc, token asc — deterministic ties in both
+    engines), and the five moments reduce in a single scalar
+    aggregate. Log terms are irrational, so moments sum in double;
+    the final round(6) absorbs the ≤1-ulp libm spread.
+
+    Scale shape: the top-2000 extraction is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition top-K, tiny driver
+    merge) — the VOCAB-sized count table is never globally sorted; the
+    rank window then runs over the 2000-row bounded result, where a
+    single partition is the design, not a bottleneck."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(2000)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    top = topk.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        n.cast("long").alias("n_tokens_fit"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+    )
+
+
+_CORPUS_ZIPF_SQL = r"""
+WITH counts AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+),
+top AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rank
+    FROM counts)
+  WHERE rank <= 2000
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM m
+""".strip()
+
+
+LLM_QUERIES["corpus_zipf_slope"] = FnWorkload(
+    _corpus_zipf_slope, _CORPUS_ZIPF_SQL
+)
