@@ -823,11 +823,15 @@ def minhash_lsh_pairs_delta(
     id_b, at least one side new; delta×delta duplicates collapse via
     the post-join distinct. Pass ``delta_sigs`` (e.g. a persisted frame
     the caller also commits to the signature index) to avoid signing the
-    delta twice."""
+    delta twice — otherwise the delta is signed once here and cached for
+    the duration of the probe (both band-join sides reference it)."""
+    own_cache = delta_sigs is None
     sig_delta = (
         delta_sigs
         if delta_sigs is not None
-        else minhash_signatures(delta_docs, k, num_perm, text_col, id_col)
+        else minhash_signatures(
+            delta_docs, k, num_perm, text_col, id_col
+        ).persist()
     )
     all_sigs = base_sigs.unionByName(sig_delta)
     a = _banded(sig_delta, num_perm, bands, id_col).alias("a")
@@ -858,6 +862,10 @@ def minhash_lsh_pairs_delta(
         .persist()
     )
     survivors.count()  # same concurrent-broadcast-build guard as the full path
+    if own_cache:
+        # survivors are materialized; the verify plan below reads docs,
+        # not signatures — safe to release the internal delta-sig cache
+        sig_delta.unpersist()
     return _verify_candidate_jaccard(
         survivors,
         all_docs.select(id_col, text_col),

@@ -90,6 +90,82 @@ def probe_dau_wau(df: DataFrame) -> int:
     )
 
 
+def scaled_docs(docs: DataFrame, k: int) -> DataFrame:
+    """k copies of the documents table modeling a GROWING corpus: copy 0
+    is the original; later copies shift doc_ids AND salt every token
+    with the copy index, so cross-copy similarity is zero — new content
+    accumulates, instead of the degenerate everything-duplicates-
+    everything corpus naive replication produces (which inflates the
+    candidate set quadratically and measures the dup explosion, not the
+    index)."""
+    parts = []
+    for i in range(k):
+        text = (
+            F.col("text")
+            if i == 0
+            else F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit(str(i))),
+                ),
+                " ",
+            )
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i) * 10_000_000).alias("doc_id"),
+                text.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def incremental_index_probe(spark) -> dict:
+    """Incremental-vs-full dedup cost as the ACCUMULATED corpus grows
+    with a FIXED delta (today's crawl): the incremental path signs only
+    the delta and probes the persisted base signatures, so its cost
+    should stay near-flat while the full path re-signs everything and
+    grows linearly. The base signature build is excluded from the
+    incremental timing — it is the persisted index, paid once at
+    ingestion. Run via ``--incremental``; numbers go to SCALE.md."""
+    from dynamicqueryengine_spark.functions import dedup as D
+
+    docs0 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    delta = docs0.filter(F.col("doc_id") % 4 == 0).persist()
+    n_delta = delta.count()
+    out: dict = {"delta_docs": n_delta, "base_docs": {},
+                 "incremental_s": {}, "full_s": {}}
+    for k in (4, 8, 16):
+        base = scaled_docs(docs0, k).filter(F.col("doc_id") % 4 != 0).persist()
+        out["base_docs"][f"x{k}"] = base.count()
+        all_docs = base.unionByName(delta)
+        base_sigs = D.minhash_signatures(base).persist()
+        base_sigs.count()  # the persisted index — built at ingestion
+
+        def t_inc():
+            t0 = time.perf_counter()
+            D.minhash_lsh_pairs_delta(
+                all_docs, base_sigs, delta, k=5, threshold=0.7
+            ).count()
+            return time.perf_counter() - t0
+
+        def t_full():
+            t0 = time.perf_counter()
+            D.minhash_lsh_pairs(all_docs, k=5, threshold=0.7).count()
+            return time.perf_counter() - t0
+
+        # warm pass first (python-worker spawn, codegen), then min-of-2
+        t_inc(), t_full()
+        out["incremental_s"][f"x{k}"] = round(min(t_inc(), t_inc()), 2)
+        out["full_s"][f"x{k}"] = round(min(t_full(), t_full()), 2)
+        base_sigs.unpersist()
+        base.unpersist()
+    return out
+
+
 def main() -> None:
     spark = get_spark(
         "scale-probe",
@@ -97,6 +173,10 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--incremental" in sys.argv:
+        print(json.dumps(incremental_index_probe(spark)))
+        spark.stop()
+        return
     events = load_table(spark, SF_DIR, "events")
     results: dict = {"rows": {}}
     probes = {
