@@ -92,24 +92,22 @@ def probe_dau_wau(df: DataFrame) -> int:
 
 def scaled_docs(docs: DataFrame, k: int) -> DataFrame:
     """k copies of the documents table modeling a GROWING corpus: copy 0
-    is the original; later copies shift doc_ids AND salt every token
-    with the copy index, so cross-copy similarity is zero — new content
-    accumulates, instead of the degenerate everything-duplicates-
-    everything corpus naive replication produces (which inflates the
-    candidate set quadratically and measures the dup explosion, not the
-    index)."""
+    is the original; copy i shifts doc_ids and applies a rot-i alphabet
+    SUBSTITUTION CIPHER to the text — a bijection, so every copy's
+    internal near-dup structure is exactly the original's, while the
+    CHARACTER-level k-gram shingles dedup hashes are disjoint across
+    copies (token-suffix salting is not enough: char-5 shingles barely
+    change, and naive replication makes everything a duplicate of
+    everything, inflating candidates quadratically and measuring the
+    dup explosion instead of the index)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     parts = []
     for i in range(k):
+        rot = alpha[i % 26 :] + alpha[: i % 26]
         text = (
             F.col("text")
             if i == 0
-            else F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda x: F.concat(x, F.lit(str(i))),
-                ),
-                " ",
-            )
+            else F.translate(F.lower(F.col("text")), alpha, rot)
         )
         parts.append(
             docs.select(
