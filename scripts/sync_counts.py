@@ -64,7 +64,7 @@ def main() -> None:
     for rnd, n in sorted(bench_counts().items()):
         print(f"BENCH_r{rnd:02d}.json n_queries: {n}")
 
-    for name in ("SCALE.md", "COVERAGE.md"):
+    for name in ("SCALE.md", "COVERAGE.md", "README.md"):
         path = ROOT / name
         text = path.read_text()
         new = MARKER.sub(f"Current catalog: {live} contract queries", text)

@@ -24,7 +24,7 @@ def _live_count():
 class TestDocCounts:
     def test_current_catalog_markers_match_code(self):
         live = _live_count()
-        for name in ("SCALE.md", "COVERAGE.md"):
+        for name in ("SCALE.md", "COVERAGE.md", "README.md"):
             text = (ROOT / name).read_text()
             hits = MARKER.findall(text)
             assert hits, f"{name} lost its 'Current catalog:' marker"
