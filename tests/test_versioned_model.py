@@ -1,0 +1,131 @@
+"""Model-based property test for the versioned table (sources/
+versioned.py): hypothesis drives random operation sequences — write,
+append, merge (with and without txn markers), optimize, checkpoint,
+vacuum — against a trivial in-memory model (a list-of-rows multiset per
+version), and after EVERY step the real table must agree with the model
+on:
+
+* the committed version list (modulo vacuum retention),
+* the full row multiset of every retained version (snapshot isolation +
+  time travel survive arbitrary interleavings),
+* predicate reads equal to model-side filtering (file/dir pruning can
+  never change results, whatever layout history produced),
+* vt_head (checkpoint fast path included) naming the true head,
+* vt_last_txn surviving vacuum (the carried txns map).
+
+Spark actions dominate runtime, so the sequences are short and few;
+hypothesis explores the ORDERINGS, which is where the r6 advisor bugs
+(stale checkpoint after vacuum, txn markers vacuumed away) lived.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dynamicqueryengine_spark.sources.versioned import (
+    vt_checkpoint,
+    vt_head,
+    vt_last_txn,
+    vt_merge,
+    vt_optimize,
+    vt_read,
+    vt_vacuum,
+    vt_versions,
+    vt_write,
+)
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 4)),
+    st.tuples(st.just("overwrite"), st.integers(0, 4)),
+    st.tuples(st.just("merge"), st.integers(0, 4)),
+    st.tuples(st.just("merge_txn"), st.integers(0, 4)),
+    st.tuples(st.just("optimize"), st.just(0)),
+    st.tuples(st.just("checkpoint"), st.just(0)),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+
+
+def _payload(seed: int, step: int) -> list[tuple[int, str]]:
+    """3 rows keyed off (seed, step) — overlapping ids across steps so
+    merges both update and insert, and appends create duplicate ids."""
+    base = seed * 2 + step
+    return [(base + i, f"s{step}v{seed + i}") for i in range(3)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=st.lists(_OP, min_size=3, max_size=7))
+def test_random_histories_match_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("vtm") / "t")
+    versions: dict[int, list] = {}  # the model: version -> row multiset
+    head = 0
+    last_txn: int | None = None
+    next_txn = 1
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    first = _payload(0, 0)
+    vt_write(spark, path, df_of(first))
+    head = 1
+    versions[1] = list(first)
+
+    for step, (kind, seed) in enumerate(ops, start=1):
+        rows = _payload(seed, step)
+        if kind == "append":
+            vt_write(spark, path, df_of(rows), mode="append")
+            head += 1
+            versions[head] = versions[head - 1] + rows
+        elif kind == "overwrite":
+            vt_write(spark, path, df_of(rows), mode="overwrite")
+            head += 1
+            versions[head] = list(rows)
+        elif kind in ("merge", "merge_txn"):
+            txn = ("app", next_txn) if kind == "merge_txn" else None
+            vt_merge(spark, path, df_of(rows), ["id"], txn=txn)
+            if txn:
+                last_txn = next_txn
+                next_txn += 1
+            upd_ids = {r[0] for r in rows}
+            head += 1
+            versions[head] = [
+                t for t in versions[head - 1] if t[0] not in upd_ids
+            ] + rows
+        elif kind == "optimize":
+            vt_optimize(spark, path, ["id"], n_partitions=2)
+            head += 1
+            versions[head] = list(versions[head - 1])
+        elif kind == "checkpoint":
+            vt_checkpoint(spark, path)
+        elif kind == "vacuum":
+            vt_vacuum(spark, path, keep_last=seed, grace_seconds=0)
+            keep = sorted(versions)[-seed:]
+            versions = {v: r for v, r in versions.items() if v in keep}
+
+        # ---- invariants after every step ----
+        assert vt_versions(path) == sorted(versions)
+        assert vt_head(path) == head
+        for v, expected in versions.items():
+            got = Counter(
+                (r["id"], r["v"])
+                for r in vt_read(spark, path, v).collect()
+            )
+            assert got == Counter(expected), f"version {v} after {kind}"
+        pruned = Counter(
+            (r["id"], r["v"])
+            for r in vt_read(spark, path, predicate=("id", ">", 4)).collect()
+        )
+        assert pruned == Counter(
+            t for t in versions[head] if t[0] > 4
+        ), f"pruned head read after {kind}"
+        if last_txn is not None:
+            assert vt_last_txn(path, "app") == last_txn
