@@ -678,3 +678,104 @@ def filter_by_metadata(
     if formats:
         out = out.filter(F.col("metadata.format").isin(formats))
     return out
+
+
+# --- BMP (DIB): the second REAL in-container pixel decoder (r7) ----------
+#
+# 24-bit uncompressed BMP is fully decodable with the stdlib: fixed
+# little-endian headers, BGR triples, rows padded to 4 bytes and stored
+# BOTTOM-UP. That makes it the image twin of the stdlib WAV PCM path —
+# real pixels decoded in the Arrow stream with no Pillow — and the
+# row-flip + padding make the decode genuinely checkable (a decoder that
+# forgets either produces different checksums, which the value oracle
+# would catch).
+
+
+def _encode_bmp(width: int, height: int, pixels_bgr: bytes) -> bytes:
+    """Minimal valid 24-bpp bottom-up BMP. ``pixels_bgr`` is the LOGICAL
+    top-down row-major byte stream (height·width·3 bytes); rows are
+    written bottom-up with zero padding to 4-byte boundaries, exactly
+    per the BITMAPINFOHEADER spec."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    pad = b"\x00" * (stride - row_bytes)
+    body = b"".join(
+        pixels_bgr[r * row_bytes : (r + 1) * row_bytes] + pad
+        for r in range(height - 1, -1, -1)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL BMP pixel decode (stdlib only): validates the BM signature
+    and 24-bpp uncompressed info header, then undoes the physical layout
+    — bottom-up row order and 4-byte row padding — returning the LOGICAL
+    top-down pixel byte stream. Raises on anything that is not a plain
+    24-bit BI_RGB DIB (loud, like the other real decoders here)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} compression={compression})"
+        )
+    if height <= 0:
+        raise ValueError("top-down BMPs (negative height) not supported")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = []
+    for r in range(height):  # physical bottom-up → logical top-down
+        start = offset + (height - 1 - r) * stride
+        rows.append(payload[start : start + row_bytes])
+    return {
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+        "pixels": b"".join(rows),
+    }
+
+
+def synthesize_bmp(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nchars_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic REAL BMP payload per document: width = 4 + id % 5
+    (so the row padding 0-3 actually varies), height = 3 + n_chars % 7,
+    logical pixel bytes tile md5(text) — the image twin of
+    :func:`synthesize_wav`."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    def synth(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, n_chars in zip(
+                pdf[id_col], pdf[text_col], pdf[nchars_col]
+            ):
+                width = 4 + int(doc_id) % 5
+                height = 3 + int(n_chars) % 7
+                nbytes = width * height * 3
+                digest = _h.md5(str(text).encode()).digest()
+                pixels = (digest * (nbytes // len(digest) + 1))[:nbytes]
+                payloads.append(_encode_bmp(width, height, pixels))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return spread(df.select(id_col, text_col, nchars_col)).mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )

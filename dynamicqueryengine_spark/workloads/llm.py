@@ -2854,3 +2854,87 @@ FROM m
 LLM_QUERIES["corpus_zipf_slope"] = FnWorkload(
     _corpus_zipf_slope, _CORPUS_ZIPF_SQL
 )
+
+
+def _multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixel decode in the distributed path, stdlib-only
+    (functions/multimodal.decode_bmp, r7): synthesize a 24-bpp BMP per
+    document and decode the actual pixel array back in the Arrow batch
+    stream — the image twin of multimodal_wav_decode, and the proof the
+    physical DIB layout was truly undone: ``px_sum`` sums every decoded
+    logical pixel byte (row padding must be EXCLUDED or the value is
+    wrong), and ``row_weighted_sum`` weights each row's sum by its
+    top-down index (a decoder that forgets the bottom-up flip gets a
+    different value whenever row content differs). The oracle recomputes
+    both from the synthesis spec's md5 tiling — exact integers."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = M.decode_bmp(bytes(payload))
+                w, h, px = d["width"], d["height"], d["pixels"]
+                row_bytes = w * 3
+                rw = sum(
+                    (r + 1) * sum(px[r * row_bytes : (r + 1) * row_bytes])
+                    for r in range(h)
+                )
+                out.append(
+                    (int(doc_id), w, h, d["bpp"], sum(px), rw)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "bpp",
+                    "px_sum", "row_weighted_sum",
+                ],
+            )
+
+    docs = _docs(spark, sf_dir)
+    bmps = M.synthesize_bmp(docs)
+    return bmps.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, bpp int, "
+            "px_sum long, row_weighted_sum long"
+        ),
+    )
+
+
+_MULTIMODAL_BMP_DECODE_SQL = """
+WITH spec AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + n_chars % 7 AS INT) AS h,
+         md5(text) AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, w, h,
+         list_transform(range(1, 17),
+           i -> CAST(
+             (strpos('0123456789abcdef', substring(hx, 2*i - 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)
+             AS BIGINT)
+         ) AS d16
+  FROM spec
+),
+px AS (
+  SELECT doc_id, w, h,
+         (SELECT sum(d16[1 + p % 16])
+          FROM unnest(range(0, w * h * 3)) AS t(p)) AS px_sum,
+         (SELECT sum((1 + p // (w * 3)) * d16[1 + p % 16])
+          FROM unnest(range(0, w * h * 3)) AS t(p)) AS row_weighted_sum
+  FROM bytes
+)
+SELECT doc_id, w AS width, h AS height, CAST(24 AS INT) AS bpp,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(row_weighted_sum AS BIGINT) AS row_weighted_sum
+FROM px
+""".strip()
+
+
+LLM_QUERIES["multimodal_bmp_decode"] = FnWorkload(
+    _multimodal_bmp_decode, _MULTIMODAL_BMP_DECODE_SQL
+)

@@ -447,6 +447,46 @@ class TestMultimodal:
         assert out[3]["status"] == "not_wav"
         assert out[4]["status"] == "bad"
 
+    def test_bmp_roundtrip_undoes_physical_layout(self):
+        """decode_bmp must undo BOTH physical-layout transforms: the
+        bottom-up row order and the per-row 4-byte padding. Widths 4-8
+        cover every padding amount (0-3 bytes); asymmetric row content
+        makes a missing flip visible."""
+        import hashlib
+
+        for w in (4, 5, 6, 7, 8):
+            h = 5
+            px = (hashlib.md5(b"seed").digest() * (w * h * 3 // 16 + 2))[
+                : w * h * 3
+            ]
+            d = M.decode_bmp(M._encode_bmp(w, h, px))
+            assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+            assert d["pixels"] == px  # exact logical byte stream back
+            # flip sensitivity: rows in physical (bottom-up) order would
+            # NOT equal the logical stream for this asymmetric content
+            row = w * 3
+            flipped = b"".join(
+                px[r * row : (r + 1) * row] for r in range(h - 1, -1, -1)
+            )
+            assert flipped != px
+
+    def test_bmp_decoder_rejects_non_dib(self):
+        good = M._encode_bmp(4, 3, bytes(range(36)))
+        with pytest.raises(ValueError, match="not a BMP"):
+            M.decode_bmp(b"PNG" + good)
+        # 8-bpp claimed in the info header → unsupported, loud
+        bad_bpp = bytearray(good)
+        bad_bpp[28] = 8
+        with pytest.raises(ValueError, match="unsupported BMP"):
+            M.decode_bmp(bytes(bad_bpp))
+        # top-down (negative height) declared → unsupported, loud
+        import struct
+
+        neg = bytearray(good)
+        neg[22:26] = struct.pack("<i", -3)
+        with pytest.raises(ValueError, match="top-down"):
+            M.decode_bmp(bytes(neg))
+
     def test_video_frame_sampling(self, docs):
         import hashlib
 
