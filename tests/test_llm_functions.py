@@ -452,13 +452,14 @@ class TestMultimodal:
         bottom-up row order and the per-row 4-byte padding. Widths 4-8
         cover every padding amount (0-3 bytes); asymmetric row content
         makes a missing flip visible."""
-        import hashlib
-
         for w in (4, 5, 6, 7, 8):
             h = 5
-            px = (hashlib.md5(b"seed").digest() * (w * h * 3 // 16 + 2))[
-                : w * h * 3
-            ]
+            # period-251 content: md5 tiling repeats every 16 bytes, which
+            # can make the flipped stream EQUAL the original when the row
+            # stride aligns (w=8: 24·r mod 16 cycles 0,8,0,8 — palindromic
+            # phases) — a prime period longer than the stream keeps every
+            # row distinct
+            px = bytes(i % 251 for i in range(w * h * 3))
             d = M.decode_bmp(M._encode_bmp(w, h, px))
             assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
             assert d["pixels"] == px  # exact logical byte stream back
