@@ -2938,3 +2938,77 @@ FROM px
 LLM_QUERIES["multimodal_bmp_decode"] = FnWorkload(
     _multimodal_bmp_decode, _MULTIMODAL_BMP_DECODE_SQL
 )
+
+
+def _dedup_canonical_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SURVIVORSHIP policy for near-dup clusters: keep the BEST document
+    per cluster, not the lowest id — the policy production dedup
+    actually ships (min-id keeps whatever crawled first; quality-argmax
+    keeps the cleanest copy). Clusters come from the shared jaccard pair
+    memo (the same edge list pagerank/triangles consume); the canonical
+    pick is a single struct-max per cluster — (quality, -doc_id) max, so
+    ties prefer the LOWER id deterministically — the same single-pass
+    argmax shape as the reference aggregation engine, no window sort.
+    Output: one row per cluster with the kept doc, its quality, cluster
+    size, and how many duplicates were dropped."""
+    from ..functions.cluster import cluster_assign
+    from ..functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
+    assigned = cluster_assign(docs, pairs)
+    scored = assigned.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("q")),
+        "doc_id",
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("q").alias("_q"),
+                (-F.col("doc_id")).alias("_negid"),
+                F.col("doc_id").alias("keep_id"),
+            )
+        ).alias("_best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return best.select(
+        "cluster_id",
+        F.col("_best.keep_id").alias("keep_id"),
+        F.col("_best._q").alias("keep_quality"),
+        "cluster_size",
+        (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def _dedup_canonical_by_quality_sql() -> str:
+    from ..functions.cluster import cluster_assign_sql
+    from ..functions.text import quality_score_sql
+
+    assigned = cluster_assign_sql(
+        D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    )
+    q = quality_score_sql("text")
+    return f"""
+WITH assigned AS ({assigned}),
+scored AS (
+  SELECT a.cluster_id, a.doc_id, {q} AS q
+  FROM assigned a JOIN documents USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM scored
+)
+SELECT cluster_id, doc_id AS keep_id, q AS keep_quality,
+       cluster_size, cluster_size - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+""".strip()
+
+
+LLM_QUERIES["dedup_canonical_by_quality"] = FnWorkload(
+    _dedup_canonical_by_quality, _dedup_canonical_by_quality_sql()
+)
