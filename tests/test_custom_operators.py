@@ -279,3 +279,48 @@ class TestCustomOperators:
         assert unregister_operator("Ephemeral")
         with pytest.raises(UnsupportedOperatorError):
             apply_rule(_users(spark), _rule(op="Ephemeral", value=1)).collect()
+
+
+class TestCustomOperatorStreaming:
+    def test_registered_op_filters_a_stream(self, spark, length_between):
+        """Rules compile identically for batch and stream (one Column
+        tree), so a REGISTERED custom operator must work inside a
+        streaming rule filter with no extra wiring — and match the batch
+        row set on the same finite data."""
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.streaming.rules import (
+            apply_rule_stream,
+            run_stream_to_memory,
+            stream_events,
+        )
+
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {
+                        "Property": "event_type",
+                        "Operator": "LengthBetween",
+                        "Value": {"Lo": 4, "Hi": 5},
+                    }
+                ]
+            }
+        }
+        sf = "/root/testdata/sf0.001"
+        filtered = apply_rule_stream(stream_events(spark, sf), rule)
+        counts = filtered.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        run_stream_to_memory(counts, "t_custom_stream", output_mode="complete")
+        got = {
+            r["event_type"]: r["n"]
+            for r in spark.table("t_custom_stream").collect()
+        }
+        batch = {
+            r["event_type"]: r["n"]
+            for r in load_table(spark, sf, "events")
+            .filter(F.length("event_type").between(4, 5))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == batch and got  # nonempty and stream ≡ batch

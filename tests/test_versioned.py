@@ -120,6 +120,45 @@ class TestVersionedTable:
         after = {n for n in os.listdir(path) if n.startswith("d_")}
         assert after == before  # loser's d_* removed, no orphan left
 
+    def test_lost_optimize_race_removes_orphan_dir(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """vt_optimize that loses the commit race must clean up its
+        rewritten (possibly large) data directory exactly like
+        vt_write/vt_merge losers — an orphaned OPTIMIZE output is the
+        biggest debris a race can leave."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(i, "x") for i in range(10)]))
+        before = {n for n in os.listdir(path) if n.startswith("d_")}
+        real = V._write_data_dir
+
+        def racy(df, p):
+            d = real(df, p)
+            V._commit(p, [], "write", vt_versions(p)[-1])  # winner lands now
+            return d
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        with pytest.raises(FileExistsError):
+            vt_optimize(spark, path, ["id"], n_partitions=2)
+        after = {n for n in os.listdir(path) if n.startswith("d_")}
+        assert after == before
+
+    def test_vt_read_predicate_reaches_parquet_scan(self, spark, tmp_path):
+        """The vt_read predicate must not stop at file pruning: the same
+        condition is a normal Spark filter, so it must ALSO push into the
+        surviving parquet scans (PushedFilters) — manifest stats prune
+        files, footer stats then prune row groups inside them."""
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(i, f"v{i}") for i in range(100)])
+        )
+        df = vt_read(spark, path, predicate=("id", ">", 90))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "GreaterThan(id,90)" in plan
+
     def test_vacuum_grace_spares_unreferenced_fresh_dirs(self, spark, tmp_path):
         """A d_* directory referenced by NO manifest (a concurrent
         writer's in-flight data) survives vacuum inside the grace
