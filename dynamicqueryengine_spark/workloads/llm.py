@@ -2466,9 +2466,12 @@ def _events_stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCH window over the final state (rank is not an incremental
     streaming op — maintaining counts incrementally and ranking the
     materialized state is exactly how a trending dashboard serves this).
-    State is watermark-bounded: |windows in watermark| × |event types|
-    rows regardless of stream length. Deterministic ties: count desc,
-    event_type asc."""
+    State note: COMPLETE mode (needed so the finite fixture flushes every
+    window for the batch oracle) retains all windows — the watermark does
+    not evict under it. The production shape for an unbounded stream is
+    UPDATE mode + an external keyed sink, where this same watermark
+    bounds state to the in-horizon windows × |event types|.
+    Deterministic ties: count desc, event_type asc."""
     from ..streaming.rules import (
         run_stream_to_memory,
         scoped_state_partitions,
