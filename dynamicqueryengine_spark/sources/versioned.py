@@ -73,8 +73,10 @@ __all__ = [
     "vt_vacuum",
     "vt_checkpoint",
     "vt_head",
+    "vt_history",
     "vt_last_txn",
     "vt_optimize",
+    "vt_restore",
     "vt_scan_plan",
 ]
 
@@ -585,6 +587,54 @@ def vt_merge(
             # directory and re-derive from the new head
             shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
+
+
+def vt_history(path: str) -> list[dict]:
+    """Audit log of retained versions, newest first (Delta's DESCRIBE
+    HISTORY): one dict per version with the operation, commit
+    timestamp, directory/row-set shape, and any application txn marker
+    recorded atomically with that commit."""
+    out = []
+    for v in reversed(vt_versions(path)):
+        m = _read_manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op"),
+                "ts": m.get("ts"),
+                "n_dirs": len(m.get("dirs", [])),
+                "txn": m.get("txn"),
+            }
+        )
+    return out
+
+
+def vt_restore(spark, path: str, version: int) -> int:
+    """RESTORE an earlier snapshot as the NEW head — Delta's RESTORE,
+    zero-copy: data directories are immutable, so the restore commit
+    simply references the target version's directories (plus its stats
+    and file lists) in a fresh manifest. History is preserved — the
+    restored-away versions remain time-travelable until vacuumed — and
+    because the new manifest references the old directories, vacuum
+    keeps their data alive for as long as the restore itself is
+    retained. Concurrent-commit losers surface as FileExistsError (a
+    restore is a blind write: it must not silently clobber a state it
+    did not read)."""
+    versions = vt_versions(path)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    target = _read_manifest(path, version)
+    expected = versions[-1]
+    return _commit(
+        path,
+        list(target["dirs"]),
+        "restore",
+        expected,
+        target.get("stats"),
+        None,
+        target.get("file_stats"),
+        target.get("files"),
+    )
 
 
 def vt_optimize(

@@ -159,6 +159,43 @@ class TestVersionedTable:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "GreaterThan(id,90)" in plan
 
+    def test_history_and_zero_copy_restore(self, spark, tmp_path):
+        """vt_restore commits the OLD snapshot's directories as the new
+        head without copying data; history (vt_history) records it, the
+        restored-away version stays time-travelable, and vacuum keeps
+        the restored data alive because the restore manifest references
+        it."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_history,
+            vt_restore,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_write(spark, path, _df(spark, [(9, "z")]), mode="overwrite")
+        n_dirs_before = len(
+            [n for n in os.listdir(path) if n.startswith("d_")]
+        )
+        v3 = vt_restore(spark, path, 1)
+        assert v3 == 3
+        # zero-copy: no new data directory was written
+        assert (
+            len([n for n in os.listdir(path) if n.startswith("d_")])
+            == n_dirs_before
+        )
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
+        assert _rows(vt_read(spark, path, 2)) == {(9, "z")}  # history kept
+        hist = vt_history(path)
+        assert [h["op"] for h in hist] == ["restore", "overwrite", "overwrite"]
+        assert hist[0]["version"] == 3
+        # restored data survives vacuum because v3 references v1's dirs
+        vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
+        # predicate read over the restored head still prunes soundly
+        assert _rows(
+            vt_read(spark, path, predicate=("id", ">", 1))
+        ) == {(2, "b")}
+
     def test_vacuum_grace_spares_unreferenced_fresh_dirs(self, spark, tmp_path):
         """A d_* directory referenced by NO manifest (a concurrent
         writer's in-flight data) survives vacuum inside the grace
