@@ -32,6 +32,7 @@ from dynamicqueryengine_spark.sources.versioned import (
     vt_merge,
     vt_optimize,
     vt_read,
+    vt_restore,
     vt_vacuum,
     vt_versions,
     vt_write,
@@ -45,6 +46,8 @@ _OP = st.one_of(
     st.tuples(st.just("optimize"), st.just(0)),
     st.tuples(st.just("checkpoint"), st.just(0)),
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    # payload = how far back to restore (clamped to retained versions)
+    st.tuples(st.just("restore"), st.integers(1, 4)),
 )
 
 
@@ -104,6 +107,12 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_optimize(spark, path, ["id"], n_partitions=2)
             head += 1
             versions[head] = list(versions[head - 1])
+        elif kind == "restore":
+            retained = sorted(versions)
+            target = retained[max(0, len(retained) - 1 - seed)]
+            vt_restore(spark, path, target)
+            head += 1
+            versions[head] = list(versions[target])
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
