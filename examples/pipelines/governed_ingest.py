@@ -93,9 +93,25 @@ def main() -> None:
         n = vt_read(spark, path, version=v).count()
         print(f"  version {v}: {n} rows")
 
-    print("\n=== 5. vacuum (keep last 2) ===")
+    print("\n=== 5. oops — roll back the backfill (zero-copy RESTORE) ===")
+    from dynamicqueryengine_spark.sources.versioned import (
+        vt_history,
+        vt_restore,
+    )
+
+    v3 = vt_restore(spark, path, v1)
+    print(
+        f"restored v{v1} as new head v{v3}: "
+        f"{vt_read(spark, path).count()} rows (no data copied)"
+    )
+    print("audit log (vt_history):")
+    for h in vt_history(path):
+        print(f"  v{h['version']}: {h['op']} ({h['n_dirs']} dirs)")
+
+    print("\n=== 6. vacuum (keep last 2) ===")
     print(f"removed: {vt_vacuum(spark, path, keep_last=2)}")
-    print(f"versions now: {vt_versions(path)}")
+    print(f"versions now: {vt_versions(path)}; head still reads "
+          f"{vt_read(spark, path).count()} rows")
 
     spark.stop()
 
