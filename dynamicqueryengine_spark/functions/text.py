@@ -149,29 +149,48 @@ def alpha_ratio_sql(expr: str) -> str:
     )
 
 
+def _round6_portable(col: Column) -> Column:
+    """Half-up rounding to 6 dp as floor(x·10⁶ + 0.5)/10⁶ — the SAME
+    three IEEE double ops in Spark and DuckDB, so both engines produce
+    the bit-identical result even when x sits EXACTLY on a .5 boundary.
+    Engine-native round() differs there: the quality formula's 0.1/0.3
+    weights over small-integer ratios routinely land on exact decimal
+    halves (found at sf0.1: doc with unrounded quality 0.5385625 —
+    Spark BigDecimal-HALF_UP said …562, DuckDB said …563). Nonnegative
+    inputs only (floor-based half-up rounds negative halves toward
+    +inf)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _round6_portable_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def quality_score(col: Column, padded: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: favors alphabetic text of
     reasonable length with some stopword structure and little punctuation
-    noise. Deterministic arithmetic shared with the SQL mirror.
+    noise. Deterministic arithmetic shared with the SQL mirror — the
+    final rounding is the portable floor-form (see
+    :func:`_round6_portable`), not engine-native round.
     ``padded`` optionally shares one pre-bound :func:`_padded` pass with
     other features (see :func:`_word_set_hits`)."""
     length_score = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    return F.round(
+    return _round6_portable(
         F.lit(0.3) * length_score
         + F.lit(0.3) * alpha_ratio(col)
         + F.lit(0.3) * F.least(stopword_ratio(col, padded) * 4, F.lit(1.0))
-        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))),
-        6,
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0)))
     )
 
 
 def quality_score_sql(expr: str) -> str:
     length_score = f"least(length({expr}) / 500.0, 1.0)"
-    return (
-        f"round(0.3 * {length_score} + 0.3 * {alpha_ratio_sql(expr)} "
+    inner = (
+        f"0.3 * {length_score} + 0.3 * {alpha_ratio_sql(expr)} "
         f"+ 0.3 * least({stopword_ratio_sql(expr)} * 4, 1.0) "
-        f"+ 0.1 * (1.0 - least({punct_ratio_sql(expr)} * 5, 1.0)), 6)"
+        f"+ 0.1 * (1.0 - least({punct_ratio_sql(expr)} * 5, 1.0))"
     )
+    return _round6_portable_sql(inner)
 
 
 # --- language identification (marker-word heuristic) ---------------------
