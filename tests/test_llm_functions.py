@@ -660,3 +660,50 @@ class TestSharedPairMemo:
         assert {tuple(r) for r in first.collect()} == dist_rows
         assert {tuple(r) for r in hit.collect()} == dist_rows
         L._PAIR_MEMO.clear()
+
+
+class TestPortableRounding:
+    def test_half_boundary_values_agree_across_engines(self, spark):
+        """The r7 sf0.1 sweep found Spark round(double, 6) and DuckDB
+        round() disagreeing on values within an ulp of an exact 1e-6
+        half (quality 0.5385625). The portable floor-form
+        (_round6_portable) must produce IDENTICAL results in both
+        engines on a gauntlet of exact halves, near-halves (±1 ulp),
+        and ordinary values."""
+        import math
+
+        import duckdb
+
+        from dynamicqueryengine_spark.functions.text import (
+            _round6_portable,
+            _round6_portable_sql,
+        )
+
+        halves = [k / 2_000_000.0 for k in range(1, 40, 2)]  # x.xxxxxx5
+        gauntlet = (
+            halves
+            + [math.nextafter(x, 0.0) for x in halves]
+            + [math.nextafter(x, 1.0) for x in halves]
+            + [0.5385625, 0.6166875, 0.0, 1.0, 0.123456789, 0.9999995]
+        )
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(gauntlet)], "i long, x double")
+        got = {
+            r["i"]: r["r"]
+            for r in df.select(
+                "i", _round6_portable(F.col("x")).alias("r")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", list(enumerate(gauntlet))
+        )
+        expr = _round6_portable_sql("x")
+        oracle = {
+            i: r for i, r in con.execute(f"SELECT i, {expr} FROM t").fetchall()
+        }
+        con.close()
+        assert got == oracle
+        # and the half values actually round UP (half-up semantics)
+        for k, x in enumerate(halves):
+            assert got[k] == (int(x * 2_000_000.0) + 1) / 2_000_000.0
