@@ -86,7 +86,14 @@ def main(names):
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check-correctness")
-        .config("spark.sql.shuffle.partitions", "8")
+        # CHECK_SHUFFLE_PARTITIONS: adversarial values (3, 1, 17) catch
+        # partition-count dependence — any query whose VALUES change with
+        # partitioning is nondeterministic and will flake under the
+        # driver's own config someday
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("CHECK_SHUFFLE_PARTITIONS", "8"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
