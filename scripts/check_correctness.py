@@ -94,7 +94,18 @@ def main(names):
             "spark.sql.shuffle.partitions",
             os.environ.get("CHECK_SHUFFLE_PARTITIONS", "8"),
         )
-        .config("spark.sql.adaptive.enabled", "true")
+        # CHECK_AQE=false: results must not depend on adaptive planning.
+        # CHECK_ARROW_BATCH=7: tiny Arrow batches shake out batch-boundary
+        # bugs in the mapInPandas/applyInPandas operators (computations
+        # must be per-row/per-group, never per-chunk).
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("CHECK_AQE", "true"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("CHECK_ARROW_BATCH", "10000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
