@@ -30,6 +30,30 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..util import spread
 from .text import normalize_text, normalize_text_sql
 
+# Frames the pair miners persist INTERNALLY (survivor candidate sets,
+# semi-joined hash-set caches). They must stay cached until the caller
+# materializes the lazily-returned result, so the miners cannot unpersist
+# them in-function; one-shot sessions drop them with the session and
+# bench.py's scrub clears all caches between queries, but LONG-RUNNING
+# processes that call the miners repeatedly in one session (scale probes,
+# services) should call :func:`release_internal_caches` after each
+# result is materialized (r7 advisor: bench_scale_probe's min-of-2 loop
+# accumulated survivor caches for the process lifetime). Frames recompute
+# transparently if re-collected after release.
+_INTERNAL_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _INTERNAL_CACHES.append(df)
+    return df
+
+
+def release_internal_caches() -> None:
+    """Unpersist every internally-persisted miner frame (see above)."""
+    while _INTERNAL_CACHES:
+        _INTERNAL_CACHES.pop().unpersist()
+
+
 # ---------------------------------------------------------------- exact --
 
 

@@ -734,8 +734,17 @@ def decode_bmp(payload: bytes) -> dict:
         )
     if height <= 0:
         raise ValueError("top-down BMPs (negative height) not supported")
+    if width <= 0:
+        raise ValueError(f"invalid BMP width {width}")
     row_bytes = width * 3
     stride = (row_bytes + 3) // 4 * 4
+    if len(payload) < offset + height * stride:
+        # Python slicing past the end returns SHORT bytes, which would
+        # silently truncate pixel rows — reject like the header checks
+        raise ValueError(
+            f"truncated BMP: need {offset + height * stride} bytes "
+            f"for {width}x{height}, got {len(payload)}"
+        )
     rows = []
     for r in range(height):  # physical bottom-up → logical top-down
         start = offset + (height - 1 - r) * stride

@@ -403,13 +403,17 @@ def vt_scan_plan(
         ]
         files_kept += len(kept_files)
         paths.extend(os.path.join(path, d, f) for f in kept_files)
+    plan.update(dirs_kept=len(kept_dirs), files_kept=files_kept)
     # all pruned → keep one dir for the schema; the filter still yields
-    # zero rows, so results never depend on pruning
+    # zero rows, so results never depend on pruning. The flag tells plan
+    # introspectors (skip-effectiveness pins) that ``paths`` names a
+    # schema-only scan the kept-counts deliberately do NOT describe
+    # (r7 advisor: the pre-fallback counts alone misrepresented the
+    # real scan).
     if not paths:
         paths = [os.path.join(path, dirs[0])]
-    plan.update(
-        dirs_kept=len(kept_dirs), files_kept=files_kept, paths=paths
-    )
+        plan["schema_only_fallback"] = True
+    plan["paths"] = paths
     return plan
 
 

@@ -56,13 +56,21 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+_SCRATCH_REGISTERED: set[str] = set()
+
+
 def _scratch_dir(tag: str, sf_dir: str) -> str:
     """Per-process scratch dir for queries that STAGE a table (versioned-
     table demos): keyed by (tag, pid, sf_dir) so reruns in one process
     wipe and rebuild instead of accumulating, registered for atexit
-    removal the first time each key appears. Deletion cannot be eager —
-    returned DataFrames read the staged files lazily at the caller's
-    collect."""
+    removal the first time THIS PROCESS hands the key out. Registration
+    keys off the module-level set, not filesystem existence (r7 advisor:
+    a stale dir left by a crashed earlier process with a recycled pid
+    was wiped but never registered, leaking at exit). Deletion cannot be
+    eager — returned DataFrames read the staged files lazily at the
+    caller's collect; the wipe-and-rebuild contract therefore requires
+    the previous invocation's result to be materialized before the same
+    (tag, sf_dir) is re-staged, which every driver/bench loop does."""
     import atexit
     import hashlib
     import shutil
@@ -72,10 +80,11 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     scratch = os.path.join(
         tempfile.gettempdir(), f"dqe_{tag}_{os.getpid()}_{key}"
     )
+    if scratch not in _SCRATCH_REGISTERED:
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        _SCRATCH_REGISTERED.add(scratch)
     if os.path.exists(scratch):
         shutil.rmtree(scratch, ignore_errors=True)
-    else:
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     return scratch
 
 
@@ -1622,12 +1631,10 @@ def _events_stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/upsert.py) → read the final state back. Cross-batch sums
     accumulate in DECIMAL(38,12), so the incrementally-maintained table
     hash-matches the one-shot batch aggregation the oracle runs."""
-    import tempfile
-
     from ..streaming.rules import stream_events
     from ..streaming.upsert import stream_upsert_totals
 
-    base = tempfile.mkdtemp(prefix="dqe_upsert_")
+    base = _scratch_dir("upsert", sf_dir)
     path = f"{base}/totals"
     stream_upsert_totals(
         stream_events(spark, sf_dir), path, f"{base}/ckpt"
@@ -2192,8 +2199,6 @@ def _events_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined totals; untouched users' v1 rows — all-even users — were
     already complete). Commits are atomic manifest creates; the v1
     reader resolves its snapshot unaffected by the later merge."""
-    import tempfile
-
     from ..sources.versioned import vt_merge, vt_read, vt_write
 
     ev = load_table(spark, sf_dir, "events")
@@ -2204,7 +2209,7 @@ def _events_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,12)")).alias("s"),
         )
 
-    path = f"{tempfile.mkdtemp(prefix='dqe_vt_')}/totals"
+    path = os.path.join(_scratch_dir("vtupsert", sf_dir), "totals")
     vt_write(spark, path, totals(ev.filter(F.col("event_id") % 2 == 0)))
     touched = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
     vt_merge(
