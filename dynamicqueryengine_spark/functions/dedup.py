@@ -31,15 +31,17 @@ from ..util import spread
 from .text import normalize_text, normalize_text_sql
 
 # Frames the pair miners persist INTERNALLY (survivor candidate sets,
-# semi-joined hash-set caches). They must stay cached until the caller
-# materializes the lazily-returned result, so the miners cannot unpersist
-# them in-function; one-shot sessions drop them with the session and
-# bench.py's scrub clears all caches between queries, but LONG-RUNNING
-# processes that call the miners repeatedly in one session (scale probes,
-# services) should call :func:`release_internal_caches` after each
-# result is materialized (r7 advisor: bench_scale_probe's min-of-2 loop
-# accumulated survivor caches for the process lifetime). Frames recompute
-# transparently if re-collected after release.
+# semi-joined hash-set caches, eager pair results). They must stay cached
+# until the caller materializes the lazily-returned result, so the miners
+# cannot unpersist them in-function; every such persist is wrapped in
+# :func:`_register_cache` at its creation site. One-shot sessions drop
+# them with the session and bench.py's scrub clears all caches between
+# queries, but LONG-RUNNING processes that call the miners repeatedly in
+# one session (scale probes, services) should call
+# :func:`release_internal_caches` after each result is materialized
+# (r7 advisor: bench_scale_probe's min-of-2 loop accumulated survivor
+# caches for the process lifetime — it now releases per timing pass).
+# Frames recompute transparently if re-collected after release.
 _INTERNAL_CACHES: list[DataFrame] = []
 
 
@@ -225,10 +227,14 @@ def _verify_candidate_jaccard(
         .distinct()
     )
     if doc_sets is not None:
-        hs = doc_sets.join(F.broadcast(cand_ids), id_col, "semi").persist()
+        hs = _register_cache(
+            doc_sets.join(F.broadcast(cand_ids), id_col, "semi").persist()
+        )
     else:
         cand_docs = docs.join(F.broadcast(cand_ids), id_col, "semi")
-        hs = doc_hash_sets(cand_docs, k, text_col, id_col).persist()
+        hs = _register_cache(
+            doc_hash_sets(cand_docs, k, text_col, id_col).persist()
+        )
     # Materialize NOW: the two broadcast sides below are built by
     # CONCURRENT jobs, and a cold cache makes both recompute this whole
     # subtree (candidate mining included) in parallel — with the Arrow
@@ -300,7 +306,10 @@ def ngram_jaccard_pairs(
     # strings). Collision risk at the dense gate's 200k-vocab cap is
     # < 2⁻³⁰ corpus-wide — treated as exact (the sf0.01 DuckDB oracle,
     # which equijoins raw strings, agrees).
-    doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
+    # registered: the equijoin route below returns a plan that still reads
+    # this cache (the dense routes unpersist it in-function; release is
+    # then a harmless no-op on the already-unpersisted frame)
+    doc_sets = _register_cache(doc_hash_sets(df, k, text_col, id_col).persist())
     # first action materializes the cache; vocab is approximate (±2% —
     # the cell gate is a sizing heuristic, both paths are exact)
     n_vocab = (
@@ -495,7 +504,7 @@ def _ngram_jaccard_dense(
     # invisible to catalog.clearCache() and accumulated heap across long
     # sessions — persist+count is strictly better: cache-managed,
     # LRU-evictable, recomputable.)
-    out = out.persist()
+    out = _register_cache(out.persist())
     out.count()
     doc_sets.unpersist()
     bc.unpersist()
@@ -550,7 +559,7 @@ def containment_pairs(
     web scale, candidates from MinHash banding can pre-filter the pair
     space the same way.
     """
-    doc_sets = doc_hash_sets(df, k, text_col, id_col).persist()
+    doc_sets = _register_cache(doc_hash_sets(df, k, text_col, id_col).persist())
     n_vocab = (
         doc_sets.select(F.explode("_hs").alias("_h"))
         .agg(F.approx_count_distinct("_h", rsd=0.02).alias("v"))
@@ -584,7 +593,7 @@ def containment_pairs(
     )
     # materialize while the set cache is hot, then release it (the same
     # eager-pairs pattern as the dense jaccard path: survivors are tiny)
-    out = out.persist()
+    out = _register_cache(out.persist())
     out.count()
     doc_sets.unpersist()
     return out
@@ -766,6 +775,7 @@ def minhash_lsh_pairs(
         # stages execute once, not per reference
         .persist()
     )
+    survivors = _register_cache(survivors)
     # eager: the verifier's references run in concurrent broadcast-build
     # jobs — a cold cache would recompute the banding join per reference
     survivors.count()
@@ -885,6 +895,7 @@ def minhash_lsh_pairs_delta(
         .distinct()
         .persist()
     )
+    survivors = _register_cache(survivors)
     survivors.count()  # same concurrent-broadcast-build guard as the full path
     if own_cache:
         # survivors are materialized; the verify plan below reads docs,

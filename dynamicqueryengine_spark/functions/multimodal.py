@@ -738,11 +738,16 @@ def decode_bmp(payload: bytes) -> dict:
         raise ValueError(f"invalid BMP width {width}")
     row_bytes = width * 3
     stride = (row_bytes + 3) // 4 * 4
-    if len(payload) < offset + height * stride:
+    # the decoder only reads up to the LAST row's pixel bytes — some
+    # encoders omit the final row's trailing padding, and such files are
+    # fully decodable, so the bound is (height-1)·stride + row_bytes,
+    # not height·stride (r8 advisor)
+    need = offset + (height - 1) * stride + row_bytes
+    if len(payload) < need:
         # Python slicing past the end returns SHORT bytes, which would
         # silently truncate pixel rows — reject like the header checks
         raise ValueError(
-            f"truncated BMP: need {offset + height * stride} bytes "
+            f"truncated BMP: need {need} bytes "
             f"for {width}x{height}, got {len(payload)}"
         )
     rows = []

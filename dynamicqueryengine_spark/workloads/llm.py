@@ -57,35 +57,43 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCRATCH_REGISTERED: set[str] = set()
+_SCRATCH_GEN: dict[str, int] = {}
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """Per-process scratch dir for queries that STAGE a table (versioned-
-    table demos): keyed by (tag, pid, sf_dir) so reruns in one process
-    wipe and rebuild instead of accumulating, registered for atexit
-    removal the first time THIS PROCESS hands the key out. Registration
-    keys off the module-level set, not filesystem existence (r7 advisor:
-    a stale dir left by a crashed earlier process with a recycled pid
-    was wiped but never registered, leaking at exit). Deletion cannot be
-    eager — returned DataFrames read the staged files lazily at the
-    caller's collect; the wipe-and-rebuild contract therefore requires
-    the previous invocation's result to be materialized before the same
-    (tag, sf_dir) is re-staged, which every driver/bench loop does."""
+    """Per-INVOCATION scratch dir for queries that STAGE a table
+    (versioned-table demos): a fresh ``gen{N}`` subdir under a
+    per-(tag, pid, sf_dir) base on every call, the base registered for
+    atexit removal the first time THIS PROCESS hands the key out.
+    Registration keys off the module-level set, not filesystem existence
+    (r7 advisor: a stale dir left by a crashed earlier process with a
+    recycled pid was wiped but never registered, leaking at exit).
+    Nothing is deleted during the process lifetime — the r8 advisor
+    found the previous wipe-and-rebuild scheme rmtree'd the parquet/
+    checkpoint files backing an EARLIER invocation's still-lazy returned
+    DataFrame; generations make reruns safe by construction. Disk is
+    bounded by invocations × staged-table size (the demo tables are
+    megabytes) and the whole base is removed at exit."""
     import atexit
     import hashlib
     import shutil
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    scratch = os.path.join(
+    base = os.path.join(
         tempfile.gettempdir(), f"dqe_{tag}_{os.getpid()}_{key}"
     )
-    if scratch not in _SCRATCH_REGISTERED:
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-        _SCRATCH_REGISTERED.add(scratch)
-    if os.path.exists(scratch):
-        shutil.rmtree(scratch, ignore_errors=True)
-    return scratch
+    if base not in _SCRATCH_REGISTERED:
+        # a crashed earlier process with a recycled pid may have left the
+        # base behind: wipe ONCE before this process's first generation
+        # (no live DataFrame of ours can reference it yet)
+        if os.path.exists(base):
+            shutil.rmtree(base, ignore_errors=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _SCRATCH_REGISTERED.add(base)
+    gen = _SCRATCH_GEN.get(base, 0)
+    _SCRATCH_GEN[base] = gen + 1
+    return os.path.join(base, f"gen{gen}")
 
 
 # Driver-side memo of the mined jaccard≥threshold pair list over the full

@@ -148,12 +148,19 @@ def incremental_index_probe(spark) -> dict:
             D.minhash_lsh_pairs_delta(
                 all_docs, base_sigs, delta, k=5, threshold=0.7
             ).count()
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            # drop the miner's internal survivor/hash-set caches between
+            # passes — the min-of-2 loop otherwise accumulates them for
+            # the process lifetime (r7 advisor finding)
+            D.release_internal_caches()
+            return dt
 
         def t_full():
             t0 = time.perf_counter()
             D.minhash_lsh_pairs(all_docs, k=5, threshold=0.7).count()
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            D.release_internal_caches()
+            return dt
 
         # warm pass first (python-worker spawn, codegen), then min-of-2
         t_inc(), t_full()

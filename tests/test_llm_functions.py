@@ -142,6 +142,28 @@ class TestNgramJaccard:
         assert got == full
         assert got  # the planted near-dup cluster must cross the split
 
+    def test_release_internal_caches_drops_miner_frames(self, docs):
+        """The miners persist internal frames (survivor candidate sets,
+        semi-joined hash-set caches) that must outlive the call, so they
+        register them instead of unpersisting in-function; long-running
+        processes drop them with release_internal_caches(). The r8 verdict
+        found _register_cache had zero call sites — this pins the wired-up
+        mechanism: registration happens, release resets storage levels,
+        and released results recompute transparently."""
+        D.release_internal_caches()  # drain registrations from prior tests
+        out = D.minhash_lsh_pairs(docs, k=5, threshold=0.7)
+        n = out.count()
+        frames = list(D._INTERNAL_CACHES)
+        assert frames, "miners must register their internal persists"
+        assert any(
+            f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
+        )
+        D.release_internal_caches()
+        assert not D._INTERNAL_CACHES
+        for f in frames:
+            assert not f.storageLevel.useMemory and not f.storageLevel.useDisk
+        assert out.count() == n  # recomputes transparently after release
+
 
 class TestContainment:
     def test_subset_doc_is_contained_not_jaccard_near(self, spark):
@@ -488,6 +510,35 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="top-down"):
             M.decode_bmp(bytes(neg))
 
+    def test_bmp_decoder_rejects_bad_width_and_truncation(self):
+        """The r8 guards: width ≤ 0 and short payloads must raise — Python
+        slicing past the end silently yields short rows otherwise."""
+        import struct
+
+        good = M._encode_bmp(5, 3, bytes(range(45)))  # w=5 → 1 pad byte/row
+        zero_w = bytearray(good)
+        zero_w[18:22] = struct.pack("<i", 0)
+        with pytest.raises(ValueError, match="invalid BMP width"):
+            M.decode_bmp(bytes(zero_w))
+        neg_w = bytearray(good)
+        neg_w[18:22] = struct.pack("<i", -5)
+        with pytest.raises(ValueError, match="invalid BMP width"):
+            M.decode_bmp(bytes(neg_w))
+        # drop one pixel byte of the last-read row → truncated, loud
+        with pytest.raises(ValueError, match="truncated BMP"):
+            M.decode_bmp(good[:-2])  # 1 pad byte + 1 pixel byte short
+
+    def test_bmp_decoder_accepts_last_row_unpadded(self):
+        """Encoders may omit the FINAL physical row's trailing padding;
+        such files decode completely (the r8 truncation bound rejected
+        them — r8 advisor). One byte shorter still raises."""
+        px = bytes(i % 251 for i in range(5 * 3 * 3))
+        full = M._encode_bmp(5, 3, px)  # stride 16, row_bytes 15
+        unpadded = full[:-1]  # strip the last row's single pad byte
+        assert M.decode_bmp(unpadded)["pixels"] == px
+        with pytest.raises(ValueError, match="truncated BMP"):
+            M.decode_bmp(full[:-2])
+
     def test_video_frame_sampling(self, docs):
         import hashlib
 
@@ -707,3 +758,25 @@ class TestPortableRounding:
         # and the half values actually round UP (half-up semantics)
         for k, x in enumerate(halves):
             assert got[k] == (int(x * 2_000_000.0) + 1) / 2_000_000.0
+
+
+class TestScratchDir:
+    def test_generations_never_wipe_prior_invocations(self, tmp_path):
+        """Each _scratch_dir call hands out a FRESH generation subdir; a
+        rerun must not delete files a prior invocation's lazy DataFrame
+        still reads (r8 advisor: the wipe-and-rebuild scheme rmtree'd
+        them)."""
+        import os
+
+        from dynamicqueryengine_spark.workloads.llm import _scratch_dir
+
+        sf = str(tmp_path)  # unique key → fresh base for this test
+        d1 = _scratch_dir("t_gen", sf)
+        os.makedirs(d1)
+        marker = os.path.join(d1, "staged.parquet")
+        with open(marker, "w") as f:
+            f.write("x")
+        d2 = _scratch_dir("t_gen", sf)
+        assert d2 != d1
+        assert os.path.dirname(d2) == os.path.dirname(d1)  # shared base
+        assert os.path.exists(marker)  # rerun left the first staging alone
