@@ -281,34 +281,63 @@ def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict, dict, list]:
     return d, dir_stats, file_stats, files
 
 
-def vt_write(spark, path: str, df: DataFrame, mode: str = "overwrite") -> int:
+def vt_write(
+    spark, path: str, df: DataFrame, mode: str = "overwrite",
+    max_retries: int = 5,
+) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
-    A concurrent commit surfaces as FileExistsError — blind writes
-    must not silently clobber a state they did not read."""
+
+    Concurrency: an ``append`` is OPTIMISTIC — on a commit race it
+    re-reads the advanced head and, when every intervening commit was
+    itself an append (appends commute: each adds directories, none
+    removes or rewrites what the other appended onto), retries against
+    the new head, reusing the data directory it already wrote. A race
+    against a NON-commuting commit (overwrite, merge, optimize,
+    restore — each replaces or rewrites the snapshot the append
+    targeted) surfaces as FileExistsError, as does any race against an
+    ``overwrite``: blind writes must not silently clobber a state they
+    did not read. This is Delta's conflict matrix in miniature
+    (blind AppendOnly vs snapshot-rewriting transactions)."""
     head = vt_versions(path)
     expected = head[-1] if head else 0
     new_dir, new_stats, new_fstats, new_files = _write_data_dir(df, path)
-    dirs = [new_dir]
-    stats = {new_dir: new_stats} if new_stats else {}
-    fstats = {new_dir: new_fstats} if new_fstats else {}
-    files = {new_dir: new_files}
-    if mode == "append" and head:
-        prev = _read_manifest(path, expected)
-        dirs = prev["dirs"] + dirs
-        stats = {**prev.get("stats", {}), **stats}
-        fstats = {**prev.get("file_stats", {}), **fstats}
-        files = {**prev.get("files", {}), **files}
-    try:
-        return _commit(
-            path, dirs, mode, expected, stats, file_stats=fstats, files=files
-        )
-    except FileExistsError:
-        # lost the commit race: our data directory will never be
-        # referenced — remove it now (as vt_merge does) instead of
-        # leaving an orphan for a later vacuum to find
-        shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
-        raise
+    for _ in range(max_retries):
+        dirs = [new_dir]
+        stats = {new_dir: new_stats} if new_stats else {}
+        fstats = {new_dir: new_fstats} if new_fstats else {}
+        files = {new_dir: new_files}
+        if mode == "append" and expected:
+            prev = _read_manifest(path, expected)
+            dirs = prev["dirs"] + dirs
+            stats = {**prev.get("stats", {}), **stats}
+            fstats = {**prev.get("file_stats", {}), **fstats}
+            files = {**prev.get("files", {}), **files}
+        try:
+            return _commit(
+                path, dirs, mode, expected, stats,
+                file_stats=fstats, files=files,
+            )
+        except FileExistsError:
+            new_head = vt_versions(path)[-1]
+            intervening_ops = [
+                _read_manifest(path, v).get("op")
+                for v in vt_versions(path)
+                if expected < v <= new_head
+            ]
+            if mode != "append" or any(
+                op != "append" for op in intervening_ops
+            ):
+                # lost to a non-commuting commit: our data directory will
+                # never be referenced — remove it now (as vt_merge does)
+                # instead of leaving an orphan for a later vacuum to find
+                shutil.rmtree(
+                    os.path.join(path, new_dir), ignore_errors=True
+                )
+                raise
+            expected = new_head  # append-vs-append commutes: retry on top
+    shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+    raise RuntimeError(f"append at {path} lost {max_retries} commit races")
 
 
 # predicate ops supported by data skipping — ALL null-rejecting, which is

@@ -120,6 +120,106 @@ class TestVersionedTable:
         after = {n for n in os.listdir(path) if n.startswith("d_")}
         assert after == before  # loser's d_* removed, no orphan left
 
+    def test_concurrent_appends_both_land(self, spark, tmp_path, monkeypatch):
+        """Blind appends COMMUTE: an append losing the commit race to
+        another append must retry against the advanced head (reusing its
+        already-written data directory) so both land — versions n+1 and
+        n+2, both directories referenced by the final manifest."""
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        real = V._write_data_dir
+        injected = []
+
+        def racy(df, p):
+            out = real(df, p)
+            if not injected:  # only the outer (loser) call injects
+                injected.append(True)
+                vt_write(spark, path, _df(spark, [(2, "winner")]),
+                         mode="append")
+            return out
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        v = vt_write(spark, path, _df(spark, [(3, "loser")]), mode="append")
+        assert v == 3  # winner took 2, loser retried and committed 3
+        assert vt_versions(path) == [1, 2, 3]
+        assert _rows(vt_read(spark, path)) == {
+            (1, "a"), (2, "winner"), (3, "loser"),
+        }
+        # both racing appends' directories are referenced by the head
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        assert len(_read_manifest(path, 3)["dirs"]) == 3
+        # no orphans: every d_* on disk is referenced
+        on_disk = {n for n in os.listdir(path) if n.startswith("d_")}
+        assert on_disk == set(_read_manifest(path, 3)["dirs"])
+
+    def test_concurrent_appends_from_threads(self, spark, tmp_path):
+        """The real thing: two threads released together both append;
+        whichever loses the manifest create must retry and land. Final
+        state holds both row sets regardless of commit order."""
+        import threading
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(0, "base")]))
+        barrier = threading.Barrier(2)
+        errors = []
+
+        def appender(rows):
+            try:
+                barrier.wait(timeout=60)
+                vt_write(spark, path, _df(spark, rows), mode="append")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        ts = [
+            threading.Thread(target=appender, args=([(i, f"t{i}")],))
+            for i in (1, 2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errors
+        assert vt_versions(path) == [1, 2, 3]
+        assert _rows(vt_read(spark, path)) == {
+            (0, "base"), (1, "t1"), (2, "t2"),
+        }
+
+    def test_append_race_vs_overwrite_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append racing a snapshot-REWRITING commit must NOT retry:
+        the state it appended onto was replaced. It surfaces
+        FileExistsError and removes its orphan directory."""
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        real = V._write_data_dir
+        injected = []
+
+        def racy(df, p):
+            out = real(df, p)
+            if not injected:
+                injected.append(True)
+                monkeypatch.setattr(V, "_write_data_dir", real)
+                vt_write(spark, path, _df(spark, [(9, "ow")]),
+                         mode="overwrite")
+            return out
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        before = {n for n in os.listdir(path) if n.startswith("d_")}
+        with pytest.raises(FileExistsError):
+            vt_write(spark, path, _df(spark, [(3, "app")]), mode="append")
+        after = {n for n in os.listdir(path) if n.startswith("d_")}
+        # winner's overwrite dir is the only addition; loser left nothing
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        assert after - before == set(_read_manifest(path, 2)["dirs"])
+        assert _rows(vt_read(spark, path)) == {(9, "ow")}
+
     def test_lost_optimize_race_removes_orphan_dir(
         self, spark, tmp_path, monkeypatch
     ):

@@ -43,6 +43,7 @@ _OP = st.one_of(
     st.tuples(st.just("overwrite"), st.integers(0, 4)),
     st.tuples(st.just("merge"), st.integers(0, 4)),
     st.tuples(st.just("merge_txn"), st.integers(0, 4)),
+    st.tuples(st.just("append_race"), st.integers(0, 4)),
     st.tuples(st.just("optimize"), st.just(0)),
     st.tuples(st.just("checkpoint"), st.just(0)),
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
@@ -92,6 +93,32 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_write(spark, path, df_of(rows), mode="overwrite")
             head += 1
             versions[head] = list(rows)
+        elif kind == "append_race":
+            # two racing appends, deterministically interleaved: the
+            # winner commits between the loser's data write and commit;
+            # the loser must retry on the advanced head so BOTH land
+            import dynamicqueryengine_spark.sources.versioned as V
+
+            rows_w = _payload(seed + 7, step)
+            real = V._write_data_dir
+            injected: list = []
+
+            def racy(df, p, _real=real, _inj=injected, _rw=rows_w):
+                out = _real(df, p)
+                if not _inj:
+                    _inj.append(True)
+                    vt_write(spark, path, df_of(_rw), mode="append")
+                return out
+
+            V._write_data_dir = racy
+            try:
+                vt_write(spark, path, df_of(rows), mode="append")
+            finally:
+                V._write_data_dir = real
+            head += 1
+            versions[head] = versions[head - 1] + rows_w  # winner
+            head += 1
+            versions[head] = versions[head - 1] + rows  # retried loser
         elif kind in ("merge", "merge_txn"):
             txn = ("app", next_txn) if kind == "merge_txn" else None
             vt_merge(spark, path, df_of(rows), ["id"], txn=txn)
