@@ -422,3 +422,122 @@ def compile_predicate(
     return PredicateCompiler(
         schema, external_params, strict_compat, type_name
     ).compile_group(group)
+
+
+# ----------------------------------------------------- data-skip extraction
+
+# rule operator → versioned-table skip op (sources/versioned.py _SKIP_OPS);
+# all null-rejecting, which is what makes footer-stats pruning sound
+_SKIP_RANGE_OPS = {
+    "greaterthan": ">",
+    "greaterthanorequal": ">=",
+    "lessthan": "<",
+    "lessthanorequal": "<=",
+}
+
+
+def _skip_param(params: Mapping[str, Any], prop: str) -> Any:
+    if prop in params:
+        return params[prop]
+    lowered = {str(k).lower(): v for k, v in params.items()}
+    return lowered.get(prop.lower())
+
+
+def _skip_conjunct(
+    cond: Condition,
+    schema: StructType,
+    params: Mapping[str, Any],
+    type_name: str,
+) -> tuple | None:
+    """One leaf condition → a (col, op, value) skip tuple, or None when
+    the condition cannot soundly prune on parquet footer min/max stats.
+    Conservative by design: anything unresolvable, uncoercible, or with
+    semantics that diverge from the stats' native ordering (numeric
+    comparison over a STRING column, null-equality) yields None — the
+    full compiled predicate still filters, so skipping less is always
+    correct."""
+    op = cond.operator.strip().lower()
+    if op not in ("equal", "dynamicequal", "in") and op not in _SKIP_RANGE_OPS:
+        return None
+    try:
+        field = resolve_field(schema, cond.property, type_name)
+    except Exception:  # unresolvable → let the real compile raise, not us
+        return None
+    dtype = field.dataType
+
+    if op == "in":
+        values = cond.value
+        if values is None:
+            values = _skip_param(params, cond.property)
+        if not isinstance(values, (list, tuple)) or not values:
+            return None
+        coerced = []
+        for v in values:
+            if v is None:
+                continue  # isin never matches null — drop for pruning
+            try:
+                coerced.append(_coerce_literal(v, dtype))
+            except RuleCompilationError:
+                return None
+        return (field.name, "in", coerced) if coerced else None
+
+    value = cond.value
+    if value is None:
+        value = _skip_param(params, cond.property)
+    if value is None:
+        # Equal-with-null compiles to isNull — stats cover non-null values
+        # only, so no file can be pruned; range ops with a missing param
+        # will raise in the real compile
+        return None
+    if op in _SKIP_RANGE_OPS:
+        if isinstance(dtype, StringType):
+            # reference semantics compare string columns NUMERICALLY
+            # (try_cast decimal) but footer stats are lexicographic —
+            # pruning on them would be unsound
+            return None
+        skip_op = _SKIP_RANGE_OPS[op]
+    else:
+        skip_op = "="
+    try:
+        return (field.name, skip_op, _coerce_literal(value, dtype))
+    except RuleCompilationError:
+        return None
+
+
+def rule_skip_conjuncts(
+    rule_or_group,
+    schema: StructType,
+    external_params: Mapping[str, Any] | None = None,
+    type_name: str = "Row",
+) -> list[tuple]:
+    """Extract the skip-eligible conjuncts a rule REQUIRES — the bridge
+    between the rule engine and versioned-table data skipping
+    (``vt_read(rule=...)`` / ``vt_scan_plan(predicate=[...])``).
+
+    A conjunct is required only when every ancestor group combines with
+    AND (an OR group with >1 child makes no single child required) and
+    no ancestor is negated (a negated subtree inverts its children's
+    ranges). Each surviving leaf goes through :func:`_skip_conjunct`'s
+    soundness gate. The result OVER-approximates the rule: every row
+    the rule accepts satisfies all returned conjuncts, so files pruned
+    on them cannot contain matching rows — the compiled predicate still
+    runs in full on whatever survives."""
+    group = getattr(rule_or_group, "conditions", rule_or_group)
+    params = dict(external_params or {})
+    out: list[tuple] = []
+
+    def walk(g: ConditionGroup | None) -> None:
+        if g is None or g.is_empty() or g.negate:
+            return
+        n_children = len(g.conditions) + len(g.groups)
+        if g.logical_operator.strip().upper() == "OR" and n_children > 1:
+            return
+        for c in g.conditions:
+            t = _skip_conjunct(c, schema, params, type_name)
+            if t is not None:
+                out.append(t)
+        for sub in g.groups:
+            walk(sub)
+
+    walk(group)
+    return out

@@ -342,7 +342,7 @@ def vt_write(
 
 # predicate ops supported by data skipping — ALL null-rejecting, which is
 # what makes footer-stats pruning (min/max over non-null values) sound
-_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _stats_may_match(minmax, op: str, value) -> bool:
@@ -355,6 +355,8 @@ def _stats_may_match(minmax, op: str, value) -> bool:
     try:
         if op == "=":
             return lo <= value <= hi
+        if op == "in":
+            return any(lo <= v <= hi for v in value)
         if op == "<":
             return lo < value
         if op == "<=":
@@ -364,6 +366,26 @@ def _stats_may_match(minmax, op: str, value) -> bool:
         return hi >= value  # ">="
     except TypeError:
         return True  # cross-type comparison — keep the directory
+
+
+def _normalize_predicate(predicate) -> list[tuple] | None:
+    """One ``(col, op, value)`` tuple or a CONJUNCTION list of them →
+    validated list (None stays None). A conjunction prunes a file when
+    ANY conjunct's stats cannot match — every conjunct is required."""
+    if predicate is None:
+        return None
+    conjuncts = (
+        [predicate]
+        if isinstance(predicate, tuple) and len(predicate) == 3
+        and isinstance(predicate[0], str)
+        else list(predicate)
+    )
+    for col, op, _ in conjuncts:
+        if op not in _SKIP_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r}; use {_SKIP_OPS}"
+            )
+    return conjuncts or None
 
 
 def _resolve_version(path: str, version: int | None) -> int:
@@ -377,17 +399,22 @@ def _resolve_version(path: str, version: int | None) -> int:
 
 
 def vt_scan_plan(
-    path: str, version: int | None = None, predicate: tuple | None = None
+    path: str,
+    version: int | None = None,
+    predicate: tuple | list | None = None,
 ) -> dict:
     """Resolve the exact scan for a (version, predicate): which data
     directories survive dir-level stats pruning, and within surviving
     dirs that carry per-FILE stats, which files survive file-level
-    pruning. Returns ``{"paths": [...], "dirs_total", "dirs_kept",
-    "files_total", "files_kept"}`` where ``paths`` mixes whole-dir paths
-    (dirs without file stats) and individual file paths. Pruning is
-    sound by construction: every skip op is null-rejecting and stats
-    cover non-null values, so a pruned file/dir cannot contain a
-    matching row; missing stats always keep."""
+    pruning. ``predicate`` is one ``(col, op, value)`` tuple or a
+    CONJUNCTION list of them (op in ``=, <, <=, >, >=, in``) — a
+    file/dir is pruned when ANY conjunct's stats cannot match. Returns
+    ``{"paths": [...], "dirs_total", "dirs_kept", "files_total",
+    "files_kept"}`` where ``paths`` mixes whole-dir paths (dirs without
+    file stats) and individual file paths. Pruning is sound by
+    construction: every skip op is null-rejecting and stats cover
+    non-null values, so a pruned file/dir cannot contain a matching
+    row; missing stats always keep."""
     v = _resolve_version(path, version)
     manifest = _read_manifest(path, v)
     dirs = manifest["dirs"]
@@ -401,21 +428,22 @@ def vt_scan_plan(
         "dirs_total": len(dirs),
         "files_total": sum(len(flists.get(d, [])) for d in dirs),
     }
-    if predicate is None:
+    conjuncts = _normalize_predicate(predicate)
+    if conjuncts is None:
         plan.update(
             dirs_kept=len(dirs),
             files_kept=plan["files_total"],
             paths=[os.path.join(path, d) for d in dirs],
         )
         return plan
-    col, op, value = predicate
-    if op not in _SKIP_OPS:
-        raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
-    kept_dirs = [
-        d
-        for d in dirs
-        if _stats_may_match(stats.get(d, {}).get(col), op, value)
-    ]
+
+    def may_match(col_stats: dict) -> bool:
+        return all(
+            _stats_may_match(col_stats.get(col), op, value)
+            for col, op, value in conjuncts
+        )
+
+    kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
     paths: list[str] = []
     files_kept = 0
     for d in kept_dirs:
@@ -425,11 +453,7 @@ def vt_scan_plan(
             paths.append(os.path.join(path, d))
             continue
         per_file = fstats.get(d, {})
-        kept_files = [
-            f
-            for f in flist
-            if _stats_may_match(per_file.get(f, {}).get(col), op, value)
-        ]
+        kept_files = [f for f in flist if may_match(per_file.get(f, {}))]
         files_kept += len(kept_files)
         paths.extend(os.path.join(path, d, f) for f in kept_files)
     plan.update(dirs_kept=len(kept_dirs), files_kept=files_kept)
@@ -446,35 +470,77 @@ def vt_scan_plan(
     return plan
 
 
+def _conjunct_column(col: str, op: str, value) -> "F.Column":
+    c = F.col(col)
+    if op == "in":
+        return c.isin(list(value))
+    return {
+        "=": c == F.lit(value),
+        "<": c < F.lit(value),
+        "<=": c <= F.lit(value),
+        ">": c > F.lit(value),
+        ">=": c >= F.lit(value),
+    }[op]
+
+
 def vt_read(
     spark,
     path: str,
     version: int | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list | None = None,
+    rule=None,
+    external_params=None,
+    strict_compat: bool = True,
 ) -> DataFrame:
     """Snapshot read: the latest committed version, or ``version=`` for
     time travel. Never sees uncommitted or later data.
 
-    ``predicate=(col, op, value)`` with op in ``=, <, <=, >, >=`` both
-    FILTERS the result and SKIPS whole data directories — and, inside
-    directories carrying per-file stats (``vt_optimize`` output),
-    individual FILES — whose min/max stats cannot satisfy it; pruned
-    files are never even listed. The predicate is also applied as a
-    normal Spark filter (and pushed to the remaining parquet scans), so
-    the result is identical to filtering an unpruned read."""
+    ``predicate=(col, op, value)`` — or a CONJUNCTION list of such
+    tuples — with op in ``=, <, <=, >, >=, in`` both FILTERS the result
+    and SKIPS whole data directories — and, inside directories carrying
+    per-file stats (``vt_optimize`` output), individual FILES — whose
+    min/max stats cannot satisfy it; pruned files are never even
+    listed. The predicate is also applied as a normal Spark filter (and
+    pushed to the remaining parquet scans), so the result is identical
+    to filtering an unpruned read.
+
+    ``rule=`` accepts a compiled :class:`RuleDefinition` (or raw rule
+    dict) and composes the engine's two flagship surfaces: the rule's
+    REQUIRED skip-eligible conjuncts (operators/predicates.py
+    ``rule_skip_conjuncts``) drive the same file pruning, then the FULL
+    compiled predicate — every operator, not just the skippable ones —
+    filters the surviving scan, so the result is identical to
+    ``apply_rule`` over an unpruned read. Mutually exclusive with
+    ``predicate``."""
+    if rule is not None:
+        if predicate is not None:
+            raise ValueError("pass predicate= or rule=, not both")
+        from ..operators.predicates import (
+            compile_predicate,
+            rule_skip_conjuncts,
+        )
+        from ..plans.model import RuleDefinition
+
+        if isinstance(rule, dict):
+            rule = RuleDefinition.from_dict(rule)
+        v = _resolve_version(path, version)
+        # schema from the snapshot's own footers (cheap: footer-only read)
+        first_dir = os.path.join(path, _read_manifest(path, v)["dirs"][0])
+        schema = spark.read.parquet(first_dir).schema
+        conjuncts = rule_skip_conjuncts(rule, schema, external_params)
+        plan = vt_scan_plan(path, v, conjuncts or None)
+        df = spark.read.parquet(*plan["paths"])
+        return df.filter(
+            compile_predicate(
+                rule.conditions, schema, external_params, strict_compat
+            )
+        )
     plan = vt_scan_plan(path, version, predicate)
     df = spark.read.parquet(*plan["paths"])
-    if predicate is not None:
-        col, op, value = predicate
-        c = F.col(col)
-        cond = {
-            "=": c == F.lit(value),
-            "<": c < F.lit(value),
-            "<=": c <= F.lit(value),
-            ">": c > F.lit(value),
-            ">=": c >= F.lit(value),
-        }[op]
-        df = df.filter(cond)
+    conjuncts = _normalize_predicate(predicate)
+    if conjuncts is not None:
+        for col, op, value in conjuncts:
+            df = df.filter(_conjunct_column(col, op, value))
     return df
 
 

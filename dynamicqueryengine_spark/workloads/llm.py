@@ -2624,6 +2624,109 @@ LLM_QUERIES["events_vt_optimize_skip"] = FnWorkload(
 )
 
 
+def _events_vt_rule_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULE-predicate-driven data skipping, EXECUTED (r9): the engine's
+    two flagship surfaces COMPOSED. Stage events as a versioned table,
+    OPTIMIZE range-clustered on event_id, then evaluate a reference-
+    style RULE — GreaterThan on event_id AND In on event_type — via
+    ``vt_read(rule=...)``: the rule's skip-eligible conjuncts
+    (operators/predicates.py rule_skip_conjuncts) prune files by footer
+    stats BEFORE listing, and the FULL compiled predicate filters the
+    survivors, so the aggregate equals the plain filtered aggregate the
+    SQL mirror computes. Pinned booleans assert the mechanism: file
+    pruning kept a strict nonempty subset (no schema-only fallback) —
+    at 100 TB this is the difference between scanning a partition and
+    scanning the table."""
+    from ..operators.predicates import rule_skip_conjuncts
+    from ..plans.model import RuleDefinition
+    from ..sources.versioned import (
+        vt_optimize,
+        vt_read,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]  # two bounded scalars (drive the deterministic probe)
+    probe = bounds["lo"] + ((bounds["hi"] - bounds["lo"]) * 3) // 4
+
+    path = os.path.join(_scratch_dir("vtrule", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(spark, path, ["event_id"], n_partitions=8)
+
+    rule = RuleDefinition.from_dict(
+        {
+            "Conditions": {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {
+                        "Property": "event_id",
+                        "Operator": "GreaterThan",
+                        "Value": probe,
+                    },
+                    {
+                        "Property": "event_type",
+                        "Operator": "In",
+                        "Value": ["click", "purchase", "view"],
+                    },
+                ],
+            }
+        }
+    )
+    # the same conjuncts vt_read(rule=) derives internally, surfaced here
+    # so the pinned booleans describe the actual scan
+    schema = vt_read(spark, path).schema
+    plan = vt_scan_plan(path, predicate=rule_skip_conjuncts(rule, schema))
+    out = (
+        vt_read(spark, path, rule=rule)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(0 < plan["files_kept"] < plan["files_total"]).alias(
+            "file_pruning_effective"
+        ),
+        F.lit("schema_only_fallback" not in plan).alias(
+            "no_schema_fallback"
+        ),
+    )
+
+
+_EVENTS_VT_RULE_SKIP_SQL = """
+WITH b AS (
+  SELECT min(event_id) + ((max(event_id) - min(event_id)) * 3) // 4
+           AS probe
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS file_pruning_effective,
+       TRUE AS no_schema_fallback
+FROM events, b
+WHERE event_id > probe
+  AND event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_rule_skip"] = FnWorkload(
+    _events_vt_rule_skip, _EVENTS_VT_RULE_SKIP_SQL
+)
+
+
 def _events_vt_incremental_rollup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -269,3 +269,147 @@ class TestBooleanCombinators:
     def test_unknown_operator_raises(self, users_df):
         with pytest.raises(UnsupportedOperatorError):
             run(users_df, cond("Title", "Between", [1, 2]))
+
+
+class TestSkipConjunctExtraction:
+    """rule_skip_conjuncts (r9): the bridge from rule trees to versioned-
+    table file pruning. Soundness = every returned conjunct is REQUIRED
+    by the rule and compares in the stats' native ordering."""
+
+    def _extract(self, df, conditions, params=None):
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+
+        return rule_skip_conjuncts(rule(conditions), df.schema, params)
+
+    def test_and_chain_extracts_all_eligible(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        got = self._extract(
+            df,
+            {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "id", "Operator": "GreaterThan", "Value": 5},
+                    {"Property": "id", "Operator": "LessThanOrEqual",
+                     "Value": 9},
+                    {"Property": "name", "Operator": "Equal", "Value": "x"},
+                    {"Property": "name", "Operator": "Contains", "Value": "y"},
+                ],
+            },
+        )
+        assert got == [("id", ">", 5), ("id", "<=", 9), ("name", "=", "x")]
+
+    def test_or_group_yields_nothing(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        got = self._extract(
+            df,
+            {
+                "LogicalOperator": "OR",
+                "Conditions": [
+                    {"Property": "id", "Operator": "GreaterThan", "Value": 5},
+                    {"Property": "id", "Operator": "LessThan", "Value": 2},
+                ],
+            },
+        )
+        assert got == []
+
+    def test_single_child_or_is_required(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        got = self._extract(
+            df,
+            {
+                "LogicalOperator": "OR",
+                "Conditions": [
+                    {"Property": "id", "Operator": "Equal", "Value": 3},
+                ],
+            },
+        )
+        assert got == [("id", "=", 3)]
+
+    def test_negated_group_yields_nothing(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        got = self._extract(
+            df,
+            {
+                "Negate": True,
+                "Conditions": [
+                    {"Property": "id", "Operator": "GreaterThan", "Value": 5},
+                ],
+            },
+        )
+        assert got == []
+
+    def test_nested_and_recurses_or_subtree_skipped(self, spark):
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        got = self._extract(
+            df,
+            {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "a", "Operator": "GreaterThan", "Value": 1},
+                ],
+                "Groups": [
+                    {
+                        "LogicalOperator": "AND",
+                        "Conditions": [
+                            {"Property": "b", "Operator": "LessThan",
+                             "Value": 9},
+                        ],
+                    },
+                    {
+                        "LogicalOperator": "OR",
+                        "Conditions": [
+                            {"Property": "a", "Operator": "Equal", "Value": 0},
+                            {"Property": "b", "Operator": "Equal", "Value": 0},
+                        ],
+                    },
+                ],
+            },
+        )
+        assert got == [("a", ">", 1), ("b", "<", 9)]
+
+    def test_string_column_range_excluded_equal_kept(self, users_df):
+        """Range ops on STRING columns compare NUMERICALLY in the
+        reference, but footer stats are lexicographic — range conjuncts
+        must not be emitted; string Equal is sound and kept."""
+        got = self._extract(
+            users_df,
+            {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "RegNo", "Operator": "GreaterThan",
+                     "Value": "100"},
+                    {"Property": "Title", "Operator": "Equal",
+                     "Value": "Director"},
+                ],
+            },
+        )
+        assert got == [("Title", "=", "Director")]
+
+    def test_in_coerces_and_drops_nulls(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        got = self._extract(
+            df,
+            cond("id", "In", ["3", None, 5]),
+        )
+        assert got == [("id", "in", [3, 5])]
+
+    def test_value_coerced_to_column_type(self, spark):
+        df = spark.createDataFrame([(1.5,)], "x double")
+        got = self._extract(df, cond("x", "GreaterThanOrEqual", "2"))
+        assert got == [("x", ">=", 2.0)]
+
+    def test_dynamic_equal_resolves_param(self, users_df):
+        got = self._extract(
+            users_df,
+            cond("Title", "DynamicEqual"),
+            params={"Title": "Director"},
+        )
+        assert got == [("Title", "=", "Director")]
+
+    def test_missing_param_and_null_equal_excluded(self, users_df):
+        # null-equality compiles to isNull: stats (non-null only) cannot
+        # prune it; a missing external param is the real compile's error
+        assert self._extract(users_df, cond("Title", "Equal", None)) == []
+        assert self._extract(users_df, cond("Title", "DynamicEqual")) == []

@@ -514,3 +514,135 @@ class TestVersionedTable:
         vt_merge(spark, path, _df(spark, [(1, "b")]), ["id"], txn=("app1", 8))
         assert vt_last_txn(path, "app1") == 8
         assert (1, "b") in _rows(vt_read(spark, path))
+
+
+class TestRuleDataSkipping:
+    """vt_read(rule=) / conjunction predicates (r9): rule-driven file
+    pruning composed with full rule filtering."""
+
+    def _staged(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        rows = [(i, f"n{i % 7}", float(i)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, name string, v double")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        return path, rows
+
+    def test_conjunction_prunes_more_than_single(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read,
+            vt_scan_plan,
+        )
+
+        path, rows = self._staged(spark, tmp_path)
+        single = vt_scan_plan(path, predicate=("id", ">", 300))
+        conj = vt_scan_plan(
+            path, predicate=[("id", ">", 300), ("id", "<=", 340)]
+        )
+        assert 0 < single["files_kept"] < single["files_total"]
+        assert conj["files_kept"] <= single["files_kept"]
+        got = {
+            (r["id"], r["name"], r["v"])
+            for r in vt_read(
+                spark, path, predicate=[("id", ">", 300), ("id", "<=", 340)]
+            ).collect()
+        }
+        assert got == {t for t in rows if 300 < t[0] <= 340}
+
+    def test_in_predicate_prunes_and_filters(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read,
+            vt_scan_plan,
+        )
+
+        path, rows = self._staged(spark, tmp_path)
+        plan = vt_scan_plan(path, predicate=("id", "in", [7, 9, 380]))
+        assert 0 < plan["files_kept"] < plan["files_total"]
+        got = {
+            r["id"]
+            for r in vt_read(
+                spark, path, predicate=("id", "in", [7, 9, 380])
+            ).collect()
+        }
+        assert got == {7, 9, 380}
+
+    def test_rule_read_matches_apply_rule_and_prunes(self, spark, tmp_path):
+        """The composed surface: vt_read(rule=) must equal apply_rule
+        over the unpruned snapshot (pruning invisible to results) while
+        the derived conjuncts keep a strict nonempty file subset with no
+        schema-only fallback."""
+        from dynamicqueryengine_spark import RuleDefinition, apply_rule
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read,
+            vt_scan_plan,
+        )
+
+        path, rows = self._staged(spark, tmp_path)
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "LogicalOperator": "AND",
+                    "Conditions": [
+                        {"Property": "id", "Operator": "GreaterThan",
+                         "Value": 350},
+                        {"Property": "name", "Operator": "In",
+                         "Value": ["n1", "n2"]},
+                        {"Property": "name", "Operator": "Contains",
+                         "Value": "n"},
+                    ],
+                }
+            }
+        )
+        snap = vt_read(spark, path)
+        expected = {
+            (r["id"], r["name"], r["v"])
+            for r in apply_rule(snap, rule).collect()
+        }
+        got = {
+            (r["id"], r["name"], r["v"])
+            for r in vt_read(spark, path, rule=rule).collect()
+        }
+        assert got == expected and got
+        plan = vt_scan_plan(
+            path, predicate=rule_skip_conjuncts(rule, snap.schema)
+        )
+        assert 0 < plan["files_kept"] < plan["files_total"]
+        assert "schema_only_fallback" not in plan
+
+    def test_rule_and_predicate_mutually_exclusive(self, spark, tmp_path):
+        from dynamicqueryengine_spark import RuleDefinition
+        from dynamicqueryengine_spark.sources.versioned import vt_read
+
+        path, _ = self._staged(spark, tmp_path)
+        r = RuleDefinition.from_dict({"Conditions": {"Conditions": []}})
+        with pytest.raises(ValueError, match="not both"):
+            vt_read(spark, path, predicate=("id", ">", 1), rule=r)
+
+    def test_rule_read_accepts_raw_dict_and_params(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_read
+
+        path, rows = self._staged(spark, tmp_path)
+        got = {
+            r["id"]
+            for r in vt_read(
+                spark,
+                path,
+                rule={
+                    "Conditions": {
+                        "Conditions": [
+                            {"Property": "id", "Operator": "DynamicEqual"}
+                        ]
+                    }
+                },
+                external_params={"id": 123},
+            ).collect()
+        }
+        assert got == {123}
