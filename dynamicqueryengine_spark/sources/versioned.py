@@ -144,6 +144,8 @@ def _commit(
     txn: dict | None = None,
     file_stats: dict | None = None,
     files: dict | None = None,
+    schema: dict | None = None,
+    heterogeneous: bool = False,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -160,6 +162,14 @@ def _commit(
     os.makedirs(_log_dir(path), exist_ok=True)
     version = expected_head + 1
     manifest = {"dirs": dirs, "op": op, "ts": time.time()}
+    if schema is not None:
+        # per-version logical schema (Spark StructType json). When the
+        # referenced dirs' PHYSICAL schemas differ (merge_schema appends),
+        # ``schema_heterogeneous`` tells readers to union footers and
+        # reconcile to this schema (missing columns → typed nulls).
+        manifest["schema"] = schema
+        if heterogeneous:
+            manifest["schema_heterogeneous"] = True
     if stats:
         manifest["stats"] = stats
     if file_stats:
@@ -281,9 +291,49 @@ def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict, dict, list]:
     return d, dir_stats, file_stats, files
 
 
+def _evolve_schema(
+    base: dict, incoming: dict, allow: bool
+) -> tuple[dict, bool]:
+    """Reconcile an append's schema against the table's recorded schema.
+    Returns ``(merged schema json-dict, changed)``. Evolution only ADDS
+    nullable columns (Delta's mergeSchema rule): an incompatible type
+    change for an existing column always raises; added/missing columns
+    raise unless ``allow`` (merge_schema=True). Nullability differences
+    are tolerated (parquet unions handle them)."""
+    from pyspark.sql.types import StructField, StructType
+
+    b = StructType.fromJson(base)
+    n = StructType.fromJson(incoming)
+    bmap = {f.name: f for f in b.fields}
+    nmap = {f.name: f for f in n.fields}
+    for name, f in nmap.items():
+        if name in bmap and bmap[name].dataType != f.dataType:
+            raise ValueError(
+                f"incompatible type change for column '{name}': "
+                f"{bmap[name].dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} (schema evolution only "
+                "adds nullable columns)"
+            )
+    added = [f for f in n.fields if f.name not in bmap]
+    missing = [f.name for f in b.fields if f.name not in nmap]
+    if not added and not missing:
+        return base, False
+    if not allow:
+        raise ValueError(
+            "append schema differs from table schema "
+            f"(added={[f.name for f in added]}, missing={missing}); "
+            "pass merge_schema=True to evolve"
+        )
+    merged = StructType(
+        list(b.fields)
+        + [StructField(f.name, f.dataType, True) for f in added]
+    )
+    return json.loads(merged.json()), True
+
+
 def vt_write(
     spark, path: str, df: DataFrame, mode: str = "overwrite",
-    max_retries: int = 5,
+    max_retries: int = 5, merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -298,25 +348,50 @@ def vt_write(
     targeted) surfaces as FileExistsError, as does any race against an
     ``overwrite``: blind writes must not silently clobber a state they
     did not read. This is Delta's conflict matrix in miniature
-    (blind AppendOnly vs snapshot-rewriting transactions)."""
+    (blind AppendOnly vs snapshot-rewriting transactions).
+
+    Schema: every commit records the snapshot's logical schema in the
+    manifest. An append whose schema differs from the table's raises
+    unless ``merge_schema=True``, which EVOLVES the table by adding the
+    new nullable columns (incompatible type changes always raise);
+    readers reconcile older data to the evolved schema with typed
+    nulls — Delta's mergeSchema contract."""
     head = vt_versions(path)
     expected = head[-1] if head else 0
+    incoming_schema = json.loads(df.schema.json())
     new_dir, new_stats, new_fstats, new_files = _write_data_dir(df, path)
     for _ in range(max_retries):
         dirs = [new_dir]
         stats = {new_dir: new_stats} if new_stats else {}
         fstats = {new_dir: new_fstats} if new_fstats else {}
         files = {new_dir: new_files}
+        schema = incoming_schema
+        hetero = False
         if mode == "append" and expected:
             prev = _read_manifest(path, expected)
             dirs = prev["dirs"] + dirs
             stats = {**prev.get("stats", {}), **stats}
             fstats = {**prev.get("file_stats", {}), **fstats}
             files = {**prev.get("files", {}), **files}
+            base = prev.get("schema")
+            if base is not None:
+                try:
+                    schema, changed = _evolve_schema(
+                        base, incoming_schema, merge_schema
+                    )
+                except ValueError:
+                    shutil.rmtree(
+                        os.path.join(path, new_dir), ignore_errors=True
+                    )
+                    raise
+                hetero = changed or prev.get("schema_heterogeneous", False)
+            else:
+                schema = None  # legacy table without a recorded schema
         try:
             return _commit(
                 path, dirs, mode, expected, stats,
                 file_stats=fstats, files=files,
+                schema=schema, heterogeneous=hetero,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -428,6 +503,10 @@ def vt_scan_plan(
         "dirs_total": len(dirs),
         "files_total": sum(len(flists.get(d, [])) for d in dirs),
     }
+    if manifest.get("schema") is not None:
+        plan["schema"] = manifest["schema"]
+        if manifest.get("schema_heterogeneous"):
+            plan["schema_heterogeneous"] = True
     conjuncts = _normalize_predicate(predicate)
     if conjuncts is None:
         plan.update(
@@ -468,6 +547,33 @@ def vt_scan_plan(
         plan["schema_only_fallback"] = True
     plan["paths"] = paths
     return plan
+
+
+def _read_plan(spark, plan: dict) -> DataFrame:
+    """Read a vt_scan_plan's paths, reconciled to the snapshot's recorded
+    logical schema: heterogeneous layouts (merge_schema appends) union
+    footers via Spark's mergeSchema, and columns absent from every kept
+    file — pre-evolution data, or evolved columns pruned away with their
+    files — come back as typed nulls in the recorded column order."""
+    reader = spark.read
+    if plan.get("schema_heterogeneous"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*plan["paths"])
+    sj = plan.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(sj)
+        have = set(df.columns)
+        df = df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+    return df
 
 
 def _conjunct_column(col: str, op: str, value) -> "F.Column":
@@ -524,19 +630,27 @@ def vt_read(
         if isinstance(rule, dict):
             rule = RuleDefinition.from_dict(rule)
         v = _resolve_version(path, version)
-        # schema from the snapshot's own footers (cheap: footer-only read)
-        first_dir = os.path.join(path, _read_manifest(path, v)["dirs"][0])
-        schema = spark.read.parquet(first_dir).schema
+        manifest = _read_manifest(path, v)
+        if manifest.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(manifest["schema"])
+        else:
+            # legacy table: schema from the snapshot's own footers
+            # (cheap: footer-only read)
+            schema = spark.read.parquet(
+                os.path.join(path, manifest["dirs"][0])
+            ).schema
         conjuncts = rule_skip_conjuncts(rule, schema, external_params)
         plan = vt_scan_plan(path, v, conjuncts or None)
-        df = spark.read.parquet(*plan["paths"])
+        df = _read_plan(spark, plan)
         return df.filter(
             compile_predicate(
                 rule.conditions, schema, external_params, strict_compat
             )
         )
     plan = vt_scan_plan(path, version, predicate)
-    df = spark.read.parquet(*plan["paths"])
+    df = _read_plan(spark, plan)
     conjuncts = _normalize_predicate(predicate)
     if conjuncts is not None:
         for col, op, value in conjuncts:
@@ -567,20 +681,22 @@ def vt_read_delta(
                 f"version {v} is op={op!r}: delta reads require "
                 "append-only history in the range"
             )
+    to_manifest = _read_manifest(path, to_version)
     old = set(_read_manifest(path, from_version)["dirs"])
-    new_dirs = [
-        d
-        for d in _read_manifest(path, to_version)["dirs"]
-        if d not in old
-    ]
+    new_dirs = [d for d in to_manifest["dirs"] if d not in old]
+    # reconcile to the TO version's logical schema: pre-evolution delta
+    # dirs gain typed nulls for evolved columns, same as vt_read
+    plan = {
+        "schema": to_manifest.get("schema"),
+        "schema_heterogeneous": to_manifest.get(
+            "schema_heterogeneous", False
+        ),
+    }
     if not new_dirs:
-        base = spark.read.parquet(
-            os.path.join(path, _read_manifest(path, to_version)["dirs"][0])
-        )
-        return base.filter(F.lit(False))
-    return spark.read.parquet(
-        *[os.path.join(path, d) for d in new_dirs]
-    )
+        plan["paths"] = [os.path.join(path, to_manifest["dirs"][0])]
+        return _read_plan(spark, plan).filter(F.lit(False))
+    plan["paths"] = [os.path.join(path, d) for d in new_dirs]
+    return _read_plan(spark, plan)
 
 
 def vt_checkpoint(spark, path: str) -> int:
@@ -680,6 +796,7 @@ def vt_merge(
                 {"app": txn[0], "version": int(txn[1])} if txn else None,
                 {new_dir: new_fstats} if new_fstats else None,
                 {new_dir: new_files},
+                schema=json.loads(merged.schema.json()),
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
@@ -696,15 +813,18 @@ def vt_history(path: str) -> list[dict]:
     out = []
     for v in reversed(vt_versions(path)):
         m = _read_manifest(path, v)
-        out.append(
-            {
-                "version": v,
-                "op": m.get("op"),
-                "ts": m.get("ts"),
-                "n_dirs": len(m.get("dirs", [])),
-                "txn": m.get("txn"),
-            }
-        )
+        entry = {
+            "version": v,
+            "op": m.get("op"),
+            "ts": m.get("ts"),
+            "n_dirs": len(m.get("dirs", [])),
+            "txn": m.get("txn"),
+        }
+        if m.get("schema") is not None:
+            # schema evolution shows up in the audit log as a column-
+            # count change between consecutive versions
+            entry["n_cols"] = len(m["schema"].get("fields", []))
+        out.append(entry)
     return out
 
 
@@ -733,6 +853,8 @@ def vt_restore(spark, path: str, version: int) -> int:
         None,
         target.get("file_stats"),
         target.get("files"),
+        schema=target.get("schema"),
+        heterogeneous=target.get("schema_heterogeneous", False),
     )
 
 
@@ -771,6 +893,8 @@ def vt_optimize(
         clustered, path
     )
     try:
+        # the rewrite reconciled every row to the head's logical schema,
+        # so the layout is homogeneous again (heterogeneous flag cleared)
         return _commit(
             path,
             [new_dir],
@@ -780,6 +904,7 @@ def vt_optimize(
             None,
             {new_dir: new_fstats} if new_fstats else None,
             {new_dir: new_files},
+            schema=json.loads(clustered.schema.json()),
         )
     except FileExistsError:
         shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)

@@ -2727,6 +2727,77 @@ LLM_QUERIES["events_vt_rule_skip"] = FnWorkload(
 )
 
 
+def _events_vt_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table SCHEMA EVOLUTION, EXECUTED (r9): commit the low
+    half of events, then APPEND the high half WIDENED with a new
+    ``bucket`` column via ``merge_schema=True`` — the manifest records
+    the evolved logical schema, and the head read reconciles
+    pre-evolution rows to typed nulls (Delta's mergeSchema contract).
+    The aggregate counts/sums the evolved column, so nulls-for-old-rows
+    is exactly what the SQL mirror's CASE computes; the pinned boolean
+    asserts the audit log recorded the column-count change."""
+    from ..sources.versioned import vt_history, vt_read, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+
+    path = os.path.join(_scratch_dir("vtschema", sf_dir), "ev")
+    vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    evolved = ev.filter(F.col("event_id") > mid).withColumn(
+        "bucket", F.col("event_id") % 10
+    )
+    vt_write(spark, path, evolved, mode="append", merge_schema=True)
+
+    hist = {h["version"]: h.get("n_cols") for h in vt_history(path)}
+    out = (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+            F.count("bucket").alias("n_bucketed"),
+            F.sum("bucket").alias("sum_bucket"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        "n_bucketed",
+        "sum_bucket",
+        F.lit(hist == {1: 3, 2: 4}).alias("schema_evolved"),
+    )
+
+
+_EVENTS_VT_SCHEMA_EVOLUTION_SQL = """
+WITH b AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       count(CASE WHEN event_id > mid THEN 1 END) AS n_bucketed,
+       CAST(sum(CASE WHEN event_id > mid THEN event_id % 10 END)
+            AS BIGINT) AS sum_bucket,
+       TRUE AS schema_evolved
+FROM events, b
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_schema_evolution"] = FnWorkload(
+    _events_vt_schema_evolution, _EVENTS_VT_SCHEMA_EVOLUTION_SQL
+)
+
+
 def _events_vt_incremental_rollup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -646,3 +646,112 @@ class TestRuleDataSkipping:
             ).collect()
         }
         assert got == {123}
+
+
+class TestSchemaEvolution:
+    """vt_write(mode='append', merge_schema=True) (r9): manifests carry
+    the per-version logical schema; readers reconcile (typed nulls);
+    incompatible changes raise."""
+
+    def test_append_new_column_round_trip(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_history
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        evolved = spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, v string, score double"
+        )
+        vt_write(spark, path, evolved, mode="append", merge_schema=True)
+        head = vt_read(spark, path)
+        assert head.columns == ["id", "v", "score"]
+        assert dict(head.dtypes)["score"] == "double"
+        got = {(r["id"], r["v"], r["score"]) for r in head.collect()}
+        # pre-evolution rows reconcile to typed nulls
+        assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+        # time travel: the OLD version keeps its own schema
+        assert vt_read(spark, path, 1).columns == ["id", "v"]
+        # history shows the evolution as a column-count change
+        n_cols = {h["version"]: h["n_cols"] for h in vt_history(path)}
+        assert n_cols == {1: 2, 2: 3}
+
+    def test_append_missing_column_fills_nulls(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        narrower = spark.createDataFrame([(2,)], "id long")
+        vt_write(spark, path, narrower, mode="append", merge_schema=True)
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, None)}
+
+    def test_mismatch_without_merge_schema_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        evolved = spark.createDataFrame(
+            [(2, "b", 1.0)], "id long, v string, score double"
+        )
+        before = {n for n in os.listdir(path) if n.startswith("d_")}
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            vt_write(spark, path, evolved, mode="append")
+        after = {n for n in os.listdir(path) if n.startswith("d_")}
+        assert after == before  # rejected append left no orphan dir
+        assert vt_versions(path) == [1]
+
+    def test_incompatible_type_change_always_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        retyped = spark.createDataFrame([(2, 7)], "id long, v long")
+        with pytest.raises(ValueError, match="incompatible type change"):
+            vt_write(spark, path, retyped, mode="append", merge_schema=True)
+
+    def test_optimize_rehomogenizes_evolved_table(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(i, f"r{i}") for i in range(50)]))
+        evolved = spark.createDataFrame(
+            [(100 + i, f"e{i}", float(i)) for i in range(50)],
+            "id long, v string, score double",
+        )
+        vt_write(spark, path, evolved, mode="append", merge_schema=True)
+        assert _read_manifest(path, 2).get("schema_heterogeneous")
+        v3 = vt_optimize(spark, path, ["id"], n_partitions=4)
+        assert not _read_manifest(path, v3).get("schema_heterogeneous")
+        head = vt_read(spark, path)
+        assert head.columns == ["id", "v", "score"]
+        assert head.count() == 100
+
+    def test_pruning_on_evolved_column_keeps_statless_old_dirs(
+        self, spark, tmp_path
+    ):
+        """A predicate on the NEW column: old dirs carry no stats for it
+        (kept conservatively), new files prune normally — and results
+        equal the plain filter either way."""
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(i, f"r{i}") for i in range(20)]))
+        evolved = spark.createDataFrame(
+            [(100 + i, f"e{i}", float(i)) for i in range(20)],
+            "id long, v string, score double",
+        )
+        vt_write(spark, path, evolved, mode="append", merge_schema=True)
+        plan = vt_scan_plan(path, predicate=("score", ">", 100.0))
+        assert plan["dirs_kept"] == 1  # new dir's stats exclude it… old kept
+        got = vt_read(spark, path, predicate=("score", ">", 5.0))
+        assert {r["id"] for r in got.collect()} == {100 + i for i in range(6, 20)}
+
+    def test_delta_read_reconciles_to_evolved_schema(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_read_delta
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        evolved = spark.createDataFrame(
+            [(3, "c", 9.0)], "id long, v string, score double"
+        )
+        vt_write(spark, path, evolved, mode="append", merge_schema=True)
+        delta = vt_read_delta(spark, path, 1, 3)
+        assert delta.columns == ["id", "v", "score"]
+        got = {(r["id"], r["v"], r["score"]) for r in delta.collect()}
+        assert got == {(2, "b", None), (3, "c", 9.0)}
