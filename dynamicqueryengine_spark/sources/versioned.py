@@ -334,6 +334,7 @@ def _evolve_schema(
 def vt_write(
     spark, path: str, df: DataFrame, mode: str = "overwrite",
     max_retries: int = 5, merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -355,7 +356,17 @@ def vt_write(
     unless ``merge_schema=True``, which EVOLVES the table by adding the
     new nullable columns (incompatible type changes always raise);
     readers reconcile older data to the evolved schema with typed
-    nulls — Delta's mergeSchema contract."""
+    nulls — Delta's mergeSchema contract.
+
+    ``txn=(app, version)`` makes the write EXACTLY-ONCE for an
+    at-least-once producer (streaming foreachBatch): if the app already
+    committed this (or a later) version, the call is a no-op returning
+    the current head — the same SetTransaction guard vt_merge carries,
+    re-checked on every retry."""
+    if txn is not None:
+        last = vt_last_txn(path, txn[0])
+        if last is not None and txn[1] <= last:
+            return vt_versions(path)[-1]  # replay of a committed txn
     head = vt_versions(path)
     expected = head[-1] if head else 0
     incoming_schema = json.loads(df.schema.json())
@@ -390,11 +401,21 @@ def vt_write(
         try:
             return _commit(
                 path, dirs, mode, expected, stats,
+                txn={"app": txn[0], "version": int(txn[1])} if txn else None,
                 file_stats=fstats, files=files,
                 schema=schema, heterogeneous=hetero,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
+            if txn is not None:
+                last = vt_last_txn(path, txn[0])
+                if last is not None and txn[1] <= last:
+                    # the racing commit WAS this txn (another replay of
+                    # the same at-least-once producer) — no-op
+                    shutil.rmtree(
+                        os.path.join(path, new_dir), ignore_errors=True
+                    )
+                    return new_head
             intervening_ops = [
                 _read_manifest(path, v).get("op")
                 for v in vt_versions(path)

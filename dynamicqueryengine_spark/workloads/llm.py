@@ -2958,6 +2958,72 @@ LLM_QUERIES["dedup_vt_incremental_index"] = FnWorkload(
 )
 
 
+def _docs_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup flagging, EXECUTED (streaming/minhash.py, r9):
+    the documents corpus arrives as THREE micro-batches (staged as one
+    parquet file per arrival slice, maxFilesPerTrigger=1); each batch is
+    signed once, LSH-probed against the persisted signature index,
+    exact-verified, and the pairs/docs/signature versioned tables
+    advanced under per-table txn markers (replay-idempotent). A pair is
+    flagged by exactly the batch where its LATER document arrives, so
+    the final flagged set equals the one-shot batch miner's pair list —
+    which is what the value oracle (exact jaccard ≥ 0.7, the standard
+    recall≈1 equivalence of the dedup_minhash_lsh oracle) checks. The
+    sync pin asserts the index head covers every signable document."""
+    from ..functions.text import normalize_text
+    from ..sources.versioned import vt_read
+    from ..streaming.minhash import stream_minhash_index
+
+    scratch = _scratch_dir("stmhidx", sf_dir)
+    src = os.path.join(scratch, "src")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # three arrival slices, one file each → three micro-batches
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    docs_path = os.path.join(scratch, "docs")
+    sigs_path = os.path.join(scratch, "sigs")
+    pairs_path = os.path.join(scratch, "pairs")
+    stream_minhash_index(
+        stream,
+        docs_path,
+        sigs_path,
+        pairs_path,
+        os.path.join(scratch, "ckpt"),
+        k=5,
+        threshold=0.7,
+    )
+    index_rows = vt_read(spark, sigs_path).count()
+    corpus_rows = docs.filter(
+        F.length(normalize_text(F.col("text"))) >= 5
+    ).count()
+    return vt_read(spark, pairs_path).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.lit(index_rows == corpus_rows).alias("index_in_sync"),
+    )
+
+
+def _docs_stream_minhash_index_sql() -> str:
+    inner = D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    return f"""
+SELECT id_a, id_b, jaccard, TRUE AS index_in_sync
+FROM ({inner})
+""".strip()
+
+
+LLM_QUERIES["docs_stream_minhash_index"] = FnWorkload(
+    _docs_stream_minhash_index, _docs_stream_minhash_index_sql()
+)
+
+
 def _corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus token distribution: OLS of
     ln(freq) on ln(rank) for the top-2000 tokens — the one-number

@@ -61,3 +61,83 @@ class TestStreamDedup:
             .count()
         )
         assert n == want
+
+
+class TestStreamMinhashIndex:
+    """streaming/minhash.py (r9): batch-decomposition invariance and
+    at-least-once replay idempotence of the index maintenance loop."""
+
+    def _run_batches(self, spark, tmp_path, docs, batches):
+        import os
+
+        from dynamicqueryengine_spark.streaming.minhash import (
+            minhash_index_batch,
+        )
+
+        paths = {
+            n: os.path.join(str(tmp_path), n)
+            for n in ("docs", "sigs", "pairs")
+        }
+        for bid, cond in enumerate(batches):
+            minhash_index_batch(
+                spark, docs.filter(cond), bid,
+                paths["docs"], paths["sigs"], paths["pairs"],
+            )
+        return paths
+
+    def test_flagged_set_equals_batch_miner(self, spark, tmp_path):
+        from dynamicqueryengine_spark.functions import dedup as D
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.sources.versioned import vt_read
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        paths = self._run_batches(
+            spark, tmp_path, docs,
+            [F.col("doc_id") % 3 == i for i in range(3)],
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in vt_read(spark, paths["pairs"]).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(docs, k=5, threshold=0.7).collect()
+        }
+        assert got == want and got
+
+    def test_replayed_batch_is_a_no_op(self, spark, tmp_path):
+        import os
+
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_head,
+            vt_read,
+        )
+        from dynamicqueryengine_spark.streaming.minhash import (
+            minhash_index_batch,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        paths = self._run_batches(
+            spark, tmp_path, docs,
+            [F.col("doc_id") % 2 == i for i in range(2)],
+        )
+        before = {
+            n: (vt_head(p), vt_read(spark, p).count())
+            for n, p in paths.items()
+        }
+        # at-least-once: batch 1 fires again after a "crash"
+        minhash_index_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), 1,
+            paths["docs"], paths["sigs"], paths["pairs"],
+        )
+        after = {
+            n: (vt_head(p), vt_read(spark, p).count())
+            for n, p in paths.items()
+        }
+        assert after == before  # no new versions, no new rows anywhere
+        assert os.path.exists(paths["pairs"])
