@@ -327,20 +327,90 @@ def ngram_jaccard_pairs(
     return _ngram_jaccard_dense(doc_sets, threshold, id_col, n_vocab, n_docs)
 
 
-def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
-    """Equijoin formulation: join on shingle, count per pair. Cost is
-    Σ_shingle freq² joined rows — right when shingle frequencies are low."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+# Shingle self-join skew hardening (r9): a shingle shared by f documents
+# contributes f² joined rows all hashed to ONE reducer — stopword-like
+# 5-grams ("the q", " and ") are exactly such keys on natural corpora,
+# the measured ±2-4× variance source of the equijoin route. Shingles
+# above HOT_SHINGLE_FREQ take a two-level triangle-salted join spread
+# over SHINGLE_SALT_BUCKETS² reducers instead. The frequency cut keys
+# off per-reducer work (f ≤ H ⇒ ≤ H² rows per cold key); at larger
+# deployments raise H with reducer memory, not data size — the hot SET
+# (broadcast to route rows) stays ≤ |shingle stream| / H.
+HOT_SHINGLE_FREQ = 256
+SHINGLE_SALT_BUCKETS = 8
+
+
+def _pair_shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, c) with id_a < id_b and c = |shared shingles| — the
+    self-join core of the jaccard/containment equijoin routes, HOT-KEY
+    HARDENED: cold shingles (freq ≤ HOT_SHINGLE_FREQ) take the plain
+    equijoin (per-reducer work bounded by freq² ≤ H² per key); hot
+    shingles take a triangle-salted join — side A carries its own salt
+    s(id) and replicates over the partner salt j, side B mirrors, and
+    joining on (shingle, sa=i, j=sb) lands each row pair in EXACTLY one
+    of g² reducers, so a hot key's f² work spreads evenly instead of
+    funneling through one task (AQE's skew split can't help here at
+    scale: the per-pair count that follows repartitions anyway, and map
+    output of one hot key still serializes through one reducer's fetch).
+    The two branches' RAW pair streams union before the single per-pair
+    count aggregation — aggregating per branch first would add a second
+    full exchange of the pair stream; the union keeps exactly the plain
+    plan's one exchange with map-side partials.
+
+    The stream is persisted HERE (registered for release) because five
+    references follow (frequency scan + two sides of each branch) — left
+    lazy, each would re-run the upstream Arrow shingle hashing (measured
+    ~1.7× the whole plain join on a ×16 skew corpus)."""
+    sh = _register_cache(sh.persist())
+    freqs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    hot = freqs.filter(F.col("_f") > HOT_SHINGLE_FREQ).select("shingle")
+    cold_sh = sh.join(F.broadcast(hot), "shingle", "anti")
+    hot_sh = sh.join(F.broadcast(hot), "shingle", "semi")
+
+    def raw_pairs(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+        a, b = a.alias("a"), b.alias("b")
+        return (
+            a.join(b, on=on)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
         )
+
+    g = SHINGLE_SALT_BUCKETS
+    reps = F.explode(F.array(*[F.lit(i) for i in range(g)]))
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int")
+    # EXPLICIT fixed-width repartition on the salted key: the salted
+    # sides are tiny in ROW count (the blow-up is the join OUTPUT), so
+    # AQE's input-byte-sized coalescing would collapse the exchange to
+    # ~one partition and re-create the very funnel the salt removes —
+    # a user-specified partition count is exempt from coalescing, and
+    # hash-clustering on the join key means no further exchange.
+    p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keys = ["shingle", "_x", "_y"]
+    salted_a = hot_sh.withColumn("_x", own).withColumn("_y", reps).repartition(
+        p, *keys
+    )
+    salted_b = hot_sh.withColumn("_y", own).withColumn("_x", reps).repartition(
+        p, *keys
+    )
+    cold = raw_pairs(cold_sh, cold_sh, ["shingle"])
+    hot_pairs = raw_pairs(salted_a, salted_b, keys)
+    return (
+        cold.unionByName(hot_pairs)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _ngram_jaccard_join(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Equijoin formulation: join on shingle, count per pair. Cost is
+    Σ_shingle freq² joined rows — right when shingle frequencies are low;
+    hot shingles route through the salted branch of
+    :func:`_pair_shingle_counts`."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    common = _pair_shingle_counts(sh, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -573,16 +643,13 @@ def containment_pairs(
         )
     sh = doc_sets.select(id_col, F.explode("_hs").alias("shingle"))
     sizes = doc_sets.select(id_col, F.size("_hs").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    # unordered shared-shingle counts from the hot-key-hardened core;
+    # containment is DIRECTIONAL, so mirror each pair (same c both ways)
+    und = _pair_shingle_counts(sh, id_col)
+    common = und.unionByName(
+        und.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "c"
         )
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     cont = F.col("c") / F.col("na")

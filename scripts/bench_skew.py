@@ -112,16 +112,148 @@ def run(
     return sec
 
 
+def _task_spread(spark, seen: set) -> tuple[float, set]:
+    """max/median executorRunTime ratio of the HEAVIEST new completed
+    stage (largest max task time, ≥8 tasks) since ``seen`` — the
+    straggler metric a 1000-executor shuffle actually feels. Local
+    wall-clock HIDES reducer skew (32 memory-speed cores absorb a
+    hot-key reducer while siblings idle); the hot stage's task spread
+    exposes it."""
+    import json as _json
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+    stages = _json.load(
+        urllib.request.urlopen(f"{base}/stages?status=complete")
+    )
+    worst_max = -1.0
+    ratio = 1.0
+    new_seen = set(seen)
+    for s in stages:
+        sid = (s["stageId"], s["attemptId"])
+        if sid in seen or s["numTasks"] < 8:
+            continue
+        new_seen.add(sid)
+        q = _json.load(
+            urllib.request.urlopen(
+                f"{base}/stages/{s['stageId']}/{s['attemptId']}"
+                "/taskSummary?quantiles=0.5,1.0"
+            )
+        )
+        med, mx = q["executorRunTime"]
+        if mx > worst_max:
+            worst_max = mx
+            ratio = mx / max(med, 1.0)
+    return round(ratio, 1), new_seen
+
+
+def shingle_skew_probe(spark) -> dict:
+    """Hot-shingle self-join hardening (r9): the dedup equijoin's skew
+    fix measured on a corpus with stopword-like hot shingles — ONE short
+    shared phrase (4-5 hot shingles, fewer than cores: the regime where
+    a plain shuffle funnels the freq² join work through a handful of
+    reducers) planted in 20% of documents, bodies per-doc unique so the
+    cold join stays sparse. The corpus replicates ×4/×8/×16; the hot
+    keys' share of the work grows quadratically exactly as on a real
+    crawl. Reported per scale and leg: min-of-2 wall seconds AND the
+    max/median task-time spread of the run's worst stage (the metric
+    that becomes stragglers at 1000 executors). Output equality plain ==
+    hardened is asserted once per scale. Run via ``--shingle``; numbers
+    go to SCALE.md."""
+    from unittest import mock
+
+    from dynamicqueryengine_spark.functions import dedup as D
+
+    hot_phrase = " zqmtvxjw"  # 9 chars → 5 hot 5-gram shingles
+    base_n = 1200
+
+    def corpus(k: int):
+        return spark.range(base_n * k).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.lit(" "),
+                F.sha2(
+                    F.concat(F.lit("x"), F.col("id").cast("string")), 256
+                ),
+                F.when(F.col("id") % 5 == 0, F.lit(hot_phrase)).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        ).persist()
+
+    def mine(docs):
+        hashed = D.doc_hash_sets(docs, 5, "text", "doc_id").select(
+            "doc_id", F.explode("_hs").alias("shingle")
+        )
+        return D._ngram_jaccard_join(hashed, 0.7, "doc_id")
+
+    out: dict = {
+        "plain_s": {}, "hardened_s": {},
+        "plain_spread": {}, "hardened_spread": {}, "hot_freq": {},
+    }
+    seen: set = set()
+    for k in (4, 8, 16):
+        docs = corpus(k)
+        out["hot_freq"][f"x{k}"] = docs.filter(
+            F.col("doc_id") % 5 == 0
+        ).count()  # each hot shingle's join-key frequency
+
+        def t_hardened():
+            t0 = time.perf_counter()
+            mine(docs).count()
+            D.release_internal_caches()
+            return time.perf_counter() - t0
+
+        def t_plain():
+            # hot cut above any freq → everything takes the plain branch
+            with mock.patch.object(D, "HOT_SHINGLE_FREQ", 1 << 60):
+                t0 = time.perf_counter()
+                mine(docs).count()
+                D.release_internal_caches()
+                return time.perf_counter() - t0
+
+        # correctness once per scale: identical pair sets
+        with mock.patch.object(D, "HOT_SHINGLE_FREQ", 1 << 60):
+            plain_rows = mine(docs).count()
+        assert mine(docs).count() == plain_rows
+        t_hardened()  # warm
+        _, seen = _task_spread(spark, seen)  # drop warm stages
+        times = [t_hardened(), t_hardened()]
+        out["hardened_spread"][f"x{k}"], seen = _task_spread(spark, seen)
+        out["hardened_s"][f"x{k}"] = round(min(times), 2)
+        t_plain()  # warm
+        _, seen = _task_spread(spark, seen)
+        times = [t_plain(), t_plain()]
+        out["plain_spread"][f"x{k}"], seen = _task_spread(spark, seen)
+        out["plain_s"][f"x{k}"] = round(min(times), 2)
+        docs.unpersist()
+    return out
+
+
 def main() -> None:
+    shingle = "--shingle" in sys.argv
+    extra = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.ui.showConsoleProgress": "false",
+    }
+    if shingle:
+        # the task-spread metric reads the UI's REST status API; the
+        # broadcast kill (shared with the fact/dim mode) keeps the
+        # self-join a real shuffle — at 100 TB the shingle stream never
+        # broadcasts, and a broadcast join has no reducer to skew
+        extra["spark.ui.enabled"] = "true"
     spark = get_spark(
         "skew-bench",
         cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        extra_conf={
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.ui.showConsoleProgress": "false",
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if shingle:
+        print(json.dumps(shingle_skew_probe(spark)))
+        spark.stop()
+        return
     results = {}
     for name, aqe, salted, thresh in (
         ("plain_noaqe", False, False, None),

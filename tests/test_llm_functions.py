@@ -103,6 +103,41 @@ class TestNgramJaccard:
         )
         assert "Generate explode" in plan or "explode" in plan
 
+    def test_salted_hot_branch_matches_plain(self, docs, monkeypatch):
+        """Hot-shingle skew hardening (r9): with the hot cut forced to 1
+        every shingle routes through the triangle-salted branch, and with
+        it forced huge everything takes the plain branch — identical pair
+        sets either way (the sf0.1 skew probe pins the task-spread win;
+        this pins semantics)."""
+        monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)  # force equijoin route
+
+        def pairs():
+            return sorted(
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(
+                    docs, k=5, threshold=0.5
+                ).collect()
+            )
+
+        monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1 << 60)
+        plain = pairs()
+        monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1)
+        salted = pairs()
+        assert plain and salted == plain
+        # containment shares the hardened core — pin it too
+        def cont():
+            return sorted(
+                (r["id_a"], r["id_b"], r["containment"])
+                for r in D.containment_pairs(
+                    docs, k=5, threshold=0.5
+                ).collect()
+            )
+
+        monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1 << 60)
+        plain_c = cont()
+        monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1)
+        assert plain_c and cont() == plain_c
+
     def test_minhash_matches_exact_on_real_docs(self, docs):
         """LSH candidates + exact verification should recover the exact
         pairs at jaccard ≥ 0.7 on the driver's documents table (the planted
