@@ -1868,6 +1868,64 @@ ANALYTICS_QUERIES["agg_promo_revenue_q14"] = FnWorkload(
 )
 
 
+def _join_priority_shipping_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-band conditional aggregation (adapted: the
+    testdata carries no l_shipmode / l_commitdate / l_receiptdate, so
+    l_returnflag stands in for the mode dimension and the ship-year
+    window for the receipt-year filter — the SHAPE is Q12's: a
+    lineitem⋈orders equijoin on the order key feeding per-mode
+    high/low-priority line counts via CASE bands over o_orderpriority).
+    Both sides are fact-sized at 100 TB, so this is the canonical
+    non-broadcast shuffle join on the shared key; the year filter
+    reaches the lineitem scan (partition pruning on date-partitioned
+    layouts), and the two bands come from ONE pass — sum(flag) and
+    sum(1-flag) — not two joins."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+""".strip()
+
+
+ANALYTICS_QUERIES["join_priority_shipping_q12"] = FnWorkload(
+    _join_priority_shipping_q12, _Q12_SQL
+)
+
+
 def _agg_supplier_relationship_q16(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
