@@ -40,6 +40,10 @@ per-file ranges become disjoint and tight (file-level skipping then
 keeps O(1) files for a selective predicate), and ``vt_read_delta``
 exposes the rows added across an append-only version range — the
 incremental-maintenance feed for continuous aggregates.
+``vt_read_changes`` is the full CHANGE DATA FEED: merges committed with
+``change_feed=True`` record row-level pre/post-images in immutable
+``c_*`` change directories referenced by the same manifest, so
+incremental consumers span merges and overwrites too.
 
 ``vt_checkpoint`` snapshots the head manifest into ``_vlog/
 _checkpoint.json`` so head resolution probes forward from the
@@ -68,6 +72,7 @@ __all__ = [
     "vt_write",
     "vt_read",
     "vt_read_delta",
+    "vt_read_changes",
     "vt_merge",
     "vt_versions",
     "vt_vacuum",
@@ -146,6 +151,7 @@ def _commit(
     files: dict | None = None,
     schema: dict | None = None,
     heterogeneous: bool = False,
+    changes: str | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -176,6 +182,10 @@ def _commit(
         manifest["file_stats"] = file_stats
     if files:
         manifest["files"] = files
+    if changes is not None:
+        # per-commit CHANGE directory (row-level change feed for this
+        # version); readers find it via vt_read_changes
+        manifest["changes"] = changes
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -272,13 +282,17 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
     return dir_stats, file_stats
 
 
-def _write_data_dir(df: DataFrame, path: str) -> tuple[str, dict, dict, list]:
+def _write_data_dir(
+    df: DataFrame, path: str, prefix: str = "d"
+) -> tuple[str, dict, dict, list]:
     """Returns (dirname, dir_stats, file_stats, file_list). The file
     LIST is authoritative and separate from file_stats: a part file
     whose footer yields no stats (zero rows, non-scalar-only columns)
     must still be scanned by file-granular reads — pruning keys off
-    stats, membership keys off this list."""
-    d = f"d_{uuid.uuid4().hex[:12]}"
+    stats, membership keys off this list. ``prefix="c"`` writes a
+    CHANGE directory (row-level change feed for one commit) instead of
+    a snapshot data directory."""
+    d = f"{prefix}_{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, d)
     df.write.mode("error").parquet(full)
     dir_stats, file_stats = _harvest_stats(full)
@@ -687,8 +701,10 @@ def vt_read_delta(
     instead of rescanning the snapshot). Valid only when every commit
     in the range is an ``append``/initial write: overwrite, merge, and
     optimize rewrite or retract rows, so their delta is not expressible
-    as added-files-only — those raise, and the caller falls back to a
-    full refresh (Delta's CDF makes the same distinction)."""
+    as added-files-only — those raise, and the caller either falls back
+    to a full refresh or uses :func:`vt_read_changes`, the row-level
+    change feed that DOES span merges and overwrites (Delta's CDF makes
+    the same append/CDF distinction)."""
     versions = vt_versions(path)
     for v in (from_version, to_version):
         if v not in versions:
@@ -718,6 +734,142 @@ def vt_read_delta(
         return _read_plan(spark, plan).filter(F.lit(False))
     plan["paths"] = [os.path.join(path, d) for d in new_dirs]
     return _read_plan(spark, plan)
+
+
+def vt_read_changes(
+    spark, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """ROW-LEVEL change feed between two versions — Delta's Change Data
+    Feed (``table_changes``): every commit in ``(from_version,
+    to_version]`` contributes rows tagged ``_change_type`` ∈ {insert,
+    delete, update_preimage, update_postimage} plus ``_commit_version``,
+    so a downstream incremental job can maintain any distributive
+    aggregate across MERGES and OVERWRITES, not just the append-only
+    ranges ``vt_read_delta`` handles::
+
+        next_state = state ⊎ (insert ∪ update_postimage)
+                           ∖ (delete ∪ update_preimage)
+
+    Per-op sourcing:
+
+    * ``append`` — the added directories, tagged ``insert`` (no extra
+      storage; same file arithmetic as vt_read_delta);
+    * ``merge`` — the commit's recorded ``c_*`` change directory
+      (requires the merge was committed with ``change_feed=True``;
+      raises otherwise, because pre-images are unrecoverable after the
+      fact once the prior version is vacuumed);
+    * ``overwrite`` / ``restore`` — synthesized coarsely as
+      delete-all(previous snapshot) + insert-all(new snapshot): correct
+      for the replay identity above, at snapshot granularity (the same
+      choice Delta documents for non-CDC-capable rewrites);
+    * ``optimize`` — no logical change, contributes nothing.
+
+    ``from_version=0`` reads from table creation. Raises if a needed
+    previous snapshot was vacuumed away. Results are reconciled to the
+    TO version's logical schema (evolved columns → typed nulls), data
+    columns first, then the two ``_*`` metadata columns."""
+    from pyspark.sql.types import StructType
+
+    versions = vt_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    for v in (from_version, to_version):
+        if v != 0 and v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if to_version < from_version:
+        raise ValueError("to_version must be >= from_version")
+
+    to_manifest = _read_manifest(path, to_version) if to_version else None
+    target = (
+        StructType.fromJson(to_manifest["schema"])
+        if to_manifest is not None and to_manifest.get("schema") is not None
+        else None
+    )
+
+    def reconcile(df: DataFrame, change_type, version: int) -> DataFrame:
+        ct = (
+            F.lit(change_type)
+            if isinstance(change_type, str)
+            else F.col("_change_type")
+        )
+        if target is not None:
+            have = set(df.columns)
+            cols = [
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        else:
+            cols = [F.col(c) for c in df.columns if c != "_change_type"]
+        return df.select(
+            *cols,
+            ct.alias("_change_type"),
+            F.lit(version).cast("int").alias("_commit_version"),
+        )
+
+    def need_prev(v: int) -> None:
+        if v - 1 > 0 and v - 1 not in versions:
+            raise ValueError(
+                f"version {v - 1} was vacuumed: cannot reconstruct "
+                f"changes for version {v}"
+            )
+
+    frames: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        if v not in versions:
+            raise ValueError(
+                f"version {v} was vacuumed: the change-feed range "
+                f"({from_version}, {to_version}] is no longer "
+                "reconstructable"
+            )
+        m = _read_manifest(path, v)
+        op = m.get("op")
+        if op == "optimize":
+            continue
+        if op == "append":
+            need_prev(v)
+            prev_dirs = (
+                set(_read_manifest(path, v - 1)["dirs"]) if v - 1 else set()
+            )
+            new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
+            if not new_dirs:
+                continue
+            plan = {
+                "schema": m.get("schema"),
+                "schema_heterogeneous": m.get("schema_heterogeneous", False),
+                "paths": [os.path.join(path, d) for d in new_dirs],
+            }
+            frames.append(reconcile(_read_plan(spark, plan), "insert", v))
+        elif op == "merge":
+            change_dir = m.get("changes")
+            if change_dir is None:
+                raise ValueError(
+                    f"version {v} is a merge committed without "
+                    "change_feed=True: its row-level changes were not "
+                    "recorded"
+                )
+            cf = spark.read.parquet(os.path.join(path, change_dir))
+            frames.append(reconcile(cf, None, v))
+        elif op in ("overwrite", "restore"):
+            if v - 1 > 0:
+                need_prev(v)
+                frames.append(
+                    reconcile(vt_read(spark, path, v - 1), "delete", v)
+                )
+            frames.append(reconcile(vt_read(spark, path, v), "insert", v))
+        else:  # pragma: no cover - future ops must opt in explicitly
+            raise ValueError(f"version {v}: unknown op {op!r}")
+
+    if not frames:
+        empty = vt_read(spark, path, to_version or versions[0]).filter(
+            F.lit(False)
+        )
+        return reconcile(empty, "insert", to_version).filter(F.lit(False))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=target is None)
+    return out
 
 
 def vt_checkpoint(spark, path: str) -> int:
@@ -774,12 +926,23 @@ def vt_merge(
     key_cols: Sequence[str],
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
+    change_feed: bool = False,
 ) -> int:
     """Keyed MERGE as a committed version: rows in ``updates`` replace
     current rows with the same key, unmatched keys insert. Copy-on-write
     against the HEAD snapshot; on a commit race the merge re-reads the
     new head and retries (its result is derivable from any head, unlike
     a blind write). Returns the committed version.
+
+    ``change_feed=True`` additionally records the commit's ROW-LEVEL
+    changes (Delta's Change Data Feed): replaced rows as
+    ``update_preimage``, their replacements as ``update_postimage``,
+    unmatched-key rows as ``insert`` — written to a ``c_*`` change
+    directory atomically referenced by the same manifest, so
+    ``vt_read_changes`` can feed incremental maintenance across merges
+    (plain ``vt_read_delta`` only handles append-only ranges). The
+    change rows are recomputed on every retry because the pre-images
+    depend on which head the merge actually lands on.
 
     ``txn=(app, version)`` makes the merge EXACTLY-ONCE for an
     at-least-once producer: if the app already committed this (or a
@@ -799,11 +962,34 @@ def vt_merge(
                 return expected  # replay of an already-committed txn
         if head:
             current = vt_read(spark, path, expected)
-            merged = current.join(
-                updates.select(*keys).distinct(), keys, "left_anti"
-            ).unionByName(updates)
+            upd_keys = updates.select(*keys).distinct()
+            merged = current.join(upd_keys, keys, "left_anti").unionByName(
+                updates
+            )
         else:
+            current = None
             merged = updates
+        change_dir = None
+        if change_feed:
+            if current is not None:
+                cur_keys = current.select(*keys).distinct()
+                pre = current.join(upd_keys, keys, "semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = updates.join(cur_keys, keys, "semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = updates.join(cur_keys, keys, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                change_rows = pre.unionByName(post).unionByName(ins)
+            else:
+                change_rows = updates.withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            change_dir, _, _, _ = _write_data_dir(
+                change_rows, path, prefix="c"
+            )
         new_dir, new_stats, new_fstats, new_files = _write_data_dir(
             merged, path
         )
@@ -818,11 +1004,16 @@ def vt_merge(
                 {new_dir: new_fstats} if new_fstats else None,
                 {new_dir: new_files},
                 schema=json.loads(merged.schema.json()),
+                changes=change_dir,
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
-            # directory and re-derive from the new head
+            # directories and re-derive from the new head
             shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+            if change_dir is not None:
+                shutil.rmtree(
+                    os.path.join(path, change_dir), ignore_errors=True
+                )
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
 
 
@@ -951,15 +1142,21 @@ def vt_vacuum(
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(path, v)["dirs"])
+        m = _read_manifest(path, v)
+        referenced.update(m["dirs"])
+        if m.get("changes"):
+            referenced.add(m["changes"])
     ever_referenced: set[str] = set(referenced)
     for v in versions:
         if v not in keep:
-            ever_referenced.update(_read_manifest(path, v)["dirs"])
+            m = _read_manifest(path, v)
+            ever_referenced.update(m["dirs"])
+            if m.get("changes"):
+                ever_referenced.add(m["changes"])
     now = time.time()
     removed = []
     for name in os.listdir(path):
-        if not name.startswith("d_") or name in referenced:
+        if not name.startswith(("d_", "c_")) or name in referenced:
             continue
         if name not in ever_referenced:
             # possibly an in-flight concurrent write — honor the grace

@@ -2260,6 +2260,91 @@ LLM_QUERIES["events_upsert_time_travel"] = FnWorkload(
 )
 
 
+def _events_vt_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the versioned table, EXECUTED
+    (sources/versioned.py vt_read_changes — Delta CDF): commit per-user
+    totals over the even-half events as version 1, MERGE the recomputed
+    combined totals for users touched by the odd half with
+    ``change_feed=True`` (version 2 records row-level pre/post-images in
+    a ``c_*`` change directory), then read the feed across the whole
+    history and aggregate it by (commit, change type).
+
+    Fully value-oracled because every change row is derivable from the
+    events table alone: v1 inserts = even-half totals; v2 pre-images =
+    v1 rows of touched users that HAD even events, post-images = their
+    combined totals, inserts = totals of touched users with no even
+    events. The replay identity (state ⊎ inserts ∪ postimages ∖ deletes
+    ∪ preimages = next snapshot) is pinned in tests/test_versioned.py."""
+    from ..sources.versioned import vt_merge, vt_read_changes, vt_write
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("s"),
+        )
+
+    path = os.path.join(_scratch_dir("vtchanges", sf_dir), "totals")
+    vt_write(spark, path, totals(ev.filter(F.col("event_id") % 2 == 0)))
+    touched = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    vt_merge(
+        spark,
+        path,
+        totals(ev.join(touched, "user_id", "semi")),
+        ["user_id"],
+        change_feed=True,
+    )
+    cf = vt_read_changes(spark, path, 0, 2)
+    return cf.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.round(F.sum("s"), 6).cast("double").alias("sum_s"),
+    )
+
+
+_EVENTS_VT_CHANGES_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+even AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,12))) AS s
+  FROM ev WHERE event_id % 2 = 0 GROUP BY 1
+),
+allu AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,12))) AS s
+  FROM ev GROUP BY 1
+),
+touched AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1),
+changes AS (
+  SELECT 1 AS commit_version, 'insert' AS change_type, n, s FROM even
+  UNION ALL
+  SELECT 2, 'update_preimage', e.n, e.s
+  FROM even e JOIN touched t USING (user_id)
+  UNION ALL
+  SELECT 2, 'update_postimage', a.n, a.s
+  FROM allu a JOIN touched t USING (user_id)
+  WHERE a.user_id IN (SELECT user_id FROM even)
+  UNION ALL
+  SELECT 2, 'insert', a.n, a.s
+  FROM allu a JOIN touched t USING (user_id)
+  WHERE a.user_id NOT IN (SELECT user_id FROM even)
+)
+SELECT commit_version, change_type, count(*) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(round(sum(s), 6) AS DOUBLE) AS sum_s
+FROM changes GROUP BY 1, 2
+""".strip()
+
+
+LLM_QUERIES["events_vt_change_feed"] = FnWorkload(
+    _events_vt_change_feed, _EVENTS_VT_CHANGES_SQL
+)
+
+
 def _events_vt_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table DATA SKIPPING, EXECUTED (sources/versioned.py r6):
     commit the low half of events (by event_id) as version 1, APPEND the

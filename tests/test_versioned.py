@@ -755,3 +755,200 @@ class TestSchemaEvolution:
         assert delta.columns == ["id", "v", "score"]
         got = {(r["id"], r["v"], r["score"]) for r in delta.collect()}
         assert got == {(2, "b", None), (3, "c", 9.0)}
+
+
+class TestChangeFeed:
+    """vt_read_changes — the row-level Change Data Feed (Delta CDF):
+    merges record pre/post-images, appends synthesize inserts from the
+    added files, overwrites synthesize delete-all + insert-all, and the
+    replay identity  state ⊎ (insert ∪ post) ∖ (delete ∪ pre) = next
+    holds across any retained version range."""
+
+    @staticmethod
+    def _changes(df):
+        return {
+            (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in df.collect()
+        }
+
+    def test_merge_records_row_level_changes(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_merge(
+            spark, path, _df(spark, [(2, "B2"), (3, "c")]), ["id"],
+            change_feed=True,
+        )
+        got = self._changes(vt_read_changes(spark, path, 1, 2))
+        assert got == {
+            (2, "b", "update_preimage", 2),
+            (2, "B2", "update_postimage", 2),
+            (3, "c", "insert", 2),
+        }
+        # order of data/meta columns is the read contract
+        cols = vt_read_changes(spark, path, 1, 2).columns
+        assert cols == ["id", "v", "_change_type", "_commit_version"]
+
+    def test_append_overwrite_and_optimize_sourcing(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))              # v1
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")  # v2
+        vt_optimize(spark, path, ["id"], n_partitions=1)           # v3
+        vt_write(spark, path, _df(spark, [(9, "z")]))              # v4 overwrite
+        got = self._changes(vt_read_changes(spark, path, 0, 4))
+        assert got == {
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 2),
+            # v3 optimize: no logical change, contributes nothing
+            (1, "a", "delete", 4),
+            (2, "b", "delete", 4),
+            (9, "z", "insert", 4),
+        }
+        # empty range → empty frame with the change-feed schema
+        empty = vt_read_changes(spark, path, 4, 4)
+        assert empty.count() == 0
+        assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+
+    def test_replay_identity_over_mixed_history(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        vt_write(spark, path, _df(spark, [(4, "d")]), mode="append")
+        vt_merge(
+            spark, path, _df(spark, [(2, "B"), (5, "e")]), ["id"],
+            change_feed=True,
+        )
+        vt_write(spark, path, _df(spark, [(7, "g"), (8, "h")]))
+        vt_merge(
+            spark, path, _df(spark, [(8, "H"), (1, "back")]), ["id"],
+            change_feed=True,
+        )
+        from collections import Counter
+
+        def counts(df):
+            return Counter((r["id"], r["v"]) for r in df.collect())
+
+        head = vt_versions(path)[-1]
+        for a in range(0, head + 1):
+            for b in range(max(a, 1), head + 1):
+                cf = vt_read_changes(spark, path, a, b)
+                adds = counts(
+                    cf.filter(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                    ).select("id", "v")
+                )
+                drops = counts(
+                    cf.filter(
+                        F.col("_change_type").isin(
+                            "delete", "update_preimage"
+                        )
+                    ).select("id", "v")
+                )
+                state = (
+                    counts(vt_read(spark, path, a)) if a else Counter()
+                )
+                # multiset replay telescopes across the whole range:
+                # state + Σadds − Σdrops = target, with every
+                # intermediate count non-negative by construction
+                replayed = state.copy()
+                replayed.update(adds)
+                replayed.subtract(drops)
+                replayed = Counter(
+                    {k: n for k, n in replayed.items() if n}
+                )
+                assert replayed == counts(vt_read(spark, path, b)), (a, b)
+
+    def test_merge_without_change_feed_raises(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_merge(spark, path, _df(spark, [(2, "b")]), ["id"])
+        with pytest.raises(ValueError, match="without\\s+change_feed"):
+            vt_read_changes(spark, path, 1, 2)
+
+    def test_vacuum_drops_expired_change_dirs_keeps_live(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_merge(
+            spark, path, _df(spark, [(2, "b")]), ["id"], change_feed=True
+        )  # v2: its c_ dir will expire
+        vt_merge(
+            spark, path, _df(spark, [(3, "c")]), ["id"], change_feed=True
+        )  # v3
+        vt_merge(
+            spark, path, _df(spark, [(4, "d")]), ["id"], change_feed=True
+        )  # v4
+        assert len([n for n in os.listdir(path) if n.startswith("c_")]) == 3
+        vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+        live = [n for n in os.listdir(path) if n.startswith("c_")]
+        assert len(live) == 2  # v3's and v4's survive with their manifests
+        got = self._changes(vt_read_changes(spark, path, 3, 4))
+        assert got == {(4, "d", "insert", 4)}
+        # a range crossing vacuumed versions refuses loudly (from=0 is
+        # always a legal endpoint, but v1/v2's manifests are gone)
+        vt_write(spark, path, _df(spark, [(9, "z")]))  # v5 overwrite
+        vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
+        with pytest.raises(ValueError, match="vacuumed"):
+            vt_read_changes(spark, path, 0, 5)
+
+    def test_merge_race_loser_recomputes_changes(self, spark, tmp_path):
+        """A merge that loses a commit race must discard BOTH its data
+        dir and its change dir, and the retried merge's pre-images must
+        reflect the head it actually landed on."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            _commit,
+            _read_manifest,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        # pre-claim version 2: the racing winner changed row 1 → "RACE"
+        winner = _df(spark, [(1, "RACE")])
+        from dynamicqueryengine_spark.sources.versioned import (
+            _write_data_dir,
+        )
+
+        wdir, wstats, wfstats, wfiles = _write_data_dir(winner, path)
+        _commit(
+            path, [wdir], "overwrite", 1,
+            {wdir: wstats} if wstats else {}, None,
+            {wdir: wfstats}, {wdir: wfiles},
+            schema=__import__("json").loads(winner.schema.json()),
+        )
+        v = vt_merge(
+            spark, path, _df(spark, [(1, "merged")]), ["id"],
+            change_feed=True,
+        )
+        assert v == 3
+        got = self._changes(vt_read_changes(spark, path, 2, 3))
+        # pre-image is the WINNER's row, not version 1's
+        assert got == {
+            (1, "RACE", "update_preimage", 3),
+            (1, "merged", "update_postimage", 3),
+        }
+        # exactly one live change dir (the loser's was cleaned up)
+        assert len([n for n in os.listdir(path) if n.startswith("c_")]) == 1
