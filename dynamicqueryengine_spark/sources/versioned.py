@@ -1070,23 +1070,128 @@ def vt_restore(spark, path: str, version: int) -> int:
     )
 
 
+def _zorder_column(
+    spark, snap: DataFrame, cluster_by: Sequence[str], bits: int = 4
+) -> "F.Column":
+    """Interleaved-bit Z-VALUE over ``cluster_by`` — Delta OPTIMIZE
+    ZORDER's space-filling-curve key, built entirely from JVM Column
+    expressions so the rewrite stays in whole-stage codegen:
+
+    1. per column, ``approxQuantile`` (one distributed pass, driver gets
+       ``2^bits - 1`` boundaries) defines equal-frequency buckets —
+       rank-based, so skew in any one column cannot starve the others'
+       bits (the same quantile-bucketing Delta's range_partition_id
+       uses);
+    2. each row's bucket id = count of boundaries ≤ value, via
+       ``size(filter(array(...)))`` over the broadcast boundary
+       literals — O(2^bits) comparisons per row, codegen'd;
+    3. bucket bits interleave round-robin (bit j of column i lands at
+       position ``j*k + i``), so a range of z-values bounds EVERY
+       coordinate — files sorted by z get tight min/max footers on all
+       cluster columns at once, which is what makes multi-column data
+       skipping work.
+
+    Numeric/timestamp/date columns only (they cast losslessly to a
+    comparable double; strings would need binary truncation semantics
+    and their skipping payoff is equality-only) — unsupported types
+    raise. Nulls sort to bucket 0."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampType,
+    )
+
+    numeric_ok = (
+        ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, DecimalType, DateType, TimestampType,
+    )
+    schema = {f.name: f.dataType for f in snap.schema.fields}
+    for c in cluster_by:
+        if c not in schema:
+            raise ValueError(f"zorder column {c!r} not in snapshot schema")
+        if not isinstance(schema[c], numeric_ok):
+            raise ValueError(
+                f"zorder column {c!r} has type "
+                f"{schema[c].simpleString()}: z-ordering supports "
+                "numeric, decimal, date and timestamp columns"
+            )
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    as_double = snap.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            if not isinstance(schema[c], (DateType, TimestampType))
+            else F.unix_timestamp(F.col(c)).cast("double").alias(c)
+            if isinstance(schema[c], TimestampType)
+            else F.datediff(F.col(c), F.lit("1970-01-01")).cast(
+                "double"
+            ).alias(c)
+            for c in cluster_by
+        ]
+    )
+    boundaries = as_double.stat.approxQuantile(
+        list(cluster_by), probs, 1.0 / (4 * n_buckets)
+    )
+    k = len(cluster_by)
+    bucket_cols = []
+    for c, bounds in zip(cluster_by, boundaries):
+        if not bounds:
+            # empty snapshot or all-null column: no boundaries → one
+            # bucket, this column contributes no bits
+            bucket_cols.append(F.lit(0).cast("long"))
+            continue
+        if isinstance(schema[c], TimestampType):
+            v = F.unix_timestamp(F.col(c)).cast("double")
+        elif isinstance(schema[c], DateType):
+            v = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        else:
+            v = F.col(c).cast("double")
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.when(
+            v.isNull(), F.lit(0)
+        ).otherwise(F.size(F.filter(arr, lambda b: b <= v)))
+        bucket_cols.append(bucket.cast("long"))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, bcol in enumerate(bucket_cols):
+            bit = F.shiftright(bcol, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
 def vt_optimize(
     spark,
     path: str,
     cluster_by: Sequence[str],
     n_partitions: int = 8,
+    method: str = "range",
+    zorder_bits: int = 4,
 ) -> int:
-    """Rewrite the HEAD snapshot range-clustered on ``cluster_by`` —
-    Delta OPTIMIZE ZORDER's single-key analogue: ``repartitionByRange``
-    puts disjoint key ranges in separate tasks, ``sortWithinPartitions``
-    tightens each output FILE's footer min/max, and the commit carries
-    per-file stats — so a selective ``vt_read(predicate=...)`` afterward
-    keeps O(1) of the files instead of all of them (file-level data
-    skipping), and small appended files compact away. Commits as a new
-    version (``op="optimize"``): old versions stay time-travelable until
+    """Rewrite the HEAD snapshot clustered on ``cluster_by`` — Delta's
+    OPTIMIZE: ``repartitionByRange`` puts disjoint key ranges in
+    separate tasks, ``sortWithinPartitions`` tightens each output
+    FILE's footer min/max, and the commit carries per-file stats — so a
+    selective ``vt_read(predicate=...)`` afterward keeps O(1) of the
+    files instead of all of them (file-level data skipping), and small
+    appended files compact away. Commits as a new version
+    (``op="optimize"``): old versions stay time-travelable until
     vacuumed, and concurrent-commit losers clean up their orphan
     directory exactly like vt_write. Range boundaries come from Spark's
     reservoir sampling — layout, not results, depends on them.
+
+    ``method="range"`` clusters lexicographically: perfect skipping on
+    the FIRST cluster column, little on the rest. ``method="zorder"``
+    clusters on an interleaved-bit space-filling curve
+    (:func:`_zorder_column`) instead — every cluster column gets tight
+    per-file ranges, so predicates on ANY of them (not just the first)
+    prune files: Delta's OPTIMIZE ZORDER. Use range for one hot column,
+    zorder for multi-dimension query mixes.
 
     At 100 TB this is the maintenance job that keeps skipping effective:
     run it per partition-of-the-keyspace, not whole-table (the same
@@ -1098,9 +1203,20 @@ def vt_optimize(
         raise FileNotFoundError(f"no committed versions at {path}")
     expected = head[-1]
     snap = vt_read(spark, path, expected)
-    clustered = snap.repartitionByRange(n_partitions, *keys).sortWithinPartitions(
-        *keys
-    )
+    if method == "zorder":
+        z = _zorder_column(spark, snap, cluster_by, zorder_bits)
+        clustered = (
+            snap.withColumn("__z", z)
+            .repartitionByRange(n_partitions, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif method == "range":
+        clustered = snap.repartitionByRange(
+            n_partitions, *keys
+        ).sortWithinPartitions(*keys)
+    else:
+        raise ValueError(f"unknown optimize method {method!r}")
     new_dir, new_stats, new_fstats, new_files = _write_data_dir(
         clustered, path
     )

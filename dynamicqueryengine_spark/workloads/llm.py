@@ -2709,6 +2709,89 @@ LLM_QUERIES["events_vt_optimize_skip"] = FnWorkload(
 )
 
 
+def _events_vt_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN Z-ORDER data skipping, EXECUTED (sources/
+    versioned.py _zorder_column — Delta OPTIMIZE ZORDER): stage events
+    as a versioned table, OPTIMIZE on the interleaved-bit z-curve over
+    (user_id, event_id), then probe the top eighth of EACH cluster
+    column. Lexicographic range clustering can only prune on its first
+    column; the z-curve bounds every coordinate per file, so BOTH
+    probes must keep strictly fewer than all files — those two pinned
+    booleans are the mechanism contract, while the returned aggregate
+    (filtered on the SECOND column, the one lexicographic clustering
+    cannot skip on) equals the plain filtered aggregate the SQL mirror
+    computes: pruning is invisible to results by construction."""
+    from ..sources.versioned import (
+        vt_optimize,
+        vt_read,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("elo"), F.max("event_id").alias("ehi"),
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+    ).collect()[0]  # four bounded scalars driving deterministic probes
+    probe_e = b["elo"] + ((b["ehi"] - b["elo"]) * 7) // 8
+    probe_u = b["ulo"] + ((b["uhi"] - b["ulo"]) * 7) // 8
+
+    path = os.path.join(_scratch_dir("vtzorder", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(
+        spark, path, ["user_id", "event_id"], n_partitions=8,
+        method="zorder",
+    )
+    plan_u = vt_scan_plan(path, predicate=("user_id", ">", probe_u))
+    plan_e = vt_scan_plan(path, predicate=("event_id", ">", probe_e))
+    out = (
+        vt_read(spark, path, predicate=("event_id", ">", probe_e))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(
+            0 < plan_u["files_kept"] < plan_u["files_total"]
+        ).alias("first_col_prunes"),
+        F.lit(
+            0 < plan_e["files_kept"] < plan_e["files_total"]
+        ).alias("second_col_prunes"),
+    )
+
+
+_EVENTS_VT_ZORDER_SQL = """
+WITH b AS (
+  SELECT min(event_id) + ((max(event_id) - min(event_id)) * 7) // 8
+           AS probe
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS first_col_prunes,
+       TRUE AS second_col_prunes
+FROM events, b
+WHERE event_id > probe
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_zorder_skip"] = FnWorkload(
+    _events_vt_zorder_skip, _EVENTS_VT_ZORDER_SQL
+)
+
+
 def _events_vt_rule_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RULE-predicate-driven data skipping, EXECUTED (r9): the engine's
     two flagship surfaces COMPOSED. Stage events as a versioned table,

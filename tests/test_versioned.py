@@ -952,3 +952,75 @@ class TestChangeFeed:
         }
         # exactly one live change dir (the loser's was cleaned up)
         assert len([n for n in os.listdir(path) if n.startswith("c_")]) == 1
+
+
+class TestZOrder:
+    """vt_optimize(method="zorder") — interleaved-bit multi-column
+    clustering. The payoff over lexicographic range clustering: a
+    selective predicate on the SECOND cluster column prunes files too."""
+
+    @staticmethod
+    def _grid(spark, n=64):
+        # two INDEPENDENT uniform dimensions (full cross product) —
+        # worst case for lexicographic clustering, ideal for the z-curve
+        rows = [(i, i // n, i % n) for i in range(n * n)]
+        return spark.createDataFrame(rows, "id long, x long, y long")
+
+    def test_zorder_prunes_on_every_cluster_column(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_scan_plan,
+        )
+
+        n = 32
+        df = self._grid(spark, n)
+        p_range = str(tmp_path / "range")
+        p_z = str(tmp_path / "zorder")
+        vt_write(spark, p_range, df)
+        vt_write(spark, p_z, df)
+        vt_optimize(spark, p_range, ["x", "y"], n_partitions=16)
+        vt_optimize(
+            spark, p_z, ["x", "y"], n_partitions=16, method="zorder"
+        )
+        pred = ("y", "<", 2)
+        plan_range = vt_scan_plan(p_range, predicate=pred)
+        plan_z = vt_scan_plan(p_z, predicate=pred)
+        # lexicographic on (x, y): y ranges span everything → ~no pruning
+        # z-order: y's bits bound every file's y range → real pruning
+        assert plan_z["files_kept"] < plan_range["files_kept"], (
+            plan_z["files_kept"], plan_range["files_kept"])
+        # and the first column still prunes under zorder too
+        plan_zx = vt_scan_plan(p_z, predicate=("x", "<", 2))
+        assert plan_zx["files_kept"] < 16
+        # correctness: both layouts return identical filtered rows
+        got_r = {r["id"] for r in
+                 vt_read(spark, p_range, predicate=pred).collect()}
+        got_z = {r["id"] for r in
+                 vt_read(spark, p_z, predicate=pred).collect()}
+        want = {r["id"] for r in df.filter("y < 2").collect()}
+        assert got_r == want and got_z == want
+
+    def test_zorder_timestamp_and_rejects_strings(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        df = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(10)], "id long, name string"
+        ).withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id").cast("double")),
+        )
+        path = str(tmp_path / "t")
+        vt_write(spark, path, df)
+        # timestamp column clusters fine
+        vt_optimize(spark, path, ["ts", "id"], method="zorder",
+                    n_partitions=2)
+        assert {r["id"] for r in vt_read(spark, path).collect()} == set(
+            range(10)
+        )
+        with pytest.raises(ValueError, match="z-ordering supports"):
+            vt_optimize(spark, path, ["name"], method="zorder")
+        with pytest.raises(ValueError, match="unknown optimize method"):
+            vt_optimize(spark, path, ["id"], method="hilbert")
