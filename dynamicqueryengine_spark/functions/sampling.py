@@ -280,3 +280,63 @@ rates AS (
 SELECT {columns} FROM {table} t JOIN rates USING ({stratum_col})
 WHERE {_hex_fraction_sql("t." + id_col)} < rates.rate
 """.strip()
+
+
+def split_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: assign whole NEAR-DUP CLUSTERS to
+    one side, never individual documents — a per-document random split
+    puts one copy of a near-duplicated document in train and another in
+    test, which silently inflates eval scores (the classic
+    contamination failure a 100 TB pretraining pipeline must prevent).
+
+    Mechanism: transitive near-dup clusters (connected components over
+    ``pairs``; singletons are their own cluster) pick a side by the
+    deterministic :func:`hash_fraction` of their EXEMPLAR id — so (a)
+    every member of a cluster lands on the same side by construction,
+    (b) the split is reproducible across runs, engines, and corpus
+    repartitionings, and (c) the achieved test share approaches
+    ``test_fraction`` in cluster-count, not row-count, terms (large
+    clusters move in blocks; that is inherent to any leakage-safe
+    split). Returns ``docs``' id column plus ``cluster_id``,
+    ``cluster_size``, ``split`` ∈ {'train','test'}.
+
+    Scale: one components computation (pointer-jumping above the driver
+    gate — see functions/cluster.py), one key join to attach cluster
+    ids, and a scan-time hash filter; the corpus itself never shuffles
+    beyond the attach join."""
+    from .cluster import cluster_assign
+
+    assign = cluster_assign(docs, pairs, id_col, id_a, id_b)
+    return assign.withColumn(
+        "split",
+        F.when(
+            hash_fraction(F.col("cluster_id")) < F.lit(test_fraction),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def split_leakage_safe_sql(
+    pairs_sql: str,
+    test_fraction: float,
+    docs_table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`split_leakage_safe` (same recursive
+    components as cluster_assign_sql, same md5 hash fraction)."""
+    from .cluster import cluster_assign_sql
+
+    inner = cluster_assign_sql(pairs_sql, docs_table, id_col)
+    return f"""
+SELECT a.*,
+       CASE WHEN {_hex_fraction_sql("a.cluster_id")} < {test_fraction}
+            THEN 'test' ELSE 'train' END AS split
+FROM ({inner}) a
+""".strip()

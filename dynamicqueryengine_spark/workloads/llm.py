@@ -454,6 +454,59 @@ def _dedup_clusters_sql() -> str:
     )
 
 
+def _docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split (functions/sampling.py
+    split_leakage_safe): near-dup clusters (transitive closure of the
+    jaccard≥0.7 graph) pick a side as a UNIT via the deterministic hash
+    of their exemplar id, so no near-duplicate pair can straddle the
+    split — the contamination failure a per-document random split
+    causes. The ``violations`` column is not asserted but COMPUTED: the
+    pair list is re-joined against the split sides and cross-side pairs
+    counted (0 by construction, verified by the oracle too)."""
+    docs = _docs(spark, sf_dir)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
+    split = SM.split_leakage_safe(docs, pairs, 0.1)
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    viol = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    out = split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clustered_docs"),
+    )
+    return out.crossJoin(F.broadcast(viol))
+
+
+def _docs_split_leakage_safe_sql() -> str:
+    pairs_sql = D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
+    split_sql = SM.split_leakage_safe_sql(pairs_sql, 0.1)
+    return f"""
+WITH split AS ({split_sql}),
+pairs AS ({pairs_sql}),
+viol AS (
+  SELECT count(*) AS violations
+  FROM pairs p
+  JOIN split a ON p.id_a = a.doc_id
+  JOIN split b ON p.id_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT s.split, count(*) AS n_docs,
+       count(DISTINCT s.cluster_id) AS n_clusters,
+       CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered_docs,
+       viol.violations
+FROM split s, viol
+GROUP BY s.split, viol.violations
+""".strip()
+
+
 def _decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every corpus doc sharing any
     5-word n-gram with the 'benchmark' slice (deterministic doc_id%97
@@ -1363,6 +1416,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
         _dedup_minhash, D.ngram_jaccard_pairs_sql("documents", k=5, threshold=0.7)
     ),
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
+    "docs_split_leakage_safe": FnWorkload(
+        _docs_split_leakage_safe, _docs_split_leakage_safe_sql()
+    ),
     "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
     "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),
     "docs_repeated_spans": FnWorkload(

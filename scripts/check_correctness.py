@@ -36,6 +36,7 @@ QUADRATIC_ORACLES = {
     "dedup_canonical_by_quality",
     "dedup_fuzzy_edit_distance",
     "dedup_vt_incremental_index",
+    "docs_split_leakage_safe",
     "graph_pagerank_neardup",
     "graph_triangle_counts",
     "corpus_dedup_rate_report",

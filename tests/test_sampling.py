@@ -67,3 +67,47 @@ def test_temperature_reproducible_and_partition_invariant(spark):
     a = _ids(sample_temperature(df))
     b = _ids(sample_temperature(df.repartition(11)))
     assert a == b
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from dynamicqueryengine_spark.functions.sampling import (
+        split_leakage_safe,
+    )
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    # two chains (0-1-2, 10-11) plus isolated docs
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.8), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    split = split_leakage_safe(docs, pairs, 0.2)
+    rows = {r["doc_id"]: r for r in split.collect()}
+    assert len(rows) == 500
+    # every cluster member shares its exemplar's side
+    assert {rows[i]["split"] for i in (0, 1, 2)} == {rows[0]["split"]}
+    assert rows[10]["split"] == rows[11]["split"]
+    assert rows[0]["cluster_size"] == 3 and rows[10]["cluster_size"] == 2
+    # no near-dup pair straddles the split (the property under test)
+    sides = split.select("doc_id", "split")
+    straddle = (
+        pairs.join(sides.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("split", "sa")
+        .join(
+            sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "split", "sb"
+            ),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    # deterministic + partition-invariant, and roughly the asked share
+    again = split_leakage_safe(docs.repartition(7), pairs, 0.2)
+    assert {(r["doc_id"], r["split"]) for r in again.collect()} == {
+        (r["doc_id"], r["split"]) for r in split.collect()
+    }
+    n_test = sum(1 for r in rows.values() if r["split"] == "test")
+    assert 0.1 < n_test / 500 < 0.3
