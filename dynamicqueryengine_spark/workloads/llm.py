@@ -3094,6 +3094,77 @@ LLM_QUERIES["events_vt_incremental_rollup"] = FnWorkload(
 )
 
 
+def _events_vt_cdf_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance ACROSS A MERGE via the change
+    data feed (sources/versioned.py vt_read_changes) — the case
+    vt_read_delta cannot handle (events_vt_incremental_rollup is its
+    append-only sibling). Commit per-user totals over the even-half
+    events, materialize a global rollup from that snapshot, MERGE in
+    combined totals for odd-touched users with ``change_feed=True``,
+    then refresh the rollup from ONLY the change rows: each change
+    contributes with sign +1 (insert/update_postimage) or −1
+    (delete/update_preimage), so refresh cost is O(|changes|), never
+    O(|table|). count/sum are signed-associative, so the maintained
+    state equals a full recompute EXACTLY — which is what the SQL
+    mirror checks by aggregating the raw events table directly."""
+    from ..sources.versioned import vt_merge, vt_read, vt_read_changes, vt_write
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("s"),
+        )
+
+    path = os.path.join(_scratch_dir("vtcdfroll", sf_dir), "totals")
+    v1 = vt_write(spark, path, totals(ev.filter(F.col("event_id") % 2 == 0)))
+    base = vt_read(spark, path, v1).agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+    )
+    touched = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    v2 = vt_merge(
+        spark,
+        path,
+        totals(ev.join(touched, "user_id", "semi")),
+        ["user_id"],
+        change_feed=True,
+    )
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = vt_read_changes(spark, path, v1, v2).agg(
+        F.coalesce(F.sum(sign), F.lit(0)).alias("du"),
+        F.coalesce(F.sum(sign * F.col("n")), F.lit(0)).alias("dtn"),
+        F.coalesce(
+            F.sum(F.col("s") * sign), F.lit(0).cast("decimal(38,12)")
+        ).alias("dts"),
+    )
+    return base.crossJoin(F.broadcast(delta)).select(
+        (F.col("u") + F.col("du")).cast("long").alias("n_users"),
+        (F.col("tn") + F.col("dtn")).cast("long").alias("total_events"),
+        F.round(F.col("ts") + F.col("dts"), 6)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_EVENTS_VT_CDF_ROLLUP_SQL = """
+SELECT count(DISTINCT user_id) AS n_users,
+       count(*) AS total_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS total_value
+FROM events
+""".strip()
+
+
+LLM_QUERIES["events_vt_cdf_rollup"] = FnWorkload(
+    _events_vt_cdf_rollup, _EVENTS_VT_CDF_ROLLUP_SQL
+)
+
+
 def _dedup_vt_incremental_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
