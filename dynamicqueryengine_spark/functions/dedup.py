@@ -1300,3 +1300,108 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
   FROM e a JOIN e b ON a.{id_col} < b.{id_col})
 WHERE cosine >= {threshold}
 """.strip()
+
+
+# ------------------------------------------------- paragraph-level dedup --
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    keep_threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style paragraph-granular dedup: documents are split into
+    disjoint ``chunk_tokens``-word "paragraphs" (the corpus has no newline
+    structure, so the segmentation is word-aligned — the same convention as
+    :func:`..functions.chunking.chunk_documents`, which this composes), each
+    paragraph is fingerprinted, and a paragraph is DUPLICATED when its
+    fingerprint occurs in more than one distinct document. Per document:
+
+    * ``n_paragraphs`` — total chunks,
+    * ``n_dup_paragraphs`` — chunks whose content appears in ≥2 docs,
+    * ``dup_char_fraction`` — duplicated-paragraph characters / total
+      paragraph characters (round 6), the RefinedWeb line-dedup signal,
+    * ``keep`` — ``dup_char_fraction <= keep_threshold``.
+
+    Beyond-reference surface (the reference has no text operators at all —
+    SURVEY.md §2.5); doc-level exact/near dedup miners live above.
+
+    Scale shape: chunking is a pure map stage (no shuffle); the
+    paragraph-frequency table is one hash-partitioned groupBy on the md5
+    fingerprint; the frequency join is keyed on the same fingerprint (no
+    re-partition between the two); the per-doc rollup is one groupBy on
+    ``id_col``. Three shuffles total, all on high-cardinality keys; no
+    windows, no driver state. Boilerplate paragraphs (the exact hot-key
+    case) only ever feed additive aggregates, so skew degrades one reduce
+    task, not correctness, and AQE splits it.
+    """
+    from .chunking import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    ).select(
+        id_col,
+        F.md5(F.col("chunk_text")).alias("_fp"),
+        F.length("chunk_text").alias("_clen"),
+    )
+    freq = (
+        chunks.select(id_col, "_fp")
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+    )
+    dup = F.col("_ndocs") > 1
+    return (
+        chunks.join(freq, "_fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+            F.sum(dup.cast("int")).cast("int").alias("n_dup_paragraphs"),
+            F.round(
+                F.sum(F.when(dup, F.col("_clen")).otherwise(F.lit(0)))
+                / F.sum("_clen"),
+                6,
+            ).alias("dup_char_fraction"),
+        )
+        .withColumn(
+            "keep", F.col("dup_char_fraction") <= F.lit(keep_threshold)
+        )
+    )
+
+
+def paragraph_dedup_stats_sql(
+    table: str,
+    chunk_tokens: int = 10,
+    keep_threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`paragraph_dedup_stats` (exact integers plus
+    one round-6 division)."""
+    from .chunking import chunk_documents_sql
+
+    chunks_sql = chunk_documents_sql(
+        table, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    )
+    return f"""
+WITH chunks AS (
+  SELECT {id_col}, md5(chunk_text) AS fp, len(chunk_text) AS clen
+  FROM ({chunks_sql})
+),
+freq AS (
+  SELECT fp, count(*) AS ndocs
+  FROM (SELECT DISTINCT {id_col}, fp FROM chunks) GROUP BY fp
+)
+SELECT {id_col},
+       CAST(count(*) AS INT) AS n_paragraphs,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS INT)
+         AS n_dup_paragraphs,
+       round(CAST(sum(CASE WHEN ndocs > 1 THEN clen ELSE 0 END) AS DOUBLE) / sum(clen), 6)
+         AS dup_char_fraction,
+       round(CAST(sum(CASE WHEN ndocs > 1 THEN clen ELSE 0 END) AS DOUBLE) / sum(clen), 6)
+         <= {keep_threshold} AS keep
+FROM chunks JOIN freq USING (fp)
+GROUP BY {id_col}
+""".strip()

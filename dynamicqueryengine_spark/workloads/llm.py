@@ -3563,3 +3563,19 @@ FROM ranked WHERE rn = 1
 LLM_QUERIES["dedup_canonical_by_quality"] = FnWorkload(
     _dedup_canonical_by_quality, _dedup_canonical_by_quality_sql()
 )
+
+
+def _docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup signal (functions/dedup.paragraph_dedup_stats):
+    disjoint 10-word chunks, corpus-wide duplicated-paragraph char fraction
+    per document plus the RefinedWeb keep/drop flag. Composes the chunking
+    operator with the dedup family; fully SQL-expressible → value oracle."""
+    return D.paragraph_dedup_stats(
+        _docs(spark, sf_dir), chunk_tokens=10, keep_threshold=0.3
+    )
+
+
+LLM_QUERIES["docs_paragraph_dedup"] = FnWorkload(
+    _docs_paragraph_dedup,
+    D.paragraph_dedup_stats_sql("documents", chunk_tokens=10, keep_threshold=0.3),
+)

@@ -815,3 +815,61 @@ class TestScratchDir:
         assert d2 != d1
         assert os.path.dirname(d2) == os.path.dirname(d1)  # shared base
         assert os.path.exists(marker)  # rerun left the first staging alone
+
+
+class TestParagraphDedup:
+    """paragraph_dedup_stats: disjoint word-chunk "paragraphs", corpus-wide
+    duplicated-paragraph char fraction per doc (functions/dedup.py)."""
+
+    def test_planted_shared_paragraph(self, spark):
+        # docs 1 and 2 share their first 5-word chunk exactly; doc 3 is
+        # fully unique. chunk_tokens=5 ⇒ doc1 = [shared, unique tail].
+        shared = "alpha beta gamma delta epsilon"
+        rows = [
+            (1, shared + " one two three four five"),
+            (2, shared + " six seven eight nine ten"),
+            (3, "totally unrelated words only here nothing shared at all yes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = {
+            r["doc_id"]: r
+            for r in D.paragraph_dedup_stats(
+                df, chunk_tokens=5, keep_threshold=0.3
+            ).collect()
+        }
+        assert out[1]["n_paragraphs"] == 2
+        assert out[1]["n_dup_paragraphs"] == 1
+        # both chunks have the same char length (30 and 23/28?) — compute:
+        # duplicated chars / total chars for doc 1
+        dup_len = len(shared)
+        tot = dup_len + len("one two three four five")
+        assert out[1]["dup_char_fraction"] == round(dup_len / tot, 6)
+        assert not out[1]["keep"]  # > 0.3 duplicated
+        assert out[3]["n_dup_paragraphs"] == 0
+        assert out[3]["dup_char_fraction"] == 0.0
+        assert out[3]["keep"]
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        # the same chunk twice in ONE doc is not a cross-doc duplicate
+        rows = [(1, "a b c d e a b c d e"), (2, "x y z w v u t s r q")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = {
+            r["doc_id"]: r
+            for r in D.paragraph_dedup_stats(df, chunk_tokens=5).collect()
+        }
+        assert out[1]["n_paragraphs"] == 2
+        assert out[1]["n_dup_paragraphs"] == 0
+        assert out[1]["keep"]
+
+    def test_matches_duckdb_oracle(self, spark, docs, testdata_duck):
+        got = sorted(
+            D.paragraph_dedup_stats(docs, chunk_tokens=10).collect()
+        )
+        want = sorted(
+            testdata_duck.execute(
+                D.paragraph_dedup_stats_sql("documents", chunk_tokens=10)
+            ).fetchall()
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert tuple(g) == tuple(w)
