@@ -3579,3 +3579,26 @@ LLM_QUERIES["docs_paragraph_dedup"] = FnWorkload(
     _docs_paragraph_dedup,
     D.paragraph_dedup_stats_sql("documents", chunk_tokens=10, keep_threshold=0.3),
 )
+
+
+def _docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency filter (functions/lm.bigram_lm_scores): an
+    add-k word-bigram model trained on the English slice scores every
+    document's mean negative log-likelihood; micro-nat quantization makes
+    the per-doc sum order-insensitive, so the score is value-oracled."""
+    from ..functions.lm import bigram_lm_scores
+
+    return bigram_lm_scores(
+        _docs(spark, sf_dir), train_filter=F.col("lang") == "en"
+    )
+
+
+def _docs_lm_perplexity_sql() -> str:
+    from ..functions.lm import bigram_lm_scores_sql
+
+    return bigram_lm_scores_sql("documents", "lang = 'en'")
+
+
+LLM_QUERIES["docs_lm_perplexity"] = FnWorkload(
+    _docs_lm_perplexity, _docs_lm_perplexity_sql()
+)

@@ -873,3 +873,60 @@ class TestParagraphDedup:
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert tuple(g) == tuple(w)
+
+
+class TestBigramLm:
+    """bigram_lm_scores: add-k bigram LM + CCNet head/middle/tail buckets
+    (functions/lm.py)."""
+
+    def test_hand_computed_probabilities(self, spark):
+        import math
+
+        from dynamicqueryengine_spark.functions.lm import bigram_lm_scores
+
+        # train = doc 1 only: "a b" → bigrams (<s>,a),(a,b); vocab {a,b}
+        # → V = 3, k = 0.5
+        rows = [(1, "a b"), (2, "a b"), (3, "z z")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = {
+            r["doc_id"]: r
+            for r in bigram_lm_scores(
+                df, train_filter=F.col("doc_id") == 1
+            ).collect()
+        }
+
+        def q(p):
+            return round(math.log(p) * 1e6)
+
+        # doc 1 scores itself: P(a|<s>) = (1+.5)/(1+1.5) = .6
+        #                      P(b|a)   = (1+.5)/(1+1.5) = .6
+        want = round(-(q(0.6) + q(0.6)) / 1e6 / 2, 6)
+        assert out[1]["n_bigrams"] == 2
+        assert out[1]["avg_nll"] == want
+        # doc 3: unseen context z → P = k/(kV) = 1/3 for both bigrams...
+        # except the FIRST bigram (<s>,z): context <s> seen once,
+        # P(z|<s>) = (0+.5)/(1+1.5) = .2
+        want3 = round(-(q(0.2) + q(1 / 3)) / 1e6 / 2, 6)
+        assert out[3]["avg_nll"] == want3
+        # fluent train-like docs head, garbage doc tail
+        assert out[1]["ppl_bucket"] == "head"
+        assert out[3]["ppl_bucket"] == "tail"
+
+    def test_matches_duckdb_oracle(self, spark, docs, testdata_duck):
+        from dynamicqueryengine_spark.functions.lm import (
+            bigram_lm_scores,
+            bigram_lm_scores_sql,
+        )
+
+        got = sorted(
+            bigram_lm_scores(docs, train_filter=F.col("lang") == "en")
+            .collect()
+        )
+        want = sorted(
+            testdata_duck.execute(
+                bigram_lm_scores_sql("documents", "lang = 'en'")
+            ).fetchall()
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert tuple(g) == tuple(w)
