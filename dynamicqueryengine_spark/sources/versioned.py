@@ -152,6 +152,7 @@ def _commit(
     schema: dict | None = None,
     heterogeneous: bool = False,
     changes: str | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -186,6 +187,10 @@ def _commit(
         # per-commit CHANGE directory (row-level change feed for this
         # version); readers find it via vt_read_changes
         manifest["changes"] = changes
+    if blooms:
+        # per-dir per-file Bloom bit-position sets for equality skipping:
+        # {dir: {"m", "k", "files": {file: {col: [positions]}}}}
+        manifest["blooms"] = blooms
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -282,6 +287,116 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
     return dir_stats, file_stats
 
 
+# per-file Bloom filters for equality skipping (Delta's bloom-filter-index
+# idea): m bits / k probes per value, positions derived from md5 so the
+# write side (Spark Column md5 over CAST(col AS STRING)) and the probe side
+# (pure-Python hashlib over str(value), no SparkSession needed in
+# vt_scan_plan) compute bit positions from the IDENTICAL hex digest.
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def _bloom_positions_py(value) -> list[int]:
+    """Probe-side bit positions of a predicate literal — 4 16-bit slices
+    of md5(str(value)) mod m, mirroring the write-side Column expression
+    in :func:`_harvest_blooms`."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return [
+        int(h[4 * i : 4 * i + 4], 16) % _BLOOM_M for i in range(_BLOOM_K)
+    ]
+
+
+# a bloom with more than half its bits set prunes almost nothing but still
+# fattens the manifest — drop it (no bloom = conservatively kept)
+_BLOOM_SATURATION = _BLOOM_M // 2
+
+# value types the probe may hash: Spark's CAST(x AS STRING) and Python's
+# str(x) render these identically. bool is excluded (True vs true), floats
+# are excluded (repr drift) — unsupported probe types keep the file.
+_BLOOM_PROBE_TYPES = (str, int)
+
+
+def _harvest_blooms(
+    spark, full_dir: str, bloom_cols: Sequence[str]
+) -> dict:
+    """Per-file Bloom bit-position sets for ``bloom_cols`` over the files
+    just written to ``full_dir``: one read-back pass keyed by
+    ``_metadata.file_name`` (the write already materialized the data, so
+    this scans only the new directory, never the table). Returns
+    ``{"m", "k", "files": {file: {col: [sorted positions]}}}``; a
+    (file, col) whose set saturates past half the bits is omitted —
+    missing blooms always keep. Null values contribute no positions
+    (blooms cover non-null values, matching the null-rejecting skip
+    ops)."""
+    df = spark.read.parquet(full_dir)
+    have = set(df.columns)
+    cols = [c for c in bloom_cols if c in have]
+    if not cols:
+        return {}
+
+    def positions(c: str):
+        hexd = F.md5(F.col(c).cast("string").cast("binary"))
+        arr = F.array(
+            *[
+                F.pmod(
+                    F.conv(F.substring(hexd, 4 * i + 1, 4), 16, 10).cast(
+                        "int"
+                    ),
+                    F.lit(_BLOOM_M),
+                )
+                for i in range(_BLOOM_K)
+            ]
+        )
+        tagged = F.transform(
+            arr, lambda p: F.struct(F.lit(c).alias("col"), p.alias("pos"))
+        )
+        empty = F.array().cast("array<struct<col:string,pos:int>>")
+        return F.when(F.col(c).isNotNull(), tagged).otherwise(empty)
+
+    exploded = (
+        df.select(
+            F.col("_metadata.file_name").alias("_f"),
+            F.explode(
+                F.concat(*[positions(c) for c in cols])
+            ).alias("_e"),
+        )
+        .select("_f", F.col("_e.col").alias("_c"), F.col("_e.pos").alias("_p"))
+        .groupBy("_f", "_c")
+        .agg(F.collect_set("_p").alias("_ps"))
+    )
+    files: dict = {}
+    for row in exploded.collect():
+        ps = sorted(row["_ps"])
+        if len(ps) > _BLOOM_SATURATION:
+            continue
+        files.setdefault(row["_f"], {})[row["_c"]] = ps
+    if not files:
+        return {}
+    return {"m": _BLOOM_M, "k": _BLOOM_K, "files": files}
+
+
+def _bloom_may_match(file_blooms: dict, op: str, value) -> bool:
+    """Could a file whose Bloom set is ``file_blooms`` (positions list for
+    ONE column) contain a row with ``col <op> value``? Only equality
+    ops consult blooms; anything uncertain keeps the file."""
+    if not file_blooms:
+        return True
+    bits = set(file_blooms)
+
+    def present(v) -> bool:
+        if not isinstance(v, _BLOOM_PROBE_TYPES) or isinstance(v, bool):
+            return True  # unhashable probe type — conservatively present
+        return all(p in bits for p in _bloom_positions_py(v))
+
+    if op == "=":
+        return present(value)
+    if op == "in":
+        return any(present(v) for v in value)
+    return True  # range ops never consult blooms
+
+
 def _write_data_dir(
     df: DataFrame, path: str, prefix: str = "d"
 ) -> tuple[str, dict, dict, list]:
@@ -349,6 +464,7 @@ def vt_write(
     spark, path: str, df: DataFrame, mode: str = "overwrite",
     max_retries: int = 5, merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -376,7 +492,16 @@ def vt_write(
     at-least-once producer (streaming foreachBatch): if the app already
     committed this (or a later) version, the call is a no-op returning
     the current head — the same SetTransaction guard vt_merge carries,
-    re-checked on every retry."""
+    re-checked on every retry.
+
+    ``bloom_cols=[...]`` additionally harvests per-file Bloom filters
+    over those columns (one read-back pass of the NEW directory only)
+    so ``=``/``in`` predicates can prune files whose min/max ranges
+    overlap the probe — the high-cardinality-identity case range stats
+    cannot help with. Blooms, like stats, are per-directory metadata:
+    appends keep previous directories' blooms, snapshot-rewriting ops
+    (merge, optimize) drop them for the rewritten data — missing blooms
+    always keep, so that is sound."""
     if txn is not None:
         last = vt_last_txn(path, txn[0])
         if last is not None and txn[1] <= last:
@@ -385,11 +510,17 @@ def vt_write(
     expected = head[-1] if head else 0
     incoming_schema = json.loads(df.schema.json())
     new_dir, new_stats, new_fstats, new_files = _write_data_dir(df, path)
+    new_blooms = (
+        _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+        if bloom_cols
+        else {}
+    )
     for _ in range(max_retries):
         dirs = [new_dir]
         stats = {new_dir: new_stats} if new_stats else {}
         fstats = {new_dir: new_fstats} if new_fstats else {}
         files = {new_dir: new_files}
+        blooms = {new_dir: new_blooms} if new_blooms else {}
         schema = incoming_schema
         hetero = False
         if mode == "append" and expected:
@@ -398,6 +529,7 @@ def vt_write(
             stats = {**prev.get("stats", {}), **stats}
             fstats = {**prev.get("file_stats", {}), **fstats}
             files = {**prev.get("files", {}), **files}
+            blooms = {**prev.get("blooms", {}), **blooms}
             base = prev.get("schema")
             if base is not None:
                 try:
@@ -417,7 +549,7 @@ def vt_write(
                 path, dirs, mode, expected, stats,
                 txn={"app": txn[0], "version": int(txn[1])} if txn else None,
                 file_stats=fstats, files=files,
-                schema=schema, heterogeneous=hetero,
+                schema=schema, heterogeneous=hetero, blooms=blooms,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -557,9 +689,11 @@ def vt_scan_plan(
             for col, op, value in conjuncts
         )
 
+    blooms = manifest.get("blooms", {})
     kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
     paths: list[str] = []
     files_kept = 0
+    bloom_pruned = 0
     for d in kept_dirs:
         flist = flists.get(d)
         if not flist:
@@ -567,10 +701,24 @@ def vt_scan_plan(
             paths.append(os.path.join(path, d))
             continue
         per_file = fstats.get(d, {})
-        kept_files = [f for f in flist if may_match(per_file.get(f, {}))]
+        dir_blooms = blooms.get(d, {}).get("files", {})
+        kept_files = []
+        for f in flist:
+            if not may_match(per_file.get(f, {})):
+                continue
+            fb = dir_blooms.get(f, {})
+            if fb and not all(
+                _bloom_may_match(fb.get(col), op, value)
+                for col, op, value in conjuncts
+            ):
+                bloom_pruned += 1  # range stats kept it; the bloom didn't
+                continue
+            kept_files.append(f)
         files_kept += len(kept_files)
         paths.extend(os.path.join(path, d, f) for f in kept_files)
     plan.update(dirs_kept=len(kept_dirs), files_kept=files_kept)
+    if bloom_pruned:
+        plan["bloom_pruned"] = bloom_pruned
     # all pruned → keep one dir for the schema; the filter still yields
     # zero rows, so results never depend on pruning. The flag tells plan
     # introspectors (skip-effectiveness pins) that ``paths`` names a

@@ -3602,3 +3602,64 @@ def _docs_lm_perplexity_sql() -> str:
 LLM_QUERIES["docs_lm_perplexity"] = FnWorkload(
     _docs_lm_perplexity, _docs_lm_perplexity_sql()
 )
+
+
+def _events_vt_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table BLOOM-FILTER data skipping, EXECUTED
+    (sources/versioned.py r9): stage events hash-partitioned on a
+    high-cardinality string key whose per-file MIN/MAX ranges all overlap
+    (hash order is alphabet-free), so range stats keep every file — then
+    probe one key's equality. Only the per-file Bloom filters harvested at
+    ``vt_write(bloom_cols=...)`` can prune here, and ``skip_effective``
+    pins in the value oracle that they DID (files_kept < files_total; the
+    probe key lives in exactly one hash partition, and sibling blooms are
+    far from saturation at every test SF — 15/150/1500 users into 8
+    files). The aggregate over the pruned read must equal the plain
+    filtered aggregate, which is what the SQL mirror computes — pruning
+    is invisible to results by construction."""
+    from ..sources.versioned import vt_read, vt_scan_plan, vt_write
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("ukey"),
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    probe = "u" + str(raw.agg(F.min("user_id")).collect()[0][0])
+    path = os.path.join(_scratch_dir("vtbloom", sf_dir), "ev")
+    vt_write(spark, path, ev.repartition(8, "ukey"), bloom_cols=["ukey"])
+    plan = vt_scan_plan(path, predicate=("ukey", "=", probe))
+    out = (
+        vt_read(spark, path, predicate=("ukey", "=", probe))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "sum_value",
+        F.lit(plan["files_kept"] < plan["files_total"]).alias(
+            "skip_effective"
+        ),
+    )
+
+
+_EVENTS_VT_BLOOM_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+p AS (SELECT 'u' || CAST(min(user_id) AS VARCHAR) AS probe FROM ev)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS skip_effective
+FROM ev, p WHERE 'u' || CAST(user_id AS VARCHAR) = probe
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_bloom_skip"] = FnWorkload(
+    _events_vt_bloom_skip, _EVENTS_VT_BLOOM_SQL
+)

@@ -1024,3 +1024,139 @@ class TestZOrder:
             vt_optimize(spark, path, ["name"], method="zorder")
         with pytest.raises(ValueError, match="unknown optimize method"):
             vt_optimize(spark, path, ["id"], method="hilbert")
+
+
+class TestBloomSkipping:
+    """Per-file Bloom filters (r9): equality pruning where min/max can't."""
+
+    @pytest.fixture(scope="class")
+    def bloom_table(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path_factory.mktemp("bloom") / "t")
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 500).cast("string")).alias(
+                "user"
+            ),
+        )
+        vt_write(
+            spark, path, df.repartition(8, "user"), bloom_cols=["user"]
+        )
+        return path
+
+    def test_point_probe_prunes_to_one_file(self, spark, bloom_table):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        plan = vt_scan_plan(bloom_table, predicate=("user", "=", "u123"))
+        # hash partitioning puts u123 in exactly one file; every sibling's
+        # bloom (≤ 63 users × 4 positions, far from saturation) rejects it
+        assert plan["files_total"] >= 2
+        assert plan["files_kept"] < plan["files_total"]
+        assert plan.get("bloom_pruned", 0) >= 1
+
+    def test_pruned_read_matches_unpruned(self, spark, bloom_table):
+        from pyspark.sql import functions as F
+
+        pruned = sorted(
+            vt_read(
+                spark, bloom_table, predicate=("user", "=", "u123")
+            ).collect()
+        )
+        plain = sorted(
+            vt_read(spark, bloom_table)
+            .filter(F.col("user") == "u123")
+            .collect()
+        )
+        assert pruned == plain and len(pruned) == 4
+
+    def test_in_list_probe(self, spark, bloom_table):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        plan = vt_scan_plan(
+            bloom_table, predicate=("user", "in", ["u1", "u499"])
+        )
+        assert plan["files_kept"] <= 2
+        got = sorted(
+            r["k"]
+            for r in vt_read(
+                spark,
+                bloom_table,
+                predicate=("user", "in", ["u1", "u499"]),
+            ).collect()
+        )
+        assert got == [1, 499, 501, 999, 1001, 1499, 1501, 1999]
+
+    def test_unsupported_probe_type_keeps_files(self, spark, bloom_table):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        # float probe: str(x) vs CAST AS STRING drift → bloom must not
+        # prune (min/max on a string column can't either)
+        plan = vt_scan_plan(bloom_table, predicate=("user", "=", 1.5))
+        assert plan.get("bloom_pruned", 0) == 0
+
+    def test_spark_and_python_hash_agree(self, spark):
+        """The probe-side pure-Python positions must equal the write-side
+        Column expression's positions for the same value."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _BLOOM_K,
+            _BLOOM_M,
+            _bloom_positions_py,
+        )
+
+        values = ["u123", "hello world", "", "42", "Ünïcode-テスト"]
+        hexd = F.md5(F.col("v").cast("string").cast("binary"))
+        arr = F.array(
+            *[
+                F.pmod(
+                    F.conv(F.substring(hexd, 4 * i + 1, 4), 16, 10).cast(
+                        "int"
+                    ),
+                    F.lit(_BLOOM_M),
+                )
+                for i in range(_BLOOM_K)
+            ]
+        )
+        got = {
+            r["v"]: list(r["p"])
+            for r in spark.createDataFrame(
+                [(v,) for v in values], "v string"
+            )
+            .select("v", arr.alias("p"))
+            .collect()
+        }
+        for v in values:
+            assert got[v] == _bloom_positions_py(v)
+
+    def test_append_preserves_prior_blooms(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 100).cast("string")).alias(
+                "user"
+            ),
+        )
+        vt_write(
+            spark, path, mk(0, 500).repartition(4, "user"),
+            bloom_cols=["user"],
+        )
+        vt_write(
+            spark, path, mk(500, 1000).repartition(4, "user"),
+            mode="append", bloom_cols=["user"],
+        )
+        plan = vt_scan_plan(path, predicate=("user", "=", "u7"))
+        # both versions' directories carry blooms: pruning applies in each
+        assert plan.get("bloom_pruned", 0) >= 2
+        got = sorted(
+            r["k"]
+            for r in vt_read(
+                spark, path, predicate=("user", "=", "u7")
+            ).collect()
+        )
+        assert got == [7, 107, 207, 307, 407, 507, 607, 707, 807, 907]
