@@ -3663,3 +3663,78 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_bloom_skip"] = FnWorkload(
     _events_vt_bloom_skip, _EVENTS_VT_BLOOM_SQL
 )
+
+
+def _events_vt_cdc_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC SUBSCRIPTION, EXECUTED (streaming/cdc.py r9): the "stream FROM
+    the table" direction. A source versioned table receives three commits
+    (write evens → append odds → keyed MERGE doubling every
+    event_id%10==3 row's value, with change_feed=True); after EACH commit
+    a consumer pumps the change feed into a per-event_type rollup sink,
+    its cursor riding the sink's SetTransaction map so apply+advance is
+    one atomic commit. The final sink must equal a full recompute of the
+    source's final snapshot — count/sum under signed increments are
+    exactly associative — which is what the SQL mirror computes straight
+    from the raw events table. ``versions_applied`` pins that the cursor
+    really advanced through all three source versions."""
+    from ..sources.versioned import vt_merge, vt_read, vt_write
+    from ..streaming.cdc import (
+        apply_rollup_increment,
+        pump_until_current,
+        subscription_cursor,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    base = _scratch_dir("vtcdcsub", sf_dir)
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    app = "rollup_sub"
+    apply = apply_rollup_increment(
+        spark, sink, key_cols=["event_type"], sum_cols={"s": "v"}
+    )
+
+    vt_write(spark, src, ev.filter(F.col("event_id") % 2 == 0))
+    pump_until_current(spark, src, sink, app, apply)
+    vt_write(
+        spark, src, ev.filter(F.col("event_id") % 2 == 1), mode="append"
+    )
+    pump_until_current(spark, src, sink, app, apply)
+    vt_merge(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 10 == 3).withColumn(
+            "v", F.col("v") * 2
+        ),
+        ["event_id"],
+        change_feed=True,
+    )
+    pump_until_current(spark, src, sink, app, apply)
+
+    cursor = subscription_cursor(sink, app)
+    return vt_read(spark, sink).select(
+        "event_type",
+        "n",
+        F.round(F.col("s"), 6).cast("double").alias("sum_value"),
+        F.lit(cursor).cast("long").alias("versions_applied"),
+    )
+
+
+_EVENTS_VT_CDC_SUB_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CASE WHEN event_id % 10 = 3
+                           THEN 2 * CAST(value AS DECIMAL(38,12))
+                           ELSE CAST(value AS DECIMAL(38,12)) END), 6)
+            AS DOUBLE) AS sum_value,
+       CAST(3 AS BIGINT) AS versions_applied
+FROM ev GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_cdc_subscription"] = FnWorkload(
+    _events_vt_cdc_subscription, _EVENTS_VT_CDC_SUB_SQL
+)
