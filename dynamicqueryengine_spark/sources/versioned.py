@@ -83,6 +83,7 @@ __all__ = [
     "vt_optimize",
     "vt_restore",
     "vt_scan_plan",
+    "vt_count",
 ]
 
 _DEC = "decimal(38,12)"
@@ -153,6 +154,7 @@ def _commit(
     heterogeneous: bool = False,
     changes: str | None = None,
     blooms: dict | None = None,
+    file_rows: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -191,6 +193,10 @@ def _commit(
         # per-dir per-file Bloom bit-position sets for equality skipping:
         # {dir: {"m", "k", "files": {file: {col: [positions]}}}}
         manifest["blooms"] = blooms
+    if file_rows:
+        # per-dir per-file exact row counts (footer num_rows) — vt_count's
+        # metadata-only COUNT(*) path
+        manifest["file_rows"] = file_rows
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -215,10 +221,10 @@ def vt_last_txn(path: str, app: str) -> int | None:
     return int(v) if v is not None else None
 
 
-def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
-    """(dir_stats, file_stats) harvested from the written parquet FOOTERS —
-    no second pass over the data (the same place Delta collects its
-    add-file stats).
+def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
+    """(dir_stats, file_stats, file_rows) harvested from the written
+    parquet FOOTERS — no second pass over the data (the same place Delta
+    collects its add-file stats).
 
     * ``dir_stats``: column → [min, max] over the WHOLE directory. A column
       missing min/max in ANY file is dropped entirely — a dir-level range
@@ -229,6 +235,9 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
       what makes ``vt_optimize``'s range clustering pay off: files sorted
       on the cluster key have disjoint tight ranges, so a point/range
       predicate keeps O(1) of them.
+    * ``file_rows``: filename → exact row count (footer ``num_rows``) —
+      what lets ``vt_count`` answer unfiltered COUNT(*) from the manifest
+      alone (Delta's optimized metadata query).
 
     Only JSON-safe scalar types are kept."""
     import glob as _glob
@@ -236,18 +245,20 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is a hard Spark dep
-        return {}, {}
+        return {}, {}, {}
 
     merged: dict = {}
     dropped: set = set()
     file_stats: dict = {}
+    file_rows: dict = {}
     for fp in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
         per_file: dict = {}
         file_dropped: set = set()
         try:
             md = pq.ParquetFile(fp).metadata
         except Exception:
-            return {}, {}  # unreadable footer → no stats, never unsound ones
+            return {}, {}, {}  # unreadable footer → no stats, never unsound ones
+        file_rows[os.path.basename(fp)] = md.num_rows
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -284,7 +295,7 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict]:
         for name, (lo, hi) in merged.items()
         if name not in dropped
     }
-    return dir_stats, file_stats
+    return dir_stats, file_stats, file_rows
 
 
 # per-file Bloom filters for equality skipping (Delta's bloom-filter-index
@@ -399,25 +410,25 @@ def _bloom_may_match(file_blooms: dict, op: str, value) -> bool:
 
 def _write_data_dir(
     df: DataFrame, path: str, prefix: str = "d"
-) -> tuple[str, dict, dict, list]:
-    """Returns (dirname, dir_stats, file_stats, file_list). The file
-    LIST is authoritative and separate from file_stats: a part file
-    whose footer yields no stats (zero rows, non-scalar-only columns)
-    must still be scanned by file-granular reads — pruning keys off
-    stats, membership keys off this list. ``prefix="c"`` writes a
+) -> tuple[str, dict, dict, list, dict]:
+    """Returns (dirname, dir_stats, file_stats, file_list, file_rows).
+    The file LIST is authoritative and separate from file_stats: a part
+    file whose footer yields no stats (zero rows, non-scalar-only
+    columns) must still be scanned by file-granular reads — pruning keys
+    off stats, membership keys off this list. ``prefix="c"`` writes a
     CHANGE directory (row-level change feed for one commit) instead of
     a snapshot data directory."""
     d = f"{prefix}_{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, d)
     df.write.mode("error").parquet(full)
-    dir_stats, file_stats = _harvest_stats(full)
+    dir_stats, file_stats, file_rows = _harvest_stats(full)
     import glob as _glob
 
     files = sorted(
         os.path.basename(p)
         for p in _glob.glob(os.path.join(full, "*.parquet"))
     )
-    return d, dir_stats, file_stats, files
+    return d, dir_stats, file_stats, files, file_rows
 
 
 def _evolve_schema(
@@ -509,7 +520,9 @@ def vt_write(
     head = vt_versions(path)
     expected = head[-1] if head else 0
     incoming_schema = json.loads(df.schema.json())
-    new_dir, new_stats, new_fstats, new_files = _write_data_dir(df, path)
+    new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
+        df, path
+    )
     new_blooms = (
         _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
         if bloom_cols
@@ -521,6 +534,7 @@ def vt_write(
         fstats = {new_dir: new_fstats} if new_fstats else {}
         files = {new_dir: new_files}
         blooms = {new_dir: new_blooms} if new_blooms else {}
+        frows = {new_dir: new_rows} if new_rows else {}
         schema = incoming_schema
         hetero = False
         if mode == "append" and expected:
@@ -530,6 +544,7 @@ def vt_write(
             fstats = {**prev.get("file_stats", {}), **fstats}
             files = {**prev.get("files", {}), **files}
             blooms = {**prev.get("blooms", {}), **blooms}
+            frows = {**prev.get("file_rows", {}), **frows}
             base = prev.get("schema")
             if base is not None:
                 try:
@@ -550,6 +565,7 @@ def vt_write(
                 txn={"app": txn[0], "version": int(txn[1])} if txn else None,
                 file_stats=fstats, files=files,
                 schema=schema, heterogeneous=hetero, blooms=blooms,
+                file_rows=frows,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -1067,6 +1083,50 @@ def vt_head(path: str) -> int:
     return versions[-1]
 
 
+def vt_count(
+    spark,
+    path: str,
+    version: int | None = None,
+    predicate: tuple | list | None = None,
+) -> int:
+    """COUNT(*) of a snapshot. With no predicate and a manifest whose
+    ``file_rows`` map covers EVERY referenced file, the answer comes
+    from the manifest alone — zero data files opened, no Spark job
+    (Delta's optimized metadata query; at 100 TB this is the difference
+    between a driver-side dict sum and a full table scan). Any gap in
+    coverage (legacy manifests, unreadable footers at write time) falls
+    back to the real scan, so the answer is always exact. With a
+    predicate the count is row-level, so kept files must be scanned —
+    but the scan is the PRUNED ``vt_scan_plan`` read (stats + blooms),
+    and an all-pruned plan short-circuits to 0 without touching
+    storage."""
+    v = _resolve_version(path, version)
+    if predicate is None:
+        manifest = _read_manifest(path, v)
+        frows = manifest.get("file_rows", {})
+        flists = manifest.get("files", {})
+        total = 0
+        complete = True
+        for d in manifest["dirs"]:
+            flist = flists.get(d)
+            drows = frows.get(d, {})
+            if not flist or any(f not in drows for f in flist):
+                complete = False
+                break
+            total += sum(drows[f] for f in flist)
+        if complete:
+            return total
+        return vt_read(spark, path, v).count()
+    plan = vt_scan_plan(path, v, predicate)
+    if plan.get("schema_only_fallback"):
+        return 0
+    cond = None
+    for col, op, value in _normalize_predicate(predicate):
+        c = _conjunct_column(col, op, value)
+        cond = c if cond is None else (cond & c)
+    return _read_plan(spark, plan).filter(cond).count()
+
+
 def vt_merge(
     spark,
     path: str,
@@ -1135,11 +1195,11 @@ def vt_merge(
                 change_rows = updates.withColumn(
                     "_change_type", F.lit("insert")
                 )
-            change_dir, _, _, _ = _write_data_dir(
+            change_dir, _, _, _, _ = _write_data_dir(
                 change_rows, path, prefix="c"
             )
-        new_dir, new_stats, new_fstats, new_files = _write_data_dir(
-            merged, path
+        new_dir, new_stats, new_fstats, new_files, new_rows = (
+            _write_data_dir(merged, path)
         )
         try:
             return _commit(
@@ -1153,6 +1213,7 @@ def vt_merge(
                 {new_dir: new_files},
                 schema=json.loads(merged.schema.json()),
                 changes=change_dir,
+                file_rows={new_dir: new_rows} if new_rows else None,
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
@@ -1320,6 +1381,7 @@ def vt_optimize(
     n_partitions: int = 8,
     method: str = "range",
     zorder_bits: int = 4,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Rewrite the HEAD snapshot clustered on ``cluster_by`` — Delta's
     OPTIMIZE: ``repartitionByRange`` puts disjoint key ranges in
@@ -1365,8 +1427,13 @@ def vt_optimize(
         ).sortWithinPartitions(*keys)
     else:
         raise ValueError(f"unknown optimize method {method!r}")
-    new_dir, new_stats, new_fstats, new_files = _write_data_dir(
+    new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
         clustered, path
+    )
+    new_blooms = (
+        _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+        if bloom_cols
+        else {}
     )
     try:
         # the rewrite reconciled every row to the head's logical schema,
@@ -1381,6 +1448,8 @@ def vt_optimize(
             {new_dir: new_fstats} if new_fstats else None,
             {new_dir: new_files},
             schema=json.loads(clustered.schema.json()),
+            blooms={new_dir: new_blooms} if new_blooms else None,
+            file_rows={new_dir: new_rows} if new_rows else None,
         )
     except FileExistsError:
         shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)

@@ -3738,3 +3738,50 @@ FROM ev GROUP BY event_type
 LLM_QUERIES["events_vt_cdc_subscription"] = FnWorkload(
     _events_vt_cdc_subscription, _EVENTS_VT_CDC_SUB_SQL
 )
+
+
+def _events_vt_meta_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*), EXECUTED (sources/versioned.py vt_count
+    r9): commit events in two appends, then answer the unfiltered count
+    from the manifest's per-file footer row counts alone — Delta's
+    "optimized metadata query"; at 100 TB this is a driver-side dict sum
+    vs a full scan. The filtered count goes through the PRUNED scan
+    (stats + blooms). Both must equal the oracle's plain counts — the
+    metadata path is exact by parquet's footer contract, not an
+    estimate."""
+    from ..sources.versioned import vt_count, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    path = os.path.join(_scratch_dir("vtmetacount", sf_dir), "ev")
+    vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") > mid), mode="append"
+    )
+    n_total = vt_count(spark, path)
+    n_high = vt_count(spark, path, predicate=("event_id", ">", mid))
+    return spark.range(1).select(
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(n_high).cast("long").alias("n_high"),
+    )
+
+
+_EVENTS_VT_META_COUNT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+b AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid
+  FROM ev
+)
+SELECT (SELECT count(*) FROM ev) AS n_total,
+       (SELECT count(*) FROM ev, b WHERE event_id > mid) AS n_high
+""".strip()
+
+
+LLM_QUERIES["events_vt_meta_count"] = FnWorkload(
+    _events_vt_meta_count, _EVENTS_VT_META_COUNT_SQL
+)

@@ -932,7 +932,7 @@ class TestChangeFeed:
             _write_data_dir,
         )
 
-        wdir, wstats, wfstats, wfiles = _write_data_dir(winner, path)
+        wdir, wstats, wfstats, wfiles, _ = _write_data_dir(winner, path)
         _commit(
             path, [wdir], "overwrite", 1,
             {wdir: wstats} if wstats else {}, None,
@@ -1160,3 +1160,98 @@ class TestBloomSkipping:
             ).collect()
         )
         assert got == [7, 107, 207, 307, 407, 507, 607, 707, 807, 907]
+
+
+class TestMetadataCount:
+    """vt_count (r9): COUNT(*) from manifest file_rows, no data scan."""
+
+    def test_metadata_count_never_scans(self, spark, tmp_path, monkeypatch):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_write(spark, path, _df(spark, [(3, "c")]), mode="append")
+        # the unfiltered path must not touch vt_read / the data files
+        monkeypatch.setattr(
+            V, "vt_read", lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("metadata count scanned data")
+            )
+        )
+        assert V.vt_count(spark, path) == 3
+        assert V.vt_count(spark, path, version=1) == 2
+
+    def test_incomplete_file_rows_falls_back_to_scan(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        # simulate a legacy manifest: strip the file_rows map
+        mp = V._manifest_path(path, 1)
+        m = _json.load(open(mp))
+        del m["file_rows"]
+        os.remove(mp)
+        _json.dump(m, open(mp, "w"))
+        assert V.vt_count(spark, path) == 2  # exact via the scan path
+
+    def test_predicate_count_uses_pruned_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        )
+        vt_write(spark, path, df)
+        assert V.vt_count(spark, path, predicate=("k", ">", 49)) == 50
+        assert V.vt_count(
+            spark, path, predicate=[("k", ">", 49), ("g", "=", 0)]
+        ) == 10
+        # all-pruned → 0 without reading
+        assert V.vt_count(spark, path, predicate=("k", ">", 1000)) == 0
+
+    def test_count_tracks_merge_and_optimize(self, spark, tmp_path):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_merge(spark, path, _df(spark, [(2, "B"), (3, "c")]), ["id"])
+        assert V.vt_count(spark, path) == 3
+        V.vt_optimize(spark, path, ["id"], n_partitions=2)
+        assert V.vt_count(spark, path) == 3
+
+
+class TestOptimizeBloomRecompute:
+    def test_optimize_rebuilds_blooms(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("user"),
+        )
+        vt_write(
+            spark, path, df.repartition(4, "user"), bloom_cols=["user"]
+        )
+        # optimize clusters on k — the write-time blooms die with the
+        # rewritten files, but bloom_cols recomputes them for the new
+        # layout: u7 lives in exactly one k-range file, siblings prune
+        V.vt_optimize(
+            spark, path, ["k"], n_partitions=4, bloom_cols=["user"]
+        )
+        plan = V.vt_scan_plan(path, predicate=("user", "=", "u7"))
+        assert plan.get("bloom_pruned", 0) >= 1
+        assert plan["files_kept"] < plan["files_total"]
+        got = [
+            r["k"]
+            for r in V.vt_read(
+                spark, path, predicate=("user", "=", "u7")
+            ).collect()
+        ]
+        assert got == [7]
