@@ -2485,3 +2485,79 @@ WHERE qty > 400
 ANALYTICS_QUERIES["join_promo_suppliers_q20"] = FnWorkload(
     _join_promo_suppliers_q20, _Q20_SQL
 )
+
+
+def _agg_important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important stock" aggregation (adapted: the
+    testdata has no partsupp, so per-part revenue from lineitem restricted
+    to ONE nation's suppliers stands in for ps_supplycost×ps_availqty —
+    the SHAPE is Q11's: a keyed aggregate kept only when it exceeds a
+    FRACTION of the same aggregate's grand total, i.e. a HAVING against a
+    scalar subquery). The nation is the minimum s_nationkey (deterministic
+    in both engines). Value sums run in decimal(38,12); the threshold
+    compare is ``value × 300 > total`` — an exact integer-scaled decimal
+    comparison, no float fraction — and only the output column rounds to
+    double.
+
+    Scale shape: supplier is a broadcast dimension (semi join carries no
+    payload); the per-part aggregate is one hash shuffle on l_partkey;
+    the grand total is a second aggregation OVER THE PER-PART RESULT
+    (|parts|-sized, not |lineitem|-sized) broadcast back as a single-row
+    scalar — Q11's classic two-level plan with no second fact scan."""
+    sup = load_table(spark, sf_dir, "supplier")
+    min_nation = sup.agg(F.min("s_nationkey").alias("k"))
+    nation_sup = sup.join(
+        F.broadcast(min_nation),
+        F.col("s_nationkey") == F.col("k"),
+        "semi",
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(38,12)")
+            * (
+                F.lit(1).cast("decimal(38,12)")
+                - F.col("l_discount").cast("decimal(38,12)")
+            )
+        ).alias("rev"),
+    )
+    per_part = (
+        li.join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"), "semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("rev").alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * 300 > F.col("total_dec"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 6).cast("double").alias("value"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH nsup AS (
+  SELECT s_suppkey FROM supplier
+  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+),
+per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(38,12))
+             * (CAST(1 AS DECIMAL(38,12))
+                - CAST(l_discount AS DECIMAL(38,12)))) AS value_dec
+  FROM lineitem SEMI JOIN nsup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+),
+t AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+SELECT l_partkey, CAST(round(value_dec, 6) AS DOUBLE) AS value
+FROM per_part, t
+WHERE value_dec * 300 > total_dec
+""".strip()
+
+
+ANALYTICS_QUERIES["agg_important_parts_q11"] = FnWorkload(
+    _agg_important_parts_q11, _Q11_SQL
+)
