@@ -84,6 +84,8 @@ __all__ = [
     "vt_restore",
     "vt_scan_plan",
     "vt_count",
+    "vt_constraints",
+    "ConstraintViolation",
 ]
 
 _DEC = "decimal(38,12)"
@@ -155,6 +157,7 @@ def _commit(
     changes: str | None = None,
     blooms: dict | None = None,
     file_rows: dict | None = None,
+    constraints: list | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -197,6 +200,19 @@ def _commit(
         # per-dir per-file exact row counts (footer num_rows) — vt_count's
         # metadata-only COUNT(*) path
         manifest["file_rows"] = file_rows
+    # CHECK constraints are a TABLE PROPERTY (Delta's constraint
+    # semantics): None carries the head's recorded set forward through
+    # every commit kind (append, merge, optimize, restore); an explicit
+    # list replaces it ([] clears)
+    if constraints is None and expected_head > 0:
+        try:
+            constraints = _read_manifest(path, expected_head).get(
+                "constraints"
+            )
+        except FileNotFoundError:
+            constraints = None
+    if constraints:
+        manifest["constraints"] = constraints
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -471,11 +487,72 @@ def _evolve_schema(
     return json.loads(merged.json()), True
 
 
+# CHECK-constraint kinds persistable as a table property: row-level only
+# (Delta's CHECK constraints are row predicates; uniqueness/referential
+# checks need whole-table or cross-table passes and belong to
+# functions/constraints.constraint_report as an explicit audit)
+_VT_CONSTRAINT_KINDS = ("not_null", "range", "accepted_values", "regex")
+
+
+class ConstraintViolation(ValueError):
+    """A vt commit was rejected because incoming rows violate the
+    table's CHECK constraints. Nothing was committed."""
+
+
+def vt_constraints(path: str) -> list:
+    """The table's recorded CHECK constraints (possibly empty)."""
+    versions = vt_versions(path)
+    if not versions:
+        return []
+    return _read_manifest(path, versions[-1]).get("constraints", [])
+
+
+def _validate_constraint_specs(specs: list) -> None:
+    for c in specs:
+        if c.get("kind") not in _VT_CONSTRAINT_KINDS:
+            raise ValueError(
+                f"constraint kind {c.get('kind')!r} cannot be a table "
+                f"property; persistable kinds: {_VT_CONSTRAINT_KINDS}"
+            )
+        if "name" not in c or "col" not in c:
+            raise ValueError(f"constraint needs name and col: {c!r}")
+
+
+def _enforce_constraints(df: DataFrame, specs: list) -> None:
+    """One conditional-aggregation pass over the INCOMING rows (row-level
+    constraints make incoming-only validation complete: committed rows
+    were validated by their own commits). Raises ConstraintViolation
+    naming every violated constraint and its row count; the caller has
+    written nothing yet, so the table is untouched."""
+    if not specs:
+        return
+    from ..functions.constraints import _row_violation
+
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(_row_violation(c), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v{i}")
+            for i, c in enumerate(specs)
+        ]
+    ).collect()[0]
+    bad = {
+        c["name"]: int(row[f"_v{i}"])
+        for i, c in enumerate(specs)
+        if row[f"_v{i}"]
+    }
+    if bad:
+        raise ConstraintViolation(
+            f"CHECK constraint(s) violated, commit rejected: {bad}"
+        )
+
+
 def vt_write(
     spark, path: str, df: DataFrame, mode: str = "overwrite",
     max_retries: int = 5, merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    constraints: list | None = None,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -512,13 +589,31 @@ def vt_write(
     cannot help with. Blooms, like stats, are per-directory metadata:
     appends keep previous directories' blooms, snapshot-rewriting ops
     (merge, optimize) drop them for the rewritten data — missing blooms
-    always keep, so that is sound."""
+    always keep, so that is sound.
+
+    ``constraints=[...]`` records row-level CHECK constraints
+    (functions/constraints.py spec dicts, row-level kinds only) as a
+    TABLE PROPERTY: this and every later commit — append, merge — first
+    validates its incoming rows in one conditional-aggregation pass and
+    raises :class:`ConstraintViolation` (nothing committed) on any
+    violation. ``constraints=None`` (default) enforces and carries the
+    table's recorded set; ``[]`` clears it."""
     if txn is not None:
         last = vt_last_txn(path, txn[0])
         if last is not None and txn[1] <= last:
             return vt_versions(path)[-1]  # replay of a committed txn
     head = vt_versions(path)
     expected = head[-1] if head else 0
+    if constraints is not None:
+        _validate_constraint_specs(constraints)
+        effective_constraints = constraints
+    else:
+        effective_constraints = (
+            _read_manifest(path, expected).get("constraints", [])
+            if expected
+            else []
+        )
+    _enforce_constraints(df, effective_constraints)
     incoming_schema = json.loads(df.schema.json())
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
         df, path
@@ -565,7 +660,7 @@ def vt_write(
                 txn={"app": txn[0], "version": int(txn[1])} if txn else None,
                 file_stats=fstats, files=files,
                 schema=schema, heterogeneous=hetero, blooms=blooms,
-                file_rows=frows,
+                file_rows=frows, constraints=constraints,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -1161,6 +1256,9 @@ def vt_merge(
     combine-then-merge) must be single-writer per app; the retry loop
     re-checks the guard each attempt."""
     keys = list(key_cols)
+    # table-property CHECK constraints apply to the incoming rows (the
+    # surviving current rows were validated by their own commits)
+    _enforce_constraints(updates, vt_constraints(path))
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -1276,6 +1374,10 @@ def vt_restore(spark, path: str, version: int) -> int:
         target.get("files"),
         schema=target.get("schema"),
         heterogeneous=target.get("schema_heterogeneous", False),
+        # the restored dirs are the target's dirs verbatim — their blooms
+        # and footer row counts restore with them
+        blooms=target.get("blooms"),
+        file_rows=target.get("file_rows"),
     )
 
 

@@ -3785,3 +3785,69 @@ SELECT (SELECT count(*) FROM ev) AS n_total,
 LLM_QUERIES["events_vt_meta_count"] = FnWorkload(
     _events_vt_meta_count, _EVENTS_VT_META_COUNT_SQL
 )
+
+
+def _events_vt_checked_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-property CHECK constraints, EXECUTED (sources/versioned.py
+    r9 — Delta's constraint semantics): create an events table with
+    recorded row-level constraints, append a POISONED batch (nulled
+    values) that the table itself must reject atomically, then append the
+    clean remainder. The final per-type aggregate proves the poisoned
+    commit left no trace, and ``rejected_commits`` pins that the reject
+    actually fired (a constraints implementation that silently passed
+    everything would hash-match the aggregate but not this flag)."""
+    from ..sources.versioned import ConstraintViolation, vt_read, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    specs = [
+        {"name": "v_not_null", "kind": "not_null", "col": "v"},
+        {"name": "id_nonneg", "kind": "range", "col": "event_id", "lo": 0},
+    ]
+    path = os.path.join(_scratch_dir("vtchecked", sf_dir), "ev")
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") % 2 == 0),
+        constraints=specs,
+    )
+    rejected = 0
+    try:
+        vt_write(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                "v", F.lit(None).cast("decimal(38,12)")
+            ),
+            mode="append",
+        )
+    except ConstraintViolation:
+        rejected = 1
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") % 2 == 1), mode="append"
+    )
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .withColumn("rejected_commits", F.lit(rejected).cast("long"))
+    )
+
+
+_EVENTS_VT_CHECKED_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       CAST(1 AS BIGINT) AS rejected_commits
+FROM ev GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_checked_ingest"] = FnWorkload(
+    _events_vt_checked_ingest, _EVENTS_VT_CHECKED_SQL
+)

@@ -1255,3 +1255,80 @@ class TestOptimizeBloomRecompute:
             ).collect()
         ]
         assert got == [7]
+
+
+class TestCheckConstraints:
+    """Table-property CHECK constraints (r9): Delta's constraint
+    semantics — recorded once, enforced on every commit's incoming rows,
+    violations reject the commit atomically."""
+
+    SPECS = [
+        {"name": "v_not_null", "kind": "not_null", "col": "v"},
+        {"name": "id_pos", "kind": "range", "col": "id", "lo": 0},
+    ]
+
+    def test_violating_write_rejected_atomically(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a")]), constraints=self.SPECS
+        )
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            vt_write(
+                spark, path, _df(spark, [(2, None)]), mode="append"
+            )
+        with pytest.raises(ConstraintViolation, match="id_pos"):
+            vt_write(
+                spark, path, _df(spark, [(-5, "x")]), mode="append"
+            )
+        # nothing committed, no orphan data dirs
+        assert vt_versions(path) == [1]
+        assert _rows(vt_read(spark, path)) == {(1, "a")}
+
+    def test_constraints_carry_through_commits(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+            vt_constraints,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a")]), constraints=self.SPECS
+        )
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        vt_merge(spark, path, _df(spark, [(3, "c")]), ["id"])
+        vt_optimize(spark, path, ["id"], n_partitions=2)
+        assert vt_constraints(path) == self.SPECS
+        # a merge after all that still enforces
+        with pytest.raises(ConstraintViolation):
+            vt_merge(spark, path, _df(spark, [(4, None)]), ["id"])
+
+    def test_explicit_list_replaces_and_empty_clears(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_constraints,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a")]), constraints=self.SPECS
+        )
+        vt_write(
+            spark, path, _df(spark, [(2, None)]), mode="append",
+            constraints=[],
+        )  # cleared: the null row commits
+        assert vt_constraints(path) == []
+        assert (2, None) in _rows(vt_read(spark, path))
+
+    def test_non_persistable_kind_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        with pytest.raises(ValueError, match="table property"):
+            vt_write(
+                spark, path, _df(spark, [(1, "a")]),
+                constraints=[
+                    {"name": "u", "kind": "unique", "col": "id"}
+                ],
+            )
