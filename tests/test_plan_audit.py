@@ -504,3 +504,66 @@ class TestRound7PlanShapes:
         plan = _physical(pairs)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound9PlanShapes:
+    def test_paragraph_dedup_chunking_is_map_side(self, spark):
+        """Paragraph dedup: chunking must be Generate (explode) over the
+        scan with NO shuffle before it — the only exchanges are the
+        fingerprint groupBys and the per-doc rollup; the frequency join
+        rides the fingerprint key (broadcast at this SF), never a
+        cartesian."""
+        df = entry_mod.queries()["docs_paragraph_dedup"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Generate explode" in plan or "explode" in plan
+
+    def test_lm_perplexity_joins_are_keyed(self, spark):
+        """Bigram LM scoring: the model joins must be keyed on
+        (prev, cur)/(prev) — the ONLY nested-loop in the plan is the
+        single-row vocab-size scalar broadcast."""
+        df = entry_mod.queries()["docs_lm_perplexity"](spark, SF_DIR)
+        plan = _physical(df)
+        assert "CartesianProduct" not in plan
+        # single-row scalar crossJoins plan as BroadcastNestedLoopJoin;
+        # the model joins themselves must be hash joins
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_q11_per_part_exchange_is_reused(self, spark):
+        """Q11 shape: the per-part aggregate feeds BOTH the HAVING
+        branch and the grand total — AQE must plan the second branch as
+        a ReusedExchange of the first (one physical lineitem pass), not
+        re-derive it with a second fact scan."""
+        df = entry_mod.queries()["agg_important_parts_q11"](spark, SF_DIR)
+        df.collect()  # reuse is resolved in the final adaptive plan
+        plan = _physical(df)
+        assert "ReusedExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bloom_skip_scan_reads_one_file(self, spark, tmp_path_factory):
+        """The bloom-pruned vt read must list exactly the kept files in
+        its FileScan, not the whole directory."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read,
+            vt_scan_plan,
+            vt_write,
+        )
+
+        path = str(tmp_path_factory.mktemp("bloomplan") / "t")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("user"),
+        )
+        vt_write(
+            spark, path, df.repartition(6, "user"), bloom_cols=["user"]
+        )
+        sp = vt_scan_plan(path, predicate=("user", "=", "u77"))
+        assert sp["files_kept"] < sp["files_total"]
+        plan = _physical(
+            vt_read(spark, path, predicate=("user", "=", "u77"))
+        )
+        # the FileScan's location lists only kept file paths
+        assert plan.count(".parquet") <= sp["files_kept"] + 1
