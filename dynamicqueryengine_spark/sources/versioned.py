@@ -84,6 +84,7 @@ __all__ = [
     "vt_restore",
     "vt_scan_plan",
     "vt_count",
+    "vt_minmax",
     "vt_constraints",
     "ConstraintViolation",
 ]
@@ -1220,6 +1221,39 @@ def vt_count(
         c = _conjunct_column(col, op, value)
         cond = c if cond is None else (cond & c)
     return _read_plan(spark, plan).filter(cond).count()
+
+
+def vt_minmax(
+    spark, path: str, col: str, version: int | None = None
+) -> tuple:
+    """(min, max) of ``col`` over a snapshot, from manifest stats when
+    every referenced directory carries them (the dir-level map is only
+    recorded when it soundly covers every file — see _harvest_stats), a
+    two-scalar Spark aggregate otherwise. Like :func:`vt_count`, exact
+    either way; the metadata path answers without opening a file.
+    NOTE: footer min/max cover non-null values (parquet semantics), the
+    same convention as SQL MIN/MAX — an all-null column has no stats
+    and falls back to the scan, which returns (None, None)."""
+    v = _resolve_version(path, version)
+    manifest = _read_manifest(path, v)
+    stats = manifest.get("stats", {})
+    lo = hi = None
+    complete = True
+    for d in manifest["dirs"]:
+        mm = stats.get(d, {}).get(col)
+        if mm is None:
+            complete = False
+            break
+        lo = mm[0] if lo is None else min(lo, mm[0])
+        hi = mm[1] if hi is None else max(hi, mm[1])
+    if complete and lo is not None:
+        return lo, hi
+    row = (
+        vt_read(spark, path, v)
+        .agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+        .collect()[0]
+    )
+    return row["_lo"], row["_hi"]
 
 
 def vt_merge(

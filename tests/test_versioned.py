@@ -1332,3 +1332,33 @@ class TestCheckConstraints:
                     {"name": "u", "kind": "unique", "col": "id"}
                 ],
             )
+
+
+class TestMetadataMinMax:
+    def test_minmax_from_manifest_without_scan(self, spark, tmp_path, monkeypatch):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(3, "a"), (7, "b")]))
+        vt_write(spark, path, _df(spark, [(1, "c")]), mode="append")
+        monkeypatch.setattr(
+            V, "vt_read", lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("metadata minmax scanned data")
+            )
+        )
+        assert V.vt_minmax(spark, path, "id") == (1, 7)
+        assert V.vt_minmax(spark, path, "id", version=1) == (3, 7)
+
+    def test_minmax_falls_back_without_stats(self, spark, tmp_path):
+        import json as _json
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(3, "a"), (7, "b")]))
+        mp = V._manifest_path(path, 1)
+        m = _json.load(open(mp))
+        del m["stats"]
+        os.remove(mp)
+        _json.dump(m, open(mp, "w"))
+        assert V.vt_minmax(spark, path, "id") == (3, 7)
