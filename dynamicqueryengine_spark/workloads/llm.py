@@ -3851,3 +3851,38 @@ FROM ev GROUP BY event_type
 LLM_QUERIES["events_vt_checked_ingest"] = FnWorkload(
     _events_vt_checked_ingest, _EVENTS_VT_CHECKED_SQL
 )
+
+
+def _docs_hashed_embedding_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-free semantic near-dup, EXECUTED end-to-end
+    (functions/feature_hash.py → functions/dedup.embedding_neardup_pairs):
+    hash every token to a signed slot (the ICML'09 hashing trick), build
+    64-dim integer term-frequency vectors entirely in one hash aggregate,
+    and run the embedding family's exact cosine miner over them — the
+    text→vector bridge that lets a corpus with no embedding column run
+    the whole vector stack. Integer-valued vectors make every dot
+    product/norm exact below 2^53, so the full pipeline value-oracles
+    (unlike learned float embeddings, whose accumulation order is the
+    documented caveat)."""
+    from ..functions.feature_hash import feature_hash_embeddings
+
+    vecs = feature_hash_embeddings(_docs(spark, sf_dir), dim=64)
+    return D.embedding_neardup_pairs(
+        vecs, threshold=0.95, vec_col="embedding", id_col="doc_id"
+    )
+
+
+def _docs_hashed_embedding_neardup_sql() -> str:
+    from ..functions.feature_hash import feature_hash_embeddings_sql
+
+    vecs = feature_hash_embeddings_sql("documents", dim=64)
+    return D.embedding_neardup_pairs_sql(
+        f"({vecs})", threshold=0.95, vec_col="embedding", id_col="doc_id"
+    )
+
+
+LLM_QUERIES["docs_hashed_embedding_neardup"] = FnWorkload(
+    _docs_hashed_embedding_neardup, _docs_hashed_embedding_neardup_sql()
+)

@@ -44,6 +44,7 @@ QUADRATIC_ORACLES = {
     "pipeline_semantic_curation",
     "embed_neardup_cosine",
     "embed_semantic_dedup",
+    "docs_hashed_embedding_neardup",
     "decontaminate_flags",
     "docs_bloom_decontaminate",
 }

@@ -930,3 +930,58 @@ class TestBigramLm:
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert tuple(g) == tuple(w)
+
+
+class TestFeatureHashEmbeddings:
+    """feature_hash_embeddings: signed term-frequency hash vectors
+    (functions/feature_hash.py)."""
+
+    def test_identical_texts_identical_vectors(self, spark):
+        from dynamicqueryengine_spark.functions.feature_hash import (
+            feature_hash_embeddings,
+        )
+
+        rows = [(1, "spark scale query"), (2, "SPARK   scale query"),
+                (3, "entirely different words")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = {
+            r["doc_id"]: list(r["embedding"])
+            for r in feature_hash_embeddings(df, dim=16).collect()
+        }
+        assert out[1] == out[2]  # normalization folds case/whitespace
+        assert out[1] != out[3]
+        # signed TF: total mass equals token count in absolute sum parity
+        assert sum(abs(x) for x in out[1]) <= 3
+        assert all(float(x).is_integer() for x in out[1])
+
+    def test_zero_vector_docs_dropped(self, spark):
+        from dynamicqueryengine_spark.functions.feature_hash import (
+            feature_hash_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "   ")], "doc_id LONG, text STRING"
+        )
+        ids = {
+            r["doc_id"]
+            for r in feature_hash_embeddings(df, dim=8).collect()
+        }
+        assert ids == {1}  # empty doc has no tokens → dropped
+
+    def test_matches_duckdb_oracle(self, spark, docs, testdata_duck):
+        from dynamicqueryengine_spark.functions.feature_hash import (
+            feature_hash_embeddings,
+            feature_hash_embeddings_sql,
+        )
+
+        got = {
+            r["doc_id"]: list(r["embedding"])
+            for r in feature_hash_embeddings(docs, dim=32).collect()
+        }
+        want = {
+            r[0]: list(r[1])
+            for r in testdata_duck.execute(
+                feature_hash_embeddings_sql("documents", dim=32)
+            ).fetchall()
+        }
+        assert got == want
