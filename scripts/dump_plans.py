@@ -108,6 +108,31 @@ SHOWCASES = [
         "weights and the aggregate lands on the channel space.",
         "events_attribution_time_decay",
     ),
+    (
+        "docs_paragraph_dedup: map-side chunking + fingerprint rollup (r9)",
+        "Word-chunk 'paragraphs' are a pure Generate(explode) map stage "
+        "over the scan; the duplicated-fraction rollup is two "
+        "fingerprint-keyed aggregations and one per-doc aggregation — "
+        "no windows, no cartesian anywhere.",
+        "docs_paragraph_dedup",
+    ),
+    (
+        "docs_lm_perplexity: bigram-LM scoring with keyed model joins (r9)",
+        "The LM's bigram/context tables join the scoring stream on "
+        "(prev,cur)/(prev) — broadcast hash joins here; the only "
+        "nested-loop is the single-row vocab-size scalar. Per-doc sums "
+        "run over integer micro-nats, so the rollup is a plain exact "
+        "hash aggregate.",
+        "docs_lm_perplexity",
+    ),
+    (
+        "agg_important_parts_q11: HAVING vs scalar fraction (r9)",
+        "The grand total aggregates FROM the per-part result and AQE "
+        "reuses the per-part exchange — one physical lineitem pass "
+        "feeding both branches, threshold compared in exact scaled "
+        "decimal.",
+        "agg_important_parts_q11",
+    ),
 ]
 
 
