@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "choose_join_strategy"]
 
 
 def asof_join(
@@ -138,3 +138,59 @@ def range_join(
         ),
     )
     return f_b.join(i_b, ["__b"]).filter(exact).drop("__b")
+
+
+def choose_join_strategy(
+    left_stats: dict,
+    right_stats: dict,
+    on: "list[str]",
+    broadcast_bytes: int = 32 * 1024 * 1024,
+    skew_share: float = 0.2,
+    buckets: int = 16,
+) -> dict:
+    """Cost-based join-strategy choice from table statistics dicts (the
+    shape sources/versioned.py's ``vt_table_stats`` produces: ``bytes``,
+    ``rows``, optional ``analyze.columns[col].{ndv,nulls,mcv_count}``).
+    Pure metadata — callable with no Spark session, unit-testable with
+    hand-built stats.
+
+    Rules, in order (the same ladder Catalyst's JoinSelection walks, but
+    driven by OUR manifest stats, which Catalyst cannot see behind a
+    plain parquet read):
+
+    1. **broadcast** — the smaller side's bytes ≤ ``broadcast_bytes``:
+       build side = smaller side; no shuffle of the big side.
+    2. **salted** — no broadcast fit, and the BIGGER side's first join
+       key has a recorded most-common-value share ≥ ``skew_share``
+       (``mcv_count / (rows - nulls)`` from its latest ANALYZE; stale
+       stats still count — skew is a property of the domain, not the
+       snapshot): salt the big (probe) side, replicate the small side
+       ``buckets`` ways.
+    3. **shuffle** — otherwise: plain shuffle join, AQE handles runtime
+       skew/size surprises.
+
+    Returns ``{"strategy", "build_side"/"probe_side", "left_bytes",
+    "right_bytes", "skew_share"}`` for audit."""
+    lb, rb = int(left_stats.get("bytes") or 0), int(right_stats.get("bytes") or 0)
+    out = {"left_bytes": lb, "right_bytes": rb, "skew_share": None}
+    small_side = "left" if lb <= rb else "right"
+    small_bytes = min(lb, rb)
+    if small_bytes <= broadcast_bytes:
+        out.update(strategy="broadcast", build_side=small_side)
+        return out
+    probe_side = "right" if small_side == "left" else "left"
+    probe = left_stats if probe_side == "left" else right_stats
+    key = on[0] if on else None
+    cstats = ((probe.get("analyze") or {}).get("columns") or {}).get(key)
+    arows = (probe.get("analyze") or {}).get("rows")
+    if cstats and arows and "mcv_count" in cstats:
+        nonnull = max(int(arows) - int(cstats.get("nulls", 0)), 1)
+        share = cstats["mcv_count"] / nonnull
+        out["skew_share"] = share
+        if share >= skew_share:
+            out.update(
+                strategy="salted", probe_side=probe_side, buckets=buckets
+            )
+            return out
+    out.update(strategy="shuffle", probe_side=probe_side)
+    return out

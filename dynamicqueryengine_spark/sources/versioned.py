@@ -86,6 +86,10 @@ __all__ = [
     "vt_count",
     "vt_minmax",
     "vt_constraints",
+    "vt_analyze",
+    "vt_table_stats",
+    "vt_join_plan",
+    "vt_join",
     "ConstraintViolation",
 ]
 
@@ -159,6 +163,7 @@ def _commit(
     blooms: dict | None = None,
     file_rows: dict | None = None,
     constraints: list | None = None,
+    analyze: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -201,6 +206,14 @@ def _commit(
         # per-dir per-file exact row counts (footer num_rows) — vt_count's
         # metadata-only COUNT(*) path
         manifest["file_rows"] = file_rows
+    if analyze:
+        # table-level optimizer statistics (vt_analyze): row count, data
+        # bytes, per-column NDV / null count / most-common-value count.
+        # Recorded only on the analyze commit itself — vt_table_stats
+        # finds the latest one and reports staleness relative to later
+        # data-changing commits (Delta/Spark ANALYZE semantics: stats
+        # describe the snapshot they were computed on)
+        manifest["analyze"] = analyze
     # CHECK constraints are a TABLE PROPERTY (Delta's constraint
     # semantics): None carries the head's recorded set forward through
     # every commit kind (append, merge, optimize, restore); an explicit
@@ -1654,3 +1667,272 @@ def vt_vacuum(
         if cp_v is not None and cp_v not in keep:
             vt_checkpoint(spark, path)
     return removed
+
+
+# --------------------------------------------------- optimizer statistics --
+
+
+def _data_bytes(path: str, manifest: dict) -> int:
+    """Total on-disk bytes of the snapshot's data files, from the
+    filesystem metadata of the manifest's file lists — no file opened.
+    Directories missing from the ``files`` map (legacy manifests) are
+    walked. This is the cost-based-optimizer size input: at 100 TB the
+    broadcast-vs-shuffle decision must come from metadata, never a scan."""
+    total = 0
+    flists = manifest.get("files", {})
+    for d in manifest["dirs"]:
+        full = os.path.join(path, d)
+        names = flists.get(d)
+        if names is None:
+            try:
+                names = [
+                    n for n in os.listdir(full) if n.endswith(".parquet")
+                ]
+            except OSError:
+                continue
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(full, n))
+            except OSError:
+                continue
+    return total
+
+
+def vt_analyze(
+    spark,
+    path: str,
+    columns: Sequence[str] | None = None,
+    rsd: float = 0.02,
+    mcv: bool = True,
+) -> int:
+    """ANALYZE TABLE: commit a metadata-only ``analyze`` version whose
+    manifest carries table-level optimizer statistics for the current
+    snapshot — the input :func:`vt_join_plan`'s cost-based decisions key
+    off (Spark's ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` /
+    Delta's column stats, in miniature).
+
+    Collected per requested column (default: all atomic columns), in ONE
+    aggregate pass over the snapshot:
+
+    * ``ndv`` — approx distinct count (HyperLogLog++, ``rsd`` relative
+      error): the join-cardinality input. At 100 TB an exact distinct is
+      a full shuffle per column; the HLL sketch is a single map-side pass.
+    * ``nulls`` — exact null count (join keys drop nulls; effective join
+      input is ``rows - nulls``).
+    * ``mcv_count`` (``mcv=True``, one top-1 aggregation per column) —
+      the most-common-value frequency: ``mcv_count / (rows - nulls)`` is
+      the skew share that decides salted-vs-plain shuffle joins.
+
+    Row count comes from :func:`vt_count`'s metadata path and data bytes
+    from :func:`_data_bytes` — both free. The analyze commit references
+    the head's directories verbatim (zero-copy, like RESTORE) and carries
+    every data-layout key forward, so skipping/blooms/meta-count behave
+    identically at the new head; only the ``analyze`` blob is new.
+    Like every commit, it is optimistic: a concurrent data commit wins
+    and the ANALYZE surfaces FileExistsError (stats must describe the
+    snapshot they were computed on)."""
+    head = _resolve_version(path, None)
+    prev = _read_manifest(path, head)
+    df = vt_read(spark, path, version=head)
+    atomic = {
+        "string", "long", "integer", "short", "byte", "double", "float",
+        "boolean", "date", "timestamp",
+    }
+    if columns is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in atomic
+            or f.dataType.typeName().startswith("decimal")
+        ]
+    else:
+        cols = list(columns)
+    col_stats: dict[str, dict] = {}
+    if cols:
+        aggs = []
+        for c in cols:
+            aggs.append(
+                F.approx_count_distinct(c, rsd).alias(f"__ndv_{c}")
+            )
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        for c in cols:
+            col_stats[c] = {
+                "ndv": int(row[f"__ndv_{c}"]),
+                "nulls": int(row[f"__nulls_{c}"] or 0),
+            }
+        if mcv:
+            for c in cols:
+                top = (
+                    df.where(F.col(c).isNotNull())
+                    .groupBy(c)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .orderBy(F.desc("__n"), F.col(c))
+                    .limit(1)
+                    .collect()
+                )
+                if top:
+                    col_stats[c]["mcv_count"] = int(top[0]["__n"])
+    analyze = {
+        "at_version": head,
+        "rows": int(vt_count(spark, path, version=head)),
+        "bytes": _data_bytes(path, prev),
+        "rsd": rsd,
+        "columns": col_stats,
+    }
+    return _commit(
+        path,
+        list(prev["dirs"]),
+        "analyze",
+        head,
+        prev.get("stats"),
+        None,
+        prev.get("file_stats"),
+        prev.get("files"),
+        schema=prev.get("schema"),
+        heterogeneous=prev.get("schema_heterogeneous", False),
+        blooms=prev.get("blooms"),
+        file_rows=prev.get("file_rows"),
+        analyze=analyze,
+    )
+
+
+def vt_table_stats(path: str) -> dict:
+    """Metadata-only table statistics at the head: ``rows`` (manifest
+    footer counts; None when coverage is incomplete), ``bytes``
+    (filesystem sizes), plus the latest recorded ``analyze`` blob and
+    whether it is ``analyze_stale`` (a data-changing commit landed after
+    it). Never opens a data file, never starts a Spark job — this is the
+    planner's view of the table."""
+    head = _resolve_version(path, None)
+    manifest = _read_manifest(path, head)
+    frows = manifest.get("file_rows", {})
+    flists = manifest.get("files", {})
+    rows: int | None = 0
+    for d in manifest["dirs"]:
+        flist = flists.get(d)
+        drows = frows.get(d, {})
+        if not flist or any(f not in drows for f in flist):
+            rows = None
+            break
+        rows += sum(drows[f] for f in flist)
+    out: dict = {
+        "version": head,
+        "rows": rows,
+        "bytes": _data_bytes(path, manifest),
+        "analyze": None,
+        "analyze_stale": None,
+    }
+    analyze_v = None
+    for v in reversed(vt_versions(path)):
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break  # vacuumed-away tail
+        if "analyze" in m:
+            out["analyze"] = m["analyze"]
+            analyze_v = v
+            break
+    if analyze_v is not None:
+        out["analyze_stale"] = any(
+            _read_manifest(path, v).get("op") != "analyze"
+            for v in vt_versions(path)
+            if v > analyze_v
+        )
+    return out
+
+
+def vt_join_plan(
+    left_path: str,
+    right_path: str,
+    on: Sequence[str],
+    broadcast_bytes: int = 32 * 1024 * 1024,
+    skew_share: float = 0.2,
+    buckets: int = 16,
+) -> dict:
+    """Cost-based join strategy for two versioned tables, decided from
+    manifest metadata alone (see operators/joins.py
+    :func:`choose_join_strategy` for the rules). Pure planning — no
+    Spark session, no data access."""
+    from ..operators.joins import choose_join_strategy
+
+    return choose_join_strategy(
+        vt_table_stats(left_path),
+        vt_table_stats(right_path),
+        on,
+        broadcast_bytes=broadcast_bytes,
+        skew_share=skew_share,
+        buckets=buckets,
+    )
+
+
+def vt_join(
+    spark,
+    left_path: str,
+    right_path: str,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_bytes: int = 32 * 1024 * 1024,
+    skew_share: float = 0.2,
+    buckets: int = 16,
+    decision_out: dict | None = None,
+) -> DataFrame:
+    """Join two versioned tables with the strategy :func:`vt_join_plan`
+    picks from their manifest statistics — the cost-based-optimizer move
+    Spark itself cannot make here because a vt snapshot is a plain
+    parquet read to Catalyst (no table-level stats attached):
+
+    * ``broadcast`` — the smaller side's BYTES are under
+      ``broadcast_bytes``: hint it broadcast so the join is a map-side
+      hash join, no shuffle of the big side (at 100 TB the difference
+      between moving megabytes and moving the table).
+    * ``salted`` — both sides too big to broadcast AND the analyze stats
+      say the probe side's join key is skewed (most-common-value share ≥
+      ``skew_share``): operators/skew.py's salted join spreads each hot
+      key over ``buckets`` reducers instead of funneling it through one.
+    * ``shuffle`` — no broadcast opportunity, no recorded skew: plain
+      shuffle join; AQE still handles runtime surprises.
+
+    Pass ``decision_out={}`` to receive the chosen plan (strategy, build
+    side, the stats that drove it) for audit. Row-for-row identical to
+    ``vt_read(left).join(vt_read(right), on, how)`` for inner/left joins."""
+    plan = vt_join_plan(
+        left_path,
+        right_path,
+        on,
+        broadcast_bytes=broadcast_bytes,
+        skew_share=skew_share,
+        buckets=buckets,
+    )
+    if decision_out is not None:
+        decision_out.update(plan)
+    left = vt_read(spark, left_path)
+    right = vt_read(spark, right_path)
+    on = list(on)
+    if plan["strategy"] == "broadcast":
+        if plan["build_side"] == "left":
+            return left.hint("broadcast").join(right, on, how)
+        return left.join(right.hint("broadcast"), on, how)
+    # the salted rewrite preserves the BIG (probe) side's rows, so it is
+    # only row-identical to the plain join for inner joins, or outer joins
+    # that preserve the probe side; other shapes fall back to the plain
+    # shuffle join (AQE's runtime skew splitting still applies there)
+    salted_ok = how == "inner" or (
+        how == "left" and plan.get("probe_side") == "left"
+    )
+    if plan["strategy"] == "salted" and salted_ok:
+        from ..operators.skew import salted_join
+
+        big, small = (
+            (left, right) if plan["probe_side"] == "left" else (right, left)
+        )
+        joined = salted_join(big, small, on, buckets=buckets, how=how)
+        # salted_join returns (big ⋈ small); restore left-join column
+        # ordering so the result is interchangeable with the plain join
+        cols = on + [
+            c for c in left.columns if c not in on
+        ] + [c for c in right.columns if c not in on]
+        return joined.select(*cols)
+    return left.join(right, on, how)

@@ -3886,3 +3886,80 @@ def _docs_hashed_embedding_neardup_sql() -> str:
 LLM_QUERIES["docs_hashed_embedding_neardup"] = FnWorkload(
     _docs_hashed_embedding_neardup, _docs_hashed_embedding_neardup_sql()
 )
+
+
+def _join_vt_stats_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join planning from manifest statistics, EXECUTED
+    (sources/versioned.py vt_analyze / vt_table_stats / vt_join r9; the
+    reference has no joins or optimizer — SURVEY.md §2.5/§4): stage
+    events as a fact vt and the per-type dimension as a second vt,
+    ANALYZE the fact table's join key (HLL NDV + exact nulls + exact
+    most-common-value count, one pass), then let the advisor pick the
+    join strategy from metadata alone — broadcast here, because the dim
+    manifest reports kilobytes. Three cross-checks ride the oracle hash:
+    the decision itself (a literal column — a wrong strategy choice
+    mismatches), the ANALYZE row count (exact, from the manifest's
+    footer counts), and the ANALYZE most-common-value count (the skew
+    detector's input) recomputed by the oracle as max per-type count."""
+    from ..sources.versioned import (
+        vt_analyze,
+        vt_join,
+        vt_table_stats,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _scratch_dir("vtstatsjoin", sf_dir)
+    facts = os.path.join(base, "facts")
+    dim = os.path.join(base, "dim")
+    vt_write(spark, facts, ev)
+    vt_write(
+        spark,
+        dim,
+        ev.select("event_type")
+        .distinct()
+        .withColumn("label", F.upper(F.col("event_type"))),
+    )
+    vt_analyze(spark, facts, columns=["event_type"])
+    stats = vt_table_stats(facts)
+    a = stats["analyze"]
+    decision: dict = {}
+    joined = vt_join(
+        spark, facts, dim, ["event_type"], decision_out=decision
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+        F.lit(decision["strategy"]).alias("strategy"),
+        F.lit(int(a["rows"])).cast("long").alias("analyzed_rows"),
+        F.lit(int(a["columns"]["event_type"]["mcv_count"]))
+        .cast("long")
+        .alias("mcv_count"),
+    )
+
+
+_JOIN_VT_STATS_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+dim AS (SELECT DISTINCT event_type, upper(event_type) AS label FROM ev),
+mcv AS (
+  SELECT max(c) AS m
+  FROM (SELECT count(*) AS c FROM ev GROUP BY event_type)
+)
+SELECT d.label, count(*) AS n,
+       CAST(round(sum(CAST(e.value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       'broadcast' AS strategy,
+       (SELECT count(*) FROM ev) AS analyzed_rows,
+       (SELECT m FROM mcv) AS mcv_count
+FROM ev e JOIN dim d USING (event_type)
+GROUP BY d.label
+""".strip()
+
+
+LLM_QUERIES["join_vt_stats_advisor"] = FnWorkload(
+    _join_vt_stats_advisor, _JOIN_VT_STATS_SQL
+)
