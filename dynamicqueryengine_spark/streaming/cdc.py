@@ -39,6 +39,7 @@ __all__ = [
     "pump_until_current",
     "subscription_cursor",
     "apply_rollup_increment",
+    "apply_index_increment",
 ]
 
 
@@ -163,5 +164,75 @@ def apply_rollup_increment(
             )
         )
         vt_merge(spark, sink_path, merged, key_cols, txn=txn)
+
+    return apply
+
+
+def apply_index_increment(
+    spark,
+    sink_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, tuple[str, int]], None]:
+    """CDC consumer that maintains an INVERTED-INDEX summary — per token
+    ``df`` (documents containing it) and ``tf`` (total occurrences) —
+    from a document table's change feed, by signed increments over the
+    EXPLODED token stream: each change row tokenizes (whitespace split,
+    the corpus_inverted_index convention), contributes ``+1`` (insert /
+    update_postimage) or ``-1`` (delete / update_preimage) per distinct
+    (doc, token) to ``df`` and ±occurrences to ``tf``, and the per-token
+    deltas merge into the sink keyed on token.
+
+    Why this shape scales: a full index rebuild is O(|corpus|) per
+    refresh; this is O(|changed docs| × tokens-per-doc) — the
+    incremental-view-maintenance argument, but over an exploded (fan-out)
+    projection rather than a 1:1 row map, which is what makes it a
+    different proof than :func:`apply_rollup_increment`: an update whose
+    pre- and post-image share a token telescopes to a net-zero df delta
+    only because the pre-image row explodes too. Tokens whose df reaches
+    0 keep a zero row (tombstone compaction is OPTIMIZE's job).
+
+    Change rows for the SAME doc from different commits in one pump must
+    not collapse before signing, so the per-doc aggregation keys on
+    (_commit_version, _change_type) as well."""
+    from ..sources.versioned import vt_merge, vt_read, vt_versions
+
+    def apply(changes: DataFrame, txn: tuple[str, int]) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("_sign")
+        per_doc = (
+            changes.select(
+                id_col,
+                "_commit_version",
+                "_change_type",
+                F.explode(F.split(F.col(text_col), " ")).alias("token"),
+            )
+            .groupBy(id_col, "_commit_version", "_change_type", "token")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+        )
+        delta = per_doc.select("token", sign, "_occ").groupBy("token").agg(
+            F.sum("_sign").alias("_d_df"),
+            F.sum(F.col("_sign") * F.col("_occ")).alias("_d_tf"),
+        )
+        if vt_versions(sink_path):
+            cur = vt_read(spark, sink_path)
+        else:
+            cur = delta.select(
+                "token",
+                F.lit(0).cast("long").alias("df"),
+                F.lit(0).cast("long").alias("tf"),
+            ).limit(0)
+        merged = delta.join(cur, ["token"], "left").select(
+            "token",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("_d_df"))
+            .cast("long")
+            .alias("df"),
+            (F.coalesce(F.col("tf"), F.lit(0)) + F.col("_d_tf"))
+            .cast("long")
+            .alias("tf"),
+        )
+        vt_merge(spark, sink_path, merged, ["token"], txn=txn)
 
     return apply

@@ -3963,3 +3963,85 @@ GROUP BY d.label
 LLM_QUERIES["join_vt_stats_advisor"] = FnWorkload(
     _join_vt_stats_advisor, _JOIN_VT_STATS_SQL
 )
+
+
+def _docs_vt_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index over the change data feed,
+    EXECUTED (streaming/cdc.py apply_index_increment r9): stage the
+    document corpus into a versioned table in three commits — half the
+    docs, the other half appended, then a keyed MERGE that rewrites every
+    doc_id % 10 == 3 document with two extra tokens (change_feed=True) —
+    pumping the CDC subscription to quiescence after each. The sink is a
+    per-token (df, tf) index maintained purely by SIGNED DELTAS over the
+    exploded token stream: each pump costs O(|changed docs| ×
+    tokens/doc), never a corpus rescan — the incremental-view-maintenance
+    contract, over a fan-out (explode) projection where an update's
+    pre-image must cancel its post-image token-by-token. The oracle
+    recomputes the index from the FINAL corpus state from scratch; a
+    sign error, a lost pre-image, or a double-applied pump all
+    hash-mismatch. ``versions_applied`` pins that the cursor really
+    advanced through all three source commits."""
+    from ..sources.versioned import vt_merge, vt_read, vt_write
+    from ..streaming.cdc import (
+        apply_index_increment,
+        pump_until_current,
+        subscription_cursor,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = _scratch_dir("vtindexcdc", sf_dir)
+    src = os.path.join(base, "docs")
+    sink = os.path.join(base, "index")
+    app = "inverted-index-maintainer"
+    apply = apply_index_increment(spark, sink)
+
+    vt_write(spark, src, docs.filter(F.col("doc_id") % 2 == 0))
+    pump_until_current(spark, src, sink, app, apply)
+    vt_write(
+        spark, src, docs.filter(F.col("doc_id") % 2 == 1), mode="append"
+    )
+    pump_until_current(spark, src, sink, app, apply)
+    vt_merge(
+        spark,
+        src,
+        docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zz zz"))
+        ),
+        ["doc_id"],
+        change_feed=True,
+    )
+    pump_until_current(spark, src, sink, app, apply)
+
+    cursor = subscription_cursor(sink, app)
+    return (
+        vt_read(spark, sink)
+        .filter(F.col("df") > 0)
+        .select(
+            "token",
+            F.col("df").cast("long").alias("df"),
+            F.col("tf").cast("long").alias("tf"),
+            F.lit(cursor).cast("long").alias("versions_applied"),
+        )
+    )
+
+
+_DOCS_VT_INDEX_CDC_SQL = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' zz zz' ELSE text END
+           AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM final
+)
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf,
+       CAST(3 AS BIGINT) AS versions_applied
+FROM tok GROUP BY token
+""".strip()
+
+
+LLM_QUERIES["docs_vt_index_cdc"] = FnWorkload(
+    _docs_vt_index_cdc, _DOCS_VT_INDEX_CDC_SQL
+)

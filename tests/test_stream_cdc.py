@@ -105,3 +105,103 @@ class TestCdcSubscription:
         # consumer B starts late and catches up from version 0 in one go
         pump_until_current(spark, src, sink2, "sub_b", a2)
         assert _rollup(spark, sink) == _rollup(spark, sink2)
+
+
+def _idx(spark, sink):
+    return {
+        r["token"]: (r["df"], r["tf"])
+        for r in vt_read(spark, sink).collect()
+    }
+
+
+class TestIndexIncrement:
+    """Incrementally-maintained inverted index (apply_index_increment):
+    signed deltas over an EXPLODED projection."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_insert_then_update_telescopes(self, spark, paths):
+        from dynamicqueryengine_spark.streaming.cdc import (
+            apply_index_increment,
+        )
+
+        src, sink = paths
+        apply = apply_index_increment(spark, sink)
+        vt_write(
+            spark,
+            src,
+            self._docs(spark, [(1, "a b a"), (2, "b c")]),
+        )
+        pump_until_current(spark, src, sink, "idx", apply)
+        assert _idx(spark, sink) == {
+            "a": (1, 2),
+            "b": (2, 2),
+            "c": (1, 1),
+        }
+        # update doc 1: keeps one 'a' (pre-image must cancel the other),
+        # drops 'b' entirely from doc 1, introduces 'd'
+        vt_merge(
+            spark,
+            src,
+            self._docs(spark, [(1, "a d")]),
+            ["doc_id"],
+            change_feed=True,
+        )
+        pump_until_current(spark, src, sink, "idx", apply)
+        assert _idx(spark, sink) == {
+            "a": (1, 1),
+            "b": (1, 1),
+            "c": (1, 1),
+            "d": (1, 1),
+        }
+
+    def test_token_vanishing_leaves_zero_tombstone(self, spark, paths):
+        from dynamicqueryengine_spark.streaming.cdc import (
+            apply_index_increment,
+        )
+
+        src, sink = paths
+        apply = apply_index_increment(spark, sink)
+        vt_write(spark, src, self._docs(spark, [(1, "x y")]))
+        pump_until_current(spark, src, sink, "idx", apply)
+        vt_merge(
+            spark,
+            src,
+            self._docs(spark, [(1, "y")]),
+            ["doc_id"],
+            change_feed=True,
+        )
+        pump_until_current(spark, src, sink, "idx", apply)
+        # 'x' left the corpus: df/tf roll to 0 but the row remains (the
+        # rollup-consumer tombstone convention — compaction is OPTIMIZE's
+        # job); consumers filter df > 0
+        assert _idx(spark, sink) == {"x": (0, 0), "y": (1, 1)}
+
+    def test_multi_commit_pump_and_replay_idempotence(self, spark, paths):
+        from dynamicqueryengine_spark.streaming.cdc import (
+            apply_index_increment,
+        )
+
+        src, sink = paths
+        apply = apply_index_increment(spark, sink)
+        # two commits folded in ONE pump: same doc inserted then updated
+        vt_write(spark, src, self._docs(spark, [(1, "p q")]))
+        vt_merge(
+            spark,
+            src,
+            self._docs(spark, [(1, "q r")]),
+            ["doc_id"],
+            change_feed=True,
+        )
+        pump_until_current(spark, src, sink, "idx", apply)
+        want = {"p": (0, 0), "q": (1, 1), "r": (1, 1)}
+        assert _idx(spark, sink) == want
+        # replaying the already-applied range is a no-op (cursor guard)
+        head = vt_head(src)
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        apply(vt_read_changes(spark, src, 0, head), ("idx", head))
+        assert _idx(spark, sink) == want
