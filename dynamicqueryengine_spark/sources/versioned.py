@@ -90,6 +90,7 @@ __all__ = [
     "vt_table_stats",
     "vt_join_plan",
     "vt_join",
+    "vt_maintenance_plan",
     "ConstraintViolation",
 ]
 
@@ -1936,3 +1937,125 @@ def vt_join(
         ] + [c for c in right.columns if c not in on]
         return joined.select(*cols)
     return left.join(right, on, how)
+
+
+def vt_maintenance_plan(
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    small_fraction: float = 0.5,
+    min_files: int = 4,
+    keep_last: int = 2,
+    grace_seconds: float = 600.0,
+) -> dict:
+    """Metadata-only maintenance advisor — the operational counterpart
+    of :func:`vt_optimize` / :func:`vt_analyze` / :func:`vt_vacuum`:
+    inspect the log and the filesystem metadata (never a data file) and
+    say which maintenance job is due. At 100 TB maintenance is the
+    difference between skipping working (tight per-file ranges, live
+    blooms, fresh stats) and a manifest full of kilobyte files from a
+    streaming ingest; this makes the decision costable from the driver
+    in milliseconds.
+
+    Returns a dict with the raw layout numbers plus three
+    recommendations:
+
+    * ``compact`` — True when ≥ ``small_fraction`` of the snapshot's
+      files are under ``small_file_bytes`` and there are at least
+      ``min_files`` of them (the streaming small-file problem), OR the
+      snapshot spans more directories than ``min_files`` (every append
+      adds one; reads list them all). Fix = ``vt_optimize``.
+    * ``analyze`` — ``"missing"`` / ``"stale"`` / ``"fresh"``: whether
+      the cost-based join planner has statistics describing the current
+      head. Fix = ``vt_analyze``.
+    * ``vacuum`` — directories only EXPIRED manifests reference (plus
+      orphans older than ``grace_seconds``) and their reclaimable
+      bytes, mirroring what ``vt_vacuum(keep_last=...)`` would remove.
+    """
+    versions = vt_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    head = versions[-1]
+    manifest = _read_manifest(path, head)
+    flists = manifest.get("files", {})
+    sizes: list[int] = []
+    for d in manifest["dirs"]:
+        full = os.path.join(path, d)
+        names = flists.get(d)
+        if names is None:
+            try:
+                names = [
+                    n for n in os.listdir(full) if n.endswith(".parquet")
+                ]
+            except OSError:
+                names = []
+        for n in names:
+            try:
+                sizes.append(os.path.getsize(os.path.join(full, n)))
+            except OSError:
+                continue
+    n_files = len(sizes)
+    n_small = sum(1 for s in sizes if s < small_file_bytes)
+    n_dirs = len(manifest["dirs"])
+    compact = (
+        n_files >= min_files and n_small / max(n_files, 1) >= small_fraction
+    ) or n_dirs > min_files
+
+    stats = vt_table_stats(path)
+    if stats["analyze"] is None:
+        analyze = "missing"
+    elif stats["analyze_stale"]:
+        analyze = "stale"
+    else:
+        analyze = "fresh"
+
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for v in keep:
+        m = _read_manifest(path, v)
+        referenced.update(m["dirs"])
+        if m.get("changes"):
+            referenced.add(m["changes"])
+    reclaim_dirs: list[str] = []
+    reclaim_bytes = 0
+    now = time.time()
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        entries = []
+    for name in entries:
+        if not name.startswith(("d_", "c_")) or name in referenced:
+            continue
+        full = os.path.join(path, name)
+        in_some_manifest = any(
+            name in _read_manifest(path, v)["dirs"]
+            or _read_manifest(path, v).get("changes") == name
+            for v in versions
+        )
+        if not in_some_manifest:
+            try:
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue  # possibly an in-flight concurrent writer
+            except OSError:
+                continue
+        reclaim_dirs.append(name)
+        for root, _, fnames in os.walk(full):
+            for fn in fnames:
+                try:
+                    reclaim_bytes += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    continue
+    return {
+        "version": head,
+        "files_total": n_files,
+        "files_small": n_small,
+        "dirs": n_dirs,
+        "bytes_total": sum(sizes),
+        "avg_file_bytes": (sum(sizes) // n_files) if n_files else 0,
+        "compact": compact,
+        "analyze": analyze,
+        "vacuum": {
+            "dirs": sorted(reclaim_dirs),
+            "bytes": reclaim_bytes,
+            "keep_last": keep_last,
+        },
+    }

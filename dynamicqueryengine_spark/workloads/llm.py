@@ -4045,3 +4045,58 @@ FROM tok GROUP BY token
 LLM_QUERIES["docs_vt_index_cdc"] = FnWorkload(
     _docs_vt_index_cdc, _DOCS_VT_INDEX_CDC_SQL
 )
+
+
+def _events_vt_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only maintenance advisor, EXECUTED (sources/versioned.py
+    vt_maintenance_plan r9): ingest events as four small appends (the
+    streaming small-file pattern), ask the advisor — it must flag
+    compaction and missing ANALYZE stats — then run the maintenance it
+    prescribed (vt_optimize to one file, vt_analyze) and ask again — it
+    must report clean. The advisor reads only manifests and filesystem
+    metadata (milliseconds at any scale); the decisions ride the oracle
+    hash as literals, and ``n_rows`` comes from the post-OPTIMIZE
+    metadata count, pinning that compaction lost nothing."""
+    from ..sources.versioned import (
+        vt_analyze,
+        vt_count,
+        vt_maintenance_plan,
+        vt_optimize,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = os.path.join(_scratch_dir("vtmaint", sf_dir), "ev")
+    for i in range(4):
+        vt_write(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 4 == i),
+            mode="append" if i else "overwrite",
+        )
+    before = vt_maintenance_plan(path)
+    vt_optimize(spark, path, ["event_id"], n_partitions=1)
+    vt_analyze(spark, path, columns=["event_type"])
+    after = vt_maintenance_plan(path, small_file_bytes=1)
+    return spark.range(1).select(
+        F.lit(int(vt_count(spark, path))).cast("long").alias("n_rows"),
+        F.lit(bool(before["compact"])).alias("before_compact"),
+        F.lit(before["analyze"]).alias("before_analyze"),
+        F.lit(bool(after["compact"])).alias("after_compact"),
+        F.lit(after["analyze"]).alias("after_analyze"),
+    )
+
+
+_EVENTS_VT_MAINT_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       true AS before_compact, 'missing' AS before_analyze,
+       false AS after_compact, 'fresh' AS after_analyze
+FROM events
+""".strip()
+
+
+LLM_QUERIES["events_vt_maintenance_plan"] = FnWorkload(
+    _events_vt_maintenance_plan, _EVENTS_VT_MAINT_SQL
+)

@@ -245,3 +245,60 @@ class TestVtJoin:
         assert sorted(map(tuple, out.collect())) == sorted(
             map(tuple, self._plain(spark, lp, rp, ["k"]))
         )
+
+
+class TestMaintenancePlan:
+    def test_fragmented_table_recommends_compaction(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_maintenance_plan,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        for i in range(6):  # six tiny append dirs — the streaming pattern
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame([(i, "x")], "k int, s string"),
+                mode="append" if i else "overwrite",
+            )
+        plan = vt_maintenance_plan(path)
+        assert plan["compact"] is True
+        assert plan["dirs"] == 6 and plan["files_small"] == plan["files_total"]
+        assert plan["analyze"] == "missing"
+        vt_optimize(spark, path, ["k"], n_partitions=1)
+        after = vt_maintenance_plan(
+            path, small_file_bytes=1  # nothing counts as small
+        )
+        assert after["compact"] is False and after["dirs"] == 1
+
+    def test_analyze_freshness_transitions(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_maintenance_plan,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _dim(spark))
+        assert vt_maintenance_plan(path)["analyze"] == "missing"
+        vt_analyze(spark, path, columns=["k"])
+        assert vt_maintenance_plan(path)["analyze"] == "fresh"
+        vt_write(spark, path, _dim(spark), mode="append")
+        assert vt_maintenance_plan(path)["analyze"] == "stale"
+
+    def test_vacuum_estimate_matches_vacuum(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_maintenance_plan,
+            vt_vacuum,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _dim(spark))
+        vt_write(spark, path, _dim(spark), mode="overwrite")
+        vt_write(spark, path, _dim(spark), mode="overwrite")
+        plan = vt_maintenance_plan(path, keep_last=2)
+        assert len(plan["vacuum"]["dirs"]) == 1  # v1's dir is expired-only
+        assert plan["vacuum"]["bytes"] > 0
+        removed = vt_vacuum(spark, path, keep_last=2)
+        assert sorted(removed) == plan["vacuum"]["dirs"]
+        # post-vacuum: nothing left to reclaim
+        assert vt_maintenance_plan(path, keep_last=2)["vacuum"]["dirs"] == []
