@@ -91,6 +91,7 @@ __all__ = [
     "vt_join_plan",
     "vt_join",
     "vt_maintenance_plan",
+    "vt_version_at",
     "ConstraintViolation",
 ]
 
@@ -766,6 +767,35 @@ def _resolve_version(path: str, version: int | None) -> int:
     return v
 
 
+def vt_version_at(path: str, timestamp) -> int:
+    """TIMESTAMP AS OF resolution (Delta's ``timestampAsOf``): the
+    highest retained version whose commit timestamp is ≤ ``timestamp``
+    — i.e. the snapshot a reader at that wall-clock moment would have
+    seen. Accepts epoch seconds (int/float), a ``datetime`` (naive =
+    UTC), or an ISO-8601 string. Raises ValueError for a timestamp
+    before the first retained commit (Delta's contract: nothing existed
+    to read). Metadata-only — one pass over the retained manifests."""
+    import datetime as _dt
+
+    ts = timestamp
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()
+    epoch = float(ts)
+    best = None
+    for v in vt_versions(path):
+        if float(_read_manifest(path, v).get("ts", 0.0)) <= epoch:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version at or before timestamp {timestamp!r} at {path}"
+        )
+    return best
+
+
 def vt_scan_plan(
     path: str,
     version: int | None = None,
@@ -906,9 +936,13 @@ def vt_read(
     rule=None,
     external_params=None,
     strict_compat: bool = True,
+    timestamp=None,
 ) -> DataFrame:
-    """Snapshot read: the latest committed version, or ``version=`` for
-    time travel. Never sees uncommitted or later data.
+    """Snapshot read: the latest committed version, ``version=`` for
+    time travel, or ``timestamp=`` (epoch seconds / datetime / ISO
+    string) for Delta-style TIMESTAMP AS OF — resolved to the highest
+    version committed at or before that moment (:func:`vt_version_at`).
+    Never sees uncommitted or later data.
 
     ``predicate=(col, op, value)`` — or a CONJUNCTION list of such
     tuples — with op in ``=, <, <=, >, >=, in`` both FILTERS the result
@@ -927,6 +961,10 @@ def vt_read(
     filters the surviving scan, so the result is identical to
     ``apply_rule`` over an unpruned read. Mutually exclusive with
     ``predicate``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = vt_version_at(path, timestamp)
     if rule is not None:
         if predicate is not None:
             raise ValueError("pass predicate= or rule=, not both")

@@ -1362,3 +1362,54 @@ class TestMetadataMinMax:
         os.remove(mp)
         _json.dump(m, open(mp, "w"))
         assert V.vt_minmax(spark, path, "id") == (3, 7)
+
+
+class TestTimestampAsOf:
+    def test_timestamp_resolves_to_snapshot(self, spark, tmp_path):
+        import time as _t
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_version_at,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        _t.sleep(0.05)
+        between = _t.time()
+        _t.sleep(0.05)
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        assert vt_version_at(path, between) == 1
+        assert _rows(vt_read(spark, path, timestamp=between)) == {(1, "a")}
+        # after the last commit → head; datetime and ISO forms accept too
+        now = _t.time()
+        assert vt_version_at(path, now) == 2
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(
+            now, tz=_dt.timezone.utc
+        ).isoformat()
+        assert vt_version_at(path, iso) == 2
+        assert _rows(vt_read(spark, path, timestamp=now)) == {
+            (1, "a"),
+            (2, "b"),
+        }
+
+    def test_timestamp_before_first_commit_raises(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_version_at,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="at or before"):
+            vt_version_at(path, 0.0)
+
+    def test_version_and_timestamp_mutually_exclusive(
+        self, spark, tmp_path
+    ):
+        import time as _t
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="not both"):
+            vt_read(spark, path, version=1, timestamp=_t.time())
