@@ -4100,3 +4100,36 @@ FROM events
 LLM_QUERIES["events_vt_maintenance_plan"] = FnWorkload(
     _events_vt_maintenance_plan, _EVENTS_VT_MAINT_SQL
 )
+
+
+def _events_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing, EXECUTED (functions/aqp.py r9 —
+    BlinkDB's pattern): per-event-type COUNT and SUM(value) estimated
+    from a deterministic 1/4 hash-Bernoulli sample with Horvitz-Thompson
+    standard errors. The oracle recomputes the SAME estimator (portable
+    md5 hash cut, exact-decimal accumulation, one decimal→double step
+    for the variance terms) — pinning the estimator arithmetic, not just
+    the sample. At 100 TB this is the exploratory-query answer: scan 25%
+    (or 1%) of the data, return every group's estimate with its CI."""
+    from ..functions.aqp import approx_groupby
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return approx_groupby(
+        ev, "event_id", "value", ["event_type"], fraction=0.25
+    )
+
+
+def _events_approx_aggregates_sql() -> str:
+    from ..functions.aqp import approx_groupby_sql
+
+    src = _EVENTS_ORACLE_SOURCE.removesuffix(" AS events")
+    return approx_groupby_sql(
+        src, "event_id", "value", ["event_type"], fraction=0.25
+    )
+
+
+LLM_QUERIES["events_approx_aggregates"] = FnWorkload(
+    _events_approx_aggregates, _events_approx_aggregates_sql()
+)
