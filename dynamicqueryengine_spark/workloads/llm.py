@@ -4133,3 +4133,58 @@ def _events_approx_aggregates_sql() -> str:
 LLM_QUERIES["events_approx_aggregates"] = FnWorkload(
     _events_approx_aggregates, _events_approx_aggregates_sql()
 )
+
+
+def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar operators over the semi-structured ``props`` column
+    (SURVEY.md §2.5 declared-absent scalar family, beyond-reference):
+    ``get_json_object`` path extraction with typed cast, missing-path →
+    NULL semantics, and a grouped aggregate over the extracted value —
+    the log-analytics shape where the group key lives INSIDE a JSON
+    payload. JVM-side Catalyst JSON path evaluation (no UDF); the scan
+    reads only (props, value)."""
+    ev = load_table(spark, sf_dir, "events").select("props", "value")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    missing = F.get_json_object(F.col("props"), "$.absent")
+    return (
+        ev.select(
+            (k % 7).alias("k_bucket"),
+            k.alias("k"),
+            missing.alias("m"),
+            F.col("value"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+            F.sum(F.col("m").isNull().cast("long")).alias("n_missing"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+x AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         json_extract_string(props, '$.absent') AS m, value
+  FROM ev
+)
+SELECT k % 7 AS k_bucket, count(*) AS n,
+       count(DISTINCT k) AS n_k,
+       min(k) AS min_k, max(k) AS max_k,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing
+FROM x GROUP BY k % 7
+""".strip()
+
+
+LLM_QUERIES["events_json_extract"] = FnWorkload(
+    _events_json_extract, _EVENTS_JSON_SQL
+)

@@ -567,3 +567,22 @@ class TestRound9PlanShapes:
         )
         # the FileScan's location lists only kept file paths
         assert plan.count(".parquet") <= sp["files_kept"] + 1
+
+
+class TestJsonExtract:
+    def test_json_query_prunes_scan_to_two_columns(self, spark):
+        """events_json_extract reads only (props, value) — a JSON
+        extraction that dragged the whole row through the scan would
+        defeat column pruning at 100 TB."""
+        from dynamicqueryengine_spark.workloads.llm import (
+            _events_json_extract,
+        )
+
+        plan = _physical(_events_json_extract(spark, SF_DIR))
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"props", "value"}
+        assert "GetJsonObject" in plan or "get_json_object" in plan
