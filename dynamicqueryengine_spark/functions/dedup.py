@@ -331,20 +331,34 @@ def ngram_jaccard_pairs(
 # contributes f² joined rows all hashed to ONE reducer — stopword-like
 # 5-grams ("the q", " and ") are exactly such keys on natural corpora,
 # the measured ±2-4× variance source of the equijoin route. Shingles
-# above HOT_SHINGLE_FREQ take a two-level triangle-salted join spread
-# over SHINGLE_SALT_BUCKETS² reducers instead. The frequency cut keys
-# off per-reducer work (f ≤ H ⇒ ≤ H² rows per cold key); at larger
-# deployments raise H with reducer memory, not data size — the hot SET
-# (broadcast to route rows) stays ≤ |shingle stream| / H.
+# above the hot cut take a two-level triangle-salted join spread over
+# SHINGLE_SALT_BUCKETS² reducers instead.
+#
+# The cut is RELATIVE, not absolute (r9 fix): a key is a straggler only
+# when its OWN f² exceeds one reducer's fair share of the total join
+# work Σf² / shuffle-partitions — salting is for the few-hot-keys
+# regime. An absolute frequency cut misroutes the many-moderate-keys
+# regime (a small-vocabulary corpus put 99% of shingle rows through the
+# ×2g-replicated salted branch that a plain hash join already balances,
+# measured 5-8× slower at sf0.1); under the fair-share cut that corpus
+# takes the pure plain plan (its hottest key carries 84M of a 6.5G-work
+# join — 40% of one reducer's share) while the few-stopword skew corpus
+# still salts. HOT_SHINGLE_FREQ is the FLOOR of the cut (per-reducer
+# memory bound: f ≤ floor ⇒ ≤ floor² rows per cold key);
+# HOT_WORK_SHARE scales the fair-share term (tests set it to 0 to force
+# every key hot).
 HOT_SHINGLE_FREQ = 256
+HOT_WORK_SHARE = 1.0
 SHINGLE_SALT_BUCKETS = 8
 
 
 def _pair_shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
     """(id_a, id_b, c) with id_a < id_b and c = |shared shingles| — the
     self-join core of the jaccard/containment equijoin routes, HOT-KEY
-    HARDENED: cold shingles (freq ≤ HOT_SHINGLE_FREQ) take the plain
-    equijoin (per-reducer work bounded by freq² ≤ H² per key); hot
+    HARDENED with a fair-share cut (see the module constants above):
+    cold shingles (every key when none exceeds one reducer's share of
+    Σf² — the common case, where this compiles to exactly the plain
+    plan) take the plain equijoin; hot
     shingles take a triangle-salted join — side A carries its own salt
     s(id) and replicates over the partner salt j, side B mirrors, and
     joining on (shingle, sa=i, j=sb) lands each row pair in EXACTLY one
@@ -357,15 +371,20 @@ def _pair_shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
     full exchange of the pair stream; the union keeps exactly the plain
     plan's one exchange with map-side partials.
 
-    The stream is persisted HERE (registered for release) because five
-    references follow (frequency scan + two sides of each branch) — left
-    lazy, each would re-run the upstream Arrow shingle hashing (measured
+    Plan-shape decision: ONE map-side-combined frequency aggregate over
+    the lazy stream yields (Σf², max f) — the fair-share cut. In the
+    no-straggler case the returned plan is EXACTLY the pre-hardening
+    plain self-join over the LAZY stream (self-joining the identical
+    subplan gives Spark a ReusedExchange: the shingle shuffle is written
+    once) — measured 3.3× faster than the same join over a persisted
+    copy of the stream at sf0.1, so the stream is persisted (and
+    registered for release) ONLY when a hot branch engages and its four
+    references would otherwise re-run the shingle hashing (measured
     ~1.7× the whole plain join on a ×16 skew corpus)."""
-    sh = _register_cache(sh.persist())
+    import math
+
     freqs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-    hot = freqs.filter(F.col("_f") > HOT_SHINGLE_FREQ).select("shingle")
-    cold_sh = sh.join(F.broadcast(hot), "shingle", "anti")
-    hot_sh = sh.join(F.broadcast(hot), "shingle", "semi")
+    p = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     def raw_pairs(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
         a, b = a.alias("a"), b.alias("b")
@@ -377,6 +396,33 @@ def _pair_shingle_counts(sh: DataFrame, id_col: str) -> DataFrame:
                 F.col(f"b.{id_col}").alias("id_b"),
             )
         )
+
+    # one tiny driver scalar (2 values, one lazy agg pass) decides the
+    # plan shape: the fair-share cut, and whether a hot branch is needed
+    # at all — when no key exceeds it, the hybrid's extra exchanges and
+    # ×2g replication are pure loss, so the plan IS the plain equijoin
+    stats = freqs.agg(
+        F.sum(F.col("_f") * F.col("_f")).alias("_w"),
+        F.max("_f").alias("_fmax"),
+    ).collect()[0]
+    work = int(stats["_w"] or 0)
+    fmax = int(stats["_fmax"] or 0)
+    cut = max(
+        HOT_SHINGLE_FREQ,
+        math.isqrt(int(work * HOT_WORK_SHARE / p)) if p else 0,
+    )
+    if fmax <= cut:
+        return (
+            raw_pairs(sh, sh, ["shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    sh = _register_cache(sh.persist())
+    freqs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    hot = freqs.filter(F.col("_f") > cut).select("shingle")
+    cold_sh = sh.join(F.broadcast(hot), "shingle", "anti")
+    hot_sh = sh.join(F.broadcast(hot), "shingle", "semi")
 
     g = SHINGLE_SALT_BUCKETS
     reps = F.explode(F.array(*[F.lit(i) for i in range(g)]))

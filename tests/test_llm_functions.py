@@ -104,11 +104,12 @@ class TestNgramJaccard:
         assert "Generate explode" in plan or "explode" in plan
 
     def test_salted_hot_branch_matches_plain(self, docs, monkeypatch):
-        """Hot-shingle skew hardening (r9): with the hot cut forced to 1
-        every shingle routes through the triangle-salted branch, and with
-        it forced huge everything takes the plain branch — identical pair
-        sets either way (the sf0.1 skew probe pins the task-spread win;
-        this pins semantics)."""
+        """Hot-shingle skew hardening (r9): with the fair-share cut
+        zeroed and the floor forced to 1 every shingle routes through
+        the triangle-salted branch, and with the floor forced huge
+        everything takes the plain branch — identical pair sets either
+        way (the sf0.1 skew probe pins the task-spread win; this pins
+        semantics)."""
         monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)  # force equijoin route
 
         def pairs():
@@ -122,6 +123,7 @@ class TestNgramJaccard:
         monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1 << 60)
         plain = pairs()
         monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1)
+        monkeypatch.setattr(D, "HOT_WORK_SHARE", 0.0)
         salted = pairs()
         assert plain and salted == plain
         # containment shares the hardened core — pin it too
@@ -134,9 +136,30 @@ class TestNgramJaccard:
             )
 
         monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1 << 60)
+        monkeypatch.setattr(D, "HOT_WORK_SHARE", 1.0)
         plain_c = cont()
         monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1)
+        monkeypatch.setattr(D, "HOT_WORK_SHARE", 0.0)
         assert plain_c and cont() == plain_c
+
+    def test_fair_share_cut_keeps_plain_plan_on_moderate_keys(
+        self, docs, monkeypatch
+    ):
+        """Many-moderate-keys corpora (small vocab, no single straggler
+        key) must compile to the PLAIN equijoin — no salted exchange, no
+        ×2g replication (the r9 regression: an absolute cut routed 99%
+        of a small-vocab corpus through the salted branch, 5-8× slower
+        than plain at sf0.1)."""
+        monkeypatch.setattr(D, "MAX_DENSE_CELLS", 0)
+        # floor of 1 but full fair-share term: the tiny fixture corpus
+        # has no key above one reducer's share, so no hot branch
+        monkeypatch.setattr(D, "HOT_SHINGLE_FREQ", 1)
+        sh = D.raw_shingles(docs, k=5)
+        out = D._pair_shingle_counts(sh, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan  # single-branch plain plan
+        assert out.count() > 0
+        D.release_internal_caches()
 
     def test_minhash_matches_exact_on_real_docs(self, docs):
         """LSH candidates + exact verification should recover the exact
