@@ -92,6 +92,7 @@ __all__ = [
     "vt_join",
     "vt_maintenance_plan",
     "vt_version_at",
+    "vt_clone",
     "ConstraintViolation",
 ]
 
@@ -166,6 +167,7 @@ def _commit(
     file_rows: dict | None = None,
     constraints: list | None = None,
     analyze: dict | None = None,
+    clone: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -216,6 +218,10 @@ def _commit(
         # data-changing commits (Delta/Spark ANALYZE semantics: stats
         # describe the snapshot they were computed on)
         manifest["analyze"] = analyze
+    if clone:
+        # shallow-clone provenance (vt_clone): {src, version} of the
+        # table this one's first manifest borrowed its directories from
+        manifest["clone"] = clone
     # CHECK constraints are a TABLE PROPERTY (Delta's constraint
     # semantics): None carries the head's recorded set forward through
     # every commit kind (append, merge, optimize, restore); an explicit
@@ -2097,3 +2103,55 @@ def vt_maintenance_plan(
             "keep_last": keep_last,
         },
     }
+
+
+def vt_clone(spark, src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE (Delta's ``CLONE``): create ``dst_path`` as a new
+    versioned table whose version 1 references the SOURCE head's data
+    directories by absolute path — zero bytes copied, metadata-only, so
+    cloning a 100 TB table is a driver-side manifest write. Every
+    reader/writer mechanism works on the clone unchanged (absolute
+    directory references resolve through the same ``os.path.join``):
+
+    * reads, time travel, skipping, blooms, metadata counts all serve
+      from the shared directories;
+    * writes to the clone are copy-on-write into the CLONE's own
+      directory tree — the source never observes them (pinned by test);
+    * ``vt_vacuum`` on the clone only ever deletes clone-local
+      directories (its filesystem sweep lists the clone's tree, where
+      the shared dirs don't live).
+
+    The one sharp edge is Delta's own: ``vt_vacuum`` on the SOURCE does
+    not know about clones and can delete directories a live clone still
+    references. Shallow clones are for short-lived dev/test branches;
+    keep the source's retention covering the cloned version (or
+    OPTIMIZE the clone, which rewrites it onto its own storage and
+    drops every shared reference). Provenance ``{src, version}`` is
+    recorded in the clone's first manifest."""
+    if vt_versions(dst_path):
+        raise FileExistsError(f"{dst_path} already has committed versions")
+    src_head = _resolve_version(src_path, None)
+    m = _read_manifest(src_path, src_head)
+
+    def absd(d: str) -> str:
+        return d if os.path.isabs(d) else os.path.join(src_path, d)
+
+    remap = {d: absd(d) for d in m["dirs"]}
+    os.makedirs(dst_path, exist_ok=True)
+    version = _commit(
+        dst_path,
+        [remap[d] for d in m["dirs"]],
+        "clone",
+        0,
+        {remap[d]: v for d, v in m.get("stats", {}).items()},
+        None,
+        {remap[d]: v for d, v in m.get("file_stats", {}).items()},
+        {remap[d]: v for d, v in m.get("files", {}).items()},
+        schema=m.get("schema"),
+        heterogeneous=m.get("schema_heterogeneous", False),
+        blooms={remap[d]: v for d, v in m.get("blooms", {}).items()},
+        file_rows={remap[d]: v for d, v in m.get("file_rows", {}).items()},
+        constraints=m.get("constraints"),
+        clone={"src": src_path, "version": src_head},
+    )
+    return version

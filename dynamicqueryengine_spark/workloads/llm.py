@@ -4188,3 +4188,63 @@ FROM x GROUP BY k % 7
 LLM_QUERIES["events_json_extract"] = FnWorkload(
     _events_json_extract, _EVENTS_JSON_SQL
 )
+
+
+def _events_vt_clone_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table branching, EXECUTED (sources/versioned.py
+    vt_clone r9 — Delta's shallow CLONE): stage events as a source vt,
+    clone it (metadata-only: the clone's manifest references the
+    source's directories by absolute path, nothing copied), then MERGE
+    doubled values for event_id % 10 == 3 INTO THE CLONE. The clone's
+    copy-on-write merge lands in its own directory tree, so the final
+    aggregate comes from the branch while ``n_src_rows`` — the source's
+    metadata count taken AFTER the branch diverged — pins that the
+    source never observed the write. At 100 TB this is how a dev/test
+    branch of a production table costs one manifest, not a copy."""
+    from ..sources.versioned import vt_clone, vt_count, vt_merge, vt_read, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _scratch_dir("vtclone", sf_dir)
+    src = os.path.join(base, "src")
+    branch = os.path.join(base, "branch")
+    vt_write(spark, src, ev)
+    vt_clone(spark, src, branch)
+    vt_merge(
+        spark,
+        branch,
+        ev.filter(F.col("event_id") % 10 == 3).withColumn(
+            "value", F.col("value") * 2
+        ),
+        ["event_id"],
+    )
+    n_src = vt_count(spark, src)
+    return (
+        vt_read(spark, branch)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+            F.lit(int(n_src)).cast("long").alias("n_src_rows"),
+        )
+    )
+
+
+_EVENTS_VT_CLONE_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CASE WHEN event_id % 10 = 3
+                           THEN 2 * CAST(value AS DECIMAL(38,12))
+                           ELSE CAST(value AS DECIMAL(38,12)) END), 6)
+            AS DOUBLE) AS sum_value,
+       (SELECT count(*) FROM ev) AS n_src_rows
+FROM ev GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_clone_branch"] = FnWorkload(
+    _events_vt_clone_branch, _EVENTS_VT_CLONE_SQL
+)

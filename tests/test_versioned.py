@@ -1413,3 +1413,69 @@ class TestTimestampAsOf:
         vt_write(spark, path, _df(spark, [(1, "a")]))
         with pytest.raises(ValueError, match="not both"):
             vt_read(spark, path, version=1, timestamp=_t.time())
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_reads_equal(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_count,
+            vt_history,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark, [(1, "a"), (2, "b")]))
+        vt_clone(spark, src, dst)
+        assert _rows(vt_read(spark, dst)) == {(1, "a"), (2, "b")}
+        # zero copy: no data directories materialized under the clone
+        import os
+
+        assert not [n for n in os.listdir(dst) if n.startswith("d_")]
+        # metadata count serves from the shared footer stats
+        assert vt_count(spark, dst) == 2
+        h = vt_history(dst)[0]
+        assert h["op"] == "clone"
+
+    def test_clone_writes_are_isolated_both_ways(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_clone
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark, [(1, "a")]))
+        vt_clone(spark, src, dst)
+        # clone-side merge: copy-on-write into the clone's own tree
+        vt_merge(spark, dst, _df(spark, [(1, "CLONE"), (9, "z")]), ["id"])
+        assert _rows(vt_read(spark, dst)) == {(1, "CLONE"), (9, "z")}
+        assert _rows(vt_read(spark, src)) == {(1, "a")}
+        # source-side append: the clone's snapshot is pinned at clone time
+        vt_write(spark, src, _df(spark, [(5, "e")]), mode="append")
+        assert _rows(vt_read(spark, dst)) == {(1, "CLONE"), (9, "z")}
+
+    def test_clone_vacuum_only_touches_clone_local_dirs(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_clone
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark, [(1, "a")]))
+        vt_clone(spark, src, dst)
+        vt_merge(spark, dst, _df(spark, [(2, "b")]), ["id"])
+        vt_merge(spark, dst, _df(spark, [(3, "c")]), ["id"])
+        removed = vt_vacuum(spark, dst, keep_last=1, grace_seconds=0)
+        # only clone-local merge output expired; the shared source dirs
+        # are out of the clone's filesystem sweep entirely
+        assert all(not r.startswith("/") for r in removed)
+        assert _rows(vt_read(spark, src)) == {(1, "a")}
+        assert _rows(vt_read(spark, dst)) == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+
+    def test_clone_onto_existing_table_rejected(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_clone
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark, [(1, "a")]))
+        vt_write(spark, dst, _df(spark, [(2, "b")]))
+        with pytest.raises(FileExistsError):
+            vt_clone(spark, src, dst)
