@@ -133,6 +133,22 @@ SHOWCASES = [
         "decimal.",
         "agg_important_parts_q11",
     ),
+    (
+        "join_vt_stats_advisor: manifest-stats-chosen broadcast (r9)",
+        "The cost-based advisor read both tables' manifest bytes and "
+        "hinted the kilobyte dim side broadcast — a BroadcastHashJoin "
+        "with no shuffle of the fact scan, chosen from metadata Catalyst "
+        "cannot see behind a plain parquet read.",
+        "join_vt_stats_advisor",
+    ),
+    (
+        "events_approx_aggregates: sampled aggregate, map-side cut (r9)",
+        "The deterministic hash-Bernoulli sample is a Filter directly on "
+        "the scan — unsampled rows never reach the single aggregation "
+        "exchange; the Horvitz-Thompson estimate and its standard errors "
+        "are plain projections after the aggregate.",
+        "events_approx_aggregates",
+    ),
 ]
 
 
