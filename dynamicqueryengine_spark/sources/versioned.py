@@ -2105,9 +2105,11 @@ def vt_maintenance_plan(
     }
 
 
-def vt_clone(spark, src_path: str, dst_path: str) -> int:
-    """SHALLOW CLONE (Delta's ``CLONE``): create ``dst_path`` as a new
-    versioned table whose version 1 references the SOURCE head's data
+def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
+    """CLONE (Delta's ``CLONE``): create ``dst_path`` as a new versioned
+    table from the SOURCE head's snapshot.
+
+    **Shallow** (default): version 1 references the source's data
     directories by absolute path — zero bytes copied, metadata-only, so
     cloning a 100 TB table is a driver-side manifest write. Every
     reader/writer mechanism works on the clone unchanged (absolute
@@ -2121,13 +2123,20 @@ def vt_clone(spark, src_path: str, dst_path: str) -> int:
       directories (its filesystem sweep lists the clone's tree, where
       the shared dirs don't live).
 
-    The one sharp edge is Delta's own: ``vt_vacuum`` on the SOURCE does
-    not know about clones and can delete directories a live clone still
-    references. Shallow clones are for short-lived dev/test branches;
-    keep the source's retention covering the cloned version (or
-    OPTIMIZE the clone, which rewrites it onto its own storage and
-    drops every shared reference). Provenance ``{src, version}`` is
-    recorded in the clone's first manifest."""
+    The shallow sharp edge is Delta's own: ``vt_vacuum`` on the SOURCE
+    does not know about clones and can delete directories a live clone
+    still references. Shallow clones are for short-lived dev/test
+    branches; keep the source's retention covering the cloned version.
+
+    **Deep** (``deep=True``): the referenced directories are COPIED into
+    the clone's tree (filesystem copy, no Spark job, no decode/re-encode
+    — stats/blooms/footer counts carry over byte-identical), severing
+    every dependency on the source: its vacuum, its lifecycle, its
+    storage. Costs one data copy — the full-fidelity backup/promotion
+    path.
+
+    Provenance ``{src, version, deep}`` is recorded in the clone's first
+    manifest."""
     if vt_versions(dst_path):
         raise FileExistsError(f"{dst_path} already has committed versions")
     src_head = _resolve_version(src_path, None)
@@ -2136,8 +2145,15 @@ def vt_clone(spark, src_path: str, dst_path: str) -> int:
     def absd(d: str) -> str:
         return d if os.path.isabs(d) else os.path.join(src_path, d)
 
-    remap = {d: absd(d) for d in m["dirs"]}
     os.makedirs(dst_path, exist_ok=True)
+    if deep:
+        remap = {}
+        for d in m["dirs"]:
+            name = os.path.basename(d.rstrip("/"))
+            shutil.copytree(absd(d), os.path.join(dst_path, name))
+            remap[d] = name
+    else:
+        remap = {d: absd(d) for d in m["dirs"]}
     version = _commit(
         dst_path,
         [remap[d] for d in m["dirs"]],
@@ -2152,6 +2168,6 @@ def vt_clone(spark, src_path: str, dst_path: str) -> int:
         blooms={remap[d]: v for d, v in m.get("blooms", {}).items()},
         file_rows={remap[d]: v for d, v in m.get("file_rows", {}).items()},
         constraints=m.get("constraints"),
-        clone={"src": src_path, "version": src_head},
+        clone={"src": src_path, "version": src_head, "deep": deep},
     )
     return version

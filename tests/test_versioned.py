@@ -1479,3 +1479,24 @@ class TestShallowClone:
         vt_write(spark, dst, _df(spark, [(2, "b")]))
         with pytest.raises(FileExistsError):
             vt_clone(spark, src, dst)
+
+    def test_deep_clone_survives_source_vacuum(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_count,
+            vt_history,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark, [(1, "a"), (2, "b")]))
+        vt_clone(spark, src, dst, deep=True)
+        # deep: data materialized under the clone, stats carried
+        import os
+
+        assert [n for n in os.listdir(dst) if n.startswith("d_")]
+        assert vt_count(spark, dst) == 2  # metadata count from copied footers
+        assert vt_history(dst)[0]["op"] == "clone"
+        # sever test: rewrite + vacuum the source to nothing it had
+        vt_write(spark, src, _df(spark, [(9, "z")]), mode="overwrite")
+        vt_vacuum(spark, src, keep_last=1, grace_seconds=0)
+        assert _rows(vt_read(spark, dst)) == {(1, "a"), (2, "b")}
