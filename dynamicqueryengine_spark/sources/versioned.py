@@ -93,6 +93,7 @@ __all__ = [
     "vt_maintenance_plan",
     "vt_version_at",
     "vt_clone",
+    "vt_diff",
     "ConstraintViolation",
 ]
 
@@ -2171,3 +2172,90 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
         clone={"src": src_path, "version": src_head, "deep": deep},
     )
     return version
+
+
+def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
+    """Metadata-only DRIFT REPORT between two snapshots — what changed
+    between version ``v_old`` and ``v_new`` (default: head) without
+    scanning either: exact row counts (manifest footer sums; None when
+    a legacy manifest lacks coverage), data bytes, schema evolution
+    (added/removed columns), per-column min/max movement (dir-level
+    footer stats, reported only when they soundly cover every file of
+    BOTH snapshots), and — when both versions carry ANALYZE blobs —
+    NDV/null-count drift. At 100 TB this is the ingest-monitoring
+    primitive: "did yesterday's load shift the value range / grow the
+    key space" answered from two manifests in milliseconds."""
+    new = _resolve_version(path, v_new)
+    old = _resolve_version(path, v_old)
+    mo, mn = _read_manifest(path, old), _read_manifest(path, new)
+
+    def rows_of(m: dict) -> int | None:
+        frows, flists = m.get("file_rows", {}), m.get("files", {})
+        total = 0
+        for d in m["dirs"]:
+            flist = flists.get(d)
+            drows = frows.get(d, {})
+            if not flist or any(f not in drows for f in flist):
+                return None
+            total += sum(drows[f] for f in flist)
+        return total
+
+    def minmax_of(m: dict, col: str):
+        stats = m.get("stats", {})
+        lo = hi = None
+        for d in m["dirs"]:
+            mm = stats.get(d, {}).get(col)
+            if mm is None:
+                return None
+            lo = mm[0] if lo is None else min(lo, mm[0])
+            hi = mm[1] if hi is None else max(hi, mm[1])
+        return (lo, hi)
+
+    def cols_of(m: dict) -> list[str]:
+        schema = m.get("schema")
+        if not schema:
+            return []
+        return [f["name"] for f in schema.get("fields", [])]
+
+    co, cn = cols_of(mo), cols_of(mn)
+    rows_old, rows_new = rows_of(mo), rows_of(mn)
+    out: dict = {
+        "v_old": old,
+        "v_new": new,
+        "rows_old": rows_old,
+        "rows_new": rows_new,
+        "row_delta": (
+            rows_new - rows_old
+            if rows_old is not None and rows_new is not None
+            else None
+        ),
+        "bytes_old": _data_bytes(path, mo),
+        "bytes_new": _data_bytes(path, mn),
+        "columns_added": [c for c in cn if c not in co],
+        "columns_removed": [c for c in co if c not in cn],
+        "minmax": {},
+    }
+    for c in cn:
+        a, b = minmax_of(mo, c), minmax_of(mn, c)
+        if a is not None and b is not None:
+            out["minmax"][c] = {
+                "old": list(a),
+                "new": list(b),
+                "min_moved": b[0] != a[0],
+                "max_moved": b[1] != a[1],
+            }
+    ao, an = mo.get("analyze"), mn.get("analyze")
+    if ao and an:
+        drift = {}
+        for c, s_new in an.get("columns", {}).items():
+            s_old = ao.get("columns", {}).get(c)
+            if s_old:
+                drift[c] = {
+                    "ndv_old": s_old.get("ndv"),
+                    "ndv_new": s_new.get("ndv"),
+                    "nulls_old": s_old.get("nulls"),
+                    "nulls_new": s_new.get("nulls"),
+                }
+        if drift:
+            out["analyze_drift"] = drift
+    return out

@@ -4248,3 +4248,60 @@ FROM ev GROUP BY event_type
 LLM_QUERIES["events_vt_clone_branch"] = FnWorkload(
     _events_vt_clone_branch, _EVENTS_VT_CLONE_SQL
 )
+
+
+def _events_vt_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report, EXECUTED (sources/versioned.py vt_diff
+    r9): commit the low half of events, append the high half, and
+    report what moved between the two snapshots FROM MANIFESTS ALONE —
+    exact row counts from footer sums, event_id min/max movement from
+    dir-level footer stats. The oracle recomputes every reported number
+    from the raw data; a drift report that misread either manifest
+    hash-mismatches. At 100 TB this is the post-ingest sanity check
+    (row delta, key-range movement) costing two manifest reads."""
+    from ..sources.versioned import vt_diff, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    path = os.path.join(_scratch_dir("vtdrift", sf_dir), "ev")
+    vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") > mid), mode="append"
+    )
+    d = vt_diff(path, 1, 2)
+    mm = d["minmax"]["event_id"]
+    return spark.range(1).select(
+        F.lit(int(d["rows_old"])).cast("long").alias("rows_old"),
+        F.lit(int(d["rows_new"])).cast("long").alias("rows_new"),
+        F.lit(int(d["row_delta"])).cast("long").alias("row_delta"),
+        F.lit(int(mm["old"][1])).cast("long").alias("max_old"),
+        F.lit(int(mm["new"][1])).cast("long").alias("max_new"),
+        F.lit(bool(mm["max_moved"])).alias("max_moved"),
+        F.lit(bool(mm["min_moved"])).alias("min_moved"),
+    )
+
+
+_EVENTS_VT_DRIFT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+b AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid
+  FROM ev
+)
+SELECT (SELECT count(*) FROM ev, b WHERE event_id <= mid) AS rows_old,
+       (SELECT count(*) FROM ev) AS rows_new,
+       (SELECT count(*) FROM ev, b WHERE event_id > mid) AS row_delta,
+       (SELECT max(event_id) FROM ev, b WHERE event_id <= mid)
+         AS max_old,
+       (SELECT max(event_id) FROM ev) AS max_new,
+       true AS max_moved, false AS min_moved
+""".strip()
+
+
+LLM_QUERIES["events_vt_drift_report"] = FnWorkload(
+    _events_vt_drift_report, _EVENTS_VT_DRIFT_SQL
+)

@@ -1500,3 +1500,52 @@ class TestShallowClone:
         vt_write(spark, src, _df(spark, [(9, "z")]), mode="overwrite")
         vt_vacuum(spark, src, keep_last=1, grace_seconds=0)
         assert _rows(vt_read(spark, dst)) == {(1, "a"), (2, "b")}
+
+
+class TestDiff:
+    def test_diff_reports_rows_minmax_and_schema(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_analyze,
+            vt_diff,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df1 = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        )
+        vt_write(spark, path, df1)
+        vt_analyze(spark, path, columns=["k"])
+        # append extends the value range upward and adds a column
+        df2 = spark.createDataFrame(
+            [(i, float(i), "x") for i in range(10, 15)],
+            "k long, v double, tag string",
+        )
+        vt_write(spark, path, df2, mode="append", merge_schema=True)
+        vt_analyze(spark, path, columns=["k"])
+        d = vt_diff(path, 2)  # analyze commit of the first snapshot
+        assert d["rows_old"] == 10 and d["rows_new"] == 15
+        assert d["row_delta"] == 5
+        assert d["columns_added"] == ["tag"] and not d["columns_removed"]
+        mm = d["minmax"]["k"]
+        assert mm["old"] == [0, 9] and mm["new"] == [0, 14]
+        assert mm["max_moved"] and not mm["min_moved"]
+        drift = d["analyze_drift"]["k"]
+        assert drift["ndv_old"] == 10 and drift["ndv_new"] == 15
+        assert d["bytes_new"] > d["bytes_old"]
+
+    def test_diff_same_version_is_identity(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_diff,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        d = vt_diff(path, 1, 1)
+        assert d["row_delta"] == 0
+        assert not d["columns_added"] and not d["columns_removed"]
+        assert all(
+            not m["min_moved"] and not m["max_moved"]
+            for m in d["minmax"].values()
+        )
