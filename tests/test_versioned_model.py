@@ -1,7 +1,7 @@
 """Model-based property test for the versioned table (sources/
 versioned.py): hypothesis drives random operation sequences — write,
 append, merge (with and without txn markers), optimize, checkpoint,
-vacuum — against a trivial in-memory model (a list-of-rows multiset per
+vacuum, analyze, shallow clone, drift diff — against a trivial in-memory model (a list-of-rows multiset per
 version), and after EVERY step the real table must agree with the model
 on:
 
@@ -49,6 +49,11 @@ _OP = st.one_of(
     st.tuples(st.just("vacuum"), st.integers(1, 3)),
     # payload = how far back to restore (clamped to retained versions)
     st.tuples(st.just("restore"), st.integers(1, 4)),
+    # r9 metadata-only commits/reads: ANALYZE advances the head without
+    # changing data; clone/diff never touch the source at all
+    st.tuples(st.just("analyze"), st.just(0)),
+    st.tuples(st.just("clone_check"), st.just(0)),
+    st.tuples(st.just("diff_check"), st.integers(1, 4)),
 )
 
 
@@ -140,6 +145,40 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_restore(spark, path, target)
             head += 1
             versions[head] = list(versions[target])
+        elif kind == "analyze":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_analyze,
+                vt_table_stats,
+            )
+
+            vt_analyze(spark, path, columns=["id"])
+            head += 1
+            versions[head] = list(versions[head - 1])
+            st_ = vt_table_stats(path)
+            assert st_["analyze"]["rows"] == len(versions[head])
+            assert st_["analyze_stale"] is False
+        elif kind == "clone_check":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_clone,
+            )
+
+            cpath = f"{path}_clone{step}"
+            vt_clone(spark, path, cpath)
+            got = Counter(
+                (r["id"], r["v"]) for r in vt_read(spark, cpath).collect()
+            )
+            assert got == Counter(versions[head]), f"clone after {kind}"
+            # the clone is a separate table: source log untouched
+        elif kind == "diff_check":
+            from dynamicqueryengine_spark.sources.versioned import vt_diff
+
+            retained = sorted(versions)
+            target = retained[max(0, len(retained) - 1 - seed)]
+            d = vt_diff(path, target, head)
+            if d["rows_old"] is not None:
+                assert d["rows_old"] == len(versions[target])
+            if d["rows_new"] is not None:
+                assert d["rows_new"] == len(versions[head])
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
