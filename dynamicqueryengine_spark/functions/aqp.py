@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from .sampling import _hex_fraction_sql, hash_fraction
 
-__all__ = ["approx_groupby", "approx_groupby_sql"]
+__all__ = [
+    "approx_groupby",
+    "approx_groupby_sql",
+    "approx_groupby_stratified",
+    "approx_groupby_stratified_sql",
+]
 
 
 def _inv(fraction: float) -> int:
@@ -121,5 +126,119 @@ SELECT {keys}, CAST(_n AS BIGINT) AS n_sampled,
             AS DOUBLE) AS est_sum,
        round(sqrt(CAST(_n AS DOUBLE) * {vm}), 6) AS se_count,
        round(sqrt(CAST(_sumsq AS DOUBLE) * {vm}), 6) AS se_sum
+FROM a
+""".strip()
+
+
+def approx_groupby_stratified(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    strata_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.25,
+) -> DataFrame:
+    """Stratified AQP: per-stratum sampling rates (each ``1/k``), so rare
+    strata keep tight error bounds without paying the common strata's
+    scan — the BlinkDB stratified-sample move. A stratum sampled at
+    ``1/k_s`` gets Horvitz-Thompson estimates with ITS ``k_s`` in every
+    term; the output schema matches :func:`approx_groupby` with the
+    stratum as the group. Unknown strata take ``default_fraction``.
+    Same cross-engine determinism contract as the uniform variant."""
+    ks = {s: _inv(f) for s, f in fractions.items()}
+    k_default = _inv(default_fraction)
+    frac_col = F.lit(default_fraction)
+    k_col = F.lit(k_default)
+    vm_col = F.lit(k_default * k_default - k_default)
+    for s, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(s)
+        frac_col = F.when(cond, F.lit(f)).otherwise(frac_col)
+        k_col = F.when(cond, F.lit(ks[s])).otherwise(k_col)
+        vm_col = F.when(
+            cond, F.lit(ks[s] * ks[s] - ks[s])
+        ).otherwise(vm_col)
+    x = F.col(value_col).cast("decimal(18,6)")
+    sampled = df.filter(hash_fraction(F.col(id_col)) < frac_col)
+    agg = sampled.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sum"),
+        F.sum(x * x).alias("_sumsq"),
+        F.first(k_col).alias("_k"),  # constant within the stratum
+        F.first(vm_col).alias("_vm"),
+    )
+    return agg.select(
+        strata_col,
+        F.col("_n").cast("long").alias("n_sampled"),
+        (F.col("_n") * F.col("_k")).cast("long").alias("est_count"),
+        (
+            F.col("_sum").cast("decimal(32,6)")
+            * F.col("_k").cast("decimal(5,0)")
+        )
+        .cast("double")
+        .alias("est_sum"),
+        F.round(
+            F.sqrt(
+                F.col("_n").cast("double") * F.col("_vm").cast("double")
+            ),
+            6,
+        ).alias("se_count"),
+        F.round(
+            F.sqrt(
+                F.col("_sumsq").cast("double") * F.col("_vm").cast("double")
+            ),
+            6,
+        ).alias("se_sum"),
+    )
+
+
+def approx_groupby_stratified_sql(
+    table: str,
+    id_col: str,
+    value_col: str,
+    strata_col: str,
+    fractions: "dict[str, float]",
+    default_fraction: float = 0.25,
+) -> str:
+    """DuckDB mirror of :func:`approx_groupby_stratified`."""
+    ks = {s: _inv(f) for s, f in fractions.items()}
+    k_default = _inv(default_fraction)
+    frac = _hex_fraction_sql(id_col)
+    x = f"CAST({value_col} AS DECIMAL(18,6))"
+
+    def case(expr_for):
+        whens = " ".join(
+            f"WHEN '{s}' THEN {expr_for(s)}" for s in fractions
+        )
+        return f"CASE {strata_col} {whens} ELSE {expr_for(None)} END"
+
+    frac_case = case(
+        lambda s: str(fractions[s]) if s else str(default_fraction)
+    )
+    k_case = case(lambda s: str(ks[s]) if s else str(k_default))
+    vm_case = case(
+        lambda s: str(ks[s] * ks[s] - ks[s])
+        if s
+        else str(k_default * k_default - k_default)
+    )
+    return f"""
+WITH s AS (
+  SELECT * FROM {table} WHERE {frac} < {frac_case}
+),
+a AS (
+  SELECT {strata_col}, count(*) AS _n,
+         sum({x}) AS _sum,
+         sum({x} * {x}) AS _sumsq,
+         max({k_case}) AS _k,
+         max({vm_case}) AS _vm
+  FROM s GROUP BY {strata_col}
+)
+SELECT {strata_col}, CAST(_n AS BIGINT) AS n_sampled,
+       CAST(_n * _k AS BIGINT) AS est_count,
+       CAST(CAST(_sum AS DECIMAL(32,6)) * CAST(_k AS DECIMAL(5,0))
+            AS DOUBLE) AS est_sum,
+       round(sqrt(CAST(_n AS DOUBLE) * CAST(_vm AS DOUBLE)), 6)
+         AS se_count,
+       round(sqrt(CAST(_sumsq AS DOUBLE) * CAST(_vm AS DOUBLE)), 6)
+         AS se_sum
 FROM a
 """.strip()

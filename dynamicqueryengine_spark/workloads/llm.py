@@ -4305,3 +4305,45 @@ SELECT (SELECT count(*) FROM ev, b WHERE event_id <= mid) AS rows_old,
 LLM_QUERIES["events_vt_drift_report"] = FnWorkload(
     _events_vt_drift_report, _EVENTS_VT_DRIFT_SQL
 )
+
+
+def _events_approx_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified AQP, EXECUTED (functions/aqp.py r9): per-event-type
+    sampling rates — 'error' events kept at 1/2 (the rare class whose
+    CI must stay tight), 'purchase' at 1/4, everything else at 1/8 —
+    with per-stratum Horvitz-Thompson estimates and standard errors.
+    The oracle recomputes the same per-stratum estimator; a rate mixup
+    between strata (the classic stratified-sampling bug) shifts every
+    estimate and hash-mismatches."""
+    from ..functions.aqp import approx_groupby_stratified
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return approx_groupby_stratified(
+        ev,
+        "event_id",
+        "value",
+        "event_type",
+        {"error": 0.5, "purchase": 0.25},
+        default_fraction=0.125,
+    )
+
+
+def _events_approx_stratified_sql() -> str:
+    from ..functions.aqp import approx_groupby_stratified_sql
+
+    src = _EVENTS_ORACLE_SOURCE.removesuffix(" AS events")
+    return approx_groupby_stratified_sql(
+        src,
+        "event_id",
+        "value",
+        "event_type",
+        {"error": 0.5, "purchase": 0.25},
+        default_fraction=0.125,
+    )
+
+
+LLM_QUERIES["events_approx_stratified"] = FnWorkload(
+    _events_approx_stratified, _events_approx_stratified_sql()
+)

@@ -99,3 +99,41 @@ class TestApproxGroupby:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # exactly one exchange (the groupBy) — the filter runs map-side
         assert plan.count("Exchange") == 1
+
+
+class TestStratified:
+    def test_per_stratum_rates_and_estimates(self, spark):
+        from dynamicqueryengine_spark.functions.aqp import (
+            approx_groupby_stratified,
+        )
+
+        df = _pop(spark, 4000)  # strata g0/g1, 2000 each
+        out = {
+            r["g"]: r
+            for r in approx_groupby_stratified(
+                df, "id", "v", "g", {"g0": 0.5}, default_fraction=0.125
+            ).collect()
+        }
+        # the rare-class stratum (g0 at 1/2) samples ~4x the default
+        assert out["g0"]["n_sampled"] > 2.5 * out["g1"]["n_sampled"]
+        # per-stratum k applied: est_count = n_sampled * k_s
+        assert out["g0"]["est_count"] == out["g0"]["n_sampled"] * 2
+        assert out["g1"]["est_count"] == out["g1"]["n_sampled"] * 8
+        # both estimates still land near the 2000-row truth
+        for g, r in out.items():
+            assert abs(r["est_count"] - 2000) <= 4 * r["se_count"]
+        # tighter rate => tighter relative error bound
+        assert (
+            out["g0"]["se_count"] / out["g0"]["est_count"]
+            < out["g1"]["se_count"] / out["g1"]["est_count"]
+        )
+
+    def test_stratified_fraction_validation(self, spark):
+        from dynamicqueryengine_spark.functions.aqp import (
+            approx_groupby_stratified,
+        )
+
+        with pytest.raises(ValueError, match="1/k"):
+            approx_groupby_stratified(
+                _pop(spark, 10), "id", "v", "g", {"g0": 0.3}
+            )
