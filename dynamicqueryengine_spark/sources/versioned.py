@@ -1032,7 +1032,9 @@ def vt_read_delta(
         raise ValueError("to_version must be >= from_version")
     for v in range(from_version + 1, to_version + 1):
         op = _read_manifest(path, v).get("op")
-        if op != "append":
+        # analyze commits are metadata-only (same dirs): they add no
+        # rows, so they cannot invalidate an added-files-only delta
+        if op not in ("append", "analyze"):
             raise ValueError(
                 f"version {v} is op={op!r}: delta reads require "
                 "append-only history in the range"
@@ -1081,7 +1083,9 @@ def vt_read_changes(
       delete-all(previous snapshot) + insert-all(new snapshot): correct
       for the replay identity above, at snapshot granularity (the same
       choice Delta documents for non-CDC-capable rewrites);
-    * ``optimize`` — no logical change, contributes nothing.
+    * ``optimize`` / ``analyze`` — no logical change, contribute
+      nothing (layout rewrite / statistics only);
+    * ``clone`` — the table's creation snapshot: insert-all.
 
     ``from_version=0`` reads from table creation. Raises if a needed
     previous snapshot was vacuumed away. Results are reconciled to the
@@ -1144,7 +1148,11 @@ def vt_read_changes(
             )
         m = _read_manifest(path, v)
         op = m.get("op")
-        if op == "optimize":
+        if op in ("optimize", "analyze"):
+            # no logical change: optimize rewrites layout, analyze only
+            # records statistics — a consumer pumping over either must
+            # see zero change rows (r9: an ANALYZE on a CDC source used
+            # to raise here and wedge every subscription)
             continue
         if op == "append":
             need_prev(v)
@@ -1170,7 +1178,9 @@ def vt_read_changes(
                 )
             cf = spark.read.parquet(os.path.join(path, change_dir))
             frames.append(reconcile(cf, None, v))
-        elif op in ("overwrite", "restore"):
+        elif op in ("overwrite", "restore", "clone"):
+            # clone = the table's creation snapshot (v-1 is 0, so this
+            # is insert-all, same as any initial write)
             if v - 1 > 0:
                 need_prev(v)
                 frames.append(

@@ -205,3 +205,54 @@ class TestIndexIncrement:
 
         apply(vt_read_changes(spark, src, 0, head), ("idx", head))
         assert _idx(spark, sink) == want
+
+
+class TestMetadataCommitsInFeeds:
+    """r9 fix: metadata-only commits (ANALYZE) and clone-creation
+    commits must not wedge change-feed consumers."""
+
+    def test_pump_over_analyze_commit_yields_no_changes(self, spark, paths):
+        from dynamicqueryengine_spark.sources.versioned import vt_analyze
+
+        src, sink = paths
+        apply = apply_rollup_increment(spark, sink, ["g"], {"s": "v"})
+        vt_write(spark, src, _ev(spark, 0, 12))
+        pump_until_current(spark, src, sink, "sub", apply)
+        before = _rollup(spark, sink)
+        vt_analyze(spark, src, columns=["g"])  # used to raise in pump
+        consumed = pump_until_current(spark, src, sink, "sub", apply)
+        assert consumed == 1  # the analyze version is consumed...
+        assert _rollup(spark, sink) == before  # ...with zero effect
+        # and a later real append still flows through
+        vt_write(spark, src, _ev(spark, 12, 18), mode="append")
+        pump_until_current(spark, src, sink, "sub", apply)
+        assert sum(n for n, _ in _rollup(spark, sink).values()) == 18
+
+    def test_read_delta_spans_analyze(self, spark, paths):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_analyze,
+            vt_read_delta,
+        )
+
+        src, _ = paths
+        vt_write(spark, src, _ev(spark, 0, 5))
+        vt_analyze(spark, src, columns=["g"])
+        vt_write(spark, src, _ev(spark, 5, 9), mode="append")
+        delta = vt_read_delta(spark, src, 1, 3)
+        assert delta.count() == 4  # only the appended rows
+
+    def test_changes_from_zero_over_clone_is_insert_all(
+        self, spark, paths, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_read_changes,
+        )
+
+        src, _ = paths
+        vt_write(spark, src, _ev(spark, 0, 6))
+        cpath = str(tmp_path / "clone")
+        vt_clone(spark, src, cpath)
+        ch = vt_read_changes(spark, cpath, 0, 1)
+        assert ch.count() == 6
+        assert {r["_change_type"] for r in ch.collect()} == {"insert"}
