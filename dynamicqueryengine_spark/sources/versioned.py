@@ -94,6 +94,8 @@ __all__ = [
     "vt_version_at",
     "vt_clone",
     "vt_diff",
+    "vt_savepoint",
+    "vt_read_savepoint",
     "ConstraintViolation",
 ]
 
@@ -2269,3 +2271,37 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
         if drift:
             out["analyze_drift"] = drift
     return out
+
+
+def vt_savepoint(paths: "dict[str, str] | Sequence[str]") -> dict:
+    """Capture a cross-table SAVEPOINT: the current head version of
+    every listed table, atomically enough for reproducibility (each
+    head is immutable once read — later commits create new versions).
+    Returns ``{name: {"path", "version", "ts"}}``; store it with a
+    training run's config and any consumer can re-read the EXACT corpus
+    it trained on, forever (until vacuum expires the pinned versions —
+    retention is the savepoint's only dependency). This is the
+    experiment-reproducibility primitive a 100 TB training pipeline
+    needs: datasets are table VERSIONS, not directory paths."""
+    if not isinstance(paths, dict):
+        paths = {os.path.basename(p.rstrip("/")) or p: p for p in paths}
+    out = {}
+    for name, p in paths.items():
+        v = _resolve_version(p, None)
+        out[name] = {
+            "path": p,
+            "version": v,
+            "ts": float(_read_manifest(p, v).get("ts", 0.0)),
+        }
+    return out
+
+
+def vt_read_savepoint(spark, savepoint: dict) -> "dict[str, DataFrame]":
+    """Re-open every table of a savepoint at its pinned version:
+    ``{name: DataFrame}``. Raises if a pinned version was vacuumed away
+    — a savepoint that can no longer be honored must fail loudly, not
+    silently serve the current head."""
+    return {
+        name: vt_read(spark, entry["path"], version=entry["version"])
+        for name, entry in savepoint.items()
+    }

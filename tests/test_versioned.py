@@ -1549,3 +1549,38 @@ class TestDiff:
             not m["min_moved"] and not m["max_moved"]
             for m in d["minmax"].values()
         )
+
+
+class TestSavepoint:
+    def test_savepoint_pins_versions_across_commits(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_savepoint,
+            vt_savepoint,
+        )
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        vt_write(spark, a, _df(spark, [(1, "a")]))
+        vt_write(spark, b, _df(spark, [(2, "b")]))
+        sp = vt_savepoint({"corpus": a, "index": b})
+        assert sp["corpus"]["version"] == 1 and sp["index"]["version"] == 1
+        # both tables move on; the savepoint must not
+        vt_write(spark, a, _df(spark, [(9, "z")]), mode="overwrite")
+        vt_merge(spark, b, _df(spark, [(2, "B2")]), ["id"])
+        frames = vt_read_savepoint(spark, sp)
+        assert _rows(frames["corpus"]) == {(1, "a")}
+        assert _rows(frames["index"]) == {(2, "b")}
+
+    def test_vacuumed_savepoint_fails_loudly(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_savepoint,
+            vt_savepoint,
+        )
+
+        a = str(tmp_path / "a")
+        vt_write(spark, a, _df(spark, [(1, "a")]))
+        sp = vt_savepoint([a])
+        vt_write(spark, a, _df(spark, [(2, "b")]), mode="overwrite")
+        vt_write(spark, a, _df(spark, [(3, "c")]), mode="overwrite")
+        vt_vacuum(spark, a, keep_last=1, grace_seconds=0)
+        with pytest.raises(ValueError, match="not in"):
+            vt_read_savepoint(spark, sp)
