@@ -302,3 +302,38 @@ class TestMaintenancePlan:
         assert sorted(removed) == plan["vacuum"]["dirs"]
         # post-vacuum: nothing left to reclaim
         assert vt_maintenance_plan(path, keep_last=2)["vacuum"]["dirs"] == []
+
+
+class TestAdminOnClones:
+    """The r9 admin surfaces must compose with shallow clones, whose
+    manifests reference directories by ABSOLUTE path."""
+
+    def test_analyze_stats_join_and_maintenance_on_clone(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_maintenance_plan,
+        )
+
+        src = str(tmp_path / "src")
+        clone = str(tmp_path / "clone")
+        dim = str(tmp_path / "dim")
+        vt_write(spark, src, _facts(spark))
+        vt_clone(spark, src, clone)
+        vt_write(spark, dim, _dim(spark))
+        # ANALYZE the clone: zero-copy commit over absolute dirs
+        vt_analyze(spark, clone, columns=["k"])
+        st = vt_table_stats(clone)
+        assert st["rows"] == 400 and st["bytes"] > 0
+        # hot_share=0 facts carry keys 1..7
+        assert st["analyze"]["columns"]["k"]["ndv"] == 7
+        # the advisor sees the clone's (shared) bytes and broadcasts dim
+        decision: dict = {}
+        out = vt_join(spark, clone, dim, ["k"], decision_out=decision)
+        assert decision["strategy"] == "broadcast"
+        assert out.count() == 400
+        # maintenance plan: absolute shared dirs are never vacuum bait
+        plan = vt_maintenance_plan(clone)
+        assert plan["vacuum"]["dirs"] == []
+        assert plan["analyze"] == "fresh"
