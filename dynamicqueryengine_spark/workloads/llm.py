@@ -4347,3 +4347,72 @@ def _events_approx_stratified_sql() -> str:
 LLM_QUERIES["events_approx_stratified"] = FnWorkload(
     _events_approx_stratified, _events_approx_stratified_sql()
 )
+
+
+def _events_vt_savepoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset snapshots, EXECUTED (sources/versioned.py
+    vt_savepoint r9): commit the low half of events, capture a
+    savepoint, then let the table move on (append the high half, merge
+    doubled values). Reading THROUGH THE SAVEPOINT must replay the
+    original snapshot exactly — the aggregate below comes from the
+    pinned version while ``rows_head`` pins how far the table moved on.
+    This is how a training run records the precise corpus it consumed:
+    versions, not paths."""
+    from ..sources.versioned import (
+        vt_count,
+        vt_merge,
+        vt_read_savepoint,
+        vt_savepoint,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    path = os.path.join(_scratch_dir("vtsavepoint", sf_dir), "ev")
+    vt_write(spark, path, ev.filter(F.col("event_id") <= mid))
+    sp = vt_savepoint({"events": path})
+    vt_write(
+        spark, path, ev.filter(F.col("event_id") > mid), mode="append"
+    )
+    vt_merge(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 10 == 3).withColumn(
+            "value", F.col("value") * 2
+        ),
+        ["event_id"],
+    )
+    pinned = vt_read_savepoint(spark, sp)["events"]
+    n_head = vt_count(spark, path)
+    return pinned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+        F.lit(int(n_head)).cast("long").alias("rows_head"),
+    )
+
+
+_EVENTS_VT_SAVEPOINT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+b AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       (SELECT count(*) FROM ev) AS rows_head
+FROM ev, b WHERE event_id <= mid
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_savepoint_replay"] = FnWorkload(
+    _events_vt_savepoint_replay, _EVENTS_VT_SAVEPOINT_SQL
+)
