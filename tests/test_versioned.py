@@ -1584,3 +1584,44 @@ class TestSavepoint:
         vt_vacuum(spark, a, keep_last=1, grace_seconds=0)
         with pytest.raises(ValueError, match="not in"):
             vt_read_savepoint(spark, sp)
+
+
+class TestRuleTimestampComposition:
+    def test_rule_filter_over_timestamp_snapshot(self, spark, tmp_path):
+        """The two flagship surfaces compose with TIMESTAMP AS OF: a
+        compiled rule filters (and file-prunes) the snapshot the
+        timestamp resolves to, not the head."""
+        import time as _t
+
+        path = str(tmp_path / "t")
+        df1 = spark.createDataFrame(
+            [(1, 50.0), (2, 150.0)], "id long, v double"
+        )
+        vt_write(spark, path, df1)
+        _t.sleep(0.05)
+        between = _t.time()
+        _t.sleep(0.05)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(3, 500.0)], "id long, v double"),
+            mode="append",
+        )
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "v", "Operator": "GreaterThan", "Value": 100}
+                ]
+            }
+        }
+        got = {
+            r["id"]
+            for r in vt_read(
+                spark, path, rule=rule, timestamp=between
+            ).collect()
+        }
+        assert got == {2}  # id=3 is after the timestamp; id=1 fails the rule
+        head = {
+            r["id"] for r in vt_read(spark, path, rule=rule).collect()
+        }
+        assert head == {2, 3}
