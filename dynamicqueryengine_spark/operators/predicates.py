@@ -457,13 +457,22 @@ def _skip_conjunct(
     full compiled predicate still filters, so skipping less is always
     correct."""
     op = cond.operator.strip().lower()
-    if op not in ("equal", "dynamicequal", "in") and op not in _SKIP_RANGE_OPS:
+    if (
+        op not in ("equal", "dynamicequal", "in", "null", "notnull")
+        and op not in _SKIP_RANGE_OPS
+    ):
         return None
     try:
         field = resolve_field(schema, cond.property, type_name)
     except Exception:  # unresolvable → let the real compile raise, not us
         return None
     dtype = field.dataType
+
+    if op in ("null", "notnull"):
+        # null-presence ops prune on the footers' exact null counts
+        # (r9): a file with zero nulls cannot satisfy Null; an all-null
+        # file cannot satisfy NotNull
+        return (field.name, "isnull" if op == "null" else "notnull", None)
 
     if op == "in":
         values = cond.value
@@ -485,9 +494,14 @@ def _skip_conjunct(
     if value is None:
         value = _skip_param(params, cond.property)
     if value is None:
-        # Equal-with-null compiles to isNull — stats cover non-null values
-        # only, so no file can be pruned; range ops with a missing param
-        # will raise in the real compile
+        present = cond.property in params or cond.property.lower() in {
+            str(k).lower() for k in params
+        }
+        if op in ("equal", "dynamicequal") and present:
+            # Equal/DynamicEqual with an explicitly-null param compiles
+            # to isNull — prunable on exact null counts (r9). A MISSING
+            # param is the real compile's error, not a prunable fact
+            return (field.name, "isnull", None)
         return None
     if op in _SKIP_RANGE_OPS:
         if isinstance(dtype, StringType):

@@ -295,6 +295,8 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
     for fp in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
         per_file: dict = {}
         file_dropped: set = set()
+        per_file_nulls: dict = {}
+        nulls_dropped: set = set()
         try:
             md = pq.ParquetFile(fp).metadata
         except Exception:
@@ -306,6 +308,17 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
                 col = row_group.column(ci)
                 st = col.statistics
                 name = col.path_in_schema
+                # exact per-file NULL counts (footer null_count, summed
+                # over row groups) — sound only when EVERY row group
+                # reports one; they ride file_stats under the reserved
+                # "__nulls__" key so every manifest carry path
+                # (append/restore/clone/analyze) inherits them for free
+                nc = getattr(st, "null_count", None) if st is not None else None
+                if nc is None or name == "__nulls__":
+                    nulls_dropped.add(name)
+                    per_file_nulls.pop(name, None)
+                elif name not in nulls_dropped:
+                    per_file_nulls[name] = per_file_nulls.get(name, 0) + int(nc)
                 if (
                     st is None
                     or not st.has_min_max
@@ -321,10 +334,11 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
                     continue
                 lo, hi = per_file.get(name, (st.min, st.max))
                 per_file[name] = (min(lo, st.min), max(hi, st.max))
-        if per_file:
-            file_stats[os.path.basename(fp)] = {
-                n: [lo, hi] for n, (lo, hi) in per_file.items()
-            }
+        if per_file or per_file_nulls:
+            entry = {n: [lo, hi] for n, (lo, hi) in per_file.items()}
+            if per_file_nulls:
+                entry["__nulls__"] = dict(per_file_nulls)
+            file_stats[os.path.basename(fp)] = entry
         for name, (lo, hi) in per_file.items():
             if name in merged:
                 plo, phi = merged[name]
@@ -718,15 +732,19 @@ def vt_write(
     raise RuntimeError(f"append at {path} lost {max_retries} commit races")
 
 
-# predicate ops supported by data skipping — ALL null-rejecting, which is
-# what makes footer-stats pruning (min/max over non-null values) sound
-_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in")
+# predicate ops supported by data skipping. The comparison ops are ALL
+# null-rejecting, which is what makes footer MIN/MAX pruning (stats over
+# non-null values) sound; the null ops prune on the footers' EXACT
+# null_count instead (r9), so they never consult min/max at all.
+_SKIP_OPS = ("=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
 
 def _stats_may_match(minmax, op: str, value) -> bool:
     """Could a directory with column range ``minmax`` contain a row
     satisfying ``col <op> value``? Missing/uncomparable stats → True
     (never skip on uncertainty)."""
+    if op in ("isnull", "notnull"):
+        return True  # min/max say nothing about nulls — null counts do
     if minmax is None:
         return True
     lo, hi = minmax
@@ -764,6 +782,22 @@ def _normalize_predicate(predicate) -> list[tuple] | None:
                 f"unsupported predicate op {op!r}; use {_SKIP_OPS}"
             )
     return conjuncts or None
+
+
+def _nulls_may_match(nulls: dict, rows, conjuncts) -> bool:
+    """Could a file with exact per-column ``nulls`` counts (and ``rows``
+    total rows, when known) satisfy the null-op conjuncts? A file with
+    null_count == 0 cannot satisfy IS NULL; a file whose every row is
+    null cannot satisfy IS NOT NULL. Unknown counts always keep."""
+    for col, op, _ in conjuncts:
+        n = nulls.get(col)
+        if op == "isnull":
+            if n is not None and int(n) == 0:
+                return False
+        elif op == "notnull":
+            if n is not None and rows is not None and int(n) == int(rows):
+                return False
+    return True
 
 
 def _resolve_version(path: str, version: int | None) -> int:
@@ -814,7 +848,9 @@ def vt_scan_plan(
     directories survive dir-level stats pruning, and within surviving
     dirs that carry per-FILE stats, which files survive file-level
     pruning. ``predicate`` is one ``(col, op, value)`` tuple or a
-    CONJUNCTION list of them (op in ``=, <, <=, >, >=, in``) — a
+    CONJUNCTION list of them (op in ``=, <, <=, >, >=, in, isnull,
+    notnull`` — the null ops take value ``None`` and prune on the
+    footers' exact null counts instead of min/max) — a
     file/dir is pruned when ANY conjunct's stats cannot match. Returns
     ``{"paths": [...], "dirs_total", "dirs_kept", "files_total",
     "files_kept"}`` where ``paths`` mixes whole-dir paths (dirs without
@@ -855,10 +891,13 @@ def vt_scan_plan(
         )
 
     blooms = manifest.get("blooms", {})
+    frows = manifest.get("file_rows", {})
+    null_ops = [c for c in conjuncts if c[1] in ("isnull", "notnull")]
     kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
     paths: list[str] = []
     files_kept = 0
     bloom_pruned = 0
+    null_pruned = 0
     for d in kept_dirs:
         flist = flists.get(d)
         if not flist:
@@ -867,9 +906,16 @@ def vt_scan_plan(
             continue
         per_file = fstats.get(d, {})
         dir_blooms = blooms.get(d, {}).get("files", {})
+        dir_rows = frows.get(d, {})
         kept_files = []
         for f in flist:
-            if not may_match(per_file.get(f, {})):
+            entry = per_file.get(f, {})
+            if not may_match(entry):
+                continue
+            if null_ops and not _nulls_may_match(
+                entry.get("__nulls__") or {}, dir_rows.get(f), null_ops
+            ):
+                null_pruned += 1  # exact footer null counts rule it out
                 continue
             fb = dir_blooms.get(f, {})
             if fb and not all(
@@ -884,6 +930,8 @@ def vt_scan_plan(
     plan.update(dirs_kept=len(kept_dirs), files_kept=files_kept)
     if bloom_pruned:
         plan["bloom_pruned"] = bloom_pruned
+    if null_pruned:
+        plan["null_pruned"] = null_pruned
     # all pruned → keep one dir for the schema; the filter still yields
     # zero rows, so results never depend on pruning. The flag tells plan
     # introspectors (skip-effectiveness pins) that ``paths`` names a
@@ -928,6 +976,10 @@ def _conjunct_column(col: str, op: str, value) -> "F.Column":
     c = F.col(col)
     if op == "in":
         return c.isin(list(value))
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
     return {
         "=": c == F.lit(value),
         "<": c < F.lit(value),
@@ -954,7 +1006,8 @@ def vt_read(
     Never sees uncommitted or later data.
 
     ``predicate=(col, op, value)`` — or a CONJUNCTION list of such
-    tuples — with op in ``=, <, <=, >, >=, in`` both FILTERS the result
+    tuples — with op in ``=, <, <=, >, >=, in, isnull, notnull`` both
+    FILTERS the result
     and SKIPS whole data directories — and, inside directories carrying
     per-file stats (``vt_optimize`` output), individual FILES — whose
     min/max stats cannot satisfy it; pruned files are never even

@@ -409,7 +409,12 @@ class TestSkipConjunctExtraction:
         assert got == [("Title", "=", "Director")]
 
     def test_missing_param_and_null_equal_excluded(self, users_df):
-        # null-equality compiles to isNull: stats (non-null only) cannot
-        # prune it; a missing external param is the real compile's error
+        # a MISSING external param is the real compile's error — nothing
+        # to prune on; an explicitly-NULL param compiles to isNull, which
+        # r9 prunes on exact footer null counts
         assert self._extract(users_df, cond("Title", "Equal", None)) == []
         assert self._extract(users_df, cond("Title", "DynamicEqual")) == []
+        got = self._extract(
+            users_df, cond("Title", "DynamicEqual"), {"Title": None}
+        )
+        assert got and got[0][1] == "isnull"

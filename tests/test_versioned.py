@@ -1625,3 +1625,109 @@ class TestRuleTimestampComposition:
             r["id"] for r in vt_read(spark, path, rule=rule).collect()
         }
         assert head == {2, 3}
+
+
+class TestNullCountSkipping:
+    """r9: Null/NotNull predicates prune files on exact footer null
+    counts — the reference's null-operator family composed with data
+    skipping."""
+
+    def _table(self, spark, path):
+        a = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 6)], "k long, s string"
+        )
+        b = spark.createDataFrame(
+            [(i, None) for i in range(6, 11)], "k long, s string"
+        )
+        vt_write(spark, path, a.coalesce(1))
+        vt_write(spark, path, b.coalesce(1), mode="append")
+
+    def test_isnull_prunes_null_free_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        plan = vt_scan_plan(path, None, ("s", "isnull", None))
+        assert plan["files_kept"] == 1 and plan["files_total"] == 2
+        assert plan["null_pruned"] == 1
+        got = {r["k"] for r in vt_read(spark, path, predicate=("s", "isnull", None)).collect()}
+        assert got == {6, 7, 8, 9, 10}
+
+    def test_notnull_prunes_all_null_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        plan = vt_scan_plan(path, None, ("s", "notnull", None))
+        assert plan["files_kept"] == 1 and plan["null_pruned"] == 1
+        got = {r["k"] for r in vt_read(spark, path, predicate=("s", "notnull", None)).collect()}
+        assert got == {1, 2, 3, 4, 5}
+
+    def test_mixed_file_never_pruned(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "k long, s string"
+        )
+        vt_write(spark, path, df.coalesce(1))
+        for op in ("isnull", "notnull"):
+            plan = vt_scan_plan(path, None, ("s", op, None))
+            assert plan["files_kept"] == 1
+
+    def test_rule_null_family_drives_skipping(self, spark, tmp_path):
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+        from dynamicqueryengine_spark.plans.model import RuleDefinition
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {"Property": "s", "Operator": "NotNull"},
+                        {"Property": "k", "Operator": "GreaterThan", "Value": 2},
+                    ]
+                }
+            }
+        )
+        schema = vt_read(spark, path).schema
+        conj = rule_skip_conjuncts(rule, schema)
+        assert ("s", "notnull", None) in conj
+        plan = vt_scan_plan(path, None, conj)
+        assert plan["files_kept"] == 1
+        got = {
+            r["k"] for r in vt_read(spark, path, rule=rule).collect()
+        }
+        assert got == {3, 4, 5}
+
+    def test_dynamic_equal_null_param_prunes(self, spark, tmp_path):
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+        from dynamicqueryengine_spark.plans.model import RuleDefinition
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {"Property": "s", "Operator": "DynamicEqual"}
+                    ]
+                }
+            }
+        )
+        schema = vt_read(spark, path).schema
+        conj = rule_skip_conjuncts(rule, schema, {"s": None})
+        assert ("s", "isnull", None) in conj
+        got = {
+            r["k"]
+            for r in vt_read(
+                spark, path, rule=rule, external_params={"s": None}
+            ).collect()
+        }
+        assert got == {6, 7, 8, 9, 10}
