@@ -4416,3 +4416,81 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_savepoint_replay"] = FnWorkload(
     _events_vt_savepoint_replay, _EVENTS_VT_SAVEPOINT_SQL
 )
+
+
+def _events_vt_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count file skipping, EXECUTED (sources/versioned.py r9):
+    stage events with a derived ``v_opt`` that is NULL exactly for
+    'error' events, one file per event type (five appends), then read
+    through the reference's ``NotNull`` RULE operator — the scan plan
+    must prune the all-null error file on footer null counts alone, and
+    the IS NULL plan must keep ONLY it. Both plans' kept-counts ride the
+    oracle hash as literals; the aggregate comes from the rule-filtered
+    pruned read, so a pruning bug that dropped a live file would also
+    hash-mismatch the values."""
+    from ..sources.versioned import vt_read, vt_scan_plan, vt_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v_opt"),
+    )
+    types = [
+        r["event_type"]
+        for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    path = os.path.join(_scratch_dir("vtnullskip", sf_dir), "ev")
+    for i, t in enumerate(types):
+        vt_write(
+            spark,
+            path,
+            ev.filter(F.col("event_type") == t).coalesce(1),
+            mode="append" if i else "overwrite",
+        )
+    p_notnull = vt_scan_plan(path, None, ("v_opt", "notnull", None))
+    p_isnull = vt_scan_plan(path, None, ("v_opt", "isnull", None))
+    rule = {
+        "Conditions": {
+            "Conditions": [{"Property": "v_opt", "Operator": "NotNull"}]
+        }
+    }
+    return (
+        vt_read(spark, path, rule=rule)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("v_opt").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("sum_v"),
+            F.lit(int(p_notnull["files_kept"]))
+            .cast("long")
+            .alias("notnull_files_kept"),
+            F.lit(int(p_isnull["files_kept"]))
+            .cast("long")
+            .alias("isnull_files_kept"),
+        )
+    )
+
+
+_EVENTS_VT_NULL_SKIP_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+x AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_opt
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(v_opt AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_v,
+       CAST(4 AS BIGINT) AS notnull_files_kept,
+       CAST(1 AS BIGINT) AS isnull_files_kept
+FROM x WHERE v_opt IS NOT NULL
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_null_skip"] = FnWorkload(
+    _events_vt_null_skip, _EVENTS_VT_NULL_SKIP_SQL
+)
