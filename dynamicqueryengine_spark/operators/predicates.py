@@ -67,7 +67,7 @@ from ..errors import (
     missing_external_param,
     property_not_found,
 )
-from ..plans.model import Condition, ConditionGroup, _ci_get
+from ..plans.model import Condition, ConditionGroup, RuleDefinition, _ci_get
 from .registry import lookup_operator as _lookup_custom
 
 # Decimal shape used for string-as-numeric coercion; wide enough for every
@@ -490,19 +490,37 @@ def _skip_conjunct(
                 return None
         return (field.name, "in", coerced) if coerced else None
 
-    value = cond.value
-    if value is None:
-        value = _skip_param(params, cond.property)
-    if value is None:
+    if op == "dynamicequal":
+        # compile_condition resolves DynamicEqual EXCLUSIVELY from the
+        # external params (_require_param) and IGNORES any literal Value
+        # on the condition — pruning on cond.value here would drop files
+        # against a value the compiled filter never tests (r9 advice:
+        # silently-wrong results). Resolve only from params; a missing
+        # param is the real compile's error, not a prunable fact.
         present = cond.property in params or cond.property.lower() in {
             str(k).lower() for k in params
         }
-        if op in ("equal", "dynamicequal") and present:
-            # Equal/DynamicEqual with an explicitly-null param compiles
-            # to isNull — prunable on exact null counts (r9). A MISSING
-            # param is the real compile's error, not a prunable fact
+        if not present:
+            return None
+        value = _skip_param(params, cond.property)
+        if value is None:
+            # explicitly-null param compiles to isNull — prunable on
+            # the footers' exact null counts
             return (field.name, "isnull", None)
-        return None
+    else:
+        value = cond.value
+        if value is None:
+            value = _skip_param(params, cond.property)
+        if value is None:
+            present = cond.property in params or cond.property.lower() in {
+                str(k).lower() for k in params
+            }
+            if op == "equal" and present:
+                # Equal with an explicitly-null param compiles to isNull
+                # — prunable on exact null counts (r9). A MISSING param
+                # is the real compile's error, not a prunable fact
+                return (field.name, "isnull", None)
+            return None
     if op in _SKIP_RANGE_OPS:
         if isinstance(dtype, StringType):
             # reference semantics compare string columns NUMERICALLY
@@ -536,7 +554,25 @@ def rule_skip_conjuncts(
     the rule accepts satisfies all returned conjuncts, so files pruned
     on them cannot contain matching rows — the compiled predicate still
     runs in full on whatever survives."""
-    group = getattr(rule_or_group, "conditions", rule_or_group)
+    # Accept a RuleDefinition (walk its root group), a bare ConditionGroup,
+    # or a raw rule/group dict — the duck-typed getattr('conditions') broke
+    # for ConditionGroup (its .conditions is a leaf LIST, not a group) and
+    # for dicts (r9 advice).
+    if isinstance(rule_or_group, RuleDefinition):
+        group = rule_or_group.conditions
+    elif isinstance(rule_or_group, ConditionGroup) or rule_or_group is None:
+        group = rule_or_group
+    elif isinstance(rule_or_group, Mapping):
+        # Disambiguate by the shape of "Conditions": a RULE dict nests a
+        # group MAPPING there ({"Conditions": {...group...}}), a GROUP
+        # dict holds a LIST of leaves ({"Conditions": [...], ...}).
+        inner = _ci_get(rule_or_group, "Conditions")
+        if isinstance(inner, Mapping):
+            group = RuleDefinition.from_dict(rule_or_group).conditions
+        else:
+            group = ConditionGroup.from_dict(rule_or_group)
+    else:
+        group = getattr(rule_or_group, "conditions", rule_or_group)
     params = dict(external_params or {})
     out: list[tuple] = []
 

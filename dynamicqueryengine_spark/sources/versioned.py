@@ -383,6 +383,54 @@ _BLOOM_SATURATION = _BLOOM_M // 2
 # are excluded (repr drift) — unsupported probe types keep the file.
 _BLOOM_PROBE_TYPES = (str, int)
 
+# Column types whose CAST-to-string the Python probe can reproduce
+# byte-identically (r9 advice: soundness gate must consult the COLUMN
+# type, not just the probe's Python type — an int probe against a
+# decimal/float column renders '5' vs '5.000000000000' and would prune a
+# file that contains matching rows). Only string and integral columns
+# qualify; everything else bails to "keep".
+_BLOOM_INTEGRAL_TYPES = frozenset({"byte", "short", "integer", "long"})
+
+
+def _bloom_col_types(manifest: dict) -> dict:
+    """Column → json type string (simple types only) from the manifest's
+    recorded schema, keyed by the EXACT field name — the same key the
+    per-file bloom dicts use — so the two lookups can never disagree.
+    Empty when no schema is recorded, which disables bloom pruning
+    entirely (conservative keep)."""
+    sj = manifest.get("schema")
+    if not sj:
+        return {}
+    out = {}
+    for f in sj.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str):
+            out[str(f.get("name", ""))] = t
+    return out
+
+
+def _bloom_probe_sound(value, col_type: str | None) -> bool:
+    """True when str(value) is byte-identical to Spark's
+    CAST(col AS STRING) rendering for every row the compiled equality
+    could match. String columns require a str probe (an int probe rides
+    Spark's numeric coercion — '05'==5 is TRUE in the filter but hashes
+    different bytes). Integral columns require a non-bool int probe, or
+    a str probe in canonical integer form (str(int(v)) == v)."""
+    if col_type is None:
+        return False
+    if isinstance(value, bool) or not isinstance(value, _BLOOM_PROBE_TYPES):
+        return False
+    if col_type == "string":
+        return isinstance(value, str)
+    if col_type in _BLOOM_INTEGRAL_TYPES:
+        if isinstance(value, int):
+            return True
+        try:
+            return str(int(value)) == value
+        except (TypeError, ValueError):
+            return False
+    return False
+
 
 def _harvest_blooms(
     spark, full_dir: str, bloom_cols: Sequence[str]
@@ -443,17 +491,23 @@ def _harvest_blooms(
     return {"m": _BLOOM_M, "k": _BLOOM_K, "files": files}
 
 
-def _bloom_may_match(file_blooms: dict, op: str, value) -> bool:
+def _bloom_may_match(
+    file_blooms: dict, op: str, value, col_type: str | None = None
+) -> bool:
     """Could a file whose Bloom set is ``file_blooms`` (positions list for
     ONE column) contain a row with ``col <op> value``? Only equality
-    ops consult blooms; anything uncertain keeps the file."""
+    ops consult blooms; anything uncertain keeps the file. ``col_type``
+    is the column's manifest-schema json type — pruning requires a
+    (col_type, probe) pair whose write-side CAST-to-string bytes the
+    probe provably reproduces (:func:`_bloom_probe_sound`); unknown
+    types/columns keep."""
     if not file_blooms:
         return True
     bits = set(file_blooms)
 
     def present(v) -> bool:
-        if not isinstance(v, _BLOOM_PROBE_TYPES) or isinstance(v, bool):
-            return True  # unhashable probe type — conservatively present
+        if not _bloom_probe_sound(v, col_type):
+            return True  # rendering not provably identical — keep
         return all(p in bits for p in _bloom_positions_py(v))
 
     if op == "=":
@@ -727,6 +781,25 @@ def vt_write(
                     os.path.join(path, new_dir), ignore_errors=True
                 )
                 raise
+            if constraints is None:
+                # the racing append may have ADDED/tightened table CHECK
+                # constraints (a later commit's constraint set governs
+                # every commit after it) — re-read the new head's set and
+                # re-validate our rows before re-committing (r9 advice:
+                # enforcing once against the pre-race head lets violating
+                # rows through). A violation cleans up our orphan dir.
+                new_constraints = _read_manifest(path, new_head).get(
+                    "constraints", []
+                )
+                if new_constraints != effective_constraints:
+                    effective_constraints = new_constraints
+                    try:
+                        _enforce_constraints(df, effective_constraints)
+                    except ConstraintViolation:
+                        shutil.rmtree(
+                            os.path.join(path, new_dir), ignore_errors=True
+                        )
+                        raise
             expected = new_head  # append-vs-append commutes: retry on top
     shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
     raise RuntimeError(f"append at {path} lost {max_retries} commit races")
@@ -891,6 +964,7 @@ def vt_scan_plan(
         )
 
     blooms = manifest.get("blooms", {})
+    bloom_types = _bloom_col_types(manifest) if blooms else {}
     frows = manifest.get("file_rows", {})
     null_ops = [c for c in conjuncts if c[1] in ("isnull", "notnull")]
     kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
@@ -919,7 +993,9 @@ def vt_scan_plan(
                 continue
             fb = dir_blooms.get(f, {})
             if fb and not all(
-                _bloom_may_match(fb.get(col), op, value)
+                _bloom_may_match(
+                    fb.get(col), op, value, bloom_types.get(col)
+                )
                 for col, op, value in conjuncts
             ):
                 bloom_pruned += 1  # range stats kept it; the bloom didn't

@@ -408,6 +408,50 @@ class TestSkipConjunctExtraction:
         )
         assert got == [("Title", "=", "Director")]
 
+    def test_dynamic_equal_literal_value_never_drives_pruning(self, users_df):
+        """compile_condition resolves DynamicEqual EXCLUSIVELY from the
+        external params — a stray literal Value on the condition is dead
+        to the compiled filter, so pruning on it would drop files the
+        filter matches (r10 advice). The conjunct must follow the PARAM,
+        and emit nothing when the param is absent."""
+        got = self._extract(
+            users_df,
+            cond("Title", "DynamicEqual", "Manager"),
+            params={"Title": "Director"},
+        )
+        assert got == [("Title", "=", "Director")]
+        # no param at all: the real compile errors — nothing prunable,
+        # and the literal "Manager" must NOT leak into a conjunct
+        assert (
+            self._extract(users_df, cond("Title", "DynamicEqual", "Manager"))
+            == []
+        )
+
+    def test_accepts_rule_group_and_dict_inputs(self, spark):
+        """rule_skip_conjuncts takes a RuleDefinition, a bare
+        ConditionGroup, or raw rule/group dicts (r10 advice: the old
+        duck-typed getattr('conditions') walked a ConditionGroup's LEAF
+        LIST and crashed, and rejected Mapping inputs)."""
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+        from dynamicqueryengine_spark.plans.model import ConditionGroup
+
+        df = spark.createDataFrame([(1,)], "id long")
+        leaf = {"Property": "id", "Operator": "GreaterThan", "Value": 30}
+        group_dict = {"Conditions": [leaf]}
+        rule_dict = {"Name": "t", "Conditions": group_dict}
+        expect = [("id", ">", 30)]
+        assert rule_skip_conjuncts(rule(group_dict), df.schema) == expect
+        assert (
+            rule_skip_conjuncts(
+                ConditionGroup.from_dict(group_dict), df.schema
+            )
+            == expect
+        )
+        assert rule_skip_conjuncts(rule_dict, df.schema) == expect
+        assert rule_skip_conjuncts(group_dict, df.schema) == expect
+
     def test_missing_param_and_null_equal_excluded(self, users_df):
         # a MISSING external param is the real compile's error — nothing
         # to prune on; an explicitly-NULL param compiles to isNull, which

@@ -1161,6 +1161,93 @@ class TestBloomSkipping:
         )
         assert got == [7, 107, 207, 307, 407, 507, 607, 707, 807, 907]
 
+    def test_probe_sound_requires_identical_rendering(self):
+        """The r10 soundness gate: pruning is allowed ONLY when
+        str(probe) provably equals Spark's CAST(col AS STRING) for every
+        matching row — judged on the COLUMN type, not the probe type."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            _bloom_probe_sound,
+        )
+
+        # string column: str probe sound, int probe rides Spark's
+        # numeric coercion ('05' == 5 is TRUE in the filter) — unsound
+        assert _bloom_probe_sound("u5", "string")
+        assert not _bloom_probe_sound(5, "string")
+        # integral column: int probe and canonical int-string sound;
+        # non-canonical '05' casts to 5 in the filter but hashes '05'
+        assert _bloom_probe_sound(5, "long")
+        assert _bloom_probe_sound("5", "integer")
+        assert not _bloom_probe_sound("05", "long")
+        assert not _bloom_probe_sound("5.0", "long")
+        # fractional/temporal/unknown columns: rendering drift
+        # (str(5)='5' vs Spark '5.0' / '5.000000000000') — never prune
+        for t in ("double", "float", "decimal(38,12)", "timestamp", None):
+            assert not _bloom_probe_sound(5, t)
+            assert not _bloom_probe_sound("5", t)
+        assert not _bloom_probe_sound(True, "long")  # bool is not an int here
+        assert not _bloom_probe_sound(1.5, "double")
+
+    def test_int_probe_on_string_column_not_pruned(self, spark, tmp_path):
+        """An int probe against a STRING column matches under Spark's
+        numeric coercion ('05' == 5) but hashes different bytes than the
+        write side ('5' vs '05') — the r10 type gate must keep every
+        file rather than falsely prune the match."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "05"), (2, "7"), (3, "9")], "k long, code string"
+        )
+        vt_write(
+            spark, path, df.repartition(3, "code"), bloom_cols=["code"]
+        )
+        plan = vt_scan_plan(path, predicate=("code", "=", 5))
+        assert plan.get("bloom_pruned", 0) == 0  # unsound pair → keep all
+        got = vt_read(spark, path, predicate=("code", "=", 5)).collect()
+        plain = (
+            vt_read(spark, path).filter(F.col("code") == 5).collect()
+        )
+        assert sorted(got) == sorted(plain) and len(plain) == 1
+
+    def test_int_probe_on_long_column_prunes_soundly(self, spark, tmp_path):
+        """The sound integral pair still prunes: CAST(long AS STRING)
+        and str(int) render identical bytes."""
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 400).selectExpr("id as k", "id % 100 as g")
+        vt_write(spark, path, df.repartition(4, "k"), bloom_cols=["k"])
+        plan = vt_scan_plan(path, predicate=("k", "=", 123))
+        assert plan.get("bloom_pruned", 0) >= 1
+        got = [
+            r["k"]
+            for r in vt_read(spark, path, predicate=("k", "=", 123)).collect()
+        ]
+        assert got == [123]
+        # non-canonical string probe against the same column: filter
+        # would match ('05' casts to 5) but bytes differ — must keep
+        plan2 = vt_scan_plan(path, predicate=("k", "=", "0123"))
+        assert plan2.get("bloom_pruned", 0) == 0
+
+    def test_fractional_column_bloom_never_prunes(self, spark, tmp_path):
+        """Blooms harvested over a double column never prune: no Python
+        probe can provably reproduce Spark's fractional rendering."""
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+        )
+        vt_write(spark, path, df.repartition(4, "k"), bloom_cols=["x"])
+        plan = vt_scan_plan(path, predicate=("x", "=", 5))
+        assert plan.get("bloom_pruned", 0) == 0
+        got = vt_read(spark, path, predicate=("x", "=", 5)).collect()
+        assert len(got) == 1 and got[0]["k"] == 5
+
 
 class TestMetadataCount:
     """vt_count (r9): COUNT(*) from manifest file_rows, no data scan."""
@@ -1322,6 +1409,86 @@ class TestCheckConstraints:
         )  # cleared: the null row commits
         assert vt_constraints(path) == []
         assert (2, None) in _rows(vt_read(spark, path))
+
+    def test_append_race_reenforces_winners_constraints(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r10 advice: an append that loses a commuting race must re-read
+        the ADVANCED head's constraint set and re-validate its rows — the
+        intervening append may have added/tightened CHECKs, and the
+        one-shot validation against the pre-race head would let
+        violating rows through. The loser here carries a NULL v; the
+        winner lands first AND installs v_not_null, so the loser must
+        reject and leave no orphan directory."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))  # no constraints yet
+        real = V._write_data_dir
+        injected = []
+
+        def racy(df, p):
+            out = real(df, p)
+            if not injected:  # only the outer (loser) call injects
+                injected.append(True)
+                vt_write(
+                    spark, path, _df(spark, [(2, "winner")]),
+                    mode="append",
+                    constraints=[
+                        {"name": "v_not_null", "kind": "not_null",
+                         "col": "v"}
+                    ],
+                )
+            return out
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            vt_write(spark, path, _df(spark, [(3, None)]), mode="append")
+        assert vt_versions(path) == [1, 2]
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "winner")}
+        # the loser's uncommitted directory was cleaned up
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        on_disk = {n for n in os.listdir(path) if n.startswith("d_")}
+        assert on_disk == set(_read_manifest(path, 2)["dirs"])
+
+    def test_append_race_passes_when_rows_satisfy_new_constraints(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Same race, but the loser's rows SATISFY the winner's new
+        constraint — the retry must succeed and the final table carry
+        the constraint set."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_constraints,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        real = V._write_data_dir
+        injected = []
+        specs = [{"name": "v_not_null", "kind": "not_null", "col": "v"}]
+
+        def racy(df, p):
+            out = real(df, p)
+            if not injected:
+                injected.append(True)
+                vt_write(
+                    spark, path, _df(spark, [(2, "winner")]),
+                    mode="append", constraints=specs,
+                )
+            return out
+
+        monkeypatch.setattr(V, "_write_data_dir", racy)
+        v = vt_write(spark, path, _df(spark, [(3, "ok")]), mode="append")
+        assert v == 3
+        assert vt_constraints(path) == specs
+        assert _rows(vt_read(spark, path)) == {
+            (1, "a"), (2, "winner"), (3, "ok"),
+        }
 
     def test_non_persistable_kind_rejected(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -1731,3 +1898,54 @@ class TestNullCountSkipping:
             ).collect()
         }
         assert got == {6, 7, 8, 9, 10}
+
+    def test_dynamic_equal_stray_literal_cannot_misprune(self, spark, tmp_path):
+        """The r10 advice scenario, end to end: a DynamicEqual carrying a
+        literal Value=100 plus runtime param k=7. The compiled filter
+        uses ONLY the param; pruning on the dead literal would skip every
+        file (none contains 100) and silently drop the k=7 match. The
+        pruned read must stay identical to apply_rule over an unpruned
+        read — AND still prune the file the param rules out."""
+        from dynamicqueryengine_spark.operators.executor import apply_rule
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_skip_conjuncts,
+        )
+        from dynamicqueryengine_spark.plans.model import RuleDefinition
+        from dynamicqueryengine_spark.sources.versioned import vt_scan_plan
+
+        path = str(tmp_path / "t")
+        lo = spark.createDataFrame([(k, "x") for k in range(1, 6)], "k long, s string")
+        hi = spark.createDataFrame([(k, "y") for k in range(6, 11)], "k long, s string")
+        vt_write(spark, path, lo.coalesce(1))
+        vt_write(spark, path, hi.coalesce(1), mode="append")
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "k",
+                            "Operator": "DynamicEqual",
+                            "Value": 100,
+                        }
+                    ]
+                }
+            }
+        )
+        schema = vt_read(spark, path).schema
+        conj = rule_skip_conjuncts(rule, schema, {"k": 7})
+        assert conj == [("k", "=", 7)]  # the PARAM, never the literal
+        plan = vt_scan_plan(path, None, conj)
+        assert plan["files_kept"] == 1  # still prunes the 1..5 file
+        got = {
+            r["k"]
+            for r in vt_read(
+                spark, path, rule=rule, external_params={"k": 7}
+            ).collect()
+        }
+        want = {
+            r["k"]
+            for r in apply_rule(
+                vt_read(spark, path), rule, external_params={"k": 7}
+            ).collect()
+        }
+        assert got == want == {7}
