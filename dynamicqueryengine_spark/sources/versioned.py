@@ -154,6 +154,12 @@ def _txns_at(path: str, version: int) -> dict:
     return txns
 
 
+# auto-checkpoint cadence: every Nth commit refreshes _checkpoint.json
+# (Delta writes a parquet checkpoint every 10 JSON commits for the same
+# reason — head resolution cost must not grow with table age)
+_AUTO_CHECKPOINT_EVERY = 10
+
+
 def _commit(
     path: str,
     dirs: list[str],
@@ -171,6 +177,8 @@ def _commit(
     constraints: list | None = None,
     analyze: dict | None = None,
     clone: dict | None = None,
+    partial_dirs: Sequence[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -225,6 +233,19 @@ def _commit(
         # shallow-clone provenance (vt_clone): {src, version} of the
         # table this one's first manifest borrowed its directories from
         manifest["clone"] = clone
+    if partial_dirs:
+        # directories whose ``files`` entry is AUTHORITATIVE AND PARTIAL:
+        # a file-granular MERGE/DELETE rewrote some of the dir's files
+        # and the manifest references only the untouched remainder. Every
+        # reader must honor the file list for these dirs (vt_scan_plan
+        # expands them to explicit file paths even for unfiltered reads);
+        # dir-level ``stats`` for them are recomputed over the kept files
+        # so vt_minmax never reports a value the snapshot no longer holds.
+        manifest["partial_dirs"] = sorted(partial_dirs)
+    if extra:
+        # op-specific audit blobs (e.g. "merge"/"delete" rewrite shape:
+        # files_total / files_rewritten) — surfaced by vt_history
+        manifest.update(extra)
     # CHECK constraints are a TABLE PROPERTY (Delta's constraint
     # semantics): None carries the head's recorded set forward through
     # every commit kind (append, merge, optimize, restore); an explicit
@@ -246,6 +267,15 @@ def _commit(
     target = _manifest_path(path, version)
     with open(target, "x") as f:  # atomic create-if-absent = the commit
         json.dump(manifest, f)
+    if version % _AUTO_CHECKPOINT_EVERY == 0:
+        # Delta checkpoints every 10 commits so head resolution stays
+        # O(commits-since-checkpoint); same cadence here. Best-effort —
+        # the checkpoint is advisory (vt_head validates and falls back),
+        # so a failed write must never fail the commit that succeeded.
+        try:
+            _write_checkpoint(path, version, manifest)
+        except OSError:  # pragma: no cover - advisory fast path only
+            pass
     return version
 
 
@@ -948,12 +978,22 @@ def vt_scan_plan(
         plan["schema"] = manifest["schema"]
         if manifest.get("schema_heterogeneous"):
             plan["schema_heterogeneous"] = True
+    partial = set(manifest.get("partial_dirs", []))
     conjuncts = _normalize_predicate(predicate)
     if conjuncts is None:
+        # partial dirs (file-granular MERGE/DELETE leftovers) are read by
+        # their authoritative file list even unfiltered — the dir on disk
+        # still holds the rewritten files until the dir itself expires
+        paths = []
+        for d in dirs:
+            if d in partial and flists.get(d):
+                paths.extend(os.path.join(path, d, f) for f in flists[d])
+            else:
+                paths.append(os.path.join(path, d))
         plan.update(
             dirs_kept=len(dirs),
             files_kept=plan["files_total"],
-            paths=[os.path.join(path, d) for d in dirs],
+            paths=paths,
         )
         return plan
 
@@ -1015,7 +1055,14 @@ def vt_scan_plan(
     # (r7 advisor: the pre-fallback counts alone misrepresented the
     # real scan).
     if not paths:
-        paths = [os.path.join(path, dirs[0])]
+        d0 = dirs[0]
+        if d0 in partial and flists.get(d0):
+            # a partial dir still holds rewritten (stale) files on disk:
+            # the schema probe must name a LISTED file, never the whole
+            # dir, or stale rows matching the predicate could resurface
+            paths = [os.path.join(path, d0, flists[d0][0])]
+        else:
+            paths = [os.path.join(path, d0)]
         plan["schema_only_fallback"] = True
     plan["paths"] = paths
     return plan
@@ -1332,21 +1379,29 @@ def vt_read_changes(
     return out
 
 
+def _write_checkpoint(path: str, version: int, manifest: dict) -> None:
+    """Write ``_vlog/_checkpoint.json`` atomically (tmp + rename)."""
+    snap = {"version": version, "manifest": manifest}
+    tmp = os.path.join(_log_dir(path), f"_checkpoint.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+    os.replace(tmp, os.path.join(_log_dir(path), "_checkpoint.json"))
+
+
 def vt_checkpoint(spark, path: str) -> int:
     """Snapshot the head manifest into ``_vlog/_checkpoint.json`` so head
     resolution can probe forward from the checkpointed version instead
     of listing the whole log. Returns the checkpointed version. The
     checkpoint is advisory — manifests stay the source of truth — so a
-    torn/stale checkpoint can never corrupt reads."""
+    torn/stale checkpoint can never corrupt reads. ``_commit`` also
+    refreshes it automatically every ``_AUTO_CHECKPOINT_EVERY`` commits
+    (Delta's 10-commit checkpoint cadence), so long-lived tables keep an
+    O(1) head probe without anyone calling this explicitly."""
     versions = vt_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
     head = versions[-1]
-    snap = {"version": head, "manifest": _read_manifest(path, head)}
-    tmp = os.path.join(_log_dir(path), f"_checkpoint.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        json.dump(snap, f)
-    os.replace(tmp, os.path.join(_log_dir(path), "_checkpoint.json"))
+    _write_checkpoint(path, head, _read_manifest(path, head))
     return head
 
 
@@ -1456,6 +1511,230 @@ def vt_minmax(
     return row["_lo"], row["_hi"]
 
 
+def _dir_stats_from_file_stats(per_file: dict, files: Sequence[str]) -> dict:
+    """Dir-level min/max recomputed over a KEPT SUBSET of a directory's
+    files (file-granular MERGE/DELETE): a column qualifies only when
+    every kept file carries stats for it — the same all-files soundness
+    rule :func:`_harvest_stats` applies to freshly-written dirs. Keeps
+    ``vt_minmax``'s metadata path exact after a partial rewrite (the old
+    dir-level range could name a min/max that now lives only in a
+    rewritten-away file)."""
+    if not files:
+        return {}
+    cols: set | None = None
+    for f in files:
+        entry = per_file.get(f)
+        if not entry:
+            return {}
+        names = {c for c in entry if c != "__nulls__"}
+        cols = names if cols is None else (cols & names)
+    out = {}
+    for c in sorted(cols or ()):
+        lo = hi = None
+        for f in files:
+            mlo, mhi = per_file[f][c]
+            lo = mlo if lo is None else min(lo, mlo)
+            hi = mhi if hi is None else max(hi, mhi)
+        out[c] = [lo, hi]
+    return out
+
+
+def _partition_snapshot(path: str, manifest: dict, touch_file) -> dict:
+    """Split a snapshot's file references into TOUCHED (must be read and
+    rewritten by a file-granular MERGE/DELETE) and KEPT (referenced
+    verbatim — stats, blooms and footer row counts carried forward — in
+    the successor manifest). ``touch_file(stats_entry, bloom_entry)``
+    decides per file; a directory WITHOUT an authoritative file list
+    (legacy manifests) is touched whole. Returns the kept manifest
+    fragments plus the touched read paths and the rewrite-shape counts
+    the audit blob records."""
+    flists = manifest.get("files", {})
+    fstats = manifest.get("file_stats", {})
+    blooms = manifest.get("blooms", {})
+    frows = manifest.get("file_rows", {})
+    stats = manifest.get("stats", {})
+    partial_prev = set(manifest.get("partial_dirs", []))
+    kept_dirs: list[str] = []
+    kept_files: dict = {}
+    kept_fstats: dict = {}
+    kept_stats: dict = {}
+    kept_blooms: dict = {}
+    kept_frows: dict = {}
+    new_partial: list[str] = []
+    touched_paths: list[str] = []
+    files_total = 0
+    files_rewritten = 0
+    dirs_rewritten_whole = 0
+    for d in manifest["dirs"]:
+        flist = flists.get(d)
+        if not flist:
+            touched_paths.append(os.path.join(path, d))
+            dirs_rewritten_whole += 1
+            continue
+        files_total += len(flist)
+        dstats = fstats.get(d, {})
+        dbloom = blooms.get(d, {})
+        dbfiles = dbloom.get("files", {}) if dbloom else {}
+        drows = frows.get(d, {})
+        keep: list[str] = []
+        for f in flist:
+            if drows.get(f) == 0:
+                # provably empty part file (footer num_rows == 0): holds
+                # nothing, matches nothing — drop the reference outright
+                # (free compaction; the file itself is vacuum's to reap)
+                files_total -= 1
+                continue
+            if touch_file(dstats.get(f, {}), dbfiles.get(f, {})):
+                touched_paths.append(os.path.join(path, d, f))
+                files_rewritten += 1
+            else:
+                keep.append(f)
+        if not keep:
+            continue  # every file rewritten → dir drops out entirely
+        kept_dirs.append(d)
+        kept_files[d] = keep
+        sub = {f: dstats[f] for f in keep if f in dstats}
+        if sub:
+            kept_fstats[d] = sub
+        subr = {f: drows[f] for f in keep if f in drows}
+        if subr:
+            kept_frows[d] = subr
+        if dbfiles:
+            subb = {f: dbfiles[f] for f in keep if f in dbfiles}
+            if subb:
+                kept_blooms[d] = {
+                    "m": dbloom["m"], "k": dbloom["k"], "files": subb
+                }
+        if len(keep) == len(flist):
+            # untouched dir: everything carries verbatim; stays partial
+            # if a previous rewrite already made it so
+            if d in stats:
+                kept_stats[d] = stats[d]
+            if d in partial_prev:
+                new_partial.append(d)
+        else:
+            new_partial.append(d)
+            ds = _dir_stats_from_file_stats(dstats, keep)
+            if ds:
+                kept_stats[d] = ds
+    return {
+        "touched_paths": touched_paths,
+        "dirs": kept_dirs,
+        "files": kept_files,
+        "file_stats": kept_fstats,
+        "stats": kept_stats,
+        "blooms": kept_blooms,
+        "file_rows": kept_frows,
+        "partial_dirs": new_partial,
+        "files_total": files_total,
+        "files_rewritten": files_rewritten,
+        "dirs_rewritten_whole": dirs_rewritten_whole,
+    }
+
+
+# key-sample bound for file-granular merge pruning: when the updates'
+# distinct key set collects under this, per-file classification uses the
+# EXACT values (point "in" checks + blooms) instead of a range box —
+# the high-cardinality-identity case where ranges overlap everything
+_MERGE_KEY_COLLECT_MAX = 10_000
+
+
+def _collect_update_keys(updates: DataFrame, keys: list[str]):
+    """One bounded action over the updates' distinct keys. Returns
+    ``(key_vals, key_ranges)``: ``key_vals`` = {col: sorted non-null
+    values} when the distinct set fits the sample bound (None otherwise),
+    ``key_ranges`` = {col: (lo, hi) | None} — None when the column is
+    all-null (a null key component never equals anything, so it can
+    match no file)."""
+    rows = (
+        updates.select(*keys)
+        .distinct()
+        .limit(_MERGE_KEY_COLLECT_MAX + 1)
+        .collect()
+    )
+    if len(rows) <= _MERGE_KEY_COLLECT_MAX:
+        key_vals = {
+            c: sorted({r[c] for r in rows if r[c] is not None})
+            for c in keys
+        }
+        key_ranges = {
+            c: (vs[0], vs[-1]) if vs else None
+            for c, vs in key_vals.items()
+        }
+        return key_vals, key_ranges
+    agg = updates.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in keys],
+        *[F.max(c).alias(f"_hi_{c}") for c in keys],
+    ).collect()[0]
+    key_ranges = {
+        c: (
+            (agg[f"_lo_{c}"], agg[f"_hi_{c}"])
+            if agg[f"_lo_{c}"] is not None
+            else None
+        )
+        for c in keys
+    }
+    return None, key_ranges
+
+
+def _key_touch_fn(keys, key_vals, key_ranges, bloom_types):
+    """Per-file classifier for keyed rewrites: True iff the file MAY
+    contain a row whose key equals some update key. Per-column necessary
+    conditions — a file is provably untouched when any key column's
+    stats (or bloom) exclude every update value; missing stats always
+    touch (conservative)."""
+
+    def touch(entry: dict, fbloom: dict) -> bool:
+        for c in keys:
+            mm = entry.get(c)
+            if key_ranges.get(c) is None:
+                # every update key is null in this column → no composite
+                # key can equal any target row's key
+                return False
+            if mm is None:
+                continue  # no stats for this column → inconclusive
+            if key_vals is not None:
+                if not _stats_may_match(mm, "in", key_vals[c]):
+                    return False
+            else:
+                lo, hi = mm
+                ulo, uhi = key_ranges[c]
+                try:
+                    if hi < ulo or lo > uhi:
+                        return False
+                except TypeError:
+                    pass  # cross-type comparison — keep
+        if key_vals is not None and fbloom:
+            for c in keys:
+                fb = fbloom.get(c)
+                if fb and not _bloom_may_match(
+                    fb, "in", key_vals[c], bloom_types.get(c)
+                ):
+                    return False
+        return True
+
+    return touch
+
+
+def _reconcile_to_schema(df: DataFrame, target) -> DataFrame:
+    """Cast/reorder ``df`` to the table's logical schema for a
+    file-granular rewrite (untouched files are never coerced, so the
+    incoming rows must land in the TABLE's types, not a union-widened
+    one). Raises on a column-set mismatch — merge does not evolve
+    schema, matching the full-rewrite path's unionByName contract."""
+    have = set(df.columns)
+    want = {f.name for f in target.fields}
+    if have != want:
+        missing = sorted(want - have)
+        extra = sorted(have - want)
+        raise ValueError(
+            f"updates schema mismatch: missing {missing}, extra {extra}"
+        )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
 def vt_merge(
     spark,
     path: str,
@@ -1464,12 +1743,36 @@ def vt_merge(
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
     change_feed: bool = False,
+    delete_where=None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Keyed MERGE as a committed version: rows in ``updates`` replace
     current rows with the same key, unmatched keys insert. Copy-on-write
     against the HEAD snapshot; on a commit race the merge re-reads the
     new head and retries (its result is derivable from any head, unlike
     a blind write). Returns the committed version.
+
+    FILE-GRANULAR (r10): the rewrite touches ONLY files that may contain
+    a matching key — the updates' distinct keys are sampled once
+    (bounded; exact values under :data:`_MERGE_KEY_COLLECT_MAX`, a range
+    box above it) and classified against the manifest's per-file min/max
+    stats and Bloom filters, the same metadata ``vt_scan_plan`` prunes
+    reads with. Untouched files are referenced VERBATIM in the new
+    manifest — their stats, blooms and footer row counts carry forward —
+    and partially-kept directories are marked ``partial_dirs`` so every
+    reader honors the file list (Delta's copy-on-write MERGE contract: a
+    merge touching 0.1% of keys rewrites ~0.1% of the data, not 100%).
+    The rewrite shape is recorded in the manifest's ``merge`` blob
+    (``files_total`` / ``files_rewritten``, surfaced by ``vt_history``).
+    Tables without a recorded schema (legacy) fall back to the full
+    snapshot rewrite.
+
+    ``delete_where=`` adds the Delta MERGE delete clause: a Column (or
+    SQL string) evaluated per UPDATE row — update rows satisfying it are
+    DELETIONS (their keys remove matched target rows; unmatched delete
+    keys no-op), the rest upsert as usual, all in one commit. With
+    ``change_feed=True`` the deleted target rows are recorded as
+    ``delete`` change rows.
 
     ``change_feed=True`` additionally records the commit's ROW-LEVEL
     changes (Delta's Change Data Feed): replaced rows as
@@ -1489,10 +1792,29 @@ def vt_merge(
     whose ``updates`` are DERIVED from a head snapshot (streaming
     combine-then-merge) must be single-writer per app; the retry loop
     re-checks the guard each attempt."""
+    from pyspark.sql.types import StructType
+
     keys = list(key_cols)
+    if delete_where is not None:
+        cond = (
+            F.expr(delete_where)
+            if isinstance(delete_where, str)
+            else delete_where
+        )
+        # Delta's WHEN-clause null semantics: a null condition matches
+        # no clause → the row upserts, it is not silently dropped
+        dels = updates.filter(cond)
+        ups = updates.filter(~F.coalesce(cond, F.lit(False)))
+    else:
+        dels = None
+        ups = updates
     # table-property CHECK constraints apply to the incoming rows (the
-    # surviving current rows were validated by their own commits)
-    _enforce_constraints(updates, vt_constraints(path))
+    # surviving current rows were validated by their own commits;
+    # deletion rows are never written)
+    _enforce_constraints(ups, vt_constraints(path))
+    # one bounded action over the updates' distinct keys, reused across
+    # retries (the updates DataFrame does not change with the head)
+    key_vals, key_ranges = _collect_update_keys(updates, keys)
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -1500,52 +1822,152 @@ def vt_merge(
             last = vt_last_txn(path, txn[0])
             if last is not None and txn[1] <= last:
                 return expected  # replay of an already-committed txn
-        if head:
-            current = vt_read(spark, path, expected)
-            upd_keys = updates.select(*keys).distinct()
-            merged = current.join(upd_keys, keys, "left_anti").unionByName(
-                updates
+        manifest = _read_manifest(path, expected) if head else None
+        file_granular = (
+            manifest is not None and manifest.get("schema") is not None
+        )
+        all_keys = updates.select(*keys).distinct()
+        ups_keys = (
+            ups.select(*keys).distinct() if dels is not None else all_keys
+        )
+        del_keys = dels.select(*keys).distinct() if dels is not None else None
+        part = None
+        if manifest is None:
+            # initial commit: the table IS the upserts
+            touched = None
+            merged_new = ups
+            target = None
+        elif file_granular:
+            target = StructType.fromJson(manifest["schema"])
+            ups_c = _reconcile_to_schema(ups, target)
+            part = _partition_snapshot(
+                path,
+                manifest,
+                _key_touch_fn(
+                    keys, key_vals, key_ranges, _bloom_col_types(manifest)
+                ),
             )
+            if part["touched_paths"]:
+                touched = _read_plan(
+                    spark,
+                    {
+                        "paths": part["touched_paths"],
+                        "schema": manifest["schema"],
+                        "schema_heterogeneous": manifest.get(
+                            "schema_heterogeneous", False
+                        ),
+                    },
+                )
+                merged_new = touched.join(
+                    all_keys, keys, "left_anti"
+                ).unionByName(ups_c)
+            else:
+                # provably pure insert: no target file can hold a
+                # matching key — the merge commits like an append
+                touched = None
+                merged_new = ups_c
         else:
-            current = None
-            merged = updates
+            # legacy table without a recorded schema: full-snapshot
+            # rewrite (the pre-r10 path)
+            target = None
+            touched = vt_read(spark, path, expected)
+            merged_new = touched.join(
+                all_keys, keys, "left_anti"
+            ).unionByName(ups)
         change_dir = None
         if change_feed:
-            if current is not None:
-                cur_keys = current.select(*keys).distinct()
-                pre = current.join(upd_keys, keys, "semi").withColumn(
+            if touched is not None:
+                cur_keys = touched.select(*keys).distinct()
+                upserts = (
+                    _reconcile_to_schema(ups, target)
+                    if target is not None
+                    else ups
+                )
+                pre = touched.join(ups_keys, keys, "semi").withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                post = updates.join(cur_keys, keys, "semi").withColumn(
+                post = upserts.join(cur_keys, keys, "semi").withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
-                ins = updates.join(cur_keys, keys, "left_anti").withColumn(
+                ins = upserts.join(cur_keys, keys, "left_anti").withColumn(
                     "_change_type", F.lit("insert")
                 )
                 change_rows = pre.unionByName(post).unionByName(ins)
+                if del_keys is not None:
+                    dropped = touched.join(
+                        del_keys, keys, "semi"
+                    ).withColumn("_change_type", F.lit("delete"))
+                    change_rows = change_rows.unionByName(dropped)
             else:
-                change_rows = updates.withColumn(
+                upserts = (
+                    _reconcile_to_schema(ups, target)
+                    if target is not None
+                    else ups
+                )
+                change_rows = upserts.withColumn(
                     "_change_type", F.lit("insert")
                 )
             change_dir, _, _, _, _ = _write_data_dir(
                 change_rows, path, prefix="c"
             )
         new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(merged, path)
+            _write_data_dir(merged_new, path)
         )
+        new_blooms = (
+            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+            if bloom_cols
+            else {}
+        )
+        if part is not None:
+            dirs = part["dirs"] + [new_dir]
+            stats = {**part["stats"], **({new_dir: new_stats} if new_stats else {})}
+            fstats = {**part["file_stats"], **({new_dir: new_fstats} if new_fstats else {})}
+            files = {**part["files"], new_dir: new_files}
+            frows = {**part["file_rows"], **({new_dir: new_rows} if new_rows else {})}
+            blooms = dict(part["blooms"])
+            if new_blooms:
+                blooms[new_dir] = new_blooms
+            partial_dirs = part["partial_dirs"]
+            merge_blob = {
+                "files_total": part["files_total"],
+                "files_rewritten": part["files_rewritten"],
+            }
+            if part["dirs_rewritten_whole"]:
+                merge_blob["dirs_rewritten_whole"] = part[
+                    "dirs_rewritten_whole"
+                ]
+            if touched is None and head:
+                merge_blob["pure_insert"] = True
+            schema_json = manifest["schema"]
+            hetero = manifest.get("schema_heterogeneous", False)
+        else:
+            dirs = [new_dir]
+            stats = {new_dir: new_stats} if new_stats else {}
+            fstats = {new_dir: new_fstats} if new_fstats else None
+            files = {new_dir: new_files}
+            frows = {new_dir: new_rows} if new_rows else None
+            blooms = {new_dir: new_blooms} if new_blooms else None
+            partial_dirs = None
+            merge_blob = None
+            schema_json = json.loads(merged_new.schema.json())
+            hetero = False
         try:
             return _commit(
                 path,
-                [new_dir],
+                dirs,
                 "merge",
                 expected,
-                {new_dir: new_stats} if new_stats else {},
+                stats,
                 {"app": txn[0], "version": int(txn[1])} if txn else None,
-                {new_dir: new_fstats} if new_fstats else None,
-                {new_dir: new_files},
-                schema=json.loads(merged.schema.json()),
+                fstats,
+                files,
+                schema=schema_json,
+                heterogeneous=hetero,
                 changes=change_dir,
-                file_rows={new_dir: new_rows} if new_rows else None,
+                blooms=blooms,
+                file_rows=frows,
+                partial_dirs=partial_dirs,
+                extra={"merge": merge_blob} if merge_blob else None,
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
@@ -1577,6 +1999,12 @@ def vt_history(path: str) -> list[dict]:
             # schema evolution shows up in the audit log as a column-
             # count change between consecutive versions
             entry["n_cols"] = len(m["schema"].get("fields", []))
+        for blob in ("merge", "delete"):
+            # file-granular rewrite shape (files_rewritten/files_total) —
+            # the audit trail that proves a 1-key merge left N−1 files
+            # referenced-not-rewritten
+            if isinstance(m.get(blob), dict):
+                entry[blob] = m[blob]
         out.append(entry)
     return out
 
@@ -1612,6 +2040,7 @@ def vt_restore(spark, path: str, version: int) -> int:
         # and footer row counts restore with them
         blooms=target.get("blooms"),
         file_rows=target.get("file_rows"),
+        partial_dirs=target.get("partial_dirs"),
     )
 
 
@@ -1810,11 +2239,28 @@ def vt_vacuum(
     versions = vt_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
+    # per-dir union of the FILES retained manifests reference: None =
+    # some retained manifest references the dir without an authoritative
+    # list (whole-dir), a set = every retained reference is file-listed,
+    # so unlisted files are reclaimable (file-granular MERGE/DELETE
+    # leaves rewritten-away files on disk in dirs still referenced
+    # partially — this is how they eventually get collected)
+    file_refs: dict[str, set | None] = {}
     for v in keep:
         m = _read_manifest(path, v)
         referenced.update(m["dirs"])
+        flists = m.get("files", {})
+        for d in m["dirs"]:
+            if file_refs.get(d, set()) is None:
+                continue
+            fl = flists.get(d)
+            if fl is None:
+                file_refs[d] = None
+            else:
+                file_refs.setdefault(d, set()).update(fl)
         if m.get("changes"):
             referenced.add(m["changes"])
+            file_refs[m["changes"]] = None
     ever_referenced: set[str] = set(referenced)
     for v in versions:
         if v not in keep:
@@ -1837,6 +2283,31 @@ def vt_vacuum(
                 continue
         shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         removed.append(name)
+    # file-level sweep inside retained dirs: delete parquet files no
+    # retained manifest lists (only when EVERY retained reference to the
+    # dir is file-listed — a whole-dir reference keeps everything).
+    # Writers never add files to an existing d_/c_ dir (every write is a
+    # fresh uuid directory), so an unlisted file here can only be
+    # committed-then-rewritten data, never a concurrent writer's.
+    for d, refs in file_refs.items():
+        if refs is None or os.path.isabs(d):
+            # absolute refs are a shallow clone's SHARED source dirs —
+            # never delete inside another table's tree
+            continue
+        full = os.path.join(path, d)
+        try:
+            on_disk = [
+                n for n in os.listdir(full) if n.endswith(".parquet")
+            ]
+        except OSError:
+            continue
+        for n in on_disk:
+            if n not in refs:
+                try:
+                    os.remove(os.path.join(full, n))
+                    removed.append(os.path.join(d, n))
+                except OSError:
+                    continue
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))
@@ -1982,6 +2453,7 @@ def vt_analyze(
         heterogeneous=prev.get("schema_heterogeneous", False),
         blooms=prev.get("blooms"),
         file_rows=prev.get("file_rows"),
+        partial_dirs=prev.get("partial_dirs"),
         analyze=analyze,
     )
 
@@ -2310,6 +2782,9 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
         blooms={remap[d]: v for d, v in m.get("blooms", {}).items()},
         file_rows={remap[d]: v for d, v in m.get("file_rows", {}).items()},
         constraints=m.get("constraints"),
+        partial_dirs=[
+            remap[d] for d in m.get("partial_dirs", []) if d in remap
+        ],
         clone={"src": src_path, "version": src_head, "deep": deep},
     )
     return version

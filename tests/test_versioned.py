@@ -85,18 +85,33 @@ class TestVersionedTable:
         assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
 
     def test_vacuum_drops_only_unreferenced(self, spark, tmp_path):
+        # r10 file-granular merge: disjoint-key merges are pure inserts,
+        # so every data dir stays referenced by the retained heads —
+        # vacuum may only reap rewritten-away FILES (empty part files
+        # dropped by the merge classifier), never a referenced dir
         path = str(tmp_path / "t")
         vt_write(spark, path, _df(spark, [(1, "a")]))
         vt_merge(spark, path, _df(spark, [(2, "b")]), ["id"])
         vt_merge(spark, path, _df(spark, [(3, "c")]), ["id"])
         removed = vt_vacuum(spark, path, keep_last=2)
-        assert len(removed) == 1  # version 1's directory
+        assert all("/" in r for r in removed)  # files only, no dirs
         assert vt_versions(path) == [2, 3]
         # both retained versions still fully readable
         assert _rows(vt_read(spark, path, 2)) == {(1, "a"), (2, "b")}
         assert _rows(vt_read(spark, path, 3)) == {(1, "a"), (2, "b"), (3, "c")}
         data_dirs = [n for n in os.listdir(path) if n.startswith("d_")]
-        assert len(data_dirs) == 2
+        assert len(data_dirs) == 3
+
+    def test_vacuum_reaps_expired_rewrite_dirs(self, spark, tmp_path):
+        # overlapping-key merges rewrite the touched file; once the
+        # pre-merge version expires, the whole superseded dir is reaped
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_merge(spark, path, _df(spark, [(1, "A2"), (2, "B2")]), ["id"])
+        vt_merge(spark, path, _df(spark, [(1, "A3"), (2, "B3")]), ["id"])
+        removed = vt_vacuum(spark, path, keep_last=2)
+        assert any(r.startswith("d_") and "/" not in r for r in removed)
+        assert _rows(vt_read(spark, path)) == {(1, "A3"), (2, "B3")}
 
     def test_lost_write_race_removes_orphan_dir(self, spark, tmp_path, monkeypatch):
         """vt_write that loses the commit race must clean up its own
@@ -1949,3 +1964,291 @@ class TestNullCountSkipping:
             ).collect()
         }
         assert got == want == {7}
+
+
+class TestFileGranularMerge:
+    """r10: Delta-style copy-on-write MERGE rewrites ONLY files whose
+    stats/blooms say they may hold a matching key; everything else is
+    referenced verbatim in the new manifest (VERDICT r9 ask #1)."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_one_key_merge_rewrites_one_file(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_history,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        [opt_dir] = pre["dirs"]
+        pre_files = set(pre["files"][opt_dir])
+        v = vt_merge(
+            spark, path, _df(spark, [(5, "FIVE")]), ["id"]
+        )
+        m = _read_manifest(path, v)
+        # the optimize dir is still referenced, minus exactly the files
+        # holding key 5; every kept file is the ORIGINAL file (identity,
+        # not a rewrite under the same name)
+        assert opt_dir in m["dirs"]
+        kept = set(m["files"][opt_dir])
+        assert kept < pre_files
+        rewritten = len(pre_files) - len(kept)
+        assert m["merge"]["files_rewritten"] == rewritten
+        assert m["merge"]["files_total"] == len(pre_files)
+        assert rewritten <= 2  # one data file (+ a range-boundary mate)
+        assert opt_dir in m.get("partial_dirs", [])
+        # untouched files' stats and footer counts carried verbatim
+        for f in kept:
+            assert m["file_stats"][opt_dir][f] == pre["file_stats"][opt_dir][f]
+            assert m["file_rows"][opt_dir][f] == pre["file_rows"][opt_dir][f]
+        # rewritten files still exist on disk (older version reads them)
+        assert pre_files <= set(os.listdir(os.path.join(path, opt_dir)))
+        # history surfaces the rewrite shape
+        h = vt_history(path)[0]
+        assert h["merge"]["files_rewritten"] == rewritten
+        # and the data is correct, both heads
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and got[6] == "v6" and len(got) == 64
+        old = dict(_rows(vt_read(spark, path, 2)))
+        assert old[5] == "v5"
+
+    def test_disjoint_key_merge_is_pure_insert(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        path = self._staged(spark, tmp_path)
+        v = vt_merge(spark, path, _df(spark, [(1000, "NEW")]), ["id"])
+        m = _read_manifest(path, v)
+        assert m["merge"]["files_rewritten"] == 0
+        assert m["merge"].get("pure_insert") is True
+        assert len(m["dirs"]) == 2  # optimize dir + insert dir
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[1000] == "NEW" and len(got) == 65
+
+    def test_bloom_prunes_when_ranges_overlap(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        # ids interleave (mod pattern) so every file's id RANGE overlaps
+        # every probe — only the per-file blooms can prune
+        df = spark.range(400).selectExpr(
+            "cast(concat('u', id) as string) AS uid",
+            "concat('v', id) AS v",
+        )
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["v"], n_partitions=8, bloom_cols=["uid"])
+        pre = _read_manifest(path, 2)
+        [opt_dir] = pre["dirs"]
+        upd = spark.createDataFrame([("u37", "X")], "uid string, v string")
+        v = vt_merge(spark, path, upd, ["uid"])
+        m = _read_manifest(path, v)
+        assert m["merge"]["files_rewritten"] == 1
+        # untouched files keep their blooms in the new manifest
+        kept = set(m["files"][opt_dir])
+        assert kept and all(
+            f in m["blooms"][opt_dir]["files"] for f in kept
+            if f in pre["blooms"][opt_dir]["files"]
+        )
+        got = {r["uid"]: r["v"] for r in vt_read(spark, path).collect()}
+        assert got["u37"] == "X" and got["u38"] == "v38"
+
+    def test_minmax_exact_after_partial_rewrite(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_minmax
+
+        path = self._staged(spark, tmp_path)
+        # rewrite the file holding the global max id (63) with a smaller
+        # replacement value in v; the partial dir's recomputed stats must
+        # not still advertise a stale range
+        vt_merge(spark, path, _df(spark, [(63, "zz")]), ["id"])
+        lo, hi = vt_minmax(spark, path, "id")
+        assert (lo, hi) == (0, 63)
+        # now DELETE-like shrink via merge of max key into lower id
+        df2 = spark.range(32).selectExpr("id", "concat('w', id) AS v")
+        vt_write(spark, path, df2, mode="overwrite")
+        vt_merge(spark, path, _df(spark, [(31, "W")]), ["id"])
+        lo2, hi2 = vt_minmax(spark, path, "id")
+        assert (lo2, hi2) == (0, 31)
+
+    def test_change_feed_replay_identity_partial(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+        from pyspark.sql import functions as F
+
+        path = self._staged(spark, tmp_path)
+        vt_merge(
+            spark,
+            path,
+            _df(spark, [(5, "FIVE"), (500, "NEW")]),
+            ["id"],
+            change_feed=True,
+        )
+        changes = vt_read_changes(spark, path, 2, 3)
+        tags = {
+            r["_change_type"]
+            for r in changes.select("_change_type").distinct().collect()
+        }
+        assert tags == {"update_preimage", "update_postimage", "insert"}
+        # multiset replay identity: v2 ⊎ (ins ∪ post) ∖ (del ∪ pre) = v3
+        plus = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("id", "v")
+        minus = changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("id", "v")
+        replayed = (
+            vt_read(spark, path, 2)
+            .unionByName(plus)
+            .exceptAll(minus)
+        )
+        assert _rows(replayed) == _rows(vt_read(spark, path, 3))
+
+    def test_predicate_and_rule_reads_on_partial_dirs(self, spark, tmp_path):
+        path = self._staged(spark, tmp_path)
+        vt_merge(spark, path, _df(spark, [(5, "FIVE")]), ["id"])
+        got = _rows(
+            vt_read(spark, path, predicate=("id", "<=", 6))
+        )
+        assert got == {
+            (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"), (4, "v4"),
+            (5, "FIVE"), (6, "v6"),
+        }
+
+    def test_multi_key_and_null_key_updates(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "x", "a"), (1, "y", "b"), (2, "x", "c")],
+            "k1 long, k2 string, v string",
+        )
+        vt_write(spark, path, df)
+        upd = spark.createDataFrame(
+            [(1, "y", "B2"), (None, "x", "NULLK"), (9, "z", "ins")],
+            "k1 long, k2 string, v string",
+        )
+        vt_merge(spark, path, upd, ["k1", "k2"])
+        got = {
+            (r["k1"], r["k2"], r["v"])
+            for r in vt_read(spark, path).collect()
+        }
+        # (1,y) replaced; null-key update row inserts (null joins nothing);
+        # (9,z) inserts; everything else untouched
+        assert got == {
+            (1, "x", "a"), (1, "y", "B2"), (2, "x", "c"),
+            (None, "x", "NULLK"), (9, "z", "ins"),
+        }
+
+    def test_updates_schema_mismatch_raises(self, spark, tmp_path):
+        path = self._staged(spark, tmp_path)
+        bad = spark.createDataFrame([(1, "x", 3)], "id long, v string, extra int")
+        with pytest.raises(ValueError, match="schema mismatch"):
+            vt_merge(spark, path, bad, ["id"])
+
+    def test_vacuum_reaps_rewritten_files_in_partial_dir(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        [opt_dir] = pre["dirs"]
+        pre_files = set(pre["files"][opt_dir])
+        vt_merge(spark, path, _df(spark, [(5, "FIVE")]), ["id"])
+        removed = vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
+        on_disk = set(os.listdir(os.path.join(path, opt_dir)))
+        # rewritten-away files are gone from the partial dir; kept ones
+        # survive and the head still reads exactly right
+        rewritten = pre_files - set(
+            _read_manifest(path, 3)["files"][opt_dir]
+        )
+        assert rewritten and not (rewritten & on_disk)
+        assert any(r.startswith(opt_dir + "/") for r in removed)
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and len(got) == 64
+
+
+class TestMergeDeleteClause:
+    """r10: Delta MERGE triad — WHEN MATCHED DELETE via ``delete_where``
+    (a per-update-row condition; matched delete keys remove target rows,
+    unmatched delete keys no-op, the rest upsert) in ONE commit."""
+
+    def test_delete_where_on_data_columns(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        )
+        # convention: v IS NULL marks a deletion (CDC tombstone)
+        upd = _df(
+            spark,
+            [(1, "A2"), (2, None), (7, None), (9, "ins")],
+        )
+        v = vt_merge(
+            spark, path, upd, ["id"], delete_where="v IS NULL"
+        )
+        assert _rows(vt_read(spark, path, v)) == {
+            (1, "A2"), (3, "c"), (9, "ins")
+        }
+
+    def test_delete_where_change_feed(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        )
+        upd = _df(spark, [(1, "A2"), (2, None), (7, None), (9, "ins")])
+        vt_merge(
+            spark, path, upd, ["id"],
+            delete_where="v IS NULL", change_feed=True,
+        )
+        ch = vt_read_changes(spark, path, 1, 2)
+        by_tag = {
+            r["_change_type"]: r["id"]
+            for r in ch.collect()
+        }
+        tags = {r["_change_type"] for r in ch.collect()}
+        assert tags == {
+            "insert", "delete", "update_preimage", "update_postimage"
+        }
+        # the deleted pre-image is target row (2, "b")
+        dels = {
+            (r["id"], r["v"])
+            for r in ch.filter(F.col("_change_type") == "delete").collect()
+        }
+        assert dels == {(2, "b")}
+        # replay identity across the delete-bearing merge
+        plus = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("id", "v")
+        minus = ch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("id", "v")
+        replayed = (
+            vt_read(spark, path, 1).unionByName(plus).exceptAll(minus)
+        )
+        assert _rows(replayed) == _rows(vt_read(spark, path, 2))
+
+    def test_null_condition_rows_upsert(self, spark, tmp_path):
+        # a NULL delete_where verdict must upsert, not silently drop
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        upd = _df(spark, [(1, "A2"), (2, "x")])
+        vt_merge(
+            spark, path, upd, ["id"],
+            delete_where="CASE WHEN v = 'zz' THEN true ELSE NULL END",
+        )
+        assert _rows(vt_read(spark, path)) == {(1, "A2"), (2, "x")}
