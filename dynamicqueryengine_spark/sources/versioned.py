@@ -1356,6 +1356,33 @@ def vt_read_changes(
                 )
             cf = spark.read.parquet(os.path.join(path, change_dir))
             frames.append(reconcile(cf, None, v))
+        elif op == "delete":
+            change_dir = m.get("changes")
+            if change_dir is not None:
+                cf = spark.read.parquet(os.path.join(path, change_dir))
+                frames.append(reconcile(cf, None, v))
+            else:
+                # reconstruct: previous snapshot ∩ recorded predicate —
+                # exact while the previous version is retained
+                pred = (m.get("delete") or {}).get("predicate")
+                if pred is None:
+                    raise ValueError(
+                        f"version {v} is a delete committed without "
+                        "change_feed=True and without a replayable "
+                        "predicate: its deletions were not recorded"
+                    )
+                need_prev(v)
+                cond = None
+                for col, dop, value in pred:
+                    c = _conjunct_column(col, dop, value)
+                    cond = c if cond is None else (cond & c)
+                frames.append(
+                    reconcile(
+                        vt_read(spark, path, v - 1).filter(cond),
+                        "delete",
+                        v,
+                    )
+                )
         elif op in ("overwrite", "restore", "clone"):
             # clone = the table's creation snapshot (v-1 is 0, so this
             # is insert-all, same as any initial write)
@@ -1978,6 +2005,172 @@ def vt_merge(
                     os.path.join(path, change_dir), ignore_errors=True
                 )
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
+
+
+def vt_delete(
+    spark,
+    path: str,
+    predicate,
+    change_feed: bool = False,
+    max_retries: int = 5,
+) -> int:
+    """Row-level DELETE as a committed version (Delta's ``DELETE FROM …
+    WHERE``): remove every row matching ``predicate`` — one ``(col, op,
+    value)`` tuple or a CONJUNCTION list of them, the same skip-eligible
+    grammar ``vt_read`` prunes with. FILE-GRANULAR copy-on-write: files
+    whose stats/blooms/null-counts prove they cannot hold a matching row
+    are referenced VERBATIM in the new manifest (stats, blooms, footer
+    counts carried); only files that may match are read, filtered to
+    their surviving rows, and rewritten — a retention/GDPR delete over a
+    clustered table touches O(matching files), not the table. Returns
+    the new version, or the CURRENT head unchanged when pruning proves
+    nothing can match (a no-op delete commits nothing).
+
+    SQL semantics: a row is deleted when the conjunction evaluates TRUE;
+    rows where it is NULL (null in a compared column) survive, exactly
+    like ``DELETE FROM t WHERE col = 5`` keeps null rows.
+
+    ``change_feed=True`` records the deleted rows in a ``c_*`` change
+    directory (``_change_type='delete'``). Without it the change feed
+    can still RECONSTRUCT the deletions from the previous snapshot plus
+    the predicate recorded in the manifest's ``delete`` blob — until
+    that snapshot is vacuumed, after which ``vt_read_changes`` raises
+    (same unrecoverability contract as a merge committed without
+    ``change_feed=True``).
+
+    Concurrency: like OPTIMIZE, a delete is derived from the head it
+    read; on a commit race it re-reads the new head and retries."""
+    conjuncts = _normalize_predicate(predicate)
+    if conjuncts is None:
+        raise ValueError("vt_delete requires a predicate")
+    cond = None
+    for col, op, value in conjuncts:
+        c = _conjunct_column(col, op, value)
+        cond = c if cond is None else (cond & c)
+    try:
+        json.dumps([[c, o, v] for c, o, v in conjuncts])
+        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
+    except (TypeError, ValueError):
+        pred_json = None  # non-JSON values: CDC needs change_feed=True
+
+    def touch(entry: dict, fbloom: dict) -> bool:
+        # may this file contain a row the predicate MATCHES?
+        if not all(
+            _stats_may_match(entry.get(c), o, v) for c, o, v in conjuncts
+        ):
+            return False
+        nulls = entry.get("__nulls__") or {}
+        null_ops = [x for x in conjuncts if x[1] in ("isnull", "notnull")]
+        if null_ops and not _nulls_may_match(nulls, None, null_ops):
+            return False
+        if fbloom and not all(
+            _bloom_may_match(fbloom.get(c), o, v, touch.types.get(c))
+            for c, o, v in conjuncts
+        ):
+            return False
+        return True
+
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        touch.types = _bloom_col_types(manifest)
+        if manifest.get("schema") is None:
+            # legacy table without schema metadata: whole-snapshot rewrite
+            part = None
+            touched = vt_read(spark, path, expected)
+            schema_json = None
+        else:
+            part = _partition_snapshot(path, manifest, touch)
+            if not part["touched_paths"]:
+                return expected  # provably nothing to delete — no-op
+            touched = _read_plan(
+                spark,
+                {
+                    "paths": part["touched_paths"],
+                    "schema": manifest["schema"],
+                    "schema_heterogeneous": manifest.get(
+                        "schema_heterogeneous", False
+                    ),
+                },
+            )
+            schema_json = manifest["schema"]
+        survivors = touched.filter(~F.coalesce(cond, F.lit(False)))
+        change_dir = None
+        if change_feed:
+            deleted = touched.filter(cond).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            change_dir, _, _, _, _ = _write_data_dir(
+                deleted, path, prefix="c"
+            )
+        new_dir, new_stats, new_fstats, new_files, new_rows = (
+            _write_data_dir(survivors, path)
+        )
+        if part is not None:
+            dirs = part["dirs"] + [new_dir]
+            stats = {
+                **part["stats"],
+                **({new_dir: new_stats} if new_stats else {}),
+            }
+            fstats = {
+                **part["file_stats"],
+                **({new_dir: new_fstats} if new_fstats else {}),
+            }
+            files = {**part["files"], new_dir: new_files}
+            frows = {
+                **part["file_rows"],
+                **({new_dir: new_rows} if new_rows else {}),
+            }
+            blooms = dict(part["blooms"]) or None
+            partial_dirs = part["partial_dirs"]
+            blob = {
+                "files_total": part["files_total"],
+                "files_rewritten": part["files_rewritten"],
+            }
+            if part["dirs_rewritten_whole"]:
+                blob["dirs_rewritten_whole"] = part["dirs_rewritten_whole"]
+            hetero = manifest.get("schema_heterogeneous", False)
+        else:
+            dirs = [new_dir]
+            stats = {new_dir: new_stats} if new_stats else {}
+            fstats = {new_dir: new_fstats} if new_fstats else None
+            files = {new_dir: new_files}
+            frows = {new_dir: new_rows} if new_rows else None
+            blooms = None
+            partial_dirs = None
+            blob = {}
+            schema_json = json.loads(survivors.schema.json())
+            hetero = False
+        if pred_json is not None:
+            blob["predicate"] = pred_json
+        try:
+            return _commit(
+                path,
+                dirs,
+                "delete",
+                expected,
+                stats,
+                None,
+                fstats,
+                files,
+                schema=schema_json,
+                heterogeneous=hetero,
+                changes=change_dir,
+                blooms=blooms,
+                file_rows=frows,
+                partial_dirs=partial_dirs,
+                extra={"delete": blob},
+            )
+        except FileExistsError:
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+            if change_dir is not None:
+                shutil.rmtree(
+                    os.path.join(path, change_dir), ignore_errors=True
+                )
+    raise RuntimeError(f"delete at {path} lost {max_retries} commit races")
 
 
 def vt_history(path: str) -> list[dict]:

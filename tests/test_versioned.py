@@ -2252,3 +2252,155 @@ class TestMergeDeleteClause:
             delete_where="CASE WHEN v = 'zz' THEN true ELSE NULL END",
         )
         assert _rows(vt_read(spark, path)) == {(1, "A2"), (2, "x")}
+
+
+class TestRowLevelDelete:
+    """r10: vt_delete(predicate) — file-granular DELETE FROM ... WHERE
+    with skip-eligible conjunct pruning and delete change-feed rows
+    (VERDICT r9 ask #2)."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_delete_prunes_untouched_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_history,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        [opt_dir] = pre["dirs"]
+        pre_files = set(pre["files"][opt_dir])
+        v = vt_delete(spark, path, ("id", "<", 8))
+        m = _read_manifest(path, v)
+        assert m["op"] == "delete"
+        assert m["delete"]["files_rewritten"] < len(pre_files)
+        assert m["delete"]["files_total"] == len(pre_files)
+        kept = set(m["files"].get(opt_dir, []))
+        assert kept < pre_files and kept
+        # kept files carry stats verbatim
+        for f in kept:
+            assert m["file_stats"][opt_dir][f] == pre["file_stats"][opt_dir][f]
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(8, 64))
+        # time travel still sees the full snapshot
+        assert len(vt_read(spark, path, 2).collect()) == 64
+        assert vt_history(path)[0]["delete"]["files_total"] == len(pre_files)
+
+    def test_delete_null_semantics(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, v string"
+        )
+        vt_write(spark, path, df)
+        vt_delete(spark, path, ("v", "=", "a"))
+        # null row SURVIVES (predicate NULL ≠ TRUE), like SQL DELETE
+        assert _rows(vt_read(spark, path)) == {(2, None), (3, "c")}
+        vt_delete(spark, path, ("v", "isnull", None))
+        assert _rows(vt_read(spark, path)) == {(3, "c")}
+
+    def test_noop_delete_commits_nothing(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        v = vt_delete(spark, path, ("id", ">", 1_000_000))
+        assert v == 2 and vt_versions(path) == [1, 2]
+
+    def test_delete_change_feed_materialized(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_read_changes,
+        )
+        from pyspark.sql import functions as F
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "<", 4), change_feed=True)
+        ch = vt_read_changes(spark, path, 2, 3)
+        got = {
+            (r["id"], r["_change_type"]) for r in ch.collect()
+        }
+        assert got == {(i, "delete") for i in range(4)}
+        # replay identity
+        minus = ch.filter(
+            F.col("_change_type") == "delete"
+        ).select("id", "v")
+        replayed = vt_read(spark, path, 2).exceptAll(minus)
+        assert _rows(replayed) == _rows(vt_read(spark, path, 3))
+
+    def test_delete_change_feed_reconstructed(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_read_changes,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "in", [3, 5, 99]))  # no change_feed
+        ch = vt_read_changes(spark, path, 2, 3)
+        got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+        assert got == {(3, "delete"), (5, "delete")}
+
+    def test_cdc_rollup_decrements_through_delete(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+        from dynamicqueryengine_spark.streaming.cdc import (
+            apply_rollup_increment,
+            pump_until_current,
+        )
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+            "id long, g string, x double",
+        )
+        vt_write(spark, src, df)
+        apply = apply_rollup_increment(
+            spark, sink, key_cols=["g"], sum_cols={"s": "x"}
+        )
+        pump_until_current(spark, src, sink, "sub", apply)
+        vt_delete(spark, src, ("id", "=", 2), change_feed=True)
+        pump_until_current(spark, src, sink, "sub", apply)
+        got = {
+            (r["g"], r["n"], float(r["s"]))
+            for r in vt_read(spark, sink).collect()
+        }
+        assert got == {("A", 1, 10.0), ("B", 1, 30.0)}
+
+    def test_delete_requires_predicate(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        with pytest.raises(ValueError):
+            vt_delete(spark, path, None)
+
+    def test_delete_bloom_pruning_on_string_ids(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(400).selectExpr(
+            "cast(concat('u', id) as string) AS uid",
+            "concat('v', id) AS v",
+        )
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["v"], n_partitions=8, bloom_cols=["uid"])
+        v = vt_delete(spark, path, ("uid", "=", "u37"))
+        m = _read_manifest(path, v)
+        # uid ranges overlap every file; only blooms can prune → exactly
+        # the one file holding u37 is rewritten
+        assert m["delete"]["files_rewritten"] == 1
+        got = {r["uid"] for r in vt_read(spark, path).collect()}
+        assert "u37" not in got and "u38" in got and len(got) == 399
