@@ -4754,3 +4754,84 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_merge_delete_clause"] = FnWorkload(
     _events_vt_merge_delete_clause, _EVENTS_VT_MERGE_DELETE_SQL
 )
+
+
+def _events_vt_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE MAINTENANCE, EXECUTED (sources/versioned.py
+    vt_maintain r10 — the r9 verdict's "advisory-only" gap): stage
+    events as a FRAGMENTED ingest (four small appends — the streaming
+    small-file problem), then one vt_maintain call applies the
+    advisor's plan in dependency order: OPTIMIZE range-clustered on
+    event_id, ANALYZE (after the optimize, so stats describe the final
+    layout), checkpoint, vacuum. Pinned flags assert the loop CLOSED:
+    the maintenance ran the expected actions and a re-run of the
+    advisor reports nothing left to do (fresh stats, no compaction,
+    nothing to vacuum) — while the maintained table still aggregates to
+    exactly the raw table's numbers (maintenance is layout, never
+    semantics)."""
+    from ..sources.versioned import (
+        vt_maintain,
+        vt_maintenance_plan,
+        vt_read,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtmaintain", sf_dir), "ev")
+    for i in range(4):
+        vt_write(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 4 == i),
+            mode="append" if i else "overwrite",
+        )
+    report = vt_maintain(
+        spark,
+        path,
+        cluster_by=["event_id"],
+        n_partitions=2,
+        keep_last=1,
+        grace_seconds=0,
+    )
+    after = vt_maintenance_plan(path)
+    healed = (
+        "optimize:range" in report["actions"]
+        and "analyze" in report["actions"]
+        and "checkpoint" in report["actions"]
+        and not after["compact"]
+        and after["analyze"] == "fresh"
+        and not after["vacuum"]["dirs"]
+    )
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(healed)).alias("advisor_clean_after"),
+        )
+    )
+
+
+_EVENTS_VT_MAINTAIN_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS advisor_clean_after
+FROM ev GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_maintain"] = FnWorkload(
+    _events_vt_maintain, _EVENTS_VT_MAINTAIN_SQL
+)
