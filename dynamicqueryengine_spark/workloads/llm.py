@@ -4835,3 +4835,89 @@ FROM ev GROUP BY event_type
 LLM_QUERIES["events_vt_maintain"] = FnWorkload(
     _events_vt_maintain, _EVENTS_VT_MAINTAIN_SQL
 )
+
+
+def _events_vt_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the change feed, EXECUTED
+    (streaming/source.py r10 — the r9 verdict's ask #6, the
+    ``readStream``-shaped completion of the Delta-source analogy): the
+    SAME three-commit history as ``events_vt_cdc_subscription`` (write
+    evens → append odds → keyed MERGE doubling every event_id%10==3
+    row's value, change_feed=True), but consumed as a real Structured
+    Streaming query — the registered ``vt_changes`` Python data source
+    maps offsets to commit versions, plans one Arrow-read partition per
+    (commit, file), and an ``availableNow`` trigger drains it into a
+    memory sink. The signed fold of the streamed change rows
+    (+insert/postimage, −delete/preimage) must equal a full recompute
+    of the source's final snapshot — the identical value oracle the
+    call-driven subscription hash-matches, so the two consumption paths
+    are provably interchangeable. ``versions_applied`` pins that the
+    stream really advanced through all three commits."""
+    import uuid as _uuid
+
+    from ..sources.versioned import vt_merge, vt_write
+    from ..streaming.source import vt_change_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    src = os.path.join(_scratch_dir("vtchgstream", sf_dir), "src")
+    vt_write(spark, src, ev.filter(F.col("event_id") % 2 == 0))
+    vt_write(
+        spark, src, ev.filter(F.col("event_id") % 2 == 1), mode="append"
+    )
+    vt_merge(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 10 == 3).withColumn(
+            "v", F.col("v") * 2
+        ),
+        ["event_id"],
+        change_feed=True,
+    )
+    qn = "vtchg_" + _uuid.uuid4().hex[:10]
+    q = (
+        vt_change_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    changes = spark.table(qn)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        changes.groupBy("event_type")
+        .agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.round(
+                F.sum(sign * F.col("v")), 6
+            ).cast("double").alias("sum_value"),
+            F.max("_commit_version").cast("long").alias(
+                "versions_applied"
+            ),
+        )
+        .select("event_type", "n", "sum_value", "versions_applied")
+    )
+
+
+_EVENTS_VT_CHANGE_STREAM_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CASE WHEN event_id % 10 = 3
+                           THEN 2 * CAST(value AS DECIMAL(38,12))
+                           ELSE CAST(value AS DECIMAL(38,12)) END), 6)
+            AS DOUBLE) AS sum_value,
+       CAST(3 AS BIGINT) AS versions_applied
+FROM ev GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_change_stream"] = FnWorkload(
+    _events_vt_change_stream, _EVENTS_VT_CHANGE_STREAM_SQL
+)

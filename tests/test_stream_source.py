@@ -1,0 +1,226 @@
+"""Structured Streaming source over the versioned table's change feed
+(streaming/source.py r10): offsets = commit versions, partitions =
+(commit, file) units, Arrow-batch reads, availableNow catch-up,
+rate limiting, checkpoint-restart exactly-once."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicqueryengine_spark.sources.versioned import (
+    vt_delete,
+    vt_merge,
+    vt_read,
+    vt_write,
+)
+from dynamicqueryengine_spark.streaming.source import vt_change_stream
+
+
+def _df(spark, n=20):
+    return spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(n)],
+        "id long, g string, x double",
+    )
+
+
+def _drain_to_memory(stream, timeout=120):
+    qn = "chg_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return qn
+
+
+def _signed_state(out):
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1)
+    return {
+        (r["g"], r["n"], r["s"])
+        for r in out.groupBy("g")
+        .agg(
+            F.sum(sign).alias("n"),
+            F.sum(sign * F.col("x")).alias("s"),
+        )
+        .collect()
+    }
+
+
+class TestChangeStream:
+    def test_available_now_replays_to_snapshot(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        df = _df(spark)
+        vt_write(spark, src, df.filter("id % 2 = 0"))
+        vt_write(spark, src, df.filter("id % 2 = 1"), mode="append")
+        vt_merge(
+            spark,
+            src,
+            df.filter("id % 10 = 3").withColumn("x", F.col("x") * 2),
+            ["id"],
+            change_feed=True,
+        )
+        vt_delete(spark, src, ("id", "=", 4))  # replay-by-predicate path
+        qn = _drain_to_memory(vt_change_stream(spark, src))
+        out = spark.sql(f"select * from {qn}")
+        tags = {
+            (r["_commit_version"], r["_change_type"])
+            for r in out.select(
+                "_commit_version", "_change_type"
+            ).distinct().collect()
+        }
+        assert tags == {
+            (1, "insert"),
+            (2, "insert"),
+            (3, "update_preimage"),
+            (3, "update_postimage"),
+            (4, "delete"),
+        }
+        # signed replay of the FULL stream equals the final snapshot
+        want = {
+            (r["g"], r["n"], r["s"])
+            for r in vt_read(spark, src)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+        assert _signed_state(out) == want
+
+    def test_rate_limit_bounds_each_batch(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        df = _df(spark, 12)
+        for i in range(4):
+            vt_write(
+                spark,
+                src,
+                df.filter(f"id % 4 = {i}"),
+                mode="append" if i else "overwrite",
+            )
+        # rate limiting is a PROCESSING-TIME-trigger tool (a continuous
+        # tail that must not swallow a backlog in one batch); under
+        # availableNow Spark pins the end offset at query start, so the
+        # cap would simply stop the catch-up early
+        stream = vt_change_stream(
+            spark, src, max_versions_per_trigger=1
+        )
+        qn = "chg_" + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.sql(f"select * from {qn}").count() >= 12:
+                    break
+                time.sleep(0.5)
+            out = spark.sql(f"select * from {qn}")
+            assert out.count() == 12
+            assert set(
+                r["_commit_version"]
+                for r in out.select("_commit_version").distinct().collect()
+            ) == {1, 2, 3, 4}
+            # one version per micro-batch: >= 4 non-empty batches
+            batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            assert len(batches) >= 4
+        finally:
+            q.stop()
+
+    def test_checkpoint_restart_resumes_exactly_once(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        cp = str(tmp_path / "cp")
+        df = _df(spark)
+        vt_write(spark, src, df.filter("id < 10"))
+        q = (
+            vt_change_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == 10
+        # new commits; restart from the SAME checkpoint → only the delta
+        vt_write(spark, src, df.filter("id >= 10"), mode="append")
+        q2 = (
+            vt_change_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        out = spark.read.parquet(sink)
+        assert out.count() == 20  # no replays, no gaps
+        assert out.select("id").distinct().count() == 20
+
+    def test_schema_evolution_nulls_for_old_files(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        vt_write(
+            spark,
+            src,
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+        )
+        vt_write(
+            spark,
+            src,
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id long, v string, score double"
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+        qn = _drain_to_memory(vt_change_stream(spark, src))
+        out = spark.sql(f"select * from {qn}")
+        rows = {
+            (r["id"], r["v"], r["score"]) for r in out.collect()
+        }
+        assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+    def test_merge_without_change_feed_fails_stream(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 6))
+        vt_merge(
+            spark,
+            src,
+            _df(spark, 3).withColumn("x", F.col("x") + 1),
+            ["id"],
+        )
+        stream = vt_change_stream(spark, src)
+        qn = "chg_" + uuid.uuid4().hex[:8]
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+
+    def test_starting_version_skips_history(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        df = _df(spark, 9)
+        vt_write(spark, src, df.filter("id < 3"))
+        vt_write(spark, src, df.filter("id >= 3 and id < 6"), mode="append")
+        vt_write(spark, src, df.filter("id >= 6"), mode="append")
+        qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=2))
+        out = spark.sql(f"select * from {qn}")
+        assert {r["id"] for r in out.collect()} == {6, 7, 8}
