@@ -142,6 +142,44 @@ def main() -> None:
     )
     print(line, flush=True)
     print(line, file=sys.stderr, flush=True)  # survives stdout truncation
+
+    # Persist the COMPLETE per-query detail next to the driver artifact
+    # (r9 verdict ask #7: the driver's bounded tail truncates the
+    # per-query map, which made carried-query regression diffs
+    # impossible two rounds running). Round number = 1 + the highest
+    # existing BENCH_r{N}.json — the driver writes its artifact AFTER
+    # this run, so the file lands as BENCH_DETAIL_r{N} for the SAME
+    # round the driver is about to record.
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    detail = {
+        "round": rnd,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(queries),
+        "passes": 2,
+        "stat": "min",
+        "total_single": total_single,
+        "total_min2": total,
+        "queries_min2": timings,
+        "queries_pass1": per_pass[0],
+        "queries_pass2": per_pass[1],
+        "streaming_compute_sec": stream_compute,
+    }
+    try:
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover - detail is best-effort
+        print(f"bench detail write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 

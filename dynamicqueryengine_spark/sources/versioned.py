@@ -1666,13 +1666,31 @@ def _partition_snapshot(path: str, manifest: dict, touch_file) -> dict:
 _MERGE_KEY_COLLECT_MAX = 10_000
 
 
+# bucket count for the over-threshold range-SET classifier: per numeric
+# key column, updates are equi-width-bucketed and each non-empty bucket
+# contributes its EXACT (min, max) — a union of tight sub-ranges whose
+# gaps prune files a single min/max box cannot (the bimodal
+# update-plus-insert merge is the canonical case: the box spans the
+# whole keyspace, the range set keeps the hole in the middle)
+_MERGE_KEY_BUCKETS = 64
+
+
 def _collect_update_keys(updates: DataFrame, keys: list[str]):
-    """One bounded action over the updates' distinct keys. Returns
-    ``(key_vals, key_ranges)``: ``key_vals`` = {col: sorted non-null
-    values} when the distinct set fits the sample bound (None otherwise),
-    ``key_ranges`` = {col: (lo, hi) | None} — None when the column is
-    all-null (a null key component never equals anything, so it can
-    match no file)."""
+    """Bounded actions over the updates' distinct keys. Returns
+    ``(key_vals, key_ranges, key_rangesets)``:
+
+    * ``key_vals`` = {col: sorted non-null values} when the distinct set
+      fits :data:`_MERGE_KEY_COLLECT_MAX` (None otherwise) — exact
+      point/bloom classification;
+    * ``key_ranges`` = {col: (lo, hi) | None} — None when the column is
+      all-null (a null key component never equals anything, so it can
+      match no file);
+    * ``key_rangesets`` = {col: [(lo, hi), …]} for NUMERIC columns when
+      the exact sample overflowed: ≤ ``_MERGE_KEY_BUCKETS`` tight
+      sub-ranges (exact per-bucket min/max) whose union covers every
+      update value — sound by construction, and the gaps between them
+      prune. One extra bounded aggregate per numeric key column, paid
+      only on the >10k-key path where it buys the most."""
     rows = (
         updates.select(*keys)
         .distinct()
@@ -1688,7 +1706,7 @@ def _collect_update_keys(updates: DataFrame, keys: list[str]):
             c: (vs[0], vs[-1]) if vs else None
             for c, vs in key_vals.items()
         }
-        return key_vals, key_ranges
+        return key_vals, key_ranges, None
     agg = updates.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in keys],
         *[F.max(c).alias(f"_hi_{c}") for c in keys],
@@ -1701,15 +1719,56 @@ def _collect_update_keys(updates: DataFrame, keys: list[str]):
         )
         for c in keys
     }
-    return None, key_ranges
+    from pyspark.sql.types import NumericType
+
+    types = {f.name: f.dataType for f in updates.schema.fields}
+    key_rangesets: dict = {}
+    for c in keys:
+        rng = key_ranges.get(c)
+        if rng is None or not isinstance(types.get(c), NumericType):
+            continue
+        lo, hi = rng
+        try:
+            span = float(hi) - float(lo)
+        except (TypeError, ValueError):
+            continue
+        if span <= 0:
+            key_rangesets[c] = [(lo, hi)]
+            continue
+        bucket = F.least(
+            F.lit(_MERGE_KEY_BUCKETS - 1),
+            F.floor(
+                (F.col(c).cast("double") - float(lo))
+                / span
+                * _MERGE_KEY_BUCKETS
+            ).cast("int"),
+        )
+        sub = (
+            updates.select(F.col(c).alias("_v"), bucket.alias("_b"))
+            .where(F.col("_v").isNotNull())
+            .groupBy("_b")
+            .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+            .collect()
+        )
+        key_rangesets[c] = sorted((r["_lo"], r["_hi"]) for r in sub)
+    return None, key_ranges, key_rangesets or None
 
 
-def _key_touch_fn(keys, key_vals, key_ranges, bloom_types):
+def _key_touch_fn(keys, key_vals, key_ranges, bloom_types,
+                  key_rangesets=None):
     """Per-file classifier for keyed rewrites: True iff the file MAY
     contain a row whose key equals some update key. Per-column necessary
     conditions — a file is provably untouched when any key column's
     stats (or bloom) exclude every update value; missing stats always
-    touch (conservative)."""
+    touch (conservative). ``key_rangesets`` (the >10k-key path) refines
+    the single min/max box to a union of tight sub-ranges so gaps in a
+    multimodal update key set still prune."""
+
+    def overlaps(lo, hi, ulo, uhi) -> bool:
+        try:
+            return not (hi < ulo or lo > uhi)
+        except TypeError:
+            return True  # cross-type comparison — keep
 
     def touch(entry: dict, fbloom: dict) -> bool:
         for c in keys:
@@ -1725,12 +1784,16 @@ def _key_touch_fn(keys, key_vals, key_ranges, bloom_types):
                     return False
             else:
                 lo, hi = mm
-                ulo, uhi = key_ranges[c]
-                try:
-                    if hi < ulo or lo > uhi:
+                rs = (key_rangesets or {}).get(c)
+                if rs is not None:
+                    if not any(
+                        overlaps(lo, hi, slo, shi) for slo, shi in rs
+                    ):
                         return False
-                except TypeError:
-                    pass  # cross-type comparison — keep
+                    continue
+                ulo, uhi = key_ranges[c]
+                if not overlaps(lo, hi, ulo, uhi):
+                    return False
         if key_vals is not None and fbloom:
             for c in keys:
                 fb = fbloom.get(c)
@@ -1841,7 +1904,9 @@ def vt_merge(
     _enforce_constraints(ups, vt_constraints(path))
     # one bounded action over the updates' distinct keys, reused across
     # retries (the updates DataFrame does not change with the head)
-    key_vals, key_ranges = _collect_update_keys(updates, keys)
+    key_vals, key_ranges, key_rangesets = _collect_update_keys(
+        updates, keys
+    )
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -1871,7 +1936,11 @@ def vt_merge(
                 path,
                 manifest,
                 _key_touch_fn(
-                    keys, key_vals, key_ranges, _bloom_col_types(manifest)
+                    keys,
+                    key_vals,
+                    key_ranges,
+                    _bloom_col_types(manifest),
+                    key_rangesets,
                 ),
             )
             if part["touched_paths"]:

@@ -2538,3 +2538,47 @@ class TestSinglePassMcv:
         assert stats["id"]["mcv_count"] == 1
         assert stats["g"]["nulls"] == 1
         assert stats["id"]["ndv"] >= 4
+
+
+class TestRangeSetClassifier:
+    """r10: above the exact-key sample bound the merge classifier uses a
+    BUCKETED RANGE SET (exact per-bucket min/max), so a bimodal update
+    key set (contiguous updates + far-shifted inserts) still prunes the
+    files in the gap — the single min/max box would cover everything."""
+
+    def test_bimodal_bulk_merge_still_prunes(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(40_000).selectExpr(
+            "id", "cast(id % 97 as string) AS v"
+        )
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        # 12k updated keys (over the 10k exact-sample bound) at the
+        # bottom of the range, plus far-shifted inserts
+        low = df.filter("id < 12000")
+        updates = low.selectExpr(
+            "id", "concat('u', v) AS v"
+        ).unionByName(
+            low.selectExpr("id + 1000000 AS id", "'ins' AS v")
+        )
+        v = vt_merge(spark, path, updates, ["id"])
+        m = _read_manifest(path, v)
+        blob = m["merge"]
+        assert 0 < blob["files_rewritten"] < blob["files_total"], blob
+        # correctness at the edges of the gap
+        got = {
+            r["id"]: r["v"]
+            for r in vt_read(spark, path)
+            .filter("id in (0, 11999, 12000, 39999, 1000005)")
+            .collect()
+        }
+        assert got[0] == "u0"
+        assert got[11999] == "u" + str(11999 % 97)
+        assert got[12000] == str(12000 % 97)
+        assert got[39999] == str(39999 % 97)
+        assert got[1000005] == "ins"
