@@ -194,7 +194,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 change_type="insert",
                             )
                         )
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "update"):
                 cd = m.get("changes")
                 if cd is not None:
                     parts.append(

@@ -4921,3 +4921,75 @@ FROM ev GROUP BY event_type
 LLM_QUERIES["events_vt_change_stream"] = FnWorkload(
     _events_vt_change_stream, _EVENTS_VT_CHANGE_STREAM_SQL
 )
+
+
+def _events_vt_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE, EXECUTED (sources/versioned.py vt_update r10 —
+    Delta's ``UPDATE … SET … WHERE``, completing the DML triad next to
+    the file-granular MERGE and DELETE): OPTIMIZE events clustered on
+    event_id, then UPDATE the bottom quarter of the id range, tripling
+    its value with an expression evaluated against the pre-update row
+    and cast back to the column's declared type. The pinned boolean
+    asserts file granularity (files_rewritten strictly between 0 and
+    files_total — untouched files referenced verbatim); the aggregate
+    equals the SQL mirror's plain CASE."""
+    from ..sources.versioned import (
+        vt_history,
+        vt_optimize,
+        vt_read,
+        vt_update,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 4
+
+    path = os.path.join(_scratch_dir("vtupdate", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(spark, path, ["event_id"], n_partitions=8)
+    vt_update(spark, path, ("event_id", "<", cut), {"v": "v * 3"})
+    blob = vt_history(path)[0]["update"]
+    file_granular = 0 < blob["files_rewritten"] < blob["files_total"]
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(file_granular)).alias("rewrite_was_file_granular"),
+        )
+    )
+
+
+_EVENTS_VT_UPDATE_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+b AS (
+  SELECT min(event_id) + (max(event_id) - min(event_id)) // 4 AS cut
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CASE WHEN event_id < cut
+                           THEN 3 * CAST(value AS DECIMAL(38,12))
+                           ELSE CAST(value AS DECIMAL(38,12)) END), 6)
+            AS DOUBLE) AS sum_value,
+       TRUE AS rewrite_was_file_granular
+FROM ev, b
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_update"] = FnWorkload(
+    _events_vt_update, _EVENTS_VT_UPDATE_SQL
+)

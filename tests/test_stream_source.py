@@ -224,3 +224,24 @@ class TestChangeStream:
         qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=2))
         out = spark.sql(f"select * from {qn}")
         assert {r["id"] for r in out.collect()} == {6, 7, 8}
+
+    def test_update_commit_streams_pre_and_post_images(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 6))
+        vt_update(
+            spark, src, ("id", "=", 2), {"x": "x + 100"},
+            change_feed=True,
+        )
+        qn = _drain_to_memory(vt_change_stream(spark, src))
+        out = spark.sql(f"select * from {qn}")
+        upd = {
+            (r["_change_type"], r["x"])
+            for r in out.filter("_commit_version = 2").collect()
+        }
+        assert upd == {
+            ("update_preimage", 2.0), ("update_postimage", 102.0)
+        }

@@ -2582,3 +2582,174 @@ class TestRangeSetClassifier:
         assert got[12000] == str(12000 % 97)
         assert got[39999] == str(39999 % 97)
         assert got[1000005] == "ins"
+
+
+class TestRowLevelUpdate:
+    """r10: vt_update(predicate, assignments) — Delta's UPDATE ... SET
+    ... WHERE with file-granular rewrite, simultaneous-assignment
+    semantics, and update change-feed rows."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_update_prunes_and_transforms(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_update(
+            spark, path, ("id", "<", 8), {"v": "concat(v, '!')"}
+        )
+        m = _read_manifest(path, v)
+        assert m["op"] == "update"
+        assert 0 < m["update"]["files_rewritten"] < m["update"]["files_total"]
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[0] == "v0!" and got[7] == "v7!" and got[8] == "v8"
+        assert len(got) == 64
+        # time travel unaffected
+        assert dict(_rows(vt_read(spark, path, 2)))[0] == "v0"
+
+    def test_simultaneous_assignment_swaps(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", "b"), (2, "x", "y")], "id long, p string, q string"
+        )
+        vt_write(spark, path, df)
+        vt_update(spark, path, ("id", "=", 1), {"p": "q", "q": "p"})
+        got = {
+            (r["id"], r["p"], r["q"])
+            for r in vt_read(spark, path).collect()
+        }
+        assert got == {(1, "b", "a"), (2, "x", "y")}
+
+    def test_null_predicate_rows_not_updated(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "id long, v string"
+        )
+        vt_write(spark, path, df)
+        vt_update(spark, path, ("v", "=", "a"), {"v": F.lit("A")})
+        assert _rows(vt_read(spark, path)) == {
+            (1, "A"), (2, None), (3, "A")
+        }
+
+    def test_type_preserved_and_cast(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = self._staged(spark, tmp_path, n=8, parts=2)
+        # assignment expression is int-typed; column v is string → cast
+        vt_update(spark, path, ("id", "=", 3), {"v": "id * 100"})
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[3] == "300"
+        from dynamicqueryengine_spark.sources.versioned import _read_manifest
+
+        m = _read_manifest(path, 3)
+        assert [f["type"] for f in m["schema"]["fields"]] == [
+            "long", "string",
+        ]
+
+    def test_noop_update_commits_nothing(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = self._staged(spark, tmp_path)
+        v = vt_update(
+            spark, path, ("id", ">", 10_000), {"v": "'zz'"}
+        )
+        assert v == 2 and vt_versions(path) == [1, 2]
+
+    def test_update_change_feed_and_cdc_rollup(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_update,
+        )
+        from dynamicqueryengine_spark.streaming.cdc import (
+            apply_rollup_increment,
+            pump_until_current,
+        )
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        df = spark.createDataFrame(
+            [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+            "id long, g string, x double",
+        )
+        vt_write(spark, src, df)
+        apply = apply_rollup_increment(
+            spark, sink, key_cols=["g"], sum_cols={"s": "x"}
+        )
+        pump_until_current(spark, src, sink, "sub", apply)
+        vt_update(
+            spark, src, ("id", "=", 2), {"x": "x + 5"}, change_feed=True
+        )
+        ch = vt_read_changes(spark, src, 1, 2)
+        tags = {
+            (r["_change_type"], r["x"]) for r in ch.collect()
+        }
+        assert tags == {
+            ("update_preimage", 20.0), ("update_postimage", 25.0)
+        }
+        pump_until_current(spark, src, sink, "sub", apply)
+        got = {
+            (r["g"], r["n"], float(r["s"]))
+            for r in vt_read(spark, sink).collect()
+        }
+        assert got == {("A", 2, 35.0), ("B", 1, 30.0)}
+
+    def test_update_without_change_feed_not_replayable(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path, n=8, parts=2)
+        vt_update(spark, path, ("id", "=", 1), {"v": "'one'"})
+        with pytest.raises(ValueError, match="without"):
+            vt_read_changes(spark, path, 2, 3).collect()
+
+    def test_update_unknown_column_raises(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = self._staged(spark, tmp_path, n=8, parts=2)
+        with pytest.raises(ValueError, match="unknown column"):
+            vt_update(spark, path, ("id", "=", 1), {"nope": "'x'"})
+
+    def test_update_respects_check_constraints(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 5.0)], "id long, x double")
+        vt_write(
+            spark,
+            path,
+            df,
+            constraints=[
+                {
+                    "name": "x_in_range",
+                    "kind": "range",
+                    "col": "x",
+                    "lo": 0.0,
+                    "hi": 10.0,
+                }
+            ],
+        )
+        with pytest.raises(ConstraintViolation):
+            vt_update(spark, path, ("id", "=", 1), {"x": "x * 100"})
