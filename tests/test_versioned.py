@@ -2753,3 +2753,68 @@ class TestRowLevelUpdate:
         )
         with pytest.raises(ConstraintViolation):
             vt_update(spark, path, ("id", "=", 1), {"x": "x * 100"})
+
+
+class TestPartialDirInterop:
+    """r10: partial_dirs manifests compose with the rest of the surface
+    — clone (shallow + deep), restore, optimize clearing partiality."""
+
+    def test_clone_of_partially_rewritten_table(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_clone,
+            vt_count,
+            vt_optimize,
+        )
+
+        src, sh, dp = (
+            str(tmp_path / "src"), str(tmp_path / "sh"), str(tmp_path / "dp")
+        )
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, src, df)
+        vt_optimize(spark, src, ["id"], n_partitions=8)
+        vt_merge(spark, src, _df(spark, [(5, "FIVE")]), ["id"])
+        assert _read_manifest(src, 3).get("partial_dirs")
+        vt_clone(spark, src, sh)            # shallow
+        vt_clone(spark, src, dp, deep=True)  # deep
+        for c in (sh, dp):
+            got = dict(_rows(vt_read(spark, c)))
+            assert got[5] == "FIVE" and len(got) == 64
+            assert vt_count(spark, c) == 64  # metadata path honors lists
+            assert _read_manifest(c, 1).get("partial_dirs")
+
+    def test_restore_preserves_partiality(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+            vt_restore,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        vt_merge(spark, path, _df(spark, [(5, "FIVE")]), ["id"])   # v3 partial
+        vt_write(spark, path, _df(spark, [(999, "z")]), mode="overwrite")
+        vt_restore(spark, path, 3)
+        m = _read_manifest(path, 5)
+        assert m.get("partial_dirs")
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and len(got) == 64
+
+    def test_optimize_clears_partiality(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        vt_merge(spark, path, _df(spark, [(5, "FIVE")]), ["id"])
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        m = _read_manifest(path, 4)
+        assert not m.get("partial_dirs")
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and len(got) == 64

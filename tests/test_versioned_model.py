@@ -54,6 +54,12 @@ _OP = st.one_of(
     st.tuples(st.just("analyze"), st.just(0)),
     st.tuples(st.just("clone_check"), st.just(0)),
     st.tuples(st.just("diff_check"), st.integers(1, 4)),
+    # r10 file-granular DML: predicate delete/update over whatever
+    # layout the history produced (partial dirs, optimize output,
+    # multi-dir appends) must equal model-side list surgery
+    st.tuples(st.just("delete"), st.integers(0, 9)),
+    st.tuples(st.just("update"), st.integers(0, 9)),
+    st.tuples(st.just("merge_del"), st.integers(0, 4)),
 )
 
 
@@ -135,6 +141,54 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + rows
+        elif kind == "delete":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_delete,
+            )
+
+            survivors = [t for t in versions[head] if not (t[0] < seed)]
+            v = vt_delete(spark, path, ("id", "<", seed))
+            if len(survivors) == len(versions[head]):
+                # provably-empty delete is a no-op commit
+                assert v == head
+            else:
+                head += 1
+                versions[head] = survivors
+        elif kind == "update":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_update,
+            )
+
+            new_rows = [
+                (t[0], t[1] + "!") if t[0] >= seed else t
+                for t in versions[head]
+            ]
+            v = vt_update(
+                spark,
+                path,
+                ("id", ">=", seed),
+                {"v": "concat(v, '!')"},
+            )
+            if new_rows == versions[head]:
+                assert v == head
+            else:
+                head += 1
+                versions[head] = new_rows
+        elif kind == "merge_del":
+            # merge where every odd-id update row is a tombstone
+            vt_merge(
+                spark,
+                path,
+                df_of(rows),
+                ["id"],
+                delete_where="id % 2 = 1",
+            )
+            upd_ids = {r[0] for r in rows}
+            keep_rows = [r for r in rows if r[0] % 2 == 0]
+            head += 1
+            versions[head] = [
+                t for t in versions[head - 1] if t[0] not in upd_ids
+            ] + keep_rows
         elif kind == "optimize":
             vt_optimize(spark, path, ["id"], n_partitions=2)
             head += 1
