@@ -1902,11 +1902,19 @@ def vt_merge(
     # surviving current rows were validated by their own commits;
     # deletion rows are never written)
     _enforce_constraints(ups, vt_constraints(path))
-    # one bounded action over the updates' distinct keys, reused across
-    # retries (the updates DataFrame does not change with the head)
-    key_vals, key_ranges, key_rangesets = _collect_update_keys(
-        updates, keys
-    )
+    # one bounded action over the updates' distinct keys, computed
+    # LAZILY (first head that can actually be pruned) and reused across
+    # retries (the updates DataFrame does not change with the head) —
+    # a single-file snapshot (the streaming rollup-sink shape, merged
+    # on every pump) skips the collect entirely: with one file there is
+    # nothing to prune, so the classification job would be pure
+    # overhead on the per-pump hot path
+    _keys_cache: list = []
+
+    def _keys_sample():
+        if not _keys_cache:
+            _keys_cache.append(_collect_update_keys(updates, keys))
+        return _keys_cache[0]
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -1932,17 +1940,21 @@ def vt_merge(
         elif file_granular:
             target = StructType.fromJson(manifest["schema"])
             ups_c = _reconcile_to_schema(ups, target)
-            part = _partition_snapshot(
-                path,
-                manifest,
-                _key_touch_fn(
+            n_files = sum(
+                len(v) for v in manifest.get("files", {}).values()
+            )
+            if n_files <= 1:
+                touch = lambda entry, fbloom: True  # noqa: E731
+            else:
+                key_vals, key_ranges, key_rangesets = _keys_sample()
+                touch = _key_touch_fn(
                     keys,
                     key_vals,
                     key_ranges,
                     _bloom_col_types(manifest),
                     key_rangesets,
-                ),
-            )
+                )
+            part = _partition_snapshot(path, manifest, touch)
             if part["touched_paths"]:
                 touched = _read_plan(
                     spark,
@@ -1971,44 +1983,57 @@ def vt_merge(
                 all_keys, keys, "left_anti"
             ).unionByName(ups)
         change_dir = None
-        if change_feed:
-            if touched is not None:
-                cur_keys = touched.select(*keys).distinct()
-                upserts = (
-                    _reconcile_to_schema(ups, target)
-                    if target is not None
-                    else ups
+        # the change-feed computation reads the touched files up to four
+        # more times (cur_keys, pre, ins via cur_keys, dropped) on top of
+        # the snapshot rewrite — persist them for the duration of the
+        # writes so the rewrite is ONE scan of the touched data, released
+        # in finally (r8 lesson: every persist gets an unconditional
+        # release path)
+        touched_cached = touched is not None and change_feed
+        if touched_cached:
+            touched.persist()
+        try:
+            if change_feed:
+                if touched is not None:
+                    cur_keys = touched.select(*keys).distinct()
+                    upserts = (
+                        _reconcile_to_schema(ups, target)
+                        if target is not None
+                        else ups
+                    )
+                    pre = touched.join(ups_keys, keys, "semi").withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = upserts.join(cur_keys, keys, "semi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    ins = upserts.join(
+                        cur_keys, keys, "left_anti"
+                    ).withColumn("_change_type", F.lit("insert"))
+                    change_rows = pre.unionByName(post).unionByName(ins)
+                    if del_keys is not None:
+                        dropped = touched.join(
+                            del_keys, keys, "semi"
+                        ).withColumn("_change_type", F.lit("delete"))
+                        change_rows = change_rows.unionByName(dropped)
+                else:
+                    upserts = (
+                        _reconcile_to_schema(ups, target)
+                        if target is not None
+                        else ups
+                    )
+                    change_rows = upserts.withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                change_dir, _, _, _, _ = _write_data_dir(
+                    change_rows, path, prefix="c"
                 )
-                pre = touched.join(ups_keys, keys, "semi").withColumn(
-                    "_change_type", F.lit("update_preimage")
-                )
-                post = upserts.join(cur_keys, keys, "semi").withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
-                ins = upserts.join(cur_keys, keys, "left_anti").withColumn(
-                    "_change_type", F.lit("insert")
-                )
-                change_rows = pre.unionByName(post).unionByName(ins)
-                if del_keys is not None:
-                    dropped = touched.join(
-                        del_keys, keys, "semi"
-                    ).withColumn("_change_type", F.lit("delete"))
-                    change_rows = change_rows.unionByName(dropped)
-            else:
-                upserts = (
-                    _reconcile_to_schema(ups, target)
-                    if target is not None
-                    else ups
-                )
-                change_rows = upserts.withColumn(
-                    "_change_type", F.lit("insert")
-                )
-            change_dir, _, _, _, _ = _write_data_dir(
-                change_rows, path, prefix="c"
+            new_dir, new_stats, new_fstats, new_files, new_rows = (
+                _write_data_dir(merged_new, path)
             )
-        new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(merged_new, path)
-        )
+        finally:
+            if touched_cached:
+                touched.unpersist()
         new_blooms = (
             _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
             if bloom_cols
@@ -2169,15 +2194,23 @@ def vt_delete(
         survivors = touched.filter(~F.coalesce(cond, F.lit(False)))
         change_dir = None
         if change_feed:
-            deleted = touched.filter(cond).withColumn(
-                "_change_type", F.lit("delete")
+            # two consumers of the touched files (deleted + survivors):
+            # persist for the duration of the writes, release in finally
+            touched.persist()
+        try:
+            if change_feed:
+                deleted = touched.filter(cond).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                change_dir, _, _, _, _ = _write_data_dir(
+                    deleted, path, prefix="c"
+                )
+            new_dir, new_stats, new_fstats, new_files, new_rows = (
+                _write_data_dir(survivors, path)
             )
-            change_dir, _, _, _, _ = _write_data_dir(
-                deleted, path, prefix="c"
-            )
-        new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(survivors, path)
-        )
+        finally:
+            if change_feed:
+                touched.unpersist()
         if part is not None:
             dirs = part["dirs"] + [new_dir]
             stats = {
@@ -2345,23 +2378,30 @@ def vt_update(
                 for f in fields
             ]
         )
-        _enforce_constraints(
-            updated.filter(matched), vt_constraints(path)
-        )
+        # three+ consumers of the touched files (constraint check,
+        # pre/post change rows, snapshot rewrite): one scan, released
+        # in finally
+        touched.persist()
         change_dir = None
-        if change_feed:
-            pre = touched.filter(matched).withColumn(
-                "_change_type", F.lit("update_preimage")
+        try:
+            _enforce_constraints(
+                updated.filter(matched), vt_constraints(path)
             )
-            post = updated.filter(matched).withColumn(
-                "_change_type", F.lit("update_postimage")
+            if change_feed:
+                pre = touched.filter(matched).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = updated.filter(matched).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                change_dir, _, _, _, _ = _write_data_dir(
+                    pre.unionByName(post), path, prefix="c"
+                )
+            new_dir, new_stats, new_fstats, new_files, new_rows = (
+                _write_data_dir(updated, path)
             )
-            change_dir, _, _, _, _ = _write_data_dir(
-                pre.unionByName(post), path, prefix="c"
-            )
-        new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(updated, path)
-        )
+        finally:
+            touched.unpersist()
         if part is not None:
             dirs = part["dirs"] + [new_dir]
             stats = {

@@ -126,11 +126,18 @@ class _ChangesStreamReader(DataSourceStreamReader):
         from ..sources.versioned import vt_head
 
         head = vt_head(self._path)
-        if self._max_versions is not None:
-            base = self._last if self._last is not None else self._starting
-            head = min(head, base + self._max_versions)
-        self._last = head
-        return {"version": head}
+        if self._max_versions is not None and self._last is not None:
+            # Rate limiting is RELATIVE TO THE LAST OFFSET THIS READER
+            # RETURNED. On a checkpoint restart the reader is a fresh
+            # instance and Spark never tells it the checkpointed cursor
+            # (only partitions(start, end) sees it), so capping relative
+            # to startingVersion could return an offset BELOW the
+            # cursor and wedge the query — the first latestOffset after
+            # a (re)start is therefore uncapped; the cap applies from
+            # the second trigger on.
+            head = min(head, self._last + self._max_versions)
+        self._last = max(head, self._last or 0)
+        return {"version": self._last}
 
     # -- planning (driver, metadata only) ---------------------------------
     def partitions(self, start: dict, end: dict):
@@ -141,6 +148,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start["version"]), int(end["version"])
+        # partitions() is where a restarted reader first learns the real
+        # checkpointed cursor — fold it into the rate-limit base
+        self._last = max(self._last or 0, hi)
         versions = vt_versions(self._path)
         parts: list[_ChangePartition] = []
 

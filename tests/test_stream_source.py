@@ -94,19 +94,18 @@ class TestChangeStream:
         assert _signed_state(out) == want
 
     def test_rate_limit_bounds_each_batch(self, spark, tmp_path):
-        src = str(tmp_path / "src")
-        df = _df(spark, 12)
-        for i in range(4):
-            vt_write(
-                spark,
-                src,
-                df.filter(f"id % 4 = {i}"),
-                mode="append" if i else "overwrite",
-            )
         # rate limiting is a PROCESSING-TIME-trigger tool (a continuous
         # tail that must not swallow a backlog in one batch); under
         # availableNow Spark pins the end offset at query start, so the
-        # cap would simply stop the catch-up early
+        # cap would simply stop the catch-up early. The FIRST offset a
+        # (re)started reader returns is deliberately uncapped — Spark
+        # never tells a fresh reader the checkpointed cursor, so a cap
+        # relative to startingVersion could land BELOW it and wedge the
+        # query — hence the cap is asserted on versions committed AFTER
+        # the stream is running.
+        src = str(tmp_path / "src")
+        df = _df(spark, 12)
+        vt_write(spark, src, df.filter("id % 4 = 0"))
         stream = vt_change_stream(
             spark, src, max_versions_per_trigger=1
         )
@@ -121,6 +120,14 @@ class TestChangeStream:
             import time
 
             deadline = time.time() + 120
+            while time.time() < deadline:  # first (uncapped) batch
+                if spark.sql(f"select * from {qn}").count() >= 3:
+                    break
+                time.sleep(0.5)
+            for i in range(1, 4):  # backlog committed while running
+                vt_write(
+                    spark, src, df.filter(f"id % 4 = {i}"), mode="append"
+                )
             while time.time() < deadline:
                 if spark.sql(f"select * from {qn}").count() >= 12:
                     break
@@ -131,7 +138,8 @@ class TestChangeStream:
                 r["_commit_version"]
                 for r in out.select("_commit_version").distinct().collect()
             ) == {1, 2, 3, 4}
-            # one version per micro-batch: >= 4 non-empty batches
+            # capped: the 3-version backlog drains one version per
+            # micro-batch → >= 4 non-empty batches in total
             batches = [
                 p for p in q.recentProgress if p["numInputRows"] > 0
             ]
