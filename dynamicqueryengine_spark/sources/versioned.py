@@ -1348,14 +1348,49 @@ def vt_read_changes(
             frames.append(reconcile(_read_plan(spark, plan), "insert", v))
         elif op in ("merge", "update"):
             change_dir = m.get("changes")
-            if change_dir is None:
+            blob = m.get("update") or {}
+            if change_dir is not None:
+                cf = spark.read.parquet(os.path.join(path, change_dir))
+                frames.append(reconcile(cf, None, v))
+            elif (
+                op == "update"
+                and blob.get("predicate")
+                and blob.get("assignments")
+            ):
+                # reconstruct from the previous snapshot + the recorded
+                # predicate/assignment expressions — exact while the
+                # previous version is retained
+                need_prev(v)
+                cond = None
+                for col, uop, value in blob["predicate"]:
+                    c = _conjunct_column(col, uop, value)
+                    cond = c if cond is None else (cond & c)
+                matched = vt_read(spark, path, v - 1).filter(
+                    F.coalesce(cond, F.lit(False))
+                )
+                exprs = {
+                    c: F.expr(e) for c, e in blob["assignments"].items()
+                }
+                post = matched.select(
+                    *[
+                        exprs[f.name].cast(f.dataType).alias(f.name)
+                        if f.name in exprs
+                        else F.col(f.name)
+                        for f in matched.schema.fields
+                    ]
+                )
+                frames.append(
+                    reconcile(matched, "update_preimage", v)
+                )
+                frames.append(
+                    reconcile(post, "update_postimage", v)
+                )
+            else:
                 raise ValueError(
                     f"version {v} is a {op} committed without "
                     "change_feed=True: its row-level changes were not "
                     "recorded"
                 )
-            cf = spark.read.parquet(os.path.join(path, change_dir))
-            frames.append(reconcile(cf, None, v))
         elif op == "delete":
             change_dir = m.get("changes")
             if change_dir is not None:
@@ -2298,16 +2333,31 @@ def vt_update(
 
     Rows where the predicate is NULL are NOT updated (SQL UPDATE
     semantics). ``change_feed=True`` records ``update_preimage`` /
-    ``update_postimage`` change rows; an update committed without it is
-    not CDC-replayable (``vt_read_changes`` raises — assignments are
-    arbitrary expressions, unrecoverable from metadata), the same
-    contract as an unrecorded merge. CHECK constraints re-validate the
-    post-update rows before commit."""
+    ``update_postimage`` change rows. Without it, ``vt_read_changes``
+    can still RECONSTRUCT both images when the predicate is JSON-safe
+    and every assignment was given as a SQL STRING (both recorded in
+    the manifest's ``update`` blob; the previous snapshot supplies the
+    pre-images and re-applying the recorded expressions the
+    post-images) — Column-object assignments are unrecoverable from
+    metadata, so those raise like an unrecorded merge. The STREAMING
+    change source always requires the recorded change directory (it
+    reads files with pyarrow and cannot evaluate SQL expressions).
+    CHECK constraints re-validate the post-update rows before commit."""
     conjuncts = _normalize_predicate(predicate)
     if conjuncts is None:
         raise ValueError("vt_update requires a predicate")
     if not assignments:
         raise ValueError("vt_update requires at least one assignment")
+    try:
+        json.dumps([[c, o, v] for c, o, v in conjuncts])
+        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
+    except (TypeError, ValueError):
+        pred_json = None
+    assigns_json = (
+        dict(assignments)
+        if all(isinstance(e, str) for e in assignments.values())
+        else None
+    )
     cond = None
     for col, op, value in conjuncts:
         c = _conjunct_column(col, op, value)
@@ -2437,6 +2487,11 @@ def vt_update(
             blob = {}
             schema_json = json.loads(updated.schema.json())
             hetero = False
+        if pred_json is not None and assigns_json is not None:
+            # replayable recipe: vt_read_changes reconstructs both
+            # images from the previous snapshot + these expressions
+            blob["predicate"] = pred_json
+            blob["assignments"] = assigns_json
         try:
             return _commit(
                 path,

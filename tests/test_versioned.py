@@ -2709,16 +2709,40 @@ class TestRowLevelUpdate:
         }
         assert got == {("A", 2, 35.0), ("B", 1, 30.0)}
 
-    def test_update_without_change_feed_not_replayable(
+    def test_update_string_assignments_reconstruct_changes(
         self, spark, tmp_path
     ):
+        # committed WITHOUT change_feed, but predicate + SQL-string
+        # assignments are recorded → both images reconstruct exactly
         from dynamicqueryengine_spark.sources.versioned import (
             vt_read_changes,
             vt_update,
         )
 
         path = self._staged(spark, tmp_path, n=8, parts=2)
-        vt_update(spark, path, ("id", "=", 1), {"v": "'one'"})
+        vt_update(spark, path, ("id", "=", 1), {"v": "concat(v, '!')"})
+        ch = vt_read_changes(spark, path, 2, 3)
+        got = {
+            (r["_change_type"], r["id"], r["v"]) for r in ch.collect()
+        }
+        assert got == {
+            ("update_preimage", 1, "v1"),
+            ("update_postimage", 1, "v1!"),
+        }
+
+    def test_update_column_assignment_not_replayable(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path, n=8, parts=2)
+        # a Column-object assignment cannot be recorded in the manifest
+        vt_update(spark, path, ("id", "=", 1), {"v": F.lit("one")})
         with pytest.raises(ValueError, match="without"):
             vt_read_changes(spark, path, 2, 3).collect()
 
