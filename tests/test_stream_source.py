@@ -253,3 +253,20 @@ class TestChangeStream:
         assert upd == {
             ("update_preimage", 2.0), ("update_postimage", 102.0)
         }
+
+    def test_timestamp_and_decimal_columns_roundtrip(self, spark, tmp_path):
+        # arrow-side reconciliation must hand temporal/decimal columns
+        # to Spark byte-exactly (naive-vs-UTC drift would shift values)
+        src = str(tmp_path / "src")
+        df = spark.sql(
+            "SELECT id, timestamp'2024-03-01 12:34:56.789' + "
+            "make_interval(0,0,0,0,0,0,id) AS ts, "
+            "CAST(id AS DECIMAL(38,12)) / 7 AS d "
+            "FROM range(5)"
+        )
+        vt_write(spark, src, df)
+        qn = _drain_to_memory(vt_change_stream(spark, src))
+        out = spark.sql(f"select id, ts, d from {qn}")
+        want = {(r["id"], r["ts"], r["d"]) for r in df.collect()}
+        got = {(r["id"], r["ts"], r["d"]) for r in out.collect()}
+        assert got == want
