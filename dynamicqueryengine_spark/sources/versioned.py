@@ -755,6 +755,7 @@ def vt_write(
         frows = {new_dir: new_rows} if new_rows else {}
         schema = incoming_schema
         hetero = False
+        partial_dirs = None
         if mode == "append" and expected:
             prev = _read_manifest(path, expected)
             dirs = prev["dirs"] + dirs
@@ -763,6 +764,12 @@ def vt_write(
             files = {**prev.get("files", {}), **files}
             blooms = {**prev.get("blooms", {}), **blooms}
             frows = {**prev.get("file_rows", {}), **frows}
+            # a file-granular MERGE/DELETE/UPDATE may have left prior
+            # dirs PARTIAL (authoritative subset file lists); an append
+            # must carry the marker or readers would scan the whole dir
+            # and resurrect rewritten-away rows (caught by the
+            # model-based history test)
+            partial_dirs = prev.get("partial_dirs")
             base = prev.get("schema")
             if base is not None:
                 try:
@@ -784,6 +791,7 @@ def vt_write(
                 file_stats=fstats, files=files,
                 schema=schema, heterogeneous=hetero, blooms=blooms,
                 file_rows=frows, constraints=constraints,
+                partial_dirs=partial_dirs,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]

@@ -2842,3 +2842,25 @@ class TestPartialDirInterop:
         assert not m.get("partial_dirs")
         got = dict(_rows(vt_read(spark, path)))
         assert got[5] == "FIVE" and len(got) == 64
+
+    def test_append_after_partial_merge_carries_partiality(
+        self, spark, tmp_path
+    ):
+        # regression (hypothesis-found): an append on top of a partial
+        # merge must carry partial_dirs, or the unfiltered scan reads
+        # the whole dir and resurrects rewritten-away rows
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        vt_merge(spark, path, _df(spark, [(5, "FIVE")]), ["id"])
+        vt_write(spark, path, _df(spark, [(900, "new")]), mode="append")
+        m = _read_manifest(path, 4)
+        assert m.get("partial_dirs")
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and got[900] == "new" and len(got) == 65
