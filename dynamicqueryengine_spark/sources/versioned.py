@@ -310,13 +310,34 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
       what lets ``vt_count`` answer unfiltered COUNT(*) from the manifest
       alone (Delta's optimized metadata query).
 
-    Only JSON-safe scalar types are kept."""
+    Only JSON-safe scalar types are kept — with ONE widening exception:
+    DECIMAL columns (footer min/max arrive as ``decimal.Decimal``) are
+    stored as floats rounded OUTWARD (min toward −∞, max toward +∞ by
+    one ulp when the conversion rounded inward), a strict superset of
+    the true range — sound for pruning, never served as exact values:
+    such columns ride the per-file reserved ``__approx__`` list, stay
+    out of the dir-level map, and :func:`_dir_stats_from_file_stats`
+    skips them, so ``vt_minmax``/``vt_diff`` keep their exactness
+    contract while ``=``/range predicates on decimal columns (money,
+    measures — the classic skipping targets) prune files."""
+    import decimal as _decimal
     import glob as _glob
+    import math as _math
 
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is a hard Spark dep
         return {}, {}, {}
+
+    def _widen(val, direction: int):
+        f = float(val)
+        if _math.isnan(f):  # pragma: no cover - decimals are never NaN
+            return None
+        if (direction < 0 and f > val) or (direction > 0 and f < val):
+            f = _math.nextafter(
+                f, -_math.inf if direction < 0 else _math.inf
+            )
+        return f
 
     merged: dict = {}
     dropped: set = set()
@@ -327,6 +348,7 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
         file_dropped: set = set()
         per_file_nulls: dict = {}
         nulls_dropped: set = set()
+        approx: set = set()
         try:
             md = pq.ParquetFile(fp).metadata
         except Exception:
@@ -344,16 +366,24 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
                 # "__nulls__" key so every manifest carry path
                 # (append/restore/clone/analyze) inherits them for free
                 nc = getattr(st, "null_count", None) if st is not None else None
-                if nc is None or name == "__nulls__":
+                if nc is None or name in ("__nulls__", "__approx__"):
                     nulls_dropped.add(name)
                     per_file_nulls.pop(name, None)
                 elif name not in nulls_dropped:
                     per_file_nulls[name] = per_file_nulls.get(name, 0) + int(nc)
+                mn = st.min if st is not None and st.has_min_max else None
+                mx = st.max if st is not None and st.has_min_max else None
+                if isinstance(mn, _decimal.Decimal) and isinstance(
+                    mx, _decimal.Decimal
+                ):
+                    mn, mx = _widen(mn, -1), _widen(mx, +1)
+                    approx.add(name)
+                    dropped.add(name)  # never in the exact dir-level map
                 if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, (int, float, str, bool))
-                    or isinstance(st.min, bool) != isinstance(st.max, bool)
+                    mn is None
+                    or mx is None
+                    or not isinstance(mn, (int, float, str, bool))
+                    or isinstance(mn, bool) != isinstance(mx, bool)
                 ):
                     # unsound for THIS file (and therefore for the dir)
                     dropped.add(name)
@@ -362,12 +392,15 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
                     continue
                 if name in file_dropped:
                     continue
-                lo, hi = per_file.get(name, (st.min, st.max))
-                per_file[name] = (min(lo, st.min), max(hi, st.max))
+                lo, hi = per_file.get(name, (mn, mx))
+                per_file[name] = (min(lo, mn), max(hi, mx))
         if per_file or per_file_nulls:
             entry = {n: [lo, hi] for n, (lo, hi) in per_file.items()}
             if per_file_nulls:
                 entry["__nulls__"] = dict(per_file_nulls)
+            approx_kept = sorted(approx & set(per_file))
+            if approx_kept:
+                entry["__approx__"] = approx_kept
             file_stats[os.path.basename(fp)] = entry
         for name, (lo, hi) in per_file.items():
             if name in merged:
@@ -1401,22 +1434,16 @@ def vt_read_changes(
                 )
         elif op == "delete":
             change_dir = m.get("changes")
+            blob = m.get("delete") or {}
             if change_dir is not None:
                 cf = spark.read.parquet(os.path.join(path, change_dir))
                 frames.append(reconcile(cf, None, v))
-            else:
+            elif blob.get("predicate") is not None:
                 # reconstruct: previous snapshot ∩ recorded predicate —
                 # exact while the previous version is retained
-                pred = (m.get("delete") or {}).get("predicate")
-                if pred is None:
-                    raise ValueError(
-                        f"version {v} is a delete committed without "
-                        "change_feed=True and without a replayable "
-                        "predicate: its deletions were not recorded"
-                    )
                 need_prev(v)
                 cond = None
-                for col, dop, value in pred:
+                for col, dop, value in blob["predicate"]:
                     c = _conjunct_column(col, dop, value)
                     cond = c if cond is None else (cond & c)
                 frames.append(
@@ -1425,6 +1452,34 @@ def vt_read_changes(
                         "delete",
                         v,
                     )
+                )
+            elif blob.get("rule") is not None:
+                # rule-driven delete: recompile the recorded rule over
+                # the previous snapshot
+                from ..operators.predicates import compile_predicate
+                from ..plans.model import RuleDefinition
+
+                need_prev(v)
+                prev_df = vt_read(spark, path, v - 1)
+                rcond = compile_predicate(
+                    RuleDefinition.from_dict(blob["rule"]).conditions,
+                    prev_df.schema,
+                    blob.get("external_params") or None,
+                )
+                frames.append(
+                    reconcile(
+                        prev_df.filter(
+                            F.coalesce(rcond, F.lit(False))
+                        ),
+                        "delete",
+                        v,
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"version {v} is a delete committed without "
+                    "change_feed=True and without a replayable "
+                    "predicate: its deletions were not recorded"
                 )
         elif op in ("overwrite", "restore", "clone"):
             # clone = the table's creation snapshot (v-1 is 0, so this
@@ -1596,7 +1651,12 @@ def _dir_stats_from_file_stats(per_file: dict, files: Sequence[str]) -> dict:
         entry = per_file.get(f)
         if not entry:
             return {}
-        names = {c for c in entry if c != "__nulls__"}
+        names = {
+            c
+            for c in entry
+            if c not in ("__nulls__", "__approx__")
+            and c not in (entry.get("__approx__") or ())
+        }
         cols = names if cols is None else (cols & names)
     out = {}
     for c in sorted(cols or ()):
@@ -2144,12 +2204,40 @@ def vt_merge(
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
 
 
+def _pred_touch_fn(conjuncts, bloom_types):
+    """Per-file classifier for predicate-driven rewrites (DELETE/UPDATE):
+    True iff the file MAY contain a row the conjunction MATCHES — via
+    min/max stats, exact footer null counts, and Bloom filters; an empty
+    conjunct list (nothing skip-eligible) touches everything."""
+    null_ops = [x for x in conjuncts if x[1] in ("isnull", "notnull")]
+
+    def touch(entry: dict, fbloom: dict) -> bool:
+        if not all(
+            _stats_may_match(entry.get(c), o, v) for c, o, v in conjuncts
+        ):
+            return False
+        if null_ops and not _nulls_may_match(
+            entry.get("__nulls__") or {}, None, null_ops
+        ):
+            return False
+        if fbloom and not all(
+            _bloom_may_match(fbloom.get(c), o, v, bloom_types.get(c))
+            for c, o, v in conjuncts
+        ):
+            return False
+        return True
+
+    return touch
+
+
 def vt_delete(
     spark,
     path: str,
-    predicate,
+    predicate=None,
     change_feed: bool = False,
     max_retries: int = 5,
+    rule=None,
+    external_params=None,
 ) -> int:
     """Row-level DELETE as a committed version (Delta's ``DELETE FROM …
     WHERE``): remove every row matching ``predicate`` — one ``(col, op,
@@ -2175,37 +2263,50 @@ def vt_delete(
     (same unrecoverability contract as a merge committed without
     ``change_feed=True``).
 
+    ``rule=`` (mutually exclusive with ``predicate``) accepts a compiled
+    :class:`RuleDefinition` or raw rule dict — the engine's flagship
+    query documents drive lakehouse retention directly: the rule's
+    REQUIRED skip-eligible conjuncts (``rule_skip_conjuncts``) prune
+    untouchable files exactly like ``vt_read(rule=...)``, then the FULL
+    compiled predicate — every operator, not just the skippable ones —
+    decides which surviving rows are deleted. A rule passed as a raw
+    DICT is recorded in the manifest, so the change feed reconstructs
+    rule deletions too; a compiled object is not JSON-recordable and
+    needs ``change_feed=True`` for CDC.
+
     Concurrency: like OPTIMIZE, a delete is derived from the head it
     read; on a commit race it re-reads the new head and retries."""
-    conjuncts = _normalize_predicate(predicate)
-    if conjuncts is None:
-        raise ValueError("vt_delete requires a predicate")
-    cond = None
-    for col, op, value in conjuncts:
-        c = _conjunct_column(col, op, value)
-        cond = c if cond is None else (cond & c)
-    try:
-        json.dumps([[c, o, v] for c, o, v in conjuncts])
-        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
-    except (TypeError, ValueError):
-        pred_json = None  # non-JSON values: CDC needs change_feed=True
+    from collections.abc import Mapping as _Mapping
 
-    def touch(entry: dict, fbloom: dict) -> bool:
-        # may this file contain a row the predicate MATCHES?
-        if not all(
-            _stats_may_match(entry.get(c), o, v) for c, o, v in conjuncts
-        ):
-            return False
-        nulls = entry.get("__nulls__") or {}
-        null_ops = [x for x in conjuncts if x[1] in ("isnull", "notnull")]
-        if null_ops and not _nulls_may_match(nulls, None, null_ops):
-            return False
-        if fbloom and not all(
-            _bloom_may_match(fbloom.get(c), o, v, touch.types.get(c))
-            for c, o, v in conjuncts
-        ):
-            return False
-        return True
+    rule_doc = None
+    if rule is not None:
+        if predicate is not None:
+            raise ValueError("pass predicate= or rule=, not both")
+        from ..plans.model import RuleDefinition
+
+        if isinstance(rule, _Mapping):
+            rule_doc = dict(rule)
+            rule = RuleDefinition.from_dict(rule)
+        conjuncts = None
+        cond = None
+        pred_json = None
+        try:
+            json.dumps([rule_doc, dict(external_params or {})])
+        except (TypeError, ValueError):
+            rule_doc = None  # non-JSON params: CDC needs change_feed
+    else:
+        conjuncts = _normalize_predicate(predicate)
+        if conjuncts is None:
+            raise ValueError("vt_delete requires a predicate or a rule")
+        cond = None
+        for col, op, value in conjuncts:
+            c = _conjunct_column(col, op, value)
+            cond = c if cond is None else (cond & c)
+        try:
+            json.dumps([[c, o, v] for c, o, v in conjuncts])
+            pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
+        except (TypeError, ValueError):
+            pred_json = None  # non-JSON values: CDC needs change_feed=True
 
     for _ in range(max_retries):
         head = vt_versions(path)
@@ -2213,7 +2314,30 @@ def vt_delete(
             raise FileNotFoundError(f"no committed versions at {path}")
         expected = head[-1]
         manifest = _read_manifest(path, expected)
-        touch.types = _bloom_col_types(manifest)
+        if rule is not None:
+            from pyspark.sql.types import StructType
+            from ..operators.predicates import (
+                compile_predicate,
+                rule_skip_conjuncts,
+            )
+
+            if manifest.get("schema") is not None:
+                schema_st = StructType.fromJson(manifest["schema"])
+            else:
+                schema_st = spark.read.parquet(
+                    os.path.join(path, manifest["dirs"][0])
+                ).schema
+            loop_conjuncts = (
+                rule_skip_conjuncts(rule, schema_st, external_params) or []
+            )
+            cond = compile_predicate(
+                rule.conditions, schema_st, external_params
+            )
+        else:
+            loop_conjuncts = conjuncts
+        touch = _pred_touch_fn(
+            loop_conjuncts, _bloom_col_types(manifest)
+        )
         if manifest.get("schema") is None:
             # legacy table without schema metadata: whole-snapshot rewrite
             part = None
@@ -2291,6 +2415,11 @@ def vt_delete(
             hetero = False
         if pred_json is not None:
             blob["predicate"] = pred_json
+        if rule_doc is not None:
+            # replayable rule recipe: the change feed recompiles it over
+            # the previous snapshot to reconstruct the deleted rows
+            blob["rule"] = rule_doc
+            blob["external_params"] = dict(external_params or {})
         try:
             return _commit(
                 path,
@@ -2372,29 +2501,13 @@ def vt_update(
         cond = c if cond is None else (cond & c)
     matched = F.coalesce(cond, F.lit(False))
 
-    def touch(entry: dict, fbloom: dict) -> bool:
-        if not all(
-            _stats_may_match(entry.get(c), o, v) for c, o, v in conjuncts
-        ):
-            return False
-        nulls = entry.get("__nulls__") or {}
-        null_ops = [x for x in conjuncts if x[1] in ("isnull", "notnull")]
-        if null_ops and not _nulls_may_match(nulls, None, null_ops):
-            return False
-        if fbloom and not all(
-            _bloom_may_match(fbloom.get(c), o, v, touch.types.get(c))
-            for c, o, v in conjuncts
-        ):
-            return False
-        return True
-
     for _ in range(max_retries):
         head = vt_versions(path)
         if not head:
             raise FileNotFoundError(f"no committed versions at {path}")
         expected = head[-1]
         manifest = _read_manifest(path, expected)
-        touch.types = _bloom_col_types(manifest)
+        touch = _pred_touch_fn(conjuncts, _bloom_col_types(manifest))
         if manifest.get("schema") is None:
             part = None
             touched = vt_read(spark, path, expected)

@@ -4993,3 +4993,119 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_update"] = FnWorkload(
     _events_vt_update, _EVENTS_VT_UPDATE_SQL
 )
+
+
+# rule-driven DELETE: the rule document below is THE single source of
+# truth — compiled by the engine for the Spark delete AND transpiled by
+# plans/sqlgen.py into the DuckDB mirror's WHERE body at import time
+_RULE_DELETE_DOC = {
+    "Name": "retention-drop-high-value-clicks",
+    "Conditions": {
+        "LogicalOperator": "AND",
+        "Conditions": [
+            {"Property": "event_type", "Operator": "Contains", "Value": "ick"},
+            {"Property": "v", "Operator": "GreaterThan", "Value": 35},
+        ],
+    },
+}
+
+
+def _rule_delete_sql_body() -> str:
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..plans.model import RuleDefinition
+    from ..plans.sqlgen import SqlGenerator
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("v", DecimalType(38, 12)),
+        ]
+    )
+    rule = RuleDefinition.from_dict(_RULE_DELETE_DOC)
+    return SqlGenerator(schema).group_sql(rule.conditions)
+
+
+def _events_rule_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULE-DRIVEN DELETE, EXECUTED (vt_delete(rule=…) r10): the
+    engine's flagship surface — a JSON rule document — drives lakehouse
+    retention directly. The staged events table is OPTIMIZE-clustered
+    on the value column, so the rule's skip-eligible GreaterThan
+    conjunct prunes the low-value files while its Contains conjunct
+    (not skip-expressible) still filters exactly on the surviving scan;
+    the deletion is also reconstructed from the rule recorded in the
+    manifest and its row count pinned against a direct recount. ONE
+    rule document is the source of truth for both engines: the Spark
+    path compiles it (operators/predicates.py), the DuckDB mirror
+    transpiles it (plans/sqlgen.py) into the WHERE body — deletion
+    semantics (predicate NULL keeps the row) wrapped identically on
+    both sides."""
+    from ..sources.versioned import (
+        vt_delete,
+        vt_history,
+        vt_optimize,
+        vt_read,
+        vt_read_changes,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtruledel", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(spark, path, ["v"], n_partitions=8)
+    v = vt_delete(spark, path, rule=_RULE_DELETE_DOC)
+    blob = vt_history(path)[0]["delete"]
+    file_granular = 0 < blob["files_rewritten"] < blob["files_total"]
+    # CDC reconstruction from the recorded rule must name exactly the
+    # rows the snapshots lost — computed, not assumed
+    n_deleted = vt_read_changes(spark, path, v - 1, v).count()
+    n_before = vt_read(spark, path, v - 1).count()
+    n_after = vt_read(spark, path, v).count()
+    cdc_exact = n_deleted == n_before - n_after
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(file_granular)).alias("rewrite_was_file_granular"),
+            F.lit(bool(cdc_exact)).alias("cdc_reconstruction_exact"),
+        )
+    )
+
+
+_EVENTS_RULE_DELETE_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS rewrite_was_file_granular,
+       TRUE AS cdc_reconstruction_exact
+FROM t
+WHERE NOT COALESCE({_rule_delete_sql_body()}, FALSE)
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_rule_delete"] = FnWorkload(
+    _events_rule_delete, _EVENTS_RULE_DELETE_SQL
+)

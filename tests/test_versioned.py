@@ -2864,3 +2864,109 @@ class TestPartialDirInterop:
         assert m.get("partial_dirs")
         got = dict(_rows(vt_read(spark, path)))
         assert got[5] == "FIVE" and got[900] == "new" and len(got) == 65
+
+
+class TestRuleDrivenDelete:
+    """r10: vt_delete(rule=...) — the engine's flagship rule documents
+    drive lakehouse retention: skip-eligible conjuncts prune files, the
+    FULL compiled predicate (every operator) decides deleted rows, and
+    a dict-form rule is CDC-replayable from the manifest."""
+
+    def test_rule_delete_full_predicate_and_pruning(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr(
+            "id", "concat('name', CASE WHEN id % 2 = 0 THEN 'X' ELSE 'Y' END) AS v"
+        )
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=8)
+        rule = {
+            "Conditions": {
+                "LogicalOperator": "AND",
+                "Conditions": [
+                    {"Property": "id", "Operator": "LessThan", "Value": 16},
+                    {"Property": "v", "Operator": "Contains", "Value": "X"},
+                ],
+            }
+        }
+        v = vt_delete(spark, path, rule=rule)
+        m = _read_manifest(path, v)
+        # the id<16 conjunct is skip-eligible: only the low-range files
+        # were rewritten
+        assert 0 < m["delete"]["files_rewritten"] < m["delete"]["files_total"]
+        assert m["delete"]["rule"] == rule
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        # even ids below 16 (Contains 'X') deleted; odd ones survive
+        assert got == set(range(64)) - {0, 2, 4, 6, 8, 10, 12, 14}
+
+    def test_rule_delete_cdc_reconstruction(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "keep"), (2, "drop-me"), (3, None)], "id long, v string"
+        )
+        vt_write(spark, path, df)
+        vt_delete(
+            spark,
+            path,
+            rule={
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "v",
+                            "Operator": "Contains",
+                            "Value": "drop",
+                        }
+                    ]
+                }
+            },
+        )
+        ch = vt_read_changes(spark, path, 1, 2)
+        got = {(r["id"], r["v"], r["_change_type"]) for r in ch.collect()}
+        assert got == {(2, "drop-me", "delete")}
+        # null row survived (Contains NULL is not TRUE)
+        assert _rows(vt_read(spark, path)) == {(1, "keep"), (3, None)}
+
+    def test_rule_delete_with_external_params(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        )
+        rule = {
+            "Conditions": {
+                "Conditions": [
+                    {"Property": "v", "Operator": "DynamicEqual"}
+                ]
+            }
+        }
+        vt_delete(spark, path, rule=rule, external_params={"v": "b"})
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (3, "c")}
+        ch = vt_read_changes(spark, path, 1, 2)
+        assert {(r["id"], r["_change_type"]) for r in ch.collect()} == {
+            (2, "delete")
+        }
+
+    def test_rule_and_predicate_mutually_exclusive(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="not both"):
+            vt_delete(
+                spark, path, ("id", "=", 1),
+                rule={"Conditions": {"Conditions": []}},
+            )
