@@ -26,6 +26,7 @@ from dynamicqueryengine_spark import get_spark  # noqa: E402
 
 
 def main() -> None:
+    run_started = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -146,38 +147,66 @@ def main() -> None:
     # Persist the COMPLETE per-query detail next to the driver artifact
     # (r9 verdict ask #7: the driver's bounded tail truncates the
     # per-query map, which made carried-query regression diffs
-    # impossible two rounds running). Round number = 1 + the highest
-    # existing BENCH_r{N}.json — the driver writes its artifact AFTER
-    # this run, so the file lands as BENCH_DETAIL_r{N} for the SAME
-    # round the driver is about to record.
+    # impossible two rounds running). Round number: explicit
+    # $SPARK_GRAFT_ROUND when the caller provides it; otherwise 1 + the
+    # highest existing BENCH_r{N}.json (the driver writes its artifact
+    # AFTER this run, so the file lands as BENCH_DETAIL_r{N} for the
+    # SAME round the driver is about to record). Re-runs within a round
+    # NEVER overwrite prior detail (r10 advice + verdict ask #7: the
+    # triplicate-tenancy runs were only disclosed in prose): every
+    # invocation APPENDS its per-pass maps to the file's "runs" array,
+    # so multi-run variance is auditable from the artifact alone. The
+    # write is atomic (tmp + os.replace) so a crashed run can't tear it.
     import glob as _glob
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    rnd = (max(rounds) + 1) if rounds else 0
+    rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd_env and rnd_env.isdigit():
+        rnd = int(rnd_env)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+    this_run = {
+        "started_unix": round(run_started, 1),
+        "total_single": total_single,
+        "total_min2": total,
+        "queries_pass1": per_pass[0],
+        "queries_pass2": per_pass[1],
+        "streaming_compute_sec": stream_compute,
+    }
+    detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+    prior_runs: list = []
+    try:
+        with open(detail_path) as f:
+            prior_runs = json.load(f).get("runs", [])
+    except (OSError, ValueError):
+        prior_runs = []
     detail = {
         "round": rnd,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(queries),
         "passes": 2,
         "stat": "min",
+        # headline fields describe the LATEST run; "runs" carries every
+        # run of this round in order, one entry per bench.py invocation
         "total_single": total_single,
         "total_min2": total,
         "queries_min2": timings,
         "queries_pass1": per_pass[0],
         "queries_pass2": per_pass[1],
         "streaming_compute_sec": stream_compute,
+        "runs": prior_runs + [this_run],
     }
     try:
-        with open(
-            os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
-        ) as f:
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
+        os.replace(tmp, detail_path)
     except OSError as exc:  # pragma: no cover - detail is best-effort
         print(f"bench detail write failed: {exc}", file=sys.stderr)
     spark.stop()

@@ -265,8 +265,34 @@ def _commit(
         txns[txn["app"]] = int(txn["version"])
     manifest["txns"] = txns
     target = _manifest_path(path, version)
-    with open(target, "x") as f:  # atomic create-if-absent = the commit
-        json.dump(manifest, f)
+    # Commit = atomic create-if-absent of a FULLY-WRITTEN manifest.
+    # Serializing straight into the version slot (open "x" + streaming
+    # json.dump) left a crash window: a writer dying mid-dump owned the
+    # slot with a torn manifest no reader could parse and no retry could
+    # reclaim. Instead write the complete bytes to a temp file in the
+    # same directory, then os.link(tmp, target) — link fails with EEXIST
+    # exactly like open("x") (concurrent-writer detection unchanged) but
+    # the slot is only ever claimed by a complete file. On object stores
+    # the same contract is a conditional PUT (S3 If-None-Match: *, GCS
+    # x-goog-if-generation-match: 0) of the full body.
+    tmp = os.path.join(
+        _log_dir(path), f".tmp_{version}_{os.getpid()}_{id(manifest)}"
+    )
+    try:
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.link(tmp, target)
+    finally:
+        # tmp is removed on every exit: success, lost race (EEXIST from
+        # link), or a crash mid-serialization — in which case the torn
+        # bytes live only in the ignored tmp name and the version slot
+        # stays FREE for a clean retry
+        try:
+            os.unlink(tmp)
+        except OSError:  # pragma: no cover - crashed before tmp existed
+            pass
     if version % _AUTO_CHECKPOINT_EVERY == 0:
         # Delta checkpoints every 10 commits so head resolution stays
         # O(commits-since-checkpoint); same cadence here. Best-effort —
@@ -1909,7 +1935,9 @@ def _key_touch_fn(keys, key_vals, key_ranges, bloom_types,
     return touch
 
 
-def _reconcile_to_schema(df: DataFrame, target) -> DataFrame:
+def _reconcile_to_schema(
+    df: DataFrame, target, validate: bool = True
+) -> DataFrame:
     """Cast/reorder ``df`` to the table's logical schema for a
     file-granular rewrite (untouched files are never coerced, so the
     incoming rows must land in the TABLE's types, not a union-widened
@@ -1923,6 +1951,39 @@ def _reconcile_to_schema(df: DataFrame, target) -> DataFrame:
         raise ValueError(
             f"updates schema mismatch: missing {missing}, extra {extra}"
         )
+    # ANSI store-assignment: a value the table type cannot represent
+    # (numeric overflow, unparsable string) must surface as an error,
+    # not silently become NULL in the committed snapshot (Delta rejects
+    # such writes; plain Column.cast nulls them). Checked only for
+    # columns whose type actually changes — the common merge (updates
+    # already in table types) pays nothing. One map-only job, no shuffle.
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    changed = [f for f in target.fields if by_name[f.name] != f.dataType]
+    if changed and validate:
+        # try_cast nulls on failure under BOTH ANSI and legacy modes, so
+        # the probe itself never throws — the failure surfaces as the
+        # uniform store-assignment ValueError below
+        flags = [
+            (
+                F.col(f.name).isNotNull()
+                & F.col(f.name).try_cast(f.dataType).isNull()
+            ).alias(f.name)
+            for f in changed
+        ]
+        probe = df.select(*flags)
+        cond = None
+        for f in changed:
+            c = F.col(f.name)
+            cond = c if cond is None else (cond | c)
+        row = probe.filter(cond).first()
+        if row is not None:
+            bad_cols = sorted(n for n in row.asDict() if row[n])
+            raise ValueError(
+                "merge store-assignment failure: column(s) "
+                f"{bad_cols} hold value(s) not representable as the "
+                "table's type (cast would silently produce NULL); "
+                "fix the updates' types or values before merging"
+            )
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
     )
@@ -2003,8 +2064,20 @@ def vt_merge(
         ups = updates
     # table-property CHECK constraints apply to the incoming rows (the
     # surviving current rows were validated by their own commits;
-    # deletion rows are never written)
-    _enforce_constraints(ups, vt_constraints(path))
+    # deletion rows are never written). Enforced INSIDE the retry loop
+    # against each attempted head's constraint set: a racing commit can
+    # ADD or tighten constraints between the merge's read and its commit,
+    # and the merge's version is governed by the set in force at ITS
+    # head — the same window vt_write closes on retry (:884-893) and
+    # vt_update closes by enforcing in-loop (:2577). The validation
+    # action re-runs only when the set actually changed across retries.
+    _enforced_against: list = []
+
+    def _enforce_for_head(manifest) -> None:
+        specs = (manifest or {}).get("constraints") or []
+        if not _enforced_against or _enforced_against[0] != specs:
+            _enforce_constraints(ups, specs)
+            _enforced_against[:] = [specs]
     # one bounded action over the updates' distinct keys, computed
     # LAZILY (first head that can actually be pruned) and reused across
     # retries (the updates DataFrame does not change with the head) —
@@ -2026,6 +2099,7 @@ def vt_merge(
             if last is not None and txn[1] <= last:
                 return expected  # replay of an already-committed txn
         manifest = _read_manifest(path, expected) if head else None
+        _enforce_for_head(manifest)
         file_granular = (
             manifest is not None and manifest.get("schema") is not None
         )
@@ -2100,7 +2174,7 @@ def vt_merge(
                 if touched is not None:
                     cur_keys = touched.select(*keys).distinct()
                     upserts = (
-                        _reconcile_to_schema(ups, target)
+                        _reconcile_to_schema(ups, target, validate=False)
                         if target is not None
                         else ups
                     )
@@ -2121,7 +2195,7 @@ def vt_merge(
                         change_rows = change_rows.unionByName(dropped)
                 else:
                     upserts = (
-                        _reconcile_to_schema(ups, target)
+                        _reconcile_to_schema(ups, target, validate=False)
                         if target is not None
                         else ups
                     )

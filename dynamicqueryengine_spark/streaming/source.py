@@ -96,7 +96,14 @@ def _pa_filter(predicate: list):
         elif op == ">=":
             e = f >= value
         elif op == "in":
-            e = f.isin(list(value))
+            # SQL three-valued semantics: NULL IN (..., NULL, ...) is
+            # NULL, never TRUE — Spark's isin (what vt_delete evaluated)
+            # matches no null row. pyarrow's is_in CAN match nulls when
+            # the value list contains None, which would replay deletes
+            # for rows the delete actually kept; drop None from the
+            # list (a null literal can never equality-match a row the
+            # null-rejecting delete removed).
+            e = f.isin([v for v in value if v is not None])
         elif op == "isnull":
             e = f.is_null()
         elif op == "notnull":
@@ -120,6 +127,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
+        # A FRESH query calls initialOffset before its first
+        # latestOffset — seed the rate-limit base here so
+        # maxVersionsPerTrigger caps trigger 1 of a backfill (the
+        # option's primary use case). Checkpoint RESTARTS never call
+        # initialOffset, so their first latestOffset stays uncapped by
+        # design (see the rationale in latestOffset: Spark only reveals
+        # the checkpointed cursor to partitions()).
+        self._last = self._starting
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
@@ -128,13 +143,15 @@ class _ChangesStreamReader(DataSourceStreamReader):
         head = vt_head(self._path)
         if self._max_versions is not None and self._last is not None:
             # Rate limiting is RELATIVE TO THE LAST OFFSET THIS READER
-            # RETURNED. On a checkpoint restart the reader is a fresh
-            # instance and Spark never tells it the checkpointed cursor
-            # (only partitions(start, end) sees it), so capping relative
-            # to startingVersion could return an offset BELOW the
-            # cursor and wedge the query — the first latestOffset after
-            # a (re)start is therefore uncapped; the cap applies from
-            # the second trigger on.
+            # RETURNED. Fresh queries are capped from trigger 1
+            # (initialOffset seeds self._last). On a checkpoint restart
+            # the reader is a fresh instance, initialOffset is NOT
+            # called, and Spark never tells latestOffset the
+            # checkpointed cursor (only partitions(start, end) sees
+            # it), so capping relative to startingVersion could return
+            # an offset BELOW the cursor and wedge the query — the
+            # first post-restart latestOffset is therefore uncapped;
+            # the cap re-engages once partitions() reveals the cursor.
             head = min(head, self._last + self._max_versions)
         self._last = max(head, self._last or 0)
         return {"version": self._last}

@@ -97,12 +97,12 @@ class TestChangeStream:
         # rate limiting is a PROCESSING-TIME-trigger tool (a continuous
         # tail that must not swallow a backlog in one batch); under
         # availableNow Spark pins the end offset at query start, so the
-        # cap would simply stop the catch-up early. The FIRST offset a
-        # (re)started reader returns is deliberately uncapped — Spark
-        # never tells a fresh reader the checkpointed cursor, so a cap
+        # cap would simply stop the catch-up early. Fresh queries cap
+        # from trigger 1 (initialOffset seeds the base — r10 advice);
+        # only CHECKPOINT RESTARTS keep an uncapped first offset, since
+        # Spark never reveals the cursor to latestOffset and a cap
         # relative to startingVersion could land BELOW it and wedge the
-        # query — hence the cap is asserted on versions committed AFTER
-        # the stream is running.
+        # query.
         src = str(tmp_path / "src")
         df = _df(spark, 12)
         vt_write(spark, src, df.filter("id % 4 = 0"))
@@ -270,3 +270,98 @@ class TestChangeStream:
         want = {(r["id"], r["ts"], r["d"]) for r in df.collect()}
         got = {(r["id"], r["ts"], r["d"]) for r in out.collect()}
         assert got == want
+
+
+class TestReaderOffsetProtocol:
+    """Unit-level checks on _ChangesStreamReader's offset math (r10
+    advice #1): a FRESH query (initialOffset called) gets its first
+    micro-batch capped by maxVersionsPerTrigger — the backfill case the
+    option exists for — while a checkpoint RESTART (initialOffset never
+    called) keeps the deliberately-uncapped first offset."""
+
+    def _table(self, spark, tmp_path, commits=3):
+        src = str(tmp_path / "src")
+        df = _df(spark, 9)
+        vt_write(spark, src, df.filter("id % 3 = 0"))
+        for i in range(1, commits):
+            vt_write(spark, src, df.filter(f"id % 3 = {i}"), mode="append")
+        return src
+
+    def _reader(self, spark, src, **opts):
+        from dynamicqueryengine_spark.streaming.source import (
+            _ChangesStreamReader,
+        )
+
+        schema = vt_read(spark, src).schema
+        options = {"path": src}
+        options.update({k.lower(): str(v) for k, v in opts.items()})
+        return _ChangesStreamReader(schema, options)
+
+    def test_fresh_query_first_batch_is_capped(self, spark, tmp_path):
+        src = self._table(spark, tmp_path, commits=3)
+        r = self._reader(spark, src, maxversionspertrigger=1)
+        assert r.initialOffset() == {"version": 0}
+        # trigger 1 of the fresh backfill: capped to ONE version, not
+        # the whole 3-commit backlog
+        assert r.latestOffset() == {"version": 1}
+        assert r.latestOffset() == {"version": 2}
+        assert r.latestOffset() == {"version": 3}
+        assert r.latestOffset() == {"version": 3}  # drained, holds
+
+    def test_restart_first_offset_is_uncapped(self, spark, tmp_path):
+        """Spark never calls initialOffset on a checkpoint restart and
+        never reveals the cursor to latestOffset — capping relative to
+        startingVersion could return an offset BELOW the cursor and
+        wedge the query, so the first post-restart offset advances to
+        head; the cap re-engages once partitions() reveals the cursor."""
+        src = self._table(spark, tmp_path, commits=3)
+        r = self._reader(spark, src, maxversionspertrigger=1)
+        assert r.latestOffset() == {"version": 3}
+
+    def test_restart_cap_reengages_after_partitions(self, spark, tmp_path):
+        src = self._table(spark, tmp_path, commits=3)
+        r = self._reader(spark, src, maxversionspertrigger=1)
+        # restart: Spark re-plans the last uncommitted batch first
+        r.partitions({"version": 0}, {"version": 1})
+        assert r.latestOffset() == {"version": 2}  # capped from cursor
+
+
+class TestDeleteReplayNullSemantics:
+    """r10 advice #2: the delete-replay pyarrow filter must mirror
+    Spark's null-rejecting isin — an IN list containing NULL matches no
+    null row (SQL three-valued logic), so the streamed CDC must not tag
+    null rows as deleted."""
+
+    def test_pa_filter_in_with_null_matches_no_null_row(self):
+        import pyarrow as pa
+
+        from dynamicqueryengine_spark.streaming.source import _pa_filter
+
+        tbl = pa.table({"v": ["a", None, "b"], "id": [1, 2, 3]})
+        expr = _pa_filter([("v", "in", ["a", None])])
+        got = tbl.filter(expr)
+        assert got["id"].to_pylist() == [1]  # the null row is NOT matched
+
+    def test_stream_replay_of_in_delete_with_null_literal(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, v string"
+        )
+        vt_write(spark, src, df)
+        # vt_delete evaluates Spark isin: removes v='a' only, keeps the
+        # null row (NULL IN ('a', NULL) is NULL, not TRUE)
+        vt_delete(spark, src, ("v", "in", ["a", None]))
+        assert {
+            r["id"] for r in vt_read(spark, src).collect()
+        } == {2, 3}
+        # the streamed replay must agree row-for-row
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"]
+            for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {1}
