@@ -536,6 +536,70 @@ def _skip_conjunct(
         return None
 
 
+def rule_exact_conjuncts(
+    rule_or_group,
+    schema: StructType,
+    external_params: Mapping[str, Any] | None = None,
+    type_name: str = "Row",
+) -> list[tuple] | None:
+    """The rule's compiled predicate as an EXACT ``(col, op, value)``
+    conjunction — or None when the rule is not purely such a
+    conjunction.
+
+    :func:`rule_skip_conjuncts` OVER-approximates (sound for pruning:
+    inexpressible leaves are simply dropped); a non-None result here is
+    row-for-row EQUIVALENT to ``compile_predicate(rule)``: the tree
+    combines with AND only (single-child OR included), nothing is
+    negated, and EVERY leaf translates through :func:`_skip_conjunct`
+    — whose returned tuples are exact renderings of their leaves'
+    compiled semantics (Equal/In/Null/NotNull on any type, range
+    comparisons on non-string columns; string-column ranges, regex/
+    contains family, If, and custom operators all yield None and thus
+    disqualify the rule).
+
+    This is what lets ``vt_delete(rule=...)`` record a plain-predicate
+    replay recipe: the streaming change source can evaluate the skip
+    grammar with pyarrow, but not the full operator set — an exact
+    conjunction makes a rule delete stream-replayable without
+    materializing change rows."""
+    if isinstance(rule_or_group, RuleDefinition):
+        group = rule_or_group.conditions
+    elif isinstance(rule_or_group, ConditionGroup) or rule_or_group is None:
+        group = rule_or_group
+    elif isinstance(rule_or_group, Mapping):
+        # Disambiguate by the shape of "Conditions": a RULE dict nests a
+        # group MAPPING there ({"Conditions": {...group...}}), a GROUP
+        # dict holds a LIST of leaves ({"Conditions": [...], ...}).
+        inner = _ci_get(rule_or_group, "Conditions")
+        if isinstance(inner, Mapping):
+            group = RuleDefinition.from_dict(rule_or_group).conditions
+        else:
+            group = ConditionGroup.from_dict(rule_or_group)
+    else:
+        group = getattr(rule_or_group, "conditions", rule_or_group)
+    params = dict(external_params or {})
+    out: list[tuple] = []
+
+    def walk(g: ConditionGroup | None) -> bool:
+        if g is None or g.is_empty():
+            # empty group compiles to lit(True): zero conjuncts cannot
+            # express "keep everything" in the delete grammar
+            return False
+        if g.negate:
+            return False
+        n_children = len(g.conditions) + len(g.groups)
+        if g.logical_operator.strip().upper() == "OR" and n_children > 1:
+            return False
+        for c in g.conditions:
+            t = _skip_conjunct(c, schema, params, type_name)
+            if t is None:
+                return False
+            out.append(t)
+        return all(walk(sub) for sub in g.groups)
+
+    return out if (walk(group) and out) else None
+
+
 def rule_skip_conjuncts(
     rule_or_group,
     schema: StructType,

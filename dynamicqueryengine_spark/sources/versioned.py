@@ -106,6 +106,95 @@ def _log_dir(path: str) -> str:
     return os.path.join(path, "_vlog")
 
 
+# ------------------------------------------------------ deletion vectors --
+#
+# Merge-on-read DELETE/UPDATE (Delta's deletion vectors / Iceberg's
+# positional delete files): instead of rewriting every possibly-matching
+# file for a small mutation, a commit records per-file ROW POSITIONS that
+# are logically deleted, and every reader drops them at scan time. The
+# manifest carries ``"dv": {dir: {file: {"ref": <sidecar>, "count": n}}}``
+# — same nesting as file_stats — and the positions themselves live in an
+# immutable JSON sidecar under ``<table>/_dv/`` (Delta keeps DV bitmaps in
+# sidecar .bin files for the same reason: manifests stay small). A later
+# DV on the same file REPLACES its entry with the union (old ∪ new), so
+# one lookup per file suffices at read time. OPTIMIZE / copy-on-write
+# rewrites materialize the deletes (rewritten files lose their entries via
+# _commit's carry-prune); vacuum reaps unreferenced sidecars.
+
+
+def _dv_dir(path: str) -> str:
+    return os.path.join(path, "_dv")
+
+
+def _write_dv_sidecar(path: str, payload: dict) -> str:
+    """Persist ``{dir: {file: [positions]}}`` as an immutable sidecar;
+    returns its name. Written BEFORE the commit that references it — a
+    lost commit race removes it, an unreferenced orphan is vacuum's."""
+    os.makedirs(_dv_dir(path), exist_ok=True)
+    name = f"dv_{uuid.uuid4().hex}.json"
+    with open(os.path.join(_dv_dir(path), name), "w") as f:
+        json.dump(payload, f)
+    return name
+
+
+def _load_dv_positions(path: str, dv_map: dict) -> dict:
+    """Resolve a manifest ``dv`` map to ``{join_key: [positions]}`` where
+    join_key = ``basename(dir)/file`` — the same key a reader derives
+    from ``_metadata.file_path``'s last two components (dir names are
+    d_<uuid>, globally unique, so basename is safe even for a shallow
+    clone's absolute dir references). Loads each sidecar once."""
+    by_ref: dict[str, list[tuple]] = {}
+    for d, files in (dv_map or {}).items():
+        for fname, entry in files.items():
+            by_ref.setdefault(entry["ref"], []).append((d, fname))
+    out: dict[str, list[int]] = {}
+    for ref, wanted in by_ref.items():
+        full = (
+            ref
+            if os.path.isabs(ref)
+            else os.path.join(_dv_dir(path), ref)
+        )
+        with open(full) as f:
+            payload = json.load(f)
+        # sidecars are keyed by the WRITING table's dir names; a clone's
+        # manifest remaps dirs (absolute for shallow, basename for deep)
+        # — dir basenames are d_<uuid>, unique, so they bridge the two
+        by_base = {
+            os.path.basename(d.rstrip("/")): fmap
+            for d, fmap in payload.items()
+        }
+        for d, fname in wanted:
+            base = os.path.basename(d.rstrip("/"))
+            key = base + "/" + fname
+            fmap = payload.get(d) or by_base[base]
+            out[key] = fmap[fname]
+    return out
+
+
+def _prune_dv(dv_map: dict | None, dirs: list, files: dict | None) -> dict:
+    """Drop DV entries for files the new manifest no longer references —
+    a rewritten file's deletes are materialized by the rewrite itself
+    (the rewriting read applied them), so carrying its entry would
+    double-apply positions to different rows."""
+    if not dv_map:
+        return {}
+    files = files or {}
+    dirset = set(dirs)
+    kept: dict = {}
+    for d, fmap in dv_map.items():
+        if d not in dirset:
+            continue
+        flist = files.get(d)
+        sub = {
+            fname: entry
+            for fname, entry in fmap.items()
+            if flist is None or fname in flist
+        }
+        if sub:
+            kept[d] = sub
+    return kept
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:08d}.json")
 
@@ -179,6 +268,7 @@ def _commit(
     clone: dict | None = None,
     partial_dirs: Sequence[str] | None = None,
     extra: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -259,6 +349,19 @@ def _commit(
             constraints = None
     if constraints:
         manifest["constraints"] = constraints
+    # deletion vectors follow the FILES they describe: None carries the
+    # head's map forward, pruned to files this manifest still references
+    # (a rewritten file's deletes were materialized by the rewrite); an
+    # explicit map (DV-writing commits, restore, clone) is pruned the
+    # same way for safety
+    if dv is None and expected_head > 0:
+        try:
+            dv = _read_manifest(path, expected_head).get("dv")
+        except FileNotFoundError:
+            dv = None
+    dv = _prune_dv(dv, dirs, files)
+    if dv:
+        manifest["dv"] = dv
     txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
@@ -1062,6 +1165,7 @@ def vt_scan_plan(
             files_kept=plan["files_total"],
             paths=paths,
         )
+        _attach_plan_dv(plan, path, manifest)
         return plan
 
     def may_match(col_stats: dict) -> bool:
@@ -1132,33 +1236,96 @@ def vt_scan_plan(
             paths = [os.path.join(path, d0)]
         plan["schema_only_fallback"] = True
     plan["paths"] = paths
+    # even the fallback path needs its DV: stats/blooms describe PHYSICAL
+    # rows, so a file kept only because a deleted row matched must not
+    # leak that row through the post-scan filter
+    _attach_plan_dv(plan, path, manifest)
     return plan
 
 
-def _read_plan(spark, plan: dict) -> DataFrame:
+def _attach_plan_dv(plan: dict, path: str, manifest: dict) -> None:
+    """Subset the snapshot's deletion vectors to the plan's paths and
+    inline the positions (``{basename(dir)/file: [positions]}``) so
+    :func:`_read_plan` can drop them. Driver-side sidecar reads, bounded
+    by DV size — the merge-on-read contract keeps DVs small; large
+    accumulated deletes are OPTIMIZE's to materialize."""
+    dv_map = manifest.get("dv")
+    if not dv_map:
+        return
+    pathset = set(plan["paths"])
+    subset: dict = {}
+    for d, fmap in dv_map.items():
+        dirpath = os.path.join(path, d)
+        whole = dirpath in pathset
+        sub = {
+            fname: entry
+            for fname, entry in fmap.items()
+            if whole or os.path.join(path, d, fname) in pathset
+        }
+        if sub:
+            subset[d] = sub
+    if subset:
+        plan["dv"] = _load_dv_positions(path, subset)
+
+
+def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
     """Read a vt_scan_plan's paths, reconciled to the snapshot's recorded
     logical schema: heterogeneous layouts (merge_schema appends) union
     footers via Spark's mergeSchema, and columns absent from every kept
     file — pre-evolution data, or evolved columns pruned away with their
-    files — come back as typed nulls in the recorded column order."""
+    files — come back as typed nulls in the recorded column order.
+
+    When the plan carries deletion vectors (``plan["dv"]``:
+    ``{basename(dir)/file: [row positions]}``), the DV'd rows are
+    dropped JVM-side: each row's ``(file key, _metadata.row_index)`` is
+    anti-joined against a BROADCAST frame of the deleted positions — no
+    Python in the path, and the broadcast is bounded by DV size (the
+    merge-on-read contract keeps DVs small). ``keep_positions=True``
+    additionally exposes ``_vt_file_key``/``_vt_pos`` columns so DV
+    writers (vt_delete/vt_update mode="dv") can address matched rows."""
     reader = spark.read
     if plan.get("schema_heterogeneous"):
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*plan["paths"])
+    dv = plan.get("dv")
+    if dv or keep_positions:
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        df = df.withColumn(
+            "_vt_file_key",
+            F.concat(
+                F.element_at(parts, -2), F.lit("/"), F.element_at(parts, -1)
+            ),
+        ).withColumn("_vt_pos", F.col("_metadata.row_index"))
+    if dv:
+        pairs = [
+            (k, int(p)) for k, poss in dv.items() for p in poss
+        ]
+        dv_df = spark.createDataFrame(
+            pairs, "_vt_dv_key string, _vt_dv_pos long"
+        )
+        df = df.join(
+            F.broadcast(dv_df),
+            (F.col("_vt_file_key") == F.col("_vt_dv_key"))
+            & (F.col("_vt_pos") == F.col("_vt_dv_pos")),
+            "left_anti",
+        )
     sj = plan.get("schema")
     if sj:
         from pyspark.sql.types import StructType
 
         target = StructType.fromJson(sj)
         have = set(df.columns)
-        df = df.select(
-            *[
-                F.col(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target.fields
-            ]
-        )
+        cols = [
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        if keep_positions:
+            cols += [F.col("_vt_file_key"), F.col("_vt_pos")]
+        df = df.select(*cols)
+    elif (dv is not None) and not keep_positions:
+        df = df.drop("_vt_file_key", "_vt_pos")
     return df
 
 
@@ -1421,18 +1588,29 @@ def vt_read_changes(
                 frames.append(reconcile(cf, None, v))
             elif (
                 op == "update"
-                and blob.get("predicate")
                 and blob.get("assignments")
+                and (blob.get("predicate") or blob.get("rule"))
             ):
                 # reconstruct from the previous snapshot + the recorded
-                # predicate/assignment expressions — exact while the
-                # previous version is retained
+                # predicate-or-rule and assignment expressions — exact
+                # while the previous version is retained
                 need_prev(v)
-                cond = None
-                for col, uop, value in blob["predicate"]:
-                    c = _conjunct_column(col, uop, value)
-                    cond = c if cond is None else (cond & c)
-                matched = vt_read(spark, path, v - 1).filter(
+                prev_df = vt_read(spark, path, v - 1)
+                if blob.get("predicate"):
+                    cond = None
+                    for col, uop, value in blob["predicate"]:
+                        c = _conjunct_column(col, uop, value)
+                        cond = c if cond is None else (cond & c)
+                else:
+                    from ..operators.predicates import compile_predicate
+                    from ..plans.model import RuleDefinition
+
+                    cond = compile_predicate(
+                        RuleDefinition.from_dict(blob["rule"]).conditions,
+                        prev_df.schema,
+                        blob.get("external_params") or None,
+                    )
+                matched = prev_df.filter(
                     F.coalesce(cond, F.lit(False))
                 )
                 exprs = {
@@ -1617,6 +1795,12 @@ def vt_count(
                 break
             total += sum(drows[f] for f in flist)
         if complete:
+            # footer counts are PHYSICAL rows; deletion vectors hold
+            # exact per-file deleted-position counts (positions are
+            # distinct and validated against live rows at write time),
+            # so the logical count stays a manifest-only subtraction
+            for fmap in (manifest.get("dv") or {}).values():
+                total -= sum(e["count"] for e in fmap.values())
             return total
         return vt_read(spark, path, v).count()
     plan = vt_scan_plan(path, v, predicate)
@@ -1644,7 +1828,10 @@ def vt_minmax(
     manifest = _read_manifest(path, v)
     stats = manifest.get("stats", {})
     lo = hi = None
-    complete = True
+    # deletion vectors may have removed the very rows holding a footer
+    # min/max — stats stay sound for PRUNING (superset) but not for
+    # exact extrema, so any DV forces the scan path (which applies them)
+    complete = not manifest.get("dv")
     for d in manifest["dirs"]:
         mm = stats.get(d, {}).get(col)
         if mm is None:
@@ -2133,16 +2320,17 @@ def vt_merge(
                 )
             part = _partition_snapshot(path, manifest, touch)
             if part["touched_paths"]:
-                touched = _read_plan(
-                    spark,
-                    {
-                        "paths": part["touched_paths"],
-                        "schema": manifest["schema"],
-                        "schema_heterogeneous": manifest.get(
-                            "schema_heterogeneous", False
-                        ),
-                    },
-                )
+                tplan = {
+                    "paths": part["touched_paths"],
+                    "schema": manifest["schema"],
+                    "schema_heterogeneous": manifest.get(
+                        "schema_heterogeneous", False
+                    ),
+                }
+                # honor existing deletion vectors: the rewrite must not
+                # resurrect rows a merge-on-read delete already removed
+                _attach_plan_dv(tplan, path, manifest)
+                touched = _read_plan(spark, tplan)
                 merged_new = touched.join(
                     all_keys, keys, "left_anti"
                 ).unionByName(ups_c)
@@ -2304,6 +2492,239 @@ def _pred_touch_fn(conjuncts, bloom_types):
     return touch
 
 
+def _dv_mutation_commit(
+    spark,
+    path: str,
+    manifest: dict,
+    expected: int,
+    matched,
+    op: str,
+    blob: dict,
+    change_rows,
+    dv_max_rows: int,
+    strict: bool,
+    new_data=None,
+):
+    """Shared merge-on-read commit for DV-mode DELETE/UPDATE: collect the
+    matched rows' (file key, position) pairs — bounded by ``dv_max_rows``
+    — union them into the head's deletion vectors, materialize
+    ``change_rows`` as the commit's change directory, and commit with
+    every data file referenced VERBATIM (``files_rewritten = 0``).
+    ``new_data`` (UPDATE's post-image rows) is appended as a fresh
+    directory. Returns the committed version, ``-1`` on a lost commit
+    race (caller retries against the new head), or ``None`` when more
+    rows matched than ``dv_max_rows`` and ``strict`` is False (caller
+    falls back to copy-on-write)."""
+    # matched feeds the position collect, the change rows, and (UPDATE)
+    # the appended post-image rows — one scan of the touched files
+    matched.persist()
+    try:
+        return _dv_mutation_commit_cached(
+            spark,
+            path,
+            manifest,
+            expected,
+            matched,
+            op,
+            blob,
+            change_rows,
+            dv_max_rows,
+            strict,
+            new_data,
+        )
+    finally:
+        matched.unpersist()
+
+
+def _dv_mutation_commit_cached(
+    spark,
+    path: str,
+    manifest: dict,
+    expected: int,
+    matched,
+    op: str,
+    blob: dict,
+    change_rows,
+    dv_max_rows: int,
+    strict: bool,
+    new_data,
+):
+    pairs = (
+        matched.select("_vt_file_key", "_vt_pos")
+        .limit(dv_max_rows + 1)
+        .collect()
+    )
+    if len(pairs) > dv_max_rows:
+        if strict:
+            raise ValueError(
+                f"mode='dv': more than dv_max_rows={dv_max_rows} rows "
+                "match — a delete this large should rewrite files "
+                "(mode='rewrite' or 'auto')"
+            )
+        return None
+    if not pairs:
+        return expected  # nothing matched — no-op, nothing committed
+    # map join keys (basename(dir)/file) back to manifest dir entries
+    base_of = {
+        os.path.basename(d.rstrip("/")): d for d in manifest["dirs"]
+    }
+    new_pos: dict[tuple, set] = {}
+    for r in pairs:
+        dbase, _, fname = r["_vt_file_key"].partition("/")
+        new_pos.setdefault((base_of[dbase], fname), set()).add(
+            int(r["_vt_pos"])
+        )
+    head_dv = manifest.get("dv") or {}
+    prior_subset = {}
+    for d, fname in new_pos:
+        entry = head_dv.get(d, {}).get(fname)
+        if entry is not None:
+            prior_subset.setdefault(d, {})[fname] = entry
+    prior = _load_dv_positions(path, prior_subset)
+    payload: dict = {}
+    for (d, fname), poss in new_pos.items():
+        key = os.path.basename(d.rstrip("/")) + "/" + fname
+        merged = sorted(set(prior.get(key, [])) | poss)
+        payload.setdefault(d, {})[fname] = merged
+    ref = _write_dv_sidecar(path, payload)
+    dv_map = {d: dict(fmap) for d, fmap in head_dv.items()}
+    for d, fmap in payload.items():
+        for fname, poss in fmap.items():
+            dv_map.setdefault(d, {})[fname] = {
+                "ref": ref,
+                "count": len(poss),
+            }
+    blob = dict(blob)
+    blob.update(
+        dv=True,
+        files_rewritten=0,
+        files_dv=len(new_pos),
+        rows_matched=len(pairs),
+    )
+    change_dir, _, _, _, _ = _write_data_dir(change_rows, path, prefix="c")
+    dirs = list(manifest["dirs"])
+    files = dict(manifest.get("files", {}))
+    stats = dict(manifest.get("stats", {}))
+    fstats = dict(manifest.get("file_stats", {}))
+    blooms = dict(manifest.get("blooms", {}))
+    frows = dict(manifest.get("file_rows", {}))
+    new_dir = None
+    if new_data is not None:
+        new_dir, nstats, nfstats, nfiles, nrows = _write_data_dir(
+            new_data, path
+        )
+        dirs.append(new_dir)
+        files[new_dir] = nfiles
+        if nstats:
+            stats[new_dir] = nstats
+        if nfstats:
+            fstats[new_dir] = nfstats
+        if nrows:
+            frows[new_dir] = nrows
+    try:
+        return _commit(
+            path,
+            dirs,
+            op,
+            expected,
+            stats,
+            None,
+            fstats or None,
+            files,
+            schema=manifest["schema"],
+            heterogeneous=manifest.get("schema_heterogeneous", False),
+            changes=change_dir,
+            blooms=blooms or None,
+            file_rows=frows or None,
+            partial_dirs=manifest.get("partial_dirs"),
+            extra={op: blob},
+            dv=dv_map,
+        )
+    except FileExistsError:
+        # lost the race: discard everything this attempt staged
+        shutil.rmtree(os.path.join(path, change_dir), ignore_errors=True)
+        if new_dir is not None:
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+        try:
+            os.unlink(os.path.join(_dv_dir(path), ref))
+        except OSError:
+            pass
+        return -1
+
+
+def _dv_update_attempt(
+    spark,
+    path: str,
+    manifest: dict,
+    expected: int,
+    tplan: dict,
+    matched_expr,
+    assignments: dict,
+    part: dict,
+    pred_json,
+    rule_doc,
+    external_params,
+    assigns_json,
+    dv_max_rows: int,
+    strict: bool,
+):
+    """One merge-on-read UPDATE attempt: DV out the matched rows'
+    positions, append the post-image rows as a fresh directory, always
+    materialize pre/post change images. Return contract matches
+    :func:`_dv_mutation_commit`."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromJson(manifest["schema"])
+    names = {f.name for f in target.fields}
+    for c in assignments:
+        if c not in names:
+            raise ValueError(f"assignment to unknown column {c!r}")
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in assignments.items()
+    }
+    m = _read_plan(spark, tplan, keep_positions=True).filter(matched_expr)
+    # simultaneous assignment against the PRE-update row, cast back to
+    # the declared type (same semantics as the rewrite path)
+    post = m.select(
+        *[
+            exprs[f.name].cast(f.dataType).alias(f.name)
+            if f.name in exprs
+            else F.col(f.name)
+            for f in target.fields
+        ]
+    )
+    _enforce_constraints(post, manifest.get("constraints") or [])
+    pre = m.select(*[F.col(f.name) for f in target.fields]).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    change_rows = pre.unionByName(
+        post.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    blob: dict = {"files_total": part["files_total"]}
+    if assigns_json is not None:
+        if pred_json is not None:
+            blob["predicate"] = pred_json
+            blob["assignments"] = assigns_json
+        elif rule_doc is not None:
+            blob["rule"] = rule_doc
+            blob["external_params"] = dict(external_params or {})
+            blob["assignments"] = assigns_json
+    return _dv_mutation_commit(
+        spark,
+        path,
+        manifest,
+        expected,
+        m,
+        "update",
+        blob,
+        change_rows,
+        dv_max_rows,
+        strict,
+        new_data=post,
+    )
+
+
 def vt_delete(
     spark,
     path: str,
@@ -2312,6 +2733,8 @@ def vt_delete(
     max_retries: int = 5,
     rule=None,
     external_params=None,
+    mode: str = "rewrite",
+    dv_max_rows: int = 100_000,
 ) -> int:
     """Row-level DELETE as a committed version (Delta's ``DELETE FROM …
     WHERE``): remove every row matching ``predicate`` — one ``(col, op,
@@ -2348,9 +2771,32 @@ def vt_delete(
     rule deletions too; a compiled object is not JSON-recordable and
     needs ``change_feed=True`` for CDC.
 
+    ``mode`` selects the mutation strategy (Delta's deletion vectors):
+
+    * ``"rewrite"`` (default) — copy-on-write as described above;
+    * ``"dv"`` — MERGE-ON-READ: no data file is rewritten; the commit
+      records the matched rows' positions in a deletion-vector sidecar
+      (``files_rewritten = 0``) and every reader drops them at scan
+      time. A GDPR one-row delete against a 1 GB file costs a few
+      bytes, not a 1 GB rewrite. The deleted rows are ALWAYS
+      materialized in a ``c_*`` change directory (they are small by
+      assumption — that is the DV case), so batch CDC and the streaming
+      source stay exact with zero replay machinery. Raises when more
+      than ``dv_max_rows`` rows match (a large delete should rewrite)
+      or on a legacy table without a recorded schema;
+    * ``"auto"`` — ``dv`` when at most ``dv_max_rows`` rows match,
+      ``rewrite`` otherwise.
+
+    OPTIMIZE / vt_maintain materialize accumulated DVs (their rewrite
+    reads apply the vectors, and the new manifest references only fresh
+    files, so the entries expire with the files they described).
+
     Concurrency: like OPTIMIZE, a delete is derived from the head it
     read; on a commit race it re-reads the new head and retries."""
     from collections.abc import Mapping as _Mapping
+
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown delete mode {mode!r}")
 
     rule_doc = None
     if rule is not None:
@@ -2388,10 +2834,12 @@ def vt_delete(
             raise FileNotFoundError(f"no committed versions at {path}")
         expected = head[-1]
         manifest = _read_manifest(path, expected)
+        rule_pred_json = None
         if rule is not None:
             from pyspark.sql.types import StructType
             from ..operators.predicates import (
                 compile_predicate,
+                rule_exact_conjuncts,
                 rule_skip_conjuncts,
             )
 
@@ -2407,12 +2855,35 @@ def vt_delete(
             cond = compile_predicate(
                 rule.conditions, schema_st, external_params
             )
+            # when the rule is EXACTLY a skip-grammar conjunction,
+            # record it as a plain predicate too: the streaming change
+            # source replays the skip grammar with pyarrow but cannot
+            # evaluate the full operator set — this closes the
+            # batch-vs-stream replay asymmetry for simple rules
+            exact = rule_exact_conjuncts(rule, schema_st, external_params)
+            if exact is not None:
+                try:
+                    json.dumps([[c, o, v] for c, o, v in exact])
+                    rule_pred_json = [[c, o, v] for c, o, v in exact]
+                except (TypeError, ValueError):
+                    rule_pred_json = None
         else:
             loop_conjuncts = conjuncts
+        # a rule the skip grammar cannot express exactly is not
+        # stream-replayable from metadata: materialize the deleted rows
+        # at delete time so the streaming source never has to refuse
+        need_changes = change_feed or (
+            rule is not None and rule_pred_json is None
+        )
         touch = _pred_touch_fn(
             loop_conjuncts, _bloom_col_types(manifest)
         )
         if manifest.get("schema") is None:
+            if mode == "dv":
+                raise ValueError(
+                    "mode='dv' requires a table with a recorded schema "
+                    "(legacy tables rewrite whole snapshots)"
+                )
             # legacy table without schema metadata: whole-snapshot rewrite
             part = None
             touched = vt_read(spark, path, expected)
@@ -2421,25 +2892,60 @@ def vt_delete(
             part = _partition_snapshot(path, manifest, touch)
             if not part["touched_paths"]:
                 return expected  # provably nothing to delete — no-op
-            touched = _read_plan(
-                spark,
-                {
-                    "paths": part["touched_paths"],
-                    "schema": manifest["schema"],
-                    "schema_heterogeneous": manifest.get(
-                        "schema_heterogeneous", False
+            tplan = {
+                "paths": part["touched_paths"],
+                "schema": manifest["schema"],
+                "schema_heterogeneous": manifest.get(
+                    "schema_heterogeneous", False
+                ),
+            }
+            # the touched read must honor EXISTING deletion vectors, or
+            # a rewrite would resurrect (and a new DV would re-count)
+            # rows an earlier merge-on-read delete already removed
+            _attach_plan_dv(tplan, path, manifest)
+            if mode in ("dv", "auto"):
+                matched = _read_plan(
+                    spark, tplan, keep_positions=True
+                ).filter(F.coalesce(cond, F.lit(False)))
+                blob = {"files_total": part["files_total"]}
+                if pred_json is not None:
+                    blob["predicate"] = pred_json
+                elif rule_pred_json is not None:
+                    # exact skip-grammar rendering of the rule — makes
+                    # the commit stream-replayable from metadata alone
+                    blob["predicate"] = rule_pred_json
+                if rule_doc is not None:
+                    blob["rule"] = rule_doc
+                    blob["external_params"] = dict(external_params or {})
+                res = _dv_mutation_commit(
+                    spark,
+                    path,
+                    manifest,
+                    expected,
+                    matched,
+                    "delete",
+                    blob,
+                    matched.drop("_vt_file_key", "_vt_pos").withColumn(
+                        "_change_type", F.lit("delete")
                     ),
-                },
-            )
+                    dv_max_rows,
+                    strict=(mode == "dv"),
+                )
+                if res is not None:
+                    if res >= 0:
+                        return res
+                    continue  # lost the commit race — retry on new head
+                # mode="auto" over dv_max_rows: copy-on-write this attempt
+            touched = _read_plan(spark, tplan)
             schema_json = manifest["schema"]
         survivors = touched.filter(~F.coalesce(cond, F.lit(False)))
         change_dir = None
-        if change_feed:
+        if need_changes:
             # two consumers of the touched files (deleted + survivors):
             # persist for the duration of the writes, release in finally
             touched.persist()
         try:
-            if change_feed:
+            if need_changes:
                 deleted = touched.filter(cond).withColumn(
                     "_change_type", F.lit("delete")
                 )
@@ -2450,7 +2956,7 @@ def vt_delete(
                 _write_data_dir(survivors, path)
             )
         finally:
-            if change_feed:
+            if need_changes:
                 touched.unpersist()
         if part is not None:
             dirs = part["dirs"] + [new_dir]
@@ -2489,11 +2995,19 @@ def vt_delete(
             hetero = False
         if pred_json is not None:
             blob["predicate"] = pred_json
+        elif rule_pred_json is not None:
+            # exact skip-grammar rendering of the rule — the streaming
+            # source replays it with pyarrow, no change rows needed
+            blob["predicate"] = rule_pred_json
         if rule_doc is not None:
             # replayable rule recipe: the change feed recompiles it over
             # the previous snapshot to reconstruct the deleted rows
             blob["rule"] = rule_doc
             blob["external_params"] = dict(external_params or {})
+        if need_changes and not change_feed:
+            # forced materialization: the rule is not expressible in the
+            # skip grammar, so its deletions were recorded as rows
+            blob["materialized_changes"] = "rule_not_skip_expressible"
         try:
             return _commit(
                 path,
@@ -2524,10 +3038,14 @@ def vt_delete(
 def vt_update(
     spark,
     path: str,
-    predicate,
-    assignments: dict,
+    predicate=None,
+    assignments: dict | None = None,
     change_feed: bool = False,
     max_retries: int = 5,
+    rule=None,
+    external_params=None,
+    mode: str = "rewrite",
+    dv_max_rows: int = 100_000,
 ) -> int:
     """Row-level UPDATE as a committed version (Delta's ``UPDATE … SET …
     WHERE``), completing the DML triad next to :func:`vt_merge` and
@@ -2553,27 +3071,57 @@ def vt_update(
     metadata, so those raise like an unrecorded merge. The STREAMING
     change source always requires the recorded change directory (it
     reads files with pyarrow and cannot evaluate SQL expressions).
-    CHECK constraints re-validate the post-update rows before commit."""
-    conjuncts = _normalize_predicate(predicate)
-    if conjuncts is None:
-        raise ValueError("vt_update requires a predicate")
+    CHECK constraints re-validate the post-update rows before commit.
+
+    ``rule=`` (mutually exclusive with ``predicate``) accepts a compiled
+    :class:`RuleDefinition` or raw rule dict, completing the
+    rule-documents-drive-DML triad next to ``vt_read(rule=...)`` and
+    ``vt_delete(rule=...)``: the rule's REQUIRED skip-eligible conjuncts
+    prune untouchable files, the FULL compiled predicate decides which
+    rows update. A raw-dict rule with JSON-safe params is recorded in
+    the manifest alongside string assignments, so the change feed
+    reconstructs rule updates too.
+
+    ``mode="dv"`` / ``"auto"`` — MERGE-ON-READ (deletion vectors, see
+    :func:`vt_delete`): matched rows' positions are DV'd out of their
+    files (``files_rewritten = 0``) and the post-update rows are
+    appended as a fresh directory; pre/post change images are always
+    materialized. Bounded by ``dv_max_rows``."""
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown update mode {mode!r}")
+    from collections.abc import Mapping as _Mapping
+
+    rule_doc = None
+    if rule is not None:
+        if predicate is not None:
+            raise ValueError("pass predicate= or rule=, not both")
+        from ..plans.model import RuleDefinition
+
+        if isinstance(rule, _Mapping):
+            rule_doc = dict(rule)
+            rule = RuleDefinition.from_dict(rule)
+        conjuncts = None
+        pred_json = None
+        try:
+            json.dumps([rule_doc, dict(external_params or {})])
+        except (TypeError, ValueError):
+            rule_doc = None  # non-JSON params: CDC needs change_feed
+    else:
+        conjuncts = _normalize_predicate(predicate)
+        if conjuncts is None:
+            raise ValueError("vt_update requires a predicate or a rule")
+        try:
+            json.dumps([[c, o, v] for c, o, v in conjuncts])
+            pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
+        except (TypeError, ValueError):
+            pred_json = None
     if not assignments:
         raise ValueError("vt_update requires at least one assignment")
-    try:
-        json.dumps([[c, o, v] for c, o, v in conjuncts])
-        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
-    except (TypeError, ValueError):
-        pred_json = None
     assigns_json = (
         dict(assignments)
         if all(isinstance(e, str) for e in assignments.values())
         else None
     )
-    cond = None
-    for col, op, value in conjuncts:
-        c = _conjunct_column(col, op, value)
-        cond = c if cond is None else (cond & c)
-    matched = F.coalesce(cond, F.lit(False))
 
     for _ in range(max_retries):
         head = vt_versions(path)
@@ -2581,8 +3129,40 @@ def vt_update(
             raise FileNotFoundError(f"no committed versions at {path}")
         expected = head[-1]
         manifest = _read_manifest(path, expected)
-        touch = _pred_touch_fn(conjuncts, _bloom_col_types(manifest))
+        if rule is not None:
+            from pyspark.sql.types import StructType
+
+            from ..operators.predicates import (
+                compile_predicate,
+                rule_skip_conjuncts,
+            )
+
+            if manifest.get("schema") is not None:
+                schema_st = StructType.fromJson(manifest["schema"])
+            else:
+                schema_st = spark.read.parquet(
+                    os.path.join(path, manifest["dirs"][0])
+                ).schema
+            loop_conjuncts = (
+                rule_skip_conjuncts(rule, schema_st, external_params) or []
+            )
+            cond = compile_predicate(
+                rule.conditions, schema_st, external_params
+            )
+        else:
+            loop_conjuncts = conjuncts
+            cond = None
+            for col, op, value in conjuncts:
+                c = _conjunct_column(col, op, value)
+                cond = c if cond is None else (cond & c)
+        matched = F.coalesce(cond, F.lit(False))
+        touch = _pred_touch_fn(loop_conjuncts, _bloom_col_types(manifest))
         if manifest.get("schema") is None:
+            if mode == "dv":
+                raise ValueError(
+                    "mode='dv' requires a table with a recorded schema "
+                    "(legacy tables rewrite whole snapshots)"
+                )
             part = None
             touched = vt_read(spark, path, expected)
             schema_json = None
@@ -2590,16 +3170,38 @@ def vt_update(
             part = _partition_snapshot(path, manifest, touch)
             if not part["touched_paths"]:
                 return expected  # provably nothing to update — no-op
-            touched = _read_plan(
-                spark,
-                {
-                    "paths": part["touched_paths"],
-                    "schema": manifest["schema"],
-                    "schema_heterogeneous": manifest.get(
-                        "schema_heterogeneous", False
-                    ),
-                },
-            )
+            tplan = {
+                "paths": part["touched_paths"],
+                "schema": manifest["schema"],
+                "schema_heterogeneous": manifest.get(
+                    "schema_heterogeneous", False
+                ),
+            }
+            # honor existing deletion vectors (see vt_delete)
+            _attach_plan_dv(tplan, path, manifest)
+            if mode in ("dv", "auto"):
+                res = _dv_update_attempt(
+                    spark,
+                    path,
+                    manifest,
+                    expected,
+                    tplan,
+                    matched,
+                    assignments,
+                    part,
+                    pred_json,
+                    rule_doc,
+                    external_params,
+                    assigns_json,
+                    dv_max_rows,
+                    strict=(mode == "dv"),
+                )
+                if res is not None:
+                    if res >= 0:
+                        return res
+                    continue  # lost the commit race — retry on new head
+                # mode="auto" over dv_max_rows: copy-on-write this attempt
+            touched = _read_plan(spark, tplan)
             schema_json = manifest["schema"]
         fields = touched.schema.fields
         names = {f.name for f in fields}
@@ -2682,10 +3284,16 @@ def vt_update(
             blob = {}
             schema_json = json.loads(updated.schema.json())
             hetero = False
-        if pred_json is not None and assigns_json is not None:
+        if assigns_json is not None and pred_json is not None:
             # replayable recipe: vt_read_changes reconstructs both
             # images from the previous snapshot + these expressions
             blob["predicate"] = pred_json
+            blob["assignments"] = assigns_json
+        elif assigns_json is not None and rule_doc is not None:
+            # rule recipe: the change feed recompiles the rule over the
+            # previous snapshot and re-applies the assignments
+            blob["rule"] = rule_doc
+            blob["external_params"] = dict(external_params or {})
             blob["assignments"] = assigns_json
         try:
             return _commit(
@@ -2739,6 +3347,18 @@ def vt_history(path: str) -> list[dict]:
             # referenced-not-rewritten
             if isinstance(m.get(blob), dict):
                 entry[blob] = m[blob]
+        if m.get("dv"):
+            # merge-on-read state at this version: how many files carry
+            # deletion vectors and how many rows they hide (the
+            # OPTIMIZE-debt the maintenance planner should weigh)
+            entry["dv"] = {
+                "files": sum(len(f) for f in m["dv"].values()),
+                "rows": sum(
+                    e["count"]
+                    for fmap in m["dv"].values()
+                    for e in fmap.values()
+                ),
+            }
         out.append(entry)
     return out
 
@@ -2770,11 +3390,14 @@ def vt_restore(spark, path: str, version: int) -> int:
         target.get("files"),
         schema=target.get("schema"),
         heterogeneous=target.get("schema_heterogeneous", False),
-        # the restored dirs are the target's dirs verbatim — their blooms
-        # and footer row counts restore with them
+        # the restored dirs are the target's dirs verbatim — their blooms,
+        # footer row counts and deletion vectors restore with them (an
+        # empty dict clears the HEAD's DVs when the target had none:
+        # restoring past a DV delete must resurrect the rows it deleted)
         blooms=target.get("blooms"),
         file_rows=target.get("file_rows"),
         partial_dirs=target.get("partial_dirs"),
+        dv=target.get("dv") or {},
     )
 
 
@@ -3050,6 +3673,30 @@ def vt_vacuum(
                     removed.append(os.path.join(d, n))
                 except OSError:
                     continue
+    # deletion-vector sidecars: reap any not referenced by a RETAINED
+    # manifest (relative refs only — absolute refs belong to another
+    # table's _dv tree, a shallow clone's shared source). A young
+    # unreferenced sidecar may be a concurrent DV writer's staged file,
+    # so the same grace window as data directories applies.
+    dv_refs: set[str] = set()
+    for v in keep:
+        for fmap in (_read_manifest(path, v).get("dv") or {}).values():
+            for entry in fmap.values():
+                if not os.path.isabs(entry["ref"]):
+                    dv_refs.add(entry["ref"])
+    dvd = _dv_dir(path)
+    if os.path.isdir(dvd):
+        for name in os.listdir(dvd):
+            if not name.startswith("dv_") or name in dv_refs:
+                continue
+            full = os.path.join(dvd, name)
+            try:
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue
+                os.remove(full)
+                removed.append(os.path.join("_dv", name))
+            except OSError:
+                continue
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))
@@ -3104,6 +3751,7 @@ def vt_analyze(
     columns: Sequence[str] | None = None,
     rsd: float = 0.02,
     mcv: bool = True,
+    mcv_sample: float | None = None,
 ) -> int:
     """ANALYZE TABLE: commit a metadata-only ``analyze`` version whose
     manifest carries table-level optimizer statistics for the current
@@ -3128,9 +3776,20 @@ def vt_analyze(
     the head's directories verbatim (zero-copy, like RESTORE) and carries
     every data-layout key forward, so skipping/blooms/meta-count behave
     identically at the new head; only the ``analyze`` blob is new.
+    ``mcv_sample`` (0 < f ≤ 1) bounds the MCV pass at scale: the
+    single-pass explode shuffles |rows|×|cols| pairs — one job (the r9
+    ask) but a wide one at 100 TB. With a fraction, the pairs are built
+    from a deterministic hash-Bernoulli row sample (the AQP module's
+    md5 hash-fraction cut over a per-row id) and the top-1 frequency is
+    scaled by 1/f — an estimate, recorded as such in the blob
+    (``mcv_sample``), good enough for the planner's skew-share
+    decision. Default None keeps the exact pass.
+
     Like every commit, it is optimistic: a concurrent data commit wins
     and the ANALYZE surfaces FileExistsError (stats must describe the
     snapshot they were computed on)."""
+    if mcv_sample is not None and not (0.0 < mcv_sample <= 1.0):
+        raise ValueError("mcv_sample must be in (0, 1]")
     head = _resolve_version(path, None)
     prev = _read_manifest(path, head)
     df = vt_read(spark, path, version=head)
@@ -3172,7 +3831,21 @@ def vt_analyze(
             # CAST-to-string only to share one array type; two distinct
             # values of one atomic column never render identically, so
             # the top-1 FREQUENCY (all the planner consumes) is exact.
-            pairs = df.select(
+            mcv_df = df
+            scale = 1.0
+            if mcv_sample is not None and mcv_sample < 1.0:
+                from ..functions.sampling import hash_fraction
+
+                # per-row Bernoulli cut: the id must be per-ROW (a
+                # value-keyed hash would keep or drop ALL copies of a
+                # value together, destroying the frequency estimate)
+                mcv_df = df.withColumn(
+                    "__rid", F.monotonically_increasing_id()
+                ).filter(
+                    hash_fraction(F.col("__rid")) < F.lit(mcv_sample)
+                )
+                scale = 1.0 / mcv_sample
+            pairs = mcv_df.select(
                 F.explode(
                     F.array(
                         *[
@@ -3194,7 +3867,7 @@ def vt_analyze(
                 .collect()
             )
             for r in top:
-                col_stats[r["_c"]]["mcv_count"] = int(r["_m"])
+                col_stats[r["_c"]]["mcv_count"] = int(r["_m"] * scale)
     analyze = {
         "at_version": head,
         "rows": int(vt_count(spark, path, version=head)),
@@ -3202,6 +3875,8 @@ def vt_analyze(
         "rsd": rsd,
         "columns": col_stats,
     }
+    if mcv and mcv_sample is not None and mcv_sample < 1.0:
+        analyze["mcv_sample"] = mcv_sample  # MCV counts are estimates
     return _commit(
         path,
         list(prev["dirs"]),
@@ -3239,6 +3914,10 @@ def vt_table_stats(path: str) -> dict:
             rows = None
             break
         rows += sum(drows[f] for f in flist)
+    if rows is not None:
+        # footer counts are physical; deletion vectors subtract exactly
+        for fmap in (manifest.get("dv") or {}).values():
+            rows -= sum(e["count"] for e in fmap.values())
     out: dict = {
         "version": head,
         "rows": rows,
@@ -3608,6 +4287,33 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
             remap[d] = name
     else:
         remap = {d: absd(d) for d in m["dirs"]}
+    # deletion vectors travel with the files they describe: deep clones
+    # copy the referenced sidecars into the clone's own _dv tree
+    # (severing the source dependency); shallow clones reference them by
+    # absolute path, the same contract as the shared data dirs
+    dv_remap: dict = {}
+    for d, fmap in (m.get("dv") or {}).items():
+        out_f: dict = {}
+        for fname, entry in fmap.items():
+            ref = entry["ref"]
+            src_ref = (
+                ref
+                if os.path.isabs(ref)
+                else os.path.join(_dv_dir(src_path), ref)
+            )
+            if deep:
+                os.makedirs(_dv_dir(dst_path), exist_ok=True)
+                dst_ref = os.path.join(
+                    _dv_dir(dst_path), os.path.basename(src_ref)
+                )
+                if not os.path.exists(dst_ref):
+                    shutil.copy2(src_ref, dst_ref)
+                new_ref = os.path.basename(src_ref)
+            else:
+                new_ref = src_ref
+            out_f[fname] = {**entry, "ref": new_ref}
+        if out_f:
+            dv_remap[remap[d]] = out_f
     version = _commit(
         dst_path,
         [remap[d] for d in m["dirs"]],
@@ -3626,6 +4332,7 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
             remap[d] for d in m.get("partial_dirs", []) if d in remap
         ],
         clone={"src": src_path, "version": src_head, "deep": deep},
+        dv=dv_remap,
     )
     return version
 
@@ -3654,9 +4361,17 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
             if not flist or any(f not in drows for f in flist):
                 return None
             total += sum(drows[f] for f in flist)
+        # footer counts are physical; deletion vectors subtract exactly
+        for fmap in (m.get("dv") or {}).values():
+            total -= sum(e["count"] for e in fmap.values())
         return total
 
     def minmax_of(m: dict, col: str):
+        if m.get("dv"):
+            # deletion vectors may have removed the footer extrema:
+            # stats are a superset — sound for pruning, not for exact
+            # range reporting, so the drift report omits the column
+            return None
         stats = m.get("stats", {})
         lo = hi = None
         for d in m["dirs"]:

@@ -68,12 +68,37 @@ class _ChangePartition(InputPartition):
     None means the file itself carries a ``_change_type`` column (a
     recorded ``c_*`` change file); otherwise every row gets the literal.
     ``predicate`` (delete replay) filters the file's rows to the ones
-    the delete removed."""
+    the delete removed. ``dv`` maps file basename → deleted row
+    positions (the replayed snapshot's deletion vectors): those rows
+    are logically absent from the snapshot, so they are dropped BEFORE
+    any tagging or predicate filtering."""
 
     path: str = ""
     version: int = 0
     change_type: str | None = None
     predicate: list | None = None
+    dv: dict | None = None
+
+
+def _dv_for_path(p: str, loaded: dict) -> dict | None:
+    """Subset a snapshot's loaded DV positions (``{basename(dir)/file:
+    [positions]}``) to one scan-plan path — a whole directory or a
+    single file — keyed by file basename for the executor-side mask."""
+    if os.path.isdir(p):
+        base = os.path.basename(p.rstrip("/"))
+        sub = {
+            k.split("/", 1)[1]: v
+            for k, v in loaded.items()
+            if k.split("/", 1)[0] == base
+        }
+        return sub or None
+    key = (
+        os.path.basename(os.path.dirname(p))
+        + "/"
+        + os.path.basename(p)
+    )
+    poss = loaded.get(key)
+    return {os.path.basename(p): poss} if poss else None
 
 
 def _pa_filter(predicate: list):
@@ -159,6 +184,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
     # -- planning (driver, metadata only) ---------------------------------
     def partitions(self, start: dict, end: dict):
         from ..sources.versioned import (
+            _load_dv_positions,
             _read_manifest,
             vt_scan_plan,
             vt_versions,
@@ -171,11 +197,27 @@ class _ChangesStreamReader(DataSourceStreamReader):
         versions = vt_versions(self._path)
         parts: list[_ChangePartition] = []
 
+        def dv_of(v: int) -> dict:
+            # the replayed snapshot's deletion vectors, loaded ONCE on
+            # the driver (sidecars are small by the merge-on-read
+            # contract) and shipped per-partition as plain positions
+            m = _read_manifest(self._path, v)
+            dvm = m.get("dv")
+            return _load_dv_positions(self._path, dvm) if dvm else {}
+
         def snapshot_parts(v: int, tag: str):
-            # honors partial_dirs / authoritative file lists
+            # honors partial_dirs / authoritative file lists, and the
+            # snapshot's deletion vectors (DV'd rows are not part of the
+            # snapshot being replayed)
+            loaded = dv_of(v)
             for p in vt_scan_plan(self._path, v)["paths"]:
                 parts.append(
-                    _ChangePartition(path=p, version=v, change_type=tag)
+                    _ChangePartition(
+                        path=p,
+                        version=v,
+                        change_type=tag,
+                        dv=_dv_for_path(p, loaded),
+                    )
                 )
 
         for v in range(lo + 1, hi + 1):
@@ -240,6 +282,11 @@ class _ChangesStreamReader(DataSourceStreamReader):
                             f"version {v - 1} was vacuumed: cannot "
                             f"replay the delete at version {v}"
                         )
+                    # replay = PREVIOUS snapshot ∩ predicate; the
+                    # previous snapshot's own DVs must apply first or
+                    # rows an earlier merge-on-read delete removed could
+                    # re-match and stream as phantom deletes
+                    prev_loaded = dv_of(v - 1)
                     for p in vt_scan_plan(self._path, v - 1)["paths"]:
                         parts.append(
                             _ChangePartition(
@@ -247,6 +294,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 version=v,
                                 change_type="delete",
                                 predicate=pred,
+                                dv=_dv_for_path(p, prev_loaded),
                             )
                         )
                 else:
@@ -291,7 +339,21 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 if partition.predicate
                 else None
             )
-            tbl = dset.to_table(filter=expr)
+            dvpos = (partition.dv or {}).get(os.path.basename(p))
+            if dvpos:
+                # deletion vectors address PHYSICAL row positions, so
+                # the file is read unfiltered, DV'd rows are masked
+                # out, and only then does any replay predicate apply
+                import numpy as np
+
+                tbl = dset.to_table()
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[dvpos] = False
+                tbl = tbl.filter(pa.array(mask))
+                if expr is not None:
+                    tbl = tbl.filter(expr)
+            else:
+                tbl = dset.to_table(filter=expr)
             n = tbl.num_rows
             cols = []
             for f in target:

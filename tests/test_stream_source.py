@@ -365,3 +365,137 @@ class TestDeleteReplayNullSemantics:
             for r in out.filter("_change_type = 'delete'").collect()
         }
         assert dels == {1}
+
+
+class TestStreamRuleDeleteReplay:
+    """r10 verdict ask #4: stream-vs-batch identity over vt_delete(rule=)
+    commits without explicit change_feed — exact rules replay via the
+    recorded plain predicate, inexact rules via the auto-materialized
+    change directory."""
+
+    def test_exact_rule_delete_streams_without_change_feed(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        vt_delete(
+            spark, src, rule={
+                "Conditions": {
+                    "Conditions": [
+                        {"Property": "g", "Operator": "Equal", "Value": "g1"}
+                    ]
+                }
+            },
+        )
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"]
+            for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {i for i in range(12) if i % 3 == 1}
+
+    def test_inexact_rule_delete_streams_via_materialized_changes(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        # StartsWith is outside the skip grammar: the delete must have
+        # auto-materialized its change rows, and the stream reads them
+        vt_delete(
+            spark, src, rule={
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "g",
+                            "Operator": "StartsWith",
+                            "Value": "g2",
+                        }
+                    ]
+                }
+            },
+        )
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"]
+            for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {i for i in range(12) if i % 3 == 2}
+
+
+class TestStreamDeletionVectors:
+    """Streaming exactness through merge-on-read commits: DV deletes
+    always carry materialized change rows, and snapshot replays
+    (overwrite/restore, predicate-delete replay) apply the replayed
+    version's deletion vectors before tagging."""
+
+    def test_dv_delete_streams_exact(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        vt_delete(spark, src, ("id", "=", 5), mode="dv")
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"]
+            for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {5}
+        # signed fold equals the live snapshot
+        assert _signed_state(out) == _signed_state(
+            vt_read(spark, src)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+
+    def test_restore_replay_applies_dvs(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_restore
+
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        vt_delete(spark, src, ("id", "=", 5), mode="dv")          # v2
+        vt_write(spark, src, _df(spark, 12).filter("id = 0")
+                 .selectExpr("id + 100 as id", "g", "x"),
+                 mode="append")                                    # v3
+        vt_restore(spark, src, 2)                                  # v4
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        # the restore's delete-all(v3) + insert-all(v4) replay reads the
+        # DV'd snapshots: id=5 must appear in NEITHER side
+        v4 = out.filter("_commit_version = 4")
+        assert v4.filter("id = 5").count() == 0
+        # and the net fold still matches the live table (which lacks 5)
+        assert _signed_state(out) == _signed_state(
+            vt_read(spark, src)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+
+    def test_predicate_delete_replay_skips_dv_rows(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        vt_delete(spark, src, ("g", "=", "g1"), mode="dv")  # ids 1,4,7,10
+        # plain predicate delete WITHOUT change feed over a snapshot that
+        # has DVs: the replay must not re-emit the DV'd rows as deletes
+        vt_delete(spark, src, ("id", "<", 6))
+        stream = vt_change_stream(spark, src)
+        qn = _drain_to_memory(stream)
+        out = spark.sql(f"select * from {qn}")
+        d3 = {
+            r["id"]
+            for r in out.filter(
+                "_change_type = 'delete' AND _commit_version = 3"
+            ).collect()
+        }
+        assert d3 == {0, 2, 3, 5}  # 1 and 4 were already DV-deleted
+        # group g1 is fully deleted: the fold carries it at n=0, the
+        # live snapshot has no such group — drop zeroed groups
+        fold = {
+            t for t in _signed_state(out) if t[1] != 0
+        }
+        assert fold == _signed_state(
+            vt_read(spark, src)
+            .withColumn("_change_type", F.lit("insert"))
+        )

@@ -3141,3 +3141,584 @@ class TestMergeStoreAssignment:
         vt_merge(spark, path, ups, ["id"])
         got = {(r["id"], r["n"]) for r in vt_read(spark, path).collect()}
         assert got == {(1, None), (2, 20)}
+
+
+class TestDeletionVectors:
+    """r10 verdict ask #2: merge-on-read DELETE/UPDATE. A small mutation
+    writes a positional deletion-vector sidecar instead of rewriting
+    files (files_rewritten = 0); every reader — snapshot, time travel,
+    metadata count, change feed, DML rewrites — applies the vectors;
+    OPTIMIZE materializes them."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_dv_delete_rewrites_nothing(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        v = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        m = _read_manifest(path, v)
+        assert m["delete"]["dv"] is True
+        assert m["delete"]["files_rewritten"] == 0
+        assert m["delete"]["rows_matched"] == 1
+        # every data file referenced VERBATIM — dirs, files, stats,
+        # blooms, footer counts all carry unchanged
+        assert m["dirs"] == pre["dirs"]
+        assert m["files"] == pre["files"]
+        assert m["file_stats"] == pre["file_stats"]
+        assert m["file_rows"] == pre["file_rows"]
+        # the vector names exactly one file with one position
+        [(d, fmap)] = list(m["dv"].items())
+        [(fname, entry)] = list(fmap.items())
+        assert entry["count"] == 1
+        # reads drop the row; metadata count subtracts it without a scan
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert 5 not in got and len(got) == 63
+        assert vt_count(spark, path) == 63
+        # time travel to the pre-DV snapshot still sees the row
+        assert 5 in {r["id"] for r in vt_read(spark, path, 2).collect()}
+
+    def test_dv_union_across_commits(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        v = vt_delete(spark, path, ("id", "in", [6, 7]), mode="dv")
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({5, 6, 7}) and len(got) == 61
+        assert vt_count(spark, path) == 61
+        # 5,6,7 cluster in one optimized file: its entry is the UNION
+        m = _read_manifest(path, v)
+        counts = [
+            e["count"] for fmap in m["dv"].values() for e in fmap.values()
+        ]
+        assert sum(counts) == 3
+
+    def test_dv_delete_is_idempotent_noop_when_nothing_matches(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        v1 = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        # the row is already deleted: the second delete matches nothing
+        # (the matched read applies existing vectors) and commits nothing
+        v2 = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        assert v2 == v1
+        assert vt_versions(path)[-1] == v1
+
+    def test_dv_cap_strict_raises_auto_falls_back(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        with pytest.raises(ValueError, match="dv_max_rows"):
+            vt_delete(
+                spark, path, ("id", "<", 32), mode="dv", dv_max_rows=10
+            )
+        v = vt_delete(
+            spark, path, ("id", "<", 32), mode="auto", dv_max_rows=10
+        )
+        m = _read_manifest(path, v)
+        assert m["delete"]["files_rewritten"] > 0  # copy-on-write fallback
+        assert "dv" not in m["delete"]
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(32, 64))
+
+    def test_rewrite_delete_does_not_resurrect_dv_rows(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        # copy-on-write delete touching the same file: the rewrite read
+        # must apply the existing vector
+        vt_delete(spark, path, ("id", "=", 4))
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({4, 5}) and len(got) == 62
+
+    def test_merge_does_not_resurrect_dv_rows(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        # merge rewrites the file holding key 4 (same file as 5)
+        vt_merge(spark, path, _df(spark, [(4, "FOUR")]), ["id"])
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[4] == "FOUR" and 5 not in got and len(got) == 63
+
+    def test_optimize_materializes_dvs(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        v = vt_optimize(spark, path, ["id"], n_partitions=4)
+        m = _read_manifest(path, v)
+        assert "dv" not in m  # vectors expired with the rewritten files
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert 5 not in got and len(got) == 63
+        assert vt_count(spark, path) == 63
+
+    def test_dv_update_appends_postimages(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        v = vt_update(
+            spark, path, ("id", "=", 10), {"v": "'TEN'"}, mode="dv"
+        )
+        m = _read_manifest(path, v)
+        assert m["update"]["dv"] is True
+        assert m["update"]["files_rewritten"] == 0
+        # old dirs carried verbatim + exactly one appended post-image dir
+        assert set(pre["dirs"]) < set(m["dirs"])
+        assert len(m["dirs"]) == len(pre["dirs"]) + 1
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[10] == "TEN" and len(got) == 64
+        assert vt_count(spark, path) == 64
+
+    def test_dv_update_respects_constraints(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+            vt_optimize,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "a"), (2, "b")]),
+            constraints=[
+                {"name": "v_not_null", "kind": "not_null", "col": "v"}
+            ],
+        )
+        vt_optimize(spark, path, ["id"], n_partitions=2)
+        with pytest.raises(ConstraintViolation, match="v_not_null"):
+            vt_update(
+                spark, path, ("id", "=", 1), {"v": "NULL"}, mode="dv"
+            )
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
+
+    def test_change_feed_exact_through_dv_commits(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_read_changes,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v1 = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        v2 = vt_update(
+            spark, path, ("id", "=", 10), {"v": "'TEN'"}, mode="dv"
+        )
+        ch = vt_read_changes(spark, path, 2, v2)
+        got = {
+            (r["id"], r["_change_type"], r["_commit_version"])
+            for r in ch.collect()
+        }
+        assert got == {
+            (5, "delete", v1),
+            (10, "update_preimage", v2),
+            (10, "update_postimage", v2),
+        }
+
+    def test_restore_past_dv_resurrects_rows(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_delete,
+            vt_restore,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        v = vt_restore(spark, path, 2)  # pre-DV snapshot
+        m = _read_manifest(path, v)
+        assert "dv" not in m
+        assert 5 in {r["id"] for r in vt_read(spark, path).collect()}
+        assert vt_count(spark, path) == 64
+
+    def test_minmax_falls_back_when_dv_removed_extreme(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_minmax,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 63), mode="dv")
+        assert vt_minmax(spark, path, "id") == (0, 62)
+
+    def test_predicate_read_with_pruning_applies_dv(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        # the predicate matches ONLY the deleted row — stats keep its
+        # file, the vector must drop the row behind the filter
+        got = vt_read(spark, path, predicate=("id", "=", 5)).collect()
+        assert got == []
+
+    def test_shallow_clone_carries_dvs(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_count,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        dst = str(tmp_path / "branch")
+        vt_clone(spark, path, dst)
+        got = {r["id"] for r in vt_read(spark, dst).collect()}
+        assert 5 not in got and len(got) == 63
+        assert vt_count(spark, dst) == 63
+
+    def test_deep_clone_copies_sidecars(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_clone,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        dst = str(tmp_path / "backup")
+        vt_clone(spark, path, dst, deep=True)
+        # severed: the clone reads correctly even after the source's
+        # sidecars are gone
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(path, "_dv"))
+        got = {r["id"] for r in vt_read(spark, dst).collect()}
+        assert 5 not in got and len(got) == 63
+
+    def test_vacuum_reaps_expired_sidecars(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+            vt_vacuum,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        vt_optimize(spark, path, ["id"], n_partitions=4)  # materializes
+        vt_write(spark, path, _df(spark, [(100, "x")]), mode="append")
+        removed = vt_vacuum(spark, path, keep_last=2, grace_seconds=0.0)
+        assert any(n.startswith("_dv/") for n in removed)
+        assert os.listdir(os.path.join(path, "_dv")) == []
+        # referenced sidecars survive vacuum
+        vt_delete(spark, path, ("id", "=", 6), mode="dv")
+        vt_vacuum(spark, path, keep_last=1, grace_seconds=0.0)
+        assert len(os.listdir(os.path.join(path, "_dv"))) == 1
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({5, 6}) and len(got) == 63
+
+
+class TestRuleDrivenUpdate:
+    """r10 verdict ask #3: rule documents drive all three DML verbs.
+    vt_update(rule=...) prunes files on the rule's required skip
+    conjuncts, updates rows the FULL compiled predicate matches, and
+    records the rule + assignments for CDC reconstruction."""
+
+    RULE = {
+        "Conditions": {
+            "Conditions": [
+                {
+                    "Property": "v",
+                    "Operator": "StartsWith",
+                    "Value": "v1",
+                }
+            ]
+        }
+    }
+
+    def test_rule_update_applies_full_operator_set(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = str(tmp_path / "t")
+        df = spark.range(20).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_update(
+            spark, path, rule=self.RULE,
+            assignments={"v": "upper(v)"},
+        )
+        got = dict(_rows(vt_read(spark, path)))
+        # StartsWith 'v1' matches v1, v10..v19
+        assert got[1] == "V1" and got[10] == "V10" and got[19] == "V19"
+        assert got[2] == "v2" and got[0] == "v0"
+
+    def test_rule_update_cdc_reconstruction(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_read_changes,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, "va"), (2, "vb"), (3, "x")])
+        )
+        v = vt_update(
+            spark, path, rule={
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "v",
+                            "Operator": "Contains",
+                            "Value": "v",
+                        }
+                    ]
+                }
+            },
+            assignments={"v": "concat(v, '!')"},
+        )
+        m = _read_manifest(path, v)
+        assert m["update"]["rule"] is not None
+        assert m["update"]["assignments"] == {"v": "concat(v, '!')"}
+        ch = vt_read_changes(spark, path, 1, v)
+        got = {
+            (r["id"], r["v"], r["_change_type"]) for r in ch.collect()
+        }
+        assert got == {
+            (1, "va", "update_preimage"),
+            (1, "va!", "update_postimage"),
+            (2, "vb", "update_preimage"),
+            (2, "vb!", "update_postimage"),
+        }
+
+    def test_rule_update_dv_mode(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(32).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        v = vt_update(
+            spark, path,
+            rule={
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "id",
+                            "Operator": "Equal",
+                            "Value": 7,
+                        }
+                    ]
+                }
+            },
+            assignments={"v": "'SEVEN'"},
+            mode="dv",
+        )
+        m = _read_manifest(path, v)
+        assert m["update"]["dv"] is True
+        assert m["update"]["files_rewritten"] == 0
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[7] == "SEVEN" and len(got) == 32
+
+    def test_rule_and_predicate_mutually_exclusive(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_update
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        with pytest.raises(ValueError, match="not both"):
+            vt_update(
+                spark, path, ("id", "=", 1),
+                assignments={"v": "'x'"},
+                rule=self.RULE,
+            )
+
+
+class TestRuleDeleteReplayability:
+    """r10 verdict ask #4: a vt_delete(rule=...) committed WITHOUT
+    change_feed must still replay in the streaming source. A rule that
+    is exactly a skip-grammar conjunction records a plain predicate
+    (rule_exact_conjuncts); anything richer auto-materializes the
+    change rows at delete time."""
+
+    def test_exact_rule_records_predicate(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        v = vt_delete(
+            spark, path, rule={
+                "Conditions": {
+                    "Conditions": [
+                        {"Property": "id", "Operator": "Equal", "Value": 2}
+                    ]
+                }
+            },
+        )
+        m = _read_manifest(path, v)
+        # exact conjunction: recorded as a replayable plain predicate,
+        # no change rows materialized
+        assert m["delete"]["predicate"] == [["id", "=", 2]]
+        assert m.get("changes") is None
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (3, "c")}
+
+    def test_inexact_rule_materializes_changes(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "va"), (2, "xb")]))
+        v = vt_delete(
+            spark, path, rule={
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "v",
+                            "Operator": "StartsWith",
+                            "Value": "v",
+                        }
+                    ]
+                }
+            },
+        )
+        m = _read_manifest(path, v)
+        assert m.get("changes") is not None  # forced materialization
+        assert (
+            m["delete"]["materialized_changes"]
+            == "rule_not_skip_expressible"
+        )
+        assert "predicate" not in m["delete"]
+        ch = vt_read_changes(spark, path, 1, v)
+        assert {
+            (r["id"], r["_change_type"]) for r in ch.collect()
+        } == {(1, "delete")}
+
+    def test_exact_conjunct_extractor_contract(self, spark):
+        from dynamicqueryengine_spark.operators.predicates import (
+            rule_exact_conjuncts,
+        )
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("id", LongType()),
+                StructField("v", StringType()),
+            ]
+        )
+
+        def rule(*conds, op="AND", negate=False):
+            return {
+                "Conditions": {
+                    "LogicalOperator": op,
+                    "Negate": negate,
+                    "Conditions": list(conds),
+                }
+            }
+
+        eq = {"Property": "id", "Operator": "Equal", "Value": 3}
+        rng = {"Property": "id", "Operator": "LessThan", "Value": 9}
+        sw = {"Property": "v", "Operator": "StartsWith", "Value": "a"}
+        assert rule_exact_conjuncts(rule(eq), schema) == [("id", "=", 3)]
+        assert rule_exact_conjuncts(rule(eq, rng), schema) == [
+            ("id", "=", 3),
+            ("id", "<", 9),
+        ]
+        # OR with >1 child, negation, and inexpressible leaves all
+        # disqualify (rule_skip_conjuncts would still over-approximate)
+        assert rule_exact_conjuncts(rule(eq, rng, op="OR"), schema) is None
+        assert rule_exact_conjuncts(rule(eq, negate=True), schema) is None
+        assert rule_exact_conjuncts(rule(eq, sw), schema) is None
+        # empty rule compiles to TRUE — not expressible as a conjunction
+        assert rule_exact_conjuncts(rule(), schema) is None
+        # string-column ranges compare numerically, footer stats are
+        # lexicographic — never exact
+        srng = {"Property": "v", "Operator": "GreaterThan", "Value": 1}
+        assert rule_exact_conjuncts(rule(srng), schema) is None
+
+
+class TestSampledMcv:
+    """r10 verdict ask #6: the ANALYZE MCV explode shuffles |rows|×|cols|
+    pairs — bound it at scale with a hash-Bernoulli row sample whose
+    top-1 frequency scales by 1/f; the exact pass stays the default."""
+
+    def _skewed(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        # 500 rows of g=hot, 100 distinct cold values
+        df = spark.range(600).selectExpr(
+            "id", "CASE WHEN id < 500 THEN 'hot' ELSE concat('c', id) END AS g"
+        )
+        vt_write(spark, path, df)
+        return path
+
+    def test_sampled_mcv_estimates_within_band(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_analyze,
+            vt_table_stats,
+        )
+
+        path = self._skewed(spark, tmp_path)
+        vt_analyze(spark, path, columns=["g"], mcv_sample=0.5)
+        st = vt_table_stats(path)
+        blob = st["analyze"] if "analyze" in st else st
+        assert blob.get("mcv_sample") == 0.5
+        est = blob["columns"]["g"]["mcv_count"]
+        # Bernoulli(0.5) over a 500-row hot key: estimate lands well
+        # inside a 2x band with overwhelming probability
+        assert 250 <= est <= 1000
+
+    def test_default_stays_exact_and_unmarked(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_analyze,
+            vt_table_stats,
+        )
+
+        path = self._skewed(spark, tmp_path)
+        vt_analyze(spark, path, columns=["g"])
+        st = vt_table_stats(path)
+        blob = st["analyze"] if "analyze" in st else st
+        assert "mcv_sample" not in blob
+        assert blob["columns"]["g"]["mcv_count"] == 500
+
+    def test_bad_fraction_rejected(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_analyze
+
+        path = self._skewed(spark, tmp_path)
+        with pytest.raises(ValueError, match="mcv_sample"):
+            vt_analyze(spark, path, mcv_sample=0.0)
