@@ -4062,7 +4062,10 @@ def vt_maintenance_plan(
       files are under ``small_file_bytes`` and there are at least
       ``min_files`` of them (the streaming small-file problem), OR the
       snapshot spans more directories than ``min_files`` (every append
-      adds one; reads list them all). Fix = ``vt_optimize``.
+      adds one; reads list them all), OR ≥ ``small_fraction`` of the
+      files carry deletion vectors (merge-on-read debt: each DV'd file
+      pays a read-time anti-join and its stats over-describe it —
+      OPTIMIZE materializes the vectors). Fix = ``vt_optimize``.
     * ``analyze`` — ``"missing"`` / ``"stale"`` / ``"fresh"``: whether
       the cost-based join planner has statistics describing the current
       head. Fix = ``vt_analyze``.
@@ -4095,9 +4098,21 @@ def vt_maintenance_plan(
     n_files = len(sizes)
     n_small = sum(1 for s in sizes if s < small_file_bytes)
     n_dirs = len(manifest["dirs"])
+    # deletion-vector debt: merge-on-read keeps mutations cheap by
+    # deferring the rewrite — the advisor is where the bill comes due.
+    # Every DV'd file pays a broadcast-anti-join at read time and its
+    # footer stats over-describe it; OPTIMIZE materializes the vectors.
+    dv_files = sum(len(f) for f in (manifest.get("dv") or {}).values())
+    dv_rows = sum(
+        e["count"]
+        for fmap in (manifest.get("dv") or {}).values()
+        for e in fmap.values()
+    )
     compact = (
-        n_files >= min_files and n_small / max(n_files, 1) >= small_fraction
-    ) or n_dirs > min_files
+        (n_files >= min_files and n_small / max(n_files, 1) >= small_fraction)
+        or n_dirs > min_files
+        or dv_files / max(n_files, 1) >= small_fraction
+    )
 
     stats = vt_table_stats(path)
     if stats["analyze"] is None:
@@ -4151,6 +4166,7 @@ def vt_maintenance_plan(
         "bytes_total": sum(sizes),
         "avg_file_bytes": (sum(sizes) // n_files) if n_files else 0,
         "compact": compact,
+        "dv": {"files": dv_files, "rows": dv_rows},
         "analyze": analyze,
         "vacuum": {
             "dirs": sorted(reclaim_dirs),

@@ -149,6 +149,28 @@ def main() -> None:
         f"{est['bytes']}B, removed {len(removed)} dirs"
     )
     assert sorted(removed) == est["dirs"]
+
+    # 7. GDPR one-row delete, merge-on-read: a deletion vector instead
+    #    of a file rewrite; OPTIMIZE later materializes it
+    from dynamicqueryengine_spark.sources.versioned import (
+        vt_delete,
+        vt_history,
+    )
+
+    victim = vt_read(spark, facts).select("event_id").first()["event_id"]
+    n_before = vt_count(spark, facts)
+    vt_delete(spark, facts, ("event_id", "=", victim), mode="dv")
+    h = vt_history(facts)[0]
+    print(
+        f"[7] dv delete: files_rewritten={h['delete']['files_rewritten']}, "
+        f"vector hides {h['dv']['rows']} row(s) in {h['dv']['files']} "
+        f"file(s); metadata count {n_before} -> {vt_count(spark, facts)}"
+    )
+    assert h["delete"]["files_rewritten"] == 0
+    assert vt_count(spark, facts) < n_before
+    vt_optimize(spark, facts, ["event_id"], n_partitions=4)
+    assert "dv" not in vt_history(facts)[0]
+    print("[7] optimize materialized the vector (dv debt back to zero)")
     print("lakehouse-admin tour: all stages verified")
 
 

@@ -586,3 +586,47 @@ class TestJsonExtract:
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"props", "value"}
         assert "GetJsonObject" in plan or "get_json_object" in plan
+
+
+class TestDeletionVectorPlan:
+    """Merge-on-read reads must stay cheap: the DV filter is a BROADCAST
+    hash anti-join (no shuffle, bounded by DV size) and predicate
+    pushdown still reaches the parquet scan underneath it; a table
+    without vectors pays nothing at all."""
+
+    def test_dv_read_broadcast_anti_join_with_pushdown(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(10000).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        plan = _physical(vt_read(spark, path, predicate=("id", "<", 100)))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+        assert "PushedFilters: [IsNotNull(id), LessThan(id,100)]" in plan
+
+    def test_dv_free_table_reads_without_join_or_metadata(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path,
+            spark.range(100).selectExpr("id", "concat('v', id) AS v"),
+        )
+        plan = _physical(vt_read(spark, path))
+        assert "Join" not in plan
+        assert "_vt_file_key" not in plan and "row_index" not in plan

@@ -3722,3 +3722,34 @@ class TestSampledMcv:
         path = self._skewed(spark, tmp_path)
         with pytest.raises(ValueError, match="mcv_sample"):
             vt_analyze(spark, path, mcv_sample=0.0)
+
+
+class TestDvMaintenanceDebt:
+    def test_advisor_flags_dv_debt_and_maintain_clears_it(
+        self, spark, tmp_path
+    ):
+        """Merge-on-read defers the rewrite; the advisor is where the
+        bill comes due: enough DV'd files trip ``compact``, and running
+        vt_maintain materializes the vectors (dv counters back to 0)."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_maintain,
+            vt_maintenance_plan,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        # DV one row in every file: 4/4 files carry vectors
+        for k in (1, 17, 33, 49):
+            vt_delete(spark, path, ("id", "=", k), mode="dv")
+        plan = vt_maintenance_plan(path, small_file_bytes=1)
+        assert plan["dv"] == {"files": 4, "rows": 4}
+        assert plan["compact"] is True  # small-file rule can't trigger
+        vt_maintain(spark, path, cluster_by=["id"])
+        plan2 = vt_maintenance_plan(path, small_file_bytes=1)
+        assert plan2["dv"] == {"files": 0, "rows": 0}
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({1, 17, 33, 49}) and len(got) == 60
