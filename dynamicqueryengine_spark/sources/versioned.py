@@ -2176,6 +2176,73 @@ def _reconcile_to_schema(
     )
 
 
+def _dv_merge_attempt(
+    spark,
+    path: str,
+    manifest: dict,
+    expected: int,
+    part: dict,
+    tplan: dict,
+    target,
+    ups_c,
+    keys,
+    all_keys,
+    ups_keys,
+    del_keys,
+    txn,
+    dv_max_rows: int,
+    strict: bool,
+):
+    """One merge-on-read MERGE attempt: rows whose key matches an upsert
+    (or a delete-clause row) are DV'd out of their files and the
+    reconciled upserts are appended as a fresh directory — no existing
+    file is rewritten. Change rows (pre/post images, inserts, delete-
+    clause drops) are always materialized, exactly like DV DELETE/
+    UPDATE, so CDC and the streaming source stay exact. Returns the
+    committed version, ``-1`` on a lost race, or ``None`` above the
+    position cap with ``strict=False`` (caller falls back to
+    copy-on-write)."""
+    tpos = _read_plan(spark, tplan, keep_positions=True)
+    matched = tpos.join(all_keys, keys, "semi")
+    data_cols = [F.col(f.name) for f in target.fields]
+    cur_keys = matched.select(*keys).distinct()
+    pre = (
+        matched.join(ups_keys, keys, "semi")
+        .select(*data_cols)
+        .withColumn("_change_type", F.lit("update_preimage"))
+    )
+    post = ups_c.join(cur_keys, keys, "semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    ins = ups_c.join(cur_keys, keys, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    change_rows = pre.unionByName(post).unionByName(ins)
+    if del_keys is not None:
+        dropped = (
+            matched.join(del_keys, keys, "semi")
+            .select(*data_cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        change_rows = change_rows.unionByName(dropped)
+    blob = {"files_total": part["files_total"]}
+    return _dv_mutation_commit(
+        spark,
+        path,
+        manifest,
+        expected,
+        matched,
+        "merge",
+        blob,
+        change_rows,
+        dv_max_rows,
+        strict,
+        new_data=ups_c,
+        txn=txn,
+        commit_on_empty=True,
+    )
+
+
 def vt_merge(
     spark,
     path: str,
@@ -2186,6 +2253,8 @@ def vt_merge(
     change_feed: bool = False,
     delete_where=None,
     bloom_cols: Sequence[str] | None = None,
+    mode: str = "rewrite",
+    dv_max_rows: int = 100_000,
 ) -> int:
     """Keyed MERGE as a committed version: rows in ``updates`` replace
     current rows with the same key, unmatched keys insert. Copy-on-write
@@ -2207,6 +2276,16 @@ def vt_merge(
     (``files_total`` / ``files_rewritten``, surfaced by ``vt_history``).
     Tables without a recorded schema (legacy) fall back to the full
     snapshot rewrite.
+
+    ``mode="dv"`` / ``"auto"`` — MERGE-ON-READ (deletion vectors, see
+    :func:`vt_delete`): matched current rows are DV'd out of their
+    files and the upserts appended as a fresh directory
+    (``files_rewritten = 0``); delete-clause matches are DV'd without
+    replacement. Change rows are ALWAYS materialized (pre/post images,
+    inserts, drops), so CDC and the streaming source stay exact.
+    Bounded by ``dv_max_rows`` matched rows (``"dv"`` raises above it,
+    ``"auto"`` falls back to copy-on-write); a provably pure insert
+    skips the DV machinery entirely (it is already rewrite-free).
 
     ``delete_where=`` adds the Delta MERGE delete clause: a Column (or
     SQL string) evaluated per UPDATE row — update rows satisfying it are
@@ -2235,6 +2314,8 @@ def vt_merge(
     re-checks the guard each attempt."""
     from pyspark.sql.types import StructType
 
+    if mode not in ("rewrite", "dv", "auto"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     keys = list(key_cols)
     if delete_where is not None:
         cond = (
@@ -2330,6 +2411,29 @@ def vt_merge(
                 # honor existing deletion vectors: the rewrite must not
                 # resurrect rows a merge-on-read delete already removed
                 _attach_plan_dv(tplan, path, manifest)
+                if mode in ("dv", "auto"):
+                    res = _dv_merge_attempt(
+                        spark,
+                        path,
+                        manifest,
+                        expected,
+                        part,
+                        tplan,
+                        target,
+                        ups_c,
+                        keys,
+                        all_keys,
+                        ups_keys,
+                        del_keys,
+                        txn,
+                        dv_max_rows,
+                        strict=(mode == "dv"),
+                    )
+                    if res is not None:
+                        if res >= 0:
+                            return res
+                        continue  # lost the commit race — retry
+                    # mode="auto" over dv_max_rows: copy-on-write
                 touched = _read_plan(spark, tplan)
                 merged_new = touched.join(
                     all_keys, keys, "left_anti"
@@ -2342,6 +2446,11 @@ def vt_merge(
         else:
             # legacy table without a recorded schema: full-snapshot
             # rewrite (the pre-r10 path)
+            if mode == "dv":
+                raise ValueError(
+                    "mode='dv' requires a table with a recorded schema "
+                    "(legacy tables rewrite whole snapshots)"
+                )
             target = None
             touched = vt_read(spark, path, expected)
             merged_new = touched.join(
@@ -2504,6 +2613,8 @@ def _dv_mutation_commit(
     dv_max_rows: int,
     strict: bool,
     new_data=None,
+    txn: tuple | None = None,
+    commit_on_empty: bool = False,
 ):
     """Shared merge-on-read commit for DV-mode DELETE/UPDATE: collect the
     matched rows' (file key, position) pairs — bounded by ``dv_max_rows``
@@ -2531,6 +2642,8 @@ def _dv_mutation_commit(
             dv_max_rows,
             strict,
             new_data,
+            txn,
+            commit_on_empty,
         )
     finally:
         matched.unpersist()
@@ -2548,6 +2661,8 @@ def _dv_mutation_commit_cached(
     dv_max_rows: int,
     strict: bool,
     new_data,
+    txn: tuple | None = None,
+    commit_on_empty: bool = False,
 ):
     pairs = (
         matched.select("_vt_file_key", "_vt_pos")
@@ -2562,7 +2677,7 @@ def _dv_mutation_commit_cached(
                 "(mode='rewrite' or 'auto')"
             )
         return None
-    if not pairs:
+    if not pairs and not commit_on_empty:
         return expected  # nothing matched — no-op, nothing committed
     # map join keys (basename(dir)/file) back to manifest dir entries
     base_of = {
@@ -2586,7 +2701,7 @@ def _dv_mutation_commit_cached(
         key = os.path.basename(d.rstrip("/")) + "/" + fname
         merged = sorted(set(prior.get(key, [])) | poss)
         payload.setdefault(d, {})[fname] = merged
-    ref = _write_dv_sidecar(path, payload)
+    ref = _write_dv_sidecar(path, payload) if payload else None
     dv_map = {d: dict(fmap) for d, fmap in head_dv.items()}
     for d, fmap in payload.items():
         for fname, poss in fmap.items():
@@ -2628,7 +2743,7 @@ def _dv_mutation_commit_cached(
             op,
             expected,
             stats,
-            None,
+            {"app": txn[0], "version": int(txn[1])} if txn else None,
             fstats or None,
             files,
             schema=manifest["schema"],
@@ -2645,10 +2760,11 @@ def _dv_mutation_commit_cached(
         shutil.rmtree(os.path.join(path, change_dir), ignore_errors=True)
         if new_dir is not None:
             shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
-        try:
-            os.unlink(os.path.join(_dv_dir(path), ref))
-        except OSError:
-            pass
+        if ref is not None:
+            try:
+                os.unlink(os.path.join(_dv_dir(path), ref))
+            except OSError:
+                pass
         return -1
 
 

@@ -5401,3 +5401,111 @@ GROUP BY event_type
 LLM_QUERIES["events_rule_update"] = FnWorkload(
     _events_rule_update, _EVENTS_RULE_UPDATE_SQL
 )
+
+
+def _events_vt_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE via deletion vectors, EXECUTED
+    (vt_merge(mode="dv") r11): a two-row upsert against an OPTIMIZEd
+    table DVs the matched key's current rows out of their files and
+    appends the upserts as a fresh directory — ZERO existing files
+    rewritten (vs events_vt_merge_pruned's copy-on-write which rewrites
+    the intersecting files). Pins: ``merge_on_read`` (dv=True,
+    files_rewritten=0, at least one row vectored), ``cdc_exact``
+    (always-materialized change rows replay to the post-merge
+    cardinality delta). MERGE key semantics are the oracle's: EVERY
+    current row holding the matched key is replaced by the single
+    upsert row, nulls never key-match."""
+    from ..sources.versioned import (
+        vt_count,
+        vt_history,
+        vt_merge,
+        vt_optimize,
+        vt_read,
+        vt_read_changes,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    path = os.path.join(_scratch_dir("vtmergedv", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(spark, path, ["event_id"], n_partitions=8)
+    n_before = vt_count(spark, path)
+    ups = spark.createDataFrame(
+        [(lo, "upd", 1.5), (hi + 1, "new", 2.5)],
+        "event_id long, event_type string, v double",
+    ).withColumn("v", F.col("v").cast("decimal(38,12)"))
+    v = vt_merge(spark, path, ups, ["event_id"], mode="dv")
+    blob = vt_history(path)[0]["merge"]
+    merge_on_read = (
+        blob.get("dv") is True
+        and blob["files_rewritten"] == 0
+        and blob["rows_matched"] > 0
+    )
+    # fold identity: inserts+post − pre == cardinality delta
+    ch = vt_read_changes(spark, path, v - 1, v)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1)
+    net = ch.agg(F.sum(sign)).collect()[0][0]
+    cdc_exact = net == vt_count(spark, path) - n_before
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(merge_on_read)).alias("merge_on_read"),
+            F.lit(bool(cdc_exact)).alias("cdc_exact"),
+        )
+    )
+
+
+_EVENTS_VT_MERGE_DV_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM t
+),
+kept AS (
+  SELECT t.* FROM t, b
+  WHERE t.event_id IS NULL OR t.event_id <> b.lo
+),
+ups AS (
+  SELECT lo AS event_id, 'upd' AS event_type,
+         CAST(1.5 AS DECIMAL(38,12)) AS v FROM b
+  UNION ALL
+  SELECT hi + 1, 'new', CAST(2.5 AS DECIMAL(38,12)) FROM b
+),
+merged AS (
+  SELECT event_id, event_type, v FROM kept
+  UNION ALL
+  SELECT event_id, event_type, v FROM ups
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS merge_on_read,
+       TRUE AS cdc_exact
+FROM merged
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_merge_dv"] = FnWorkload(
+    _events_vt_merge_dv, _EVENTS_VT_MERGE_DV_SQL
+)

@@ -3753,3 +3753,139 @@ class TestDvMaintenanceDebt:
         assert plan2["dv"] == {"files": 0, "rows": 0}
         got = {r["id"] for r in vt_read(spark, path).collect()}
         assert got.isdisjoint({1, 17, 33, 49}) and len(got) == 60
+
+
+class TestDvMerge:
+    """Merge-on-read MERGE: matched rows DV'd, upserts appended,
+    delete-clause matches DV'd without replacement, zero rewrites of
+    existing files, change rows always materialized."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_dv_merge_rewrites_nothing(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre = _read_manifest(path, 2)
+        v = vt_merge(
+            spark, path,
+            _df(spark, [(5, "FIVE"), (1000, "NEW")]),
+            ["id"], mode="dv",
+        )
+        m = _read_manifest(path, v)
+        assert m["merge"]["dv"] is True
+        assert m["merge"]["files_rewritten"] == 0
+        assert m["merge"]["rows_matched"] == 1  # only key 5 existed
+        # old dirs + files carried verbatim, plus the appended upserts
+        assert set(pre["dirs"]) < set(m["dirs"])
+        assert m["files"][pre["dirs"][0]] == pre["files"][pre["dirs"][0]]
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and got[1000] == "NEW" and len(got) == 65
+        assert vt_count(spark, path) == 65
+
+    def test_dv_merge_change_feed_and_delete_clause(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_merge(
+            spark, path,
+            _df(spark, [(5, "FIVE"), (6, None), (1000, "NEW")]),
+            ["id"],
+            delete_where="v IS NULL",
+            mode="dv",
+        )
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[5] == "FIVE" and got[1000] == "NEW"
+        assert 6 not in got and len(got) == 64
+        ch = {
+            (r["id"], r["_change_type"])
+            for r in vt_read_changes(spark, path, v - 1, v).collect()
+        }
+        assert ch == {
+            (5, "update_preimage"),
+            (5, "update_postimage"),
+            (6, "delete"),
+            (1000, "insert"),
+        }
+
+    def test_dv_merge_streams_exact(self, spark, tmp_path):
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from dynamicqueryengine_spark.streaming.source import (
+            vt_change_stream,
+        )
+
+        path = self._staged(spark, tmp_path, n=12, parts=2)
+        vt_merge(
+            spark, path, _df(spark, [(3, "THREE"), (99, "NEW")]),
+            ["id"], mode="dv",
+        )
+        qn = "chg_" + _uuid.uuid4().hex[:8]
+        q = (
+            vt_change_stream(spark, path)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(f"select * from {qn}")
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        fold = {
+            (r["id"], r["v"])
+            for r in out.groupBy("id", "v")
+            .agg(F.sum(sign).alias("s"))
+            .filter("s != 0")
+            .collect()
+        }
+        assert fold == _rows(vt_read(spark, path))
+
+    def test_dv_merge_cap_and_auto_fallback(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+        )
+
+        path = self._staged(spark, tmp_path)
+        big = spark.range(40).selectExpr("id", "'X' AS v")
+        with pytest.raises(ValueError, match="dv_max_rows"):
+            vt_merge(spark, path, big, ["id"], mode="dv", dv_max_rows=5)
+        v = vt_merge(
+            spark, path, big, ["id"], mode="auto", dv_max_rows=5
+        )
+        m = _read_manifest(path, v)
+        assert m["merge"]["files_rewritten"] > 0  # copy-on-write fallback
+        got = dict(_rows(vt_read(spark, path)))
+        assert got[0] == "X" and got[39] == "X" and got[40] == "v40"
+
+    def test_dv_merge_txn_marker_exactly_once(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_last_txn
+
+        path = self._staged(spark, tmp_path, n=8, parts=2)
+        v = vt_merge(
+            spark, path, _df(spark, [(1, "ONE")]), ["id"],
+            mode="dv", txn=("app", 7),
+        )
+        assert vt_last_txn(path, "app") == 7
+        # replay of the same app txn is a no-op
+        v2 = vt_merge(
+            spark, path, _df(spark, [(1, "TWO")]), ["id"],
+            mode="dv", txn=("app", 7),
+        )
+        assert v2 == v
+        assert dict(_rows(vt_read(spark, path)))[1] == "ONE"
