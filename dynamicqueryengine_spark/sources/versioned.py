@@ -81,6 +81,7 @@ __all__ = [
     "vt_history",
     "vt_last_txn",
     "vt_optimize",
+    "vt_compact",
     "vt_restore",
     "vt_scan_plan",
     "vt_count",
@@ -1882,15 +1883,20 @@ def _dir_stats_from_file_stats(per_file: dict, files: Sequence[str]) -> dict:
     return out
 
 
-def _partition_snapshot(path: str, manifest: dict, touch_file) -> dict:
+def _partition_snapshot(
+    path: str, manifest: dict, touch_file, touch_name=None
+) -> dict:
     """Split a snapshot's file references into TOUCHED (must be read and
     rewritten by a file-granular MERGE/DELETE) and KEPT (referenced
     verbatim — stats, blooms and footer row counts carried forward — in
     the successor manifest). ``touch_file(stats_entry, bloom_entry)``
     decides per file; a directory WITHOUT an authoritative file list
-    (legacy manifests) is touched whole. Returns the kept manifest
-    fragments plus the touched read paths and the rewrite-shape counts
-    the audit blob records."""
+    (legacy manifests) is touched whole. ``touch_name(dir, fname)``,
+    when given, decides by IDENTITY instead of by stats — the
+    incremental-compaction classifier (file size is a filesystem fact,
+    not a footer stat). Returns the kept manifest fragments plus the
+    touched read paths and the rewrite-shape counts the audit blob
+    records."""
     flists = manifest.get("files", {})
     fstats = manifest.get("file_stats", {})
     blooms = manifest.get("blooms", {})
@@ -1927,7 +1933,12 @@ def _partition_snapshot(path: str, manifest: dict, touch_file) -> dict:
                 # (free compaction; the file itself is vacuum's to reap)
                 files_total -= 1
                 continue
-            if touch_file(dstats.get(f, {}), dbfiles.get(f, {})):
+            hit = (
+                touch_name(d, f)
+                if touch_name is not None
+                else touch_file(dstats.get(f, {}), dbfiles.get(f, {}))
+            )
+            if hit:
                 touched_paths.append(os.path.join(path, d, f))
                 files_rewritten += 1
             else:
@@ -3702,6 +3713,140 @@ def vt_optimize(
         raise
 
 
+def vt_compact(
+    spark,
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    bloom_cols: Sequence[str] | None = None,
+    max_retries: int = 5,
+) -> int:
+    """INCREMENTAL small-file compaction — Delta's OPTIMIZE bin-packing,
+    file-granular: files under ``small_file_bytes`` (plus legacy dirs
+    without an authoritative file list) are read, their accumulated
+    deletion vectors materialized, and rewritten as
+    ``ceil(bytes/target_file_bytes)`` right-sized files; every file
+    already at size is referenced VERBATIM with its stats, blooms,
+    footer counts and deletion vectors carried forward.
+
+    This is the maintenance primitive :func:`vt_optimize` is not: at
+    100 TB a streaming ingest leaves thousands of kilobyte files next
+    to terabytes of healthy ones, and a full-snapshot OPTIMIZE pays the
+    whole table to fix the tail. vt_compact pays O(small bytes) — the
+    same touched/kept discipline as the file-granular DML, recorded in
+    the manifest's ``compact`` blob (``files_total`` /
+    ``files_compacted`` / ``bytes_compacted``). Commits as
+    ``op="optimize"`` (no logical change: the change feed and the
+    streaming source skip it). Returns the new version, or the current
+    head when fewer than ``min_files`` small files exist.
+
+    Compaction is NOT clustering: packed files get whatever footer
+    ranges their input rows had. Run :func:`vt_optimize` (range/zorder)
+    when per-file min/max tightness — not file count — is the problem."""
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        if manifest.get("schema") is None:
+            raise ValueError(
+                "vt_compact requires a table with a recorded schema — "
+                "legacy tables compact via vt_optimize(method='compact')"
+            )
+        flists = manifest.get("files", {})
+        small: set[tuple] = set()
+        small_bytes = 0
+        whole_dirs = 0
+        for d in manifest["dirs"]:
+            flist = flists.get(d)
+            if not flist:
+                whole_dirs += 1  # _partition_snapshot touches it whole
+                continue
+            for f in flist:
+                try:
+                    sz = os.path.getsize(os.path.join(path, d, f))
+                except OSError:
+                    continue  # unreadable size: leave the file alone
+                if sz < small_file_bytes:
+                    small.add((d, f))
+                    small_bytes += sz
+        if len(small) + whole_dirs < max(min_files, 2):
+            return expected  # nothing worth packing — no-op
+        part = _partition_snapshot(
+            path, manifest, None, touch_name=lambda d, f: (d, f) in small
+        )
+        if not part["touched_paths"]:
+            return expected
+        tplan = {
+            "paths": part["touched_paths"],
+            "schema": manifest["schema"],
+            "schema_heterogeneous": manifest.get(
+                "schema_heterogeneous", False
+            ),
+        }
+        # the packed rows materialize their deletion vectors (kept
+        # files keep theirs — _commit's carry-prune drops only the
+        # entries whose files left the manifest)
+        _attach_plan_dv(tplan, path, manifest)
+        packed = _read_plan(spark, tplan).repartition(
+            max(1, -(-small_bytes // max(target_file_bytes, 1)))
+        )
+        new_dir, new_stats, new_fstats, new_files, new_rows = (
+            _write_data_dir(packed, path)
+        )
+        new_blooms = (
+            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+            if bloom_cols
+            else {}
+        )
+        dirs = part["dirs"] + [new_dir]
+        stats = {
+            **part["stats"],
+            **({new_dir: new_stats} if new_stats else {}),
+        }
+        fstats = {
+            **part["file_stats"],
+            **({new_dir: new_fstats} if new_fstats else {}),
+        }
+        files = {**part["files"], new_dir: new_files}
+        frows = {
+            **part["file_rows"],
+            **({new_dir: new_rows} if new_rows else {}),
+        }
+        blooms = dict(part["blooms"])
+        if new_blooms:
+            blooms[new_dir] = new_blooms
+        try:
+            return _commit(
+                path,
+                dirs,
+                "optimize",
+                expected,
+                stats,
+                None,
+                fstats or None,
+                files,
+                schema=manifest["schema"],
+                heterogeneous=manifest.get("schema_heterogeneous", False),
+                blooms=blooms or None,
+                file_rows=frows or None,
+                partial_dirs=part["partial_dirs"],
+                extra={
+                    "compact": {
+                        "files_total": part["files_total"],
+                        "files_compacted": part["files_rewritten"],
+                        "dirs_compacted_whole": part["dirs_rewritten_whole"],
+                        "bytes_compacted": small_bytes,
+                    }
+                },
+            )
+        except FileExistsError:
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+    raise RuntimeError(f"compact at {path} lost {max_retries} commit races")
+
+
 def vt_vacuum(
     spark, path: str, keep_last: int = 2, grace_seconds: float = 600.0
 ) -> list[str]:
@@ -4305,6 +4450,7 @@ def vt_maintain(
     keep_last: int = 2,
     grace_seconds: float = 600.0,
     vacuum: bool = True,
+    incremental: bool = False,
 ) -> dict:
     """EXECUTE :func:`vt_maintenance_plan`'s recommendations — the
     r9 verdict's "advisory-only" gap closed: one call takes a
@@ -4325,9 +4471,18 @@ def vt_maintain(
        the optimize/analyze commits have already aged the versions the
        estimate counted.
 
+    ``incremental=True`` (and no ``cluster_by``) compacts via
+    :func:`vt_compact` instead of a full-snapshot rewrite — O(small
+    bytes), the right default at 100 TB when the trigger is a
+    streaming small-file tail. It fixes the small-file and
+    touched-file DV signals only; dir sprawl or DV debt concentrated
+    in healthy files still wants the full ``vt_optimize`` pass.
+
     Returns ``{"plan": <the driving plan>, "actions": [...],
     "version": <final head>, "removed": [...]}`` — a re-run of the
-    advisor on the result reports nothing to do (pinned by test)."""
+    advisor on the result reports nothing to do (pinned by test;
+    full-rewrite mode — incremental deliberately leaves healthy-file
+    signals in place)."""
     plan = vt_maintenance_plan(
         path,
         small_file_bytes=small_file_bytes,
@@ -4338,16 +4493,26 @@ def vt_maintain(
     )
     actions: list[str] = []
     if plan["compact"]:
-        m = method or ("range" if cluster_by else "compact")
-        vt_optimize(
-            spark,
-            path,
-            list(cluster_by or []),
-            n_partitions=n_partitions,
-            method=m,
-            bloom_cols=bloom_cols,
-        )
-        actions.append(f"optimize:{m}")
+        if incremental and not cluster_by:
+            vt_compact(
+                spark,
+                path,
+                small_file_bytes=small_file_bytes,
+                bloom_cols=bloom_cols,
+                min_files=2,
+            )
+            actions.append("compact:incremental")
+        else:
+            m = method or ("range" if cluster_by else "compact")
+            vt_optimize(
+                spark,
+                path,
+                list(cluster_by or []),
+                n_partitions=n_partitions,
+                method=m,
+                bloom_cols=bloom_cols,
+            )
+            actions.append(f"optimize:{m}")
     # analyze when the plan says so, or when the optimize we just ran
     # staled whatever stats existed
     if plan["analyze"] != "fresh" or actions:

@@ -5509,3 +5509,116 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_merge_dv"] = FnWorkload(
     _events_vt_merge_dv, _EVENTS_VT_MERGE_DV_SQL
 )
+
+
+def _events_vt_compact_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL small-file compaction, EXECUTED (vt_compact r11 —
+    Delta's OPTIMIZE bin-packing, file-granular): the staged table is
+    one healthy clustered file plus a tail of four tiny appends (the
+    streaming small-file problem); vt_compact packs ONLY the tail —
+    the healthy file is referenced verbatim, stats carried — which is
+    the maintenance shape that matters at 100 TB (pay O(small bytes),
+    never the table). Pins INSIDE the oracle hash:
+    ``packed_only_small`` (files_compacted == the 4 tiny files, the
+    big file's reference and stats byte-identical) and
+    ``layout_only`` (the change feed sees ZERO rows across the compact
+    commit). The aggregate equals the plain mirror — compaction must
+    never change results."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_compact,
+        vt_optimize,
+        vt_read,
+        vt_read_changes,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    hi = ev.agg(F.max("event_id").alias("hi")).collect()[0]["hi"]
+    path = os.path.join(_scratch_dir("vtcompact", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    vt_optimize(spark, path, ["event_id"], n_partitions=1)
+    big = _read_manifest(path, 2)
+    [big_dir] = big["dirs"]
+    big_sz = os.path.getsize(
+        os.path.join(path, big_dir, big["files"][big_dir][0])
+    )
+    tail = [
+        (hi + 1, "compact_a", 1.5),
+        (hi + 2, "compact_b", 2.5),
+        (hi + 3, "compact_a", 3.5),
+        (hi + 4, "compact_b", 4.5),
+    ]
+    for row in tail:
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [row], "event_id long, event_type string, v double"
+            ).withColumn("v", F.col("v").cast("decimal(38,12)")),
+            mode="append",
+        )
+    v = vt_compact(spark, path, small_file_bytes=big_sz)
+    m = _read_manifest(path, v)
+    blob = m["compact"]
+    packed_only_small = (
+        blob["files_compacted"] == 4
+        and blob["files_total"] == 5
+        and m["files"][big_dir] == big["files"][big_dir]
+        and m["file_stats"][big_dir] == big["file_stats"][big_dir]
+    )
+    layout_only = vt_read_changes(spark, path, v - 1, v).count() == 0
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(packed_only_small)).alias("packed_only_small"),
+            F.lit(bool(layout_only)).alias("layout_only"),
+        )
+    )
+
+
+_EVENTS_VT_COMPACT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (SELECT max(event_id) AS hi FROM t),
+tail AS (
+  SELECT hi + 1 AS event_id, 'compact_a' AS event_type,
+         CAST(1.5 AS DECIMAL(38,12)) AS v FROM b
+  UNION ALL SELECT hi + 2, 'compact_b', CAST(2.5 AS DECIMAL(38,12)) FROM b
+  UNION ALL SELECT hi + 3, 'compact_a', CAST(3.5 AS DECIMAL(38,12)) FROM b
+  UNION ALL SELECT hi + 4, 'compact_b', CAST(4.5 AS DECIMAL(38,12)) FROM b
+),
+full_t AS (
+  SELECT event_id, event_type, v FROM t
+  UNION ALL
+  SELECT event_id, event_type, v FROM tail
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS packed_only_small,
+       TRUE AS layout_only
+FROM full_t
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_compact_incremental"] = FnWorkload(
+    _events_vt_compact_incremental, _EVENTS_VT_COMPACT_SQL
+)

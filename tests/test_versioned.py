@@ -3889,3 +3889,182 @@ class TestDvMerge:
         )
         assert v2 == v
         assert dict(_rows(vt_read(spark, path)))[1] == "ONE"
+
+
+class TestDvCommitRace:
+    def test_concurrent_dv_deletes_union_after_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two DV deletes race: the loser retries against the winner's
+        head and must UNION vectors, not clobber them — both rows end
+        up deleted and both counts subtract."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_count,
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        real = V._write_dv_sidecar
+        injected = []
+
+        def racy(p, payload):
+            out = real(p, payload)
+            if not injected:
+                injected.append(True)
+                # winner lands a DV delete of id=7 between the loser's
+                # sidecar write and its commit
+                vt_delete(spark, path, ("id", "=", 7), mode="dv")
+            return out
+
+        monkeypatch.setattr(V, "_write_dv_sidecar", racy)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({5, 7}) and len(got) == 62
+        assert vt_count(spark, path) == 62
+        assert vt_versions(path) == [1, 2, 3, 4]
+
+
+class TestIncrementalCompact:
+    """vt_compact: pay O(small bytes), not the whole table — files
+    already at size are referenced verbatim; packed files materialize
+    their deletion vectors; kept files keep theirs."""
+
+    def test_compact_packs_only_small_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_compact,
+            vt_count,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        # one healthy file...
+        vt_write(
+            spark, path,
+            spark.range(50000).selectExpr("id", "concat('v', id) AS v")
+            .repartition(1),
+        )
+        vt_optimize(spark, path, ["id"], n_partitions=1)
+        big = _read_manifest(path, 2)
+        [big_dir] = big["dirs"]
+        [big_file] = big["files"][big_dir]
+        big_sz = os.path.getsize(os.path.join(path, big_dir, big_file))
+        # ...plus a tail of tiny appends (the streaming small-file problem)
+        for k in range(4):
+            vt_write(
+                spark, path,
+                _df(spark, [(100000 + k, f"x{k}")]),
+                mode="append",
+            )
+        v = vt_compact(spark, path, small_file_bytes=big_sz)
+        m = _read_manifest(path, v)
+        blob = m["compact"]
+        assert blob["files_compacted"] == 4
+        assert blob["files_total"] == 5
+        # the big file is referenced verbatim with its stats
+        assert big_dir in m["dirs"]
+        assert m["files"][big_dir] == [big_file]
+        assert m["file_stats"][big_dir] == big["file_stats"][big_dir]
+        # 4 tiny files packed into one
+        new_dirs = [d for d in m["dirs"] if d != big_dir]
+        assert len(new_dirs) == 1
+        assert len(m["files"][new_dirs[0]]) == 1
+        assert vt_count(spark, path) == 50004
+        got = dict(_rows(vt_read(spark, path).filter("id >= 100000")))
+        assert got == {100000 + k: f"x{k}" for k in range(4)}
+
+    def test_compact_materializes_touched_dvs_keeps_others(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_compact,
+            vt_count,
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path,
+            spark.range(50000).selectExpr("id", "concat('v', id) AS v")
+            .repartition(1),
+        )
+        vt_optimize(spark, path, ["id"], n_partitions=1)
+        big = _read_manifest(path, 2)
+        [big_dir] = big["dirs"]
+        big_sz = os.path.getsize(
+            os.path.join(path, big_dir, big["files"][big_dir][0])
+        )
+        for k in range(3):
+            vt_write(
+                spark, path, _df(spark, [(100000 + k, f"x{k}")]),
+                mode="append",
+            )
+        # one DV in the big (kept) file, one in a small (packed) file
+        vt_delete(spark, path, ("id", "=", 7), mode="dv")
+        vt_delete(spark, path, ("id", "=", 100001), mode="dv")
+        v = vt_compact(spark, path, small_file_bytes=big_sz)
+        m = _read_manifest(path, v)
+        # the kept file's vector carried; the packed file's materialized
+        assert list(m["dv"].keys()) == [big_dir]
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got.isdisjoint({7, 100001})
+        assert vt_count(spark, path) == 50001
+        # time travel across the compact still sees pre-delete rows
+        assert 7 in {r["id"] for r in vt_read(spark, path, 2).collect()}
+
+    def test_compact_noop_below_min_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_compact,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_optimize(spark, path, ["id"], n_partitions=1)
+        v = vt_compact(spark, path, min_files=5)
+        assert v == vt_versions(path)[-1] == 2
+
+    def test_compact_is_change_feed_silent(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_compact,
+            vt_read_changes,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        for k in range(3):
+            vt_write(
+                spark, path, _df(spark, [(10 + k, "x")]), mode="append"
+            )
+        v = vt_compact(spark, path, small_file_bytes=1 << 30, min_files=2)
+        assert v > 4
+        ch = vt_read_changes(spark, path, v - 1, v)
+        assert ch.count() == 0  # layout only, no logical change
+
+
+class TestMaintainIncremental:
+    def test_incremental_maintain_uses_compact(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_maintain,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(0, "seed")]))
+        for k in range(5):
+            vt_write(
+                spark, path, _df(spark, [(k + 1, f"x{k}")]), mode="append"
+            )
+        out = vt_maintain(spark, path, incremental=True)
+        assert "compact:incremental" in out["actions"]
+        m = _read_manifest(path, out["version"])
+        assert "analyze" in m  # stats follow the new layout
+        got = _rows(vt_read(spark, path))
+        assert len(got) == 6
