@@ -205,3 +205,107 @@ def test_random_filter_plus_aggregate_matches_oracle(tree, key, func, spark, tes
     spark_out = apply_rule(customer, rule)
     sql = SqlGenerator(customer.schema).rule_sql(rule, "customer")
     assert_same_rows(spark_out, testdata_duck.sql(sql))
+
+
+# --- rule_exact_conjuncts equivalence (r11) -------------------------------
+#
+# vt_delete(rule=...) records a plain replayable predicate whenever
+# rule_exact_conjuncts claims the rule is EXACTLY a skip-grammar
+# conjunction — the streaming source then replays that predicate instead
+# of the rule. Any over- or under-claim silently corrupts the streamed
+# CDC, so the claim gets its own property net: for random AND-only trees
+# built from exact-eligible leaves, the extractor must return conjuncts
+# and the conjunction's row set must equal the fully-compiled rule's row
+# set on the real customer table. (Inexact shapes — OR, negation,
+# string-method leaves — are pinned to return None by
+# tests/test_versioned.py::TestRuleDeleteReplayability.)
+
+_exact_numeric = st.builds(
+    lambda prop, op, val: {"Property": prop, "Operator": op, "Value": val},
+    st.sampled_from(["c_acctbal", "c_nationkey", "c_custkey"]),
+    st.sampled_from(
+        ["Equal", "GreaterThan", "GreaterThanOrEqual", "LessThan",
+         "LessThanOrEqual"]
+    ),
+    _NUMERIC_VALUES,
+)
+_exact_string_eq = st.builds(
+    lambda val: {"Property": "c_mktsegment", "Operator": "Equal",
+                 "Value": val},
+    st.sampled_from(_SEGMENTS),
+)
+_exact_in = st.builds(
+    lambda vals: {"Property": "c_mktsegment", "Operator": "In",
+                  "Value": vals},
+    st.lists(st.sampled_from(_SEGMENTS), min_size=1, max_size=4),
+)
+_exact_null = st.builds(
+    lambda prop, op: {"Property": prop, "Operator": op},
+    st.sampled_from(["c_name", "c_acctbal"]),
+    st.sampled_from(["Null", "NotNull"]),
+)
+_exact_leaf = st.one_of(
+    _exact_numeric, _exact_string_eq, _exact_in, _exact_null
+)
+
+
+def _and_group(children=None):
+    subgroups = (
+        st.lists(children, max_size=2)
+        if children is not None
+        else st.just([])
+    )
+    return st.builds(
+        lambda conds, groups: {
+            "LogicalOperator": "AND",
+            "Conditions": conds,
+            "Groups": groups,
+            "Negate": False,
+        },
+        st.lists(_exact_leaf, min_size=1, max_size=3),
+        subgroups,
+    )
+
+
+_exact_tree = st.recursive(_and_group(), _and_group, max_leaves=6)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(tree=_exact_tree)
+def test_exact_conjuncts_equal_compiled_rule(tree, spark):
+    from pyspark.sql import functions as F
+
+    from dynamicqueryengine_spark.operators.predicates import (
+        compile_predicate,
+        rule_exact_conjuncts,
+    )
+    from dynamicqueryengine_spark.sources.versioned import _conjunct_column
+
+    rule = RuleDefinition.from_dict({"Name": "prop", "Conditions": tree})
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    conjuncts = rule_exact_conjuncts(rule, df.schema, None)
+    # every tree this strategy builds is exact-eligible: an extractor
+    # that refuses one under-claims and silently forces change-row
+    # materialization — also a bug
+    assert conjuncts is not None
+    compiled = df.filter(
+        F.coalesce(
+            compile_predicate(rule.conditions, df.schema, None),
+            F.lit(False),
+        )
+    )
+    cond = None
+    for col, op, value in conjuncts:
+        c = _conjunct_column(col, op, value)
+        cond = c if cond is None else (cond & c)
+    replayed = df.filter(F.coalesce(cond, F.lit(False)))
+    left = {tuple(r) for r in compiled.collect()}
+    right = {tuple(r) for r in replayed.collect()}
+    assert left == right

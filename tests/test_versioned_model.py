@@ -60,6 +60,16 @@ _OP = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 9)),
     st.tuples(st.just("update"), st.integers(0, 9)),
     st.tuples(st.just("merge_del"), st.integers(0, 4)),
+    # r11 merge-on-read: the DV variants must be row-for-row
+    # indistinguishable from their rewrite twins under ANY history —
+    # vectors survive appends/optimize/restore/vacuum interleavings,
+    # union across repeated deletes, and materialize on rewrite
+    st.tuples(st.just("delete_dv"), st.integers(0, 9)),
+    st.tuples(st.just("update_dv"), st.integers(0, 9)),
+    st.tuples(st.just("merge_dv"), st.integers(0, 4)),
+    st.tuples(st.just("merge_dv_del"), st.integers(0, 4)),
+    # incremental compaction: layout-only, possibly a no-op
+    st.tuples(st.just("compact"), st.just(0)),
 )
 
 
@@ -141,20 +151,25 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + rows
-        elif kind == "delete":
+        elif kind in ("delete", "delete_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_delete,
             )
 
             survivors = [t for t in versions[head] if not (t[0] < seed)]
-            v = vt_delete(spark, path, ("id", "<", seed))
+            v = vt_delete(
+                spark,
+                path,
+                ("id", "<", seed),
+                mode="dv" if kind == "delete_dv" else "rewrite",
+            )
             if len(survivors) == len(versions[head]):
                 # provably-empty delete is a no-op commit
                 assert v == head
             else:
                 head += 1
                 versions[head] = survivors
-        elif kind == "update":
+        elif kind in ("update", "update_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_update,
             )
@@ -168,27 +183,44 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 path,
                 ("id", ">=", seed),
                 {"v": "concat(v, '!')"},
+                mode="dv" if kind == "update_dv" else "rewrite",
             )
             if new_rows == versions[head]:
                 assert v == head
             else:
                 head += 1
                 versions[head] = new_rows
-        elif kind == "merge_del":
-            # merge where every odd-id update row is a tombstone
+        elif kind in ("merge_del", "merge_dv", "merge_dv_del"):
+            # merge (optionally merge-on-read) where, in the _del
+            # variants, every odd-id update row is a tombstone
+            has_del = kind != "merge_dv"
             vt_merge(
                 spark,
                 path,
                 df_of(rows),
                 ["id"],
-                delete_where="id % 2 = 1",
+                delete_where="id % 2 = 1" if has_del else None,
+                mode="rewrite" if kind == "merge_del" else "dv",
             )
             upd_ids = {r[0] for r in rows}
-            keep_rows = [r for r in rows if r[0] % 2 == 0]
+            keep_rows = (
+                [r for r in rows if r[0] % 2 == 0] if has_del else rows
+            )
             head += 1
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + keep_rows
+        elif kind == "compact":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_compact,
+            )
+
+            v = vt_compact(
+                spark, path, small_file_bytes=1 << 30, min_files=2
+            )
+            if v != head:
+                head += 1
+                versions[head] = list(versions[head - 1])
         elif kind == "optimize":
             vt_optimize(spark, path, ["id"], n_partitions=2)
             head += 1
@@ -258,3 +290,61 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
         ), f"pruned head read after {kind}"
         if last_txn is not None:
             assert vt_last_txn(path, "app") == last_txn
+
+
+def test_scripted_dv_history_regression(spark, tmp_path_factory):
+    """Deterministic mixed history pinning the merge-on-read
+    interleavings the random draw may not hit every run: DV delete →
+    append → DV update → optimize (materialize) → DV merge with
+    tombstones → restore past it all → vacuum. After every step the
+    table equals the model."""
+    from dynamicqueryengine_spark.sources.versioned import (
+        vt_compact,
+        vt_delete,
+        vt_restore,
+        vt_update,
+    )
+
+    path = str(tmp_path_factory.mktemp("vtdv") / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    model: dict[int, list] = {}
+    rows0 = [(i, f"v{i}") for i in range(8)]
+    vt_write(spark, path, df_of(rows0))
+    model[1] = list(rows0)
+    vt_optimize(spark, path, ["id"], n_partitions=2)
+    model[2] = list(model[1])
+    vt_delete(spark, path, ("id", "=", 3), mode="dv")
+    model[3] = [t for t in model[2] if t[0] != 3]
+    vt_write(spark, path, df_of([(100, "x")]), mode="append")
+    model[4] = model[3] + [(100, "x")]
+    vt_update(spark, path, ("id", "=", 5), {"v": "'FIVE'"}, mode="dv")
+    model[5] = [(t[0], "FIVE") if t[0] == 5 else t for t in model[4]]
+    vt_compact(spark, path, small_file_bytes=1 << 30, min_files=2)
+    model[6] = list(model[5])
+    vt_merge(
+        spark,
+        path,
+        df_of([(0, "ZERO"), (1, "gone"), (200, "new")]),
+        ["id"],
+        delete_where="v = 'gone'",
+        mode="dv",
+    )
+    model[7] = [
+        t for t in model[6] if t[0] not in (0, 1)
+    ] + [(0, "ZERO"), (200, "new")]
+    vt_restore(spark, path, 3)
+    model[8] = list(model[3])
+    for v, expected in model.items():
+        got = Counter(
+            (r["id"], r["v"]) for r in vt_read(spark, path, v).collect()
+        )
+        assert got == Counter(expected), f"version {v}"
+    vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+    assert vt_versions(path) == [7, 8]
+    got = Counter(
+        (r["id"], r["v"]) for r in vt_read(spark, path).collect()
+    )
+    assert got == Counter(model[8])
