@@ -536,6 +536,31 @@ def _skip_conjunct(
         return None
 
 
+def _resolve_group(rule_or_group):
+    """Normalize the conjunct extractors' duck-typed input — a
+    RuleDefinition (walk its root group), a bare ConditionGroup, a raw
+    rule/group dict, or None — to a ConditionGroup (or None). Shared by
+    rule_skip_conjuncts and rule_exact_conjuncts so the two can never
+    diverge on which inputs they accept (the getattr('conditions')
+    fallback broke for ConditionGroup and dicts — r9 advice)."""
+    if isinstance(rule_or_group, RuleDefinition):
+        group = rule_or_group.conditions
+    elif isinstance(rule_or_group, ConditionGroup) or rule_or_group is None:
+        group = rule_or_group
+    elif isinstance(rule_or_group, Mapping):
+        # Disambiguate by the shape of "Conditions": a RULE dict nests a
+        # group MAPPING there ({"Conditions": {...group...}}), a GROUP
+        # dict holds a LIST of leaves ({"Conditions": [...], ...}).
+        inner = _ci_get(rule_or_group, "Conditions")
+        if isinstance(inner, Mapping):
+            group = RuleDefinition.from_dict(rule_or_group).conditions
+        else:
+            group = ConditionGroup.from_dict(rule_or_group)
+    else:
+        group = getattr(rule_or_group, "conditions", rule_or_group)
+    return group
+
+
 def rule_exact_conjuncts(
     rule_or_group,
     schema: StructType,
@@ -562,21 +587,7 @@ def rule_exact_conjuncts(
     grammar with pyarrow, but not the full operator set — an exact
     conjunction makes a rule delete stream-replayable without
     materializing change rows."""
-    if isinstance(rule_or_group, RuleDefinition):
-        group = rule_or_group.conditions
-    elif isinstance(rule_or_group, ConditionGroup) or rule_or_group is None:
-        group = rule_or_group
-    elif isinstance(rule_or_group, Mapping):
-        # Disambiguate by the shape of "Conditions": a RULE dict nests a
-        # group MAPPING there ({"Conditions": {...group...}}), a GROUP
-        # dict holds a LIST of leaves ({"Conditions": [...], ...}).
-        inner = _ci_get(rule_or_group, "Conditions")
-        if isinstance(inner, Mapping):
-            group = RuleDefinition.from_dict(rule_or_group).conditions
-        else:
-            group = ConditionGroup.from_dict(rule_or_group)
-    else:
-        group = getattr(rule_or_group, "conditions", rule_or_group)
+    group = _resolve_group(rule_or_group)
     params = dict(external_params or {})
     out: list[tuple] = []
 
@@ -622,21 +633,7 @@ def rule_skip_conjuncts(
     # or a raw rule/group dict — the duck-typed getattr('conditions') broke
     # for ConditionGroup (its .conditions is a leaf LIST, not a group) and
     # for dicts (r9 advice).
-    if isinstance(rule_or_group, RuleDefinition):
-        group = rule_or_group.conditions
-    elif isinstance(rule_or_group, ConditionGroup) or rule_or_group is None:
-        group = rule_or_group
-    elif isinstance(rule_or_group, Mapping):
-        # Disambiguate by the shape of "Conditions": a RULE dict nests a
-        # group MAPPING there ({"Conditions": {...group...}}), a GROUP
-        # dict holds a LIST of leaves ({"Conditions": [...], ...}).
-        inner = _ci_get(rule_or_group, "Conditions")
-        if isinstance(inner, Mapping):
-            group = RuleDefinition.from_dict(rule_or_group).conditions
-        else:
-            group = ConditionGroup.from_dict(rule_or_group)
-    else:
-        group = getattr(rule_or_group, "conditions", rule_or_group)
+    group = _resolve_group(rule_or_group)
     params = dict(external_params or {})
     out: list[tuple] = []
 

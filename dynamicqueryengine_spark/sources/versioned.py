@@ -341,13 +341,18 @@ def _commit(
     # semantics): None carries the head's recorded set forward through
     # every commit kind (append, merge, optimize, restore); an explicit
     # list replaces it ([] clears)
-    if constraints is None and expected_head > 0:
+    # ONE read of the head manifest feeds the constraints carry, the
+    # dv carry, and the txns map — at 100 TB a head manifest holds
+    # per-file stats/blooms for thousands of files, so every commit
+    # parsing it two or three times is real I/O
+    prev = None
+    if expected_head > 0:
         try:
-            constraints = _read_manifest(path, expected_head).get(
-                "constraints"
-            )
+            prev = _read_manifest(path, expected_head)
         except FileNotFoundError:
-            constraints = None
+            prev = None
+    if constraints is None and prev is not None:
+        constraints = prev.get("constraints")
     if constraints:
         manifest["constraints"] = constraints
     # deletion vectors follow the FILES they describe: None carries the
@@ -355,15 +360,15 @@ def _commit(
     # (a rewritten file's deletes were materialized by the rewrite); an
     # explicit map (DV-writing commits, restore, clone) is pruned the
     # same way for safety
-    if dv is None and expected_head > 0:
-        try:
-            dv = _read_manifest(path, expected_head).get("dv")
-        except FileNotFoundError:
-            dv = None
+    if dv is None and prev is not None:
+        dv = prev.get("dv")
     dv = _prune_dv(dv, dirs, files)
     if dv:
         manifest["dv"] = dv
-    txns = _txns_at(path, expected_head) if expected_head > 0 else {}
+    if prev is not None and "txns" in prev:
+        txns = dict(prev["txns"])
+    else:
+        txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
         manifest["txn"] = txn
         txns[txn["app"]] = int(txn["version"])
@@ -2203,6 +2208,7 @@ def _dv_merge_attempt(
     txn,
     dv_max_rows: int,
     strict: bool,
+    bloom_cols: Sequence[str] | None = None,
 ):
     """One merge-on-read MERGE attempt: rows whose key matches an upsert
     (or a delete-clause row) are DV'd out of their files and the
@@ -2251,6 +2257,7 @@ def _dv_merge_attempt(
         new_data=ups_c,
         txn=txn,
         commit_on_empty=True,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -2370,6 +2377,11 @@ def vt_merge(
         if not _keys_cache:
             _keys_cache.append(_collect_update_keys(updates, keys))
         return _keys_cache[0]
+    # the store-assignment probe is a Spark job over the updates: run it
+    # once per TABLE SCHEMA, not once per commit-race retry (ups does
+    # not change with the head; a re-validate is only owed when a racing
+    # commit evolved the schema)
+    _validated_schemas: list = []
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -2395,7 +2407,10 @@ def vt_merge(
             target = None
         elif file_granular:
             target = StructType.fromJson(manifest["schema"])
-            ups_c = _reconcile_to_schema(ups, target)
+            fresh_schema = manifest["schema"] not in _validated_schemas
+            ups_c = _reconcile_to_schema(ups, target, validate=fresh_schema)
+            if fresh_schema:
+                _validated_schemas.append(manifest["schema"])
             n_files = sum(
                 len(v) for v in manifest.get("files", {}).values()
             )
@@ -2439,6 +2454,7 @@ def vt_merge(
                         txn,
                         dv_max_rows,
                         strict=(mode == "dv"),
+                        bloom_cols=bloom_cols,
                     )
                     if res is not None:
                         if res >= 0:
@@ -2626,6 +2642,7 @@ def _dv_mutation_commit(
     new_data=None,
     txn: tuple | None = None,
     commit_on_empty: bool = False,
+    bloom_cols: Sequence[str] | None = None,
 ):
     """Shared merge-on-read commit for DV-mode DELETE/UPDATE: collect the
     matched rows' (file key, position) pairs — bounded by ``dv_max_rows``
@@ -2655,6 +2672,7 @@ def _dv_mutation_commit(
             new_data,
             txn,
             commit_on_empty,
+            bloom_cols,
         )
     finally:
         matched.unpersist()
@@ -2674,6 +2692,7 @@ def _dv_mutation_commit_cached(
     new_data,
     txn: tuple | None = None,
     commit_on_empty: bool = False,
+    bloom_cols: Sequence[str] | None = None,
 ):
     pairs = (
         matched.select("_vt_file_key", "_vt_pos")
@@ -2747,6 +2766,15 @@ def _dv_mutation_commit_cached(
             fstats[new_dir] = nfstats
         if nrows:
             frows[new_dir] = nrows
+        if bloom_cols:
+            # the appended upsert dir must stay bloom-prunable like any
+            # rewrite-path output, or alternating DV merges would
+            # progressively lose the pruning the caller asked for
+            nblooms = _harvest_blooms(
+                spark, os.path.join(path, new_dir), bloom_cols
+            )
+            if nblooms:
+                blooms[new_dir] = nblooms
     try:
         return _commit(
             path,
@@ -3762,7 +3790,19 @@ def vt_compact(
         for d in manifest["dirs"]:
             flist = flists.get(d)
             if not flist:
-                whole_dirs += 1  # _partition_snapshot touches it whole
+                # _partition_snapshot touches legacy dirs whole — their
+                # bytes MUST count toward the output sizing or a 10 GB
+                # legacy dir would pack into one oversized file
+                whole_dirs += 1
+                full = os.path.join(path, d)
+                try:
+                    for n in os.listdir(full):
+                        if n.endswith(".parquet"):
+                            small_bytes += os.path.getsize(
+                                os.path.join(full, n)
+                            )
+                except OSError:
+                    pass
                 continue
             for f in flist:
                 try:
@@ -3958,6 +3998,21 @@ def vt_vacuum(
                 removed.append(os.path.join("_dv", name))
             except OSError:
                 continue
+    # torn commit temps: a writer killed between creating its .tmp_ file
+    # and the finally-unlink leaves debris in _vlog — it owns no version
+    # slot (vt_versions ignores non-manifest names) but would otherwise
+    # accumulate forever; same grace window as any possibly-live writer
+    for name in os.listdir(_log_dir(path)):
+        if not name.startswith(".tmp_"):
+            continue
+        full = os.path.join(_log_dir(path), name)
+        try:
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.remove(full)
+            removed.append(os.path.join("_vlog", name))
+        except OSError:
+            continue
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))
@@ -4494,6 +4549,7 @@ def vt_maintain(
     actions: list[str] = []
     if plan["compact"]:
         if incremental and not cluster_by:
+            before = vt_head(path)
             vt_compact(
                 spark,
                 path,
@@ -4501,7 +4557,11 @@ def vt_maintain(
                 bloom_cols=bloom_cols,
                 min_files=2,
             )
-            actions.append("compact:incremental")
+            if vt_head(path) != before:
+                actions.append("compact:incremental")
+            # a no-op compact (the trigger was dir sprawl or DV debt in
+            # healthy files) records nothing — the follow-on analyze
+            # must not be forced by a phantom action
         else:
             m = method or ("range" if cluster_by else "compact")
             vt_optimize(

@@ -4068,3 +4068,116 @@ class TestMaintainIncremental:
         assert "analyze" in m  # stats follow the new layout
         got = _rows(vt_read(spark, path))
         assert len(got) == 6
+
+
+class TestReviewFixesR11:
+    """Pins for the r11 in-round review findings."""
+
+    def test_dv_merge_appended_dir_gets_blooms(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(32).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=2, bloom_cols=["id"])
+        v = vt_merge(
+            spark, path, _df(spark, [(5, "FIVE"), (99, "NEW")]),
+            ["id"], mode="dv", bloom_cols=["id"],
+        )
+        m = _read_manifest(path, v)
+        new_dirs = [d for d in m["dirs"] if d not in _read_manifest(path, 2)["dirs"]]
+        assert len(new_dirs) == 1
+        assert new_dirs[0] in m.get("blooms", {})  # upsert dir prunable
+
+    def test_maintain_incremental_noop_records_no_action(
+        self, spark, tmp_path
+    ):
+        """A compact trigger vt_compact cannot fix (dir sprawl of
+        healthy-sized files) must not claim compaction nor force an
+        analyze commit on every run."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_analyze,
+            vt_maintain,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(0, "a")]))
+        for k in range(5):
+            vt_write(
+                spark, path, _df(spark, [(k + 1, "b")]), mode="append"
+            )
+        vt_analyze(spark, path, columns=["id"])
+        # every file is "healthy" under a 1-byte threshold: compact is
+        # due (dir sprawl) but vt_compact finds nothing packable
+        out = vt_maintain(
+            spark, path, incremental=True, small_file_bytes=1
+        )
+        assert "compact:incremental" not in out["actions"]
+        assert "analyze" not in out["actions"]  # stats still fresh
+
+    def test_vacuum_reaps_torn_commit_temps(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_vacuum
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        torn = os.path.join(path, "_vlog", ".tmp_2_999_123")
+        with open(torn, "w") as f:
+            f.write('{"dirs": [')  # a crashed writer's debris
+        removed = vt_vacuum(spark, path, keep_last=2, grace_seconds=0)
+        assert os.path.join("_vlog", ".tmp_2_999_123") in removed
+        assert not os.path.exists(torn)
+        assert _rows(vt_read(spark, path)) == {(1, "a")}
+
+    def test_compact_sizes_legacy_whole_dirs(self, spark, tmp_path):
+        """A legacy (no file list) dir's bytes count toward the output
+        sizing: packing must not collapse it into one oversized file."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_compact,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path,
+            spark.range(40000).selectExpr("id", "concat('v', id) AS v"),
+        )
+        # strip the file list from the manifest to simulate a legacy dir
+        m = _read_manifest(path, 1)
+        m.pop("files", None)
+        m.pop("file_stats", None)
+        m.pop("file_rows", None)
+        import json as _json
+
+        with open(V._manifest_path(path, 1), "w") as f:
+            _json.dump(m, f)
+        legacy_bytes = sum(
+            os.path.getsize(os.path.join(path, m["dirs"][0], n))
+            for n in os.listdir(os.path.join(path, m["dirs"][0]))
+            if n.endswith(".parquet")
+        )
+        # one genuinely-small companion file so the packable count
+        # clears the >=2 floor; the legacy dir is touched whole anyway
+        vt_write(spark, path, _df(spark, [(900000, "t")]), mode="append")
+        tiny_dir = [
+            d for d in _read_manifest(path, 2)["dirs"] if d != m["dirs"][0]
+        ][0]
+        tiny_bytes = sum(
+            os.path.getsize(os.path.join(path, tiny_dir, n))
+            for n in os.listdir(os.path.join(path, tiny_dir))
+            if n.endswith(".parquet")
+        )
+        v = vt_compact(
+            spark, path,
+            small_file_bytes=tiny_bytes + 1,  # only the tiny file is small
+            target_file_bytes=max(1, legacy_bytes // 3),
+        )
+        m2 = _read_manifest(path, v)
+        [new_dir] = m2["dirs"]
+        # the legacy dir was touched whole AND its bytes sized the
+        # output: ~3+ files, not 1 oversized one
+        assert len(m2["files"][new_dir]) >= 2
+        assert vt_read(spark, path).count() == 40001
