@@ -102,6 +102,14 @@ __all__ = [
 
 _DEC = "decimal(38,12)"
 
+# deletion-vector read strategy cutover: at or below this many total
+# positions the filter is a literal codegen'd NOT-isin (zero driver/join
+# overhead — spark.createDataFrame alone costs ~0.4 s per query); above
+# it, a broadcast-hash LEFT ANTI join against a positions frame (long
+# literal isin lists cost more to ANALYZE/codegen than the join saves —
+# measured crossover near a few hundred, scripts/bench_dv_probe.py)
+_DV_LITERAL_MAX = 128
+
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_vlog")
@@ -1155,6 +1163,11 @@ def vt_scan_plan(
         if manifest.get("schema_heterogeneous"):
             plan["schema_heterogeneous"] = True
     partial = set(manifest.get("partial_dirs", []))
+    # dirs holding deletion-vector entries are emitted file-granular so
+    # the reader can split the scan: only the DV'd FILES pay the
+    # anti-join, the dir's clean files read plainly (authoritative
+    # lists always exist for the schema'd tables DVs require)
+    dv_dirs = set(manifest.get("dv", {}))
     conjuncts = _normalize_predicate(predicate)
     if conjuncts is None:
         # partial dirs (file-granular MERGE/DELETE leftovers) are read by
@@ -1162,7 +1175,7 @@ def vt_scan_plan(
         # still holds the rewritten files until the dir itself expires
         paths = []
         for d in dirs:
-            if d in partial and flists.get(d):
+            if (d in partial or d in dv_dirs) and flists.get(d):
                 paths.extend(os.path.join(path, d, f) for f in flists[d])
             else:
                 paths.append(os.path.join(path, d))
@@ -1286,14 +1299,44 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
     dropped JVM-side: each row's ``(file key, _metadata.row_index)`` is
     anti-joined against a BROADCAST frame of the deleted positions — no
     Python in the path, and the broadcast is bounded by DV size (the
-    merge-on-read contract keeps DVs small). ``keep_positions=True``
+    merge-on-read contract keeps DVs small). The scan is SPLIT first:
+    paths that provably hold no vectored row read plainly (zero
+    overhead — no metadata columns, no join; only the DV'd files pay),
+    so the read tax is proportional to DV'd-file bytes, not table
+    bytes (measured: scripts/bench_dv_probe.py). ``keep_positions=True``
     additionally exposes ``_vt_file_key``/``_vt_pos`` columns so DV
     writers (vt_delete/vt_update mode="dv") can address matched rows."""
     reader = spark.read
     if plan.get("schema_heterogeneous"):
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*plan["paths"])
     dv = plan.get("dv")
+    if dv and not keep_positions:
+        dirty: list[str] = []
+        clean: list[str] = []
+        for p in plan["paths"]:
+            base = os.path.basename(p.rstrip("/"))
+            if os.path.isdir(p):
+                hit = any(k.split("/", 1)[0] == base for k in dv)
+            else:
+                hit = (
+                    os.path.basename(os.path.dirname(p)) + "/" + base
+                ) in dv
+            (dirty if hit else clean).append(p)
+        if clean and dirty:
+            sub = dict(plan)
+            sub["paths"] = clean
+            sub.pop("dv")
+            out = _read_plan(spark, sub)
+            sub2 = dict(plan)
+            sub2["paths"] = dirty
+            return out.unionByName(_read_plan(spark, sub2))
+        # all paths dirty (or all clean — dv subset said otherwise, but
+        # fall through defensively): single-leg read below
+        if clean and not dirty:
+            sub = dict(plan)
+            sub.pop("dv")
+            return _read_plan(spark, sub)
+    df = reader.parquet(*plan["paths"])
     if dv or keep_positions:
         parts = F.split(F.col("_metadata.file_path"), "/")
         df = df.withColumn(
@@ -1303,18 +1346,33 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
             ),
         ).withColumn("_vt_pos", F.col("_metadata.row_index"))
     if dv:
-        pairs = [
-            (k, int(p)) for k, poss in dv.items() for p in poss
-        ]
-        dv_df = spark.createDataFrame(
-            pairs, "_vt_dv_key string, _vt_dv_pos long"
-        )
-        df = df.join(
-            F.broadcast(dv_df),
-            (F.col("_vt_file_key") == F.col("_vt_dv_key"))
-            & (F.col("_vt_pos") == F.col("_vt_dv_pos")),
-            "left_anti",
-        )
+        n_pos = sum(len(poss) for poss in dv.values())
+        if n_pos <= _DV_LITERAL_MAX:
+            # small vectors (the common merge-on-read case) compile to a
+            # literal NOT-(key AND pos-isin) filter: whole-stage codegen,
+            # no broadcast frame — spark.createDataFrame alone costs
+            # ~0.4 s of driver fixed overhead per query (measured,
+            # scripts/bench_dv_probe.py)
+            cond = None
+            for k, poss in dv.items():
+                c = (F.col("_vt_file_key") == F.lit(k)) & F.col(
+                    "_vt_pos"
+                ).isin([int(p) for p in poss])
+                cond = c if cond is None else (cond | c)
+            df = df.filter(~cond)
+        else:
+            pairs = [
+                (k, int(p)) for k, poss in dv.items() for p in poss
+            ]
+            dv_df = spark.createDataFrame(
+                pairs, "_vt_dv_key string, _vt_dv_pos long"
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                (F.col("_vt_file_key") == F.col("_vt_dv_key"))
+                & (F.col("_vt_pos") == F.col("_vt_dv_pos")),
+                "left_anti",
+            )
     sj = plan.get("schema")
     if sj:
         from pyspark.sql.types import StructType

@@ -594,9 +594,13 @@ class TestDeletionVectorPlan:
     pushdown still reaches the parquet scan underneath it; a table
     without vectors pays nothing at all."""
 
-    def test_dv_read_broadcast_anti_join_with_pushdown(
+    def test_small_dv_compiles_to_literal_filter_with_pushdown(
         self, spark, tmp_path
     ):
+        """At or below _DV_LITERAL_MAX positions the vector is a plain
+        codegen'd NOT-isin filter — no join, no broadcast frame (which
+        alone costs ~0.4 s of driver overhead) — and predicate pushdown
+        still reaches the scan."""
         from dynamicqueryengine_spark.sources.versioned import (
             vt_delete,
             vt_optimize,
@@ -610,9 +614,33 @@ class TestDeletionVectorPlan:
         vt_optimize(spark, path, ["id"], n_partitions=4)
         vt_delete(spark, path, ("id", "=", 5), mode="dv")
         plan = _physical(vt_read(spark, path, predicate=("id", "<", 100)))
+        assert "Join" not in plan
+        # the literal vector filter collapsed into the scan's Filter
+        # (Catalyst inlined the key/pos columns) — the metadata row
+        # index is referenced right in the filter condition
+        assert "row_index" in plan
+        assert "PushedFilters: [IsNotNull(id), LessThan(id,100)]" in plan
+
+    def test_large_dv_uses_broadcast_anti_join(self, spark, tmp_path):
+        """Above the literal cutover the vector applies as a BROADCAST
+        hash LEFT ANTI join — never a shuffle."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(10000).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        vt_delete(
+            spark, path, [("id", ">=", 0), ("id", "<", 300)], mode="dv"
+        )
+        plan = _physical(vt_read(spark, path))
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
         assert "SortMergeJoin" not in plan
-        assert "PushedFilters: [IsNotNull(id), LessThan(id,100)]" in plan
 
     def test_dv_free_table_reads_without_join_or_metadata(
         self, spark, tmp_path
@@ -630,3 +658,29 @@ class TestDeletionVectorPlan:
         plan = _physical(vt_read(spark, path))
         assert "Join" not in plan
         assert "_vt_file_key" not in plan and "row_index" not in plan
+
+    def test_dv_scan_splits_clean_files_out_of_the_join(
+        self, spark, tmp_path
+    ):
+        """Only DV'd files pay the anti-join: with 1 of 4 files
+        vectored, the plan is a Union of a plain scan (3 files) and one
+        joined scan — the per-row file-key computation never touches
+        the clean leg, so the read tax is DV'd-file-bytes, not
+        table-bytes."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(10000).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        vt_delete(
+            spark, path, [("id", ">=", 0), ("id", "<", 300)], mode="dv"
+        )
+        plan = _physical(vt_read(spark, path))
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "Union" in plan
