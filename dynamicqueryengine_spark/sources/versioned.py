@@ -59,6 +59,8 @@ separated from writes so readers of retained versions never race it.
 
 from __future__ import annotations
 
+import base64
+import errno
 import json
 import os
 import shutil
@@ -135,14 +137,69 @@ def _dv_dir(path: str) -> str:
     return os.path.join(path, "_dv")
 
 
+def _encode_dv_positions(positions) -> str:
+    """Sorted unique row positions → base64(delta-varint) blob. A plain
+    JSON int array costs ~8-10 bytes per position (~1 MB at the 100k
+    ``dv_max_rows`` cap); gaps between sorted positions are small, so
+    LEB128-varint-coding the deltas is ~10× tighter (Delta stores DV
+    bitmaps as RoaringBitmap blobs for the same reason — positions
+    compress, position LISTS don't)."""
+    out = bytearray()
+    prev = -1
+    for p in positions:
+        gap = int(p) - prev
+        prev = int(p)
+        while True:
+            b = gap & 0x7F
+            gap >>= 7
+            if gap:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return base64.b64encode(bytes(out)).decode("ascii")
+
+
+def _decode_dv_positions(enc) -> list[int]:
+    """Inverse of :func:`_encode_dv_positions`. A JSON list passes
+    through unchanged — pre-r12 sidecars stored plain position arrays,
+    and the two formats are type-distinguishable per file entry, so old
+    tables read without migration."""
+    if isinstance(enc, list):
+        return [int(p) for p in enc]
+    raw = base64.b64decode(enc)
+    out: list[int] = []
+    cur = -1
+    gap = 0
+    shift = 0
+    for b in raw:
+        gap |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            cur += gap
+            out.append(cur)
+            gap = 0
+            shift = 0
+    return out
+
+
 def _write_dv_sidecar(path: str, payload: dict) -> str:
-    """Persist ``{dir: {file: [positions]}}`` as an immutable sidecar;
+    """Persist ``{dir: {file: [positions]}}`` as an immutable sidecar
+    (positions delta-varint-coded, see :func:`_encode_dv_positions`);
     returns its name. Written BEFORE the commit that references it — a
     lost commit race removes it, an unreferenced orphan is vacuum's."""
     os.makedirs(_dv_dir(path), exist_ok=True)
     name = f"dv_{uuid.uuid4().hex}.json"
+    encoded = {
+        d: {
+            fname: _encode_dv_positions(sorted({int(p) for p in poss}))
+            for fname, poss in fmap.items()
+        }
+        for d, fmap in payload.items()
+    }
     with open(os.path.join(_dv_dir(path), name), "w") as f:
-        json.dump(payload, f)
+        json.dump(encoded, f)
     return name
 
 
@@ -175,8 +232,18 @@ def _load_dv_positions(path: str, dv_map: dict) -> dict:
         for d, fname in wanted:
             base = os.path.basename(d.rstrip("/"))
             key = base + "/" + fname
-            fmap = payload.get(d) or by_base[base]
-            out[key] = fmap[fname]
+            fmap = payload.get(d) or by_base.get(base)
+            if fmap is None or fname not in fmap:
+                # a partial sidecar write or manual edit would otherwise
+                # surface as a bare KeyError deep inside every read path —
+                # name the sidecar, dir and file so the corruption is
+                # diagnosable (ADVICE r11)
+                raise ValueError(
+                    f"DV sidecar {ref!r} at {path!r} has no entry for "
+                    f"{d}/{fname} — the sidecar is corrupt or does not "
+                    "match the manifest that references it"
+                )
+            out[key] = _decode_dv_positions(fmap[fname])
     return out
 
 
@@ -250,6 +317,18 @@ def _txns_at(path: str, version: int) -> dict:
         if txn and "app" in txn:
             txns[txn["app"]] = int(txn["version"])
     return txns
+
+
+# errnos that mean "this filesystem cannot hard-link", not "this link
+# failed": _commit falls back to plain create-if-absent on these
+_LINK_UNSUPPORTED_ERRNOS = frozenset(
+    e
+    for e in (
+        getattr(errno, name, None)
+        for name in ("EPERM", "EACCES", "ENOTSUP", "EOPNOTSUPP", "ENOSYS", "EXDEV", "EMLINK")
+    )
+    if e is not None
+)
 
 
 # auto-checkpoint cadence: every Nth commit refreshes _checkpoint.json
@@ -400,7 +479,24 @@ def _commit(
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.link(tmp, target)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise  # concurrent writer won the slot — the caller's retry
+        except OSError as e:
+            # filesystems without hard links (some FUSE/object-store
+            # mounts, exFAT, certain NFS exports) fail every link with
+            # EPERM/ENOTSUP-family errnos. Degrade to the pre-r11
+            # open("x") protocol: create-if-absent semantics (and thus
+            # concurrent-writer detection) are identical; only the
+            # torn-manifest crash window this protocol closed returns,
+            # and only on those filesystems (ADVICE r11).
+            if e.errno not in _LINK_UNSUPPORTED_ERRNOS:
+                raise
+            with open(tmp) as src, open(target, "x") as dst:
+                dst.write(src.read())
+                dst.flush()
+                os.fsync(dst.fileno())
     finally:
         # tmp is removed on every exit: success, lost race (EEXIST from
         # link), or a crash mid-serialization — in which case the torn
@@ -1330,12 +1426,19 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
             sub2 = dict(plan)
             sub2["paths"] = dirty
             return out.unionByName(_read_plan(spark, sub2))
-        # all paths dirty (or all clean — dv subset said otherwise, but
-        # fall through defensively): single-leg read below
         if clean and not dirty:
-            sub = dict(plan)
-            sub.pop("dv")
-            return _read_plan(spark, sub)
+            # _attach_plan_dv only sets plan["dv"] for files in the
+            # plan's paths, so a non-empty vector with zero dirty paths
+            # means the key derivation diverged (path normalization,
+            # future refactor) — reading WITHOUT the filter here would
+            # silently resurrect deleted rows; fail loudly instead
+            # (ADVICE r11)
+            raise ValueError(
+                "deletion-vector keys matched no scan path — DV filter "
+                f"would be dropped silently (dv keys={sorted(dv)}, "
+                f"paths={sorted(plan['paths'])})"
+            )
+        # all paths dirty: single-leg read below applies the filter
     df = reader.parquet(*plan["paths"])
     if dv or keep_positions:
         parts = F.split(F.col("_metadata.file_path"), "/")

@@ -347,8 +347,20 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 import numpy as np
 
                 tbl = dset.to_table()
+                pos = np.asarray(dvpos, dtype=np.int64)
+                if pos.size and (
+                    int(pos.max()) >= tbl.num_rows or int(pos.min()) < 0
+                ):
+                    # a corrupt/stale sidecar would otherwise surface as
+                    # an opaque numpy IndexError on an executor — name
+                    # the file and the bad position instead (ADVICE r11)
+                    raise ValueError(
+                        f"deletion-vector position {int(pos.max())} out "
+                        f"of range for {p} ({tbl.num_rows} rows) — "
+                        "corrupt or mismatched DV sidecar"
+                    )
                 mask = np.ones(tbl.num_rows, dtype=bool)
-                mask[dvpos] = False
+                mask[pos] = False
                 tbl = tbl.filter(pa.array(mask))
                 if expr is not None:
                     tbl = tbl.filter(expr)

@@ -499,3 +499,38 @@ class TestStreamDeletionVectors:
             vt_read(spark, src)
             .withColumn("_change_type", F.lit("insert"))
         )
+
+    def test_out_of_range_dv_position_raises_named_error(
+        self, spark, tmp_path
+    ):
+        """ADVICE r11: a corrupt/stale sidecar carrying a position past
+        the file's row count must raise a descriptive error naming the
+        file, not an opaque executor-side numpy IndexError."""
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _dv_dir,
+            _read_manifest,
+            vt_versions,
+        )
+
+        src = str(tmp_path / "src")
+        vt_write(spark, src, _df(spark, 12))
+        vt_delete(spark, src, ("g", "=", "g1"), mode="dv")
+        # rewrite the sidecar's positions far past any file's row count
+        m = _read_manifest(src, vt_versions(src)[-1])
+        refs = {e["ref"] for fm in m["dv"].values() for e in fm.values()}
+        for ref in refs:
+            full = os.path.join(_dv_dir(src), ref)
+            with open(full) as f:
+                payload = _json.load(f)
+            corrupt = {
+                d: {fn: [10**7] for fn in fm} for d, fm in payload.items()
+            }
+            with open(full, "w") as f:
+                _json.dump(corrupt, f)
+        # predicate-delete replay over the DV'd snapshot reads the
+        # corrupted vectors on an executor
+        vt_delete(spark, src, ("id", "<", 6))
+        with pytest.raises(Exception, match="out of range"):
+            _drain_to_memory(vt_change_stream(spark, src))

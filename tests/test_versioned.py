@@ -4181,3 +4181,173 @@ class TestReviewFixesR11:
         # output: ~3+ files, not 1 oversized one
         assert len(m2["files"][new_dir]) >= 2
         assert vt_read(spark, path).count() == 40001
+
+
+class TestAdviceFixesR12:
+    """Pins for the r11 ADVICE findings plus the r12 compact DV sidecar
+    encoding (delta-varint base64 position blobs, legacy JSON lists
+    still readable)."""
+
+    def _staged_dv(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        vt_delete(spark, path, ("id", "in", [5, 6, 40]), mode="dv")
+        return path
+
+    def test_dv_codec_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _decode_dv_positions,
+            _encode_dv_positions,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.integers(min_value=0, max_value=2**40),
+                max_size=300,
+                unique=True,
+            )
+        )
+        def check(poss):
+            poss = sorted(poss)
+            assert _decode_dv_positions(_encode_dv_positions(poss)) == poss
+            # legacy plain-list entries pass through the decoder
+            assert _decode_dv_positions(list(poss)) == poss
+
+        check()
+
+    def test_dv_sidecar_is_varint_and_smaller_than_json(self, tmp_path):
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _decode_dv_positions,
+            _dv_dir,
+            _write_dv_sidecar,
+        )
+
+        poss = sorted(range(0, 300_000, 3))  # 100k positions
+        ref = _write_dv_sidecar(str(tmp_path), {"d_x": {"f.parquet": poss}})
+        with open(os.path.join(_dv_dir(str(tmp_path)), ref)) as f:
+            payload = _json.load(f)
+        enc = payload["d_x"]["f.parquet"]
+        assert isinstance(enc, str)  # varint blob, not a JSON array
+        assert _decode_dv_positions(enc) == poss
+        assert len(enc) < len(_json.dumps(poss)) / 5  # ≥5× tighter
+
+    def test_legacy_list_sidecar_still_reads(self, spark, tmp_path):
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _dv_dir,
+            _read_manifest,
+            vt_count,
+            vt_versions,
+        )
+
+        path = self._staged_dv(spark, tmp_path)
+        m = _read_manifest(path, vt_versions(path)[-1])
+        refs = {e["ref"] for fm in m["dv"].values() for e in fm.values()}
+        # rewrite every sidecar into the pre-r12 plain-list format
+        for ref in refs:
+            full = os.path.join(_dv_dir(path), ref)
+            with open(full) as f:
+                payload = _json.load(f)
+            from dynamicqueryengine_spark.sources.versioned import (
+                _decode_dv_positions,
+            )
+
+            legacy = {
+                d: {fn: _decode_dv_positions(e) for fn, e in fm.items()}
+                for d, fm in payload.items()
+            }
+            with open(full, "w") as f:
+                _json.dump(legacy, f)
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {5, 6, 40}
+        assert vt_count(spark, path) == 61
+
+    def test_corrupt_sidecar_raises_named_error(self, spark, tmp_path):
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _dv_dir,
+            _read_manifest,
+            vt_versions,
+        )
+
+        path = self._staged_dv(spark, tmp_path)
+        m = _read_manifest(path, vt_versions(path)[-1])
+        refs = {e["ref"] for fm in m["dv"].values() for e in fm.values()}
+        for ref in refs:
+            full = os.path.join(_dv_dir(path), ref)
+            with open(full, "w") as f:
+                _json.dump({}, f)  # sidecar lost its entries
+        with pytest.raises(ValueError, match="DV sidecar .* no entry"):
+            vt_read(spark, path).collect()
+
+    def test_read_plan_raises_on_dv_key_mismatch(self, spark, tmp_path):
+        """A non-empty DV map whose keys match no scan path must fail
+        loudly, never read without the filter (silent resurrection)."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            _read_plan,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        d = _read_manifest(path, 1)["dirs"][0]
+        plan = {
+            "paths": [os.path.join(path, d)],
+            "dv": {"d_nonexistent/part-0.parquet": [0]},
+        }
+        with pytest.raises(ValueError, match="matched no scan path"):
+            _read_plan(spark, plan)
+
+    def test_commit_falls_back_when_hardlinks_unsupported(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Filesystems without hard links (FUSE/object-store mounts)
+        degrade to create-if-absent: commits succeed, concurrent-writer
+        detection (EEXIST) is unchanged."""
+        import errno as _errno
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        def no_link(src, dst):
+            raise OSError(_errno.EPERM, "Operation not permitted")
+
+        monkeypatch.setattr(V.os, "link", no_link)
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+        assert _rows(vt_read(spark, path)) == {(1, "a"), (2, "b")}
+        # slot already owned -> the fallback's open("x") raises EEXIST
+        with open(V._manifest_path(path, 3), "w") as f:
+            f.write("{}")
+        with pytest.raises(FileExistsError):
+            V._commit(path, [], "append", 2)
+
+    def test_commit_still_raises_on_unexpected_link_errors(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import errno as _errno
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        def bad_link(src, dst):
+            raise OSError(_errno.EIO, "I/O error")
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a")]))
+        monkeypatch.setattr(V.os, "link", bad_link)
+        with pytest.raises(OSError):
+            vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
