@@ -2983,6 +2983,7 @@ def _dv_update_attempt(
     assigns_json,
     dv_max_rows: int,
     strict: bool,
+    bloom_cols: Sequence[str] | None = None,
 ):
     """One merge-on-read UPDATE attempt: DV out the matched rows'
     positions, append the post-image rows as a fresh directory, always
@@ -3037,6 +3038,7 @@ def _dv_update_attempt(
         change_rows,
         dv_max_rows,
         strict,
+        bloom_cols=bloom_cols,
         new_data=post,
     )
 
@@ -3051,6 +3053,7 @@ def vt_delete(
     external_params=None,
     mode: str = "rewrite",
     dv_max_rows: int = 100_000,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Row-level DELETE as a committed version (Delta's ``DELETE FROM …
     WHERE``): remove every row matching ``predicate`` — one ``(col, op,
@@ -3105,7 +3108,13 @@ def vt_delete(
 
     OPTIMIZE / vt_maintain materialize accumulated DVs (their rewrite
     reads apply the vectors, and the new manifest references only fresh
-    files, so the entries expire with the files they described).
+    files, so the entries expire with the files they described);
+    :func:`vt_reorg` materializes them file-granularly.
+
+    ``bloom_cols=`` harvests Bloom filters for the rewritten directory
+    (parity with vt_write/vt_merge/vt_optimize/vt_compact) so DML on a
+    bloom-indexed table doesn't silently degrade equality pruning until
+    the next OPTIMIZE.
 
     Concurrency: like OPTIMIZE, a delete is derived from the head it
     read; on a commit race it re-reads the new head and retries."""
@@ -3246,6 +3255,7 @@ def vt_delete(
                     ),
                     dv_max_rows,
                     strict=(mode == "dv"),
+                    bloom_cols=bloom_cols,
                 )
                 if res is not None:
                     if res >= 0:
@@ -3274,6 +3284,11 @@ def vt_delete(
         finally:
             if need_changes:
                 touched.unpersist()
+        new_blooms = (
+            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+            if bloom_cols
+            else {}
+        )
         if part is not None:
             dirs = part["dirs"] + [new_dir]
             stats = {
@@ -3289,7 +3304,10 @@ def vt_delete(
                 **part["file_rows"],
                 **({new_dir: new_rows} if new_rows else {}),
             }
-            blooms = dict(part["blooms"]) or None
+            blooms = dict(part["blooms"])
+            if new_blooms:
+                blooms[new_dir] = new_blooms
+            blooms = blooms or None
             partial_dirs = part["partial_dirs"]
             blob = {
                 "files_total": part["files_total"],
@@ -3304,7 +3322,7 @@ def vt_delete(
             fstats = {new_dir: new_fstats} if new_fstats else None
             files = {new_dir: new_files}
             frows = {new_dir: new_rows} if new_rows else None
-            blooms = None
+            blooms = {new_dir: new_blooms} if new_blooms else None
             partial_dirs = None
             blob = {}
             schema_json = json.loads(survivors.schema.json())
@@ -3362,6 +3380,7 @@ def vt_update(
     external_params=None,
     mode: str = "rewrite",
     dv_max_rows: int = 100_000,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Row-level UPDATE as a committed version (Delta's ``UPDATE … SET …
     WHERE``), completing the DML triad next to :func:`vt_merge` and
@@ -3402,7 +3421,11 @@ def vt_update(
     :func:`vt_delete`): matched rows' positions are DV'd out of their
     files (``files_rewritten = 0``) and the post-update rows are
     appended as a fresh directory; pre/post change images are always
-    materialized. Bounded by ``dv_max_rows``."""
+    materialized. Bounded by ``dv_max_rows``.
+
+    ``bloom_cols=`` harvests Bloom filters for the rewritten (or
+    DV-appended post-image) directory — parity with
+    vt_write/vt_merge/vt_optimize/vt_compact, see :func:`vt_delete`."""
     if mode not in ("rewrite", "dv", "auto"):
         raise ValueError(f"unknown update mode {mode!r}")
     from collections.abc import Mapping as _Mapping
@@ -3511,6 +3534,7 @@ def vt_update(
                     assigns_json,
                     dv_max_rows,
                     strict=(mode == "dv"),
+                    bloom_cols=bloom_cols,
                 )
                 if res is not None:
                     if res >= 0:
@@ -3565,6 +3589,11 @@ def vt_update(
             )
         finally:
             touched.unpersist()
+        new_blooms = (
+            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+            if bloom_cols
+            else {}
+        )
         if part is not None:
             dirs = part["dirs"] + [new_dir]
             stats = {
@@ -3580,7 +3609,10 @@ def vt_update(
                 **part["file_rows"],
                 **({new_dir: new_rows} if new_rows else {}),
             }
-            blooms = dict(part["blooms"]) or None
+            blooms = dict(part["blooms"])
+            if new_blooms:
+                blooms[new_dir] = new_blooms
+            blooms = blooms or None
             partial_dirs = part["partial_dirs"]
             blob = {
                 "files_total": part["files_total"],
@@ -3595,7 +3627,7 @@ def vt_update(
             fstats = {new_dir: new_fstats} if new_fstats else None
             files = {new_dir: new_files}
             frows = {new_dir: new_rows} if new_rows else None
-            blooms = None
+            blooms = {new_dir: new_blooms} if new_blooms else None
             partial_dirs = None
             blob = {}
             schema_json = json.loads(updated.schema.json())

@@ -4351,3 +4351,85 @@ class TestAdviceFixesR12:
         monkeypatch.setattr(V.os, "link", bad_link)
         with pytest.raises(OSError):
             vt_write(spark, path, _df(spark, [(2, "b")]), mode="append")
+
+
+class TestDmlBloomParity:
+    """r11 verdict ask #3: every DML verb harvests blooms for the
+    directories it writes, so a bloom-indexed table keeps per-file
+    bloom entries for EVERY data dir across the full triad, in both
+    rewrite and merge-on-read modes."""
+
+    def _all_dirs_bloomed(self, path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_versions,
+        )
+
+        m = _read_manifest(path, vt_versions(path)[-1])
+        blooms = m.get("blooms", {})
+        return all(
+            d in blooms and blooms[d].get("files") for d in m["dirs"]
+        ), m
+
+    def _staged(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_optimize
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=4, bloom_cols=["id"])
+        return path
+
+    def test_rewrite_triad_keeps_blooms(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), bloom_cols=["id"])
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"delete lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_update(
+            spark, path, ("id", "=", 7),
+            {"v": "concat(v, '!')"}, bloom_cols=["id"],
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"update lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_merge(
+            spark, path, _df(spark, [(9, "NINE"), (99, "NEW")]),
+            ["id"], bloom_cols=["id"],
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"merge lost blooms: {sorted(m.get('blooms', {}))}"
+
+    def test_dv_triad_keeps_blooms(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        # DV delete writes no data dir: existing blooms carry verbatim
+        vt_delete(
+            spark, path, ("id", "=", 5), mode="dv", bloom_cols=["id"]
+        )
+        ok, _ = self._all_dirs_bloomed(path)
+        assert ok
+        # DV update appends a post-image dir: it must get blooms
+        vt_update(
+            spark, path, ("id", "=", 7),
+            {"v": "concat(v, '!')"}, mode="dv", bloom_cols=["id"],
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"dv update lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_merge(
+            spark, path, _df(spark, [(9, "NINE"), (99, "NEW")]),
+            ["id"], mode="dv", bloom_cols=["id"],
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"dv merge lost blooms: {sorted(m.get('blooms', {}))}"
+        # and the table still answers correctly through all of it
+        got = {r["id"]: r["v"] for r in vt_read(spark, path).collect()}
+        assert 5 not in got
+        assert got[7] == "v7!" and got[9] == "NINE" and got[99] == "NEW"
