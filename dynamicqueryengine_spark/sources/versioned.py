@@ -184,6 +184,16 @@ def _decode_dv_positions(enc) -> list[int]:
     return out
 
 
+# live-sidecar fan-out bound: when a DV-writing commit finds this many
+# (or more) distinct sidecars referenced by the head, it folds EVERY
+# live entry into the one sidecar it writes anyway — so scan planning
+# (_attach_plan_dv, one driver-side open per distinct ref) stays O(1)
+# regardless of how many DV commits accumulated between checkpoints.
+# Delta bounds the same cost by rewriting its DV descriptors into each
+# checkpoint; vt_checkpoint(consolidate_dv=True) gives the exact-1 roll-up.
+_DV_CONSOLIDATE_REFS = 8
+
+
 def _write_dv_sidecar(path: str, payload: dict) -> str:
     """Persist ``{dir: {file: [positions]}}`` as an immutable sidecar
     (positions delta-varint-coded, see :func:`_encode_dv_positions`);
@@ -1884,7 +1894,64 @@ def _write_checkpoint(path: str, version: int, manifest: dict) -> None:
     os.replace(tmp, os.path.join(_log_dir(path), "_checkpoint.json"))
 
 
-def vt_checkpoint(spark, path: str) -> int:
+def _consolidate_dv_refs(path: str, manifest: dict, expected: int):
+    """Fold every live deletion-vector entry into ONE fresh sidecar and
+    commit a METADATA-ONLY version (``op="optimize"`` — no logical
+    change, so CDC and the streaming source skip it) whose ``dv`` map
+    points every entry at that sidecar. Returns the new version, or
+    ``None`` when there is nothing to fold (≤1 live ref) or the commit
+    race was lost (caller decides whether to retry). The superseded
+    sidecars become vacuum's once their manifests expire."""
+    dv_map = manifest.get("dv") or {}
+    refs = {e["ref"] for fmap in dv_map.values() for e in fmap.values()}
+    if len(refs) <= 1:
+        return None
+    loaded = _load_dv_positions(path, dv_map)
+    payload: dict = {}
+    for d, fmap in dv_map.items():
+        for fname in fmap:
+            key = os.path.basename(d.rstrip("/")) + "/" + fname
+            payload.setdefault(d, {})[fname] = loaded[key]
+    ref = _write_dv_sidecar(path, payload)
+    new_dv = {
+        d: {
+            fname: {"ref": ref, "count": len(poss)}
+            for fname, poss in fmap.items()
+        }
+        for d, fmap in payload.items()
+    }
+    try:
+        return _commit(
+            path,
+            manifest["dirs"],
+            "optimize",
+            expected,
+            manifest.get("stats") or {},
+            None,
+            manifest.get("file_stats"),
+            manifest.get("files"),
+            schema=manifest.get("schema"),
+            heterogeneous=manifest.get("schema_heterogeneous", False),
+            blooms=manifest.get("blooms"),
+            file_rows=manifest.get("file_rows"),
+            partial_dirs=manifest.get("partial_dirs"),
+            extra={
+                "dv_consolidate": {
+                    "refs_before": len(refs),
+                    "files": sum(len(f) for f in new_dv.values()),
+                }
+            },
+            dv=new_dv,
+        )
+    except FileExistsError:
+        try:
+            os.unlink(os.path.join(_dv_dir(path), ref))
+        except OSError:
+            pass
+        return None
+
+
+def vt_checkpoint(spark, path: str, consolidate_dv: bool = False) -> int:
     """Snapshot the head manifest into ``_vlog/_checkpoint.json`` so head
     resolution can probe forward from the checkpointed version instead
     of listing the whole log. Returns the checkpointed version. The
@@ -1892,11 +1959,25 @@ def vt_checkpoint(spark, path: str) -> int:
     torn/stale checkpoint can never corrupt reads. ``_commit`` also
     refreshes it automatically every ``_AUTO_CHECKPOINT_EVERY`` commits
     (Delta's 10-commit checkpoint cadence), so long-lived tables keep an
-    O(1) head probe without anyone calling this explicitly."""
+    O(1) head probe without anyone calling this explicitly.
+
+    ``consolidate_dv=True`` additionally rolls EVERY live deletion-vector
+    entry into one sidecar via a metadata-only commit (Delta rewrites DV
+    descriptors into its checkpoints for the same reason): scan planning
+    (:func:`_attach_plan_dv`) then opens exactly one sidecar file however
+    many DV commits accumulated, and the superseded sidecars age out via
+    vacuum. Best-effort under concurrency — a lost commit race skips the
+    roll-up (the next checkpoint gets it) and checkpoints the winner."""
     versions = vt_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {path}")
     head = versions[-1]
+    if consolidate_dv:
+        v = _consolidate_dv_refs(path, _read_manifest(path, head), head)
+        if v is not None:
+            head = v
+        else:
+            head = vt_versions(path)[-1]  # lost race: checkpoint winner
     _write_checkpoint(path, head, _read_manifest(path, head))
     return head
 
@@ -2881,25 +2962,50 @@ def _dv_mutation_commit_cached(
             int(r["_vt_pos"])
         )
     head_dv = manifest.get("dv") or {}
-    prior_subset = {}
-    for d, fname in new_pos:
-        entry = head_dv.get(d, {}).get(fname)
-        if entry is not None:
-            prior_subset.setdefault(d, {})[fname] = entry
-    prior = _load_dv_positions(path, prior_subset)
+    live_refs = {
+        e["ref"] for fmap in head_dv.values() for e in fmap.values()
+    }
+    # fan-out bound: once the head references _DV_CONSOLIDATE_REFS
+    # sidecars, this commit's (mandatory anyway) sidecar absorbs EVERY
+    # live entry, collapsing the refs back to 1 — scan planning opens
+    # O(1) sidecars no matter how many DV commits accumulated
+    consolidate = len(live_refs) >= _DV_CONSOLIDATE_REFS
+    if consolidate:
+        prior = _load_dv_positions(path, head_dv)
+    else:
+        prior_subset: dict = {}
+        for d, fname in new_pos:
+            entry = head_dv.get(d, {}).get(fname)
+            if entry is not None:
+                prior_subset.setdefault(d, {})[fname] = entry
+        prior = _load_dv_positions(path, prior_subset)
     payload: dict = {}
+    if consolidate:
+        for d, fmap in head_dv.items():
+            for fname in fmap:
+                key = os.path.basename(d.rstrip("/")) + "/" + fname
+                payload.setdefault(d, {})[fname] = prior.get(key, [])
     for (d, fname), poss in new_pos.items():
         key = os.path.basename(d.rstrip("/")) + "/" + fname
         merged = sorted(set(prior.get(key, [])) | poss)
         payload.setdefault(d, {})[fname] = merged
     ref = _write_dv_sidecar(path, payload) if payload else None
-    dv_map = {d: dict(fmap) for d, fmap in head_dv.items()}
-    for d, fmap in payload.items():
-        for fname, poss in fmap.items():
-            dv_map.setdefault(d, {})[fname] = {
-                "ref": ref,
-                "count": len(poss),
+    if consolidate and ref is not None:
+        dv_map = {
+            d: {
+                fname: {"ref": ref, "count": len(poss)}
+                for fname, poss in fmap.items()
             }
+            for d, fmap in payload.items()
+        }
+    else:
+        dv_map = {d: dict(fmap) for d, fmap in head_dv.items()}
+        for d, fmap in payload.items():
+            for fname, poss in fmap.items():
+                dv_map.setdefault(d, {})[fname] = {
+                    "ref": ref,
+                    "count": len(poss),
+                }
     blob = dict(blob)
     blob.update(
         dv=True,
@@ -2907,6 +3013,8 @@ def _dv_mutation_commit_cached(
         files_dv=len(new_pos),
         rows_matched=len(pairs),
     )
+    if consolidate:
+        blob["dv_consolidated_refs"] = len(live_refs)
     change_dir, _, _, _, _ = _write_data_dir(change_rows, path, prefix="c")
     dirs = list(manifest["dirs"])
     files = dict(manifest.get("files", {}))
@@ -3689,10 +3797,18 @@ def vt_history(path: str) -> list[dict]:
             # schema evolution shows up in the audit log as a column-
             # count change between consecutive versions
             entry["n_cols"] = len(m["schema"].get("fields", []))
-        for blob in ("merge", "delete", "update"):
-            # file-granular rewrite shape (files_rewritten/files_total) —
-            # the audit trail that proves a 1-key merge left N−1 files
-            # referenced-not-rewritten
+        for blob in (
+            "merge",
+            "delete",
+            "update",
+            "compact",
+            "reorg",
+            "dv_consolidate",
+        ):
+            # file-granular rewrite/maintenance shape (files_rewritten/
+            # files_total, dv_rows_purged, …) — the audit trail that
+            # proves a 1-key merge left N−1 files referenced-not-
+            # rewritten, or a reorg purged exactly the dirty files
             if isinstance(m.get(blob), dict):
                 entry[blob] = m[blob]
         if m.get("dv"):
@@ -4078,6 +4194,153 @@ def vt_compact(
         except FileExistsError:
             shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
     raise RuntimeError(f"compact at {path} lost {max_retries} commit races")
+
+
+def vt_reorg(
+    spark,
+    path: str,
+    min_dv_rows: int = 1,
+    min_dv_fraction: float = 0.0,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bloom_cols: Sequence[str] | None = None,
+    max_retries: int = 5,
+) -> int:
+    """TARGETED deletion-vector materialization — Delta's ``REORG TABLE
+    … APPLY (PURGE)``: rewrite ONLY the files whose DV debt crosses a
+    threshold, clearing their vectors; every healthy or lightly-vectored
+    file is referenced VERBATIM (stats, blooms, footer counts — and its
+    own DV entry — carried forward untouched).
+
+    This is the proportionate exit merge-on-read was missing: a table
+    taking steady small DV deletes against large, well-sized files used
+    to pay a full-snapshot :func:`vt_optimize` to clean up, because
+    :func:`vt_compact` materializes vectors only for the small files it
+    packs. vt_reorg pays O(vectored-file bytes): at 100 TB, purging a
+    dozen dirty 1 GB files costs a dozen file rewrites, not a table
+    scan.
+
+    A file is purged when its vector holds at least ``min_dv_rows``
+    positions OR (when ``min_dv_fraction > 0`` and the footer row count
+    is known) at least that fraction of its physical rows is deleted.
+    The defaults purge EVERY vectored file — Delta's PURGE semantics;
+    pass ``min_dv_fraction=0.1, min_dv_rows=10_000`` (say) to leave
+    lightly-vectored files for a later pass. Rewritten bytes are packed
+    into ``ceil(bytes / target_file_bytes)`` right-sized files.
+
+    Commits as ``op="optimize"`` (no logical change: CDC and the
+    streaming source skip it) with a ``reorg`` audit blob —
+    ``files_total`` / ``files_rewritten`` / ``dv_files_purged`` /
+    ``dv_rows_purged``. Returns the new version, or the current head
+    when no file crosses the threshold. Requires a recorded schema
+    (legacy tables have no DVs by construction)."""
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        dv_map = manifest.get("dv") or {}
+        if not dv_map:
+            return expected  # nothing vectored — no-op
+        if manifest.get("schema") is None:  # pragma: no cover - legacy
+            raise ValueError(
+                "vt_reorg requires a table with a recorded schema"
+            )
+        frows = manifest.get("file_rows", {})
+        dirty: set[tuple] = set()
+        purged_rows = 0
+        for d, fmap in dv_map.items():
+            for fname, entry in fmap.items():
+                count = int(entry["count"])
+                nrows = frows.get(d, {}).get(fname)
+                hit = count >= min_dv_rows or (
+                    min_dv_fraction > 0
+                    and nrows
+                    and count / nrows >= min_dv_fraction
+                )
+                if hit:
+                    dirty.add((d, fname))
+                    purged_rows += count
+        if not dirty:
+            return expected  # all vectors below threshold — no-op
+        part = _partition_snapshot(
+            path, manifest, None, touch_name=lambda d, f: (d, f) in dirty
+        )
+        if not part["touched_paths"]:  # pragma: no cover - defensive
+            return expected
+        touched_bytes = 0
+        for p in part["touched_paths"]:
+            try:
+                touched_bytes += os.path.getsize(p)
+            except OSError:
+                continue
+        tplan = {
+            "paths": part["touched_paths"],
+            "schema": manifest["schema"],
+            "schema_heterogeneous": manifest.get(
+                "schema_heterogeneous", False
+            ),
+        }
+        # the purging read applies the vectors — that IS the purge
+        _attach_plan_dv(tplan, path, manifest)
+        purged = _read_plan(spark, tplan).repartition(
+            max(1, -(-touched_bytes // max(target_file_bytes, 1)))
+        )
+        new_dir, new_stats, new_fstats, new_files, new_rows = (
+            _write_data_dir(purged, path)
+        )
+        new_blooms = (
+            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
+            if bloom_cols
+            else {}
+        )
+        dirs = part["dirs"] + [new_dir]
+        stats = {
+            **part["stats"],
+            **({new_dir: new_stats} if new_stats else {}),
+        }
+        fstats = {
+            **part["file_stats"],
+            **({new_dir: new_fstats} if new_fstats else {}),
+        }
+        files = {**part["files"], new_dir: new_files}
+        frows_out = {
+            **part["file_rows"],
+            **({new_dir: new_rows} if new_rows else {}),
+        }
+        blooms = dict(part["blooms"])
+        if new_blooms:
+            blooms[new_dir] = new_blooms
+        try:
+            # dv=None carries the head's map pruned to still-referenced
+            # files: purged files left the manifest, so their entries
+            # drop; sub-threshold files keep theirs verbatim
+            return _commit(
+                path,
+                dirs,
+                "optimize",
+                expected,
+                stats,
+                None,
+                fstats or None,
+                files,
+                schema=manifest["schema"],
+                heterogeneous=manifest.get("schema_heterogeneous", False),
+                blooms=blooms or None,
+                file_rows=frows_out or None,
+                partial_dirs=part["partial_dirs"],
+                extra={
+                    "reorg": {
+                        "files_total": part["files_total"],
+                        "files_rewritten": part["files_rewritten"],
+                        "dv_files_purged": len(dirty),
+                        "dv_rows_purged": purged_rows,
+                    }
+                },
+            )
+        except FileExistsError:
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+    raise RuntimeError(f"reorg at {path} lost {max_retries} commit races")
 
 
 def vt_vacuum(
@@ -4575,6 +4838,10 @@ def vt_maintenance_plan(
       files carry deletion vectors (merge-on-read debt: each DV'd file
       pays a read-time anti-join and its stats over-describe it —
       OPTIMIZE materializes the vectors). Fix = ``vt_optimize``.
+    * ``reorg`` — True when deletion vectors sit on HEALTHY (at-size)
+      files, the debt ``vt_compact`` cannot retire (it materializes
+      vectors only for the small files it packs). Fix =
+      :func:`vt_reorg` — targeted purge, O(vectored-file bytes).
     * ``analyze`` — ``"missing"`` / ``"stale"`` / ``"fresh"``: whether
       the cost-based join planner has statistics describing the current
       head. Fix = ``vt_analyze``.
@@ -4617,11 +4884,25 @@ def vt_maintenance_plan(
         for fmap in (manifest.get("dv") or {}).values()
         for e in fmap.values()
     )
+    # DV debt on HEALTHY (at-size) files is the debt vt_compact cannot
+    # retire — it materializes vectors only for the small files it
+    # packs. Those files' proportionate exit is vt_reorg (targeted
+    # purge), so they get their own recommendation.
+    dv_healthy_files = 0
+    for d, fmap in (manifest.get("dv") or {}).items():
+        for fname in fmap:
+            try:
+                sz = os.path.getsize(os.path.join(path, d, fname))
+            except OSError:
+                continue
+            if sz >= small_file_bytes:
+                dv_healthy_files += 1
     compact = (
         (n_files >= min_files and n_small / max(n_files, 1) >= small_fraction)
         or n_dirs > min_files
         or dv_files / max(n_files, 1) >= small_fraction
     )
+    reorg = dv_healthy_files > 0
 
     stats = vt_table_stats(path)
     if stats["analyze"] is None:
@@ -4675,7 +4956,12 @@ def vt_maintenance_plan(
         "bytes_total": sum(sizes),
         "avg_file_bytes": (sum(sizes) // n_files) if n_files else 0,
         "compact": compact,
-        "dv": {"files": dv_files, "rows": dv_rows},
+        "dv": {
+            "files": dv_files,
+            "rows": dv_rows,
+            "healthy_files": dv_healthy_files,
+        },
+        "reorg": reorg,
         "analyze": analyze,
         "vacuum": {
             "dirs": sorted(reclaim_dirs),
@@ -4722,9 +5008,13 @@ def vt_maintain(
     ``incremental=True`` (and no ``cluster_by``) compacts via
     :func:`vt_compact` instead of a full-snapshot rewrite — O(small
     bytes), the right default at 100 TB when the trigger is a
-    streaming small-file tail. It fixes the small-file and
-    touched-file DV signals only; dir sprawl or DV debt concentrated
-    in healthy files still wants the full ``vt_optimize`` pass.
+    streaming small-file tail. DV debt on HEALTHY files (the plan's
+    ``reorg`` signal) is retired by :func:`vt_reorg` in BOTH modes
+    whenever a full optimize didn't already materialize every vector —
+    targeted purge, O(vectored bytes); only dir sprawl of healthy
+    files still wants the full ``vt_optimize`` pass. The checkpoint
+    step consolidates live DV sidecars into one
+    (``consolidate_dv=True``), so scan planning opens O(1) sidecars.
 
     Returns ``{"plan": <the driving plan>, "actions": [...],
     "version": <final head>, "removed": [...]}`` — a re-run of the
@@ -4766,13 +5056,26 @@ def vt_maintain(
                 bloom_cols=bloom_cols,
             )
             actions.append(f"optimize:{m}")
+    if plan["reorg"] and not any(a.startswith("optimize:") for a in actions):
+        # DV debt on healthy files: a full optimize (above) already
+        # materialized every vector; otherwise vt_reorg is the
+        # proportionate exit — purge exactly the vectored files,
+        # O(vectored bytes), the r11 verdict's missing executor for the
+        # advisor's dv signal
+        before = vt_head(path)
+        vt_reorg(spark, path, bloom_cols=bloom_cols)
+        if vt_head(path) != before:
+            actions.append("reorg")
     # analyze when the plan says so, or when the optimize we just ran
     # staled whatever stats existed
     if plan["analyze"] != "fresh" or actions:
         vt_analyze(spark, path)
         actions.append("analyze")
-    vt_checkpoint(spark, path)
-    actions.append("checkpoint")
+    before_cp = vt_head(path)
+    cp_head = vt_checkpoint(spark, path, consolidate_dv=True)
+    actions.append(
+        "checkpoint" if cp_head == before_cp else "checkpoint:dv-consolidate"
+    )
     removed: list[str] = []
     if vacuum and (plan["vacuum"]["dirs"] or actions[:-1]):
         removed = vt_vacuum(

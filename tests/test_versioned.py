@@ -3746,11 +3746,13 @@ class TestDvMaintenanceDebt:
         for k in (1, 17, 33, 49):
             vt_delete(spark, path, ("id", "=", k), mode="dv")
         plan = vt_maintenance_plan(path, small_file_bytes=1)
-        assert plan["dv"] == {"files": 4, "rows": 4}
+        assert plan["dv"] == {"files": 4, "rows": 4, "healthy_files": 4}
         assert plan["compact"] is True  # small-file rule can't trigger
+        assert plan["reorg"] is True  # healthy-file debt → vt_reorg due
         vt_maintain(spark, path, cluster_by=["id"])
         plan2 = vt_maintenance_plan(path, small_file_bytes=1)
-        assert plan2["dv"] == {"files": 0, "rows": 0}
+        assert plan2["dv"] == {"files": 0, "rows": 0, "healthy_files": 0}
+        assert plan2["reorg"] is False
         got = {r["id"] for r in vt_read(spark, path).collect()}
         assert got.isdisjoint({1, 17, 33, 49}) and len(got) == 60
 
@@ -4433,3 +4435,266 @@ class TestDmlBloomParity:
         got = {r["id"]: r["v"] for r in vt_read(spark, path).collect()}
         assert 5 not in got
         assert got[7] == "v7!" and got[9] == "NINE" and got[99] == "NEW"
+
+
+class TestDvSidecarConsolidation:
+    """r11 verdict ask #2: scan planning must open O(1) DV sidecars no
+    matter how many DV commits accumulated. Two mechanisms: DV-writing
+    commits fold all live entries into their own sidecar once the head
+    references _DV_CONSOLIDATE_REFS of them, and
+    vt_checkpoint(consolidate_dv=True) rolls everything into exactly
+    one via a metadata-only commit."""
+
+    def _dv_refs(self, path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_versions,
+        )
+
+        m = _read_manifest(path, vt_versions(path)[-1])
+        return {
+            e["ref"]
+            for fmap in (m.get("dv") or {}).values()
+            for e in fmap.values()
+        }, m
+
+    def _staged(self, spark, tmp_path, n_deletes):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        # 16 range-clustered files: deletes at id = 4*i land in DISTINCT
+        # files, so each commit adds a fresh sidecar ref (a later DV on
+        # the same file would REPLACE its entry, not add a ref)
+        vt_optimize(spark, path, ["id"], n_partitions=16)
+        for i in range(n_deletes):
+            vt_delete(spark, path, ("id", "=", 4 * i), mode="dv")
+        return path
+
+    def test_write_path_bounds_live_refs(self, spark, tmp_path):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = self._staged(spark, tmp_path, 12)
+        refs, m = self._dv_refs(path)
+        # 12 DV commits, but the 9th folded everything into one sidecar
+        # (threshold 8): live refs stay bounded, never 12
+        assert 1 <= len(refs) <= V._DV_CONSOLIDATE_REFS
+        # a consolidating commit records itself in the audit blob
+        hists = [
+            h for h in V.vt_history(path)
+            if h.get("delete", {}).get("dv_consolidated_refs")
+        ]
+        assert hists, "no delete recorded a consolidation"
+        # every deleted row stays deleted through the fold
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {4 * i for i in range(12)}
+        assert V.vt_count(spark, path) == 52
+
+    def test_checkpoint_rolls_up_to_one_sidecar(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_checkpoint,
+            vt_count,
+            vt_head,
+            vt_read_changes,
+        )
+
+        path = self._staged(spark, tmp_path, 5)
+        refs_before, _ = self._dv_refs(path)
+        # one sidecar per DV commit before the roll-up: scan planning
+        # (_load_dv_positions) opens each distinct ref exactly once, so
+        # distinct-ref count IS the per-plan sidecar-open count
+        assert len(refs_before) == 5
+        pre = vt_head(path)
+        head = vt_checkpoint(spark, path, consolidate_dv=True)
+        assert head == pre + 1  # metadata-only commit
+        refs_after, m = self._dv_refs(path)
+        assert len(refs_after) == 1
+        assert "dv_consolidate" in m
+        assert m["dv_consolidate"]["refs_before"] == 5
+        # data references and results unchanged
+        deleted = {4 * i for i in range(5)}
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - deleted
+        assert vt_count(spark, path) == 59
+        # time travel to a pre-roll-up version still reads old sidecars
+        assert vt_count(spark, path, pre) == 59
+        assert {r["id"] for r in vt_read(spark, path, pre - 1).collect()} == (
+            set(range(64)) - {4 * i for i in range(4)}
+        )
+        # no logical change: the change feed skips the commit entirely
+        assert vt_read_changes(spark, path, head, head).count() == 0
+        # idempotent: a second consolidating checkpoint commits nothing
+        assert vt_checkpoint(spark, path, consolidate_dv=True) == head
+
+    def test_vacuum_reaps_superseded_sidecars(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _dv_dir,
+            vt_checkpoint,
+            vt_count,
+        )
+
+        path = self._staged(spark, tmp_path, 5)
+        vt_checkpoint(spark, path, consolidate_dv=True)
+        n_sidecars = len(os.listdir(_dv_dir(path)))
+        assert n_sidecars == 6  # 5 originals + 1 consolidated
+        vt_vacuum(spark, path, keep_last=1, grace_seconds=0)
+        left = os.listdir(_dv_dir(path))
+        assert len(left) == 1  # only the consolidated sidecar survives
+        assert vt_count(spark, path) == 59
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {4 * i for i in range(5)}
+
+
+class TestReorgPurge:
+    """r11 verdict ask #1 — vt_reorg (Delta's REORG TABLE … APPLY
+    (PURGE)): targeted DV materialization. Only files whose vector debt
+    crosses the threshold are rewritten; healthy/lightly-vectored files
+    carry VERBATIM with their stats, blooms and vectors; vt_optimize is
+    no longer the only exit for DV debt on healthy files."""
+
+    def _staged(self, spark, tmp_path, parts=16):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(
+            spark, path, ["id"], n_partitions=parts, bloom_cols=["id"]
+        )
+        # vectors in exactly 3 of the 16 range-clustered files
+        vt_delete(spark, path, ("id", "in", [0, 1]), mode="dv")
+        vt_delete(spark, path, ("id", "=", 20), mode="dv")
+        vt_delete(spark, path, ("id", "=", 40), mode="dv")
+        return path
+
+    def test_reorg_purges_exactly_the_dirty_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_head,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        pre_v = vt_head(path)
+        pre = _read_manifest(path, pre_v)
+        assert sum(len(f) for f in pre["dv"].values()) == 3
+        v = vt_reorg(spark, path, bloom_cols=["id"])
+        m = _read_manifest(path, v)
+        blob = m["reorg"]
+        # rewrote exactly the 3 vectored files out of 16
+        assert blob["files_rewritten"] == 3
+        assert blob["files_total"] == 16
+        assert blob["dv_files_purged"] == 3
+        assert blob["dv_rows_purged"] == 4
+        assert "dv" not in m  # vectors fully materialized
+        # the 13 clean files carried verbatim (same file names)
+        pre_files = {
+            f for d, fl in pre["files"].items() for f in fl
+        }
+        post_files = {
+            f for d, fl in m["files"].items() for f in fl
+        }
+        assert len(pre_files & post_files) == 13
+        # results identical, metadata count exact, blooms on every dir
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {0, 1, 20, 40}
+        assert vt_count(spark, path) == 60
+        assert all(d in m.get("blooms", {}) for d in m["dirs"])
+        # time travel to the pre-reorg snapshot still applies vectors
+        assert vt_count(spark, path, pre_v) == 60
+
+    def test_reorg_threshold_leaves_light_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        # only the 2-position file crosses min_dv_rows=2
+        v = vt_reorg(spark, path, min_dv_rows=2)
+        m = _read_manifest(path, v)
+        assert m["reorg"]["files_rewritten"] == 1
+        assert m["reorg"]["dv_rows_purged"] == 2
+        # the two 1-position vectors survive untouched
+        counts = sorted(
+            e["count"] for fm in m["dv"].values() for e in fm.values()
+        )
+        assert counts == [1, 1]
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {0, 1, 20, 40}
+
+    def test_reorg_fraction_threshold(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        # 16 files × 4 rows: 2/4 = 50% ≥ 0.5 purges only the heavy file
+        v = vt_reorg(
+            spark, path, min_dv_rows=10**9, min_dv_fraction=0.5
+        )
+        m = _read_manifest(path, v)
+        assert m["reorg"]["files_rewritten"] == 1
+        # nothing crosses an impossible threshold → no-op, same head
+        assert vt_reorg(
+            spark, path, min_dv_rows=10**9, min_dv_fraction=0.99
+        ) == vt_head(path)
+
+    def test_reorg_noop_without_vectors(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_head,
+            vt_optimize,
+            vt_reorg,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, "a"), (2, "b")]))
+        vt_optimize(spark, path, ["id"], n_partitions=1)
+        assert vt_reorg(spark, path) == vt_head(path)
+
+    def test_reorg_skipped_by_cdc_and_streaming(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_reorg(spark, path)
+        # no logical change: the change feed contributes nothing
+        assert vt_read_changes(spark, path, v, v).count() == 0
+
+    def test_maintain_incremental_executes_reorg(self, spark, tmp_path):
+        """vt_optimize is no longer the only exit: incremental
+        maintenance retires healthy-file DV debt via vt_reorg."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_history,
+            vt_maintain,
+            vt_maintenance_plan,
+        )
+
+        path = self._staged(spark, tmp_path)
+        plan = vt_maintenance_plan(path, small_file_bytes=1)
+        assert plan["reorg"] is True
+        out = vt_maintain(
+            spark, path, incremental=True, small_file_bytes=1
+        )
+        assert "reorg" in out["actions"]
+        assert not any(
+            a.startswith("optimize:") for a in out["actions"]
+        )
+        # debt cleared, results right
+        plan2 = vt_maintenance_plan(path, small_file_bytes=1)
+        assert plan2["dv"]["rows"] == 0 and plan2["reorg"] is False
+        assert any("reorg" in h for h in vt_history(path))
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {0, 1, 20, 40}
