@@ -5622,3 +5622,228 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_compact_incremental"] = FnWorkload(
     _events_vt_compact_incremental, _EVENTS_VT_COMPACT_SQL
 )
+
+
+def _events_vt_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGETED deletion-vector purge, EXECUTED (vt_reorg r12 — Delta's
+    ``REORG TABLE … APPLY (PURGE)``, Iceberg's rewrite_position_delete_
+    files): OPTIMIZE events into 8 range-clustered files, DV-delete the
+    bottom ~5% of the event_id range (positions land in the FIRST
+    cluster only), then vt_reorg. The reorg rewrites EXACTLY the
+    vectored file(s) — every healthy file is referenced verbatim with
+    stats carried — clearing the table's DV debt WITHOUT the
+    full-snapshot vt_optimize that used to be merge-on-read's only
+    exit. At 100 TB this is the difference between rewriting a dozen
+    dirty 1 GB files and rewriting the table. Pinned INSIDE the oracle
+    hash: ``targeted`` (reorg audit blob: files_rewritten ==
+    dv_files_purged, strictly fewer than files_total, dv_rows_purged ==
+    the delete's matched rows), ``dv_cleared`` (the head carries zero
+    vectors afterwards and the logical count is unchanged by the
+    purge), ``layout_only`` (the change feed sees ZERO rows across the
+    reorg commit), ``time_travel_intact`` (the pre-delete snapshot
+    still counts every physical row). The surviving aggregate equals
+    the SQL mirror's plain ``WHERE NOT (…)``."""
+    from ..sources.versioned import (
+        vt_count,
+        vt_delete,
+        vt_history,
+        vt_optimize,
+        vt_read,
+        vt_read_changes,
+        vt_reorg,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 20
+    path = os.path.join(_scratch_dir("vtreorg", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    pre_v = vt_optimize(spark, path, ["event_id"], n_partitions=8)
+    n_before = vt_count(spark, path)
+    vt_delete(spark, path, ("event_id", "<=", cut), mode="dv")
+    matched = vt_history(path)[0]["delete"]["rows_matched"]
+    v = vt_reorg(spark, path, bloom_cols=["event_type"])
+    hist = vt_history(path)[0]
+    blob = hist["reorg"]
+    targeted = (
+        blob["files_rewritten"] == blob["dv_files_purged"]
+        and 0 < blob["files_rewritten"] < blob["files_total"]
+        and blob["dv_rows_purged"] == matched > 0
+    )
+    dv_cleared = (
+        "dv" not in hist
+        and vt_count(spark, path) == n_before - matched
+    )
+    layout_only = vt_read_changes(spark, path, v - 1, v).count() == 0
+    time_travel_intact = vt_count(spark, path, pre_v) == n_before
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(targeted)).alias("targeted"),
+            F.lit(bool(dv_cleared)).alias("dv_cleared"),
+            F.lit(bool(layout_only)).alias("layout_only"),
+            F.lit(bool(time_travel_intact)).alias("time_travel_intact"),
+        )
+    )
+
+
+_EVENTS_VT_REORG_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (
+  SELECT min(event_id) + (max(event_id) - min(event_id)) // 20 AS cut
+  FROM t
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS targeted,
+       TRUE AS dv_cleared,
+       TRUE AS layout_only,
+       TRUE AS time_travel_intact
+FROM t, b
+WHERE NOT (event_id <= cut)
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_reorg"] = FnWorkload(
+    _events_vt_reorg, _EVENTS_VT_REORG_SQL
+)
+
+
+def _events_vt_dv_consolidate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION-VECTOR SIDECAR CONSOLIDATION at checkpoint, EXECUTED
+    (vt_checkpoint(consolidate_dv=True) r12 — Delta rewrites DV
+    descriptors into each checkpoint so scan planning never replays the
+    commit log): stage an OPTIMIZEd events table, take FIVE separate
+    single-row DV deletes (five commits → five immutable sidecars →
+    five driver-side opens per scan plan), then checkpoint with
+    consolidation. Every live vector folds into ONE sidecar via a
+    metadata-only commit, so scan planning opens O(1) sidecar files no
+    matter how many DV commits accumulated — the 100 TB posture for a
+    table taking steady GDPR point-deletes. Pinned INSIDE the oracle
+    hash: ``consolidated`` (head dv entries reference exactly ONE
+    sidecar, down from five, with the audit blob recording the fold),
+    ``vectors_intact`` (hidden-row total and logical count unchanged by
+    the fold), ``layout_only`` (the change feed sees ZERO rows across
+    the consolidation commit). The aggregate equals the SQL mirror's
+    ``NOT IN`` over the five deleted ids.
+
+    Staging note: the table is built as five appends sliced by
+    ``event_id % 5`` so each point-delete of ``lo + k`` (k = 0..4,
+    dense ids → distinct residues) is GUARANTEED to vector a file in a
+    distinct directory — five commits, five sidecars, deterministically
+    (same-file re-deletes would merge into one sidecar and make the
+    fold a no-op)."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_count,
+        vt_delete,
+        vt_head,
+        vt_history,
+        vt_read,
+        vt_read_changes,
+        vt_checkpoint,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    lo = ev.agg(F.min("event_id").alias("lo")).collect()[0]["lo"]
+    path = os.path.join(_scratch_dir("vtdvconsol", sf_dir), "ev")
+    for k in range(5):
+        vt_write(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 5 == k).coalesce(1),
+            mode="append" if k else "overwrite",
+        )
+    n_before = vt_count(spark, path)
+    matched = 0
+    for i in range(5):
+        vt_delete(spark, path, ("event_id", "=", lo + i), mode="dv")
+        matched += vt_history(path)[0]["delete"]["rows_matched"]
+
+    def _dv_state(m: dict) -> tuple[int, int]:
+        dv = m.get("dv") or {}
+        refs = {e["ref"] for fmap in dv.values() for e in fmap.values()}
+        rows = sum(e["count"] for fmap in dv.values() for e in fmap.values())
+        return len(refs), rows
+
+    refs_before, rows_before = _dv_state(_read_manifest(path, vt_head(path)))
+    v = vt_checkpoint(spark, path, consolidate_dv=True)
+    head_m = _read_manifest(path, v)
+    refs_after, rows_after = _dv_state(head_m)
+    hist = vt_history(path)[0]
+    consolidated = (
+        refs_before == 5
+        and refs_after == 1
+        and hist.get("dv_consolidate", {}).get("refs_before") == 5
+    )
+    vectors_intact = (
+        rows_after == rows_before == matched
+        and vt_count(spark, path) == n_before - matched
+    )
+    layout_only = vt_read_changes(spark, path, v - 1, v).count() == 0
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(consolidated)).alias("consolidated"),
+            F.lit(bool(vectors_intact)).alias("vectors_intact"),
+            F.lit(bool(layout_only)).alias("layout_only"),
+        )
+    )
+
+
+_EVENTS_VT_DV_CONSOLIDATE_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (SELECT min(event_id) AS lo FROM t)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS consolidated,
+       TRUE AS vectors_intact,
+       TRUE AS layout_only
+FROM t, b
+WHERE event_id NOT IN (lo, lo + 1, lo + 2, lo + 3, lo + 4)
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_dv_consolidate"] = FnWorkload(
+    _events_vt_dv_consolidate, _EVENTS_VT_DV_CONSOLIDATE_SQL
+)
