@@ -3212,7 +3212,13 @@ def vt_delete(
       than ``dv_max_rows`` rows match (a large delete should rewrite)
       or on a legacy table without a recorded schema;
     * ``"auto"`` — ``dv`` when at most ``dv_max_rows`` rows match,
-      ``rewrite`` otherwise.
+      ``rewrite`` otherwise. The recommended default for MAINTAINED
+      tables (vt_maintain retires the accumulated vector debt via
+      vt_reorg and consolidates sidecars at checkpoint): point DML pays
+      sidecar bytes, bulk DML still rewrites — the crossover behind
+      ``dv_max_rows`` is measured by scripts/bench_dv_probe.py and
+      recorded in SCALE.md. The verbs keep ``rewrite`` as the SIGNATURE
+      default so unmaintained tables never accrue debt silently.
 
     OPTIMIZE / vt_maintain materialize accumulated DVs (their rewrite
     reads apply the vectors, and the new manifest references only fresh

@@ -6,7 +6,10 @@ each stage asserting the mechanism it demonstrates:
     referenced verbatim, vt_history records files_rewritten/total) ->
     MERGE with delete_where tombstones (Delta's WHEN MATCHED DELETE) ->
     row-level vt_delete prunes untouchable files and emits delete
-    change rows -> the change feed consumed BOTH ways: call-driven
+    change rows -> mode="auto", the maintained default: a point-delete
+    takes a deletion vector (merge-on-read, zero rewrites), a bulk
+    delete crosses dv_max_rows and rewrites copy-on-write ->
+    the change feed consumed BOTH ways: call-driven
     pump (streaming/cdc.py) and a real Structured Streaming query over
     the vt_changes source (streaming/source.py), both folding to the
     same final snapshot -> vt_maintain heals the fragmented result
@@ -122,6 +125,34 @@ def main() -> None:
         f"[3] vt_delete(id < {cut}) rewrote "
         f"{dblob['files_rewritten']}/{dblob['files_total']} files; "
         f"min id now {remaining}"
+    )
+
+    # [3b] the maintained default — mode="auto": merge-on-read under
+    # the dv_max_rows bound (a GDPR point-delete costs a sidecar write,
+    # ZERO file rewrites), plain copy-on-write above it (a bulk delete
+    # should rewrite). The crossover behind the bound is measured by
+    # scripts/bench_dv_probe.py and recorded in SCALE.md.
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    vt_delete(
+        spark, path, ("event_id", "=", hi), mode="auto", change_feed=True
+    )
+    ablob = vt_history(path)[0]["delete"]
+    assert ablob.get("dv") is True and ablob["files_rewritten"] == 0, ablob
+    vt_delete(
+        spark,
+        path,
+        ("event_id", ">=", hi - 50),
+        mode="auto",
+        dv_max_rows=16,
+        change_feed=True,
+    )
+    bblob = vt_history(path)[0]["delete"]
+    assert "dv" not in bblob and bblob["files_rewritten"] > 0, bblob
+    print(
+        "[3b] mode='auto': point-delete took a deletion vector "
+        "(0 rewrites); the bulk delete crossed dv_max_rows and "
+        f"rewrote {bblob['files_rewritten']}/{bblob['files_total']} "
+        "files copy-on-write"
     )
 
     # [4] the change feed as a Structured Streaming query: signed fold

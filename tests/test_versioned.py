@@ -4698,3 +4698,106 @@ class TestReorgPurge:
         assert any("reorg" in h for h in vt_history(path))
         got = {r["id"] for r in vt_read(spark, path).collect()}
         assert got == set(range(64)) - {0, 1, 20, 40}
+
+
+class TestAutoModeCrossover:
+    """r11 verdict ask #5 — ``mode="auto"`` as the maintained default
+    for the DML triad: merge-on-read (deletion vector, zero rewrites)
+    when at most ``dv_max_rows`` rows match, plain copy-on-write above
+    the bound. The above-bound fallback was already pinned for delete
+    and merge (TestDeletionVectors/TestDvMerge); this class pins the
+    BELOW-bound half for all three verbs plus update's fallback, which
+    together make ``auto`` safe to recommend as the default in the
+    admin tour and docs. The crossover numbers behind the bound are
+    measured by scripts/bench_dv_probe.py and recorded in SCALE.md."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_auto_delete_picks_dv_below_bound(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_delete(spark, path, ("id", "=", 5), mode="auto")
+        m = _read_manifest(path, v)
+        assert m["delete"]["dv"] is True
+        assert m["delete"]["files_rewritten"] == 0
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {5}
+
+    def test_auto_update_picks_dv_below_bound(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_read,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_update(
+            spark, path, ("id", "=", 7), {"v": "'SEVEN'"}, mode="auto"
+        )
+        m = _read_manifest(path, v)
+        assert m["update"]["dv"] is True
+        assert m["update"]["files_rewritten"] == 0
+        got = dict(
+            (r["id"], r["v"]) for r in vt_read(spark, path).collect()
+        )
+        assert got[7] == "SEVEN" and len(got) == 64
+
+    def test_auto_update_falls_back_above_bound(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_read,
+            vt_update,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_update(
+            spark,
+            path,
+            ("id", "<", 32),
+            {"v": "'LOW'"},
+            mode="auto",
+            dv_max_rows=10,
+        )
+        m = _read_manifest(path, v)
+        assert "dv" not in m["update"]
+        assert m["update"]["files_rewritten"] > 0
+        got = dict(
+            (r["id"], r["v"]) for r in vt_read(spark, path).collect()
+        )
+        assert all(got[i] == "LOW" for i in range(32))
+        assert all(got[i] == f"v{i}" for i in range(32, 64))
+
+    def test_auto_merge_picks_dv_below_bound(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_merge,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, "THREE"), (99, "NEW")], "id long, v string"
+        )
+        v = vt_merge(spark, path, src, ["id"], mode="auto")
+        m = _read_manifest(path, v)
+        assert m["merge"]["dv"] is True
+        assert m["merge"]["files_rewritten"] == 0
+        got = dict(
+            (r["id"], r["v"]) for r in vt_read(spark, path).collect()
+        )
+        assert got[3] == "THREE" and got[99] == "NEW" and len(got) == 65
