@@ -4363,7 +4363,16 @@ def vt_vacuum(
     from a crashed writer or a CONCURRENT writer's not-yet-committed
     data — so those are only removed once older than ``grace_seconds``
     (Delta's VACUUM retention logic in miniature). ``grace_seconds=0``
-    forces debris collection when no writer can be live."""
+    forces debris collection when no writer can be live.
+
+    Retention vs CDC replay: a predicate-recorded delete committed
+    without ``change_feed`` streams by re-deriving its rows from the
+    PREVIOUS snapshot; expiring that version here makes a stream that
+    still needs the delete raise (``version N was vacuumed``) instead
+    of streaming wrong results. Keep ``keep_last`` × commit cadence
+    longer than the slowest streaming checkpoint lag, or commit deletes
+    with ``change_feed=True`` / ``mode="auto"`` (materialized change
+    rows decouple streaming from retention) — see README."""
     versions = vt_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()

@@ -229,7 +229,7 @@ class TestChangeStream:
         vt_write(spark, src, df.filter("id < 3"))
         vt_write(spark, src, df.filter("id >= 3 and id < 6"), mode="append")
         vt_write(spark, src, df.filter("id >= 6"), mode="append")
-        qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=2))
+        qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=1))
         out = spark.sql(f"select * from {qn}")
         assert {r["id"] for r in out.collect()} == {6, 7, 8}
 
@@ -534,3 +534,67 @@ class TestStreamDeletionVectors:
         vt_delete(spark, src, ("id", "<", 6))
         with pytest.raises(Exception, match="out of range"):
             _drain_to_memory(vt_change_stream(spark, src))
+
+
+class TestStreamReplayRetentionContract:
+    """r11 verdict ask #7 — the replay-vs-retention contract, pinned:
+    a predicate-recorded delete (plain predicate, or a skip-exact rule,
+    committed without ``change_feed``) replays against the PREVIOUS
+    snapshot, so vacuuming that snapshot's manifest away makes a stream
+    that still needs the delete fail LOUDLY (named version, no silent
+    wrong results). Either remedy decouples streaming from retention:
+    ``change_feed=True`` (explicitly materialized change rows) or
+    ``mode="dv"`` (DV deletes always materialize). The contract is
+    documented in README's streaming section and vt_vacuum's docstring."""
+
+    def _history(self, spark, tmp_path, **delete_kw):
+        # v1 write -> v2 delete -> v3 append; vacuum(keep_last=2)
+        # expires v1, the snapshot a predicate replay of v2 needs
+        from dynamicqueryengine_spark.sources.versioned import vt_vacuum
+
+        src = str(tmp_path / "src")
+        df = _df(spark, 12)
+        vt_write(spark, src, df)
+        vt_delete(spark, src, ("g", "=", "g1"), **delete_kw)
+        vt_write(
+            spark,
+            src,
+            spark.createDataFrame([(100, "g9", 1.0)], "id long, g string, x double"),
+            mode="append",
+        )
+        vt_vacuum(spark, src, keep_last=2, grace_seconds=0)
+        return src
+
+    def test_vacuumed_predecessor_fails_loudly(self, spark, tmp_path):
+        src = self._history(spark, tmp_path)
+        with pytest.raises(Exception, match="was vacuumed"):
+            _drain_to_memory(
+                vt_change_stream(spark, src, starting_version=1)
+            )
+
+    def test_change_feed_materialization_survives_vacuum(
+        self, spark, tmp_path
+    ):
+        src = self._history(spark, tmp_path, change_feed=True)
+        qn = _drain_to_memory(
+            vt_change_stream(spark, src, starting_version=1)
+        )
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"] for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {i for i in range(12) if i % 3 == 1}
+        assert {
+            r["id"] for r in out.filter("_change_type = 'insert'").collect()
+        } == {100}
+
+    def test_dv_delete_survives_vacuum(self, spark, tmp_path):
+        src = self._history(spark, tmp_path, mode="dv")
+        qn = _drain_to_memory(
+            vt_change_stream(spark, src, starting_version=1)
+        )
+        out = spark.sql(f"select * from {qn}")
+        dels = {
+            r["id"] for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == {i for i in range(12) if i % 3 == 1}
