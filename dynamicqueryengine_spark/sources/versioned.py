@@ -301,9 +301,27 @@ def vt_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# Reader protocol capability of THIS module (Delta's min_reader_version
+# contract): 1 = plain snapshot manifests, 2 = manifests carrying
+# deletion vectors. The gate exists for the persisted format, not this
+# code: a reader that cannot apply a manifest's dv map would silently
+# RESURRECT deleted rows — wrong results, not an error — so such a
+# manifest must refuse to load rather than degrade.
+_PROTOCOL_READER = 2
+
+
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
-        return json.load(f)
+        m = json.load(f)
+    need = (m.get("protocol") or {}).get("min_reader", 1)
+    if need > _PROTOCOL_READER:
+        raise ValueError(
+            f"version {version} at {path} requires reader protocol "
+            f">= {need}; this reader supports {_PROTOCOL_READER} — "
+            "reading it anyway could silently drop the manifest "
+            "features it cannot apply"
+        )
+    return m
 
 
 def _txns_at(path: str, version: int) -> dict:
@@ -462,6 +480,13 @@ def _commit(
     dv = _prune_dv(dv, dirs, files)
     if dv:
         manifest["dv"] = dv
+        # protocol gate (Delta's min_reader_version): a dv-bearing
+        # manifest is unreadable for a reader that cannot apply the
+        # vectors. min_reader describes the MANIFEST, not the table's
+        # history — materializing every vector (optimize/reorg) drops
+        # the requirement back to 1, and time travel to a pre-DV
+        # version never trips it.
+        manifest["protocol"] = {"min_reader": 2}
     if prev is not None and "txns" in prev:
         txns = dict(prev["txns"])
     else:

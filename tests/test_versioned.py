@@ -4801,3 +4801,98 @@ class TestAutoModeCrossover:
             (r["id"], r["v"]) for r in vt_read(spark, path).collect()
         )
         assert got[3] == "THREE" and got[99] == "NEW" and len(got) == 65
+
+
+class TestProtocolVersioning:
+    """r12 — Delta's min_reader_version contract for the persisted
+    format: a manifest carrying deletion vectors records
+    ``protocol.min_reader = 2`` and a reader that does not support the
+    level REFUSES to load it (silently ignoring a dv map would
+    resurrect deleted rows — wrong results, not an error). The
+    requirement describes the manifest, not the table's history:
+    purging every vector drops it back to 1 and pre-DV versions never
+    carry it, so legacy readers can still time-travel to clean
+    snapshots."""
+
+    def _staged(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        return path
+
+    def test_dv_commit_records_min_reader_2(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        m = _read_manifest(path, v)
+        assert m["protocol"] == {"min_reader": 2}
+        # the carried map keeps the requirement on later plain commits
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(100, "x")], "id long, v string"),
+            mode="append",
+        )
+        from dynamicqueryengine_spark.sources.versioned import vt_head
+
+        assert _read_manifest(path, vt_head(path))["protocol"] == {
+            "min_reader": 2
+        }
+
+    def test_clean_table_carries_no_requirement(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+        )
+
+        path = self._staged(spark, tmp_path)
+        assert "protocol" not in _read_manifest(path, vt_head(path))
+
+    def test_purge_drops_requirement_back_to_1(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_head,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v_dv = vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        vt_reorg(spark, path)
+        head = _read_manifest(path, vt_head(path))
+        assert "dv" not in head and "protocol" not in head
+        # …while the historical DV manifest keeps its requirement
+        assert _read_manifest(path, v_dv)["protocol"] == {"min_reader": 2}
+
+    def test_future_protocol_refuses_to_load(self, spark, tmp_path):
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _manifest_path,
+            vt_delete,
+            vt_head,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 5), mode="dv")
+        head = vt_head(path)
+        mp = _manifest_path(path, head)
+        m = _json.load(open(mp))
+        m["protocol"] = {"min_reader": 99}
+        with open(mp, "w") as f:
+            _json.dump(m, f)
+        with pytest.raises(ValueError, match="reader protocol >= 99"):
+            vt_read(spark, path).collect()
+        # time travel to the still-supported predecessor works
+        assert vt_read(spark, path, version=2).count() == 64
