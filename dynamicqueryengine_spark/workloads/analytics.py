@@ -2561,3 +2561,75 @@ WHERE value_dec * 300 > total_dec
 ANALYTICS_QUERIES["agg_important_parts_q11"] = FnWorkload(
     _agg_important_parts_q11, _Q11_SQL
 )
+
+
+def _join_local_supplier_volume_q5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume (the last classic TPC-H
+    shape the catalog lacked): the six-table snowflake
+    customer⋈orders⋈lineitem⋈supplier⋈nation⋈region where revenue
+    counts ONLY when the supplier sits in the customer's own nation
+    (``c_nationkey = s_nationkey`` — the cross-dimension equality that
+    makes Q5 the canonical join-ORDER benchmark).
+
+    Plan shape: region (1 row) → nation (a few) → supplier/customer
+    (thousands) are all broadcast-sized dims under AQE, so the only
+    shuffle is the final per-nation aggregate; the one-year date window
+    pushes to the orders parquet scan; the local-supplier equality is
+    expressed IN the supplier join condition, not a post-filter, so
+    Catalyst is free to reorder the dim chain. Revenue accumulates in
+    DECIMAL(38,12) (shuffle-order-exact), rounded once at the edge.
+    Order by revenue desc with n_name as the total tiebreak."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(38,12)")
+    return (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        .select("n_name", "revenue")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""".strip()
+
+
+ANALYTICS_QUERIES["join_local_supplier_volume_q5"] = FnWorkload(
+    _join_local_supplier_volume_q5, _Q5_SQL
+)
