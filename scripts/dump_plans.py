@@ -149,6 +149,15 @@ SHOWCASES = [
         "are plain projections after the aggregate.",
         "events_approx_aggregates",
     ),
+    (
+        "join_local_supplier_volume_q5: 6-table snowflake, dims all broadcast (r12)",
+        "Five BroadcastHashJoins and zero sort-merge joins: region→nation→"
+        "customer→supplier chain broadcasts around the lineitem probe, the "
+        "one-year window pushes to the orders scan, and the cross-dimension "
+        "c_nationkey = s_nationkey equality rides IN the supplier join "
+        "condition so Catalyst can reorder the chain.",
+        "join_local_supplier_volume_q5",
+    ),
 ]
 
 
