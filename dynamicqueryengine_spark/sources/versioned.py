@@ -301,13 +301,18 @@ def vt_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-# Reader protocol capability of THIS module (Delta's min_reader_version
-# contract): 1 = plain snapshot manifests, 2 = manifests carrying
-# deletion vectors. The gate exists for the persisted format, not this
-# code: a reader that cannot apply a manifest's dv map would silently
-# RESURRECT deleted rows — wrong results, not an error — so such a
-# manifest must refuse to load rather than degrade.
+# Protocol capability of THIS module (Delta's min_reader_version /
+# min_writer_version contract). Reader: 1 = plain snapshot manifests,
+# 2 = manifests carrying deletion vectors. Writer: 1 = plain commits,
+# 2 = tables whose head carries DVs (every commit must carry/prune the
+# vector map) or CHECK constraints (every commit must enforce them).
+# The gates exist for the persisted format, not this code: a reader
+# that cannot apply a dv map would silently RESURRECT deleted rows; a
+# writer that cannot enforce constraints would commit rows that violate
+# the table's recorded invariants — both are wrong results, not
+# errors, so the manifest must refuse the interaction instead.
 _PROTOCOL_READER = 2
+_PROTOCOL_WRITER = 2
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -480,13 +485,30 @@ def _commit(
     dv = _prune_dv(dv, dirs, files)
     if dv:
         manifest["dv"] = dv
-        # protocol gate (Delta's min_reader_version): a dv-bearing
-        # manifest is unreadable for a reader that cannot apply the
-        # vectors. min_reader describes the MANIFEST, not the table's
-        # history — materializing every vector (optimize/reorg) drops
-        # the requirement back to 1, and time travel to a pre-DV
-        # version never trips it.
-        manifest["protocol"] = {"min_reader": 2}
+    # protocol gates (Delta's min_reader_version / min_writer_version).
+    # Writer side first: refuse to commit PAST a head demanding more
+    # than this writer supports — a feature-blind writer would drop the
+    # dv map or skip constraint enforcement, silently.
+    if prev is not None:
+        wneed = (prev.get("protocol") or {}).get("min_writer", 1)
+        if wneed > _PROTOCOL_WRITER:
+            raise ValueError(
+                f"table at {path} requires writer protocol >= {wneed}; "
+                f"this writer supports {_PROTOCOL_WRITER} — committing "
+                "anyway could drop the manifest features it cannot "
+                "maintain"
+            )
+    # Both requirements describe the MANIFEST, not the table's history:
+    # materializing every vector (optimize/reorg) drops min_reader back
+    # to 1, clearing constraints drops min_writer, and time travel to a
+    # pre-DV version never trips the reader gate.
+    proto: dict = {}
+    if dv:
+        proto["min_reader"] = 2
+    if dv or constraints:
+        proto["min_writer"] = 2
+    if proto:
+        manifest["protocol"] = proto
     if prev is not None and "txns" in prev:
         txns = dict(prev["txns"])
     else:

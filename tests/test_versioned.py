@@ -4835,7 +4835,7 @@ class TestProtocolVersioning:
         path = self._staged(spark, tmp_path)
         v = vt_delete(spark, path, ("id", "=", 5), mode="dv")
         m = _read_manifest(path, v)
-        assert m["protocol"] == {"min_reader": 2}
+        assert m["protocol"] == {"min_reader": 2, "min_writer": 2}
         # the carried map keeps the requirement on later plain commits
         vt_write(
             spark,
@@ -4846,7 +4846,8 @@ class TestProtocolVersioning:
         from dynamicqueryengine_spark.sources.versioned import vt_head
 
         assert _read_manifest(path, vt_head(path))["protocol"] == {
-            "min_reader": 2
+            "min_reader": 2,
+            "min_writer": 2,
         }
 
     def test_clean_table_carries_no_requirement(self, spark, tmp_path):
@@ -4872,7 +4873,10 @@ class TestProtocolVersioning:
         head = _read_manifest(path, vt_head(path))
         assert "dv" not in head and "protocol" not in head
         # …while the historical DV manifest keeps its requirement
-        assert _read_manifest(path, v_dv)["protocol"] == {"min_reader": 2}
+        assert _read_manifest(path, v_dv)["protocol"] == {
+            "min_reader": 2,
+            "min_writer": 2,
+        }
 
     def test_future_protocol_refuses_to_load(self, spark, tmp_path):
         import json as _json
@@ -4896,3 +4900,55 @@ class TestProtocolVersioning:
             vt_read(spark, path).collect()
         # time travel to the still-supported predecessor works
         assert vt_read(spark, path, version=2).count() == 64
+
+    def test_constraints_demand_writer_2_but_not_reader_2(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "c")
+        vt_write(
+            spark,
+            path,
+            spark.range(8).selectExpr("id", "concat('v', id) AS v"),
+            constraints=[
+                {"name": "id_not_null", "kind": "not_null", "col": "id"}
+            ],
+        )
+        m = _read_manifest(path, vt_head(path))
+        # legacy readers may read a constrained table (constraints bind
+        # writers, not readers); legacy writers may not commit to it
+        assert m["protocol"] == {"min_writer": 2}
+        assert vt_read(spark, path).count() == 8
+
+    def test_future_writer_protocol_refuses_commit(self, spark, tmp_path):
+        import json as _json
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _manifest_path,
+            vt_head,
+            vt_read,
+            vt_write,
+        )
+
+        path = self._staged(spark, tmp_path)
+        head = vt_head(path)
+        mp = _manifest_path(path, head)
+        m = _json.load(open(mp))
+        m["protocol"] = {"min_writer": 99}
+        with open(mp, "w") as f:
+            _json.dump(m, f)
+        with pytest.raises(ValueError, match="writer protocol >= 99"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame([(100, "x")], "id long, v string"),
+                mode="append",
+            )
+        # reads are unaffected: the table demands nothing of READERS
+        assert vt_read(spark, path).count() == 64
