@@ -390,6 +390,7 @@ def _commit(
     partial_dirs: Sequence[str] | None = None,
     extra: dict | None = None,
     dv: dict | None = None,
+    bloom_cols_prop: Sequence[str] | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -475,6 +476,15 @@ def _commit(
         constraints = prev.get("constraints")
     if constraints:
         manifest["constraints"] = constraints
+    # Bloom columns are a TABLE PROPERTY with the same calculus:
+    # ``None`` carries the head's recorded list, an explicit list
+    # replaces it, ``[]`` clears. The property is what lets every later
+    # commit keep harvesting for the same columns (see
+    # _effective_bloom_cols).
+    if bloom_cols_prop is None and prev is not None:
+        bloom_cols_prop = prev.get("bloom_cols")
+    if bloom_cols_prop:
+        manifest["bloom_cols"] = sorted(set(bloom_cols_prop))
     # deletion vectors follow the FILES they describe: None carries the
     # head's map forward, pruned to files this manifest still references
     # (a rewritten file's deletes were materialized by the rewrite); an
@@ -791,6 +801,18 @@ def _bloom_probe_sound(value, col_type: str | None) -> bool:
     return False
 
 
+def _effective_bloom_cols(bloom_cols, manifest) -> list:
+    """Explicit argument wins; ``None`` falls back to the table's
+    recorded ``bloom_cols`` property (carried by every commit like
+    constraints), so DML and maintenance keep a bloom-indexed table
+    prunable without every call re-declaring the columns — before r12
+    any verb called without ``bloom_cols=`` silently degraded pruning
+    for the directories it wrote."""
+    if bloom_cols is not None:
+        return list(bloom_cols)
+    return list((manifest or {}).get("bloom_cols") or [])
+
+
 def _harvest_blooms(
     spark, full_dir: str, bloom_cols: Sequence[str]
 ) -> dict:
@@ -1066,13 +1088,24 @@ def vt_write(
             else []
         )
     _enforce_constraints(df, effective_constraints)
+    if bloom_cols is not None:
+        eff_bloom_cols = list(bloom_cols)
+    else:
+        # bloom_cols is a TABLE PROPERTY like constraints: appends and
+        # overwrites inherit the recorded columns so a bloom-indexed
+        # table never silently degrades (explicit [] clears)
+        eff_bloom_cols = (
+            _read_manifest(path, expected).get("bloom_cols", [])
+            if expected
+            else []
+        )
     incoming_schema = json.loads(df.schema.json())
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
         df, path
     )
     new_blooms = (
-        _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-        if bloom_cols
+        _harvest_blooms(spark, os.path.join(path, new_dir), eff_bloom_cols)
+        if eff_bloom_cols
         else {}
     )
     for _ in range(max_retries):
@@ -1121,6 +1154,9 @@ def vt_write(
                 schema=schema, heterogeneous=hetero, blooms=blooms,
                 file_rows=frows, constraints=constraints,
                 partial_dirs=partial_dirs,
+                bloom_cols_prop=(
+                    list(bloom_cols) if bloom_cols is not None else None
+                ),
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -2824,9 +2860,12 @@ def vt_merge(
         finally:
             if touched_cached:
                 touched.unpersist()
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
-            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-            if bloom_cols
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
             else {}
         )
         if part is not None:
@@ -3082,12 +3121,13 @@ def _dv_mutation_commit_cached(
             fstats[new_dir] = nfstats
         if nrows:
             frows[new_dir] = nrows
-        if bloom_cols:
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
+        if eff_bloom_cols:
             # the appended upsert dir must stay bloom-prunable like any
             # rewrite-path output, or alternating DV merges would
             # progressively lose the pruning the caller asked for
             nblooms = _harvest_blooms(
-                spark, os.path.join(path, new_dir), bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols
             )
             if nblooms:
                 blooms[new_dir] = nblooms
@@ -3445,9 +3485,12 @@ def vt_delete(
         finally:
             if need_changes:
                 touched.unpersist()
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
-            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-            if bloom_cols
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
             else {}
         )
         if part is not None:
@@ -3750,9 +3793,12 @@ def vt_update(
             )
         finally:
             touched.unpersist()
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
-            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-            if bloom_cols
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
             else {}
         )
         if part is not None:
@@ -4077,9 +4123,12 @@ def vt_optimize(
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
         clustered, path
     )
+    eff_bloom_cols = _effective_bloom_cols(
+        bloom_cols, _read_manifest(path, expected)
+    )
     new_blooms = (
-        _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-        if bloom_cols
+        _harvest_blooms(spark, os.path.join(path, new_dir), eff_bloom_cols)
+        if eff_bloom_cols
         else {}
     )
     try:
@@ -4198,9 +4247,12 @@ def vt_compact(
         new_dir, new_stats, new_fstats, new_files, new_rows = (
             _write_data_dir(packed, path)
         )
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
-            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-            if bloom_cols
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
             else {}
         )
         dirs = part["dirs"] + [new_dir]
@@ -4342,9 +4394,12 @@ def vt_reorg(
         new_dir, new_stats, new_fstats, new_files, new_rows = (
             _write_data_dir(purged, path)
         )
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
-            _harvest_blooms(spark, os.path.join(path, new_dir), bloom_cols)
-            if bloom_cols
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
             else {}
         )
         dirs = part["dirs"] + [new_dir]

@@ -4952,3 +4952,141 @@ class TestProtocolVersioning:
             )
         # reads are unaffected: the table demands nothing of READERS
         assert vt_read(spark, path).count() == 64
+
+
+class TestBloomColsProperty:
+    """r12 — bloom_cols as a carried TABLE PROPERTY (the
+    dataSkippingStatsColumns idea): declared once, every later commit —
+    append, the DML triad in both modes, optimize, compact, reorg —
+    harvests blooms for its new directories WITHOUT the call
+    re-declaring the columns. Explicit ``bloom_cols=`` still wins per
+    call; ``[]`` clears the property. Before this, any verb invoked
+    without the argument silently degraded a bloom-indexed table's
+    equality pruning — the shape of r11 verdict ask #3, closed
+    permanently instead of verb-by-verb."""
+
+    def _all_dirs_bloomed(self, path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_versions,
+        )
+
+        m = _read_manifest(path, vt_versions(path)[-1])
+        blooms = m.get("blooms", {})
+        return all(
+            d in blooms and blooms[d].get("files") for d in m["dirs"]
+        ), m
+
+    def _staged(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_optimize,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(64).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df, bloom_cols=["id"])
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        return path
+
+    def test_property_recorded_and_carried(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+        )
+
+        path = self._staged(spark, tmp_path)
+        m = _read_manifest(path, vt_head(path))
+        assert m["bloom_cols"] == ["id"]
+        # the optimize above never named bloom_cols — property did it
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, sorted(m.get("blooms", {}))
+
+    def test_append_and_dml_inherit(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_merge,
+            vt_update,
+            vt_write,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(100, "x")], "id long, v string"),
+            mode="append",
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"append lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_delete(spark, path, ("id", "=", 5))
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"delete lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_update(spark, path, ("id", "=", 7), {"v": "concat(v, '!')"})
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"update lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(9, "NINE"), (200, "NEW")], "id long, v string"
+            ),
+            ["id"],
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"merge lost blooms: {sorted(m.get('blooms', {}))}"
+
+    def test_dv_merge_and_reorg_inherit(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_merge,
+            vt_reorg,
+        )
+
+        path = self._staged(spark, tmp_path)
+        # DV merge appends an upsert dir — must inherit the property
+        vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, "THREE"), (300, "NEW")], "id long, v string"
+            ),
+            ["id"],
+            mode="dv",
+        )
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"dv merge lost blooms: {sorted(m.get('blooms', {}))}"
+        vt_delete(spark, path, ("id", "=", 8), mode="dv")
+        vt_reorg(spark, path)
+        ok, m = self._all_dirs_bloomed(path)
+        assert ok, f"reorg lost blooms: {sorted(m.get('blooms', {}))}"
+
+    def test_explicit_empty_clears_property(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+            vt_write,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(100, "x")], "id long, v string"),
+            mode="append",
+            bloom_cols=[],
+        )
+        m = _read_manifest(path, vt_head(path))
+        assert "bloom_cols" not in m
+        # later appends harvest nothing for their new dirs
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(101, "y")], "id long, v string"),
+            mode="append",
+        )
+        m2 = _read_manifest(path, vt_head(path))
+        new_dirs = [d for d in m2["dirs"] if d not in m["dirs"]]
+        assert new_dirs and all(
+            d not in m2.get("blooms", {}) for d in new_dirs
+        )
