@@ -229,7 +229,7 @@ class TestChangeStream:
         vt_write(spark, src, df.filter("id < 3"))
         vt_write(spark, src, df.filter("id >= 3 and id < 6"), mode="append")
         vt_write(spark, src, df.filter("id >= 6"), mode="append")
-        qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=1))
+        qn = _drain_to_memory(vt_change_stream(spark, src, starting_version=2))
         out = spark.sql(f"select * from {qn}")
         assert {r["id"] for r in out.collect()} == {6, 7, 8}
 
