@@ -1,6 +1,7 @@
 """Model-based property test for the versioned table (sources/
 versioned.py): hypothesis drives random operation sequences — write,
-append, merge (with and without txn markers), optimize, checkpoint,
+append, merge (with and without txn markers), optimize, checkpoint
+(plain and DV-consolidating), reorg, compact, DML in both modes,
 vacuum, analyze, shallow clone, drift diff — against a trivial in-memory model (a list-of-rows multiset per
 version), and after EVERY step the real table must agree with the model
 on:
@@ -70,6 +71,13 @@ _OP = st.one_of(
     st.tuples(st.just("merge_dv_del"), st.integers(0, 4)),
     # incremental compaction: layout-only, possibly a no-op
     st.tuples(st.just("compact"), st.just(0)),
+    # r12 DV lifecycle: targeted purge (layout-only, no-op without
+    # vectors) and checkpoint sidecar consolidation (metadata-only
+    # commit when >1 live sidecar, plain checkpoint otherwise) — both
+    # must be row-for-row invisible under ANY interleaving with the
+    # DV-writing ops above
+    st.tuples(st.just("reorg"), st.just(0)),
+    st.tuples(st.just("checkpoint_dv"), st.just(0)),
 )
 
 
@@ -265,6 +273,19 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 assert d["rows_old"] == len(versions[target])
             if d["rows_new"] is not None:
                 assert d["rows_new"] == len(versions[head])
+        elif kind == "reorg":
+            from dynamicqueryengine_spark.sources.versioned import vt_reorg
+
+            v = vt_reorg(spark, path)
+            if v != head:  # purged something: layout-only commit
+                head += 1
+                versions[head] = list(versions[head - 1])
+        elif kind == "checkpoint_dv":
+            v = vt_checkpoint(spark, path, consolidate_dv=True)
+            assert v in (head, head + 1)
+            if v != head:  # folded >1 sidecar: metadata-only commit
+                head += 1
+                versions[head] = list(versions[head - 1])
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
