@@ -5090,3 +5090,148 @@ class TestBloomColsProperty:
         assert new_dirs and all(
             d not in m2.get("blooms", {}) for d in new_dirs
         )
+
+
+class TestReorgConsolidationFaults:
+    """r12 adversarial coverage for the DV-lifecycle executors: commit
+    races and crashes mid-operation must never corrupt the table —
+    reorg retries against the fresh head, a crash before commit leaves
+    the head untouched with only vacuum-reapable debris, and a lost
+    consolidation race degrades to checkpointing the winner."""
+
+    def _staged_with_dv(self, spark, tmp_path, n=64, parts=8):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_optimize,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(n).selectExpr("id", "concat('v', id) AS v")
+        vt_write(spark, path, df)
+        vt_optimize(spark, path, ["id"], n_partitions=parts)
+        vt_delete(spark, path, ("id", "=", 3), mode="dv")
+        return path
+
+    def test_reorg_lost_race_retries_and_lands(self, spark, tmp_path):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = self._staged_with_dv(spark, tmp_path)
+        real = V._write_data_dir
+        injected: list = []
+
+        def racy(df, p, *a, **kw):
+            out = real(df, p, *a, **kw)
+            if not injected:  # race once: an append lands mid-reorg
+                injected.append(True)
+                V.vt_write(
+                    spark,
+                    path,
+                    spark.createDataFrame(
+                        [(500, "race")], "id long, v string"
+                    ),
+                    mode="append",
+                )
+            return out
+
+        V._write_data_dir = racy
+        try:
+            v = V.vt_reorg(spark, path)
+        finally:
+            V._write_data_dir = real
+        assert injected and v == V.vt_head(path)
+        m = V._read_manifest(path, v)
+        assert "dv" not in m  # the retry still purged the vector
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == (set(range(64)) - {3}) | {500}
+
+    def test_crash_mid_reorg_leaves_table_intact(self, spark, tmp_path):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = self._staged_with_dv(spark, tmp_path)
+        head_before = V.vt_head(path)
+        real = V._commit
+
+        def boom(*a, **kw):
+            raise RuntimeError("crash before commit")
+
+        V._commit = boom
+        try:
+            with pytest.raises(RuntimeError, match="crash before commit"):
+                V.vt_reorg(spark, path)
+        finally:
+            V._commit = real
+        # head untouched, vector still applied, reads exact
+        assert V.vt_head(path) == head_before
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {3}
+        # the orphan data dir the crashed reorg wrote is vacuum debris
+        removed = V.vt_vacuum(spark, path, keep_last=5, grace_seconds=0)
+        assert any(d.startswith("d_") for d in removed)
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {3}
+
+    def test_crash_mid_consolidation_reaps_orphan_sidecar(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = self._staged_with_dv(spark, tmp_path)
+        V.vt_delete(spark, path, ("id", "=", 40), mode="dv")  # 2nd ref
+        dvd = V._dv_dir(path)
+        n_sidecars = len(_os.listdir(dvd))
+        real = V._commit
+
+        def boom(*a, **kw):
+            raise RuntimeError("crash mid consolidation")
+
+        V._commit = boom
+        try:
+            with pytest.raises(RuntimeError, match="mid consolidation"):
+                V.vt_checkpoint(spark, path, consolidate_dv=True)
+        finally:
+            V._commit = real
+        # the consolidated sidecar was written but never referenced
+        assert len(_os.listdir(dvd)) == n_sidecars + 1
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {3, 40}
+        V.vt_vacuum(spark, path, keep_last=5, grace_seconds=0)
+        assert len(_os.listdir(dvd)) == n_sidecars  # orphan reaped
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {3, 40}
+
+    def test_consolidation_lost_race_checkpoints_winner(
+        self, spark, tmp_path
+    ):
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = self._staged_with_dv(spark, tmp_path)
+        V.vt_delete(spark, path, ("id", "=", 40), mode="dv")  # 2nd ref
+        real = V._write_dv_sidecar
+        injected: list = []
+
+        def racy(p, payload):
+            ref = real(p, payload)
+            if not injected:  # a writer commits between read and fold
+                injected.append(True)
+                V.vt_write(
+                    spark,
+                    path,
+                    spark.createDataFrame(
+                        [(600, "race")], "id long, v string"
+                    ),
+                    mode="append",
+                )
+            return ref
+
+        V._write_dv_sidecar = racy
+        try:
+            head = V.vt_checkpoint(spark, path, consolidate_dv=True)
+        finally:
+            V._write_dv_sidecar = real
+        # lost race: no consolidation commit, the WINNER is checkpointed
+        assert injected and head == V.vt_head(path)
+        got = {r["id"] for r in V.vt_read(spark, path).collect()}
+        assert got == (set(range(64)) - {3, 40}) | {600}
