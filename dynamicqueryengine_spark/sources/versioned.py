@@ -1240,6 +1240,58 @@ def _stats_may_match(minmax, op: str, value) -> bool:
         return True  # cross-type comparison — keep the directory
 
 
+def _file_fully_matches(conjuncts, entry: dict, nrows) -> bool:
+    """Does EVERY logical row of a file provably satisfy the
+    conjunction? The dual of :func:`_stats_may_match`: MAY-match prunes
+    reads, MUST-match lets DELETE drop the whole file metadata-only
+    (Delta's whole-file DELETE optimization — a date-retention delete
+    on a clustered table drops interior files without reading a byte).
+    min/max cover non-null values only, so every value op additionally
+    needs the column's exact footer null_count == 0 (one null row
+    breaks the proof: it never satisfies a value comparison, so it must
+    SURVIVE the delete); ``isnull`` needs null_count == num_rows;
+    ``notnull`` needs null_count == 0. Any missing stat → False (never
+    drop on uncertainty). Comparisons stay in the same ordering domain
+    _stats_may_match uses; cross-type surprises keep the file."""
+    if not conjuncts:
+        return False
+    nulls = entry.get("__nulls__") or {}
+    for col, op, value in conjuncts:
+        n = nulls.get(col)
+        if op == "isnull":
+            if n is None or nrows is None or int(n) != int(nrows):
+                return False
+            continue
+        if n is None or int(n) != 0:
+            return False
+        if op == "notnull":
+            continue
+        mm = entry.get(col)
+        if mm is None:
+            return False
+        lo, hi = mm
+        try:
+            if op == "=":
+                ok = lo <= value <= hi and hi <= lo
+            elif op == "in":
+                ok = hi <= lo and any(
+                    lo <= v <= hi for v in value if v is not None
+                )
+            elif op == "<":
+                ok = hi < value
+            elif op == "<=":
+                ok = hi <= value
+            elif op == ">":
+                ok = lo > value
+            else:  # ">="
+                ok = lo >= value
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
 def _normalize_predicate(predicate) -> list[tuple] | None:
     """One ``(col, op, value)`` tuple or a CONJUNCTION list of them →
     validated list (None stays None). A conjunction prunes a file when
@@ -2214,7 +2266,7 @@ def _dir_stats_from_file_stats(per_file: dict, files: Sequence[str]) -> dict:
 
 
 def _partition_snapshot(
-    path: str, manifest: dict, touch_file, touch_name=None
+    path: str, manifest: dict, touch_file, touch_name=None, drop_file=None
 ) -> dict:
     """Split a snapshot's file references into TOUCHED (must be read and
     rewritten by a file-granular MERGE/DELETE) and KEPT (referenced
@@ -2224,9 +2276,13 @@ def _partition_snapshot(
     (legacy manifests) is touched whole. ``touch_name(dir, fname)``,
     when given, decides by IDENTITY instead of by stats — the
     incremental-compaction classifier (file size is a filesystem fact,
-    not a footer stat). Returns the kept manifest fragments plus the
+    not a footer stat). ``drop_file(stats_entry, num_rows)``, when
+    given, is consulted FIRST: True drops the file's reference outright
+    — never read, never rewritten — the metadata-only whole-file DELETE
+    path (the caller must prove every logical row matches, see
+    _file_fully_matches). Returns the kept manifest fragments plus the
     touched read paths and the rewrite-shape counts the audit blob
-    records."""
+    records (including ``files_dropped``/``rows_dropped``)."""
     flists = manifest.get("files", {})
     fstats = manifest.get("file_stats", {})
     blooms = manifest.get("blooms", {})
@@ -2243,6 +2299,8 @@ def _partition_snapshot(
     touched_paths: list[str] = []
     files_total = 0
     files_rewritten = 0
+    files_dropped = 0
+    rows_dropped = 0
     dirs_rewritten_whole = 0
     for d in manifest["dirs"]:
         flist = flists.get(d)
@@ -2262,6 +2320,12 @@ def _partition_snapshot(
                 # nothing, matches nothing — drop the reference outright
                 # (free compaction; the file itself is vacuum's to reap)
                 files_total -= 1
+                continue
+            if drop_file is not None and drop_file(
+                dstats.get(f, {}), drows.get(f)
+            ):
+                files_dropped += 1
+                rows_dropped += int(drows.get(f) or 0)
                 continue
             hit = (
                 touch_name(d, f)
@@ -2312,6 +2376,8 @@ def _partition_snapshot(
         "partial_dirs": new_partial,
         "files_total": files_total,
         "files_rewritten": files_rewritten,
+        "files_dropped": files_dropped,
+        "rows_dropped": rows_dropped,
         "dirs_rewritten_whole": dirs_rewritten_whole,
     }
 
@@ -3287,7 +3353,16 @@ def vt_delete(
 
     ``mode`` selects the mutation strategy (Delta's deletion vectors):
 
-    * ``"rewrite"`` (default) — copy-on-write as described above;
+    * ``"rewrite"`` (default) — copy-on-write as described above, with
+      a WHOLE-FILE fast path (Delta's metadata-only DELETE): a file
+      whose min/max + exact null-count stats PROVE every logical row
+      matches is dropped from the successor manifest without being
+      read — a date-retention delete on a clustered table drops the
+      interior files for the cost of a manifest write and reads only
+      the boundary files (``files_dropped``/``rows_dropped`` in the
+      audit blob). Disabled when change rows must be materialized
+      (``change_feed=True`` or a non-skip-exact rule — the rows must
+      be read to be recorded);
     * ``"dv"`` — MERGE-ON-READ: no data file is rewritten; the commit
       records the matched rows' positions in a deletion-vector sidecar
       (``files_rewritten = 0``) and every reader drops them at scan
@@ -3415,9 +3490,70 @@ def vt_delete(
             touched = vt_read(spark, path, expected)
             schema_json = None
         else:
-            part = _partition_snapshot(path, manifest, touch)
+            dropper = None
+            if mode == "rewrite" and not need_changes and loop_conjuncts:
+                # whole-file fast path (Delta's metadata-only DELETE):
+                # a file whose stats PROVE every logical row matches is
+                # dropped from the successor manifest without being
+                # read. Only safe when no change rows are needed (the
+                # predicate is recorded for streaming replay) and no DV
+                # probe wants the matched rows (dv/auto read them).
+                _lc = loop_conjuncts
+
+                def dropper(entry, nrows, _lc=_lc):
+                    return _file_fully_matches(_lc, entry, nrows)
+
+            part = _partition_snapshot(
+                path, manifest, touch, drop_file=dropper
+            )
             if not part["touched_paths"]:
-                return expected  # provably nothing to delete — no-op
+                if part["files_dropped"] and part["dirs"]:
+                    # EVERY affected file provably fully matches: pure
+                    # metadata delete — zero bytes read or written
+                    blob = {
+                        "files_total": part["files_total"],
+                        "files_rewritten": 0,
+                        "files_dropped": part["files_dropped"],
+                        "rows_dropped": part["rows_dropped"],
+                    }
+                    if pred_json is not None:
+                        blob["predicate"] = pred_json
+                    elif rule_pred_json is not None:
+                        blob["predicate"] = rule_pred_json
+                    if rule_doc is not None:
+                        blob["rule"] = rule_doc
+                        blob["external_params"] = dict(
+                            external_params or {}
+                        )
+                    try:
+                        return _commit(
+                            path,
+                            part["dirs"],
+                            "delete",
+                            expected,
+                            part["stats"],
+                            None,
+                            part["file_stats"] or None,
+                            part["files"],
+                            schema=manifest["schema"],
+                            heterogeneous=manifest.get(
+                                "schema_heterogeneous", False
+                            ),
+                            blooms=part["blooms"] or None,
+                            file_rows=part["file_rows"] or None,
+                            partial_dirs=part["partial_dirs"],
+                            extra={"delete": blob},
+                        )
+                    except FileExistsError:
+                        continue  # lost the race — retry on new head
+                elif part["files_dropped"]:
+                    # dropping EVERYTHING the table holds: fall back to
+                    # the rewrite walk so the successor keeps a
+                    # schema-bearing (empty) data dir — an empty
+                    # manifest has nothing for readers to infer from
+                    part = _partition_snapshot(path, manifest, touch)
+                else:
+                    return expected  # provably nothing to delete
             tplan = {
                 "paths": part["touched_paths"],
                 "schema": manifest["schema"],
@@ -3517,6 +3653,11 @@ def vt_delete(
                 "files_total": part["files_total"],
                 "files_rewritten": part["files_rewritten"],
             }
+            if part["files_dropped"]:
+                # boundary files rewritten, interior files dropped
+                # metadata-only (see the whole-file fast path above)
+                blob["files_dropped"] = part["files_dropped"]
+                blob["rows_dropped"] = part["rows_dropped"]
             if part["dirs_rewritten_whole"]:
                 blob["dirs_rewritten_whole"] = part["dirs_rewritten_whole"]
             hetero = manifest.get("schema_heterogeneous", False)

@@ -5847,3 +5847,106 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_dv_consolidate"] = FnWorkload(
     _events_vt_dv_consolidate, _EVENTS_VT_DV_CONSOLIDATE_SQL
 )
+
+
+def _events_vt_delete_filedrop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """METADATA-ONLY whole-file DELETE, EXECUTED (vt_delete rewrite
+    mode's stats-proved fast path, r12 — Delta drops a file from the
+    log when its stats prove every row matches the predicate): events
+    staged as EIGHT single-file appends over disjoint event_id octiles
+    (exact proof boundaries by construction), then a retention-style
+    delete of the bottom three octiles WITHOUT change_feed. The commit
+    reads and writes ZERO data bytes: the three interior files'
+    min/max + exact null-count footers prove every logical row matches,
+    so their references simply leave the manifest (the predicate is
+    recorded, so the streaming source still replays the deletions
+    exactly). At 100 TB this is the difference between a date-retention
+    delete costing a manifest write and costing a multi-terabyte scan.
+    Pinned INSIDE the oracle hash: ``pure_metadata`` (files_rewritten
+    == 0, files_dropped == 3, rows_dropped == the exact octile row
+    count), ``time_travel_intact`` (the pre-delete snapshot still
+    counts every row). The surviving aggregate equals the SQL mirror's
+    plain ``WHERE NOT (…)``."""
+    from ..sources.versioned import (
+        vt_count,
+        vt_delete,
+        vt_history,
+        vt_read,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    bounds = [lo + (hi - lo + 1) * k // 8 for k in range(9)]
+    path = os.path.join(_scratch_dir("vtfiledrop", sf_dir), "ev")
+    for k in range(8):
+        vt_write(
+            spark,
+            path,
+            ev.filter(
+                (F.col("event_id") >= bounds[k])
+                & (F.col("event_id") < bounds[k + 1])
+            ).coalesce(1),
+            mode="append" if k else "overwrite",
+        )
+    n_before = vt_count(spark, path)
+    cut = bounds[3]
+    v = vt_delete(spark, path, ("event_id", "<", cut))
+    blob = vt_history(path)[0]["delete"]
+    n_after = vt_count(spark, path)
+    pure_metadata = (
+        blob["files_rewritten"] == 0
+        and blob["files_dropped"] == 3
+        and blob["rows_dropped"] == n_before - n_after > 0
+    )
+    time_travel_intact = vt_count(spark, path, v - 1) == n_before
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(pure_metadata)).alias("pure_metadata"),
+            F.lit(bool(time_travel_intact)).alias("time_travel_intact"),
+        )
+    )
+
+
+_EVENTS_VT_DELETE_FILEDROP_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (
+  SELECT min(event_id) + (max(event_id) - min(event_id) + 1) * 3 // 8
+           AS cut
+  FROM t
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS pure_metadata,
+       TRUE AS time_travel_intact
+FROM t, b
+WHERE NOT (event_id < cut)
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_delete_filedrop"] = FnWorkload(
+    _events_vt_delete_filedrop, _EVENTS_VT_DELETE_FILEDROP_SQL
+)

@@ -5235,3 +5235,149 @@ class TestReorgConsolidationFaults:
         assert injected and head == V.vt_head(path)
         got = {r["id"] for r in V.vt_read(spark, path).collect()}
         assert got == (set(range(64)) - {3, 40}) | {600}
+
+
+class TestWholeFileDelete:
+    """r12 — metadata-only whole-file DELETE (Delta's stats-proved file
+    drop): a rewrite-mode delete drops files whose min/max + exact
+    null-count stats PROVE every logical row matches, reading only
+    boundary files. Staged as eight single-file appends over disjoint
+    id octets so the proof boundaries are exact by construction."""
+
+    def _staged(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_write
+
+        path = str(tmp_path / "t")
+        for k in range(8):
+            df = (
+                spark.range(k * 8, (k + 1) * 8)
+                .selectExpr("id", "concat('v', id) AS v")
+                .coalesce(1)
+            )
+            vt_write(spark, path, df, mode="append" if k else "overwrite")
+        return path
+
+    def test_aligned_delete_is_pure_metadata(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_count,
+            vt_delete,
+            vt_history,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_delete(spark, path, ("id", "<", 24))
+        blob = vt_history(path)[0]["delete"]
+        assert blob["files_rewritten"] == 0
+        assert blob["files_dropped"] == 3
+        assert blob["rows_dropped"] == 24
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(24, 64))
+        # time travel un-drops
+        assert vt_count(spark, path, v - 1) == 64
+
+    def test_boundary_file_rewritten_interior_dropped(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_history,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "<", 20))
+        blob = vt_history(path)[0]["delete"]
+        assert blob["files_dropped"] == 2  # octets [0,8) and [8,16)
+        assert blob["rows_dropped"] == 16
+        assert blob["files_rewritten"] == 1  # octet [16,24) partially
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(20, 64))
+
+    def test_change_feed_disables_drop(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_history,
+            vt_read_changes,
+        )
+
+        path = self._staged(spark, tmp_path)
+        v = vt_delete(spark, path, ("id", "<", 24), change_feed=True)
+        blob = vt_history(path)[0]["delete"]
+        assert "files_dropped" not in blob
+        assert blob["files_rewritten"] == 3  # rows must be READ to record
+        assert vt_read_changes(spark, path, v - 1, v).count() == 24
+
+    def test_null_rows_block_the_proof(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_history,
+            vt_read,
+            vt_write,
+        )
+
+        path = str(tmp_path / "t")
+        # file A: x fully < 10 but ONE null row; file B: x fully < 10
+        a = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 2.0)], "id long, x double"
+        ).coalesce(1)
+        b = spark.createDataFrame(
+            [(10, 3.0), (11, 4.0)], "id long, x double"
+        ).coalesce(1)
+        vt_write(spark, path, a)
+        vt_write(spark, path, b, mode="append")
+        vt_delete(spark, path, ("x", "<", 10.0))
+        blob = vt_history(path)[0]["delete"]
+        # B drops (all rows provably match); A must be READ — its null
+        # row never satisfies x < 10 and must survive
+        assert blob["files_dropped"] == 1
+        assert blob["files_rewritten"] == 1
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == {2}
+
+    def test_delete_everything_falls_back_to_rewrite(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_count,
+            vt_delete,
+            vt_history,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "<", 1000))
+        blob = vt_history(path)[0]["delete"]
+        # dropping EVERY file would leave an uninferrable empty
+        # manifest: the walk falls back to a schema-bearing rewrite
+        assert "files_dropped" not in blob
+        assert vt_count(spark, path) == 0
+        assert vt_read(spark, path).columns == ["id", "v"]
+
+    def test_drop_commit_streams_via_predicate_replay(
+        self, spark, tmp_path
+    ):
+        import uuid as _uuid
+
+        from dynamicqueryengine_spark.sources.versioned import vt_delete
+        from dynamicqueryengine_spark.streaming.source import (
+            vt_change_stream,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "<", 24))  # pure metadata commit
+        qn = "wfd_" + _uuid.uuid4().hex[:8]
+        q = (
+            vt_change_stream(spark, path)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table(qn)
+        dels = {
+            r["id"]
+            for r in out.filter("_change_type = 'delete'").collect()
+        }
+        assert dels == set(range(24))  # dropped rows replay exactly
