@@ -2301,6 +2301,7 @@ def _partition_snapshot(
     files_rewritten = 0
     files_dropped = 0
     rows_dropped = 0
+    dropped_names: list[tuple] = []
     dirs_rewritten_whole = 0
     for d in manifest["dirs"]:
         flist = flists.get(d)
@@ -2326,6 +2327,7 @@ def _partition_snapshot(
             ):
                 files_dropped += 1
                 rows_dropped += int(drows.get(f) or 0)
+                dropped_names.append((d, f))
                 continue
             hit = (
                 touch_name(d, f)
@@ -2378,6 +2380,7 @@ def _partition_snapshot(
         "files_rewritten": files_rewritten,
         "files_dropped": files_dropped,
         "rows_dropped": rows_dropped,
+        "dropped_names": dropped_names,
         "dirs_rewritten_whole": dirs_rewritten_whole,
     }
 
@@ -2996,6 +2999,21 @@ def vt_merge(
     raise RuntimeError(f"merge at {path} lost {max_retries} commit races")
 
 
+def _logical_rows_dropped(part: dict, manifest: dict) -> int:
+    """``rows_dropped`` counts physical footer rows; a dropped file that
+    already carried a deletion vector hid some of those rows from the
+    logical table, so the audit blob subtracts its vector count —
+    ``rows_dropped`` is exactly the number of LOGICAL rows the commit
+    removed via whole-file drops."""
+    dv = manifest.get("dv") or {}
+    hidden = 0
+    for d, f in part.get("dropped_names", []):
+        entry = dv.get(d, {}).get(f)
+        if entry is not None:
+            hidden += int(entry["count"])
+    return int(part["rows_dropped"]) - hidden
+
+
 def _pred_touch_fn(conjuncts, bloom_types):
     """Per-file classifier for predicate-driven rewrites (DELETE/UPDATE):
     True iff the file MAY contain a row the conjunction MATCHES — via
@@ -3514,7 +3532,9 @@ def vt_delete(
                         "files_total": part["files_total"],
                         "files_rewritten": 0,
                         "files_dropped": part["files_dropped"],
-                        "rows_dropped": part["rows_dropped"],
+                        "rows_dropped": _logical_rows_dropped(
+                            part, manifest
+                        ),
                     }
                     if pred_json is not None:
                         blob["predicate"] = pred_json
@@ -3657,7 +3677,9 @@ def vt_delete(
                 # boundary files rewritten, interior files dropped
                 # metadata-only (see the whole-file fast path above)
                 blob["files_dropped"] = part["files_dropped"]
-                blob["rows_dropped"] = part["rows_dropped"]
+                blob["rows_dropped"] = _logical_rows_dropped(
+                    part, manifest
+                )
             if part["dirs_rewritten_whole"]:
                 blob["dirs_rewritten_whole"] = part["dirs_rewritten_whole"]
             hetero = manifest.get("schema_heterogeneous", False)

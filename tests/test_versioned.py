@@ -5381,3 +5381,25 @@ class TestWholeFileDelete:
             for r in out.filter("_change_type = 'delete'").collect()
         }
         assert dels == set(range(24))  # dropped rows replay exactly
+
+    def test_rows_dropped_excludes_dv_hidden_rows(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_count,
+            vt_delete,
+            vt_history,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        # hide two rows of the first octile behind a deletion vector
+        vt_delete(spark, path, ("id", "in", [2, 5]), mode="dv")
+        n_before = vt_count(spark, path)
+        vt_delete(spark, path, ("id", "<", 24))
+        blob = vt_history(path)[0]["delete"]
+        # three files dropped; the blob reports LOGICAL deletions (22),
+        # not the 24 physical footer rows
+        assert blob["files_dropped"] == 3
+        assert blob["rows_dropped"] == 22 == n_before - vt_count(spark, path)
+        assert blob["files_rewritten"] == 0
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(24, 64))
