@@ -4065,6 +4065,7 @@ def vt_history(path: str) -> list[dict]:
             "update",
             "compact",
             "reorg",
+            "optimize",
             "dv_consolidate",
         ):
             # file-granular rewrite/maintenance shape (files_rewritten/
@@ -4230,6 +4231,8 @@ def vt_optimize(
     method: str = "range",
     zorder_bits: int = 4,
     bloom_cols: Sequence[str] | None = None,
+    where=None,
+    max_retries: int = 5,
 ) -> int:
     """Rewrite the HEAD snapshot clustered on ``cluster_by`` — Delta's
     OPTIMIZE: ``repartitionByRange`` puts disjoint key ranges in
@@ -4254,35 +4257,34 @@ def vt_optimize(
     At 100 TB this is the maintenance job that keeps skipping effective:
     run it per partition-of-the-keyspace, not whole-table (the same
     advice Delta gives); the manifest format doesn't care how many
-    optimize commits cover the table."""
+    optimize commits cover the table. ``where=`` (Delta's ``OPTIMIZE …
+    WHERE``) is exactly that primitive: a skip-grammar conjunction
+    scoping the rewrite to the files that MAY hold matching rows —
+    "recluster yesterday's ingest" reads yesterday's files, every
+    out-of-scope file is referenced verbatim with stats/blooms/vectors
+    carried, and the rewrite materializes the in-scope files'
+    accumulated deletion vectors. Scoped runs retry lost commit races
+    like vt_compact/vt_reorg; the audit blob records the scope
+    (``optimize: {predicate, files_total, files_rewritten}``)."""
     keys = [F.col(c) for c in cluster_by]
     if method != "compact" and not keys:
         raise ValueError(f"optimize method {method!r} requires cluster_by")
+    if where is not None:
+        return _optimize_where(
+            spark, path, cluster_by, n_partitions, method, zorder_bits,
+            bloom_cols, where, max_retries,
+        )
     head = vt_versions(path)
     if not head:
         raise FileNotFoundError(f"no committed versions at {path}")
     expected = head[-1]
     snap = vt_read(spark, path, expected)
-    if method == "zorder":
-        z = _zorder_column(spark, snap, cluster_by, zorder_bits)
-        clustered = (
-            snap.withColumn("__z", z)
-            .repartitionByRange(n_partitions, F.col("__z"))
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
-    elif method == "range":
-        clustered = snap.repartitionByRange(
-            n_partitions, *keys
-        ).sortWithinPartitions(*keys)
-    elif method == "compact":
-        # bin-packing compaction only (Delta OPTIMIZE without ZORDER):
-        # collapse small files/dirs into n_partitions right-sized files
-        # without imposing an ordering — the no-cluster-key maintenance
-        # path vt_maintain uses when no one declared query columns
-        clustered = snap.repartition(n_partitions)
-    else:
-        raise ValueError(f"unknown optimize method {method!r}")
+    # "compact" = bin-packing only (Delta OPTIMIZE without ZORDER): the
+    # no-cluster-key maintenance path vt_maintain uses when no one
+    # declared query columns
+    clustered = _cluster_frame(
+        spark, snap, cluster_by, n_partitions, method, zorder_bits
+    )
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
         clustered, path
     )
@@ -4313,6 +4315,131 @@ def vt_optimize(
     except FileExistsError:
         shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
         raise
+
+
+def _cluster_frame(spark, df, cluster_by, n_partitions, method, zorder_bits):
+    """The clustering transform vt_optimize applies, shared by the
+    whole-snapshot and ``where=``-scoped paths."""
+    keys = [F.col(c) for c in cluster_by]
+    if method == "zorder":
+        z = _zorder_column(spark, df, cluster_by, zorder_bits)
+        return (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_partitions, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    if method == "range":
+        return df.repartitionByRange(
+            n_partitions, *keys
+        ).sortWithinPartitions(*keys)
+    if method == "compact":
+        return df.repartition(n_partitions)
+    raise ValueError(f"unknown optimize method {method!r}")
+
+
+def _optimize_where(
+    spark, path, cluster_by, n_partitions, method, zorder_bits,
+    bloom_cols, where, max_retries,
+) -> int:
+    """Predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE … WHERE``): rewrite
+    clustered ONLY the files whose stats say they MAY hold rows matching
+    the conjunction; everything out of scope is referenced verbatim.
+    See :func:`vt_optimize` for the contract."""
+    conjuncts = _normalize_predicate(where)
+    pred_json = None
+    try:
+        json.dumps([[c, o, v] for c, o, v in conjuncts])
+        pred_json = [[c, o, v] for c, o, v in conjuncts]
+    except (TypeError, ValueError):
+        pass  # non-JSON values: blob simply omits the predicate
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        if manifest.get("schema") is None:
+            raise ValueError(
+                "vt_optimize(where=...) requires a table with a "
+                "recorded schema (legacy tables rewrite whole snapshots)"
+            )
+        touch = _pred_touch_fn(conjuncts, _bloom_col_types(manifest))
+        part = _partition_snapshot(path, manifest, touch)
+        if not part["touched_paths"]:
+            return expected  # nothing in scope — no-op
+        tplan = {
+            "paths": part["touched_paths"],
+            "schema": manifest["schema"],
+            "schema_heterogeneous": manifest.get(
+                "schema_heterogeneous", False
+            ),
+        }
+        # the scoped rewrite materializes in-scope files' vectors —
+        # the read applies them, and _commit's carry-prune drops their
+        # entries with the files they described
+        _attach_plan_dv(tplan, path, manifest)
+        clustered = _cluster_frame(
+            spark, _read_plan(spark, tplan), cluster_by, n_partitions,
+            method, zorder_bits,
+        )
+        new_dir, new_stats, new_fstats, new_files, new_rows = (
+            _write_data_dir(clustered, path)
+        )
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
+        new_blooms = (
+            _harvest_blooms(
+                spark, os.path.join(path, new_dir), eff_bloom_cols
+            )
+            if eff_bloom_cols
+            else {}
+        )
+        dirs = part["dirs"] + [new_dir]
+        stats = {
+            **part["stats"],
+            **({new_dir: new_stats} if new_stats else {}),
+        }
+        fstats = {
+            **part["file_stats"],
+            **({new_dir: new_fstats} if new_fstats else {}),
+        }
+        files = {**part["files"], new_dir: new_files}
+        frows = {
+            **part["file_rows"],
+            **({new_dir: new_rows} if new_rows else {}),
+        }
+        blooms = dict(part["blooms"])
+        if new_blooms:
+            blooms[new_dir] = new_blooms
+        blob = {
+            "scope": "where",
+            "files_total": part["files_total"],
+            "files_rewritten": part["files_rewritten"],
+        }
+        if pred_json is not None:
+            blob["predicate"] = pred_json
+        try:
+            return _commit(
+                path,
+                dirs,
+                "optimize",
+                expected,
+                stats,
+                None,
+                fstats or None,
+                files,
+                schema=manifest["schema"],
+                heterogeneous=manifest.get("schema_heterogeneous", False),
+                blooms=blooms or None,
+                file_rows=frows or None,
+                partial_dirs=part["partial_dirs"],
+                extra={"optimize": blob},
+            )
+        except FileExistsError:
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+    raise RuntimeError(
+        f"scoped optimize at {path} lost {max_retries} commit races"
+    )
 
 
 def vt_compact(

@@ -5950,3 +5950,117 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_delete_filedrop"] = FnWorkload(
     _events_vt_delete_filedrop, _EVENTS_VT_DELETE_FILEDROP_SQL
 )
+
+
+def _events_vt_optimize_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PREDICATE-SCOPED OPTIMIZE, EXECUTED (vt_optimize(where=...) r12 —
+    Delta's ``OPTIMIZE … WHERE``, the per-partition-of-the-keyspace
+    maintenance the whole-snapshot rewrite is not): events staged as
+    eight single-file octile appends with a deletion vector planted in
+    the first octile, then a scoped recluster of the bottom three
+    octiles. The commit rewrites EXACTLY the three in-scope files into
+    one range-clustered file — the five out-of-scope files are
+    referenced verbatim, file lists byte-identical — and the rewrite
+    materializes the in-scope vector while leaving no phantom rows. At
+    100 TB this is "recluster yesterday's ingest": pay yesterday's
+    bytes, never the table. Pinned INSIDE the oracle hash: ``scoped``
+    (audit blob: scope="where", files_rewritten == 3 < files_total ==
+    8, recorded predicate), ``verbatim_out_of_scope`` (all five
+    untouched file references carried unchanged),
+    ``dv_materialized`` (the head carries zero vectors afterwards and
+    the vectored row stays deleted). The aggregate equals the SQL
+    mirror's ``WHERE NOT (deleted row)``."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_delete,
+        vt_head,
+        vt_history,
+        vt_optimize,
+        vt_read,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    bounds = [lo + (hi - lo + 1) * k // 8 for k in range(9)]
+    path = os.path.join(_scratch_dir("vtoptwhere", sf_dir), "ev")
+    for k in range(8):
+        vt_write(
+            spark,
+            path,
+            ev.filter(
+                (F.col("event_id") >= bounds[k])
+                & (F.col("event_id") < bounds[k + 1])
+            ).coalesce(1),
+            mode="append" if k else "overwrite",
+        )
+    vt_delete(spark, path, ("event_id", "=", lo), mode="dv")
+    before = _read_manifest(path, vt_head(path))
+    cut = bounds[3]
+    v = vt_optimize(
+        spark, path, ["event_id"], n_partitions=1,
+        where=("event_id", "<", cut),
+    )
+    blob = vt_history(path)[0]["optimize"]
+    m = _read_manifest(path, v)
+    scoped = (
+        blob["scope"] == "where"
+        and blob["files_rewritten"] == 3
+        and blob["files_total"] == 8
+        and blob["predicate"] == [["event_id", "<", cut]]
+    )
+    kept = [d for d in before["dirs"] if d in m["dirs"]]
+    verbatim_out_of_scope = len(kept) == 5 and all(
+        m["files"][d] == before["files"][d] for d in kept
+    )
+    dv_materialized = not m.get("dv")
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(scoped)).alias("scoped"),
+            F.lit(bool(verbatim_out_of_scope)).alias(
+                "verbatim_out_of_scope"
+            ),
+            F.lit(bool(dv_materialized)).alias("dv_materialized"),
+        )
+    )
+
+
+_EVENTS_VT_OPTIMIZE_WHERE_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (SELECT min(event_id) AS lo FROM t)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS scoped,
+       TRUE AS verbatim_out_of_scope,
+       TRUE AS dv_materialized
+FROM t, b
+WHERE event_id <> lo
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_optimize_where"] = FnWorkload(
+    _events_vt_optimize_where, _EVENTS_VT_OPTIMIZE_WHERE_SQL
+)

@@ -5403,3 +5403,112 @@ class TestWholeFileDelete:
         assert blob["files_rewritten"] == 0
         got = {r["id"] for r in vt_read(spark, path).collect()}
         assert got == set(range(24, 64))
+
+
+class TestScopedOptimize:
+    """r12 — predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE … WHERE``):
+    recluster ONLY the files whose stats say they may hold matching
+    rows; out-of-scope files referenced verbatim with stats/blooms/
+    vectors carried; in-scope files' accumulated deletion vectors
+    materialized by the rewrite."""
+
+    def _staged(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_write
+
+        path = str(tmp_path / "t")
+        for k in range(8):
+            df = (
+                spark.range(k * 8, (k + 1) * 8)
+                .selectExpr("id", "concat('v', id) AS v")
+                .coalesce(1)
+            )
+            vt_write(spark, path, df, mode="append" if k else "overwrite")
+        return path
+
+    def test_where_rewrites_only_in_scope(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_head,
+            vt_history,
+            vt_optimize,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        before = _read_manifest(path, vt_head(path))
+        v = vt_optimize(
+            spark, path, ["id"], n_partitions=1, where=("id", "<", 24)
+        )
+        blob = vt_history(path)[0]["optimize"]
+        assert blob["scope"] == "where"
+        assert blob["files_rewritten"] == 3
+        assert blob["files_total"] == 8
+        assert blob["predicate"] == [["id", "<", 24]]
+        m = _read_manifest(path, v)
+        # out-of-scope dirs referenced verbatim, file lists unchanged
+        kept = [d for d in before["dirs"] if d in m["dirs"]]
+        assert len(kept) == 5
+        for d in kept:
+            assert m["files"][d] == before["files"][d]
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64))
+
+    def test_where_materializes_scoped_dvs_only(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_delete,
+            vt_head,
+            vt_optimize,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_delete(spark, path, ("id", "=", 2), mode="dv")   # octile 0
+        vt_delete(spark, path, ("id", "=", 40), mode="dv")  # octile 5
+        vt_optimize(
+            spark, path, ["id"], n_partitions=1, where=("id", "<", 8)
+        )
+        m = _read_manifest(path, vt_head(path))
+        dv = m.get("dv") or {}
+        rows_hidden = sum(
+            e["count"] for fmap in dv.values() for e in fmap.values()
+        )
+        assert rows_hidden == 1  # octile 0's vector materialized away
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64)) - {2, 40}
+
+    def test_where_out_of_range_is_noop(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_head,
+            vt_optimize,
+        )
+
+        path = self._staged(spark, tmp_path)
+        head = vt_head(path)
+        assert (
+            vt_optimize(
+                spark, path, ["id"], where=("id", ">", 10_000)
+            )
+            == head
+        )
+
+    def test_where_zorder_scoped(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_history,
+            vt_optimize,
+            vt_read,
+        )
+
+        path = self._staged(spark, tmp_path)
+        vt_optimize(
+            spark,
+            path,
+            ["id"],
+            n_partitions=2,
+            method="zorder",
+            where=("id", ">=", 40),
+        )
+        blob = vt_history(path)[0]["optimize"]
+        assert blob["files_rewritten"] == 3
+        got = {r["id"] for r in vt_read(spark, path).collect()}
+        assert got == set(range(64))
