@@ -76,6 +76,10 @@ __all__ = [
     "vt_read_delta",
     "vt_read_changes",
     "vt_merge",
+    "vt_delete",
+    "vt_update",
+    "vt_reorg",
+    "vt_maintain",
     "vt_versions",
     "vt_vacuum",
     "vt_checkpoint",
@@ -99,6 +103,9 @@ __all__ = [
     "vt_diff",
     "vt_savepoint",
     "vt_read_savepoint",
+    "vt_rename_column",
+    "vt_drop_column",
+    "vt_add_column",
     "ConstraintViolation",
 ]
 
@@ -281,6 +288,61 @@ def _prune_dv(dv_map: dict | None, dirs: list, files: dict | None) -> dict:
     return kept
 
 
+# ------------------------------------------------------- column mapping --
+#
+# RENAME / DROP / metadata-only ADD COLUMN (Delta's
+# ``delta.columnMapping.mode = name``; Iceberg solves the same problem
+# with field IDs): once a table carries a ``column_mapping`` manifest key
+# ({logical name → physical name}), data files, per-file stats, blooms
+# and change directories are keyed by STABLE PHYSICAL names, and the
+# user-visible logical schema is just a projection over them. A rename is
+# then a metadata-only commit (logical name changes, physical identity —
+# and therefore every byte on disk, every footer stat — stays), a drop
+# removes the projection entry without touching a file, and a re-added
+# column of the same logical name gets a FRESH physical name so dropped
+# data can never resurrect. Tables that never rename/drop have no
+# mapping and behave byte-identically to the pre-mapping format.
+
+
+def _col_mapping(manifest: dict | None) -> dict | None:
+    """The manifest's logical → physical column map, or None for tables
+    in the identity format (no mapping recorded)."""
+    return (manifest or {}).get("column_mapping")
+
+
+def _phys(mapping: dict | None, col: str) -> str:
+    """Physical name of logical column ``col`` (identity when the table
+    has no mapping or the column is unmapped)."""
+    return (mapping or {}).get(col, col)
+
+
+def _map_conjuncts(conjuncts, mapping: dict | None):
+    """Translate a skip-grammar conjunction's column names logical →
+    physical for probing file stats / blooms (both keyed by the names
+    actually written to parquet). No-op without a mapping."""
+    if not mapping or not conjuncts:
+        return conjuncts
+    return [(mapping.get(c, c), op, v) for c, op, v in conjuncts]
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a LOGICAL-named DataFrame to physical names for writing.
+    Columns without a mapping entry (metadata columns like
+    ``_change_type``) pass through unchanged."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _fresh_physical(col: str) -> str:
+    """Physical name for a column ADDED to a mapped table: suffixed with
+    a uuid so it can never collide with (and resurrect) the on-disk data
+    of a previously dropped or renamed-away column."""
+    return f"{col}_{uuid.uuid4().hex[:8]}"
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:08d}.json")
 
@@ -303,16 +365,19 @@ def vt_versions(path: str) -> list[int]:
 
 # Protocol capability of THIS module (Delta's min_reader_version /
 # min_writer_version contract). Reader: 1 = plain snapshot manifests,
-# 2 = manifests carrying deletion vectors. Writer: 1 = plain commits,
+# 2 = manifests carrying deletion vectors, 3 = manifests carrying a
+# column mapping (logical → physical names). Writer: 1 = plain commits,
 # 2 = tables whose head carries DVs (every commit must carry/prune the
-# vector map) or CHECK constraints (every commit must enforce them).
-# The gates exist for the persisted format, not this code: a reader
-# that cannot apply a dv map would silently RESURRECT deleted rows; a
-# writer that cannot enforce constraints would commit rows that violate
-# the table's recorded invariants — both are wrong results, not
-# errors, so the manifest must refuse the interaction instead.
-_PROTOCOL_READER = 2
-_PROTOCOL_WRITER = 2
+# vector map) or CHECK constraints (every commit must enforce them),
+# 3 = mapped tables (every commit must write physical names and carry
+# the map). The gates exist for the persisted format, not this code: a
+# reader that cannot apply a dv map would silently RESURRECT deleted
+# rows, one that ignores a column mapping would serve renamed-away and
+# DROPPED columns; a writer that cannot enforce constraints would
+# commit rows that violate the table's recorded invariants — all wrong
+# results, not errors, so the manifest must refuse the interaction.
+_PROTOCOL_READER = 3
+_PROTOCOL_WRITER = 3
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -391,6 +456,7 @@ def _commit(
     extra: dict | None = None,
     dv: dict | None = None,
     bloom_cols_prop: Sequence[str] | None = None,
+    column_mapping: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -485,6 +551,13 @@ def _commit(
         bloom_cols_prop = prev.get("bloom_cols")
     if bloom_cols_prop:
         manifest["bloom_cols"] = sorted(set(bloom_cols_prop))
+    # the column mapping is a TABLE PROPERTY with the same calculus:
+    # ``None`` carries the head's map, a dict records it ({} clears —
+    # only restore/clone back past the mapping's creation do that)
+    if column_mapping is None and prev is not None:
+        column_mapping = prev.get("column_mapping")
+    if column_mapping:
+        manifest["column_mapping"] = dict(column_mapping)
     # deletion vectors follow the FILES they describe: None carries the
     # head's map forward, pruned to files this manifest still references
     # (a rewritten file's deletes were materialized by the rewrite); an
@@ -517,6 +590,12 @@ def _commit(
         proto["min_reader"] = 2
     if dv or constraints:
         proto["min_writer"] = 2
+    if column_mapping:
+        # a mapping-blind reader would serve physical names (and
+        # resurrect dropped columns); a mapping-blind writer would
+        # commit logical-named files and drop the map
+        proto["min_reader"] = 3
+        proto["min_writer"] = 3
     if proto:
         manifest["protocol"] = proto
     if prev is not None and "txns" in prev:
@@ -763,18 +842,20 @@ _BLOOM_INTEGRAL_TYPES = frozenset({"byte", "short", "integer", "long"})
 
 def _bloom_col_types(manifest: dict) -> dict:
     """Column → json type string (simple types only) from the manifest's
-    recorded schema, keyed by the EXACT field name — the same key the
-    per-file bloom dicts use — so the two lookups can never disagree.
-    Empty when no schema is recorded, which disables bloom pruning
-    entirely (conservative keep)."""
+    recorded schema, keyed by the PHYSICAL field name — the same key the
+    per-file bloom dicts use (blooms are harvested from written parquet,
+    so their keys are physical; identity for unmapped tables) — so the
+    two lookups can never disagree. Empty when no schema is recorded,
+    which disables bloom pruning entirely (conservative keep)."""
     sj = manifest.get("schema")
     if not sj:
         return {}
+    cmap = _col_mapping(manifest)
     out = {}
     for f in sj.get("fields", []):
         t = f.get("type")
         if isinstance(t, str):
-            out[str(f.get("name", ""))] = t
+            out[_phys(cmap, str(f.get("name", "")))] = t
     return out
 
 
@@ -814,7 +895,8 @@ def _effective_bloom_cols(bloom_cols, manifest) -> list:
 
 
 def _harvest_blooms(
-    spark, full_dir: str, bloom_cols: Sequence[str]
+    spark, full_dir: str, bloom_cols: Sequence[str],
+    mapping: dict | None = None,
 ) -> dict:
     """Per-file Bloom bit-position sets for ``bloom_cols`` over the files
     just written to ``full_dir``: one read-back pass keyed by
@@ -824,10 +906,14 @@ def _harvest_blooms(
     (file, col) whose set saturates past half the bits is omitted —
     missing blooms always keep. Null values contribute no positions
     (blooms cover non-null values, matching the null-rejecting skip
-    ops)."""
+    ops). ``bloom_cols`` is the LOGICAL property list; on mapped tables
+    the written files hold physical names, so the harvest reads — and
+    keys its entries by — each column's physical name, matching the
+    physical-keyed probe in vt_scan_plan."""
     df = spark.read.parquet(full_dir)
     have = set(df.columns)
-    cols = [c for c in bloom_cols if c in have]
+    cols = [_phys(mapping, c) for c in bloom_cols]
+    cols = [c for c in cols if c in have]
     if not cols:
         return {}
 
@@ -899,7 +985,8 @@ def _bloom_may_match(
 
 
 def _write_data_dir(
-    df: DataFrame, path: str, prefix: str = "d"
+    df: DataFrame, path: str, prefix: str = "d",
+    mapping: dict | None = None,
 ) -> tuple[str, dict, dict, list, dict]:
     """Returns (dirname, dir_stats, file_stats, file_list, file_rows).
     The file LIST is authoritative and separate from file_stats: a part
@@ -907,10 +994,12 @@ def _write_data_dir(
     columns) must still be scanned by file-granular reads — pruning keys
     off stats, membership keys off this list. ``prefix="c"`` writes a
     CHANGE directory (row-level change feed for one commit) instead of
-    a snapshot data directory."""
+    a snapshot data directory. ``mapping`` (mapped tables) renames the
+    LOGICAL-named ``df`` to physical column names before writing, so
+    every harvested stat below is keyed physically too."""
     d = f"{prefix}_{uuid.uuid4().hex[:12]}"
     full = os.path.join(path, d)
-    df.write.mode("error").parquet(full)
+    _to_physical(df, mapping).write.mode("error").parquet(full)
     dir_stats, file_stats, file_rows = _harvest_stats(full)
     import glob as _glob
 
@@ -1078,14 +1167,13 @@ def vt_write(
             return vt_versions(path)[-1]  # replay of a committed txn
     head = vt_versions(path)
     expected = head[-1] if head else 0
+    head_manifest = _read_manifest(path, expected) if expected else None
     if constraints is not None:
         _validate_constraint_specs(constraints)
         effective_constraints = constraints
     else:
         effective_constraints = (
-            _read_manifest(path, expected).get("constraints", [])
-            if expected
-            else []
+            (head_manifest or {}).get("constraints") or []
         )
     _enforce_constraints(df, effective_constraints)
     if bloom_cols is not None:
@@ -1094,17 +1182,35 @@ def vt_write(
         # bloom_cols is a TABLE PROPERTY like constraints: appends and
         # overwrites inherit the recorded columns so a bloom-indexed
         # table never silently degrades (explicit [] clears)
-        eff_bloom_cols = (
-            _read_manifest(path, expected).get("bloom_cols", [])
-            if expected
-            else []
-        )
+        eff_bloom_cols = (head_manifest or {}).get("bloom_cols") or []
+    # column-mapped tables write PHYSICAL names. An overwrite replaces
+    # every data file, so it RESETS the table to the identity format
+    # (the mapping exists to keep renames metadata-only for files that
+    # already exist; fresh files need no indirection). An append under
+    # mapping extends the map: schema-evolved columns get fresh
+    # physical names so a previously dropped column's on-disk data can
+    # never resurrect under a re-added logical name.
+    base_mapping = _col_mapping(head_manifest)
+    if base_mapping is None or mode == "overwrite":
+        write_mapping = None
+    else:
+        write_mapping = dict(base_mapping)
+        for c in df.columns:
+            if c not in write_mapping:
+                write_mapping[c] = _fresh_physical(c)
+    commit_mapping = (
+        {} if (base_mapping is not None and mode == "overwrite")
+        else write_mapping
+    )
     incoming_schema = json.loads(df.schema.json())
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
-        df, path
+        df, path, mapping=write_mapping
     )
     new_blooms = (
-        _harvest_blooms(spark, os.path.join(path, new_dir), eff_bloom_cols)
+        _harvest_blooms(
+            spark, os.path.join(path, new_dir), eff_bloom_cols,
+            mapping=write_mapping,
+        )
         if eff_bloom_cols
         else {}
     )
@@ -1157,6 +1263,7 @@ def vt_write(
                 bloom_cols_prop=(
                     list(bloom_cols) if bloom_cols is not None else None
                 ),
+                column_mapping=commit_mapping,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -1180,6 +1287,18 @@ def vt_write(
                 # lost to a non-commuting commit: our data directory will
                 # never be referenced — remove it now (as vt_merge does)
                 # instead of leaving an orphan for a later vacuum to find
+                shutil.rmtree(
+                    os.path.join(path, new_dir), ignore_errors=True
+                )
+                raise
+            if base_mapping is not None and _col_mapping(
+                _read_manifest(path, new_head)
+            ) != base_mapping:
+                # a racing append EVOLVED the mapping (its merge_schema
+                # added a column): our explicit map would drop their
+                # entry and orphan their column's data — concurrent
+                # schema evolution does not commute (Delta raises the
+                # same conflict)
                 shutil.rmtree(
                     os.path.join(path, new_dir), ignore_errors=True
                 )
@@ -1403,6 +1522,12 @@ def vt_scan_plan(
         plan["schema"] = manifest["schema"]
         if manifest.get("schema_heterogeneous"):
             plan["schema_heterogeneous"] = True
+    cmap = _col_mapping(manifest)
+    if cmap:
+        # the reader projects physical parquet columns back to logical
+        # names (_read_plan); stats/blooms below are probed by PHYSICAL
+        # name — the key the footers were harvested under
+        plan["column_mapping"] = cmap
     partial = set(manifest.get("partial_dirs", []))
     # dirs holding deletion-vector entries are emitted file-granular so
     # the reader can split the scan: only the DV'd FILES pay the
@@ -1428,16 +1553,18 @@ def vt_scan_plan(
         _attach_plan_dv(plan, path, manifest)
         return plan
 
+    pconj = _map_conjuncts(conjuncts, cmap)
+
     def may_match(col_stats: dict) -> bool:
         return all(
             _stats_may_match(col_stats.get(col), op, value)
-            for col, op, value in conjuncts
+            for col, op, value in pconj
         )
 
     blooms = manifest.get("blooms", {})
     bloom_types = _bloom_col_types(manifest) if blooms else {}
     frows = manifest.get("file_rows", {})
-    null_ops = [c for c in conjuncts if c[1] in ("isnull", "notnull")]
+    null_ops = [c for c in pconj if c[1] in ("isnull", "notnull")]
     kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
     paths: list[str] = []
     files_kept = 0
@@ -1467,7 +1594,7 @@ def vt_scan_plan(
                 _bloom_may_match(
                     fb.get(col), op, value, bloom_types.get(col)
                 )
-                for col, op, value in conjuncts
+                for col, op, value in pconj
             ):
                 bloom_pruned += 1  # range stats kept it; the bloom didn't
                 continue
@@ -1626,10 +1753,15 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
         from pyspark.sql.types import StructType
 
         target = StructType.fromJson(sj)
+        cmap = plan.get("column_mapping") or {}
         have = set(df.columns)
+        # mapped tables: parquet holds PHYSICAL names — project each
+        # back to its logical name (a rename is just this alias); a
+        # physical column present in no scanned file (metadata-only ADD
+        # COLUMN, pre-evolution dirs) reconciles to typed nulls
         cols = [
-            F.col(f.name)
-            if f.name in have
+            F.col(cmap.get(f.name, f.name)).alias(f.name)
+            if cmap.get(f.name, f.name) in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.fields
         ]
@@ -1756,9 +1888,14 @@ def vt_read_delta(
         raise ValueError("to_version must be >= from_version")
     for v in range(from_version + 1, to_version + 1):
         op = _read_manifest(path, v).get("op")
-        # analyze commits are metadata-only (same dirs): they add no
-        # rows, so they cannot invalidate an added-files-only delta
-        if op not in ("append", "analyze"):
+        # analyze and the schema ops are metadata-only (same dirs):
+        # they add no rows, so they cannot invalidate an
+        # added-files-only delta (every frame reconciles to the TO
+        # version's schema below, by stable physical identity)
+        if op not in (
+            "append", "analyze",
+            "rename_column", "drop_column", "add_column",
+        ):
             raise ValueError(
                 f"version {v} is op={op!r}: delta reads require "
                 "append-only history in the range"
@@ -1774,6 +1911,8 @@ def vt_read_delta(
             "schema_heterogeneous", False
         ),
     }
+    if _col_mapping(to_manifest):
+        plan["column_mapping"] = _col_mapping(to_manifest)
     if not new_dirs:
         plan["paths"] = [os.path.join(path, to_manifest["dirs"][0])]
         return _read_plan(spark, plan).filter(F.lit(False))
@@ -1832,21 +1971,44 @@ def vt_read_changes(
         if to_manifest is not None and to_manifest.get("schema") is not None
         else None
     )
+    to_mapping = _col_mapping(to_manifest) or {}
 
-    def reconcile(df: DataFrame, change_type, version: int) -> DataFrame:
+    def reconcile(
+        df: DataFrame, change_type, version: int, src="physical"
+    ) -> DataFrame:
+        """Project a change frame to the TO version's logical schema.
+        Columns are matched by PHYSICAL identity — a rename inside the
+        range is just a label change, so the renamed column's data keeps
+        flowing under the TO version's name. ``src`` names the frame's
+        column vocabulary: a manifest dict (or None) for LOGICAL frames
+        of that version (vt_read/_read_plan outputs), the sentinel
+        ``"physical"`` for raw ``c_*`` change-directory reads."""
         ct = (
             F.lit(change_type)
             if isinstance(change_type, str)
             else F.col("_change_type")
         )
         if target is not None:
+            if src == "physical":
+                phys_to_src = None  # frame columns ARE physical names
+            else:
+                phys_to_src = {
+                    p: l for l, p in (_col_mapping(src) or {}).items()
+                }
             have = set(df.columns)
-            cols = [
-                F.col(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target.fields
-            ]
+            cols = []
+            for f in target.fields:
+                phys = to_mapping.get(f.name, f.name)
+                lookup = (
+                    phys
+                    if phys_to_src is None
+                    else phys_to_src.get(phys, phys)
+                )
+                cols.append(
+                    F.col(lookup).alias(f.name)
+                    if lookup in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
         else:
             cols = [F.col(c) for c in df.columns if c != "_change_type"]
         return df.select(
@@ -1872,11 +2034,16 @@ def vt_read_changes(
             )
         m = _read_manifest(path, v)
         op = m.get("op")
-        if op in ("optimize", "analyze"):
-            # no logical change: optimize rewrites layout, analyze only
-            # records statistics — a consumer pumping over either must
-            # see zero change rows (r9: an ANALYZE on a CDC source used
-            # to raise here and wedge every subscription)
+        if op in (
+            "optimize", "analyze",
+            "rename_column", "drop_column", "add_column",
+        ):
+            # no logical ROW change: optimize rewrites layout, analyze
+            # records statistics, and the schema ops relabel/project
+            # columns (reconcile below already serves every frame in the
+            # TO version's schema) — a consumer pumping over any of
+            # these must see zero change rows (r9: an ANALYZE on a CDC
+            # source used to raise here and wedge every subscription)
             continue
         if op == "append":
             need_prev(v)
@@ -1891,7 +2058,11 @@ def vt_read_changes(
                 "schema_heterogeneous": m.get("schema_heterogeneous", False),
                 "paths": [os.path.join(path, d) for d in new_dirs],
             }
-            frames.append(reconcile(_read_plan(spark, plan), "insert", v))
+            if _col_mapping(m):
+                plan["column_mapping"] = _col_mapping(m)
+            frames.append(
+                reconcile(_read_plan(spark, plan), "insert", v, src=m)
+            )
         elif op in ("merge", "update"):
             change_dir = m.get("changes")
             blob = m.get("update") or {}
@@ -1936,11 +2107,12 @@ def vt_read_changes(
                         for f in matched.schema.fields
                     ]
                 )
+                m_prev = _read_manifest(path, v - 1)
                 frames.append(
-                    reconcile(matched, "update_preimage", v)
+                    reconcile(matched, "update_preimage", v, src=m_prev)
                 )
                 frames.append(
-                    reconcile(post, "update_postimage", v)
+                    reconcile(post, "update_postimage", v, src=m_prev)
                 )
             else:
                 raise ValueError(
@@ -1967,6 +2139,7 @@ def vt_read_changes(
                         vt_read(spark, path, v - 1).filter(cond),
                         "delete",
                         v,
+                        src=_read_manifest(path, v - 1),
                     )
                 )
             elif blob.get("rule") is not None:
@@ -1989,6 +2162,7 @@ def vt_read_changes(
                         ),
                         "delete",
                         v,
+                        src=_read_manifest(path, v - 1),
                     )
                 )
             else:
@@ -2003,17 +2177,25 @@ def vt_read_changes(
             if v - 1 > 0:
                 need_prev(v)
                 frames.append(
-                    reconcile(vt_read(spark, path, v - 1), "delete", v)
+                    reconcile(
+                        vt_read(spark, path, v - 1),
+                        "delete",
+                        v,
+                        src=_read_manifest(path, v - 1),
+                    )
                 )
-            frames.append(reconcile(vt_read(spark, path, v), "insert", v))
+            frames.append(
+                reconcile(vt_read(spark, path, v), "insert", v, src=m)
+            )
         else:  # pragma: no cover - future ops must opt in explicitly
             raise ValueError(f"version {v}: unknown op {op!r}")
 
     if not frames:
-        empty = vt_read(spark, path, to_version or versions[0]).filter(
-            F.lit(False)
-        )
-        return reconcile(empty, "insert", to_version).filter(F.lit(False))
+        empty_v = to_version or versions[0]
+        empty = vt_read(spark, path, empty_v).filter(F.lit(False))
+        return reconcile(
+            empty, "insert", to_version, src=_read_manifest(path, empty_v)
+        ).filter(F.lit(False))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=target is None)
@@ -2210,13 +2392,14 @@ def vt_minmax(
     v = _resolve_version(path, version)
     manifest = _read_manifest(path, v)
     stats = manifest.get("stats", {})
+    pcol = _phys(_col_mapping(manifest), col)  # stats are physical-keyed
     lo = hi = None
     # deletion vectors may have removed the very rows holding a footer
     # min/max — stats stay sound for PRUNING (superset) but not for
     # exact extrema, so any DV forces the scan path (which applies them)
     complete = not manifest.get("dv")
     for d in manifest["dirs"]:
-        mm = stats.get(d, {}).get(col)
+        mm = stats.get(d, {}).get(pcol)
         if mm is None:
             complete = False
             break
@@ -2785,6 +2968,7 @@ def vt_merge(
                 return expected  # replay of an already-committed txn
         manifest = _read_manifest(path, expected) if head else None
         _enforce_for_head(manifest)
+        cmap = _col_mapping(manifest)
         file_granular = (
             manifest is not None and manifest.get("schema") is not None
         )
@@ -2812,12 +2996,19 @@ def vt_merge(
                 touch = lambda entry, fbloom: True  # noqa: E731
             else:
                 key_vals, key_ranges, key_rangesets = _keys_sample()
+                # file stats/blooms are PHYSICAL-keyed: classify with
+                # physical key names and physically-rekeyed samples
+                pm = {k: _phys(cmap, k) for k in keys}
                 touch = _key_touch_fn(
-                    keys,
-                    key_vals,
-                    key_ranges,
+                    [pm[k] for k in keys],
+                    {pm[k]: v for k, v in key_vals.items()}
+                    if key_vals is not None
+                    else None,
+                    {pm[k]: v for k, v in key_ranges.items()},
                     _bloom_col_types(manifest),
-                    key_rangesets,
+                    {pm[k]: v for k, v in key_rangesets.items()}
+                    if key_rangesets is not None
+                    else None,
                 )
             part = _partition_snapshot(path, manifest, touch)
             if part["touched_paths"]:
@@ -2828,6 +3019,8 @@ def vt_merge(
                         "schema_heterogeneous", False
                     ),
                 }
+                if cmap:
+                    tplan["column_mapping"] = cmap
                 # honor existing deletion vectors: the rewrite must not
                 # resurrect rows a merge-on-read delete already removed
                 _attach_plan_dv(tplan, path, manifest)
@@ -2921,10 +3114,10 @@ def vt_merge(
                         "_change_type", F.lit("insert")
                     )
                 change_dir, _, _, _, _ = _write_data_dir(
-                    change_rows, path, prefix="c"
+                    change_rows, path, prefix="c", mapping=cmap
                 )
             new_dir, new_stats, new_fstats, new_files, new_rows = (
-                _write_data_dir(merged_new, path)
+                _write_data_dir(merged_new, path, mapping=cmap)
             )
         finally:
             if touched_cached:
@@ -2932,7 +3125,8 @@ def vt_merge(
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -3185,7 +3379,10 @@ def _dv_mutation_commit_cached(
     )
     if consolidate:
         blob["dv_consolidated_refs"] = len(live_refs)
-    change_dir, _, _, _, _ = _write_data_dir(change_rows, path, prefix="c")
+    cmap = _col_mapping(manifest)
+    change_dir, _, _, _, _ = _write_data_dir(
+        change_rows, path, prefix="c", mapping=cmap
+    )
     dirs = list(manifest["dirs"])
     files = dict(manifest.get("files", {}))
     stats = dict(manifest.get("stats", {}))
@@ -3195,7 +3392,7 @@ def _dv_mutation_commit_cached(
     new_dir = None
     if new_data is not None:
         new_dir, nstats, nfstats, nfiles, nrows = _write_data_dir(
-            new_data, path
+            new_data, path, mapping=cmap
         )
         dirs.append(new_dir)
         files[new_dir] = nfiles
@@ -3211,7 +3408,8 @@ def _dv_mutation_commit_cached(
             # rewrite-path output, or alternating DV merges would
             # progressively lose the pruning the caller asked for
             nblooms = _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if nblooms:
                 blooms[new_dir] = nblooms
@@ -3494,9 +3692,11 @@ def vt_delete(
         need_changes = change_feed or (
             rule is not None and rule_pred_json is None
         )
-        touch = _pred_touch_fn(
-            loop_conjuncts, _bloom_col_types(manifest)
-        )
+        cmap = _col_mapping(manifest)
+        # file stats/blooms are physical-keyed on mapped tables; the
+        # recorded pred_json and the row-level filter stay LOGICAL
+        pconj = _map_conjuncts(loop_conjuncts, cmap)
+        touch = _pred_touch_fn(pconj, _bloom_col_types(manifest))
         if manifest.get("schema") is None:
             if mode == "dv":
                 raise ValueError(
@@ -3516,7 +3716,7 @@ def vt_delete(
                 # read. Only safe when no change rows are needed (the
                 # predicate is recorded for streaming replay) and no DV
                 # probe wants the matched rows (dv/auto read them).
-                _lc = loop_conjuncts
+                _lc = pconj  # stats proof probes physical-keyed footers
 
                 def dropper(entry, nrows, _lc=_lc):
                     return _file_fully_matches(_lc, entry, nrows)
@@ -3581,6 +3781,8 @@ def vt_delete(
                     "schema_heterogeneous", False
                 ),
             }
+            if cmap:
+                tplan["column_mapping"] = cmap
             # the touched read must honor EXISTING deletion vectors, or
             # a rewrite would resurrect (and a new DV would re-count)
             # rows an earlier merge-on-read delete already removed
@@ -3633,10 +3835,10 @@ def vt_delete(
                     "_change_type", F.lit("delete")
                 )
                 change_dir, _, _, _, _ = _write_data_dir(
-                    deleted, path, prefix="c"
+                    deleted, path, prefix="c", mapping=cmap
                 )
             new_dir, new_stats, new_fstats, new_files, new_rows = (
-                _write_data_dir(survivors, path)
+                _write_data_dir(survivors, path, mapping=cmap)
             )
         finally:
             if need_changes:
@@ -3644,7 +3846,8 @@ def vt_delete(
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -3862,7 +4065,11 @@ def vt_update(
                 c = _conjunct_column(col, op, value)
                 cond = c if cond is None else (cond & c)
         matched = F.coalesce(cond, F.lit(False))
-        touch = _pred_touch_fn(loop_conjuncts, _bloom_col_types(manifest))
+        cmap = _col_mapping(manifest)
+        touch = _pred_touch_fn(
+            _map_conjuncts(loop_conjuncts, cmap),
+            _bloom_col_types(manifest),
+        )
         if manifest.get("schema") is None:
             if mode == "dv":
                 raise ValueError(
@@ -3883,6 +4090,8 @@ def vt_update(
                     "schema_heterogeneous", False
                 ),
             }
+            if cmap:
+                tplan["column_mapping"] = cmap
             # honor existing deletion vectors (see vt_delete)
             _attach_plan_dv(tplan, path, manifest)
             if mode in ("dv", "auto"):
@@ -3921,8 +4130,14 @@ def vt_update(
         }
         # ONE select against the input row: every assignment sees the
         # pre-update values (simultaneous assignment), cast back to the
-        # column's declared type
-        updated = touched.select(
+        # column's declared type. The match decision is computed ONCE on
+        # the PRE-update row and carried as a flag — re-evaluating the
+        # predicate against ``updated`` would be wrong whenever an
+        # assignment rewrites a predicate column (``SET amount = amount
+        # * 10 WHERE amount = 2``: the post-image no longer matches, so
+        # a post-filter would lose its change rows AND skip constraint
+        # enforcement for exactly the rows that changed).
+        updated_all = touched.select(
             *[
                 F.when(matched, exprs[f.name].cast(f.dataType))
                 .otherwise(F.col(f.name))
@@ -3930,36 +4145,38 @@ def vt_update(
                 if f.name in exprs
                 else F.col(f.name)
                 for f in fields
-            ]
+            ],
+            matched.alias("_vt_matched"),
         )
+        updated = updated_all.drop("_vt_matched")
+        post_rows = updated_all.filter("_vt_matched").drop("_vt_matched")
         # three+ consumers of the touched files (constraint check,
         # pre/post change rows, snapshot rewrite): one scan, released
         # in finally
         touched.persist()
         change_dir = None
         try:
-            _enforce_constraints(
-                updated.filter(matched), vt_constraints(path)
-            )
+            _enforce_constraints(post_rows, vt_constraints(path))
             if change_feed:
                 pre = touched.filter(matched).withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                post = updated.filter(matched).withColumn(
+                post = post_rows.withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
                 change_dir, _, _, _, _ = _write_data_dir(
-                    pre.unionByName(post), path, prefix="c"
+                    pre.unionByName(post), path, prefix="c", mapping=cmap
                 )
             new_dir, new_stats, new_fstats, new_files, new_rows = (
-                _write_data_dir(updated, path)
+                _write_data_dir(updated, path, mapping=cmap)
             )
         finally:
             touched.unpersist()
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -4067,6 +4284,9 @@ def vt_history(path: str) -> list[dict]:
             "reorg",
             "optimize",
             "dv_consolidate",
+            "rename_column",
+            "drop_column",
+            "add_column",
         ):
             # file-granular rewrite/maintenance shape (files_rewritten/
             # files_total, dv_rows_purged, …) — the audit trail that
@@ -4125,7 +4345,249 @@ def vt_restore(spark, path: str, version: int) -> int:
         file_rows=target.get("file_rows"),
         partial_dirs=target.get("partial_dirs"),
         dv=target.get("dv") or {},
+        # the restored snapshot's files carry ITS physical names: the
+        # mapping restores with them (explicit {} clears the head's map
+        # when restoring past the mapping's creation — those files are
+        # identity-named)
+        column_mapping=target.get("column_mapping") or {},
     )
+
+
+# ------------------------------------------------- schema DDL (mapping) --
+
+
+def _reserved_column_name(name: str) -> bool:
+    return name in (
+        "_change_type", "_commit_version", "_vt_file_key", "_vt_pos"
+    )
+
+
+def _constraint_references(manifest: dict, col: str) -> list[str]:
+    """Names of table CHECK constraints whose spec reads ``col`` —
+    renaming or dropping under them would silently change (or break)
+    what the table enforces, so the DDL refuses until they're dropped."""
+    return [
+        c.get("name", "?")
+        for c in (manifest.get("constraints") or [])
+        if c.get("col") == col
+    ]
+
+
+def _schema_ddl_commit(
+    path: str, op: str, mutate, max_retries: int = 5
+) -> int:
+    """Shared retry loop for the metadata-only schema DDL verbs: read
+    the head, let ``mutate(manifest)`` produce the successor's
+    ``(schema_json, mapping, bloom_cols_prop, hetero, audit_blob)``, and
+    commit with every data directory, stat, bloom, footer count and
+    deletion vector referenced VERBATIM — zero bytes of data read or
+    written, the defining property of column mapping. Lost commit races
+    retry against the new head (the mutation re-validates there)."""
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        if manifest.get("schema") is None:
+            raise ValueError(
+                f"{op} requires a table with a recorded schema (legacy "
+                "tables predate the logical/physical split)"
+            )
+        schema_json, mapping, bloom_prop, hetero, blob = mutate(manifest)
+        try:
+            return _commit(
+                path,
+                list(manifest["dirs"]),
+                op,
+                expected,
+                manifest.get("stats") or {},
+                None,
+                manifest.get("file_stats"),
+                manifest.get("files"),
+                schema=schema_json,
+                heterogeneous=hetero,
+                blooms=manifest.get("blooms"),
+                file_rows=manifest.get("file_rows"),
+                partial_dirs=manifest.get("partial_dirs"),
+                extra={op: blob},
+                column_mapping=mapping,
+                bloom_cols_prop=bloom_prop,
+            )
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"{op} at {path} lost {max_retries} commit races")
+
+
+def _mapping_or_identity(manifest: dict) -> dict:
+    """The head's column mapping, or — on first DDL use — the identity
+    map over the current schema (every existing file already holds its
+    logical names, so identity physicals are exactly right)."""
+    m = _col_mapping(manifest)
+    if m is not None:
+        return dict(m)
+    return {
+        f["name"]: f["name"]
+        for f in manifest["schema"].get("fields", [])
+    }
+
+
+def vt_rename_column(path: str, old: str, new: str,
+                     max_retries: int = 5) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit — Delta's ``ALTER TABLE …
+    RENAME COLUMN`` under ``columnMapping.mode = name`` (Iceberg gets
+    the same via field IDs): the logical name changes, the PHYSICAL
+    name — and with it every data file, footer stat, Bloom filter and
+    deletion vector — stays untouched. Zero bytes read or written; a
+    100 TB table renames in a manifest write.
+
+    First use flips the table into the mapped format (identity
+    physicals for existing columns) and raises the manifest's protocol
+    requirement to reader/writer 3 — mapping-blind engines refuse the
+    table instead of serving stale names. Time travel to pre-rename
+    versions serves the OLD name (each manifest records its own schema);
+    the change feed and streaming source match columns by stable
+    physical identity across the rename. CHECK constraints referencing
+    the column must be dropped first (this raises otherwise); the
+    ``bloom_cols`` table property follows the rename automatically."""
+    if not new or not isinstance(new, str):
+        raise ValueError(f"invalid column name {new!r}")
+    if _reserved_column_name(new):
+        raise ValueError(f"{new!r} is a reserved metadata column name")
+
+    def mutate(manifest: dict):
+        fields = manifest["schema"].get("fields", [])
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {sorted(names)}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        refs = _constraint_references(manifest, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{refs}: drop them before renaming (their expressions "
+                "are recorded against the logical name)"
+            )
+        mapping = _mapping_or_identity(manifest)
+        mapping[new] = mapping.pop(old)
+        schema_json = json.loads(json.dumps(manifest["schema"]))
+        for f in schema_json["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        bloom_prop = None
+        if old in (manifest.get("bloom_cols") or []):
+            bloom_prop = sorted(
+                ({*manifest["bloom_cols"]} - {old}) | {new}
+            )
+        blob = {"from": old, "to": new, "physical": mapping[new]}
+        return (
+            schema_json,
+            mapping,
+            bloom_prop,
+            manifest.get("schema_heterogeneous", False),
+            blob,
+        )
+
+    return _schema_ddl_commit(path, "rename_column", mutate, max_retries)
+
+
+def vt_drop_column(path: str, col: str, max_retries: int = 5) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit (Delta's ``ALTER TABLE …
+    DROP COLUMN`` under column mapping): the projection entry is
+    removed; the column's bytes stay in the existing files (vacuum
+    reaps them with their files' normal lifecycle) but no reader can
+    ever see them again — readers project exactly the mapped physical
+    columns. A later :func:`vt_add_column` of the same logical name
+    gets a FRESH physical name, so the dropped data cannot resurrect.
+
+    Raises when the column is the table's last, or when a CHECK
+    constraint references it; the ``bloom_cols`` property drops the
+    column automatically. Time travel to pre-drop versions still serves
+    it."""
+
+    def mutate(manifest: dict):
+        fields = manifest["schema"].get("fields", [])
+        names = [f["name"] for f in fields]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {sorted(names)}")
+        if len(names) == 1:
+            raise ValueError("cannot drop a table's only column")
+        refs = _constraint_references(manifest, col)
+        if refs:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint(s) "
+                f"{refs}: drop them before dropping the column"
+            )
+        mapping = _mapping_or_identity(manifest)
+        phys = mapping.pop(col)
+        schema_json = json.loads(json.dumps(manifest["schema"]))
+        schema_json["fields"] = [
+            f for f in schema_json["fields"] if f["name"] != col
+        ]
+        bloom_prop = None
+        if col in (manifest.get("bloom_cols") or []):
+            remaining = sorted({*manifest["bloom_cols"]} - {col})
+            bloom_prop = remaining if remaining else []
+        blob = {"column": col, "physical": phys}
+        return (
+            schema_json,
+            mapping,
+            bloom_prop,
+            manifest.get("schema_heterogeneous", False),
+            blob,
+        )
+
+    return _schema_ddl_commit(path, "drop_column", mutate, max_retries)
+
+
+def vt_add_column(path: str, col: str, dtype,
+                  max_retries: int = 5) -> int:
+    """Metadata-only ADD COLUMN (always nullable — existing rows
+    reconcile to typed nulls, exactly like merge_schema evolution, but
+    without writing a row): the new logical column maps to a FRESH
+    physical name so it can never alias the on-disk data of a
+    previously dropped or renamed-away column. ``dtype`` is a Spark
+    DataType or DDL type string (``"bigint"``, ``"array<double>"``).
+    The commit marks the schema heterogeneous: files written before the
+    add lack the physical column, later appends carry it."""
+    from pyspark.sql.types import DataType
+
+    if not col or not isinstance(col, str):
+        raise ValueError(f"invalid column name {col!r}")
+    if _reserved_column_name(col):
+        raise ValueError(f"{col!r} is a reserved metadata column name")
+    if isinstance(dtype, DataType):
+        dt = dtype
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+
+        dt = _parse_datatype_string(str(dtype))
+
+    def mutate(manifest: dict):
+        fields = manifest["schema"].get("fields", [])
+        names = [f["name"] for f in fields]
+        if col in names:
+            raise ValueError(f"column {col!r} already exists")
+        mapping = _mapping_or_identity(manifest)
+        mapping[col] = _fresh_physical(col)
+        schema_json = json.loads(json.dumps(manifest["schema"]))
+        schema_json["fields"].append(
+            {
+                "name": col,
+                "type": json.loads(dt.json()),
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+        blob = {
+            "column": col,
+            "type": dt.simpleString(),
+            "physical": mapping[col],
+        }
+        return schema_json, mapping, None, True, blob
+
+    return _schema_ddl_commit(path, "add_column", mutate, max_retries)
 
 
 def _zorder_column(
@@ -4278,6 +4740,8 @@ def vt_optimize(
     if not head:
         raise FileNotFoundError(f"no committed versions at {path}")
     expected = head[-1]
+    head_manifest = _read_manifest(path, expected)
+    cmap = _col_mapping(head_manifest)
     snap = vt_read(spark, path, expected)
     # "compact" = bin-packing only (Delta OPTIMIZE without ZORDER): the
     # no-cluster-key maintenance path vt_maintain uses when no one
@@ -4286,13 +4750,14 @@ def vt_optimize(
         spark, snap, cluster_by, n_partitions, method, zorder_bits
     )
     new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
-        clustered, path
+        clustered, path, mapping=cmap
     )
-    eff_bloom_cols = _effective_bloom_cols(
-        bloom_cols, _read_manifest(path, expected)
-    )
+    eff_bloom_cols = _effective_bloom_cols(bloom_cols, head_manifest)
     new_blooms = (
-        _harvest_blooms(spark, os.path.join(path, new_dir), eff_bloom_cols)
+        _harvest_blooms(
+            spark, os.path.join(path, new_dir), eff_bloom_cols,
+            mapping=cmap,
+        )
         if eff_bloom_cols
         else {}
     )
@@ -4364,7 +4829,10 @@ def _optimize_where(
                 "vt_optimize(where=...) requires a table with a "
                 "recorded schema (legacy tables rewrite whole snapshots)"
             )
-        touch = _pred_touch_fn(conjuncts, _bloom_col_types(manifest))
+        cmap = _col_mapping(manifest)
+        touch = _pred_touch_fn(
+            _map_conjuncts(conjuncts, cmap), _bloom_col_types(manifest)
+        )
         part = _partition_snapshot(path, manifest, touch)
         if not part["touched_paths"]:
             return expected  # nothing in scope — no-op
@@ -4375,6 +4843,8 @@ def _optimize_where(
                 "schema_heterogeneous", False
             ),
         }
+        if cmap:
+            tplan["column_mapping"] = cmap
         # the scoped rewrite materializes in-scope files' vectors —
         # the read applies them, and _commit's carry-prune drops their
         # entries with the files they described
@@ -4384,12 +4854,13 @@ def _optimize_where(
             method, zorder_bits,
         )
         new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(clustered, path)
+            _write_data_dir(clustered, path, mapping=cmap)
         )
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -4520,6 +4991,7 @@ def vt_compact(
         )
         if not part["touched_paths"]:
             return expected
+        cmap = _col_mapping(manifest)
         tplan = {
             "paths": part["touched_paths"],
             "schema": manifest["schema"],
@@ -4527,6 +4999,8 @@ def vt_compact(
                 "schema_heterogeneous", False
             ),
         }
+        if cmap:
+            tplan["column_mapping"] = cmap
         # the packed rows materialize their deletion vectors (kept
         # files keep theirs — _commit's carry-prune drops only the
         # entries whose files left the manifest)
@@ -4535,12 +5009,13 @@ def vt_compact(
             max(1, -(-small_bytes // max(target_file_bytes, 1)))
         )
         new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(packed, path)
+            _write_data_dir(packed, path, mapping=cmap)
         )
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -4669,6 +5144,7 @@ def vt_reorg(
                 touched_bytes += os.path.getsize(p)
             except OSError:
                 continue
+        cmap = _col_mapping(manifest)
         tplan = {
             "paths": part["touched_paths"],
             "schema": manifest["schema"],
@@ -4676,18 +5152,21 @@ def vt_reorg(
                 "schema_heterogeneous", False
             ),
         }
+        if cmap:
+            tplan["column_mapping"] = cmap
         # the purging read applies the vectors — that IS the purge
         _attach_plan_dv(tplan, path, manifest)
         purged = _read_plan(spark, tplan).repartition(
             max(1, -(-touched_bytes // max(target_file_bytes, 1)))
         )
         new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(purged, path)
+            _write_data_dir(purged, path, mapping=cmap)
         )
         eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
         new_blooms = (
             _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols
+                spark, os.path.join(path, new_dir), eff_bloom_cols,
+                mapping=cmap,
             )
             if eff_bloom_cols
             else {}
@@ -5593,6 +6072,9 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
         ],
         clone={"src": src_path, "version": src_head, "deep": deep},
         dv=dv_remap,
+        # the cloned directories hold the source's physical names — the
+        # mapping travels with them (shallow and deep alike)
+        column_mapping=m.get("column_mapping") or {},
     )
     return version
 
@@ -5649,6 +6131,12 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
         return [f["name"] for f in schema.get("fields", [])]
 
     co, cn = cols_of(mo), cols_of(mn)
+    # column identity across versions is PHYSICAL (a rename changes the
+    # logical label, not the column): added/removed compare physical
+    # names; a surviving physical whose logical label changed is a rename
+    cmo, cmn = _col_mapping(mo), _col_mapping(mn)
+    po = {_phys(cmo, c): c for c in co}
+    pn = {_phys(cmn, c): c for c in cn}
     rows_old, rows_new = rows_of(mo), rows_of(mn)
     out: dict = {
         "v_old": old,
@@ -5662,12 +6150,18 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
         ),
         "bytes_old": _data_bytes(path, mo),
         "bytes_new": _data_bytes(path, mn),
-        "columns_added": [c for c in cn if c not in co],
-        "columns_removed": [c for c in co if c not in cn],
+        "columns_added": [pn[p] for p in pn if p not in po],
+        "columns_removed": [po[p] for p in po if p not in pn],
         "minmax": {},
     }
+    renamed = {
+        po[p]: pn[p] for p in pn if p in po and po[p] != pn[p]
+    }
+    if renamed:
+        out["columns_renamed"] = renamed
     for c in cn:
-        a, b = minmax_of(mo, c), minmax_of(mn, c)
+        p = _phys(cmn, c)  # dir stats are physical-keyed
+        a, b = minmax_of(mo, p), minmax_of(mn, p)
         if a is not None and b is not None:
             out["minmax"][c] = {
                 "old": list(a),

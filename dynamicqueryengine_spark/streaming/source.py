@@ -71,13 +71,18 @@ class _ChangePartition(InputPartition):
     the delete removed. ``dv`` maps file basename → deleted row
     positions (the replayed snapshot's deletion vectors): those rows
     are logically absent from the snapshot, so they are dropped BEFORE
-    any tagging or predicate filtering."""
+    any tagging or predicate filtering. ``colmap`` (column-mapped
+    tables) maps the emitting version's LOGICAL column names to the
+    PHYSICAL names the parquet files hold — the reader resolves each
+    stream-schema field through it (physical identity is what stays
+    stable across renames; replay predicates arrive pre-translated)."""
 
     path: str = ""
     version: int = 0
     change_type: str | None = None
     predicate: list | None = None
     dv: dict | None = None
+    colmap: dict | None = None
 
 
 def _dv_for_path(p: str, loaded: dict) -> dict | None:
@@ -205,11 +210,15 @@ class _ChangesStreamReader(DataSourceStreamReader):
             dvm = m.get("dv")
             return _load_dv_positions(self._path, dvm) if dvm else {}
 
+        def colmap_of(v: int) -> dict | None:
+            return _read_manifest(self._path, v).get("column_mapping")
+
         def snapshot_parts(v: int, tag: str):
             # honors partial_dirs / authoritative file lists, and the
             # snapshot's deletion vectors (DV'd rows are not part of the
             # snapshot being replayed)
             loaded = dv_of(v)
+            cm = colmap_of(v)
             for p in vt_scan_plan(self._path, v)["paths"]:
                 parts.append(
                     _ChangePartition(
@@ -217,6 +226,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                         version=v,
                         change_type=tag,
                         dv=_dv_for_path(p, loaded),
+                        colmap=cm,
                     )
                 )
 
@@ -228,8 +238,16 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 )
             m = _read_manifest(self._path, v)
             op = m.get("op")
-            if op in ("optimize", "analyze"):
+            if op in (
+                "optimize", "analyze",
+                "rename_column", "drop_column", "add_column",
+            ):
+                # no logical ROW change (the schema ops relabel/project
+                # columns; this stream's schema is fixed at query start
+                # — restart to pick up renamed/added names, the same
+                # contract as merge_schema evolution)
                 continue
+            cm_v = m.get("column_mapping")
             if op == "append":
                 prev = (
                     set(_read_manifest(self._path, v - 1)["dirs"])
@@ -253,6 +271,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                     path=os.path.join(self._path, d, f),
                                     version=v,
                                     change_type="insert",
+                                    colmap=cm_v,
                                 )
                             )
                     else:
@@ -261,6 +280,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 path=os.path.join(self._path, d),
                                 version=v,
                                 change_type="insert",
+                                colmap=cm_v,
                             )
                         )
             elif op in ("merge", "delete", "update"):
@@ -271,6 +291,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                             path=os.path.join(self._path, cd),
                             version=v,
                             change_type=None,
+                            colmap=cm_v,
                         )
                     )
                 elif op == "delete" and (m.get("delete") or {}).get(
@@ -287,6 +308,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
                     # rows an earlier merge-on-read delete removed could
                     # re-match and stream as phantom deletes
                     prev_loaded = dv_of(v - 1)
+                    cm_prev = colmap_of(v - 1)
+                    if cm_prev:
+                        # the predicate was recorded in LOGICAL names;
+                        # the files hold physical ones
+                        pred = [
+                            [cm_prev.get(c, c), o, val]
+                            for c, o, val in pred
+                        ]
                     for p in vt_scan_plan(self._path, v - 1)["paths"]:
                         parts.append(
                             _ChangePartition(
@@ -295,6 +324,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 change_type="delete",
                                 predicate=pred,
                                 dv=_dv_for_path(p, prev_loaded),
+                                colmap=cm_prev,
                             )
                         )
                 else:
@@ -367,8 +397,13 @@ class _ChangesStreamReader(DataSourceStreamReader):
             else:
                 tbl = dset.to_table(filter=expr)
             n = tbl.num_rows
+            colmap = partition.colmap or {}
             cols = []
             for f in target:
+                # column-mapped tables: the stream schema is LOGICAL,
+                # the file columns PHYSICAL — resolve through the
+                # partition's map (identity when unmapped)
+                lookup = colmap.get(f.name, f.name)
                 if f.name == "_change_type":
                     if partition.change_type is not None:
                         col = pa.array(
@@ -380,8 +415,8 @@ class _ChangesStreamReader(DataSourceStreamReader):
                     col = pa.array(
                         [partition.version] * n, type=f.type
                     )
-                elif f.name in tbl.column_names:
-                    col = tbl.column(f.name).cast(f.type)
+                elif lookup in tbl.column_names:
+                    col = tbl.column(lookup).cast(f.type)
                 else:
                     # pre-evolution file: typed nulls, same reconciliation
                     # as vt_read/_read_plan

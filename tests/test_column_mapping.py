@@ -1,0 +1,524 @@
+"""Column mapping (sources/versioned.py): RENAME / DROP / metadata-only
+ADD COLUMN as zero-rewrite commits — Delta's ``columnMapping.mode=name``
+contract (Iceberg's field IDs solve the same problem). The invariant
+under test everywhere: the PHYSICAL identity of a column (its on-disk
+name, footer stats, blooms, deletion vectors) never changes; only the
+logical projection over it does — so every schema DDL commit must
+reference the head's data directories verbatim."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dynamicqueryengine_spark.sources.versioned import (
+    _col_mapping,
+    _read_manifest,
+    vt_add_column,
+    vt_checkpoint,
+    vt_clone,
+    vt_count,
+    vt_delete,
+    vt_diff,
+    vt_drop_column,
+    vt_head,
+    vt_history,
+    vt_merge,
+    vt_minmax,
+    vt_optimize,
+    vt_read,
+    vt_read_changes,
+    vt_read_delta,
+    vt_rename_column,
+    vt_restore,
+    vt_scan_plan,
+    vt_update,
+    vt_vacuum,
+    vt_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, user string, val double")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _base(spark, path, n=20):
+    return vt_write(
+        spark,
+        path,
+        _df(spark, [(i, f"u{i % 4}", float(i)) for i in range(n)]),
+    )
+
+
+class TestRenameColumn:
+    def test_rename_is_metadata_only(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path)
+        m1 = _read_manifest(path, v1)
+        v2 = vt_rename_column(path, "val", "amount")
+        m2 = _read_manifest(path, v2)
+        # zero data movement: the SAME directories, stats, file lists
+        assert m2["dirs"] == m1["dirs"]
+        assert m2.get("files") == m1.get("files")
+        assert m2.get("file_stats") == m1.get("file_stats")
+        # logical schema renamed, physical mapping pins the old name
+        assert [f["name"] for f in m2["schema"]["fields"]] == [
+            "id", "user", "amount",
+        ]
+        assert m2["column_mapping"]["amount"] == "val"
+        assert vt_read(spark, path).columns == ["id", "user", "amount"]
+
+    def test_values_survive_and_old_versions_keep_old_name(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path, n=10)
+        vt_rename_column(path, "val", "amount")
+        got = vt_read(spark, path)
+        assert got.agg({"amount": "sum"}).collect()[0][0] == sum(range(10))
+        # time travel: each manifest records its own schema
+        old = vt_read(spark, path, version=v1)
+        assert old.columns == ["id", "user", "val"]
+        assert old.agg({"val": "sum"}).collect()[0][0] == sum(range(10))
+
+    def test_renamed_predicate_prunes_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=100)
+        vt_optimize(spark, path, ["val"], n_partitions=4)
+        vt_rename_column(path, "val", "amount")
+        plan = vt_scan_plan(path, None, ("amount", ">=", 90.0))
+        assert plan["files_kept"] < plan["files_total"]
+        r = vt_read(spark, path, predicate=("amount", ">=", 90.0))
+        assert r.count() == 10
+
+    def test_metadata_minmax_and_count_after_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=50)
+        vt_rename_column(path, "val", "amount")
+        assert vt_minmax(spark, path, "amount") == (0.0, 49.0)
+        assert vt_count(spark, path) == 50
+
+    def test_rename_validation(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path)
+        with pytest.raises(ValueError, match="no column"):
+            vt_rename_column(path, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            vt_rename_column(path, "val", "user")
+        with pytest.raises(ValueError, match="reserved"):
+            vt_rename_column(path, "val", "_change_type")
+
+    def test_rename_refuses_constrained_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, "a", 1.0)]),
+            constraints=[
+                {"name": "val_pos", "kind": "range", "col": "val", "lo": 0}
+            ],
+        )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            vt_rename_column(path, "val", "amount")
+        # unconstrained columns still rename fine
+        vt_rename_column(path, "user", "who")
+        assert vt_read(spark, path).columns == ["id", "who", "val"]
+
+    def test_bloom_cols_property_follows_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(i, f"u{i}", float(i)) for i in range(20)]),
+            bloom_cols=["user"],
+        )
+        v = vt_rename_column(path, "user", "who")
+        m = _read_manifest(path, v)
+        assert m["bloom_cols"] == ["who"]
+        # the bloom entries themselves stay physical ("user") and the
+        # probe still prunes through the renamed predicate
+        plan = vt_scan_plan(path, None, ("who", "=", "u3"))
+        assert plan["files_kept"] <= plan["files_total"]
+        assert _rows(
+            vt_read(spark, path, predicate=("who", "=", "u3"))
+        ) == {(3, "u3", 3.0)}
+
+
+class TestDropAndAddColumn:
+    def test_drop_is_metadata_only_and_hides_data(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path)
+        m1 = _read_manifest(path, v1)
+        v2 = vt_drop_column(path, "user")
+        m2 = _read_manifest(path, v2)
+        assert m2["dirs"] == m1["dirs"]  # no rewrite
+        assert vt_read(spark, path).columns == ["id", "val"]
+        # time travel still serves the dropped column
+        assert vt_read(spark, path, version=v1).columns == [
+            "id", "user", "val",
+        ]
+
+    def test_dropped_column_cannot_resurrect(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=10)
+        vt_drop_column(path, "user")
+        vt_add_column(path, "user", "string")
+        # fresh physical name: every pre-existing row reads NULL
+        assert (
+            vt_read(spark, path).filter("user is not null").count() == 0
+        )
+        # and a later append CAN fill it
+        app = spark.createDataFrame(
+            [(100, 100.0, "fresh")], "id long, val double, user string"
+        )
+        vt_write(spark, path, app, mode="append")
+        assert (
+            _rows(vt_read(spark, path).filter("user is not null"))
+            == {(100, 100.0, "fresh")}
+        )
+
+    def test_add_column_is_nullable_typed(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=5)
+        vt_add_column(path, "score", "bigint")
+        got = vt_read(spark, path)
+        assert dict(got.dtypes)["score"] == "bigint"
+        assert got.filter("score is not null").count() == 0
+
+    def test_drop_validation(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path)
+        with pytest.raises(ValueError, match="no column"):
+            vt_drop_column(path, "nope")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1,)], "only long"),
+            mode="overwrite",
+        )
+        with pytest.raises(ValueError, match="only column"):
+            vt_drop_column(path, "only")
+
+    def test_drop_refuses_constrained_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, "a", 1.0)]),
+            constraints=[{"name": "u_nn", "kind": "not_null", "col": "user"}],
+        )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            vt_drop_column(path, "user")
+
+
+class TestMappedDml:
+    """The full DML triad against a renamed table: predicates arrive in
+    LOGICAL names, footer stats/blooms are PHYSICAL-keyed — these pin
+    the translation at every classification boundary."""
+
+    def test_delete_update_merge_after_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=100)
+        vt_optimize(spark, path, ["val"], n_partitions=4)
+        vt_rename_column(path, "val", "amount")
+        vt_delete(spark, path, predicate=("amount", "<", 10.0))
+        assert vt_count(spark, path) == 90
+        vt_update(
+            spark,
+            path,
+            predicate=("amount", ">=", 95.0),
+            assignments={"user": "'vip'"},
+        )
+        assert vt_read(spark, path).filter("user = 'vip'").count() == 5
+        ups = spark.createDataFrame(
+            [(500, "nu", 500.0), (50, "replaced", 50.0)],
+            "id long, user string, amount double",
+        )
+        vt_merge(spark, path, ups, ["id"])
+        got = vt_read(spark, path)
+        # 100 − 10 deleted + 1 inserted (id=500); id=50 replaced in place
+        assert got.count() == 91
+        assert _rows(got.filter("id = 50")) == {(50, "replaced", 50.0)}
+
+    def test_file_granular_delete_prunes_by_physical_stats(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=100)
+        vt_optimize(spark, path, ["val"], n_partitions=4)
+        vt_rename_column(path, "val", "amount")
+        v = vt_delete(spark, path, predicate=("amount", ">=", 90.0))
+        blob = _read_manifest(path, v)["delete"]
+        # the classifier must keep pruning through the rename: a
+        # 10%-tail delete on a 4-file clustered layout touches ~1 file
+        assert blob["files_rewritten"] + blob.get("files_dropped", 0) < 4
+
+    def test_dv_delete_after_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=100)
+        vt_optimize(spark, path, ["val"], n_partitions=4)
+        vt_rename_column(path, "val", "amount")
+        v = vt_delete(
+            spark, path, predicate=("amount", "=", 42.0), mode="dv"
+        )
+        blob = _read_manifest(path, v)["delete"]
+        assert blob["files_rewritten"] == 0 and blob["dv"] is True
+        assert vt_count(spark, path) == 99
+        assert (
+            vt_read(spark, path).filter("amount = 42.0").count() == 0
+        )
+        # reorg-purge and the DV read both work over the mapped files
+        got = vt_read(spark, path, predicate=("amount", "<", 5.0))
+        assert got.count() == 5
+
+    def test_update_dv_after_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=50)
+        vt_rename_column(path, "val", "amount")
+        v = vt_update(
+            spark,
+            path,
+            predicate=("amount", "=", 7.0),
+            assignments={"amount": "amount + 1000"},
+            mode="dv",
+        )
+        assert _read_manifest(path, v)["update"]["files_rewritten"] == 0
+        assert (
+            vt_read(spark, path).filter("amount = 1007.0").count() == 1
+        )
+
+    def test_merge_with_bloom_cols_after_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(i, f"u{i}", float(i)) for i in range(30)]),
+            bloom_cols=["id"],
+        )
+        vt_rename_column(path, "val", "amount")
+        ups = spark.createDataFrame(
+            [(3, "hit", 3.0)], "id long, user string, amount double"
+        )
+        v = vt_merge(spark, path, ups, ["id"])
+        m = _read_manifest(path, v)
+        # the appended/rewritten dir keeps harvesting blooms (physical
+        # key "id" is unmapped here, but the path must not break)
+        assert m.get("bloom_cols") == ["id"]
+        assert _rows(vt_read(spark, path).filter("id = 3")) == {
+            (3, "hit", 3.0)
+        }
+
+
+class TestMappedCdcAndStreams:
+    def test_change_feed_relabels_across_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path, n=6)
+        vt_rename_column(path, "val", "amount")
+        vt_delete(spark, path, predicate=("amount", "=", 3.0))
+        head = vt_head(path)
+        ch = vt_read_changes(spark, path, 0, head)
+        # everything arrives in the TO version's (renamed) schema
+        assert ch.columns == [
+            "id", "user", "amount", "_change_type", "_commit_version",
+        ]
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert by_type == {"insert": 6, "delete": 1}
+        # the pre-rename insert rows carry their values under the NEW
+        # name — physical identity, not label, routes the data
+        ins = ch.filter("_change_type = 'insert'")
+        assert ins.agg({"amount": "sum"}).collect()[0][0] == sum(range(6))
+        assert v1 == 1
+
+    def test_change_feed_delete_after_rename_with_feed(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=6)
+        vt_rename_column(path, "val", "amount")
+        vt_update(
+            spark,
+            path,
+            predicate=("amount", "=", 2.0),
+            assignments={"amount": "amount * 10"},
+            change_feed=True,
+        )
+        ch = vt_read_changes(spark, path, 2, vt_head(path))
+        post = ch.filter("_change_type = 'update_postimage'")
+        assert _rows(post.select("id", "amount")) == {(2, 20.0)}
+
+    def test_stream_source_across_rename(self, spark, tmp_path):
+        from dynamicqueryengine_spark.streaming.source import (
+            vt_change_stream,
+        )
+
+        path = str(tmp_path / "t")
+        _base(spark, path, n=6)
+        vt_rename_column(path, "val", "amount")
+        vt_delete(spark, path, predicate=("amount", "=", 3.0))
+        stream = vt_change_stream(spark, path)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cm_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from cm_stream")
+        assert got.columns == [
+            "id", "user", "amount", "_change_type", "_commit_version",
+        ]
+        # the replayed delete (predicate recorded logically, files
+        # physical) must surface exactly the deleted row
+        assert _rows(
+            got.filter("_change_type = 'delete'").select("id", "amount")
+        ) == {(3, 3.0)}
+        assert got.filter("_change_type = 'insert'").count() == 6
+
+    def test_read_delta_spans_schema_ops(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path, n=3)
+        v2 = vt_rename_column(path, "val", "amount")
+        v3 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, "x", 100.0)], "id long, user string, amount double"
+            ),
+            mode="append",
+        )
+        delta = vt_read_delta(spark, path, v1, v3)
+        assert _rows(delta) == {(100, "x", 100.0)}
+        assert v2 == 2
+
+
+class TestMappedLifecycle:
+    def test_protocol_gates_mapping_blind_engines(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path)
+        v = vt_rename_column(path, "val", "amount")
+        m = _read_manifest(path, v)
+        assert m["protocol"] == {"min_reader": 3, "min_writer": 3}
+        # a level-2 reader must refuse rather than serve stale names
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        orig = V._PROTOCOL_READER
+        V._PROTOCOL_READER = 2
+        try:
+            with pytest.raises(ValueError, match="reader protocol"):
+                _read_manifest(path, v)
+        finally:
+            V._PROTOCOL_READER = orig
+
+    def test_overwrite_resets_to_identity_format(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path)
+        vt_rename_column(path, "val", "amount")
+        v = vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1.0)], "id long, amount double"),
+            mode="overwrite",
+        )
+        m = _read_manifest(path, v)
+        assert _col_mapping(m) is None  # fresh files, no indirection
+        assert "protocol" not in m or m["protocol"].get("min_reader", 1) < 3
+        assert _rows(vt_read(spark, path)) == {(1, 1.0)}
+
+    def test_restore_past_rename_restores_old_names(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path, n=4)
+        vt_rename_column(path, "val", "amount")
+        v3 = vt_restore(spark, path, v1)
+        m = _read_manifest(path, v3)
+        assert _col_mapping(m) is None
+        assert vt_read(spark, path).columns == ["id", "user", "val"]
+
+    def test_clone_carries_mapping(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=4)
+        vt_rename_column(path, "val", "amount")
+        dst = str(tmp_path / "c")
+        vt_clone(spark, path, dst)
+        assert vt_read(spark, dst).columns == ["id", "user", "amount"]
+        assert (
+            vt_read(spark, dst).agg({"amount": "sum"}).collect()[0][0]
+            == sum(range(4))
+        )
+
+    def test_optimize_and_vacuum_keep_mapping(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=40)
+        vt_rename_column(path, "val", "amount")
+        vt_optimize(spark, path, ["amount"], n_partitions=2)
+        vt_vacuum(spark, path, keep_last=1)
+        got = vt_read(spark, path)
+        assert got.columns == ["id", "user", "amount"]
+        assert got.agg({"amount": "sum"}).collect()[0][0] == sum(range(40))
+        # optimize rewrote under the PHYSICAL name: the mapping is
+        # still in force and still correct
+        plan = vt_scan_plan(path, None, ("amount", ">=", 38.0))
+        assert plan["files_kept"] < plan["files_total"]
+
+    def test_checkpoint_and_history_cover_schema_ops(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path)
+        vt_rename_column(path, "val", "amount")
+        vt_drop_column(path, "user")
+        vt_add_column(path, "tag", "string")
+        vt_checkpoint(spark, path)
+        assert vt_head(path) == 4
+        ops = [h["op"] for h in vt_history(path)]
+        assert ops[:3] == ["add_column", "drop_column", "rename_column"]
+        blobs = {h["op"]: h for h in vt_history(path)}
+        assert blobs["rename_column"]["rename_column"] == {
+            "from": "val", "to": "amount", "physical": "val",
+        }
+
+    def test_diff_reports_rename_not_add_remove(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v1 = _base(spark, path, n=10)
+        v2 = vt_rename_column(path, "val", "amount")
+        d = vt_diff(path, v1, v2)
+        assert d["columns_added"] == [] and d["columns_removed"] == []
+        assert d["columns_renamed"] == {"val": "amount"}
+        # min/max drift keyed by the NEW logical name, served from the
+        # UNCHANGED physical stats
+        assert d["minmax"]["amount"]["old"] == d["minmax"]["amount"]["new"]
+
+    def test_double_rename_round_trip(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=5)
+        vt_rename_column(path, "val", "amount")
+        vt_rename_column(path, "amount", "val")  # back to the original
+        got = vt_read(spark, path)
+        assert got.columns == ["id", "user", "val"]
+        assert got.agg({"val": "sum"}).collect()[0][0] == sum(range(5))
+
+    def test_append_evolution_under_mapping_gets_fresh_physical(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        _base(spark, path, n=3)
+        vt_rename_column(path, "val", "amount")
+        app = spark.createDataFrame(
+            [(9, "x", 9.0, "extra")],
+            "id long, user string, amount double, note string",
+        )
+        v = vt_write(spark, path, app, mode="append", merge_schema=True)
+        m = _read_manifest(path, v)
+        cm = _col_mapping(m)
+        assert cm["amount"] == "val"
+        assert cm["note"] != "note" and cm["note"].startswith("note_")
+        got = vt_read(spark, path)
+        assert got.filter("note = 'extra'").count() == 1
+        assert got.filter("note is null").count() == 3

@@ -124,8 +124,8 @@ class TestVersionedTable:
         before = {n for n in os.listdir(path) if n.startswith("d_")}
         real = V._write_data_dir
 
-        def racy(df, p):
-            d = real(df, p)
+        def racy(df, p, **kw):
+            d = real(df, p, **kw)
             V._commit(p, [], "write", vt_versions(p)[-1])  # winner lands now
             return d
 
@@ -147,8 +147,8 @@ class TestVersionedTable:
         real = V._write_data_dir
         injected = []
 
-        def racy(df, p):
-            out = real(df, p)
+        def racy(df, p, **kw):
+            out = real(df, p, **kw)
             if not injected:  # only the outer (loser) call injects
                 injected.append(True)
                 vt_write(spark, path, _df(spark, [(2, "winner")]),
@@ -215,8 +215,8 @@ class TestVersionedTable:
         real = V._write_data_dir
         injected = []
 
-        def racy(df, p):
-            out = real(df, p)
+        def racy(df, p, **kw):
+            out = real(df, p, **kw)
             if not injected:
                 injected.append(True)
                 monkeypatch.setattr(V, "_write_data_dir", real)
@@ -250,8 +250,8 @@ class TestVersionedTable:
         before = {n for n in os.listdir(path) if n.startswith("d_")}
         real = V._write_data_dir
 
-        def racy(df, p):
-            d = real(df, p)
+        def racy(df, p, **kw):
+            d = real(df, p, **kw)
             V._commit(p, [], "write", vt_versions(p)[-1])  # winner lands now
             return d
 
@@ -1445,8 +1445,8 @@ class TestCheckConstraints:
         real = V._write_data_dir
         injected = []
 
-        def racy(df, p):
-            out = real(df, p)
+        def racy(df, p, **kw):
+            out = real(df, p, **kw)
             if not injected:  # only the outer (loser) call injects
                 injected.append(True)
                 vt_write(
@@ -1487,8 +1487,8 @@ class TestCheckConstraints:
         injected = []
         specs = [{"name": "v_not_null", "kind": "not_null", "col": "v"}]
 
-        def racy(df, p):
-            out = real(df, p)
+        def racy(df, p, **kw):
+            out = real(df, p, **kw)
             if not injected:
                 injected.append(True)
                 vt_write(
@@ -2777,6 +2777,77 @@ class TestRowLevelUpdate:
         )
         with pytest.raises(ConstraintViolation):
             vt_update(spark, path, ("id", "=", 1), {"x": "x * 100"})
+
+    def test_self_referential_update_keeps_postimages(
+        self, spark, tmp_path
+    ):
+        """r12 review find: the rewrite path used to derive post-image
+        change rows (and the constraint-check input) by re-filtering
+        ``updated`` with the PREDICATE — wrong whenever an assignment
+        rewrites a predicate column (``SET x = x*10 WHERE x = 2``: the
+        post-image no longer matches), which silently dropped exactly
+        the changed rows from the change feed. The match decision must
+        be made once, on the pre-update row."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(6).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+        vt_write(spark, path, df)
+        vt_update(
+            spark, path, ("x", "=", 2.0), {"x": "x * 10"},
+            change_feed=True,
+        )
+        ch = vt_read_changes(spark, path, 1, 2)
+        got = {
+            (r["_change_type"], r["id"], r["x"]) for r in ch.collect()
+        }
+        assert got == {
+            ("update_preimage", 2, 2.0),
+            ("update_postimage", 2, 20.0),
+        }
+        got_now = {
+            r["id"]: r["x"] for r in vt_read(spark, path).collect()
+        }
+        assert got_now[2] == 20.0
+
+    def test_self_referential_update_cannot_escape_constraints(
+        self, spark, tmp_path
+    ):
+        """Companion soundness pin: a constraint on the predicate column
+        must reject an assignment that moves the row OUT of the matched
+        set AND out of range — the old post-filter skipped enforcement
+        for exactly those rows."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+            vt_update,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(6).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+        vt_write(
+            spark,
+            path,
+            df,
+            constraints=[
+                {
+                    "name": "x_in_range",
+                    "kind": "range",
+                    "col": "x",
+                    "lo": 0.0,
+                    "hi": 10.0,
+                }
+            ],
+        )
+        with pytest.raises(ConstraintViolation):
+            vt_update(spark, path, ("x", "=", 2.0), {"x": "x * 100"})
+        # nothing committed
+        got_now = {
+            r["id"]: r["x"] for r in vt_read(spark, path).collect()
+        }
+        assert got_now[2] == 2.0
 
 
 class TestPartialDirInterop:
