@@ -106,6 +106,7 @@ __all__ = [
     "vt_rename_column",
     "vt_drop_column",
     "vt_add_column",
+    "vt_widen_column",
     "ConstraintViolation",
 ]
 
@@ -756,8 +757,23 @@ def _harvest_stats(full_dir: str) -> tuple[dict, dict, dict]:
                     per_file_nulls.pop(name, None)
                 elif name not in nulls_dropped:
                     per_file_nulls[name] = per_file_nulls.get(name, 0) + int(nc)
-                mn = st.min if st is not None and st.has_min_max else None
-                mx = st.max if st is not None and st.has_min_max else None
+                try:
+                    mn = (
+                        st.min
+                        if st is not None and st.has_min_max
+                        else None
+                    )
+                    mx = (
+                        st.max
+                        if st is not None and st.has_min_max
+                        else None
+                    )
+                except Exception:
+                    # pyarrow raises ArrowNotImplementedError extracting
+                    # stats for some physical types (e.g. certain
+                    # fixed-len-byte-array decimals) — no stats for this
+                    # column, never a failed write
+                    mn = mx = None
                 if isinstance(mn, _decimal.Decimal) and isinstance(
                     mx, _decimal.Decimal
                 ):
@@ -1010,43 +1026,94 @@ def _write_data_dir(
     return d, dir_stats, file_stats, files, file_rows
 
 
+# Type-widening lattice (Delta's typeWidening feature set, restricted
+# to what Spark's vectorized parquet reader provably upcasts at scan —
+# measured in this container: int ladder, int→double, float→double,
+# decimal precision/scale growth). Maps a Spark simpleString type to
+# the types it may widen TO. Decimals are handled structurally.
+_WIDEN_TO = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
+
+
+def _can_widen(frm, to) -> bool:
+    """True when every value of Spark type ``frm`` is exactly
+    representable as ``to`` AND the vectorized parquet reader can
+    perform the upcast at scan time (so old files stay readable with
+    the widened schema, zero rewrite)."""
+    from pyspark.sql.types import DecimalType
+
+    if frm == to:
+        return False
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return (
+            to.scale >= frm.scale
+            and to.precision - to.scale >= frm.precision - frm.scale
+        )
+    return to.simpleString() in _WIDEN_TO.get(frm.simpleString(), ())
+
+
 def _evolve_schema(
     base: dict, incoming: dict, allow: bool
 ) -> tuple[dict, bool]:
     """Reconcile an append's schema against the table's recorded schema.
-    Returns ``(merged schema json-dict, changed)``. Evolution only ADDS
-    nullable columns (Delta's mergeSchema rule): an incompatible type
-    change for an existing column always raises; added/missing columns
-    raise unless ``allow`` (merge_schema=True). Nullability differences
-    are tolerated (parquet unions handle them)."""
+    Returns ``(merged schema json-dict, changed)``. Evolution ADDS
+    nullable columns and — under ``allow`` (merge_schema=True) — WIDENS
+    column types along the safe lattice (:func:`_can_widen`): an append
+    carrying ``bigint`` ids into an ``int`` table widens the table, an
+    append carrying ``int`` into a ``bigint`` table is accepted as-is
+    (the reader upcasts its files at scan). Any other type change
+    raises. Nullability differences are tolerated (parquet unions
+    handle them)."""
     from pyspark.sql.types import StructField, StructType
 
     b = StructType.fromJson(base)
     n = StructType.fromJson(incoming)
     bmap = {f.name: f for f in b.fields}
     nmap = {f.name: f for f in n.fields}
+    widened: dict[str, object] = {}
+    narrower: list[str] = []
     for name, f in nmap.items():
         if name in bmap and bmap[name].dataType != f.dataType:
-            raise ValueError(
-                f"incompatible type change for column '{name}': "
-                f"{bmap[name].dataType.simpleString()} -> "
-                f"{f.dataType.simpleString()} (schema evolution only "
-                "adds nullable columns)"
-            )
+            if _can_widen(bmap[name].dataType, f.dataType):
+                widened[name] = f.dataType  # table widens to incoming
+            elif _can_widen(f.dataType, bmap[name].dataType):
+                narrower.append(name)  # incoming files are narrower: ok
+            else:
+                raise ValueError(
+                    f"incompatible type change for column '{name}': "
+                    f"{bmap[name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} (schema evolution "
+                    "adds nullable columns or widens along the safe "
+                    "lattice)"
+                )
     added = [f for f in n.fields if f.name not in bmap]
     missing = [f.name for f in b.fields if f.name not in nmap]
-    if not added and not missing:
+    if not added and not missing and not widened and not narrower:
         return base, False
     if not allow:
+        detail = f"added={[f.name for f in added]}, missing={missing}"
+        if widened or narrower:
+            detail += (
+                f", widened={sorted(widened)}, narrower={narrower}"
+            )
         raise ValueError(
             "append schema differs from table schema "
-            f"(added={[f.name for f in added]}, missing={missing}); "
-            "pass merge_schema=True to evolve"
+            f"({detail}); pass merge_schema=True to evolve"
         )
     merged = StructType(
-        list(b.fields)
+        [
+            StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            for f in b.fields
+        ]
         + [StructField(f.name, f.dataType, True) for f in added]
     )
+    # ``narrower`` alone also marks the layout heterogeneous: the new
+    # dir's physical types differ from the schema and rely on the
+    # explicit-schema read's upcast
     return json.loads(merged.json()), True
 
 
@@ -1675,7 +1742,29 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
     additionally exposes ``_vt_file_key``/``_vt_pos`` columns so DV
     writers (vt_delete/vt_update mode="dv") can address matched rows."""
     reader = spark.read
-    if plan.get("schema_heterogeneous"):
+    sj_read = plan.get("schema")
+    if sj_read:
+        # Schema'd tables read with an EXPLICIT physical schema (the
+        # logical types over the physical names) instead of footer
+        # inference: kills the footer-merge job on heterogeneous
+        # layouts, null-fills files missing evolved columns at the
+        # reader (not via a post-select), and lets Spark's vectorized
+        # parquet reader UPCAST files written before a type widening
+        # (int ladder, float→double, decimal growth — the same
+        # promotions Delta's typeWidening feature leans on).
+        from pyspark.sql.types import StructField, StructType
+
+        cm_read = plan.get("column_mapping") or {}
+        phys_schema = StructType(
+            [
+                StructField(
+                    cm_read.get(f.name, f.name), f.dataType, True
+                )
+                for f in StructType.fromJson(sj_read).fields
+            ]
+        )
+        reader = reader.schema(phys_schema)
+    elif plan.get("schema_heterogeneous"):
         reader = reader.option("mergeSchema", "true")
     dv = plan.get("dv")
     if dv and not keep_positions:
@@ -1895,6 +1984,7 @@ def vt_read_delta(
         if op not in (
             "append", "analyze",
             "rename_column", "drop_column", "add_column",
+            "widen_column",
         ):
             raise ValueError(
                 f"version {v} is op={op!r}: delta reads require "
@@ -2037,6 +2127,7 @@ def vt_read_changes(
         if op in (
             "optimize", "analyze",
             "rename_column", "drop_column", "add_column",
+            "widen_column",
         ):
             # no logical ROW change: optimize rewrites layout, analyze
             # records statistics, and the schema ops relabel/project
@@ -4287,6 +4378,7 @@ def vt_history(path: str) -> list[dict]:
             "rename_column",
             "drop_column",
             "add_column",
+            "widen_column",
         ):
             # file-granular rewrite/maintenance shape (files_rewritten/
             # files_total, dv_rows_purged, …) — the audit trail that
@@ -4588,6 +4680,70 @@ def vt_add_column(path: str, col: str, dtype,
         return schema_json, mapping, None, True, blob
 
     return _schema_ddl_commit(path, "add_column", mutate, max_retries)
+
+
+def vt_widen_column(path: str, col: str, dtype,
+                    max_retries: int = 5) -> int:
+    """Metadata-only TYPE WIDENING — Delta's ``typeWidening`` table
+    feature (``ALTER TABLE … ALTER COLUMN … TYPE``): change a column's
+    declared type along the safe lattice (tinyint→smallint→int→bigint,
+    int→double, float→double, decimal precision/scale growth) WITHOUT
+    rewriting a file. Existing files keep their narrow physical type;
+    every reader passes the widened schema explicitly and Spark's
+    vectorized parquet reader upcasts at scan (measured in this
+    container — the same mechanism Delta leans on). Appends may then
+    carry the wide type natively; ``vt_write(merge_schema=True)`` also
+    widens automatically when an append brings a wider type.
+
+    Raises for any non-widening change (``bigint``→``int``,
+    ``string``→anything): narrowing can corrupt values, so it stays a
+    rewrite problem, not a metadata one. Unlike rename/drop this does
+    NOT flip the table into the mapped format — physical NAMES are
+    unchanged; the commit only marks the layout heterogeneous so reads
+    know footers and schema may disagree."""
+    from pyspark.sql.types import DataType, StructType
+
+    if isinstance(dtype, DataType):
+        dt = dtype
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+
+        dt = _parse_datatype_string(str(dtype))
+
+    def mutate(manifest: dict):
+        target = StructType.fromJson(manifest["schema"])
+        by_name = {f.name: f for f in target.fields}
+        if col not in by_name:
+            raise ValueError(
+                f"no column {col!r} in {sorted(by_name)}"
+            )
+        cur = by_name[col].dataType
+        if not _can_widen(cur, dt):
+            raise ValueError(
+                f"cannot widen column {col!r} from "
+                f"{cur.simpleString()} to {dt.simpleString()}: only "
+                "lattice promotions the parquet reader can upcast at "
+                "scan are metadata-only (int ladder, float->double, "
+                "decimal growth)"
+            )
+        schema_json = json.loads(json.dumps(manifest["schema"]))
+        for f in schema_json["fields"]:
+            if f["name"] == col:
+                f["type"] = json.loads(dt.json())
+        blob = {
+            "column": col,
+            "from": cur.simpleString(),
+            "to": dt.simpleString(),
+        }
+        return (
+            schema_json,
+            _col_mapping(manifest),  # unchanged (None stays None)
+            None,
+            True,  # footers and schema now disagree: heterogeneous
+            blob,
+        )
+
+    return _schema_ddl_commit(path, "widen_column", mutate, max_retries)
 
 
 def _zorder_column(

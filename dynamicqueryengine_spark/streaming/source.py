@@ -241,6 +241,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
             if op in (
                 "optimize", "analyze",
                 "rename_column", "drop_column", "add_column",
+                "widen_column",
             ):
                 # no logical ROW change (the schema ops relabel/project
                 # columns; this stream's schema is fixed at query start

@@ -5849,6 +5849,234 @@ LLM_QUERIES["events_vt_dv_consolidate"] = FnWorkload(
 )
 
 
+def _events_vt_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN MAPPING end-to-end, EXECUTED (vt_rename_column /
+    vt_drop_column / vt_add_column r12 — Delta's ``columnMapping.mode =
+    name``, Iceberg's field IDs): OPTIMIZE events into 6 range-clustered
+    files, RENAME ``event_id``→``eid`` and ``v``→``amount`` (two
+    metadata-only commits — the data directories of the head are
+    referenced VERBATIM, zero bytes moved on a 100 TB table), then run
+    the whole read/DML surface through the NEW names: a stats-pruned
+    scan plan over ``eid`` (footer stats stay keyed by the stable
+    PHYSICAL name; the planner translates), a file-granular DELETE of
+    the bottom ~5% of the renamed key, DROP ``event_type`` and re-ADD
+    it — the re-added logical name maps to a FRESH physical name, so
+    the dropped column's on-disk bytes can never resurrect (every row
+    reads NULL). Pinned INSIDE the oracle hash: ``metadata_only`` (both
+    rename manifests reference the optimize commit's dirs unchanged),
+    ``pruned`` (the renamed-key plan keeps strictly fewer files than
+    the snapshot holds), ``time_travel_old_names`` (the pre-rename
+    version still serves ``event_id``/``v``), ``protocol_gated`` (the
+    mapped head demands reader/writer protocol 3 — mapping-blind
+    engines refuse rather than serve stale names), ``no_resurrection``
+    (the re-added column is all-NULL). The surviving aggregate equals
+    the SQL mirror's plain ``WHERE NOT (event_id <= cut)`` — renames
+    never change values, only labels."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_add_column,
+        vt_count,
+        vt_delete,
+        vt_drop_column,
+        vt_optimize,
+        vt_read,
+        vt_rename_column,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 20
+    path = os.path.join(_scratch_dir("vtcolmap", sf_dir), "ev")
+    vt_write(spark, path, ev)
+    opt_v = vt_optimize(spark, path, ["event_id"], n_partitions=6)
+    opt_dirs = _read_manifest(path, opt_v)["dirs"]
+    r1 = vt_rename_column(path, "event_id", "eid")
+    r2 = vt_rename_column(path, "v", "amount")
+    metadata_only = (
+        _read_manifest(path, r1)["dirs"] == opt_dirs
+        and _read_manifest(path, r2)["dirs"] == opt_dirs
+    )
+    plan = vt_scan_plan(path, None, ("eid", "<=", cut))
+    pruned = 0 < plan["files_kept"] < plan["files_total"]
+    old = vt_read(spark, path, version=opt_v)
+    time_travel_old_names = old.columns == ["event_id", "event_type", "v"]
+    proto = _read_manifest(path, r2).get("protocol") or {}
+    protocol_gated = (
+        proto.get("min_reader") == 3 and proto.get("min_writer") == 3
+    )
+    n_before = vt_count(spark, path)
+    vt_delete(spark, path, ("eid", "<=", cut))
+    vt_drop_column(path, "event_type")
+    vt_add_column(path, "event_type", "string")
+    snap = vt_read(spark, path)
+    no_resurrection = (
+        snap.filter(F.col("event_type").isNotNull()).count() == 0
+        and vt_count(spark, path) < n_before
+    )
+    return (
+        snap.groupBy((F.col("eid") % 7).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 6).cast("double").alias("sum_amount"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "sum_amount",
+            F.lit(bool(metadata_only)).alias("metadata_only"),
+            F.lit(bool(pruned)).alias("pruned"),
+            F.lit(bool(time_travel_old_names)).alias(
+                "time_travel_old_names"
+            ),
+            F.lit(bool(protocol_gated)).alias("protocol_gated"),
+            F.lit(bool(no_resurrection)).alias("no_resurrection"),
+        )
+    )
+
+
+_EVENTS_VT_COLUMN_MAPPING_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+b AS (
+  SELECT min(event_id) + (max(event_id) - min(event_id)) // 20 AS cut
+  FROM t
+)
+SELECT CAST(event_id % 7 AS BIGINT) AS bucket, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_amount,
+       TRUE AS metadata_only,
+       TRUE AS pruned,
+       TRUE AS time_travel_old_names,
+       TRUE AS protocol_gated,
+       TRUE AS no_resurrection
+FROM t, b
+WHERE NOT (event_id <= cut)
+GROUP BY bucket
+""".strip()
+
+
+LLM_QUERIES["events_vt_column_mapping"] = FnWorkload(
+    _events_vt_column_mapping, _EVENTS_VT_COLUMN_MAPPING_SQL
+)
+
+
+def _events_vt_widen_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end-to-end, EXECUTED (vt_widen_column r12 —
+    Delta's ``typeWidening`` table feature): stage events with an INT
+    code column and a FLOAT measure, widen both declarations
+    (``int``→``bigint``, ``float``→``double``) as METADATA-ONLY commits
+    — the staged directory is referenced verbatim; the explicit-schema
+    read lets Spark's vectorized parquet reader upcast the narrow
+    files at scan, the mechanism measured in this container — then
+    append a row carrying values only the WIDE types can hold
+    (``2^40`` overflows int; the narrow files and the wide append read
+    back in ONE scan). Pinned INSIDE the oracle hash: ``metadata_only``
+    (both widen manifests reference the stage commit's dirs unchanged),
+    ``widened`` (the head serves bigint/double), ``time_travel_narrow``
+    (the pre-widen version still serves int/float — each manifest owns
+    its schema), ``wide_row_landed`` (the 2^40 row is present and
+    metadata MIN/MAX sees it). Aggregates avoid float-order
+    nondeterminism: integer SUM over the widened code column, MIN/MAX
+    over the measure — all order-independent, bit-exact against the
+    DuckDB mirror (IEEE float→double widening is exact in both
+    engines)."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_minmax,
+        vt_read,
+        vt_widen_column,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1000).cast("int").alias("code"),
+        F.col("value").cast("float").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtwiden", sf_dir), "ev")
+    v1 = vt_write(spark, path, ev)
+    stage_dirs = _read_manifest(path, v1)["dirs"]
+    w1 = vt_widen_column(path, "code", "bigint")
+    w2 = vt_widen_column(path, "v", "double")
+    metadata_only = (
+        _read_manifest(path, w1)["dirs"] == stage_dirs
+        and _read_manifest(path, w2)["dirs"] == stage_dirs
+    )
+    wide = spark.createDataFrame(
+        [(2**40, 1.5e10)], "code bigint, v double"
+    )
+    vt_write(spark, path, wide, mode="append")
+    snap = vt_read(spark, path)
+    widened = dict(snap.dtypes) == {"code": "bigint", "v": "double"}
+    narrow = dict(vt_read(spark, path, version=v1).dtypes)
+    time_travel_narrow = narrow == {"code": "int", "v": "float"}
+    wide_row_landed = (
+        snap.filter(F.col("code") == 2**40).count() == 1
+        and vt_minmax(spark, path, "code")[1] == 2**40
+    )
+    return (
+        snap.groupBy((F.col("code") % 7).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("code").alias("sum_code"),
+            F.round(F.min("v"), 6).cast("double").alias("min_v"),
+            F.round(F.max("v"), 6).cast("double").alias("max_v"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "sum_code",
+            "min_v",
+            "max_v",
+            F.lit(bool(metadata_only)).alias("metadata_only"),
+            F.lit(bool(widened)).alias("widened"),
+            F.lit(bool(time_travel_narrow)).alias("time_travel_narrow"),
+            F.lit(bool(wide_row_landed)).alias("wide_row_landed"),
+        )
+    )
+
+
+_EVENTS_VT_WIDEN_TYPES_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT CAST(event_id % 1000 AS INTEGER) AS code,
+         CAST(value AS REAL) AS v
+  FROM ev
+),
+w AS (
+  SELECT CAST(code AS BIGINT) AS code, CAST(v AS DOUBLE) AS v FROM t
+  UNION ALL
+  SELECT CAST(1099511627776 AS BIGINT), CAST(1.5e10 AS DOUBLE)
+)
+SELECT CAST(code % 7 AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(code) AS BIGINT) AS sum_code,
+       CAST(round(min(v), 6) AS DOUBLE) AS min_v,
+       CAST(round(max(v), 6) AS DOUBLE) AS max_v,
+       TRUE AS metadata_only,
+       TRUE AS widened,
+       TRUE AS time_travel_narrow,
+       TRUE AS wide_row_landed
+FROM w
+GROUP BY bucket
+""".strip()
+
+
+LLM_QUERIES["events_vt_widen_types"] = FnWorkload(
+    _events_vt_widen_types, _EVENTS_VT_WIDEN_TYPES_SQL
+)
+
+
 def _events_vt_delete_filedrop(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

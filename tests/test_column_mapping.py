@@ -522,3 +522,208 @@ class TestMappedLifecycle:
         got = vt_read(spark, path)
         assert got.filter("note = 'extra'").count() == 1
         assert got.filter("note is null").count() == 3
+
+
+class TestTypeWidening:
+    """vt_widen_column + merge_schema auto-widening (Delta's
+    typeWidening): declared types move along the safe lattice with ZERO
+    file rewrites — the explicit-schema read upcasts narrow files at
+    scan."""
+
+    def test_widen_is_metadata_only(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id int, x float"
+        )
+        v1 = vt_write(spark, path, df)
+        v2 = vt_widen_column(path, "id", "bigint")
+        v3 = vt_widen_column(path, "x", "double")
+        m1, m3 = _read_manifest(path, v1), _read_manifest(path, v3)
+        assert m3["dirs"] == m1["dirs"]  # no rewrite
+        got = vt_read(spark, path)
+        assert dict(got.dtypes) == {"id": "bigint", "x": "double"}
+        assert got.agg({"x": "sum"}).collect()[0][0] == sum(range(10))
+        # time travel serves the narrow types
+        assert dict(vt_read(spark, path, v1).dtypes)["id"] == "int"
+        assert v2 == 2
+
+    def test_wide_values_land_after_widen(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1.0)], "id int, x double"),
+        )
+        vt_widen_column(path, "id", "bigint")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(2**40, 2.0)], "id bigint, x double"),
+            mode="append",
+        )
+        assert vt_count(spark, path) == 2
+        assert vt_minmax(spark, path, "id") == (1, 2**40)
+
+    def test_merge_schema_auto_widens(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1.0)], "id int, x double"),
+        )
+        # wider incoming widens the TABLE
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(2**40, 2.0)], "id bigint, x double"),
+            mode="append",
+            merge_schema=True,
+        )
+        assert dict(vt_read(spark, path).dtypes)["id"] == "bigint"
+        # narrower incoming is accepted as-is (reader upcasts its files)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(7, 3.0)], "id int, x double"),
+            mode="append",
+            merge_schema=True,
+        )
+        got = vt_read(spark, path)
+        assert dict(got.dtypes)["id"] == "bigint"
+        assert {r["id"] for r in got.collect()} == {1, 2**40, 7}
+        # without merge_schema a type difference still raises
+        with pytest.raises(ValueError, match="merge_schema"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame([(8, 4.0)], "id int, x double"),
+                mode="append",
+            )
+
+    def test_narrowing_and_unrelated_changes_raise(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(2**40, "s")], "id bigint, v string"),
+        )
+        with pytest.raises(ValueError, match="cannot widen"):
+            vt_widen_column(path, "id", "int")
+        with pytest.raises(ValueError, match="cannot widen"):
+            vt_widen_column(path, "v", "bigint")
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame([(1, "x")], "id int, v string"),
+                mode="append",
+            )
+        # a genuinely incompatible change raises EVEN WITH merge_schema
+        with pytest.raises(ValueError, match="incompatible type change"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [("oops", "x")], "id string, v string"
+                ),
+                mode="append",
+                merge_schema=True,
+            )
+
+    def test_decimal_growth(self, spark, tmp_path):
+        from decimal import Decimal
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, Decimal("1.25"))], "id long, d decimal(10,2)"
+            ),
+        )
+        vt_widen_column(path, "d", "decimal(22,4)")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, Decimal("123456789012345678.2500"))],
+                "id long, d decimal(22,4)",
+            ),
+            mode="append",
+        )
+        got = {r["id"]: r["d"] for r in vt_read(spark, path).collect()}
+        assert got[1] == Decimal("1.2500")
+        assert got[2] == Decimal("123456789012345678.2500")
+        # scale shrink / integer-digit shrink refuse
+        with pytest.raises(ValueError, match="cannot widen"):
+            vt_widen_column(path, "d", "decimal(22,2)")
+
+    def test_widen_composes_with_mapping_and_dml(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(30)], "id int, x float"
+            ),
+        )
+        vt_widen_column(path, "id", "bigint")
+        vt_rename_column(path, "x", "amount")
+        vt_widen_column(path, "amount", "double")
+        vt_delete(spark, path, predicate=("id", "<", 5), mode="dv")
+        got = vt_read(spark, path)
+        assert dict(got.dtypes) == {"id": "bigint", "amount": "double"}
+        assert got.count() == 25
+        assert (
+            got.agg({"amount": "sum"}).collect()[0][0]
+            == sum(range(5, 30))
+        )
+
+    def test_cdc_and_delta_span_widen(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        v1 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, 1.0)], "id int, x double"),
+        )
+        v2 = vt_widen_column(path, "id", "bigint")
+        v3 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(2**40, 2.0)], "id bigint, x double"),
+            mode="append",
+        )
+        delta = vt_read_delta(spark, path, v1, v3)
+        assert {r["id"] for r in delta.collect()} == {2**40}
+        ch = vt_read_changes(spark, path, 0, v3)
+        # pre-widen insert rows arrive upcast to the TO schema
+        assert dict(ch.dtypes)["id"] == "bigint"
+        assert {
+            (r["_change_type"], r["id"]) for r in ch.collect()
+        } == {("insert", 1), ("insert", 2**40)}
+        assert v2 == 2
