@@ -25,6 +25,7 @@ Constraint spec (dicts, JSON-friendly like the rule documents):
     {"name": ..., "kind": "range",           "col": c, "lo": x, "hi": y}
     {"name": ..., "kind": "accepted_values", "col": c, "values": [...]}
     {"name": ..., "kind": "regex",           "col": c, "pattern": p}
+    {"name": ..., "kind": "expr",            "expr": "<boolean SQL>"}
     {"name": ..., "kind": "unique",          "cols": [c, ...]}
     {"name": ..., "kind": "foreign_key",     "cols": [...],
      "parent": DataFrame, "parent_cols": [...]}   # SQL: parent_table
@@ -44,8 +45,13 @@ def _row_violation(c: Mapping) -> F.Column:
     NULL handling follows the warehouse convention: only ``not_null``
     flags NULLs; the value checks pass NULL rows (they are the
     completeness check's job)."""
-    col = F.col(c["col"])
     kind = c["kind"]
+    if kind == "expr":
+        # arbitrary SQL CHECK (Delta's CHECK constraint semantics):
+        # violated only when the expression evaluates FALSE on the row;
+        # NULL passes (unknown is not a violation)
+        return ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+    col = F.col(c["col"])
     if kind == "not_null":
         return col.isNull()
     if kind == "range":
@@ -171,6 +177,18 @@ def constraint_report_sql(table: str, constraints: Sequence[Mapping]) -> str:
                 f"SELECT 1 FROM {c['parent_table']} p WHERE {on}))"
                 f" AS n_violations"
                 f" FROM {table} c WHERE {notnull}"
+            )
+            continue
+        if kind == "expr":
+            # the expression is recorded in portable ANSI form by
+            # contract (column refs + comparisons + arithmetic); the
+            # mirror applies it verbatim
+            selects.append(
+                f"SELECT {_sql_lit(c['name'])} AS name, 'expr' AS kind,"
+                f" count(*) AS n_checked,"
+                f" count(*) FILTER (WHERE NOT coalesce(({c['expr']}),"
+                f" TRUE)) AS n_violations"
+                f" FROM {table}"
             )
             continue
         col = c["col"]

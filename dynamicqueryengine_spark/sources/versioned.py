@@ -1120,8 +1120,13 @@ def _evolve_schema(
 # CHECK-constraint kinds persistable as a table property: row-level only
 # (Delta's CHECK constraints are row predicates; uniqueness/referential
 # checks need whole-table or cross-table passes and belong to
-# functions/constraints.constraint_report as an explicit audit)
-_VT_CONSTRAINT_KINDS = ("not_null", "range", "accepted_values", "regex")
+# functions/constraints.constraint_report as an explicit audit).
+# "expr" is the general form — an arbitrary boolean SQL expression over
+# the row, violated only when it evaluates FALSE (NULL passes), exactly
+# Delta's ALTER TABLE ... ADD CONSTRAINT ... CHECK semantics.
+_VT_CONSTRAINT_KINDS = (
+    "not_null", "range", "accepted_values", "regex", "expr"
+)
 
 
 class ConstraintViolation(ValueError):
@@ -1144,7 +1149,12 @@ def _validate_constraint_specs(specs: list) -> None:
                 f"constraint kind {c.get('kind')!r} cannot be a table "
                 f"property; persistable kinds: {_VT_CONSTRAINT_KINDS}"
             )
-        if "name" not in c or "col" not in c:
+        if c.get("kind") == "expr":
+            if "name" not in c or "expr" not in c:
+                raise ValueError(
+                    f"expr constraint needs name and expr: {c!r}"
+                )
+        elif "name" not in c or "col" not in c:
             raise ValueError(f"constraint needs name and col: {c!r}")
 
 
@@ -4402,7 +4412,9 @@ def vt_history(path: str) -> list[dict]:
     return out
 
 
-def vt_restore(spark, path: str, version: int) -> int:
+def vt_restore(
+    spark, path: str, version: int | None = None, timestamp=None
+) -> int:
     """RESTORE an earlier snapshot as the NEW head — Delta's RESTORE,
     zero-copy: data directories are immutable, so the restore commit
     simply references the target version's directories (plus its stats
@@ -4412,7 +4424,15 @@ def vt_restore(spark, path: str, version: int) -> int:
     keeps their data alive for as long as the restore itself is
     retained. Concurrent-commit losers surface as FileExistsError (a
     restore is a blind write: it must not silently clobber a state it
-    did not read)."""
+    did not read). ``timestamp=`` (Delta's ``RESTORE … TO TIMESTAMP AS
+    OF``) resolves to the highest version committed at or before that
+    moment, exactly like ``vt_read``'s time travel."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = vt_version_at(path, timestamp)
+    if version is None:
+        raise ValueError("vt_restore requires version= or timestamp=")
     versions = vt_versions(path)
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
@@ -4457,12 +4477,21 @@ def _reserved_column_name(name: str) -> bool:
 def _constraint_references(manifest: dict, col: str) -> list[str]:
     """Names of table CHECK constraints whose spec reads ``col`` —
     renaming or dropping under them would silently change (or break)
-    what the table enforces, so the DDL refuses until they're dropped."""
-    return [
-        c.get("name", "?")
-        for c in (manifest.get("constraints") or [])
-        if c.get("col") == col
-    ]
+    what the table enforces, so the DDL refuses until they're dropped.
+    ``expr`` constraints are matched by word-boundary search of their
+    SQL text (conservative: a false positive blocks a rename, never
+    corrupts one)."""
+    import re as _re
+
+    out = []
+    for c in manifest.get("constraints") or []:
+        if c.get("col") == col:
+            out.append(c.get("name", "?"))
+        elif c.get("kind") == "expr" and _re.search(
+            rf"\b{_re.escape(col)}\b", c.get("expr", "")
+        ):
+            out.append(c.get("name", "?"))
+    return out
 
 
 def _schema_ddl_commit(
@@ -5377,12 +5406,22 @@ def vt_reorg(
 
 
 def vt_vacuum(
-    spark, path: str, keep_last: int = 2, grace_seconds: float = 600.0
+    spark, path: str, keep_last: int = 2, grace_seconds: float = 600.0,
+    retain_seconds: float | None = None, dry_run: bool = False,
 ) -> list[str]:
     """Delete data directories unreferenced by the last ``keep_last``
     versions (and drop the older manifests). Returns removed dirs.
     The only deletion in the design — run it only when no reader needs
     the expired versions.
+
+    ``retain_seconds`` (Delta's ``VACUUM … RETAIN n HOURS``) ADDS a
+    time-based floor: every version committed within the window is
+    retained regardless of ``keep_last`` — the natural contract when
+    retention policy is "time travel must work for 7 days", not "keep
+    N versions". ``dry_run=True`` (Delta's ``VACUUM … DRY RUN``)
+    computes and returns exactly what a real run would remove — dirs,
+    unlisted files, DV sidecars, torn commit temps — without deleting a
+    byte or expiring a manifest.
 
     Directories referenced by SOME manifest (just an expired one) are
     committed garbage and removed unconditionally. A ``d_*`` directory
@@ -5402,6 +5441,14 @@ def vt_vacuum(
     rows decouple streaming from retention) — see README."""
     versions = vt_versions(path)
     keep = versions[-keep_last:] if keep_last > 0 else []
+    if retain_seconds is not None:
+        cutoff = time.time() - retain_seconds
+        recent = [
+            v
+            for v in versions
+            if float(_read_manifest(path, v).get("ts", 0.0)) >= cutoff
+        ]
+        keep = sorted(set(keep) | set(recent))
     referenced: set[str] = set()
     # per-dir union of the FILES retained manifests reference: None =
     # some retained manifest references the dir without an authoritative
@@ -5445,7 +5492,8 @@ def vt_vacuum(
                 continue  # vanished mid-scan (writer cleaned it up)
             if age < grace_seconds:
                 continue
-        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         removed.append(name)
     # file-level sweep inside retained dirs: delete parquet files no
     # retained manifest lists (only when EVERY retained reference to the
@@ -5468,7 +5516,8 @@ def vt_vacuum(
         for n in on_disk:
             if n not in refs:
                 try:
-                    os.remove(os.path.join(full, n))
+                    if not dry_run:
+                        os.remove(os.path.join(full, n))
                     removed.append(os.path.join(d, n))
                 except OSError:
                     continue
@@ -5492,7 +5541,8 @@ def vt_vacuum(
             try:
                 if now - os.path.getmtime(full) < grace_seconds:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(os.path.join("_dv", name))
             except OSError:
                 continue
@@ -5507,10 +5557,13 @@ def vt_vacuum(
         try:
             if now - os.path.getmtime(full) < grace_seconds:
                 continue
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             removed.append(os.path.join("_vlog", name))
         except OSError:
             continue
+    if dry_run:
+        return removed  # nothing deleted, no manifest expired
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(path, v))
