@@ -458,6 +458,8 @@ def _commit(
     dv: dict | None = None,
     bloom_cols_prop: Sequence[str] | None = None,
     column_mapping: dict | None = None,
+    generated: dict | None = None,
+    identity: dict | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -559,6 +561,18 @@ def _commit(
         column_mapping = prev.get("column_mapping")
     if column_mapping:
         manifest["column_mapping"] = dict(column_mapping)
+    # generated-column expressions and identity-column state: the same
+    # property calculus (None carries, dict records, {} clears). The
+    # identity dict carries the high watermark, so every identity
+    # append REPLACES it explicitly with the advanced value.
+    if generated is None and prev is not None:
+        generated = prev.get("generated")
+    if generated:
+        manifest["generated"] = dict(generated)
+    if identity is None and prev is not None:
+        identity = prev.get("identity")
+    if identity:
+        manifest["identity"] = {k: dict(v) for k, v in identity.items()}
     # deletion vectors follow the FILES they describe: None carries the
     # head's map forward, pruned to files this manifest still references
     # (a rewritten file's deletes were materialized by the rewrite); an
@@ -1187,12 +1201,59 @@ def _enforce_constraints(df: DataFrame, specs: list) -> None:
         )
 
 
+def _apply_generated(df: DataFrame, gen: dict) -> DataFrame:
+    """Generated columns on the write path (Delta's GENERATED ALWAYS AS
+    (expr)): a column MISSING from the incoming frame is computed from
+    its recorded expression; a column the writer supplied is validated
+    below instead. Expressions see the incoming row (logical names)."""
+    if not gen:
+        return df
+    have = set(df.columns)
+    for col, expr in gen.items():
+        if col not in have:
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
+def _validate_generated(df: DataFrame, gen: dict, present) -> None:
+    """One conditional-aggregation pass proving every writer-supplied
+    value of a generated column equals its expression (null-safe) —
+    Delta rejects explicit values that disagree with the generation
+    expression; silent acceptance would poison every later consumer
+    that trusts the invariant."""
+    cols = [c for c in gen if c in present]
+    if not cols:
+        return
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.col(c).eqNullSafe(F.expr(gen[c])), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"_g{i}")
+            for i, c in enumerate(cols)
+        ]
+    ).collect()[0]
+    bad = {
+        c: int(row[f"_g{i}"])
+        for i, c in enumerate(cols)
+        if row[f"_g{i}"]
+    }
+    if bad:
+        raise ValueError(
+            "generated-column mismatch, commit rejected (values must "
+            f"equal the recorded expression): {bad}"
+        )
+
+
 def vt_write(
     spark, path: str, df: DataFrame, mode: str = "overwrite",
     max_retries: int = 5, merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     bloom_cols: Sequence[str] | None = None,
     constraints: list | None = None,
+    generated: dict | None = None,
+    identity: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -1237,7 +1298,22 @@ def vt_write(
     validates its incoming rows in one conditional-aggregation pass and
     raises :class:`ConstraintViolation` (nothing committed) on any
     violation. ``constraints=None`` (default) enforces and carries the
-    table's recorded set; ``[]`` clears it."""
+    table's recorded set; ``[]`` clears it.
+
+    ``generated={'col': '<sql expr>'}`` records GENERATED columns
+    (Delta's ``GENERATED ALWAYS AS (expr)``) as a table property: a
+    write missing the column computes it from the expression; a write
+    supplying it is validated (null-safe equality) and rejected on
+    mismatch; merge/update re-validate their post-images. ``{}``
+    clears. ``identity={'col': {'start': 1, 'step': 1}}`` records an
+    IDENTITY column: every vt_write assigns unique, monotonically
+    increasing (per ``step``'s sign) values and advances the high
+    watermark atomically with the commit; values may have gaps within
+    an append (Delta's identity contract), explicit values are
+    refused, and a lost commit race surfaces as FileExistsError (a
+    caller retry reassigns from the new head). Both properties carry
+    through every commit and block rename/drop/widen of the columns
+    they pin."""
     if txn is not None:
         last = vt_last_txn(path, txn[0])
         if last is not None and txn[1] <= last:
@@ -1252,6 +1328,55 @@ def vt_write(
         effective_constraints = (
             (head_manifest or {}).get("constraints") or []
         )
+    # generated + identity columns run BEFORE constraint enforcement:
+    # constraints govern the rows as committed, and these features add
+    # or compute columns of the committed row
+    eff_generated = (
+        dict(generated)
+        if generated is not None
+        else dict((head_manifest or {}).get("generated") or {})
+    )
+    eff_identity = (
+        {k: dict(v) for k, v in (identity or {}).items()}
+        if identity is not None
+        else {
+            k: dict(v)
+            for k, v in (
+                (head_manifest or {}).get("identity") or {}
+            ).items()
+        }
+    )
+    supplied_cols = set(df.columns)
+    if eff_generated:
+        df = _apply_generated(df, eff_generated)
+        _validate_generated(df, eff_generated, supplied_cols)
+    id_bases: dict[str, tuple[int, int]] = {}
+    for icol, ispec in eff_identity.items():
+        if icol in supplied_cols:
+            raise ValueError(
+                f"column {icol!r} is GENERATED ALWAYS AS IDENTITY: "
+                "vt_write must not supply it (vt_merge passes explicit "
+                "values through for keyed upserts)"
+            )
+        istep = int(ispec.get("step", 1))
+        ibase = int(
+            ispec.get("high_water", int(ispec.get("start", 1)) - istep)
+        )
+        # per-row unique offsets WITHOUT a global shuffle:
+        # monotonically_increasing_id is unique within the write's one
+        # evaluation (the id is assigned and written in the SAME
+        # action), values are monotone across appends, and gaps are
+        # allowed — exactly Delta's identity contract. The advanced
+        # high watermark is read back from the WRITTEN files' footer
+        # stats, so it describes the ids that actually committed.
+        df = df.withColumn(
+            icol,
+            (
+                F.lit(ibase)
+                + F.lit(istep) * (F.monotonically_increasing_id() + 1)
+            ).cast("long"),
+        )
+        id_bases[icol] = (ibase, istep)
     _enforce_constraints(df, effective_constraints)
     if bloom_cols is not None:
         eff_bloom_cols = list(bloom_cols)
@@ -1291,6 +1416,41 @@ def vt_write(
         if eff_bloom_cols
         else {}
     )
+    # advance each identity column's high watermark to the EXTREME id
+    # actually written (footer stats when they cover the new dir, a
+    # one-dir read-back otherwise — e.g. a zero-row partition file
+    # denies dir-level coverage)
+    new_identity: dict | None = None
+    if eff_identity:
+        new_identity = {}
+        for icol, ispec in eff_identity.items():
+            ibase, istep = id_bases[icol]
+            pcol = _phys(write_mapping, icol)
+            mm = new_stats.get(pcol)
+            if mm is not None:
+                extreme = int(mm[1] if istep > 0 else mm[0])
+            else:
+                row0 = (
+                    spark.read.parquet(os.path.join(path, new_dir))
+                    .agg(
+                        (
+                            F.max(pcol) if istep > 0 else F.min(pcol)
+                        ).alias("_hw")
+                    )
+                    .collect()[0]
+                )
+                extreme = (
+                    int(row0["_hw"]) if row0["_hw"] is not None else ibase
+                )
+            hw = (
+                max(ibase, extreme) if istep > 0 else min(ibase, extreme)
+            )
+            new_identity[icol] = {**ispec, "high_water": hw}
+    if identity is not None and not identity:
+        commit_identity: dict | None = {}  # explicit clear
+    else:
+        commit_identity = new_identity
+    commit_generated = dict(generated) if generated is not None else None
     for _ in range(max_retries):
         dirs = [new_dir]
         stats = {new_dir: new_stats} if new_stats else {}
@@ -1341,9 +1501,21 @@ def vt_write(
                     list(bloom_cols) if bloom_cols is not None else None
                 ),
                 column_mapping=commit_mapping,
+                generated=commit_generated,
+                identity=commit_identity,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
+            if eff_identity:
+                # the assigned ids derive from the head's high
+                # watermark: a racing commit may have advanced it, so a
+                # blind retry could commit DUPLICATE ids — surface the
+                # conflict; the caller's retry re-reads the new head
+                # and reassigns
+                shutil.rmtree(
+                    os.path.join(path, new_dir), ignore_errors=True
+                )
+                raise
             if txn is not None:
                 last = vt_last_txn(path, txn[0])
                 if last is not None and txn[1] <= last:
@@ -3039,9 +3211,15 @@ def vt_merge(
 
     def _enforce_for_head(manifest) -> None:
         specs = (manifest or {}).get("constraints") or []
-        if not _enforced_against or _enforced_against[0] != specs:
+        gen = (manifest or {}).get("generated") or {}
+        if not _enforced_against or _enforced_against[0] != (specs, gen):
             _enforce_constraints(ups, specs)
-            _enforced_against[:] = [specs]
+            if gen:
+                # merge upserts carry every column explicitly (the
+                # reconcile contract) — generated columns validate
+                # rather than compute
+                _validate_generated(ups, gen, set(ups.columns))
+            _enforced_against[:] = [(specs, gen)]
     # one bounded action over the updates' distinct keys, computed
     # LAZILY (first head that can actually be pruned) and reused across
     # retries (the updates DataFrame does not change with the head) —
@@ -3590,6 +3768,10 @@ def _dv_update_attempt(
         ]
     )
     _enforce_constraints(post, manifest.get("constraints") or [])
+    if manifest.get("generated"):
+        _validate_generated(
+            post, manifest["generated"], set(post.columns)
+        )
     pre = m.select(*[F.col(f.name) for f in target.fields]).withColumn(
         "_change_type", F.lit("update_preimage")
     )
@@ -4258,6 +4440,13 @@ def vt_update(
         change_dir = None
         try:
             _enforce_constraints(post_rows, vt_constraints(path))
+            gen_specs = manifest.get("generated") or {}
+            if gen_specs:
+                # an assignment that leaves a generated column stale
+                # (or rewrites it inconsistently) must not commit
+                _validate_generated(
+                    post_rows, gen_specs, set(post_rows.columns)
+                )
             if change_feed:
                 pre = touched.filter(matched).withColumn(
                     "_change_type", F.lit("update_preimage")
@@ -4438,6 +4627,27 @@ def vt_restore(
         raise ValueError(f"version {version} not in {versions}")
     target = _read_manifest(path, version)
     expected = versions[-1]
+    head_m = _read_manifest(path, expected)
+    # identity restores its SPEC from the target but its high watermark
+    # NEVER goes backwards (Delta preserves the identity high-water
+    # across RESTORE): reusing already-issued ids would corrupt every
+    # downstream key
+    restore_identity: dict = {}
+    head_ident = head_m.get("identity") or {}
+    for icol, ispec in (target.get("identity") or {}).items():
+        spec = dict(ispec)
+        if icol in head_ident:
+            step = int(spec.get("step", 1))
+            hws = [
+                s.get("high_water")
+                for s in (spec, head_ident[icol])
+                if s.get("high_water") is not None
+            ]
+            if hws:
+                spec["high_water"] = (
+                    max(hws) if step > 0 else min(hws)
+                )
+        restore_identity[icol] = spec
     return _commit(
         path,
         list(target["dirs"]),
@@ -4462,6 +4672,8 @@ def vt_restore(
         # when restoring past the mapping's creation — those files are
         # identity-named)
         column_mapping=target.get("column_mapping") or {},
+        generated=target.get("generated") or {},
+        identity=restore_identity,
     )
 
 
@@ -4491,6 +4703,23 @@ def _constraint_references(manifest: dict, col: str) -> list[str]:
             rf"\b{_re.escape(col)}\b", c.get("expr", "")
         ):
             out.append(c.get("name", "?"))
+    return out
+
+
+def _feature_references(manifest: dict, col: str) -> list[str]:
+    """Table-property FEATURES that pin ``col``: generated-column
+    targets and expressions, identity columns. Schema DDL refuses while
+    any exist — a rename would orphan the recorded expression, a drop
+    would break the invariant the feature maintains. Clear the property
+    first (``vt_write(..., generated={}/identity={})``)."""
+    import re as _re
+
+    out = []
+    for g, e in (manifest.get("generated") or {}).items():
+        if g == col or _re.search(rf"\b{_re.escape(col)}\b", e):
+            out.append(f"generated:{g}")
+    if col in (manifest.get("identity") or {}):
+        out.append(f"identity:{col}")
     return out
 
 
@@ -4590,6 +4819,12 @@ def vt_rename_column(path: str, old: str, new: str,
                 f"{refs}: drop them before renaming (their expressions "
                 "are recorded against the logical name)"
             )
+        frefs = _feature_references(manifest, old)
+        if frefs:
+            raise ValueError(
+                f"column {old!r} is pinned by table feature(s) "
+                f"{frefs}: clear the property before renaming"
+            )
         mapping = _mapping_or_identity(manifest)
         mapping[new] = mapping.pop(old)
         schema_json = json.loads(json.dumps(manifest["schema"]))
@@ -4639,6 +4874,12 @@ def vt_drop_column(path: str, col: str, max_retries: int = 5) -> int:
             raise ValueError(
                 f"column {col!r} is referenced by CHECK constraint(s) "
                 f"{refs}: drop them before dropping the column"
+            )
+        frefs = _feature_references(manifest, col)
+        if frefs:
+            raise ValueError(
+                f"column {col!r} is pinned by table feature(s) "
+                f"{frefs}: clear the property before dropping"
             )
         mapping = _mapping_or_identity(manifest)
         phys = mapping.pop(col)
@@ -4745,6 +4986,14 @@ def vt_widen_column(path: str, col: str, dtype,
         if col not in by_name:
             raise ValueError(
                 f"no column {col!r} in {sorted(by_name)}"
+            )
+        frefs = _feature_references(manifest, col) + (
+            _constraint_references(manifest, col) or []
+        )
+        if frefs:
+            raise ValueError(
+                f"column {col!r} is pinned by {frefs}: clear the "
+                "property/constraint before changing its type"
             )
         cur = by_name[col].dataType
         if not _can_widen(cur, dt):
@@ -6282,8 +6531,12 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
         clone={"src": src_path, "version": src_head, "deep": deep},
         dv=dv_remap,
         # the cloned directories hold the source's physical names — the
-        # mapping travels with them (shallow and deep alike)
+        # mapping travels with them (shallow and deep alike), as do the
+        # generated/identity properties (identity keeps the source's
+        # high watermark: the clone's ids continue where its data ends)
         column_mapping=m.get("column_mapping") or {},
+        generated=m.get("generated") or {},
+        identity=m.get("identity") or {},
     )
     return version
 

@@ -149,3 +149,221 @@ class TestRestoreTimestamp:
             vt_restore(spark, path, version=1, timestamp=t_after_v1)
         with pytest.raises(ValueError, match="requires version"):
             vt_restore(spark, path)
+
+
+class TestGeneratedColumns:
+    def test_computed_when_missing_validated_when_present(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        gen = {"total": "qty * price"}
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, 2, 3.0)]).select("id", "qty", "price"),
+            generated=gen,
+        )
+        got = vt_read(spark, path).collect()[0]
+        assert got["total"] == 6.0
+        # append WITH the column: consistent passes, inconsistent raises
+        ok = spark.createDataFrame(
+            [(2, 4, 2.0, 8.0)], "id long, qty long, price double, total double"
+        )
+        vt_write(spark, path, ok, mode="append")
+        bad = spark.createDataFrame(
+            [(3, 4, 2.0, 99.0)], "id long, qty long, price double, total double"
+        )
+        with pytest.raises(ValueError, match="generated-column mismatch"):
+            vt_write(spark, path, bad, mode="append")
+        assert vt_count(spark, path) == 2
+
+    def test_property_carries_and_null_semantics(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, 2, 3.0)]).select("id", "qty", "price"),
+            generated={"total": "qty * price"},
+        )
+        # later appends inherit the property without re-declaring it
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(2, None, 5.0)]).select("id", "qty", "price"),
+            mode="append",
+        )
+        got = {r["id"]: r["total"] for r in vt_read(spark, path).collect()}
+        assert got == {1: 6.0, 2: None}
+
+    def test_merge_and_update_validate_generated(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, 2, 3.0)]).select("id", "qty", "price"),
+            generated={"total": "qty * price"},
+        )
+        bad_ups = spark.createDataFrame(
+            [(1, 9, 1.0, 123.0)],
+            "id long, qty long, price double, total double",
+        )
+        with pytest.raises(ValueError, match="generated-column mismatch"):
+            vt_merge(spark, path, bad_ups, ["id"])
+        ok_ups = spark.createDataFrame(
+            [(1, 9, 1.0, 9.0)],
+            "id long, qty long, price double, total double",
+        )
+        vt_merge(spark, path, ok_ups, ["id"])
+        assert vt_read(spark, path).collect()[0]["total"] == 9.0
+        # an update that leaves the generated column stale refuses
+        with pytest.raises(ValueError, match="generated-column mismatch"):
+            vt_update(spark, path, ("id", "=", 1), {"qty": "qty + 1"})
+        # updating both consistently commits
+        vt_update(
+            spark,
+            path,
+            ("id", "=", 1),
+            {"qty": "qty + 1", "total": "(qty + 1) * price"},
+        )
+        assert vt_read(spark, path).collect()[0]["total"] == 10.0
+
+    def test_ddl_blocked_on_generated_columns(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_drop_column,
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, 2, 3.0)]).select("id", "qty", "price"),
+            generated={"total": "qty * price"},
+        )
+        for col in ("total", "qty"):
+            with pytest.raises(ValueError, match="pinned by"):
+                vt_rename_column(path, col, f"{col}2")
+            with pytest.raises(ValueError, match="pinned by"):
+                vt_drop_column(path, col)
+        with pytest.raises(ValueError, match="pinned by"):
+            vt_widen_column(path, "qty", "double")
+        # clearing the property unblocks
+        vt_write(
+            spark,
+            path,
+            vt_read(spark, path),
+            mode="overwrite",
+            generated={},
+        )
+        vt_rename_column(path, "total", "line_total")
+        assert "line_total" in vt_read(spark, path).columns
+
+
+class TestIdentityColumns:
+    def test_assignment_monotone_and_unique_across_appends(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], "name string"
+        )
+        vt_write(
+            spark, path, base, identity={"rid": {"start": 10, "step": 2}}
+        )
+        first = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(set(first)) == 3
+        assert min(first) >= 10 and all((r - 10) % 2 == 0 for r in first)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("d",), ("e",)], "name string"),
+            mode="append",
+        )
+        allrows = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(set(allrows)) == 5
+        second = sorted(set(allrows) - set(first))
+        assert min(second) > max(first)  # monotone across appends
+
+    def test_explicit_values_refused(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",)], "name string"),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(99, "x")], "rid long, name string"
+                ),
+                mode="append",
+            )
+
+    def test_high_water_recorded_and_restore_never_rewinds(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        v1 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",), ("b",)], "name string"),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        hw1 = _read_manifest(path, v1)["identity"]["rid"]["high_water"]
+        v2 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("c",)], "name string"),
+            mode="append",
+        )
+        hw2 = _read_manifest(path, v2)["identity"]["rid"]["high_water"]
+        assert hw2 > hw1
+        v3 = vt_restore(spark, path, v1)
+        hw3 = _read_manifest(path, v3)["identity"]["rid"]["high_water"]
+        assert hw3 == hw2  # never rewinds (Delta's RESTORE contract)
+        # ids issued after the restore stay above every issued id
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("d",)], "name string"),
+            mode="append",
+        )
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(set(rids)) == 3 and max(rids) > hw2
+
+    def test_ddl_blocked_on_identity_column(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_drop_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",)], "name string"),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        with pytest.raises(ValueError, match="pinned by"):
+            vt_rename_column(path, "rid", "row_id")
+        with pytest.raises(ValueError, match="pinned by"):
+            vt_drop_column(path, "rid")
+
+    def test_negative_step(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",), ("b",)], "name string"),
+            identity={"rid": {"start": -1, "step": -1}},
+        )
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("c",)], "name string"),
+            mode="append",
+        )
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(set(rids)) == 3 and max(rids) <= -1
