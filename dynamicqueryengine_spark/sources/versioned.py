@@ -1377,6 +1377,39 @@ def vt_write(
             ).cast("long"),
         )
         id_bases[icol] = (ibase, istep)
+    if (
+        mode == "append"
+        and head_manifest is not None
+        and head_manifest.get("schema") is not None
+    ):
+        # store assignment (Delta's implicit safe cast): an append whose
+        # columns are NARROWER than the table's declared types upcasts
+        # them at write — no flag needed, the files land wide. The
+        # reverse direction (incoming wider) is schema evolution and
+        # stays behind merge_schema=True.
+        from pyspark.sql.types import StructType as _ST
+
+        base_types = {
+            f.name: f.dataType
+            for f in _ST.fromJson(head_manifest["schema"]).fields
+        }
+        df_types = {f.name: f.dataType for f in df.schema.fields}
+        upcasts = {
+            c: base_types[c]
+            for c in df.columns
+            if c in base_types
+            and df_types[c] != base_types[c]
+            and _can_widen(df_types[c], base_types[c])
+        }
+        if upcasts:
+            df = df.select(
+                *[
+                    F.col(c).cast(upcasts[c]).alias(c)
+                    if c in upcasts
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
     _enforce_constraints(df, effective_constraints)
     if bloom_cols is not None:
         eff_bloom_cols = list(bloom_cols)

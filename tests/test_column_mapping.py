@@ -588,23 +588,32 @@ class TestTypeWidening:
             merge_schema=True,
         )
         assert dict(vt_read(spark, path).dtypes)["id"] == "bigint"
-        # narrower incoming is accepted as-is (reader upcasts its files)
+        # narrower incoming needs NO flag: store assignment (Delta's
+        # implicit safe cast) upcasts it at write
         vt_write(
             spark,
             path,
             spark.createDataFrame([(7, 3.0)], "id int, x double"),
             mode="append",
-            merge_schema=True,
         )
         got = vt_read(spark, path)
         assert dict(got.dtypes)["id"] == "bigint"
         assert {r["id"] for r in got.collect()} == {1, 2**40, 7}
-        # without merge_schema a type difference still raises
+        # a WIDER incoming type without the flag still raises (that is
+        # schema evolution, not store assignment)
+        t2 = path + "_narrow"
+        vt_write(
+            spark,
+            t2,
+            spark.createDataFrame([(1, 1.0)], "id int, x double"),
+        )
         with pytest.raises(ValueError, match="merge_schema"):
             vt_write(
                 spark,
-                path,
-                spark.createDataFrame([(8, 4.0)], "id int, x double"),
+                t2,
+                spark.createDataFrame(
+                    [(2**40, 4.0)], "id bigint, x double"
+                ),
                 mode="append",
             )
 
@@ -623,13 +632,14 @@ class TestTypeWidening:
             vt_widen_column(path, "id", "int")
         with pytest.raises(ValueError, match="cannot widen"):
             vt_widen_column(path, "v", "bigint")
-        with pytest.raises(ValueError, match="merge_schema=True"):
-            vt_write(
-                spark,
-                path,
-                spark.createDataFrame([(1, "x")], "id int, v string"),
-                mode="append",
-            )
+        # a narrower append upcasts silently (store assignment)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, "x")], "id int, v string"),
+            mode="append",
+        )
+        assert vt_count(spark, path) == 2
         # a genuinely incompatible change raises EVEN WITH merge_schema
         with pytest.raises(ValueError, match="incompatible type change"):
             vt_write(

@@ -28,6 +28,8 @@ from hypothesis import strategies as st
 
 from dynamicqueryengine_spark.sources.versioned import (
     vt_checkpoint,
+    vt_rename_column,
+    vt_widen_column,
     vt_head,
     vt_last_txn,
     vt_merge,
@@ -78,6 +80,14 @@ _OP = st.one_of(
     # DV-writing ops above
     st.tuples(st.just("reorg"), st.just(0)),
     st.tuples(st.just("checkpoint_dv"), st.just(0)),
+    # r12 schema DDL: RENAME (toggles the value column's logical name —
+    # metadata-only, per-version schemas, physical identity stable) and
+    # TYPE WIDENING (int id → bigint once; re-widening must refuse) —
+    # both must be row-for-row invisible under ANY interleaving with
+    # appends/DML/optimize/restore/vacuum, including restores that
+    # travel back to the narrow / old-name schema
+    st.tuples(st.just("rename"), st.just(0)),
+    st.tuples(st.just("widen"), st.just(0)),
 )
 
 
@@ -100,28 +110,38 @@ def _payload(seed: int, step: int) -> list[tuple[int, str]]:
 def test_random_histories_match_model(spark, tmp_path_factory, ops):
     path = str(tmp_path_factory.mktemp("vtm") / "t")
     versions: dict[int, list] = {}  # the model: version -> row multiset
+    # per-version logical schema state: (value column name, id widened)
+    meta: dict[int, tuple] = {}
     head = 0
     last_txn: int | None = None
     next_txn = 1
 
-    def df_of(rows):
-        return spark.createDataFrame(rows, "id long, v string")
+    def df_of(rows, name="v"):
+        # ids are small: writing them int exercises the append-side
+        # store assignment (auto-upcast) once the table widens
+        return spark.createDataFrame(rows, f"id int, {name} string")
 
     first = _payload(0, 0)
     vt_write(spark, path, df_of(first))
     head = 1
     versions[1] = list(first)
+    meta[1] = ("v", False)
 
     for step, (kind, seed) in enumerate(ops, start=1):
         rows = _payload(seed, step)
+        vn, wide = meta[head]
         if kind == "append":
-            vt_write(spark, path, df_of(rows), mode="append")
+            vt_write(spark, path, df_of(rows, vn), mode="append")
             head += 1
             versions[head] = versions[head - 1] + rows
+            meta[head] = (vn, wide)
         elif kind == "overwrite":
-            vt_write(spark, path, df_of(rows), mode="overwrite")
+            vt_write(spark, path, df_of(rows, vn), mode="overwrite")
             head += 1
             versions[head] = list(rows)
+            # overwrite replaces the schema with the incoming frame's:
+            # the id column narrows back to int (and the mapping resets)
+            meta[head] = (vn, False)
         elif kind == "append_race":
             # two racing appends, deterministically interleaved: the
             # winner commits between the loser's data write and commit;
@@ -132,25 +152,28 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             real = V._write_data_dir
             injected: list = []
 
-            def racy(df, p, _real=real, _inj=injected, _rw=rows_w):
-                out = _real(df, p)
+            def racy(df, p, _real=real, _inj=injected, _rw=rows_w,
+                     _vn=vn, **kw):
+                out = _real(df, p, **kw)
                 if not _inj:
                     _inj.append(True)
-                    vt_write(spark, path, df_of(_rw), mode="append")
+                    vt_write(spark, path, df_of(_rw, _vn), mode="append")
                 return out
 
             V._write_data_dir = racy
             try:
-                vt_write(spark, path, df_of(rows), mode="append")
+                vt_write(spark, path, df_of(rows, vn), mode="append")
             finally:
                 V._write_data_dir = real
             head += 1
             versions[head] = versions[head - 1] + rows_w  # winner
+            meta[head] = (vn, wide)
             head += 1
             versions[head] = versions[head - 1] + rows  # retried loser
+            meta[head] = (vn, wide)
         elif kind in ("merge", "merge_txn"):
             txn = ("app", next_txn) if kind == "merge_txn" else None
-            vt_merge(spark, path, df_of(rows), ["id"], txn=txn)
+            vt_merge(spark, path, df_of(rows, vn), ["id"], txn=txn)
             if txn:
                 last_txn = next_txn
                 next_txn += 1
@@ -159,6 +182,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + rows
+            meta[head] = (vn, wide)
         elif kind in ("delete", "delete_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_delete,
@@ -177,6 +201,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             else:
                 head += 1
                 versions[head] = survivors
+                meta[head] = (vn, wide)
         elif kind in ("update", "update_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_update,
@@ -190,7 +215,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 spark,
                 path,
                 ("id", ">=", seed),
-                {"v": "concat(v, '!')"},
+                {vn: f"concat({vn}, '!')"},
                 mode="dv" if kind == "update_dv" else "rewrite",
             )
             if new_rows == versions[head]:
@@ -198,6 +223,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             else:
                 head += 1
                 versions[head] = new_rows
+                meta[head] = (vn, wide)
         elif kind in ("merge_del", "merge_dv", "merge_dv_del"):
             # merge (optionally merge-on-read) where, in the _del
             # variants, every odd-id update row is a tombstone
@@ -205,7 +231,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_merge(
                 spark,
                 path,
-                df_of(rows),
+                df_of(rows, vn),
                 ["id"],
                 delete_where="id % 2 = 1" if has_del else None,
                 mode="rewrite" if kind == "merge_del" else "dv",
@@ -218,6 +244,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + keep_rows
+            meta[head] = (vn, wide)
         elif kind == "compact":
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_compact,
@@ -229,16 +256,21 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             if v != head:
                 head += 1
                 versions[head] = list(versions[head - 1])
+                meta[head] = (vn, wide)
         elif kind == "optimize":
             vt_optimize(spark, path, ["id"], n_partitions=2)
             head += 1
             versions[head] = list(versions[head - 1])
+            meta[head] = (vn, wide)
         elif kind == "restore":
             retained = sorted(versions)
             target = retained[max(0, len(retained) - 1 - seed)]
             vt_restore(spark, path, target)
             head += 1
             versions[head] = list(versions[target])
+            # restore resurrects the TARGET's schema state: logical
+            # names AND declared types travel with the manifest
+            meta[head] = meta[target]
         elif kind == "analyze":
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_analyze,
@@ -248,6 +280,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_analyze(spark, path, columns=["id"])
             head += 1
             versions[head] = list(versions[head - 1])
+            meta[head] = (vn, wide)
             st_ = vt_table_stats(path)
             assert st_["analyze"]["rows"] == len(versions[head])
             assert st_["analyze_stale"] is False
@@ -259,7 +292,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             cpath = f"{path}_clone{step}"
             vt_clone(spark, path, cpath)
             got = Counter(
-                (r["id"], r["v"]) for r in vt_read(spark, cpath).collect()
+                (r["id"], r[vn]) for r in vt_read(spark, cpath).collect()
             )
             assert got == Counter(versions[head]), f"clone after {kind}"
             # the clone is a separate table: source log untouched
@@ -280,30 +313,52 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             if v != head:  # purged something: layout-only commit
                 head += 1
                 versions[head] = list(versions[head - 1])
+                meta[head] = (vn, wide)
         elif kind == "checkpoint_dv":
             v = vt_checkpoint(spark, path, consolidate_dv=True)
             assert v in (head, head + 1)
             if v != head:  # folded >1 sidecar: metadata-only commit
                 head += 1
                 versions[head] = list(versions[head - 1])
+                meta[head] = (vn, wide)
+        elif kind == "rename":
+            other = "w" if vn == "v" else "v"
+            vt_rename_column(path, vn, other)
+            head += 1
+            versions[head] = list(versions[head - 1])
+            meta[head] = (other, wide)
+        elif kind == "widen":
+            if wide:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="cannot widen"):
+                    vt_widen_column(path, "id", "bigint")
+            else:
+                vt_widen_column(path, "id", "bigint")
+                head += 1
+                versions[head] = list(versions[head - 1])
+                meta[head] = (vn, True)
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
             vt_vacuum(spark, path, keep_last=seed, grace_seconds=0)
             keep = sorted(versions)[-seed:]
             versions = {v: r for v, r in versions.items() if v in keep}
+            meta = {v: m for v, m in meta.items() if v in keep}
 
         # ---- invariants after every step ----
         assert vt_versions(path) == sorted(versions)
         assert vt_head(path) == head
         for v, expected in versions.items():
+            name_v = meta[v][0]
             got = Counter(
-                (r["id"], r["v"])
+                (r["id"], r[name_v])
                 for r in vt_read(spark, path, v).collect()
             )
             assert got == Counter(expected), f"version {v} after {kind}"
+        head_name = meta[head][0]
         pruned = Counter(
-            (r["id"], r["v"])
+            (r["id"], r[head_name])
             for r in vt_read(spark, path, predicate=("id", ">", 4)).collect()
         )
         assert pruned == Counter(
