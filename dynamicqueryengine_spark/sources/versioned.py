@@ -103,6 +103,7 @@ __all__ = [
     "vt_diff",
     "vt_savepoint",
     "vt_read_savepoint",
+    "vt_describe",
     "vt_rename_column",
     "vt_drop_column",
     "vt_add_column",
@@ -6678,6 +6679,78 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
                 }
         if drift:
             out["analyze_drift"] = drift
+    return out
+
+
+def vt_describe(path: str, version: int | None = None) -> dict:
+    """One-stop table detail — Delta's ``DESCRIBE DETAIL``: the
+    snapshot's schema (logical), declared table properties
+    (constraints, bloom_cols, generated, identity, column mapping),
+    protocol requirements, layout shape (dirs/files/bytes, physical +
+    logical row counts when footer coverage allows), deletion-vector
+    debt, and the head op/timestamp — all from ONE manifest read plus
+    filesystem metadata, no data file opened."""
+    v = _resolve_version(path, version)
+    m = _read_manifest(path, v)
+    flists = m.get("files", {})
+    frows = m.get("file_rows", {})
+    n_files = 0
+    physical_rows: int | None = 0
+    for d in m["dirs"]:
+        fl = flists.get(d)
+        if fl is None:
+            try:
+                fl = [
+                    n
+                    for n in os.listdir(os.path.join(path, d))
+                    if n.endswith(".parquet")
+                ]
+            except OSError:
+                fl = []
+            physical_rows = None  # legacy dir: counts not in metadata
+        n_files += len(fl)
+        if physical_rows is not None:
+            drows = frows.get(d, {})
+            if any(f not in drows for f in fl):
+                physical_rows = None
+            else:
+                physical_rows += sum(drows[f] for f in fl)
+    dv_map = m.get("dv") or {}
+    dv_rows = sum(
+        e["count"] for fmap in dv_map.values() for e in fmap.values()
+    )
+    out = {
+        "version": v,
+        "op": m.get("op"),
+        "ts": m.get("ts"),
+        "schema": m.get("schema"),
+        "num_dirs": len(m["dirs"]),
+        "num_files": n_files,
+        "size_bytes": _data_bytes(path, m),
+        "physical_rows": physical_rows,
+        "logical_rows": (
+            physical_rows - dv_rows if physical_rows is not None else None
+        ),
+        "partial_dirs": m.get("partial_dirs") or [],
+        "deletion_vectors": {
+            "files": sum(len(f) for f in dv_map.values()),
+            "rows": dv_rows,
+        },
+        "protocol": m.get("protocol")
+        or {"min_reader": 1, "min_writer": 1},
+        "properties": {
+            k: m[k]
+            for k in (
+                "constraints",
+                "bloom_cols",
+                "generated",
+                "identity",
+                "column_mapping",
+            )
+            if m.get(k)
+        },
+        "heterogeneous": bool(m.get("schema_heterogeneous")),
+    }
     return out
 
 

@@ -6077,6 +6077,121 @@ LLM_QUERIES["events_vt_widen_types"] = FnWorkload(
 )
 
 
+def _events_vt_generated_identity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED + IDENTITY columns, EXECUTED (r12 — Delta's GENERATED
+    ALWAYS AS (expr) / AS IDENTITY): stage the low half of events with a
+    generated measure (``gross = v + v``, computed by the ENGINE from
+    the recorded table property — the writer never supplies it) and an
+    identity key assigned without a global shuffle, then append the high
+    half (property inherited, ids continue above the recorded high
+    watermark). Pinned INSIDE the oracle hash: ``ids_unique`` (distinct
+    ids == rows — assignment is collision-free across both appends),
+    ``ids_monotone`` (the manifest high watermark strictly advanced and
+    every id ≥ start), ``explicit_id_refused`` (a write supplying the
+    identity column raises — GENERATED ALWAYS), ``generated_validated``
+    (a write supplying an INCONSISTENT generated value raises, nothing
+    committed). The surviving aggregate exposes only deterministic
+    columns (ids are partition-order-dependent by design, Delta's gap
+    contract) and equals the SQL mirror recomputing the generation
+    expression from base data."""
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_count,
+        vt_read,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    b = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 2
+    path = os.path.join(_scratch_dir("vtgenid", sf_dir), "ev")
+    lo_half = ev.filter(F.col("event_id") <= cut).select("event_type", "v")
+    hi_half = ev.filter(F.col("event_id") > cut).select("event_type", "v")
+    v1 = vt_write(
+        spark,
+        path,
+        lo_half,
+        generated={"gross": "v + v"},
+        identity={"rid": {"start": 1, "step": 1}},
+    )
+    hw1 = _read_manifest(path, v1)["identity"]["rid"]["high_water"]
+    v2 = vt_write(spark, path, hi_half, mode="append")
+    hw2 = _read_manifest(path, v2)["identity"]["rid"]["high_water"]
+    snap = vt_read(spark, path)
+    n_total = vt_count(spark, path)
+    idrow = snap.agg(
+        F.countDistinct("rid").alias("d"), F.min("rid").alias("lo")
+    ).collect()[0]
+    ids_unique = idrow["d"] == n_total
+    ids_monotone = hw2 > hw1 and idrow["lo"] >= 1
+    try:
+        vt_write(
+            spark,
+            path,
+            snap.limit(1).select("rid", "event_type", "v"),
+            mode="append",
+        )
+        explicit_id_refused = False
+    except ValueError:
+        explicit_id_refused = True
+    try:
+        bad = snap.limit(1).select(
+            "event_type", "v", F.col("v").alias("gross")
+        )
+        vt_write(spark, path, bad, mode="append")
+        generated_validated = False
+    except ValueError:
+        generated_validated = (
+            vt_count(spark, path) == n_total  # nothing committed
+        )
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("gross"), 6).cast("double").alias("sum_gross"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_gross",
+            F.lit(bool(ids_unique)).alias("ids_unique"),
+            F.lit(bool(ids_monotone)).alias("ids_monotone"),
+            F.lit(bool(explicit_id_refused)).alias("explicit_id_refused"),
+            F.lit(bool(generated_validated)).alias("generated_validated"),
+        )
+    )
+
+
+_EVENTS_VT_GENERATED_IDENTITY_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v + v), 6) AS DOUBLE) AS sum_gross,
+       TRUE AS ids_unique,
+       TRUE AS ids_monotone,
+       TRUE AS explicit_id_refused,
+       TRUE AS generated_validated
+FROM t
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_generated_identity"] = FnWorkload(
+    _events_vt_generated_identity, _EVENTS_VT_GENERATED_IDENTITY_SQL
+)
+
+
 def _events_vt_delete_filedrop(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

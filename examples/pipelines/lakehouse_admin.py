@@ -171,6 +171,42 @@ def main() -> None:
     vt_optimize(spark, facts, ["event_id"], n_partitions=4)
     assert "dv" not in vt_history(facts)[0]
     print("[7] optimize materialized the vector (dv debt back to zero)")
+
+    # 8. schema DDL without touching a byte of data: RENAME COLUMN
+    #    (column mapping), TYPE WIDENING, then DESCRIBE DETAIL shows the
+    #    evolved state — all metadata-only commits on the same files
+    from dynamicqueryengine_spark.sources.versioned import (
+        _read_manifest,
+        vt_describe,
+        vt_head,
+        vt_rename_column,
+        vt_widen_column,
+    )
+
+    from dynamicqueryengine_spark.sources.versioned import vt_add_column
+
+    dirs_before = _read_manifest(facts, vt_head(facts))["dirs"]
+    vt_rename_column(facts, "value", "amount")
+    vt_add_column(facts, "priority", "int")
+    vt_widen_column(facts, "priority", "bigint")
+    detail = vt_describe(facts)
+    assert _read_manifest(facts, vt_head(facts))["dirs"] == dirs_before
+    assert detail["properties"]["column_mapping"]["amount"] == "value"
+    ptype = next(
+        f["type"]
+        for f in detail["schema"]["fields"]
+        if f["name"] == "priority"
+    )
+    assert ptype == "long"
+    n_after_ddl = vt_count(spark, facts)
+    total = (
+        vt_read(spark, facts).agg({"amount": "sum"}).collect()[0][0]
+    )
+    print(
+        f"[8] rename+add+widen were metadata-only (same "
+        f"{len(dirs_before)} dirs); reads serve 'amount' + a bigint "
+        f"'priority' ({n_after_ddl} rows, sum={total:.2f})"
+    )
     print("lakehouse-admin tour: all stages verified")
 
 

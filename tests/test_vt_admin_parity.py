@@ -367,3 +367,39 @@ class TestIdentityColumns:
         )
         rids = [r["rid"] for r in vt_read(spark, path).collect()]
         assert len(set(rids)) == 3 and max(rids) <= -1
+
+
+class TestDescribeDetail:
+    def test_describe_covers_properties_and_layout(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_describe,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(i, i, float(i)) for i in range(10)]),
+            constraints=[{"name": "q", "kind": "expr", "expr": "qty >= 0"}],
+            bloom_cols=["id"],
+        )
+        vt_rename_column(path, "price", "amount")
+        vt_delete(spark, path, ("id", "=", 3), mode="dv")
+        d = vt_describe(path)
+        assert d["version"] == 3 and d["op"] == "delete"
+        assert d["physical_rows"] == 10 and d["logical_rows"] == 9
+        assert d["deletion_vectors"] == {"files": 1, "rows": 1}
+        assert d["protocol"]["min_reader"] == 3  # mapped + DV'd
+        props = d["properties"]
+        assert props["bloom_cols"] == ["id"]
+        assert props["constraints"][0]["name"] == "q"
+        assert props["column_mapping"]["amount"] == "price"
+        assert [f["name"] for f in d["schema"]["fields"]] == [
+            "id", "qty", "amount",
+        ]
+        assert d["num_files"] >= 1 and d["size_bytes"] > 0
+        # time travel: the pre-rename version describes the OLD state
+        d1 = vt_describe(path, version=1)
+        assert "column_mapping" not in d1["properties"]
+        assert d1["logical_rows"] == 10
