@@ -104,6 +104,7 @@ __all__ = [
     "vt_savepoint",
     "vt_read_savepoint",
     "vt_describe",
+    "vt_generate_manifest",
     "vt_rename_column",
     "vt_drop_column",
     "vt_add_column",
@@ -6680,6 +6681,60 @@ def vt_diff(path: str, v_old: int, v_new: int | None = None) -> dict:
         if drift:
             out["analyze_drift"] = drift
     return out
+
+
+def vt_generate_manifest(
+    path: str, out_dir: str | None = None, version: int | None = None
+) -> str:
+    """Export a SYMLINK FORMAT MANIFEST — Delta's ``GENERATE
+    symlink_format_manifest`` (the Presto/Trino/Athena/Hive interop
+    contract): one text file listing the absolute path of every data
+    file in the snapshot, so an external engine can read the table as
+    plain parquet without understanding the transaction log. Honors
+    authoritative file lists (partial dirs from file-granular DML never
+    leak rewritten-away files). Written atomically (tmp + rename) to
+    ``<table>/_symlink_format_manifest/manifest`` by default; returns
+    the manifest file's path.
+
+    Refuses when the snapshot's semantics are NOT expressible as a
+    plain file list — deletion vectors (an external reader would
+    resurrect deleted rows; run :func:`vt_reorg` first) or a column
+    mapping (the files carry physical names an external reader would
+    serve verbatim) — the same restrictions Delta documents for its
+    manifest generation."""
+    v = _resolve_version(path, version)
+    m = _read_manifest(path, v)
+    if m.get("dv"):
+        raise ValueError(
+            "snapshot carries deletion vectors: a symlink manifest "
+            "would resurrect deleted rows for external readers — run "
+            "vt_reorg(path) to materialize them first"
+        )
+    if _col_mapping(m):
+        raise ValueError(
+            "table uses column mapping: data files carry physical "
+            "column names external readers would serve verbatim"
+        )
+    flists = m.get("files", {})
+    out: list[str] = []
+    for d in m["dirs"]:
+        full = d if os.path.isabs(d) else os.path.join(path, d)
+        fl = flists.get(d)
+        if fl is None:
+            fl = sorted(
+                n
+                for n in os.listdir(full)
+                if n.endswith(".parquet")
+            )
+        out.extend(os.path.abspath(os.path.join(full, f)) for f in fl)
+    dest_dir = out_dir or os.path.join(path, "_symlink_format_manifest")
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, "manifest")
+    tmp = dest + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(out) + ("\n" if out else ""))
+    os.replace(tmp, dest)
+    return dest
 
 
 def vt_describe(path: str, version: int | None = None) -> dict:

@@ -403,3 +403,60 @@ class TestDescribeDetail:
         d1 = vt_describe(path, version=1)
         assert "column_mapping" not in d1["properties"]
         assert d1["logical_rows"] == 10
+
+
+class TestSymlinkManifest:
+    def test_manifest_lists_exact_snapshot_files(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_generate_manifest,
+            vt_optimize,
+            vt_scan_plan,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(i, i, float(i)) for i in range(40)])
+        )
+        vt_optimize(spark, path, ["id"], n_partitions=4)
+        # file-granular delete leaves a PARTIAL dir: the manifest must
+        # follow the authoritative list, not the directory contents
+        vt_delete(spark, path, ("id", "<", 10))
+        dest = vt_generate_manifest(path)
+        listed = [
+            ln for ln in open(dest).read().splitlines() if ln.strip()
+        ]
+        plan_paths = set()
+        for p in vt_scan_plan(path)["paths"]:
+            if os.path.isdir(p):
+                plan_paths.update(
+                    os.path.abspath(os.path.join(p, n))
+                    for n in os.listdir(p)
+                    if n.endswith(".parquet")
+                )
+            else:
+                plan_paths.add(os.path.abspath(p))
+        assert set(listed) == plan_paths
+        # an external engine reading the listed files sees the snapshot
+        got = spark.read.parquet(*listed)
+        assert got.count() == vt_count(spark, path) == 30
+
+    def test_manifest_refuses_dv_and_mapping(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_delete,
+            vt_generate_manifest,
+            vt_reorg,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(i, i, float(i)) for i in range(10)])
+        )
+        vt_delete(spark, path, ("id", "=", 3), mode="dv")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            vt_generate_manifest(path)
+        vt_reorg(spark, path)
+        vt_generate_manifest(path)  # purged: exportable again
+        vt_rename_column(path, "qty", "quantity")
+        with pytest.raises(ValueError, match="column mapping"):
+            vt_generate_manifest(path)
