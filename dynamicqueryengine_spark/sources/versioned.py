@@ -543,6 +543,16 @@ def _commit(
             prev = _read_manifest(path, expected_head)
         except FileNotFoundError:
             prev = None
+    if prev is not None:
+        # in-commit timestamp monotonicity (Delta's inCommitTimestamps):
+        # wall clocks skew — a commit stamped EARLIER than its
+        # predecessor would make TIMESTAMP AS OF resolve a version that
+        # did not exist at that moment. Clamp to the predecessor's
+        # timestamp; vt_version_at picks the highest version at equal
+        # timestamps, so ordering stays correct.
+        manifest["ts"] = max(
+            manifest["ts"], float(prev.get("ts", 0.0))
+        )
     if constraints is None and prev is not None:
         constraints = prev.get("constraints")
     if constraints:

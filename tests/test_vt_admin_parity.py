@@ -460,3 +460,38 @@ class TestSymlinkManifest:
         vt_rename_column(path, "qty", "quantity")
         with pytest.raises(ValueError, match="column mapping"):
             vt_generate_manifest(path)
+
+
+class TestInCommitTimestampClamp:
+    def test_backwards_clock_cannot_break_timestamp_resolution(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Delta's inCommitTimestamps rationale: a commit stamped
+        EARLIER than its predecessor (clock skew, NTP step) would make
+        TIMESTAMP AS OF resolve a snapshot that did not exist at that
+        moment. The commit clamps to the predecessor's timestamp."""
+        import dynamicqueryengine_spark.sources.versioned as V
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_version_at,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, 1, 1.0)]))
+        t1 = _read_manifest(path, 1)["ts"]
+        real_time = V.time.time
+
+        monkeypatch.setattr(
+            V.time, "time", lambda: real_time() - 3600.0
+        )
+        try:
+            vt_write(
+                spark, path, _df(spark, [(2, 2, 2.0)]), mode="append"
+            )
+        finally:
+            monkeypatch.setattr(V.time, "time", real_time)
+        t2 = _read_manifest(path, 2)["ts"]
+        assert t2 >= t1  # clamped, not an hour in the past
+        # resolution stays monotone: the head is reachable at its own
+        # stamp, and v1's stamp never resolves FORWARD past the clamp
+        assert vt_version_at(path, t2) == 2
+        assert vt_version_at(path, t1) in (1, 2)
