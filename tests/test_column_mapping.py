@@ -737,3 +737,47 @@ class TestTypeWidening:
             (r["_change_type"], r["id"]) for r in ch.collect()
         } == {("insert", 1), ("insert", 2**40)}
         assert v2 == 2
+
+
+class TestStreamAcrossWiden:
+    def test_stream_source_upcasts_pre_widen_files(self, spark, tmp_path):
+        """The streaming source's per-partition pyarrow cast must serve
+        pre-widen int32 files as the stream schema's bigint — and a
+        post-widen append carrying true 64-bit values lands exactly."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+        from dynamicqueryengine_spark.streaming.source import (
+            vt_change_stream,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        )
+        vt_widen_column(path, "id", "bigint")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(2**40, "c")], "id bigint, v string"),
+            mode="append",
+        )
+        stream = vt_change_stream(spark, path)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("widen_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from widen_stream")
+        assert dict(got.dtypes)["id"] == "bigint"
+        assert {
+            (r["id"], r["v"], r["_change_type"]) for r in got.collect()
+        } == {
+            (1, "a", "insert"),
+            (2, "b", "insert"),
+            (2**40, "c", "insert"),
+        }
