@@ -158,6 +158,15 @@ SHOWCASES = [
         "condition so Catalyst can reorder the chain.",
         "join_local_supplier_volume_q5",
     ),
+    (
+        "Column-mapped read: pushdown through the rename alias (r12)",
+        "After RENAME COLUMN (metadata-only), the LOGICAL predicate "
+        "reaches the parquet scan translated to the PHYSICAL name "
+        "(PushedFilters on `value`, not `amount`), ReadSchema carries "
+        "only physical columns, and the rename's projection collapses "
+        "into the scan — a rename costs nothing at read time.",
+        "mapped_read_pushdown",
+    ),
 ]
 
 
@@ -193,6 +202,24 @@ def main() -> None:
                 load_table(spark, SF_DIR, "customer"),
                 RuleDefinition.from_dict(rule),
             ).select("c_custkey", "c_mktsegment")
+        elif key == "mapped_read_pushdown":
+            import tempfile
+
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_optimize,
+                vt_read,
+                vt_rename_column,
+                vt_write,
+            )
+
+            t = os.path.join(tempfile.mkdtemp(prefix="plans_cm_"), "t")
+            ev = load_table(spark, SF_DIR, "events").select(
+                "event_id", "event_type", "value"
+            )
+            vt_write(spark, t, ev)
+            vt_optimize(spark, t, ["value"], n_partitions=2)
+            vt_rename_column(t, "value", "amount")
+            df = vt_read(spark, t, predicate=("amount", ">=", 100.0))
         else:
             df = qs[key](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
