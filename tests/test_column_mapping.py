@@ -781,3 +781,74 @@ class TestStreamAcrossWiden:
             (2, "b", "insert"),
             (2**40, "c", "insert"),
         }
+
+
+class TestDdlConcurrency:
+    def test_rename_raced_by_append_retries_and_lands(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A rename losing its commit race to an append must retry on
+        the advanced head (metadata-only commits are derivable from any
+        head) — both land, and the appended rows serve under the new
+        name."""
+        import dynamicqueryengine_spark.sources.versioned as V
+
+        path = str(tmp_path / "t")
+        _base(spark, path, n=4)
+        real = V._read_manifest
+        injected = []
+
+        def racing(p, v, _real=real):
+            m = _real(p, v)
+            if not injected and v == 1:
+                injected.append(True)
+                vt_write(
+                    spark,
+                    path,
+                    _df(spark, [(100, "x", 100.0)]),
+                    mode="append",
+                )
+            return m
+
+        monkeypatch.setattr(V, "_read_manifest", racing)
+        try:
+            v = vt_rename_column(path, "val", "amount")
+        finally:
+            monkeypatch.setattr(V, "_read_manifest", real)
+        assert v == 3  # append won 2, rename retried onto 3
+        got = vt_read(spark, path)
+        assert got.columns == ["id", "user", "amount"]
+        assert got.filter("amount = 100.0").count() == 1
+
+    def test_full_stack_composition_clone_of_mapped_widened_dv_table(
+        self, spark, tmp_path
+    ):
+        """Every r12 storage feature stacked on one table, then cloned:
+        rename + widen + DV delete + generated column + checkpoint —
+        the shallow clone must serve the identical logical snapshot."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i, float(i)) for i in range(20)],
+            "id int, qty long, price double",
+        )
+        vt_write(spark, path, df, generated={"total": "qty * 2"})
+        vt_widen_column(path, "id", "bigint")
+        # price is NOT referenced by the generated expr, so it renames;
+        # qty (referenced) would refuse — the guard has its own test
+        vt_rename_column(path, "price", "amount")
+        vt_delete(spark, path, ("id", "=", 7), mode="dv")
+        vt_checkpoint(spark, path, consolidate_dv=True)
+        dst = str(tmp_path / "c")
+        vt_clone(spark, path, dst)
+        for p in (path, dst):
+            got = vt_read(spark, p)
+            assert got.columns == ["id", "qty", "amount", "total"]
+            assert dict(got.dtypes)["id"] == "bigint"
+            assert got.count() == 19
+            assert got.filter("id = 7").count() == 0
+            assert got.filter("total != qty * 2").count() == 0
+        assert vt_count(spark, dst) == 19  # metadata count on the clone
