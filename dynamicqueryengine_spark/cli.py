@@ -62,6 +62,25 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--host", default="127.0.0.1")
 
+    vt = sub.add_parser(
+        "vt", help="versioned-table admin (DESCRIBE/HISTORY/DDL/VACUUM)"
+    )
+    vt.add_argument(
+        "action",
+        choices=[
+            "describe", "history", "rename-column", "drop-column",
+            "add-column", "widen-column", "vacuum", "restore",
+            "generate-manifest",
+        ],
+    )
+    vt.add_argument("path", help="table directory")
+    vt.add_argument("args", nargs="*", help="action operands")
+    vt.add_argument("--version", type=int)
+    vt.add_argument("--timestamp")
+    vt.add_argument("--keep-last", type=int, default=2)
+    vt.add_argument("--retain-seconds", type=float)
+    vt.add_argument("--dry-run", action="store_true")
+
     args = parser.parse_args(argv)
     spark = get_spark("dqe-cli")
 
@@ -105,6 +124,73 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.out}", file=sys.stderr)
         else:
             _print_rows(result, args.limit)
+        return 0
+
+    if args.cmd == "vt":
+        from .sources import versioned as V
+
+        def need(n: int, usage: str) -> list[str]:
+            if len(args.args) != n:
+                raise SystemExit(f"usage: vt {args.action} PATH {usage}")
+            return args.args
+
+        if args.action == "describe":
+            print(
+                json.dumps(
+                    V.vt_describe(args.path, version=args.version),
+                    indent=2,
+                    default=str,
+                )
+            )
+        elif args.action == "history":
+            try:
+                for entry in V.vt_history(args.path):
+                    print(json.dumps(entry, default=str))
+            except BrokenPipeError:  # piped into head — normal exit
+                import os as _os
+
+                _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), 1)
+        elif args.action == "rename-column":
+            old_name, new_name = need(2, "OLD NEW")
+            v = V.vt_rename_column(args.path, old_name, new_name)
+            print(f"renamed {old_name} -> {new_name} at version {v}")
+        elif args.action == "drop-column":
+            (col,) = need(1, "COL")
+            v = V.vt_drop_column(args.path, col)
+            print(f"dropped {col} at version {v}")
+        elif args.action == "add-column":
+            col, dtype = need(2, "COL TYPE")
+            v = V.vt_add_column(args.path, col, dtype)
+            print(f"added {col} {dtype} at version {v}")
+        elif args.action == "widen-column":
+            col, dtype = need(2, "COL TYPE")
+            v = V.vt_widen_column(args.path, col, dtype)
+            print(f"widened {col} to {dtype} at version {v}")
+        elif args.action == "vacuum":
+            removed = V.vt_vacuum(
+                spark,
+                args.path,
+                keep_last=args.keep_last,
+                retain_seconds=args.retain_seconds,
+                dry_run=args.dry_run,
+            )
+            verb = "would remove" if args.dry_run else "removed"
+            print(f"{verb} {len(removed)} object(s)")
+            for r in removed:
+                print(f"  {r}")
+        elif args.action == "restore":
+            v = V.vt_restore(
+                spark,
+                args.path,
+                version=args.version,
+                timestamp=args.timestamp,
+            )
+            print(f"restored as version {v}")
+        elif args.action == "generate-manifest":
+            dest = V.vt_generate_manifest(
+                args.path, version=args.version
+            )
+            print(dest)
         return 0
 
     if args.cmd == "serve":

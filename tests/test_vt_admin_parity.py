@@ -5,6 +5,7 @@ RESTORE TO TIMESTAMP AS OF."""
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -495,3 +496,27 @@ class TestInCommitTimestampClamp:
         # stamp, and v1's stamp never resolves FORWARD past the clamp
         assert vt_version_at(path, t2) == 2
         assert vt_version_at(path, t1) in (1, 2)
+
+
+class TestVtCli:
+    def test_vt_admin_cli_round_trip(self, spark, tmp_path, capsys):
+        """`python -m dynamicqueryengine_spark vt …` drives the schema
+        DDL, DESCRIBE, dry-run vacuum and HISTORY end to end."""
+        from dynamicqueryengine_spark.cli import main
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, 2, 3.0)]))
+        assert main(["vt", "rename-column", path, "price", "amount"]) == 0
+        assert main(["vt", "add-column", path, "tag", "string"]) == 0
+        assert main(["vt", "describe", path]) == 0
+        out = capsys.readouterr().out
+        assert '"amount"' in out and '"tag"' in out
+        assert main(["vt", "vacuum", path, "--dry-run"]) == 0
+        assert "would remove" in capsys.readouterr().out
+        assert main(["vt", "history", path]) == 0
+        hist = capsys.readouterr().out.splitlines()
+        assert json.loads(hist[0])["op"] == "add_column"
+        # operand validation errors exit, not traceback
+        with pytest.raises(SystemExit, match="usage"):
+            main(["vt", "rename-column", path, "only-one-arg"])
+
