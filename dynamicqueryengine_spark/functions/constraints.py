@@ -40,6 +40,27 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["constraint_report", "constraint_report_sql"]
 
 
+def validate_expr_types(df: DataFrame, constraints: Sequence[Mapping]) -> None:
+    """Resolve every ``expr`` constraint against ``df``'s schema and
+    refuse non-boolean expressions — driver-side analysis only, no job.
+    Without this, a spec typo (``"amount"`` instead of ``"amount > 0"``)
+    would be silently coerced by a boolean cast into nonzero-is-true
+    semantics, and the SQL mirror could disagree (Delta parses CHECK
+    expressions and rejects non-boolean results the same way)."""
+    from pyspark.sql.types import BooleanType
+
+    for c in constraints:
+        if c.get("kind") != "expr":
+            continue
+        dt = df.select(F.expr(c["expr"]).alias("_e")).schema[0].dataType
+        if not isinstance(dt, BooleanType):
+            raise ValueError(
+                f"CHECK constraint {c.get('name')!r}: expression "
+                f"{c['expr']!r} resolves to {dt.simpleString()}, not "
+                "boolean — a CHECK expression must be a boolean predicate"
+            )
+
+
 def _row_violation(c: Mapping) -> F.Column:
     """Boolean Column: TRUE when the row VIOLATES the constraint.
     NULL handling follows the warehouse convention: only ``not_null``
@@ -49,8 +70,10 @@ def _row_violation(c: Mapping) -> F.Column:
     if kind == "expr":
         # arbitrary SQL CHECK (Delta's CHECK constraint semantics):
         # violated only when the expression evaluates FALSE on the row;
-        # NULL passes (unknown is not a violation)
-        return ~F.coalesce(F.expr(c["expr"]).cast("boolean"), F.lit(True))
+        # NULL passes (unknown is not a violation). The expression's
+        # boolean-ness is enforced by validate_expr_types at every
+        # enforcement/registration site — no silent cast here.
+        return ~F.coalesce(F.expr(c["expr"]), F.lit(True))
     col = F.col(c["col"])
     if kind == "not_null":
         return col.isNull()
@@ -70,6 +93,7 @@ def _row_violation(c: Mapping) -> F.Column:
 
 def constraint_report(df: DataFrame, constraints: Sequence[Mapping]) -> DataFrame:
     """(name, kind, n_checked, n_violations, passed) per constraint."""
+    validate_expr_types(df, constraints)
     row_cs = [c for c in constraints if c["kind"] not in ("unique", "foreign_key")]
     uniq_cs = [c for c in constraints if c["kind"] == "unique"]
     fk_cs = [c for c in constraints if c["kind"] == "foreign_key"]

@@ -1192,8 +1192,12 @@ def _enforce_constraints(df: DataFrame, specs: list) -> None:
     written nothing yet, so the table is untouched."""
     if not specs:
         return
-    from ..functions.constraints import _row_violation
+    from ..functions.constraints import _row_violation, validate_expr_types
 
+    # refuse non-boolean expr constraints BEFORE building the violation
+    # aggregation — schema-only analysis, no job (ADVICE r12: a typo'd
+    # spec like "amount" must not silently coerce to nonzero-is-true)
+    validate_expr_types(df, specs)
     row = df.agg(
         *[
             F.sum(
@@ -1585,14 +1589,28 @@ def vt_write(
                     os.path.join(path, new_dir), ignore_errors=True
                 )
                 raise
-            if base_mapping is not None and _col_mapping(
-                _read_manifest(path, new_head)
-            ) != base_mapping:
+            new_head_mapping = _col_mapping(_read_manifest(path, new_head))
+            if base_mapping is not None and new_head_mapping != base_mapping:
                 # a racing append EVOLVED the mapping (its merge_schema
                 # added a column): our explicit map would drop their
                 # entry and orphan their column's data — concurrent
                 # schema evolution does not commute (Delta raises the
                 # same conflict)
+                shutil.rmtree(
+                    os.path.join(path, new_dir), ignore_errors=True
+                )
+                raise
+            if base_mapping is None and new_head_mapping and any(
+                new_head_mapping.get(c, c) != c for c in df.columns
+            ):
+                # a racing DDL CREATED a mapping (first rename, or
+                # vt_add_column minting a fresh physical name) that
+                # redirects a column this attempt already wrote under
+                # its LOGICAL name — committing would carry their map
+                # over our identity-named file, so the column's values
+                # would read back as NULLs (orphaned bytes). Surface
+                # the conflict; the caller's retry re-writes under the
+                # new head's physical names.
                 shutil.rmtree(
                     os.path.join(path, new_dir), ignore_errors=True
                 )
@@ -3104,6 +3122,7 @@ def _dv_merge_attempt(
     dv_max_rows: int,
     strict: bool,
     bloom_cols: Sequence[str] | None = None,
+    identity: dict | None = None,
 ):
     """One merge-on-read MERGE attempt: rows whose key matches an upsert
     (or a delete-clause row) are DV'd out of their files and the
@@ -3153,6 +3172,7 @@ def _dv_merge_attempt(
         txn=txn,
         commit_on_empty=True,
         bloom_cols=bloom_cols,
+        identity=identity,
     )
 
 
@@ -3283,6 +3303,61 @@ def vt_merge(
     # not change with the head; a re-validate is only owed when a racing
     # commit evolved the schema)
     _validated_schemas: list = []
+    # identity columns: merge upserts carry EXPLICIT id values (the
+    # keyed-reconcile contract — every column of the replaced row is
+    # supplied), so the commit must ADVANCE the manifest's high
+    # watermark past the extreme id actually written, or a later
+    # vt_write append would assign from the stale watermark and mint
+    # duplicates of merge-inserted ids (Delta avoids the problem by
+    # refusing explicit identity values in DML; here the merge syncs
+    # the watermark instead). Extremes over the updates are one bounded
+    # agg, computed lazily and reused across commit-race retries.
+    _id_extremes_cache: list = []
+
+    def _identity_commit(manifest) -> dict | None:
+        ident = (manifest or {}).get("identity") or {}
+        if not ident:
+            return None
+        missing = sorted(set(ident) - set(updates.columns))
+        if missing:
+            raise ValueError(
+                f"column(s) {missing} are GENERATED ALWAYS AS IDENTITY: "
+                "vt_merge upserts replace whole rows, so they must carry "
+                "explicit identity values (omitting them would commit "
+                "NULL ids)"
+            )
+        if not _id_extremes_cache:
+            aggs = []
+            for icol in sorted(ident):
+                aggs.append(F.min(icol).alias(f"_lo_{icol}"))
+                aggs.append(F.max(icol).alias(f"_hi_{icol}"))
+            row0 = updates.agg(*aggs).collect()[0]
+            _id_extremes_cache.append(
+                {
+                    icol: (row0[f"_lo_{icol}"], row0[f"_hi_{icol}"])
+                    for icol in sorted(ident)
+                }
+            )
+        extremes = _id_extremes_cache[0]
+        out: dict = {}
+        for icol, spec in ident.items():
+            spec = dict(spec)
+            lo, hi = extremes[icol]
+            if lo is None:
+                raise ValueError(
+                    f"column {icol!r} is GENERATED ALWAYS AS IDENTITY: "
+                    "vt_merge upserts must carry non-null identity values"
+                )
+            istep = int(spec.get("step", 1))
+            hw = int(
+                spec.get("high_water", int(spec.get("start", 1)) - istep)
+            )
+            spec["high_water"] = (
+                max(hw, int(hi)) if istep > 0 else min(hw, int(lo))
+            )
+            out[icol] = spec
+        return out
+
     for _ in range(max_retries):
         head = vt_versions(path)
         expected = head[-1] if head else 0
@@ -3292,6 +3367,7 @@ def vt_merge(
                 return expected  # replay of an already-committed txn
         manifest = _read_manifest(path, expected) if head else None
         _enforce_for_head(manifest)
+        identity_commit = _identity_commit(manifest)
         cmap = _col_mapping(manifest)
         file_granular = (
             manifest is not None and manifest.get("schema") is not None
@@ -3366,6 +3442,7 @@ def vt_merge(
                         dv_max_rows,
                         strict=(mode == "dv"),
                         bloom_cols=bloom_cols,
+                        identity=identity_commit,
                     )
                     if res is not None:
                         if res >= 0:
@@ -3505,6 +3582,7 @@ def vt_merge(
                 file_rows=frows,
                 partial_dirs=partial_dirs,
                 extra={"merge": merge_blob} if merge_blob else None,
+                identity=identity_commit,
             )
         except FileExistsError:
             # another writer won this version — discard our uncommitted
@@ -3573,6 +3651,7 @@ def _dv_mutation_commit(
     txn: tuple | None = None,
     commit_on_empty: bool = False,
     bloom_cols: Sequence[str] | None = None,
+    identity: dict | None = None,
 ):
     """Shared merge-on-read commit for DV-mode DELETE/UPDATE: collect the
     matched rows' (file key, position) pairs — bounded by ``dv_max_rows``
@@ -3603,6 +3682,7 @@ def _dv_mutation_commit(
             txn,
             commit_on_empty,
             bloom_cols,
+            identity,
         )
     finally:
         matched.unpersist()
@@ -3623,6 +3703,7 @@ def _dv_mutation_commit_cached(
     txn: tuple | None = None,
     commit_on_empty: bool = False,
     bloom_cols: Sequence[str] | None = None,
+    identity: dict | None = None,
 ):
     pairs = (
         matched.select("_vt_file_key", "_vt_pos")
@@ -3755,6 +3836,7 @@ def _dv_mutation_commit_cached(
             partial_dirs=manifest.get("partial_dirs"),
             extra={op: blob},
             dv=dv_map,
+            identity=identity,
         )
     except FileExistsError:
         # lost the race: discard everything this attempt staged
@@ -4366,6 +4448,15 @@ def vt_update(
             raise FileNotFoundError(f"no committed versions at {path}")
         expected = head[-1]
         manifest = _read_manifest(path, expected)
+        bad_ident = sorted(
+            set(assignments) & set(manifest.get("identity") or {})
+        )
+        if bad_ident:
+            raise ValueError(
+                f"column(s) {bad_ident} are GENERATED ALWAYS AS "
+                "IDENTITY: vt_update must not SET them (Delta refuses "
+                "explicit identity values in all DML)"
+            )
         if rule is not None:
             from pyspark.sql.types import StructType
 
@@ -5527,7 +5618,13 @@ def vt_compact(
                 fstats or None,
                 files,
                 schema=manifest["schema"],
-                heterogeneous=manifest.get("schema_heterogeneous", False),
+                # a compact that kept NO file verbatim reconciled every
+                # row to the head's logical schema — the layout is
+                # homogeneous again, exactly like a full OPTIMIZE
+                heterogeneous=(
+                    manifest.get("schema_heterogeneous", False)
+                    and bool(part["dirs"])
+                ),
                 blooms=blooms or None,
                 file_rows=frows or None,
                 partial_dirs=part["partial_dirs"],
@@ -6724,6 +6821,21 @@ def vt_generate_manifest(
         raise ValueError(
             "table uses column mapping: data files carry physical "
             "column names external readers would serve verbatim"
+        )
+    if m.get("schema_heterogeneous"):
+        # schema-evolved snapshots (merge_schema appends, metadata-only
+        # vt_add_column / vt_widen_column) hold files whose PHYSICAL
+        # schemas differ; an external engine footer-infers per file, so
+        # it would serve the narrow pre-widen types or miss the added
+        # column inconsistently across files — not expressible as a
+        # plain file list either. vt_compact/vt_optimize rewrite the
+        # snapshot to one physical schema and clear the flag.
+        raise ValueError(
+            "snapshot is schema-heterogeneous (files carry different "
+            "physical schemas from schema evolution): external readers "
+            "footer-infer per file and would diverge from the declared "
+            "table schema — run vt_compact/vt_optimize to rewrite the "
+            "snapshot to one physical schema first"
         )
     flists = m.get("files", {})
     out: list[str] = []

@@ -71,18 +71,17 @@ class _ChangePartition(InputPartition):
     the delete removed. ``dv`` maps file basename → deleted row
     positions (the replayed snapshot's deletion vectors): those rows
     are logically absent from the snapshot, so they are dropped BEFORE
-    any tagging or predicate filtering. ``colmap`` (column-mapped
-    tables) maps the emitting version's LOGICAL column names to the
-    PHYSICAL names the parquet files hold — the reader resolves each
-    stream-schema field through it (physical identity is what stays
-    stable across renames; replay predicates arrive pre-translated)."""
+    any tagging or predicate filtering. Column-mapped tables are
+    resolved through the READER's stream-era map (one map for the whole
+    stream, see ``_ChangesStreamReader._stream_mapping`` — physical
+    identity is stable across renames; replay predicates arrive
+    pre-translated to physical names)."""
 
     path: str = ""
     version: int = 0
     change_type: str | None = None
     predicate: list | None = None
     dv: dict | None = None
-    colmap: dict | None = None
 
 
 def _dv_for_path(p: str, loaded: dict) -> dict | None:
@@ -154,6 +153,71 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._max_versions = int(mv) if mv else None
         self._schema = schema
         self._last: int | None = None
+        # {logical stream column → physical file column}, resolved ONCE
+        # for the whole stream (driver-side, at construction) — see
+        # _stream_mapping for why the EMITTING version's map must not
+        # be used per partition (ADVICE r12: a mid-stream rename keys
+        # the later map by the NEW logical name, the stream-schema
+        # lookup would miss and serve silent typed NULLs)
+        self._colmap = self._stream_mapping()
+
+    def _stream_mapping(self) -> dict:
+        """Resolve the stream's FIXED logical schema to physical file
+        column names. Physical identity is stable across renames, so
+        one {stream field → physical} map — taken from the version
+        whose logical schema the stream fixed at query start — is
+        correct for EVERY emitted version: later renames change only
+        logical labels, earlier versions simply lack the physical
+        column (→ typed nulls, the pre-evolution reconciliation).
+
+        The stream-era version is found by matching the stream schema's
+        data field names against committed logical schemas (restart
+        reconstructs it the same way — Spark re-derives the source
+        schema, and the matching walk is deterministic). If two
+        committed eras share the field names but DISAGREE on physical
+        identity (drop X → re-add X), the stream is ambiguous without
+        Delta-style schema tracking — fail loudly instead of serving
+        one era's bytes under the other era's labels."""
+        from ..sources.versioned import _read_manifest, vt_versions
+
+        data_names = [
+            f.name
+            for f in self._schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        chosen: dict | None = None
+        chosen_phys: tuple | None = None
+        for v in reversed(vt_versions(self._path)):
+            if v < self._starting:
+                break  # the stream never reads below startingVersion
+            try:
+                m = _read_manifest(self._path, v)
+            except OSError:
+                continue
+            sch = m.get("schema")
+            if sch is None:
+                continue
+            if [f["name"] for f in sch.get("fields", [])] != data_names:
+                continue
+            cm = m.get("column_mapping") or {}
+            # compare eras by RESOLVED physical identity, not by the
+            # raw map dicts — a rename that round-trips (x→y→x) leaves
+            # an explicit {x: x} entry that is physically identical to
+            # the pre-mapping identity era
+            phys = tuple(cm.get(c, c) for c in data_names)
+            if chosen is None:
+                chosen = {c: cm.get(c, c) for c in data_names}
+                chosen_phys = phys
+            elif phys != chosen_phys:
+                raise ValueError(
+                    f"vt_changes at {self._path}: two committed schema "
+                    "eras share the stream's column names but map them "
+                    "to different physical columns (a column was "
+                    "dropped and re-added) — the stream cannot tell "
+                    "which era its schema belongs to; restart the query "
+                    "from a startingVersion inside one era"
+                )
+        return chosen or {}
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -218,7 +282,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # snapshot's deletion vectors (DV'd rows are not part of the
             # snapshot being replayed)
             loaded = dv_of(v)
-            cm = colmap_of(v)
             for p in vt_scan_plan(self._path, v)["paths"]:
                 parts.append(
                     _ChangePartition(
@@ -226,7 +289,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                         version=v,
                         change_type=tag,
                         dv=_dv_for_path(p, loaded),
-                        colmap=cm,
                     )
                 )
 
@@ -248,7 +310,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 # — restart to pick up renamed/added names, the same
                 # contract as merge_schema evolution)
                 continue
-            cm_v = m.get("column_mapping")
             if op == "append":
                 prev = (
                     set(_read_manifest(self._path, v - 1)["dirs"])
@@ -272,7 +333,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                     path=os.path.join(self._path, d, f),
                                     version=v,
                                     change_type="insert",
-                                    colmap=cm_v,
                                 )
                             )
                     else:
@@ -281,7 +341,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 path=os.path.join(self._path, d),
                                 version=v,
                                 change_type="insert",
-                                colmap=cm_v,
                             )
                         )
             elif op in ("merge", "delete", "update"):
@@ -292,7 +351,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                             path=os.path.join(self._path, cd),
                             version=v,
                             change_type=None,
-                            colmap=cm_v,
                         )
                     )
                 elif op == "delete" and (m.get("delete") or {}).get(
@@ -325,7 +383,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
                                 change_type="delete",
                                 predicate=pred,
                                 dv=_dv_for_path(p, prev_loaded),
-                                colmap=cm_prev,
                             )
                         )
                 else:
@@ -398,12 +455,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
             else:
                 tbl = dset.to_table(filter=expr)
             n = tbl.num_rows
-            colmap = partition.colmap or {}
+            colmap = self._colmap
             cols = []
             for f in target:
                 # column-mapped tables: the stream schema is LOGICAL,
                 # the file columns PHYSICAL — resolve through the
-                # partition's map (identity when unmapped)
+                # STREAM-ERA map (identity when unmapped); physical
+                # identity is stable across renames, so the one map is
+                # valid for every emitted version
                 lookup = colmap.get(f.name, f.name)
                 if f.name == "_change_type":
                     if partition.change_type is not None:

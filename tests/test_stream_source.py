@@ -598,3 +598,113 @@ class TestStreamReplayRetentionContract:
             r["id"] for r in out.filter("_change_type = 'delete'").collect()
         }
         assert dels == {i for i in range(12) if i % 3 == 1}
+
+
+class TestStreamMappedRename:
+    """ADVICE r12: the stream's fixed logical schema must resolve to
+    PHYSICAL file columns via the stream-era mapping, not the emitting
+    version's map — a mid-stream rename keys the later map by the new
+    logical name, so a per-version lookup would miss and serve silent
+    typed NULLs for every row appended after the rename."""
+
+    def _reader(self, spark, path, schema_fields):
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from dynamicqueryengine_spark.streaming.source import (
+            _ChangesStreamReader,
+        )
+
+        types = {
+            "id": LongType(),
+            "g": StringType(),
+        }
+        fields = [
+            StructField(n, types.get(n, DoubleType()), True)
+            for n in schema_fields
+        ] + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_version", IntegerType(), False),
+        ]
+        return _ChangesStreamReader(
+            StructType(fields), {"path": path}
+        )
+
+    def _rows(self, reader, parts):
+        out = []
+        for p in parts:
+            for batch in reader.read(p):
+                out.extend(batch.to_pylist())
+        return out
+
+    def test_mid_stream_rename_serves_values_not_nulls(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_rename_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6))           # v1: id, g, x
+        vt_rename_column(path, "x", "y")               # v2: maps y -> x
+        # stream schema fixed HERE (head=2): id, g, y
+        reader = self._reader(spark, path, ["id", "g", "y"])
+        reader.initialOffset()
+        # mid-stream: rename AGAIN and append under the new logical name
+        vt_rename_column(path, "y", "z")               # v3: maps z -> x
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, "g0", 7.5)], "id long, g string, z double"
+            ),
+            mode="append",
+        )                                              # v4
+        rows = self._rows(
+            reader, reader.partitions({"version": 3}, {"version": 4})
+        )
+        assert len(rows) == 1
+        # the appended row's value must arrive under the stream's
+        # logical name — physical identity bridges the renames
+        assert rows[0]["y"] == 7.5 and rows[0]["id"] == 100
+
+    def test_drop_readd_era_ambiguity_fails_loudly(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_add_column,
+            vt_drop_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 4))           # v1: id, g, x
+        vt_drop_column(path, "x")                      # v2: id, g
+        vt_add_column(path, "x", "double")             # v3: id, g, x (fresh physical)
+        # two committed eras share the field names (v1 identity vs v3
+        # fresh-physical) but disagree on physical identity — without
+        # schema tracking the stream cannot tell which era its schema
+        # belongs to
+        with pytest.raises(ValueError, match="dropped and re-added"):
+            self._reader(spark, path, ["id", "g", "x"])
+
+    def test_rename_roundtrip_is_not_ambiguous(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_rename_column,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 4))           # v1: id, g, x
+        vt_rename_column(path, "x", "y")               # v2
+        vt_rename_column(path, "y", "x")               # v3: back to x
+        # v1 (identity) and v3 (explicit x -> x map) are physically the
+        # same era — must not trip the ambiguity guard
+        reader = self._reader(spark, path, ["id", "g", "x"])
+        reader.initialOffset()
+        rows = self._rows(
+            reader, reader.partitions({"version": 0}, {"version": 1})
+        )
+        assert len(rows) == 4 and all(r["x"] is not None for r in rows)

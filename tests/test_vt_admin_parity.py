@@ -520,3 +520,191 @@ class TestVtCli:
         with pytest.raises(SystemExit, match="usage"):
             main(["vt", "rename-column", path, "only-one-arg"])
 
+
+
+class TestIdentityDmlContract:
+    """ADVICE r12: vt_merge carries explicit identity values (the keyed
+    reconcile contract), so its commit must ADVANCE the manifest's high
+    watermark — a later vt_write append assigning from a stale watermark
+    would mint duplicate ids. vt_update must refuse SET on an identity
+    column outright (Delta refuses explicit identity values in DML)."""
+
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",), ("b",)], "name string"),
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        return path
+
+    def test_merge_advances_high_water(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        hw0 = _read_manifest(path, 1)["identity"]["rid"]["high_water"]
+        # upsert an INSERT carrying an explicit id far above the watermark
+        v = vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(hw0 + 50, "m")], "rid long, name string"
+            ),
+            ["rid"],
+        )
+        hw1 = _read_manifest(path, v)["identity"]["rid"]["high_water"]
+        assert hw1 == hw0 + 50
+        # a later append must assign ABOVE the merge-inserted id
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("c",), ("d",)], "name string"),
+            mode="append",
+        )
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(rids) == len(set(rids)), "duplicate identity values"
+        assert max(rids) > hw0 + 50
+
+    def test_merge_dv_mode_advances_high_water(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        hw0 = _read_manifest(path, 1)["identity"]["rid"]["high_water"]
+        v = vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(hw0 + 9, "x")], "rid long, name string"
+            ),
+            ["rid"],
+            mode="dv",
+        )
+        hw1 = _read_manifest(path, v)["identity"]["rid"]["high_water"]
+        assert hw1 == hw0 + 9
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("y",)], "name string"),
+            mode="append",
+        )
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(rids) == len(set(rids))
+
+    def test_merge_requires_identity_column(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            vt_merge(
+                spark,
+                path,
+                spark.createDataFrame([("e",)], "name string"),
+                ["name"],
+            )
+
+    def test_update_refuses_set_on_identity(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            vt_update(
+                spark,
+                path,
+                ("name", "=", "a"),
+                {"rid": "rid + 100"},
+            )
+
+    def test_negative_step_merge_advances_downward(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("a",)], "name string"),
+            identity={"rid": {"start": -1, "step": -1}},
+        )
+        hw0 = _read_manifest(path, 1)["identity"]["rid"]["high_water"]
+        v = vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(hw0 - 7, "m")], "rid long, name string"
+            ),
+            ["rid"],
+        )
+        hw1 = _read_manifest(path, v)["identity"]["rid"]["high_water"]
+        assert hw1 == hw0 - 7
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([("z",)], "name string"),
+            mode="append",
+        )
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(rids) == len(set(rids)) and min(rids) < hw0 - 7
+
+
+class TestExprConstraintTypeGate:
+    """ADVICE r12: a CHECK expression that does not resolve to boolean
+    (a spec typo like "qty" for "qty > 0") must be rejected, not
+    silently coerced to nonzero-is-true semantics."""
+
+    def test_non_boolean_expr_rejected_at_write(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        with pytest.raises(ValueError, match="not boolean"):
+            vt_write(
+                spark,
+                path,
+                _df(spark, [(1, 2, 3.0)]),
+                constraints=[
+                    {"name": "typo", "kind": "expr", "expr": "qty"}
+                ],
+            )
+
+    def test_non_boolean_expr_rejected_in_report(self, spark, tmp_path):
+        from dynamicqueryengine_spark.functions.constraints import (
+            constraint_report,
+        )
+
+        with pytest.raises(ValueError, match="not boolean"):
+            constraint_report(
+                _df(spark, [(1, 2, 3.0)]),
+                [{"name": "typo", "kind": "expr", "expr": "qty + 1"}],
+            ).collect()
+
+    def test_boolean_expr_still_accepted(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            _df(spark, [(1, 2, 3.0)]),
+            constraints=[
+                {"name": "ok", "kind": "expr", "expr": "qty > 0"}
+            ],
+        )
+        assert vt_count(spark, path) == 1
+
+
+class TestManifestExportGates:
+    def test_schema_heterogeneous_snapshot_refused(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_add_column,
+            vt_compact,
+            vt_generate_manifest,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, [(1, 2, 3.0)]))
+        # merge_schema evolution on an UNMAPPED table: the snapshot is
+        # schema-heterogeneous (old files lack `tag`) with no column
+        # mapping, so the heterogeneity gate is the one that fires
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(9, 9, 9.0, "x")],
+                "id long, qty long, price double, tag string",
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+        assert vt_add_column is not None  # imported for parity with DDL gates
+        with pytest.raises(ValueError, match="schema-heterogeneous"):
+            vt_generate_manifest(path)
+        # a compaction rewrites the snapshot to ONE physical schema;
+        # the export works again
+        vt_compact(spark, path)
+        out = vt_generate_manifest(path)
+        assert os.path.exists(out)
