@@ -462,6 +462,8 @@ def _commit(
     column_mapping: dict | None = None,
     generated: dict | None = None,
     identity: dict | None = None,
+    partitions: dict | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Atomically commit ``dirs`` as version ``expected_head + 1``.
     Raises FileExistsError if another writer committed first.
@@ -585,6 +587,25 @@ def _commit(
         identity = prev.get("identity")
     if identity:
         manifest["identity"] = {k: dict(v) for k, v in identity.items()}
+    # PARTITIONED BY is a TABLE PROPERTY with the usual calculus (None
+    # carries, list records, [] clears); per-dir partition VALUES follow
+    # the DIRS they describe — carried forward pruned to the dirs this
+    # manifest still references (a dropped/rewritten dir's entry expires
+    # with it), exactly like the dv map below. Values are keyed by
+    # PHYSICAL column name (the key the files/stats are written under).
+    if partition_by is None and prev is not None:
+        partition_by = prev.get("partition_by")
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
+    if partitions is None and prev is not None:
+        partitions = prev.get("partitions")
+    if partitions:
+        dirset_p = set(dirs)
+        partitions = {
+            d: vals for d, vals in partitions.items() if d in dirset_p
+        }
+        if partitions:
+            manifest["partitions"] = partitions
     # deletion vectors follow the FILES they describe: None carries the
     # head's map forward, pruned to files this manifest still references
     # (a rewritten file's deletes were materialized by the rewrite); an
@@ -1052,6 +1073,257 @@ def _write_data_dir(
     return d, dir_stats, file_stats, files, file_rows
 
 
+# ---------------------------------------------------------- partitioning --
+#
+# Hive-style partition columns (Delta's PARTITIONED BY), re-expressed in
+# this format's flat-directory model: instead of nesting col=value paths
+# under one data directory (which would break every flat `dir/file` key —
+# file lists, per-file stats, DV join keys), a partitioned commit writes
+# ONE immutable d_* directory PER PARTITION VALUE TUPLE and records the
+# values in the manifest (``"partitions": {dir: {physical_col: value}}``
+# next to the ``"partition_by": [cols]`` table property). This is
+# actually Delta's own protocol shape — partition values live in each
+# add-file action's metadata, the hive paths are just convention — and it
+# buys the same three things at 100 TB:
+#
+# * scan planning prunes whole DIRECTORIES on partition predicates with
+#   EXACT semantics (every row of the dir shares the value — equality,
+#   not min/max may-match; nulls prune exactly too) before any per-file
+#   stats map is consulted;
+# * a retention DELETE whose predicate is proven by the partition values
+#   drops whole directories METADATA-ONLY — no footer stats needed, no
+#   file opened (``DROP PARTITION`` semantics composed with the r12
+#   whole-file delete);
+# * appends never mix partition values inside one file, so the above
+#   stays true forever without OPTIMIZE discipline.
+#
+# Partition columns stay PRESENT in the data files (unlike hive layout,
+# which strips them): reads, oracles and external engines need no value
+# reconstruction, and footer min==max stats double as a consistency
+# check. Values are recorded JSON-safe: string, int, bool, None, and
+# date as its ISO string (compared normalized, see _norm_partition_val).
+
+_PARTITION_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# column types allowed as partition keys: exact, hashable, JSON-safe.
+# Floats/decimals/timestamps are refused (Delta discourages them for the
+# same reason: equality on them is a footgun and cardinality explodes).
+_PARTITION_TYPES = (
+    "string", "tinyint", "smallint", "int", "bigint", "boolean", "date"
+)
+
+
+def _norm_partition_val(v):
+    """Normalize a partition/predicate value for exact comparison:
+    dates (and datetimes at midnight) become their ISO string — the form
+    partition values are recorded in."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # a midnight datetime compares as its date (the common
+        # date-literal-vs-date-column case); anything else is not a
+        # valid comparison against a date partition and normalizes to
+        # its full ISO form (strictly ordered after the date's)
+        if v.time() == _dt.time():
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _partition_refutes(pvals: dict, conjuncts) -> bool:
+    """True when a directory's recorded partition values PROVE no row
+    can satisfy the conjunction — exact, not may-match: every row of the
+    dir holds exactly these values for the partition columns. Conjuncts
+    on non-partition columns are ignored (file stats' job). Uncomparable
+    values keep the dir (never prune on uncertainty)."""
+    for col, op, value in conjuncts:
+        if col not in pvals:
+            continue
+        v = _norm_partition_val(pvals[col])
+        try:
+            if op == "isnull":
+                if v is not None:
+                    return True
+            elif op == "notnull":
+                if v is None:
+                    return True
+            elif v is None:
+                return True  # null partition: no value op can match
+            elif op == "=":
+                if v != _norm_partition_val(value):
+                    return True
+            elif op == "in":
+                if v not in {_norm_partition_val(x) for x in value}:
+                    return True
+            elif op == "<":
+                if not v < _norm_partition_val(value):
+                    return True
+            elif op == "<=":
+                if not v <= _norm_partition_val(value):
+                    return True
+            elif op == ">":
+                if not v > _norm_partition_val(value):
+                    return True
+            elif op == ">=":
+                if not v >= _norm_partition_val(value):
+                    return True
+        except TypeError:
+            continue  # cross-type comparison — keep the directory
+    return False
+
+
+def _partition_proves_all(pvals: dict, conjuncts) -> bool:
+    """True when the partition values PROVE every row of the directory
+    satisfies the conjunction — the metadata-only partition-DROP proof:
+    only sound when EVERY conjunct is on a partition column (a non-
+    partition conjunct needs row-level evidence) and each one evaluates
+    TRUE on the dir's exact values."""
+    if not conjuncts:
+        return False
+    for col, op, value in conjuncts:
+        if col not in pvals:
+            return False
+        v = _norm_partition_val(pvals[col])
+        try:
+            if op == "isnull":
+                ok = v is None
+            elif op == "notnull":
+                ok = v is not None
+            elif v is None:
+                ok = False
+            elif op == "=":
+                ok = v == _norm_partition_val(value)
+            elif op == "in":
+                ok = v in {_norm_partition_val(x) for x in value}
+            elif op == "<":
+                ok = v < _norm_partition_val(value)
+            elif op == "<=":
+                ok = v <= _norm_partition_val(value)
+            elif op == ">":
+                ok = v > _norm_partition_val(value)
+            elif op == ">=":
+                ok = v >= _norm_partition_val(value)
+            else:
+                return False
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
+def _validate_partition_by(df: DataFrame, pcols: Sequence[str]) -> None:
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in pcols:
+        if c not in types:
+            raise ValueError(
+                f"partition column {c!r} is not in the data's schema"
+            )
+        if types[c] not in _PARTITION_TYPES:
+            raise ValueError(
+                f"partition column {c!r} has type {types[c]} — supported "
+                f"partition types: {', '.join(_PARTITION_TYPES)}"
+            )
+
+
+def _decode_hive_value(raw: str, simple_type: str):
+    """One hive path component's value → the JSON-safe recorded form."""
+    from urllib.parse import unquote
+
+    if raw == _PARTITION_NULL:
+        return None
+    raw = unquote(raw)
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if simple_type == "boolean":
+        return raw == "true"
+    return raw  # string / date(ISO)
+
+
+def _write_partitioned_dirs(
+    df: DataFrame,
+    path: str,
+    pcols: Sequence[str],
+    mapping: dict | None = None,
+    prefix: str = "d",
+) -> list[tuple]:
+    """Write ``df`` split by its partition-column values: ONE Spark job
+    (a staged ``partitionBy`` write on duplicated tag columns, so the
+    partition columns stay inside the files), then each hive leaf is
+    renamed into its own immutable ``d_*`` directory. Returns
+    ``[(dirname, dir_stats, file_stats, file_list, file_rows,
+    {physical_col: value}), ...]`` — one tuple per partition value
+    present in ``df`` (empty input → empty list)."""
+    phys = _to_physical(df, mapping)
+    ppcols = [_phys(mapping, c) for c in pcols]
+    types = {
+        f.name: f.dataType.simpleString() for f in phys.schema.fields
+    }
+    tags = {p: f"__vtp_{i}" for i, p in enumerate(ppcols)}
+    staged = phys
+    for p, t in tags.items():
+        staged = staged.withColumn(t, F.col(p))
+    staging = os.path.join(path, f".staging_{uuid.uuid4().hex[:12]}")
+    out: list[tuple] = []
+    try:
+        staged.write.mode("error").partitionBy(
+            *[tags[p] for p in ppcols]
+        ).parquet(staging)
+        # walk the hive tree: each leaf holding parquet files is one
+        # partition-value tuple; rename it to a flat d_* dir (same
+        # filesystem — a metadata move, not a copy)
+        def leaves(base: str, comps: list) -> list:
+            subs = [
+                n
+                for n in sorted(os.listdir(base))
+                if os.path.isdir(os.path.join(base, n)) and "=" in n
+            ]
+            if not subs:
+                return [(base, comps)]
+            found = []
+            for n in subs:
+                tag, _, raw = n.partition("=")
+                found.extend(
+                    leaves(os.path.join(base, n), comps + [(tag, raw)])
+                )
+            return found
+
+        for leaf, comps in leaves(staging, []):
+            by_tag = dict(comps)
+            pvals = {
+                p: _decode_hive_value(by_tag[tags[p]], types[p])
+                for p in ppcols
+            }
+            d = f"{prefix}_{uuid.uuid4().hex[:12]}"
+            os.rename(leaf, os.path.join(path, d))
+            dir_stats, file_stats, file_rows = _harvest_stats(
+                os.path.join(path, d)
+            )
+            import glob as _glob
+
+            files = sorted(
+                os.path.basename(fp)
+                for fp in _glob.glob(
+                    os.path.join(path, d, "*.parquet")
+                )
+            )
+            if not files:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                continue
+            out.append(
+                (d, dir_stats, file_stats, files, file_rows, pvals)
+            )
+    except BaseException:
+        for d, *_ in out:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 # Type-widening lattice (Delta's typeWidening feature set, restricted
 # to what Spark's vectorized parquet reader provably upcasts at scan —
 # measured in this container: int ladder, int→double, float→double,
@@ -1270,6 +1542,7 @@ def vt_write(
     constraints: list | None = None,
     generated: dict | None = None,
     identity: dict | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version: ``overwrite`` replaces the
     snapshot, ``append`` adds to it. Returns the committed version.
@@ -1329,7 +1602,20 @@ def vt_write(
     refused, and a lost commit race surfaces as FileExistsError (a
     caller retry reassigns from the new head). Both properties carry
     through every commit and block rename/drop/widen of the columns
-    they pin."""
+    they pin.
+
+    ``partition_by=['day']`` records hive-style PARTITION COLUMNS as a
+    table property (Delta's ``PARTITIONED BY``): this and every later
+    append splits its rows into ONE immutable directory per partition
+    value tuple, recorded in the manifest — scan planning prunes whole
+    directories on partition predicates with EXACT semantics, and a
+    delete whose predicate the partition values prove drops directories
+    METADATA-ONLY (``DROP PARTITION``). Appends inherit the recorded
+    columns and may not change them; re-partitioning is an explicit
+    ``mode='overwrite'`` with a new ``partition_by`` (``[]`` clears).
+    Partition columns stay present in the data files — reads need no
+    value reconstruction. See the partitioning section comment above
+    :data:`_PARTITION_TYPES` for the layout rationale."""
     if txn is not None:
         last = vt_last_txn(path, txn[0])
         if last is not None and txn[1] <= last:
@@ -1453,18 +1739,58 @@ def vt_write(
         {} if (base_mapping is not None and mode == "overwrite")
         else write_mapping
     )
+    # PARTITIONED BY is a table property appends inherit and may not
+    # change (Delta's contract: repartitioning is an explicit overwrite)
+    recorded_pby = (head_manifest or {}).get("partition_by") or []
+    if partition_by is not None:
+        requested_pby = list(partition_by)
+        if (
+            mode == "append"
+            and head_manifest is not None
+            and requested_pby != recorded_pby
+        ):
+            raise ValueError(
+                f"append cannot change the table's partitioning "
+                f"(recorded partition_by={recorded_pby}, requested "
+                f"{requested_pby}) — repartition with mode='overwrite'"
+            )
+        eff_pby = requested_pby
+    else:
+        eff_pby = list(recorded_pby)
+    if eff_pby:
+        _validate_partition_by(df, eff_pby)
     incoming_schema = json.loads(df.schema.json())
-    new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
-        df, path, mapping=write_mapping
-    )
-    new_blooms = (
-        _harvest_blooms(
-            spark, os.path.join(path, new_dir), eff_bloom_cols,
-            mapping=write_mapping,
+    # written: [(dir, dir_stats, file_stats, files, file_rows,
+    # partition_values_or_None)] — one entry for plain writes, one per
+    # partition value tuple for partitioned writes (still ONE Spark job)
+    if eff_pby:
+        written = _write_partitioned_dirs(
+            df, path, eff_pby, mapping=write_mapping
         )
-        if eff_bloom_cols
-        else {}
-    )
+    else:
+        written = []
+    if not written:
+        # plain write — or a zero-row partitioned frame, which still
+        # needs a directory so an overwrite can commit an empty snapshot
+        d0, s0, fs0, fl0, fr0 = _write_data_dir(
+            df, path, mapping=write_mapping
+        )
+        written = [(d0, s0, fs0, fl0, fr0, None)]
+    new_dirs = [w[0] for w in written]
+
+    def _discard_written() -> None:
+        for d in new_dirs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    new_blooms_by_dir: dict = {}
+    if eff_bloom_cols:
+        for d in new_dirs:
+            b = _harvest_blooms(
+                spark, os.path.join(path, d), eff_bloom_cols,
+                mapping=write_mapping,
+            )
+            if b:
+                new_blooms_by_dir[d] = b
     # advance each identity column's high watermark to the EXTREME id
     # actually written (footer stats when they cover the new dir, a
     # one-dir read-back otherwise — e.g. a zero-row partition file
@@ -1475,12 +1801,19 @@ def vt_write(
         for icol, ispec in eff_identity.items():
             ibase, istep = id_bases[icol]
             pcol = _phys(write_mapping, icol)
-            mm = new_stats.get(pcol)
-            if mm is not None:
-                extreme = int(mm[1] if istep > 0 else mm[0])
-            else:
+            extremes: list[int] = []
+            uncovered: list[str] = []
+            for d, dstats, *_ in written:
+                mm = dstats.get(pcol)
+                if mm is not None:
+                    extremes.append(int(mm[1] if istep > 0 else mm[0]))
+                else:
+                    uncovered.append(d)
+            if uncovered:
                 row0 = (
-                    spark.read.parquet(os.path.join(path, new_dir))
+                    spark.read.parquet(
+                        *[os.path.join(path, d) for d in uncovered]
+                    )
                     .agg(
                         (
                             F.max(pcol) if istep > 0 else F.min(pcol)
@@ -1488,9 +1821,13 @@ def vt_write(
                     )
                     .collect()[0]
                 )
-                extreme = (
-                    int(row0["_hw"]) if row0["_hw"] is not None else ibase
-                )
+                if row0["_hw"] is not None:
+                    extremes.append(int(row0["_hw"]))
+            extreme = (
+                (max(extremes) if istep > 0 else min(extremes))
+                if extremes
+                else ibase
+            )
             hw = (
                 max(ibase, extreme) if istep > 0 else min(ibase, extreme)
             )
@@ -1500,13 +1837,20 @@ def vt_write(
     else:
         commit_identity = new_identity
     commit_generated = dict(generated) if generated is not None else None
+    new_partitions = {
+        d: pvals for d, _, _, _, _, pvals in written if pvals is not None
+    }
+    commit_pby = (
+        list(partition_by) if partition_by is not None else None
+    )
     for _ in range(max_retries):
-        dirs = [new_dir]
-        stats = {new_dir: new_stats} if new_stats else {}
-        fstats = {new_dir: new_fstats} if new_fstats else {}
-        files = {new_dir: new_files}
-        blooms = {new_dir: new_blooms} if new_blooms else {}
-        frows = {new_dir: new_rows} if new_rows else {}
+        dirs = list(new_dirs)
+        stats = {d: s for d, s, *_ in written if s}
+        fstats = {d: fs for d, _, fs, *_ in written if fs}
+        files = {d: fl for d, _, _, fl, *_ in written}
+        blooms = dict(new_blooms_by_dir)
+        frows = {d: fr for d, _, _, _, fr, _ in written if fr}
+        partitions = dict(new_partitions)
         schema = incoming_schema
         hetero = False
         partial_dirs = None
@@ -1518,6 +1862,7 @@ def vt_write(
             files = {**prev.get("files", {}), **files}
             blooms = {**prev.get("blooms", {}), **blooms}
             frows = {**prev.get("file_rows", {}), **frows}
+            partitions = {**prev.get("partitions", {}), **partitions}
             # a file-granular MERGE/DELETE/UPDATE may have left prior
             # dirs PARTIAL (authoritative subset file lists); an append
             # must carry the marker or readers would scan the whole dir
@@ -1531,9 +1876,7 @@ def vt_write(
                         base, incoming_schema, merge_schema
                     )
                 except ValueError:
-                    shutil.rmtree(
-                        os.path.join(path, new_dir), ignore_errors=True
-                    )
+                    _discard_written()
                     raise
                 hetero = changed or prev.get("schema_heterogeneous", False)
             else:
@@ -1552,6 +1895,11 @@ def vt_write(
                 column_mapping=commit_mapping,
                 generated=commit_generated,
                 identity=commit_identity,
+                # explicit map: an overwrite passes its (possibly empty)
+                # new entries, clearing the replaced dirs'; an append
+                # passed the merged prev+new map above
+                partitions=partitions,
+                partition_by=commit_pby,
             )
         except FileExistsError:
             new_head = vt_versions(path)[-1]
@@ -1561,18 +1909,14 @@ def vt_write(
                 # blind retry could commit DUPLICATE ids — surface the
                 # conflict; the caller's retry re-reads the new head
                 # and reassigns
-                shutil.rmtree(
-                    os.path.join(path, new_dir), ignore_errors=True
-                )
+                _discard_written()
                 raise
             if txn is not None:
                 last = vt_last_txn(path, txn[0])
                 if last is not None and txn[1] <= last:
                     # the racing commit WAS this txn (another replay of
                     # the same at-least-once producer) — no-op
-                    shutil.rmtree(
-                        os.path.join(path, new_dir), ignore_errors=True
-                    )
+                    _discard_written()
                     return new_head
             intervening_ops = [
                 _read_manifest(path, v).get("op")
@@ -1585,9 +1929,7 @@ def vt_write(
                 # lost to a non-commuting commit: our data directory will
                 # never be referenced — remove it now (as vt_merge does)
                 # instead of leaving an orphan for a later vacuum to find
-                shutil.rmtree(
-                    os.path.join(path, new_dir), ignore_errors=True
-                )
+                _discard_written()
                 raise
             new_head_mapping = _col_mapping(_read_manifest(path, new_head))
             if base_mapping is not None and new_head_mapping != base_mapping:
@@ -1596,9 +1938,7 @@ def vt_write(
                 # entry and orphan their column's data — concurrent
                 # schema evolution does not commute (Delta raises the
                 # same conflict)
-                shutil.rmtree(
-                    os.path.join(path, new_dir), ignore_errors=True
-                )
+                _discard_written()
                 raise
             if base_mapping is None and new_head_mapping and any(
                 new_head_mapping.get(c, c) != c for c in df.columns
@@ -1611,9 +1951,7 @@ def vt_write(
                 # would read back as NULLs (orphaned bytes). Surface
                 # the conflict; the caller's retry re-writes under the
                 # new head's physical names.
-                shutil.rmtree(
-                    os.path.join(path, new_dir), ignore_errors=True
-                )
+                _discard_written()
                 raise
             if constraints is None:
                 # the racing append may have ADDED/tightened table CHECK
@@ -1630,12 +1968,10 @@ def vt_write(
                     try:
                         _enforce_constraints(df, effective_constraints)
                     except ConstraintViolation:
-                        shutil.rmtree(
-                            os.path.join(path, new_dir), ignore_errors=True
-                        )
+                        _discard_written()
                         raise
             expected = new_head  # append-vs-append commutes: retry on top
-    shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+    _discard_written()
     raise RuntimeError(f"append at {path} lost {max_retries} commit races")
 
 
@@ -1877,6 +2213,23 @@ def vt_scan_plan(
     bloom_types = _bloom_col_types(manifest) if blooms else {}
     frows = manifest.get("file_rows", {})
     null_ops = [c for c in pconj if c[1] in ("isnull", "notnull")]
+    # partition pruning FIRST — exact, not may-match: a partitioned
+    # dir's recorded values are shared by every row, so a refuting
+    # conjunct eliminates the whole directory without consulting any
+    # per-file stats map (and handles null partitions / null ops, which
+    # min/max stats cannot). Dirs without recorded values (DML rewrite
+    # outputs, pre-partitioning history) fall through to stats pruning.
+    part_vals = manifest.get("partitions") or {}
+    partition_pruned = 0
+    if part_vals:
+        survivors = []
+        for d in dirs:
+            pv = part_vals.get(d)
+            if pv is not None and _partition_refutes(pv, pconj):
+                partition_pruned += 1
+            else:
+                survivors.append(d)
+        dirs = survivors
     kept_dirs = [d for d in dirs if may_match(stats.get(d, {}))]
     paths: list[str] = []
     files_kept = 0
@@ -1914,6 +2267,8 @@ def vt_scan_plan(
         files_kept += len(kept_files)
         paths.extend(os.path.join(path, d, f) for f in kept_files)
     plan.update(dirs_kept=len(kept_dirs), files_kept=files_kept)
+    if partition_pruned:
+        plan["partition_pruned"] = partition_pruned
     if bloom_pruned:
         plan["bloom_pruned"] = bloom_pruned
     if null_pruned:
@@ -1925,7 +2280,7 @@ def vt_scan_plan(
     # (r7 advisor: the pre-fallback counts alone misrepresented the
     # real scan).
     if not paths:
-        d0 = dirs[0]
+        d0 = manifest["dirs"][0]
         if d0 in partial and flists.get(d0):
             # a partial dir still holds rewritten (stale) files on disk:
             # the schema probe must name a LISTED file, never the whole
@@ -2785,7 +3140,8 @@ def _dir_stats_from_file_stats(per_file: dict, files: Sequence[str]) -> dict:
 
 
 def _partition_snapshot(
-    path: str, manifest: dict, touch_file, touch_name=None, drop_file=None
+    path: str, manifest: dict, touch_file, touch_name=None,
+    drop_file=None, drop_dir=None,
 ) -> dict:
     """Split a snapshot's file references into TOUCHED (must be read and
     rewritten by a file-granular MERGE/DELETE) and KEPT (referenced
@@ -2796,12 +3152,17 @@ def _partition_snapshot(
     when given, decides by IDENTITY instead of by stats — the
     incremental-compaction classifier (file size is a filesystem fact,
     not a footer stat). ``drop_file(stats_entry, num_rows)``, when
-    given, is consulted FIRST: True drops the file's reference outright
+    given, is consulted FIRST per file — called as ``drop_file(dir,
+    stats_entry, num_rows)``: True drops the file's reference outright
     — never read, never rewritten — the metadata-only whole-file DELETE
     path (the caller must prove every logical row matches, see
-    _file_fully_matches). Returns the kept manifest fragments plus the
-    touched read paths and the rewrite-shape counts the audit blob
-    records (including ``files_dropped``/``rows_dropped``)."""
+    _file_fully_matches). ``drop_dir(dir)``, consulted before the file
+    loop, drops a WHOLE directory's references the same way — the
+    ``DROP PARTITION`` path: a partitioned dir's recorded values prove
+    every row matches, no footer evidence needed. Returns the kept
+    manifest fragments plus the touched read paths and the
+    rewrite-shape counts the audit blob records (including
+    ``files_dropped``/``rows_dropped``/``dirs_dropped``)."""
     flists = manifest.get("files", {})
     fstats = manifest.get("file_stats", {})
     blooms = manifest.get("blooms", {})
@@ -2822,8 +3183,25 @@ def _partition_snapshot(
     rows_dropped = 0
     dropped_names: list[tuple] = []
     dirs_rewritten_whole = 0
+    dirs_dropped = 0
     for d in manifest["dirs"]:
         flist = flists.get(d)
+        if (
+            drop_dir is not None
+            and flist  # row accounting needs the authoritative list
+            and drop_dir(d)
+        ):
+            # metadata-only whole-directory drop (DROP PARTITION): the
+            # caller proved every logical row matches — reference none
+            # of its files; the bytes are vacuum's to reap
+            drows_d = frows.get(d, {})
+            files_total += len(flist)
+            files_dropped += len(flist)
+            dirs_dropped += 1
+            for f in flist:
+                rows_dropped += int(drows_d.get(f) or 0)
+                dropped_names.append((d, f))
+            continue
         if not flist:
             touched_paths.append(os.path.join(path, d))
             dirs_rewritten_whole += 1
@@ -2842,7 +3220,7 @@ def _partition_snapshot(
                 files_total -= 1
                 continue
             if drop_file is not None and drop_file(
-                dstats.get(f, {}), drows.get(f)
+                d, dstats.get(f, {}), drows.get(f)
             ):
                 files_dropped += 1
                 rows_dropped += int(drows.get(f) or 0)
@@ -2901,6 +3279,7 @@ def _partition_snapshot(
         "rows_dropped": rows_dropped,
         "dropped_names": dropped_names,
         "dirs_rewritten_whole": dirs_rewritten_whole,
+        "dirs_dropped": dirs_dropped,
     }
 
 
@@ -4119,6 +4498,7 @@ def vt_delete(
             schema_json = None
         else:
             dropper = None
+            dir_dropper = None
             if mode == "rewrite" and not need_changes and loop_conjuncts:
                 # whole-file fast path (Delta's metadata-only DELETE):
                 # a file whose stats PROVE every logical row matches is
@@ -4127,12 +4507,42 @@ def vt_delete(
                 # predicate is recorded for streaming replay) and no DV
                 # probe wants the matched rows (dv/auto read them).
                 _lc = pconj  # stats proof probes physical-keyed footers
+                _pvals = manifest.get("partitions") or {}
+                if _pvals:
+                    # DROP PARTITION: when EVERY conjunct is on a
+                    # partition column and the dir's exact values
+                    # satisfy all of them, the whole directory drops
+                    # metadata-only — no footer stats consulted
+                    def dir_dropper(d, _pv=_pvals, _c=_lc):
+                        pv = _pv.get(d)
+                        return pv is not None and _partition_proves_all(
+                            pv, _c
+                        )
 
-                def dropper(entry, nrows, _lc=_lc):
-                    return _file_fully_matches(_lc, entry, nrows)
+                def dropper(d, entry, nrows, _c=_lc, _pv=_pvals):
+                    lc = _c
+                    pv = _pv.get(d)
+                    if pv:
+                        # conjuncts the dir's partition values prove
+                        # TRUE for every row need no footer evidence —
+                        # `day < X AND region = 'EU'` on a day-
+                        # partitioned table drops interior EU files on
+                        # region stats alone
+                        lc = [
+                            c
+                            for c in lc
+                            if not (
+                                c[0] in pv
+                                and _partition_proves_all(pv, [c])
+                            )
+                        ]
+                        if not lc:
+                            return True  # all conjuncts partition-proven
+                    return _file_fully_matches(lc, entry, nrows)
 
             part = _partition_snapshot(
-                path, manifest, touch, drop_file=dropper
+                path, manifest, touch, drop_file=dropper,
+                drop_dir=dir_dropper,
             )
             if not part["touched_paths"]:
                 if part["files_dropped"] and part["dirs"]:
@@ -4146,6 +4556,8 @@ def vt_delete(
                             part, manifest
                         ),
                     }
+                    if part["dirs_dropped"]:
+                        blob["dirs_dropped"] = part["dirs_dropped"]
                     if pred_json is not None:
                         blob["predicate"] = pred_json
                     elif rule_pred_json is not None:
@@ -4293,6 +4705,8 @@ def vt_delete(
                 blob["rows_dropped"] = _logical_rows_dropped(
                     part, manifest
                 )
+            if part["dirs_dropped"]:
+                blob["dirs_dropped"] = part["dirs_dropped"]
             if part["dirs_rewritten_whole"]:
                 blob["dirs_rewritten_whole"] = part["dirs_rewritten_whole"]
             hetero = manifest.get("schema_heterogeneous", False)
@@ -4810,6 +5224,10 @@ def vt_restore(
         column_mapping=target.get("column_mapping") or {},
         generated=target.get("generated") or {},
         identity=restore_identity,
+        # partition layout restores with the target's dirs (explicit {}
+        # / [] clear the head's when restoring past the partitioning)
+        partitions=target.get("partitions") or {},
+        partition_by=target.get("partition_by") or [],
     )
 
 
@@ -4856,6 +5274,12 @@ def _feature_references(manifest: dict, col: str) -> list[str]:
             out.append(f"generated:{g}")
     if col in (manifest.get("identity") or {}):
         out.append(f"identity:{col}")
+    if col in (manifest.get("partition_by") or []):
+        # partition_by records LOGICAL names and the per-dir partition
+        # values key by the column's physical identity — renaming or
+        # dropping under it would break every later append's split and
+        # the DROP PARTITION proof; repartition via overwrite first
+        out.append(f"partition_by:{col}")
     return out
 
 
@@ -5319,36 +5743,56 @@ def vt_optimize(
     clustered = _cluster_frame(
         spark, snap, cluster_by, n_partitions, method, zorder_bits
     )
-    new_dir, new_stats, new_fstats, new_files, new_rows = _write_data_dir(
-        clustered, path, mapping=cmap
-    )
-    eff_bloom_cols = _effective_bloom_cols(bloom_cols, head_manifest)
-    new_blooms = (
-        _harvest_blooms(
-            spark, os.path.join(path, new_dir), eff_bloom_cols,
-            mapping=cmap,
+    # partitioned tables keep their layout through OPTIMIZE: the
+    # clustered frame is re-split one dir per partition value (still one
+    # Spark job), so DROP PARTITION and exact dir pruning survive the
+    # rewrite — Delta's OPTIMIZE likewise never crosses partitions
+    recorded_pby = head_manifest.get("partition_by") or []
+    if recorded_pby:
+        written = _write_partitioned_dirs(
+            clustered, path, recorded_pby, mapping=cmap
         )
-        if eff_bloom_cols
-        else {}
-    )
+    else:
+        written = []
+    if not written:
+        d0, s0, fs0, fl0, fr0 = _write_data_dir(
+            clustered, path, mapping=cmap
+        )
+        written = [(d0, s0, fs0, fl0, fr0, None)]
+    new_dirs = [w[0] for w in written]
+    eff_bloom_cols = _effective_bloom_cols(bloom_cols, head_manifest)
+    new_blooms_by_dir: dict = {}
+    if eff_bloom_cols:
+        for d in new_dirs:
+            b = _harvest_blooms(
+                spark, os.path.join(path, d), eff_bloom_cols,
+                mapping=cmap,
+            )
+            if b:
+                new_blooms_by_dir[d] = b
     try:
         # the rewrite reconciled every row to the head's logical schema,
         # so the layout is homogeneous again (heterogeneous flag cleared)
         return _commit(
             path,
-            [new_dir],
+            new_dirs,
             "optimize",
             expected,
-            {new_dir: new_stats} if new_stats else {},
+            {d: s for d, s, *_ in written if s},
             None,
-            {new_dir: new_fstats} if new_fstats else None,
-            {new_dir: new_files},
+            {d: fs for d, _, fs, *_ in written if fs} or None,
+            {d: fl for d, _, _, fl, *_ in written},
             schema=json.loads(clustered.schema.json()),
-            blooms={new_dir: new_blooms} if new_blooms else None,
-            file_rows={new_dir: new_rows} if new_rows else None,
+            blooms=new_blooms_by_dir or None,
+            file_rows={d: fr for d, _, _, _, fr, _ in written if fr}
+            or None,
+            partitions={
+                d: pv for d, _, _, _, _, pv in written if pv is not None
+            },
         )
     except FileExistsError:
-        shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+        for d in new_dirs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         raise
 
 
@@ -6679,6 +7123,11 @@ def vt_clone(spark, src_path: str, dst_path: str, deep: bool = False) -> int:
         column_mapping=m.get("column_mapping") or {},
         generated=m.get("generated") or {},
         identity=m.get("identity") or {},
+        # partition layout travels with the (remapped) directories
+        partitions={
+            remap[d]: v for d, v in (m.get("partitions") or {}).items()
+        },
+        partition_by=m.get("partition_by") or [],
     )
     return version
 
@@ -6923,11 +7372,19 @@ def vt_describe(path: str, version: int | None = None) -> dict:
                 "generated",
                 "identity",
                 "column_mapping",
+                "partition_by",
             )
             if m.get(k)
         },
         "heterogeneous": bool(m.get("schema_heterogeneous")),
     }
+    if m.get("partition_by"):
+        out["num_partitions"] = len(
+            {
+                tuple(sorted(v.items()))
+                for v in (m.get("partitions") or {}).values()
+            }
+        )
     return out
 
 

@@ -6407,3 +6407,126 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_optimize_where"] = FnWorkload(
     _events_vt_optimize_where, _EVENTS_VT_OPTIMIZE_WHERE_SQL
 )
+
+
+def _events_vt_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIVE-STYLE PARTITION COLUMNS, EXECUTED (vt_write(partition_by=…)
+    r13 — Delta's ``PARTITIONED BY`` re-expressed in the flat-directory
+    manifest model, see the partitioning comment in
+    sources/versioned.py): events land as ONE immutable directory per
+    ``event_type`` per commit (overwrite of the even event_ids, append
+    of the odd ones — the append INHERITS the recorded partitioning),
+    with the per-dir partition values recorded in the manifest like
+    Delta's add-file metadata. Then the 100 TB admin surface, all
+    pinned INSIDE the oracle hash:
+
+    * ``pruned_exact`` — a scan with an ``event_type`` equality keeps
+      exactly that type's directories; every other dir is eliminated by
+      the recorded value (EXACT, not min/max may-match), counted by the
+      plan's ``partition_pruned``;
+    * ``drop_partition_metadata_only`` — deleting one whole type
+      rewrites ZERO files and reads zero bytes: both of its directories
+      (one per staging commit) leave the manifest on the partition-value
+      proof alone (``dirs_dropped == 2``, ``files_rewritten == 0``), the
+      ``DROP PARTITION``-shaped retention path;
+    * ``rows_accounted`` — the audit blob's ``rows_dropped`` equals the
+      dropped type's exact row count (footer sums, no scan);
+    * ``time_travel_intact`` — the pre-delete snapshot still serves
+      every row.
+
+    The surviving aggregate equals the SQL mirror's plain
+    ``WHERE event_type <> dropped``."""
+    from ..sources.versioned import (
+        vt_count,
+        vt_delete,
+        vt_history,
+        vt_read,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtpart", sf_dir), "ev")
+    vt_write(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 2 == 0),
+        partition_by=["event_type"],
+    )
+    vt_write(
+        spark,
+        path,
+        ev.filter(F.col("event_id") % 2 == 1),
+        mode="append",
+    )
+    types = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    dropped, probe = types[0], types[-1]
+    n_before = vt_count(spark, path)
+    plan = vt_scan_plan(path, predicate=("event_type", "=", probe))
+    pruned_exact = (
+        plan.get("partition_pruned", 0) == 2 * (len(types) - 1)
+        and plan["dirs_kept"] == 2
+    )
+    v = vt_delete(spark, path, ("event_type", "=", dropped))
+    blob = vt_history(path)[0]["delete"]
+    n_after = vt_count(spark, path)
+    drop_partition_metadata_only = (
+        blob["files_rewritten"] == 0 and blob.get("dirs_dropped") == 2
+    )
+    rows_accounted = (
+        blob["rows_dropped"] == n_before - n_after
+        and blob["rows_dropped"] > 0
+    )
+    time_travel_intact = vt_count(spark, path, v - 1) == n_before
+    return (
+        vt_read(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(pruned_exact)).alias("pruned_exact"),
+            F.lit(bool(drop_partition_metadata_only)).alias(
+                "drop_partition_metadata_only"
+            ),
+            F.lit(bool(rows_accounted)).alias("rows_accounted"),
+            F.lit(bool(time_travel_intact)).alias("time_travel_intact"),
+        )
+    )
+
+
+_EVENTS_VT_PARTITIONED_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+d AS (SELECT min(event_type) AS dropped FROM t)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS pruned_exact,
+       TRUE AS drop_partition_metadata_only,
+       TRUE AS rows_accounted,
+       TRUE AS time_travel_intact
+FROM t, d
+WHERE event_type <> dropped
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_partitioned"] = FnWorkload(
+    _events_vt_partitioned, _EVENTS_VT_PARTITIONED_SQL
+)

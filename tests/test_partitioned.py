@@ -1,0 +1,356 @@
+"""Hive-style partition columns on the versioned table (r13):
+``vt_write(partition_by=[...])`` records the PARTITIONED BY property,
+splits every commit one immutable directory per partition value tuple
+(``manifest["partitions"]``), prunes whole dirs on partition predicates
+with EXACT semantics, and upgrades whole-file DELETE to metadata-only
+DROP PARTITION. Layout rationale: module comment above
+``_PARTITION_TYPES`` in sources/versioned.py (Delta's PARTITIONED BY
+re-expressed in the flat-directory model — partition values live in the
+manifest like Delta's add-file metadata, files keep the columns)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicqueryengine_spark.sources.versioned import (
+    _read_manifest,
+    vt_clone,
+    vt_delete,
+    vt_describe,
+    vt_merge,
+    vt_optimize,
+    vt_read,
+    vt_rename_column,
+    vt_restore,
+    vt_scan_plan,
+    vt_vacuum,
+    vt_versions,
+    vt_write,
+)
+
+
+def _df(spark, n=12):
+    return spark.createDataFrame(
+        [
+            (i, f"2020-01-0{1 + i % 3}", f"r{i % 2}", float(i))
+            for i in range(n)
+        ],
+        "id long, day string, region string, x double",
+    )
+
+
+class TestPartitionedWrite:
+    def test_write_splits_one_dir_per_value(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v = vt_write(spark, path, _df(spark), partition_by=["day"])
+        m = _read_manifest(path, v)
+        assert m["partition_by"] == ["day"]
+        assert len(m["dirs"]) == 3
+        assert sorted(
+            pv["day"] for pv in m["partitions"].values()
+        ) == ["2020-01-01", "2020-01-02", "2020-01-03"]
+        # read-back is value-identical to the input
+        out = vt_read(spark, path).orderBy("id").collect()
+        assert [r["id"] for r in out] == list(range(12))
+        assert all(r["day"] is not None for r in out)
+
+    def test_append_inherits_and_refuses_change(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        v2 = vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, "2020-01-09", "r0", 1.0)],
+                "id long, day string, region string, x double",
+            ),
+            mode="append",
+        )
+        m = _read_manifest(path, v2)
+        assert len(m["partitions"]) == 4  # new day got its own dir
+        with pytest.raises(ValueError, match="cannot change"):
+            vt_write(
+                spark, path, _df(spark), mode="append",
+                partition_by=["region"],
+            )
+
+    def test_overwrite_repartitions_and_clears(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        v2 = vt_write(
+            spark, path, _df(spark), mode="overwrite",
+            partition_by=["region"],
+        )
+        m = _read_manifest(path, v2)
+        assert m["partition_by"] == ["region"]
+        assert sorted(
+            pv["region"] for pv in m["partitions"].values()
+        ) == ["r0", "r1"]
+        v3 = vt_write(
+            spark, path, _df(spark), mode="overwrite", partition_by=[],
+        )
+        m3 = _read_manifest(path, v3)
+        assert "partition_by" not in m3 and "partitions" not in m3
+
+    def test_multi_column_and_int_partition(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 2, f"g{i % 2}") for i in range(8)],
+            "id long, bucket int, g string",
+        )
+        v = vt_write(spark, path, df, partition_by=["bucket", "g"])
+        m = _read_manifest(path, v)
+        assert len(m["dirs"]) == 2  # bucket and g are correlated
+        vals = sorted(
+            (pv["bucket"], pv["g"]) for pv in m["partitions"].values()
+        )
+        assert vals == [(0, "g0"), (1, "g1")]
+        assert isinstance(vals[0][0], int)
+        assert vt_read(spark, path).count() == 8
+
+    def test_null_partition_value_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a")], "id long, g string"
+        )
+        v = vt_write(spark, path, df, partition_by=["g"])
+        m = _read_manifest(path, v)
+        assert sorted(
+            (pv["g"] is None, pv["g"] or "") for pv in m["partitions"].values()
+        ) == [(False, "a"), (True, "")]
+        rows = {
+            (r["id"], r["g"]) for r in vt_read(spark, path).collect()
+        }
+        assert rows == {(1, "a"), (2, None), (3, "a")}
+        # exact null pruning: isnull keeps only the null dir
+        plan = vt_scan_plan(path, predicate=("g", "isnull", None))
+        assert plan["partition_pruned"] == 1
+        plan = vt_scan_plan(path, predicate=("g", "notnull", None))
+        assert plan["partition_pruned"] == 1
+
+    def test_unsupported_types_and_missing_column_refused(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 2.5)], "id long, x double")
+        with pytest.raises(ValueError, match="supported partition"):
+            vt_write(spark, path, df, partition_by=["x"])
+        with pytest.raises(ValueError, match="not in the data"):
+            vt_write(spark, path, df, partition_by=["nope"])
+
+    def test_date_partition_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, datetime.date(2020, 1, 1)), (2, datetime.date(2020, 1, 2))],
+            "id long, d date",
+        )
+        v = vt_write(spark, path, df, partition_by=["d"])
+        m = _read_manifest(path, v)
+        assert sorted(pv["d"] for pv in m["partitions"].values()) == [
+            "2020-01-01", "2020-01-02",
+        ]
+        # a date predicate value normalizes to the recorded ISO form
+        plan = vt_scan_plan(
+            path, predicate=("d", "=", datetime.date(2020, 1, 2))
+        )
+        assert plan["partition_pruned"] == 1
+        out = vt_read(
+            spark, path, predicate=("d", "=", datetime.date(2020, 1, 2))
+        ).collect()
+        assert [r["id"] for r in out] == [2]
+
+
+class TestPartitionPruning:
+    def test_exact_dir_pruning_counts(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        plan = vt_scan_plan(path, predicate=("day", "=", "2020-01-02"))
+        assert plan["partition_pruned"] == 2 and plan["dirs_kept"] == 1
+        plan = vt_scan_plan(path, predicate=("day", ">", "2020-01-02"))
+        assert plan["partition_pruned"] == 2
+        plan = vt_scan_plan(
+            path, predicate=("day", "in", ["2020-01-01", "2020-01-03"])
+        )
+        assert plan["partition_pruned"] == 1
+        # results identical to an unpruned filter
+        out = vt_read(
+            spark, path, predicate=("day", "=", "2020-01-02")
+        ).orderBy("id").collect()
+        assert [r["id"] for r in out] == [1, 4, 7, 10]
+
+    def test_everything_pruned_still_answers_empty(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        out = vt_read(spark, path, predicate=("day", "=", "2099-12-31"))
+        assert out.count() == 0
+
+    def test_mixed_conjunction_composes_with_file_stats(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 30), partition_by=["day"])
+        plan = vt_scan_plan(
+            path,
+            predicate=[("day", "=", "2020-01-01"), ("id", ">", 1000)],
+        )
+        # partition conjunct prunes 2 dirs; id conjunct prunes every
+        # file of the survivor via footer stats
+        assert plan["partition_pruned"] == 2
+        assert plan["files_kept"] == 0
+
+
+class TestDropPartition:
+    def test_partition_predicate_drops_dirs_metadata_only(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        v = vt_delete(spark, path, ("day", "<", "2020-01-03"))
+        m = _read_manifest(path, v)
+        blob = m["delete"]
+        assert blob["files_rewritten"] == 0
+        assert blob["dirs_dropped"] == 2
+        assert blob["rows_dropped"] == 8
+        assert len(m["dirs"]) == 1
+        out = vt_read(spark, path).orderBy("id").collect()
+        assert [r["id"] for r in out] == [2, 5, 8, 11]
+
+    def test_mixed_predicate_partition_plus_stats_proof(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        # two files per (day) dir: optimize first so per-file id ranges
+        # are disjoint, then delete day X AND id above the lower file
+        vt_write(spark, path, _df(spark, 40), partition_by=["day"])
+        v = vt_delete(
+            spark,
+            path,
+            [("day", "=", "2020-01-01"), ("id", ">=", 0)],
+        )
+        m = _read_manifest(path, v)
+        blob = m["delete"]
+        # day conjunct proven by partition values, id >= 0 by footer
+        # stats -> every file of the day dir drops without a read
+        assert blob["files_rewritten"] == 0
+        assert blob.get("files_dropped", 0) > 0
+        assert vt_read(spark, path).filter(
+            F.col("day") == "2020-01-01"
+        ).count() == 0
+
+    def test_dropped_partition_dirs_are_vacuumable(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        vt_delete(spark, path, ("day", "=", "2020-01-01"))
+        removed = vt_vacuum(spark, path, keep_last=1, grace_seconds=0.0)
+        assert removed  # the dropped partition dir is unreferenced now
+        assert vt_read(spark, path).count() == 8
+
+
+class TestPartitionLifecycle:
+    def test_optimize_preserves_partition_layout(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 30), partition_by=["day"])
+        v = vt_optimize(spark, path, ["id"], n_partitions=2)
+        m = _read_manifest(path, v)
+        assert m["partition_by"] == ["day"]
+        assert len(m["partitions"]) == len(m["dirs"]) == 3
+        # DROP PARTITION still works after the rewrite
+        v2 = vt_delete(spark, path, ("day", "=", "2020-01-02"))
+        assert _read_manifest(path, v2)["delete"]["dirs_dropped"] == 1
+
+    def test_restore_past_partitioning_clears_it(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark))  # v1: unpartitioned
+        vt_write(
+            spark, path, _df(spark), mode="overwrite",
+            partition_by=["day"],
+        )  # v2
+        v3 = vt_restore(spark, path, 1)
+        m = _read_manifest(path, v3)
+        assert "partition_by" not in m and "partitions" not in m
+        v4 = vt_restore(spark, path, 2)
+        m4 = _read_manifest(path, v4)
+        assert m4["partition_by"] == ["day"]
+        assert len(m4["partitions"]) == 3
+
+    def test_clone_carries_partition_layout(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        vt_write(spark, src, _df(spark), partition_by=["day"])
+        vt_clone(spark, src, dst)
+        m = _read_manifest(dst, 1)
+        assert m["partition_by"] == ["day"] and len(m["partitions"]) == 3
+        v = vt_delete(spark, dst, ("day", "=", "2020-01-01"))
+        assert _read_manifest(dst, v)["delete"]["dirs_dropped"] == 1
+        # the source never observes the clone's drop
+        assert vt_read(spark, src).count() == 12
+
+    def test_ddl_refused_on_partition_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        with pytest.raises(ValueError, match="pinned by"):
+            vt_rename_column(path, "day", "dt")
+
+    def test_describe_surfaces_partitioning(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        d = vt_describe(path)
+        assert d["properties"]["partition_by"] == ["day"]
+        assert d["num_partitions"] == 3
+
+    def test_merge_on_partitioned_table_stays_correct(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(0, "2020-01-01", "r0", 99.0)],
+                "id long, day string, region string, x double",
+            ),
+            ["id"],
+        )
+        out = {
+            r["id"]: r["x"] for r in vt_read(spark, path).collect()
+        }
+        assert out[0] == 99.0 and len(out) == 12
+        # the merge's rewrite dir has no partition entry; pruning stays
+        # sound (conservatively keeps it) and exact elsewhere
+        plan = vt_scan_plan(path, predicate=("day", "=", "2020-01-02"))
+        out2 = vt_read(
+            spark, path, predicate=("day", "=", "2020-01-02")
+        ).orderBy("id").collect()
+        assert [r["id"] for r in out2] == [1, 4, 7, 10]
+        assert plan.get("partition_pruned", 0) >= 1
+
+    def test_identity_composes_with_partitioning(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        v = vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [("2020-01-01",), ("2020-01-02",), ("2020-01-01",)],
+                "day string",
+            ),
+            partition_by=["day"],
+            identity={"rid": {"start": 1, "step": 1}},
+        )
+        m = _read_manifest(path, v)
+        rids = [r["rid"] for r in vt_read(spark, path).collect()]
+        assert len(set(rids)) == 3
+        assert m["identity"]["rid"]["high_water"] == max(rids)
+
+    def test_history_stays_time_travelable(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        vt_delete(spark, path, ("day", "=", "2020-01-01"))
+        assert vt_read(spark, path, version=1).count() == 12
+        assert vt_read(spark, path).count() == 8
+        assert vt_versions(path) == [1, 2]
+        assert os.path.isdir(path)
