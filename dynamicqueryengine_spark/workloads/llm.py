@@ -6530,3 +6530,104 @@ GROUP BY event_type
 LLM_QUERIES["events_vt_partitioned"] = FnWorkload(
     _events_vt_partitioned, _EVENTS_VT_PARTITIONED_SQL
 )
+
+
+def _events_vt_format_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH PYTHON DATASOURCE READ, EXECUTED (spark.read.format("vt"),
+    r13 — the DataFrameReader half of the table format, next to the
+    streaming vt_changes source): events staged as a PARTITIONED table
+    (partition_by=event_type) that then takes a merge-on-read DV delete
+    and a column RENAME — the three features a format-blind reader
+    would corrupt (resurrected rows, physical names, unsplit scans) —
+    and is read back through ``spark.read.format("vt")`` with a filter
+    the source's pushFilters translates into manifest pruning.
+
+    Pinned INSIDE the oracle hash: ``format_equals_native`` (the format
+    read and vt_read agree on count and sum over the whole table),
+    ``time_travel_option`` (versionAsOf=1 serves the pre-delete count),
+    ``dv_applied`` (the deleted row is absent from the format read).
+    The returned aggregate runs entirely through the format path."""
+    from ..sources.datasource import vt_register
+    from ..sources.versioned import (
+        vt_count,
+        vt_delete,
+        vt_read,
+        vt_rename_column,
+        vt_write,
+    )
+
+    vt_register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtformat", sf_dir), "ev")
+    vt_write(spark, path, ev, partition_by=["event_type"])
+    victim = ev.agg(F.min("event_id").alias("lo")).collect()[0]["lo"]
+    vt_delete(spark, path, ("event_id", "=", victim), mode="dv")
+    vt_rename_column(path, "v", "amount")
+    fmt = spark.read.format("vt").option("path", path).load()
+    native = vt_read(spark, path)
+    a = fmt.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s")
+    ).collect()[0]
+    b = native.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s")
+    ).collect()[0]
+    format_equals_native = a["n"] == b["n"] and a["s"] == b["s"]
+    pre = (
+        spark.read.format("vt")
+        .option("path", path)
+        .option("versionAsOf", "1")
+        .load()
+        .count()
+    )
+    time_travel_option = pre == vt_count(spark, path, 1) == a["n"] + 1
+    dv_applied = (
+        fmt.filter(F.col("event_id") == victim).count() == 0
+    )
+    return (
+        fmt.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 6).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(format_equals_native)).alias(
+                "format_equals_native"
+            ),
+            F.lit(bool(time_travel_option)).alias("time_travel_option"),
+            F.lit(bool(dv_applied)).alias("dv_applied"),
+        )
+    )
+
+
+_EVENTS_VT_FORMAT_READ_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(38,12)) AS v
+  FROM ev
+),
+d AS (SELECT min(event_id) AS victim FROM t)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(v), 6) AS DOUBLE) AS sum_value,
+       TRUE AS format_equals_native,
+       TRUE AS time_travel_option,
+       TRUE AS dv_applied
+FROM t, d
+WHERE event_id <> victim
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_format_read"] = FnWorkload(
+    _events_vt_format_read, _EVENTS_VT_FORMAT_READ_SQL
+)
