@@ -120,6 +120,43 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     total_single = round(sum(t for t in per_pass[0].values() if t >= 0), 4)
+
+    # ---- tenancy calibration (r13, judge ask #4) ----------------------
+    # Three probes whose CODE has been untouched since r7 (pure JVM
+    # scan-agg, broadcast join, Arrow decode) act as a host thermometer:
+    # their quiet-host min-of-2 reference values are pinned below (the
+    # cross-round minima from BENCH_DETAIL_r11/r12, measured on an idle
+    # box), so any run's host_factor = median(observed / reference)
+    # separates shared-tenancy slowdown from code regressions —
+    # structurally, instead of the per-round forensics r12 needed.
+    # total_min2_normalized = total_min2 / host_factor is the
+    # round-over-round comparable number.
+    _CALIBRATION_REF = {
+        "lineitem_stats": 0.22,
+        "join_revenue_by_nation": 0.41,
+        "multimodal_bmp_decode": 0.72,
+    }
+    probe_obs = {
+        k: timings[k]
+        for k in _CALIBRATION_REF
+        if timings.get(k, -1.0) >= 0
+    }
+    ratios = sorted(
+        probe_obs[k] / _CALIBRATION_REF[k] for k in probe_obs
+    )
+    host_factor = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
+    calibration = {
+        "probes": probe_obs,
+        "reference": _CALIBRATION_REF,
+        "host_factor": host_factor,
+        "total_min2_normalized": (
+            round(total / host_factor, 4)
+            if host_factor and host_factor > 0
+            else None
+        ),
+    }
     # Field ORDER is part of the contract: the driver's capture keeps only
     # a bounded TAIL of the output line (r2-r4 all recorded parsed:null
     # because the headline totals sat at the HEAD and were truncated
@@ -134,6 +171,7 @@ def main() -> None:
             "unit": "sec",
             "passes": 2,
             "stat": "min",
+            "calibration": calibration,
             "n_queries": len(queries),  # THE query count — docs cite this
             "total_single": total_single,
             "total_min2": total,
@@ -175,6 +213,7 @@ def main() -> None:
         "started_unix": round(run_started, 1),
         "total_single": total_single,
         "total_min2": total,
+        "calibration": calibration,
         "queries_pass1": per_pass[0],
         "queries_pass2": per_pass[1],
         "streaming_compute_sec": stream_compute,
@@ -196,6 +235,7 @@ def main() -> None:
         # run of this round in order, one entry per bench.py invocation
         "total_single": total_single,
         "total_min2": total,
+        "calibration": calibration,
         "queries_min2": timings,
         "queries_pass1": per_pass[0],
         "queries_pass2": per_pass[1],

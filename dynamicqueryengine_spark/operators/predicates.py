@@ -85,11 +85,30 @@ _MISSING = object()
 
 def resolve_field(schema: StructType, prop: str, type_name: str = "Row") -> StructField:
     """Case-insensitive column resolution (BindingFlags.IgnoreCase,
-    IQueryableRuleEvaluator.cs:125)."""
+    IQueryableRuleEvaluator.cs:125). DOTTED properties walk into struct
+    children (``"payload.amount"`` — beyond-reference, r13): the
+    returned field carries the FULL dotted path as its name, which both
+    ``F.col`` and the generated ANSI SQL resolve as nested access. A
+    literal top-level column whose name contains a dot wins over the
+    walk (exact resolution beats path interpretation)."""
     lowered = prop.lower()
     for f in schema.fields:
         if f.name.lower() == lowered:
             return f
+    if "." in prop:
+        head, _, rest = prop.partition(".")
+        head_l = head.lower()
+        for f in schema.fields:
+            if f.name.lower() == head_l and isinstance(
+                f.dataType, StructType
+            ):
+                try:
+                    leaf = resolve_field(f.dataType, rest, type_name)
+                except Exception:
+                    break  # report the FULL dotted path, not the leaf
+                return StructField(
+                    f"{f.name}.{leaf.name}", leaf.dataType, True
+                )
     raise property_not_found(prop, type_name)
 
 

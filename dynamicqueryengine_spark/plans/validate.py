@@ -55,7 +55,12 @@ def validate_rule(
                 # their Property is a parameter key, never a column
                 continue
             if cond.property and cond.property.lower() not in fields:
-                raise property_not_found(cond.property, type_name)
+                # dotted properties walk struct children (beyond-
+                # reference, r13) — delegate to the compiler's resolver,
+                # which raises the same reference-shaped error
+                from ..operators.predicates import resolve_field
+
+                resolve_field(schema, cond.property, type_name)
 
     if rule.group_by:
         for gb in rule.group_by:

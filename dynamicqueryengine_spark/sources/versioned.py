@@ -651,6 +651,19 @@ def _commit(
     else:
         txns = _txns_at(path, expected_head) if expected_head > 0 else {}
     if txn:
+        # exactly-once guard, enforced against the SAME predecessor the
+        # commit is conditional on: verbs also check at entry (cheap
+        # early exit), but only this in-commit check is race-free — a
+        # concurrent replica landing the txn between the entry check
+        # and here advances the head, our create-if-absent then either
+        # loses (retry re-checks) or, if we read the advanced head,
+        # this guard fires (see TxnReplayed)
+        prev_v = txns.get(txn["app"])
+        if prev_v is not None and int(txn["version"]) <= int(prev_v):
+            raise TxnReplayed(
+                f"txn ({txn['app']!r}, {txn['version']}) already "
+                f"applied at {path} (recorded {prev_v})"
+            )
         manifest["txn"] = txn
         txns[txn["app"]] = int(txn["version"])
     manifest["txns"] = txns
@@ -1341,11 +1354,25 @@ def _can_widen(frm, to) -> bool:
     """True when every value of Spark type ``frm`` is exactly
     representable as ``to`` AND the vectorized parquet reader can
     perform the upcast at scan time (so old files stay readable with
-    the widened schema, zero rewrite)."""
-    from pyspark.sql.types import DecimalType
+    the widened schema, zero rewrite). STRUCTS recurse (r13): same
+    field names in the same order, every child equal or widenable —
+    the reader upcasts nested leaves exactly like top-level ones."""
+    from pyspark.sql.types import DecimalType, StructType as _St
 
     if frm == to:
         return False
+    if isinstance(frm, _St) and isinstance(to, _St):
+        if [f.name for f in frm.fields] != [f.name for f in to.fields]:
+            return False
+        widened_any = False
+        for a, b in zip(frm.fields, to.fields):
+            if a.dataType == b.dataType:
+                continue
+            if _can_widen(a.dataType, b.dataType):
+                widened_any = True
+                continue
+            return False
+        return widened_any
     if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
         return (
             to.scale >= frm.scale
@@ -1430,6 +1457,17 @@ _VT_CONSTRAINT_KINDS = (
 class ConstraintViolation(ValueError):
     """A vt commit was rejected because incoming rows violate the
     table's CHECK constraints. Nothing was committed."""
+
+
+class TxnReplayed(Exception):
+    """A commit carrying ``txn=(app, version)`` found the predecessor
+    manifest already records that (or a later) version for the app —
+    the exactly-once guard, enforced INSIDE ``_commit`` against the
+    same head the commit is conditional on. Checking only at verb
+    entry leaves a cross-process window (found by the r13 multiprocess
+    stress): replica B passes the entry guard before replica A's commit
+    lands, then reads the ADVANCED head and double-applies. The callers
+    treat this as the no-op the replay contract promises."""
 
 
 def vt_constraints(path: str) -> list:
@@ -1901,6 +1939,12 @@ def vt_write(
                 partitions=partitions,
                 partition_by=commit_pby,
             )
+        except TxnReplayed:
+            # the entry guard raced a concurrent replica of this txn —
+            # the in-commit guard is the authoritative one (r13
+            # multiprocess stress): exactly-once means no-op
+            _discard_written()
+            return vt_versions(path)[-1]
         except FileExistsError:
             new_head = vt_versions(path)[-1]
             if eff_identity:
@@ -3963,6 +4007,15 @@ def vt_merge(
                 extra={"merge": merge_blob} if merge_blob else None,
                 identity=identity_commit,
             )
+        except TxnReplayed:
+            # a concurrent replica of this txn landed between the entry
+            # guard and our commit — exactly-once means no-op
+            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+            if change_dir is not None:
+                shutil.rmtree(
+                    os.path.join(path, change_dir), ignore_errors=True
+                )
+            return vt_versions(path)[-1]
         except FileExistsError:
             # another writer won this version — discard our uncommitted
             # directories and re-derive from the new head
@@ -4217,7 +4270,7 @@ def _dv_mutation_commit_cached(
             dv=dv_map,
             identity=identity,
         )
-    except FileExistsError:
+    except (FileExistsError, TxnReplayed) as e:
         # lost the race: discard everything this attempt staged
         shutil.rmtree(os.path.join(path, change_dir), ignore_errors=True)
         if new_dir is not None:
@@ -4227,6 +4280,10 @@ def _dv_mutation_commit_cached(
                 os.unlink(os.path.join(_dv_dir(path), ref))
             except OSError:
                 pass
+        if isinstance(e, TxnReplayed):
+            # a concurrent replica of this txn landed — exactly-once
+            # means no-op at the CURRENT head
+            return vt_versions(path)[-1]
         return -1
 
 
@@ -5530,7 +5587,14 @@ def vt_widen_column(path: str, col: str, dtype,
     rewrite problem, not a metadata one. Unlike rename/drop this does
     NOT flip the table into the mapped format — physical NAMES are
     unchanged; the commit only marks the layout heterogeneous so reads
-    know footers and schema may disagree."""
+    know footers and schema may disagree.
+
+    DOTTED paths widen NESTED struct fields (``"payload.amount"``,
+    r13 — Delta's typeWidening covers nested fields the same way): the
+    walk recurses into StructType children and the explicit-schema read
+    upcasts nested leaves at scan exactly like top-level ones (measured
+    in this container: nested int ladder, int→double, plus null-fill of
+    later-added nested children)."""
     from pyspark.sql.types import DataType, StructType
 
     if isinstance(dtype, DataType):
@@ -5540,22 +5604,49 @@ def vt_widen_column(path: str, col: str, dtype,
 
         dt = _parse_datatype_string(str(dtype))
 
+    parts = col.split(".")
+
     def mutate(manifest: dict):
         target = StructType.fromJson(manifest["schema"])
+        # resolve the (possibly dotted) path to its current leaf type;
+        # a literal top-level column whose name contains a dot wins
         by_name = {f.name: f for f in target.fields}
-        if col not in by_name:
-            raise ValueError(
-                f"no column {col!r} in {sorted(by_name)}"
-            )
-        frefs = _feature_references(manifest, col) + (
-            _constraint_references(manifest, col) or []
+        if col in by_name:
+            walk = [col]
+        else:
+            walk = parts
+        node = target
+        cur = None
+        for i, seg in enumerate(walk):
+            names = {f.name: f for f in node.fields}
+            if seg not in names:
+                raise ValueError(
+                    f"no column {col!r} in {sorted(by_name)}"
+                    if i == 0
+                    else f"no field {seg!r} under "
+                    f"{'.'.join(walk[:i])!r} in {sorted(names)}"
+                )
+            f = names[seg]
+            if i == len(walk) - 1:
+                cur = f.dataType
+            elif isinstance(f.dataType, StructType):
+                node = f.dataType
+            else:
+                raise ValueError(
+                    f"{'.'.join(walk[: i + 1])!r} is "
+                    f"{f.dataType.simpleString()}, not a struct — "
+                    f"cannot descend to {col!r}"
+                )
+        # pinned-by guards key off the TOP-LEVEL column (a constraint
+        # or feature reading `payload` pins every field under it)
+        frefs = _feature_references(manifest, walk[0]) + (
+            _constraint_references(manifest, walk[0]) or []
         )
         if frefs:
             raise ValueError(
                 f"column {col!r} is pinned by {frefs}: clear the "
                 "property/constraint before changing its type"
             )
-        cur = by_name[col].dataType
         if not _can_widen(cur, dt):
             raise ValueError(
                 f"cannot widen column {col!r} from "
@@ -5565,9 +5656,19 @@ def vt_widen_column(path: str, col: str, dtype,
                 "decimal growth)"
             )
         schema_json = json.loads(json.dumps(manifest["schema"]))
-        for f in schema_json["fields"]:
-            if f["name"] == col:
-                f["type"] = json.loads(dt.json())
+
+        def rewrite(fields: list, depth: int) -> bool:
+            for f in fields:
+                if f["name"] != walk[depth]:
+                    continue
+                if depth == len(walk) - 1:
+                    f["type"] = json.loads(dt.json())
+                else:
+                    rewrite(f["type"]["fields"], depth + 1)
+                return True
+            return False  # pragma: no cover - resolved above
+
+        rewrite(schema_json["fields"], 0)
         blob = {
             "column": col,
             "from": cur.simpleString(),

@@ -354,3 +354,94 @@ class TestPartitionLifecycle:
         assert vt_read(spark, path).count() == 8
         assert vt_versions(path) == [1, 2]
         assert os.path.isdir(path)
+
+
+class TestNestedWiden:
+    """r13: vt_widen_column walks dotted paths into struct children;
+    _can_widen recurses so appends carrying the old narrow nested type
+    (or evolving to a wider one under merge_schema) keep working."""
+
+    def _table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, (5, 2.0)), (2, (7, 3.0))],
+            "id long, payload struct<amount int, x double>",
+        )
+        vt_write(spark, path, df)
+        return path
+
+    def test_nested_widen_is_metadata_only_and_upcasts(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        dirs_before = _read_manifest(path, 1)["dirs"]
+        v = vt_widen_column(path, "payload.amount", "bigint")
+        m = _read_manifest(path, v)
+        assert m["dirs"] == dirs_before  # zero data movement
+        out = vt_read(spark, path)
+        assert (
+            out.schema["payload"].dataType["amount"].dataType.simpleString()
+            == "bigint"
+        )
+        assert {r["payload"]["amount"] for r in out.collect()} == {5, 7}
+        # an append carrying the WIDE nested type lands natively
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, (2**40, 4.0))],
+                "id long, payload struct<amount long, x double>",
+            ),
+            mode="append",
+        )
+        assert vt_read(spark, path).count() == 3
+        # and one still carrying the NARROW nested type upcasts at write
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(4, (9, 5.0))],
+                "id long, payload struct<amount int, x double>",
+            ),
+            mode="append",
+        )
+        vals = {
+            r["payload"]["amount"] for r in vt_read(spark, path).collect()
+        }
+        assert vals == {5, 7, 2**40, 9}
+
+    def test_nested_widen_refusals(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_widen_column,
+        )
+
+        path = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="cannot widen"):
+            vt_widen_column(path, "payload.x", "float")  # narrowing
+        with pytest.raises(ValueError, match="not a struct"):
+            vt_widen_column(path, "id.sub", "bigint")
+        with pytest.raises(ValueError, match="no field"):
+            vt_widen_column(path, "payload.nope", "bigint")
+
+    def test_merge_schema_append_widens_nested(self, spark, tmp_path):
+        path = self._table(spark, tmp_path)
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(9, (2**35, 1.0))],
+                "id long, payload struct<amount long, x double>",
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+        out = vt_read(spark, path)
+        assert (
+            out.schema["payload"].dataType["amount"].dataType.simpleString()
+            == "bigint"
+        )
+        assert out.count() == 3

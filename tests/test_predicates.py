@@ -462,3 +462,131 @@ class TestSkipConjunctExtraction:
             users_df, cond("Title", "DynamicEqual"), {"Title": None}
         )
         assert got and got[0][1] == "isnull"
+
+
+class TestNestedDottedProperties:
+    """r13 beyond-reference: Condition.Property walks struct children
+    case-insensitively; SQL mirror renders the same dotted access; the
+    reference error surface names the full dotted path."""
+
+    @pytest.fixture()
+    def nested_df(self, spark):
+        return spark.createDataFrame(
+            [(1, ("a", 5.0)), (2, ("b", 50.0)), (3, (None, None))],
+            "id long, payload struct<tag string, amount double>",
+        )
+
+    def test_nested_compare_and_case_insensitive(self, spark, nested_df):
+        from dynamicqueryengine_spark import RuleDefinition, apply_rule
+
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "PAYLOAD.Amount",
+                            "Operator": "GreaterThan",
+                            "Value": 10,
+                        }
+                    ]
+                }
+            }
+        )
+        assert [r["id"] for r in apply_rule(nested_df, rule).collect()] == [2]
+
+    def test_nested_null_and_string_ops(self, spark, nested_df):
+        from dynamicqueryengine_spark import RuleDefinition, apply_rule
+
+        nulls = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {"Property": "payload.tag", "Operator": "Null"}
+                    ]
+                }
+            }
+        )
+        assert [
+            r["id"] for r in apply_rule(nested_df, nulls).collect()
+        ] == [3]
+        contains = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "payload.tag",
+                            "Operator": "Contains",
+                            "Value": "b",
+                        }
+                    ]
+                }
+            }
+        )
+        assert [
+            r["id"] for r in apply_rule(nested_df, contains).collect()
+        ] == [2]
+
+    def test_sql_mirror_renders_dotted_access(self, spark, nested_df):
+        from dynamicqueryengine_spark import RuleDefinition, SqlGenerator
+
+        rule = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "payload.amount",
+                            "Operator": "GreaterThanOrEqual",
+                            "Value": 50,
+                        }
+                    ]
+                }
+            }
+        )
+        sql = SqlGenerator(nested_df.schema).rule_sql(rule, "t")
+        assert "payload.amount >= " in sql
+
+    def test_error_names_full_dotted_path(self, spark, nested_df):
+        from dynamicqueryengine_spark import (
+            RuleDefinition,
+            RuleValidationError,
+            apply_rule,
+        )
+
+        bad = RuleDefinition.from_dict(
+            {
+                "Conditions": {
+                    "Conditions": [
+                        {
+                            "Property": "payload.nope",
+                            "Operator": "Equal",
+                            "Value": 1,
+                        }
+                    ]
+                }
+            }
+        )
+        with pytest.raises(RuleValidationError, match="payload.nope"):
+            apply_rule(nested_df, bad)
+
+    def test_literal_dotted_top_level_column_wins(self, spark):
+        from dynamicqueryengine_spark.operators.predicates import (
+            resolve_field,
+        )
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("payload.amount", StringType()),
+                StructField(
+                    "payload",
+                    StructType([StructField("amount", DoubleType())]),
+                ),
+            ]
+        )
+        f = resolve_field(schema, "payload.amount")
+        assert isinstance(f.dataType, StringType)  # exact name beat walk
