@@ -1305,6 +1305,12 @@ def _write_partitioned_dirs(
 
         for leaf, comps in leaves(staging, []):
             by_tag = dict(comps)
+            if any(tags[p] not in by_tag for p in ppcols):
+                # the staging ROOT surfaces as a tagless leaf when the
+                # frame was EMPTY (a fully-DV'd reorg input, an empty
+                # overwrite): nothing to move — the caller's empty-
+                # result fallback writes the plain empty dir
+                continue
             pvals = {
                 p: _decode_hive_value(by_tag[tags[p]], types[p])
                 for p in ppcols
@@ -1335,6 +1341,53 @@ def _write_partitioned_dirs(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return out
+
+
+def _write_maintenance_output(
+    spark, df: DataFrame, path: str, manifest: dict,
+    mapping: dict | None, bloom_cols,
+) -> tuple[list, dict, dict, dict, dict, dict, dict]:
+    """Write a maintenance rewrite's output (compact/reorg packed rows)
+    preserving the table's partition layout: partitioned tables re-split
+    per partition value (DROP PARTITION and exact pruning survive the
+    maintenance op), plain tables write one directory. Returns
+    ``(dirs, stats, fstats, files, frows, blooms, partitions)`` for the
+    NEW directories only."""
+    pby = manifest.get("partition_by") or []
+    if pby:
+        # one task per partition value before the staged split, so a
+        # compaction actually REDUCES file count (n_tasks × n_partitions
+        # leaves would defeat it); partitions repack into one file each —
+        # the right unit for small-file maintenance (a partition too big
+        # for one file belongs to OPTIMIZE's size-aware rewrite)
+        written = _write_partitioned_dirs(
+            df.repartition(*[F.col(c) for c in pby]),
+            path, pby, mapping=mapping,
+        )
+    else:
+        written = []
+    if not written:
+        d0, s0, fs0, fl0, fr0 = _write_data_dir(df, path, mapping=mapping)
+        written = [(d0, s0, fs0, fl0, fr0, None)]
+    eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
+    blooms: dict = {}
+    if eff_bloom_cols:
+        for d, *_ in written:
+            b = _harvest_blooms(
+                spark, os.path.join(path, d), eff_bloom_cols,
+                mapping=mapping,
+            )
+            if b:
+                blooms[d] = b
+    return (
+        [w[0] for w in written],
+        {d: s for d, s, *_ in written if s},
+        {d: fs for d, _, fs, *_ in written if fs},
+        {d: fl for d, _, _, fl, *_ in written},
+        {d: fr for d, _, _, _, fr, _ in written if fr},
+        blooms,
+        {d: pv for d, _, _, _, _, pv in written if pv is not None},
+    )
 
 
 # Type-widening lattice (Delta's typeWidening feature set, restricted
@@ -6123,35 +6176,27 @@ def vt_compact(
         packed = _read_plan(spark, tplan).repartition(
             max(1, -(-small_bytes // max(target_file_bytes, 1)))
         )
-        new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(packed, path, mapping=cmap)
-        )
-        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
-        new_blooms = (
-            _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols,
-                mapping=cmap,
+        new_dirs, nstats, nfstats, nfiles, nfrows, nblooms, nparts = (
+            _write_maintenance_output(
+                spark, packed, path, manifest, cmap, bloom_cols
             )
-            if eff_bloom_cols
-            else {}
         )
-        dirs = part["dirs"] + [new_dir]
-        stats = {
-            **part["stats"],
-            **({new_dir: new_stats} if new_stats else {}),
+        dirs = part["dirs"] + new_dirs
+        stats = {**part["stats"], **nstats}
+        fstats = {**part["file_stats"], **nfstats}
+        files = {**part["files"], **nfiles}
+        frows = {**part["file_rows"], **nfrows}
+        blooms = {**part["blooms"], **nblooms}
+        # kept partitioned dirs keep their recorded values (carry-prune
+        # in _commit); the repacked dirs add theirs explicitly
+        partitions = {
+            **{
+                d: v
+                for d, v in (manifest.get("partitions") or {}).items()
+                if d in set(part["dirs"])
+            },
+            **nparts,
         }
-        fstats = {
-            **part["file_stats"],
-            **({new_dir: new_fstats} if new_fstats else {}),
-        }
-        files = {**part["files"], new_dir: new_files}
-        frows = {
-            **part["file_rows"],
-            **({new_dir: new_rows} if new_rows else {}),
-        }
-        blooms = dict(part["blooms"])
-        if new_blooms:
-            blooms[new_dir] = new_blooms
         try:
             return _commit(
                 path,
@@ -6181,9 +6226,11 @@ def vt_compact(
                         "bytes_compacted": small_bytes,
                     }
                 },
+                partitions=partitions,
             )
         except FileExistsError:
-            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+            for d in new_dirs:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     raise RuntimeError(f"compact at {path} lost {max_retries} commit races")
 
 
@@ -6280,35 +6327,25 @@ def vt_reorg(
         purged = _read_plan(spark, tplan).repartition(
             max(1, -(-touched_bytes // max(target_file_bytes, 1)))
         )
-        new_dir, new_stats, new_fstats, new_files, new_rows = (
-            _write_data_dir(purged, path, mapping=cmap)
-        )
-        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
-        new_blooms = (
-            _harvest_blooms(
-                spark, os.path.join(path, new_dir), eff_bloom_cols,
-                mapping=cmap,
+        new_dirs, nstats, nfstats, nfiles, nfrows, nblooms, nparts = (
+            _write_maintenance_output(
+                spark, purged, path, manifest, cmap, bloom_cols
             )
-            if eff_bloom_cols
-            else {}
         )
-        dirs = part["dirs"] + [new_dir]
-        stats = {
-            **part["stats"],
-            **({new_dir: new_stats} if new_stats else {}),
+        dirs = part["dirs"] + new_dirs
+        stats = {**part["stats"], **nstats}
+        fstats = {**part["file_stats"], **nfstats}
+        files = {**part["files"], **nfiles}
+        frows_out = {**part["file_rows"], **nfrows}
+        blooms = {**part["blooms"], **nblooms}
+        partitions = {
+            **{
+                d: v
+                for d, v in (manifest.get("partitions") or {}).items()
+                if d in set(part["dirs"])
+            },
+            **nparts,
         }
-        fstats = {
-            **part["file_stats"],
-            **({new_dir: new_fstats} if new_fstats else {}),
-        }
-        files = {**part["files"], new_dir: new_files}
-        frows_out = {
-            **part["file_rows"],
-            **({new_dir: new_rows} if new_rows else {}),
-        }
-        blooms = dict(part["blooms"])
-        if new_blooms:
-            blooms[new_dir] = new_blooms
         try:
             # dv=None carries the head's map pruned to still-referenced
             # files: purged files left the manifest, so their entries
@@ -6335,9 +6372,11 @@ def vt_reorg(
                         "dv_rows_purged": purged_rows,
                     }
                 },
+                partitions=partitions,
             )
         except FileExistsError:
-            shutil.rmtree(os.path.join(path, new_dir), ignore_errors=True)
+            for d in new_dirs:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     raise RuntimeError(f"reorg at {path} lost {max_retries} commit races")
 
 

@@ -445,3 +445,69 @@ class TestNestedWiden:
             == "bigint"
         )
         assert out.count() == 3
+
+
+class TestPartitionMaintenance:
+    """r13: vt_compact and vt_reorg preserve the partition layout —
+    their rewrites re-split per partition value, so DROP PARTITION and
+    exact pruning survive every maintenance op, not just OPTIMIZE."""
+
+    def test_compact_preserves_layout(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_compact
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(50, "2020-01-01", "r0", 1.0)],
+                "id long, day string, region string, x double",
+            ),
+            mode="append",
+        )
+        v = vt_compact(spark, path, small_file_bytes=10**9)
+        m = _read_manifest(path, v)
+        # every dir still carries a partition value; day 01 repacked
+        assert set(m["partitions"]) == set(m["dirs"])
+        days = sorted(pv["day"] for pv in m["partitions"].values())
+        assert days == ["2020-01-01", "2020-01-02", "2020-01-03"]
+        # repacked: one file per partition
+        assert all(len(fl) == 1 for fl in m["files"].values())
+        assert vt_read(spark, path).count() == 13
+        v2 = vt_delete(spark, path, ("day", "=", "2020-01-01"))
+        assert _read_manifest(path, v2)["delete"]["dirs_dropped"] == 1
+
+    def test_reorg_preserves_layout(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_reorg
+
+        path = str(tmp_path / "t")
+        # one file per partition (repartition(1) -> one task), so the
+        # DV'd file still holds live rows and the purge output is
+        # non-empty per partition
+        vt_write(
+            spark, path, _df(spark).repartition(1), partition_by=["day"]
+        )
+        vt_delete(spark, path, ("id", "=", 1), mode="dv")
+        v = vt_reorg(spark, path)
+        m = _read_manifest(path, v)
+        assert "dv" not in m
+        assert set(m["partitions"]) == set(m["dirs"])
+        assert vt_read(spark, path).count() == 11
+        v2 = vt_delete(spark, path, ("day", "=", "2020-01-02"))
+        assert _read_manifest(path, v2)["delete"]["dirs_dropped"] == 1
+
+    def test_reorg_of_fully_deleted_file_still_commits(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_reorg
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        # the file holding id=1 may be single-row: a purge whose input
+        # is fully DV'd must still commit (empty rewrite output)
+        vt_delete(spark, path, ("id", "=", 1), mode="dv")
+        v = vt_reorg(spark, path)
+        m = _read_manifest(path, v)
+        assert "dv" not in m
+        assert vt_read(spark, path).count() == 11
