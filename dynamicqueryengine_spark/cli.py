@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "describe", "history", "rename-column", "drop-column",
             "add-column", "widen-column", "vacuum", "restore",
-            "generate-manifest",
+            "generate-manifest", "delete", "compact", "reorg",
         ],
     )
     vt.add_argument("path", help="table directory")
@@ -80,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--keep-last", type=int, default=2)
     vt.add_argument("--retain-seconds", type=float)
     vt.add_argument("--dry-run", action="store_true")
+    vt.add_argument(
+        "--mode",
+        choices=["rewrite", "dv", "auto"],
+        default="rewrite",
+        help="delete strategy (rewrite = whole-file/DROP-PARTITION "
+        "fast paths; dv = merge-on-read; auto = size-based)",
+    )
 
     args = parser.parse_args(argv)
     spark = get_spark("dqe-cli")
@@ -191,6 +198,28 @@ def main(argv: list[str] | None = None) -> int:
                 args.path, version=args.version
             )
             print(dest)
+        elif args.action == "delete":
+            # predicate = the skip-grammar conjunction as JSON, e.g.
+            #   vt delete TABLE '[["day", "<", "2020-01-03"]]'
+            # — a partition-proven conjunction drops whole directories
+            # metadata-only (DROP PARTITION); the audit blob is echoed
+            (pred_raw,) = need(1, "PREDICATE_JSON")
+            pred = json.loads(pred_raw)
+            if pred and not isinstance(pred[0], list):
+                pred = [pred]
+            conj = [tuple(c) for c in pred]
+            v = V.vt_delete(spark, args.path, conj, mode=args.mode)
+            blob = dict(V.vt_history(args.path)[0].get("delete") or {})
+            blob.pop("predicate", None)  # the caller typed it
+            print(json.dumps({"version": v, **blob}, default=str))
+        elif args.action == "compact":
+            v = V.vt_compact(spark, args.path)
+            blob = V.vt_history(args.path)[0].get("compact") or {}
+            print(json.dumps({"version": v, **blob}, default=str))
+        elif args.action == "reorg":
+            v = V.vt_reorg(spark, args.path)
+            blob = V.vt_history(args.path)[0].get("reorg") or {}
+            print(json.dumps({"version": v, **blob}, default=str))
         return 0
 
     if args.cmd == "serve":

@@ -2633,3 +2633,57 @@ ORDER BY revenue DESC, n_name ASC
 ANALYTICS_QUERIES["join_local_supplier_volume_q5"] = FnWorkload(
     _join_local_supplier_volume_q5, _Q5_SQL
 )
+
+
+def _join_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check — the canonical correlated
+    EXISTS (adapted: the testdata lineitem carries no commit/receipt
+    dates, so "problem line" is l_returnflag = 'R'): count orders per
+    priority, in one order-date quarter, having AT LEAST ONE returned
+    line. With this the catalog covers every TPC-H query shape the
+    testdata's columns can express (Q2/Q9 need partsupp's supplycost;
+    their join shapes ride join_cheapest_supplier_per_part and
+    join_market_share_q8).
+
+    Plan shape: the EXISTS decorrelates to a LEFT SEMI join — lineitem
+    is filtered and projected to DISTINCT orderkeys map-side, the semi
+    join shuffles on orderkey once (no row multiplication: semi join
+    output ≤ orders), and the aggregate's key space is the 5 priorities.
+    At 100 TB the date filter prunes the orders scan (PushedFilters) and
+    the semi join's build side is the deduped problem-order set, a small
+    fraction of lineitem."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    problem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(
+            problem, F.col("o_orderkey") == F.col("l_orderkey"), "semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+""".strip()
+
+
+ANALYTICS_QUERIES["join_order_priority_q4"] = FnWorkload(
+    _join_order_priority_q4, _Q4_SQL
+)

@@ -511,3 +511,28 @@ class TestPartitionMaintenance:
         m = _read_manifest(path, v)
         assert "dv" not in m
         assert vt_read(spark, path).count() == 11
+
+
+class TestPartitionCli:
+    def test_cli_delete_drop_partition_and_maintenance(
+        self, spark, tmp_path, capsys
+    ):
+        import json as _json
+
+        from dynamicqueryengine_spark.cli import main
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        rc = main(
+            ["vt", "delete", path, '[["day", "=", "2020-01-01"]]']
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out["dirs_dropped"] == 1 and out["files_rewritten"] == 0
+        assert main(["vt", "compact", path]) == 0
+        _json.loads(capsys.readouterr().out)
+        vt_delete(spark, path, ("id", "=", 2), mode="dv")
+        assert main(["vt", "reorg", path]) == 0
+        out = _json.loads(capsys.readouterr().out)
+        assert out.get("dv_rows_purged") == 1
+        assert vt_read(spark, path).count() == 7
