@@ -40,11 +40,13 @@ contract.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -55,6 +57,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 __all__ = [
@@ -235,13 +238,24 @@ class VersionedTableDataSource(DataSource):
 
     def __init__(self, options):
         super().__init__(options)
-        from .versioned import vt_version_at, vt_versions
-
         path = options.get("path")
         if not path:
             raise ValueError("format('vt') requires option 'path'")
-        v_opt = options.get("versionasof")
-        ts_opt = options.get("timestampasof")
+        self._path = path
+        self._version: int | None = None
+
+    def _resolve_version(self) -> int:
+        # resolved ONCE per source instance: schema() and reader()
+        # describe the same snapshot even when writers race the read
+        # (snapshot isolation is the format's whole point). Lazy so the
+        # WRITE path never demands a pre-existing table.
+        if self._version is not None:
+            return self._version
+        from .versioned import vt_version_at, vt_versions
+
+        path = self._path
+        v_opt = self.options.get("versionasof")
+        ts_opt = self.options.get("timestampasof")
         if v_opt is not None and ts_opt is not None:
             raise ValueError(
                 "pass versionAsOf or timestampAsOf, not both"
@@ -267,11 +281,8 @@ class VersionedTableDataSource(DataSource):
                     f"no committed versions at {path}"
                 )
             version = versions[-1]
-        # resolved ONCE: schema() and reader() describe the same
-        # snapshot even when writers race the read (snapshot isolation
-        # is the format's whole point)
-        self._path = path
         self._version = version
+        return version
 
     @classmethod
     def name(cls) -> str:
@@ -282,7 +293,7 @@ class VersionedTableDataSource(DataSource):
 
         from .versioned import _read_manifest
 
-        m = _read_manifest(self._path, self._version)
+        m = _read_manifest(self._path, self._resolve_version())
         if m.get("schema") is None:
             raise ValueError(
                 "format('vt') requires a table with a recorded schema "
@@ -307,7 +318,227 @@ class VersionedTableDataSource(DataSource):
             if str(enabled).lower() == "true"
             else _VtBatchReader
         )
-        return cls(schema, self._path, self._version)
+        return cls(schema, self._path, self._resolve_version())
+
+    def writer(self, schema, overwrite: bool):
+        import uuid as _uuid
+
+        from .versioned import _read_manifest, vt_versions
+
+        # early feature gate (best effort — re-checked atomically with
+        # the commit, where a racing DDL is caught)
+        versions = vt_versions(self._path)
+        if versions:
+            _check_writable(
+                _read_manifest(self._path, versions[-1]),
+                json.loads(schema.json()),
+                "overwrite" if overwrite else "append",
+                self._path,
+            )
+        staged = os.path.join(
+            self._path, f".fmtstage_{_uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(staged)
+        return _VtBatchWriter(self._path, staged, overwrite, schema)
+
+
+@dataclass
+class _VtWriteMessage(WriterCommitMessage):
+    """Per-task commit message: the staged file's name and its row
+    count (empty name = the task received no rows)."""
+
+    file: str = ""
+    rows: int = 0
+
+
+# table features a FORMAT writer cannot maintain: each needs driver-side
+# Spark work (constraint aggregation, generated/identity computation,
+# physical-name projection, per-partition splitting, bloom harvesting)
+# that the Python DataSourceWriter's executor-side row stream cannot
+# express — a blind
+# format write would silently break the feature's invariant, so the
+# writer REFUSES, pointing at vt_write (the same reasoning as the
+# manifest's min_writer protocol gate).
+_WRITER_BLOCKING = (
+    "constraints", "generated", "identity", "column_mapping",
+    "partition_by", "bloom_cols",
+)
+
+
+class _VtBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("vt")`` — tasks stream their Arrow batches into
+    one staged parquet file each; the driver-side ``commit`` turns the
+    staged directory into an immutable ``d_*`` dir, harvests footer
+    stats, and runs the same optimistic append/overwrite commit loop as
+    ``vt_write`` (append-vs-append races retry, non-commuting losers
+    raise). ``abort`` removes the staging — the version slot was never
+    claimed, so a failed job leaves the table byte-identical."""
+
+    def __init__(self, path: str, staged: str, overwrite: bool, schema):
+        self._path = path
+        self._staged = staged
+        self._overwrite = overwrite
+        self._schema_json = schema.json()
+
+    # -- executor side --------------------------------------------------
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(self._schema_json))
+        )
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch]).cast(target)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self._staged, name), target
+                    )
+                writer.write_table(tbl)
+                n += tbl.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _VtWriteMessage(file=name if n or writer else "", rows=n)
+
+    # -- driver side -----------------------------------------------------
+    def commit(self, messages):
+        import shutil
+        import uuid as _uuid
+
+        from .versioned import (
+            _commit,
+            _harvest_stats,
+            _read_manifest,
+            vt_versions,
+        )
+
+        files = sorted(
+            m.file for m in messages if m is not None and m.file
+        )
+        new_dir = f"d_{_uuid.uuid4().hex[:12]}"
+        os.rename(self._staged, os.path.join(self._path, new_dir))
+        try:
+            stats, fstats, frows = _harvest_stats(
+                os.path.join(self._path, new_dir)
+            )
+            schema_json = json.loads(self._schema_json)
+            mode = "overwrite" if self._overwrite else "append"
+            for _ in range(5):
+                head = vt_versions(self._path)
+                expected = head[-1] if head else 0
+                prev = (
+                    _read_manifest(self._path, expected)
+                    if expected
+                    else None
+                )
+                _check_writable(prev, schema_json, mode, self._path)
+                dirs = [new_dir]
+                all_stats = {new_dir: stats} if stats else {}
+                all_fstats = {new_dir: fstats} if fstats else {}
+                all_files = {new_dir: files}
+                all_frows = {new_dir: frows} if frows else {}
+                partial = None
+                if mode == "append" and prev is not None:
+                    dirs = prev["dirs"] + dirs
+                    all_stats = {**prev.get("stats", {}), **all_stats}
+                    all_fstats = {
+                        **prev.get("file_stats", {}), **all_fstats
+                    }
+                    all_files = {**prev.get("files", {}), **all_files}
+                    all_frows = {**prev.get("file_rows", {}), **all_frows}
+                    partial = prev.get("partial_dirs")
+                try:
+                    _commit(
+                        self._path,
+                        dirs,
+                        mode,
+                        expected,
+                        all_stats,
+                        file_stats=all_fstats or None,
+                        files=all_files,
+                        schema=schema_json,
+                        heterogeneous=(
+                            bool(prev.get("schema_heterogeneous"))
+                            if mode == "append" and prev is not None
+                            else False
+                        ),
+                        file_rows=all_frows or None,
+                        partial_dirs=partial,
+                        partitions=(
+                            {} if mode == "overwrite" else None
+                        ),
+                    )
+                    return
+                except FileExistsError:
+                    new_head = vt_versions(self._path)[-1]
+                    intervening = [
+                        _read_manifest(self._path, v).get("op")
+                        for v in vt_versions(self._path)
+                        if expected < v <= new_head
+                    ]
+                    if mode != "append" or any(
+                        op != "append" for op in intervening
+                    ):
+                        raise
+                    continue  # append-vs-append commutes: retry
+            raise RuntimeError(
+                f"format('vt') write at {self._path} lost 5 commit races"
+            )
+        except BaseException:
+            shutil.rmtree(
+                os.path.join(self._path, new_dir), ignore_errors=True
+            )
+            raise
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staged, ignore_errors=True)
+
+
+def _check_writable(prev, schema_json, mode: str, path: str) -> None:
+    """Refuse format writes a blind writer cannot maintain (see
+    _WRITER_BLOCKING) and appends whose schema differs from the table's
+    (format('vt') has no merge_schema surface — evolution is
+    vt_write's). Re-checked on every commit-race retry: a racing DDL
+    can add a feature between attempts."""
+    if prev is None:
+        return
+    # both modes: an overwrite would CARRY the declared features forward
+    # (the table-property calculus) without enforcing them on its rows
+    blocking = [k for k in _WRITER_BLOCKING if prev.get(k)]
+    if blocking:
+        raise ValueError(
+            f"table at {path} declares {blocking}: the format('vt') "
+            "writer cannot maintain these features (constraint "
+            "enforcement, generated/identity computation, physical "
+            "names, partition splitting need the full write path) — "
+            "use vt_write"
+        )
+    if mode == "append":
+        base = prev.get("schema")
+        if base is not None:
+            from pyspark.sql.types import StructType
+
+            b = StructType.fromJson(base)
+            n = StructType.fromJson(schema_json)
+            if [(f.name, f.dataType) for f in b.fields] != [
+                (f.name, f.dataType) for f in n.fields
+            ]:
+                raise ValueError(
+                    "format('vt') append schema differs from the table "
+                    f"schema at {path} (exact name/type match required; "
+                    "schema evolution is vt_write(merge_schema=True)'s)"
+                )
 
 
 def vt_register(spark) -> None:

@@ -208,3 +208,102 @@ class TestBatchRead:
             spark.read.format("vt").option("path", path).option(
                 "versionAsOf", "7"
             ).load()
+
+
+class TestBatchWrite:
+    """r13: the writer half — df.write.format('vt') creates/appends
+    through the same OCC manifest commit as vt_write; features a blind
+    writer cannot maintain refuse; failed jobs leave the table
+    byte-identical (abort removes the staging, the version slot was
+    never claimed)."""
+
+    def test_create_append_and_read_back(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "t")
+        df = _df(spark, 20)
+        df.write.format("vt").mode("overwrite").option(
+            "path", path
+        ).save()
+        assert vt_read(spark, path).count() == 20
+        spark.createDataFrame(
+            [(100, "g9", 1.0)], "id long, g string, x double"
+        ).write.format("vt").mode("append").option("path", path).save()
+        got = sorted(
+            r["id"]
+            for r in spark.read.format("vt")
+            .option("path", path)
+            .load()
+            .collect()
+        )
+        assert got == sorted(list(range(20)) + [100])
+        # the format write is a real commit: time travel sees both
+        assert vt_read(spark, path, version=1).count() == 20
+        # footer stats were harvested — the scan plan can prune
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_scan_plan,
+        )
+
+        plan = vt_scan_plan(path, predicate=("id", "=", 100))
+        assert plan["files_kept"] < plan["files_total"]
+
+    def test_append_schema_mismatch_refused(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "t")
+        _df(spark, 4).write.format("vt").mode("overwrite").option(
+            "path", path
+        ).save()
+        with pytest.raises(Exception, match="schema differs"):
+            spark.createDataFrame([(1,)], "id long").write.format(
+                "vt"
+            ).mode("append").option("path", path).save()
+
+    def test_featured_tables_refused(self, registered, tmp_path):
+        spark = registered
+        for feature, kwargs in (
+            (
+                "constraints",
+                {
+                    "constraints": [
+                        {"name": "c", "kind": "not_null", "col": "id"}
+                    ]
+                },
+            ),
+            ("partition_by", {"partition_by": ["g"]}),
+            ("identity", {"identity": {"rid": {"start": 1}}}),
+        ):
+            path = str(tmp_path / f"t_{feature}")
+            vt_write(spark, path, _df(spark, 4), **kwargs)
+            with pytest.raises(Exception, match="vt_write"):
+                _df(spark, 2).write.format("vt").mode("append").option(
+                    "path", path
+                ).save()
+
+    def test_failed_job_leaves_table_untouched(
+        self, registered, tmp_path
+    ):
+        import glob
+        import os as _os
+
+        spark = registered
+        path = str(tmp_path / "t")
+        _df(spark, 6).write.format("vt").mode("overwrite").option(
+            "path", path
+        ).save()
+
+        def boom(it):
+            for pdf in it:
+                raise RuntimeError("task failure injection")
+                yield pdf  # pragma: no cover
+
+        bad = _df(spark, 6).mapInPandas(boom, _df(spark, 1).schema)
+        with pytest.raises(Exception):
+            bad.write.format("vt").mode("append").option(
+                "path", path
+            ).save()
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_versions,
+        )
+
+        assert vt_versions(path) == [1]
+        assert vt_read(spark, path).count() == 6
+        assert not glob.glob(_os.path.join(path, ".fmtstage_*"))
