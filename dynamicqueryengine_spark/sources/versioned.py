@@ -4656,6 +4656,13 @@ def vt_delete(
             )
             if not part["touched_paths"]:
                 if part["files_dropped"] and part["dirs"]:
+                    if _logical_rows_dropped(part, manifest) == 0:
+                        # every dropped file's rows were already hidden
+                        # by deletion vectors: logically nothing is
+                        # deleted — honor the "a no-op delete commits
+                        # nothing" contract (reclaiming fully-DV'd
+                        # files is vt_reorg/vt_optimize's job)
+                        return expected
                     # EVERY affected file provably fully matches: pure
                     # metadata delete — zero bytes read or written
                     blob = {
@@ -4755,6 +4762,25 @@ def vt_delete(
                 # mode="auto" over dv_max_rows: copy-on-write this attempt
             touched = _read_plan(spark, tplan)
             schema_json = manifest["schema"]
+            if (
+                manifest.get("dv")
+                and _logical_rows_dropped(part, manifest) == 0
+            ):
+                # stats/blooms describe PHYSICAL rows, so a predicate
+                # matching only rows a deletion vector already hides
+                # classifies files as touched — detect the logically
+                # empty delete with one limit-1 probe and no-op instead
+                # of committing a byte-identical rewrite (found by the
+                # r13 partition-op extension of the history model).
+                # Only when the whole-file drops are ALSO logically
+                # empty (a drop with real rows IS the delete).
+                if (
+                    touched.filter(F.coalesce(cond, F.lit(False)))
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    return expected
         survivors = touched.filter(~F.coalesce(cond, F.lit(False)))
         change_dir = None
         if need_changes:
@@ -5062,6 +5088,12 @@ def vt_update(
                 # mode="auto" over dv_max_rows: copy-on-write this attempt
             touched = _read_plan(spark, tplan)
             schema_json = manifest["schema"]
+            if manifest.get("dv"):
+                # same phantom-match exit as vt_delete: physical stats
+                # can classify files as touched when the only matching
+                # rows are already DV-hidden — probe before rewriting
+                if touched.filter(matched).limit(1).count() == 0:
+                    return expected
         fields = touched.schema.fields
         names = {f.name for f in fields}
         for c in assignments:
@@ -5479,6 +5511,17 @@ def vt_rename_column(path: str, old: str, new: str,
         fields = manifest["schema"].get("fields", [])
         names = [f["name"] for f in fields]
         if old not in names:
+            if "." in old and old.split(".", 1)[0] in names:
+                # nested WIDEN is metadata-only (dotted paths recurse),
+                # but nested RENAME would need every reader to rebuild
+                # the struct from per-leaf physical names — an explicit
+                # boundary, not an oversight (restructure via overwrite)
+                raise ValueError(
+                    f"cannot rename nested field {old!r}: column "
+                    "mapping covers top-level columns (nested type "
+                    "WIDENING is supported via vt_widen_column; "
+                    "restructure nested fields with an overwrite)"
+                )
             raise ValueError(f"no column {old!r} in {sorted(names)}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")

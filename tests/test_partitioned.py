@@ -536,3 +536,18 @@ class TestPartitionCli:
         out = _json.loads(capsys.readouterr().out)
         assert out.get("dv_rows_purged") == 1
         assert vt_read(spark, path).count() == 7
+
+
+class TestNestedRenameBoundary:
+    def test_nested_rename_refused_with_guidance(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, (2, 3.0))],
+                "id long, payload struct<a int, b double>",
+            ),
+        )
+        with pytest.raises(ValueError, match="nested field"):
+            vt_rename_column(path, "payload.a", "aa")

@@ -88,6 +88,14 @@ _OP = st.one_of(
     # travel back to the narrow / old-name schema
     st.tuples(st.just("rename"), st.just(0)),
     st.tuples(st.just("widen"), st.just(0)),
+    # r13 partition columns: toggle PARTITIONED BY via overwrite (the
+    # only legal way to change it), then every later append/overwrite
+    # auto-splits; partition-value deletes must equal model-side list
+    # surgery whether they hit pure partition dirs (metadata drop) or
+    # DML-rewrite leftovers (file rewrites) — the model cannot tell the
+    # difference, which is the invariant
+    st.tuples(st.just("partition_toggle"), st.just(0)),
+    st.tuples(st.just("partition_drop"), st.integers(0, 4)),
 )
 
 
@@ -125,23 +133,23 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
     vt_write(spark, path, df_of(first))
     head = 1
     versions[1] = list(first)
-    meta[1] = ("v", False)
+    meta[1] = ("v", False, False)
 
     for step, (kind, seed) in enumerate(ops, start=1):
         rows = _payload(seed, step)
-        vn, wide = meta[head]
+        vn, wide, pby = meta[head]
         if kind == "append":
             vt_write(spark, path, df_of(rows, vn), mode="append")
             head += 1
             versions[head] = versions[head - 1] + rows
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
         elif kind == "overwrite":
             vt_write(spark, path, df_of(rows, vn), mode="overwrite")
             head += 1
             versions[head] = list(rows)
             # overwrite replaces the schema with the incoming frame's:
             # the id column narrows back to int (and the mapping resets)
-            meta[head] = (vn, False)
+            meta[head] = (vn, False, pby)
         elif kind == "append_race":
             # two racing appends, deterministically interleaved: the
             # winner commits between the loser's data write and commit;
@@ -149,28 +157,34 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             import dynamicqueryengine_spark.sources.versioned as V
 
             rows_w = _payload(seed + 7, step)
-            real = V._write_data_dir
+            # partitioned appends write via _write_partitioned_dirs;
+            # plain ones via _write_data_dir — hook whichever this
+            # table's state routes through, so the race fires either way
+            attr = (
+                "_write_partitioned_dirs" if pby else "_write_data_dir"
+            )
+            real = getattr(V, attr)
             injected: list = []
 
-            def racy(df, p, _real=real, _inj=injected, _rw=rows_w,
+            def racy(df, p, *a, _real=real, _inj=injected, _rw=rows_w,
                      _vn=vn, **kw):
-                out = _real(df, p, **kw)
+                out = _real(df, p, *a, **kw)
                 if not _inj:
                     _inj.append(True)
                     vt_write(spark, path, df_of(_rw, _vn), mode="append")
                 return out
 
-            V._write_data_dir = racy
+            setattr(V, attr, racy)
             try:
                 vt_write(spark, path, df_of(rows, vn), mode="append")
             finally:
-                V._write_data_dir = real
+                setattr(V, attr, real)
             head += 1
             versions[head] = versions[head - 1] + rows_w  # winner
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
             head += 1
             versions[head] = versions[head - 1] + rows  # retried loser
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
         elif kind in ("merge", "merge_txn"):
             txn = ("app", next_txn) if kind == "merge_txn" else None
             vt_merge(spark, path, df_of(rows, vn), ["id"], txn=txn)
@@ -182,7 +196,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + rows
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
         elif kind in ("delete", "delete_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_delete,
@@ -201,7 +215,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             else:
                 head += 1
                 versions[head] = survivors
-                meta[head] = (vn, wide)
+                meta[head] = (vn, wide, pby)
         elif kind in ("update", "update_dv"):
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_update,
@@ -223,7 +237,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             else:
                 head += 1
                 versions[head] = new_rows
-                meta[head] = (vn, wide)
+                meta[head] = (vn, wide, pby)
         elif kind in ("merge_del", "merge_dv", "merge_dv_del"):
             # merge (optionally merge-on-read) where, in the _del
             # variants, every odd-id update row is a tombstone
@@ -244,7 +258,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             versions[head] = [
                 t for t in versions[head - 1] if t[0] not in upd_ids
             ] + keep_rows
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
         elif kind == "compact":
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_compact,
@@ -256,12 +270,12 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             if v != head:
                 head += 1
                 versions[head] = list(versions[head - 1])
-                meta[head] = (vn, wide)
+                meta[head] = (vn, wide, pby)
         elif kind == "optimize":
             vt_optimize(spark, path, ["id"], n_partitions=2)
             head += 1
             versions[head] = list(versions[head - 1])
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
         elif kind == "restore":
             retained = sorted(versions)
             target = retained[max(0, len(retained) - 1 - seed)]
@@ -280,7 +294,7 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             vt_analyze(spark, path, columns=["id"])
             head += 1
             versions[head] = list(versions[head - 1])
-            meta[head] = (vn, wide)
+            meta[head] = (vn, wide, pby)
             st_ = vt_table_stats(path)
             assert st_["analyze"]["rows"] == len(versions[head])
             assert st_["analyze_stale"] is False
@@ -313,20 +327,26 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             if v != head:  # purged something: layout-only commit
                 head += 1
                 versions[head] = list(versions[head - 1])
-                meta[head] = (vn, wide)
+                meta[head] = (vn, wide, pby)
         elif kind == "checkpoint_dv":
             v = vt_checkpoint(spark, path, consolidate_dv=True)
             assert v in (head, head + 1)
             if v != head:  # folded >1 sidecar: metadata-only commit
                 head += 1
                 versions[head] = list(versions[head - 1])
-                meta[head] = (vn, wide)
+                meta[head] = (vn, wide, pby)
         elif kind == "rename":
             other = "w" if vn == "v" else "v"
-            vt_rename_column(path, vn, other)
-            head += 1
-            versions[head] = list(versions[head - 1])
-            meta[head] = (other, wide)
+            if pby:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="pinned by"):
+                    vt_rename_column(path, vn, other)
+            else:
+                vt_rename_column(path, vn, other)
+                head += 1
+                versions[head] = list(versions[head - 1])
+                meta[head] = (other, wide, pby)
         elif kind == "widen":
             if wide:
                 import pytest as _pytest
@@ -337,7 +357,37 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                 vt_widen_column(path, "id", "bigint")
                 head += 1
                 versions[head] = list(versions[head - 1])
-                meta[head] = (vn, True)
+                meta[head] = (vn, True, pby)
+        elif kind == "partition_toggle":
+            snap_rows = list(versions[head])
+            vt_write(
+                spark,
+                path,
+                df_of(snap_rows, vn),
+                mode="overwrite",
+                partition_by=([] if pby else [vn]),
+            )
+            head += 1
+            versions[head] = snap_rows
+            meta[head] = (vn, False, not pby)
+        elif kind == "partition_drop":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_delete,
+            )
+
+            vals = sorted({t[1] for t in versions[head]})
+            if vals:
+                victim = vals[seed % len(vals)]
+                survivors = [
+                    t for t in versions[head] if t[1] != victim
+                ]
+                v = vt_delete(spark, path, (vn, "=", victim))
+                if len(survivors) == len(versions[head]):
+                    assert v == head
+                else:
+                    head += 1
+                    versions[head] = survivors
+                    meta[head] = (vn, wide, pby)
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
