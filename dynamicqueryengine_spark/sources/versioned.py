@@ -3132,8 +3132,49 @@ def vt_count(
     predicate the count is row-level, so kept files must be scanned —
     but the scan is the PRUNED ``vt_scan_plan`` read (stats + blooms),
     and an all-pruned plan short-circuits to 0 without touching
-    storage."""
+    storage.
+
+    PARTITION predicates (r13) stay metadata-only: when every surviving
+    directory's recorded partition values PROVE the whole conjunction
+    (all conjuncts on partition columns — a partition dir's rows either
+    all match or none do) and footer row counts cover them, the answer
+    is a manifest sum minus the dirs' deletion-vector counts — the
+    ``SELECT count(*) WHERE day = X`` a retention pipeline polls,
+    answered without a Spark job."""
     v = _resolve_version(path, version)
+    if predicate is not None:
+        manifest = _read_manifest(path, v)
+        part_vals = manifest.get("partitions") or {}
+        conjuncts = _normalize_predicate(predicate)
+        if part_vals and conjuncts:
+            cmap_m = _col_mapping(manifest)
+            pconj = _map_conjuncts(conjuncts, cmap_m)
+            frows = manifest.get("file_rows", {})
+            flists = manifest.get("files", {})
+            dv_map = manifest.get("dv") or {}
+            total = 0
+            metadata_ok = True
+            for d in manifest["dirs"]:
+                pv = part_vals.get(d)
+                if pv is not None and _partition_refutes(pv, pconj):
+                    continue  # exact: no row of this dir matches
+                if pv is None or not _partition_proves_all(pv, pconj):
+                    # a dir that MAY match but isn't partition-proven
+                    # (DML rewrite output, or conjuncts beyond the
+                    # partition columns) needs row-level evidence
+                    metadata_ok = False
+                    break
+                flist = flists.get(d)
+                drows = frows.get(d, {})
+                if not flist or any(f not in drows for f in flist):
+                    metadata_ok = False
+                    break
+                total += sum(drows[f] for f in flist)
+                total -= sum(
+                    e["count"] for e in dv_map.get(d, {}).values()
+                )
+            if metadata_ok:
+                return total
     if predicate is None:
         manifest = _read_manifest(path, v)
         frows = manifest.get("file_rows", {})

@@ -551,3 +551,96 @@ class TestNestedRenameBoundary:
         )
         with pytest.raises(ValueError, match="nested field"):
             vt_rename_column(path, "payload.a", "aa")
+
+
+class TestPartitionMetadataCount:
+    def test_partition_predicate_count_is_metadata_only(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import vt_count
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 30), partition_by=["day"])
+        # partition-proven predicate: manifest-only answer
+        assert vt_count(
+            spark, path, predicate=("day", "=", "2020-01-02")
+        ) == 10
+        assert vt_count(
+            spark, path, predicate=("day", "<", "2020-01-03")
+        ) == 20
+        # DV'd rows subtract exactly
+        vt_delete(spark, path, ("id", "=", 1), mode="dv")  # day 02
+        assert vt_count(
+            spark, path, predicate=("day", "=", "2020-01-02")
+        ) == 9
+        # a conjunct beyond the partition columns falls back to the
+        # row-level scan (still correct)
+        assert vt_count(
+            spark,
+            path,
+            predicate=[("day", "=", "2020-01-02"), ("id", ">", 10)],
+        ) == len([i for i in range(30) if i % 3 == 1 and i > 10])
+        # an unpartitioned rewrite dir in the mix also falls back
+        vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(0, "2020-01-01", "r0", 5.0)],
+                "id long, day string, region string, x double",
+            ),
+            ["id"],
+        )
+        assert vt_count(
+            spark, path, predicate=("day", "=", "2020-01-01")
+        ) == 10
+
+
+class TestGeneratedPartitionColumn:
+    """Delta's recommended date-partitioning pattern: partition on a
+    GENERATED column computed from an event-time column — vt_write
+    computes the generated column first (write path ordering), then the
+    partition split sees it like any other column."""
+
+    def test_partition_on_generated_day(self, spark, tmp_path):
+        import datetime
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                (i, datetime.datetime(2020, 1, 1 + i % 3, 12, 0, 0))
+                for i in range(9)
+            ],
+            "id long, ts timestamp",
+        )
+        vt_write(
+            spark,
+            path,
+            df,
+            generated={"day": "date_format(ts, 'yyyy-MM-dd')"},
+            partition_by=["day"],
+        )
+        m = _read_manifest(path, 1)
+        assert m["partition_by"] == ["day"]
+        assert sorted(pv["day"] for pv in m["partitions"].values()) == [
+            "2020-01-01", "2020-01-02", "2020-01-03",
+        ]
+        # appends recompute the generated column and re-split
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, datetime.datetime(2020, 1, 9, 1, 0, 0))],
+                "id long, ts timestamp",
+            ),
+            mode="append",
+        )
+        from dynamicqueryengine_spark.sources.versioned import vt_count
+
+        assert vt_count(
+            spark, path, predicate=("day", "=", "2020-01-09")
+        ) == 1
+        # retention drop on the generated partition is metadata-only
+        v = vt_delete(spark, path, ("day", "<", "2020-01-02"))
+        blob = _read_manifest(path, v)["delete"]
+        assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] == 1
+        assert vt_read(spark, path).count() == 7
