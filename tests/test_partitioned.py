@@ -644,3 +644,69 @@ class TestGeneratedPartitionColumn:
         blob = _read_manifest(path, v)["delete"]
         assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] == 1
         assert vt_read(spark, path).count() == 7
+
+
+class TestPartitionCompositions:
+    def test_rule_document_drives_partition_drop(self, spark, tmp_path):
+        """The engine's flagship surface composes: a rule DOCUMENT whose
+        required conjuncts are exactly skip-grammar drives a retention
+        delete that drops whole partition directories metadata-only."""
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        # (LessThan on a string column is the reference's string→decimal
+        # coercion, so day ranges use In/Equal — the membership form a
+        # retention rule document actually takes)
+        rule = {
+            "Name": "drop-old-days",
+            "Conditions": {
+                "Conditions": [
+                    {
+                        "Property": "day",
+                        "Operator": "In",
+                        "Value": ["2020-01-01", "2020-01-02"],
+                    }
+                ]
+            },
+        }
+        v = vt_delete(spark, path, rule=rule)
+        blob = _read_manifest(path, v)["delete"]
+        assert blob["files_rewritten"] == 0
+        assert blob["dirs_dropped"] == 2
+        assert blob["rule"]["Name"] == "drop-old-days"
+        out = vt_read(spark, path).select("day").distinct().collect()
+        assert [r["day"] for r in out] == ["2020-01-03"]
+
+    def test_streaming_appends_split_per_partition(self, spark, tmp_path):
+        """foreachBatch appends into a partitioned table inherit the
+        split — the streaming-ingest shape partition columns exist for
+        (no file ever mixes days, so retention stays metadata-only
+        forever without OPTIMIZE discipline)."""
+        import uuid as _uuid
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6), partition_by=["day"])
+        src = str(tmp_path / "src")
+        _df(spark, 12).filter("id >= 6").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "id long, day string, region string, x double"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, i: vt_write(
+                    b.sparkSession, path, b, mode="append",
+                    txn=("stream", i + 1),
+                )
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck{_uuid.uuid4().hex[:6]}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        m = _read_manifest(path, vt_versions(path)[-1])
+        # every dir carries a partition value; the appended batch split
+        assert set(m["partitions"]) == set(m["dirs"])
+        assert vt_read(spark, path).count() == 12
+        v = vt_delete(spark, path, ("day", "=", "2020-01-01"))
+        assert _read_manifest(path, v)["delete"]["files_rewritten"] == 0
