@@ -6621,6 +6621,23 @@ def vt_vacuum(
             removed.append(os.path.join("_vlog", name))
         except OSError:
             continue
+    # abandoned write stagings (r13): a partitioned vt_write or a
+    # format('vt') writer killed mid-job leaves its .staging_* /
+    # .fmtstage_* tree behind — never referenced by any manifest, so
+    # the same crashed-writer debris contract applies (grace window
+    # covers a live concurrent writer's in-flight staging)
+    for name in os.listdir(path):
+        if not name.startswith((".staging_", ".fmtstage_")):
+            continue
+        full = os.path.join(path, name)
+        try:
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+        except OSError:
+            continue
     if dry_run:
         return removed  # nothing deleted, no manifest expired
     for v in versions:

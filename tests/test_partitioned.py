@@ -710,3 +710,29 @@ class TestPartitionCompositions:
         assert vt_read(spark, path).count() == 12
         v = vt_delete(spark, path, ("day", "=", "2020-01-01"))
         assert _read_manifest(path, v)["delete"]["files_rewritten"] == 0
+
+
+class TestStagingDebris:
+    def test_vacuum_reaps_abandoned_staging(self, spark, tmp_path):
+        import time as _time
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        # simulate writers killed mid-job
+        for n in (".staging_dead1", ".fmtstage_dead2"):
+            os.makedirs(os.path.join(path, n, "sub"), exist_ok=True)
+        old = _time.time() - 10_000
+        for n in (".staging_dead1", ".fmtstage_dead2"):
+            os.utime(os.path.join(path, n), (old, old))
+        # a YOUNG staging (live writer) survives the sweep
+        os.makedirs(os.path.join(path, ".staging_live"))
+        dry = vt_vacuum(
+            spark, path, keep_last=5, grace_seconds=600, dry_run=True
+        )
+        assert ".staging_dead1" in dry and ".fmtstage_dead2" in dry
+        assert ".staging_live" not in dry
+        removed = vt_vacuum(spark, path, keep_last=5, grace_seconds=600)
+        assert ".staging_dead1" in removed
+        assert not os.path.exists(os.path.join(path, ".staging_dead1"))
+        assert os.path.exists(os.path.join(path, ".staging_live"))
+        assert vt_read(spark, path).count() == 3
