@@ -736,3 +736,38 @@ class TestStagingDebris:
         assert not os.path.exists(os.path.join(path, ".staging_dead1"))
         assert os.path.exists(os.path.join(path, ".staging_live"))
         assert vt_read(spark, path).count() == 3
+
+
+class TestPartitionWithMapping:
+    def test_partitioned_appends_under_column_mapping(
+        self, spark, tmp_path
+    ):
+        """Renaming a NON-partition column flips the table into the
+        mapped format; later appends must still split per partition and
+        write PHYSICAL names, and partition pruning must keep working
+        (partitions are keyed by physical identity like stats)."""
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6), partition_by=["day"])
+        vt_rename_column(path, "x", "amount")  # mapping created
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, "2020-01-01", "r0", 9.0)],
+                "id long, day string, region string, amount double",
+            ),
+            mode="append",
+        )
+        m = _read_manifest(path, vt_versions(path)[-1])
+        assert len(m["partitions"]) == 4  # 3 original + 1 appended
+        out = vt_read(
+            spark, path, predicate=("day", "=", "2020-01-01")
+        )
+        rows = {(r["id"], r["amount"]) for r in out.collect()}
+        assert (100, 9.0) in rows and len(rows) == 3
+        plan = vt_scan_plan(path, predicate=("day", "=", "2020-01-01"))
+        assert plan["partition_pruned"] == 2
+        # DROP PARTITION still proves through the mapping
+        v = vt_delete(spark, path, ("day", "=", "2020-01-01"))
+        blob = _read_manifest(path, v)["delete"]
+        assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] == 2
