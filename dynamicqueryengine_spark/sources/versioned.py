@@ -1116,8 +1116,6 @@ def _write_data_dir(
 # check. Values are recorded JSON-safe: string, int, bool, None, and
 # date as its ISO string (compared normalized, see _norm_partition_val).
 
-_PARTITION_NULL = "__HIVE_DEFAULT_PARTITION__"
-
 # column types allowed as partition keys: exact, hashable, JSON-safe.
 # Floats/decimals/timestamps are refused (Delta discourages them for the
 # same reason: equality on them is a footgun and cardinality explodes).
@@ -1241,13 +1239,38 @@ def _validate_partition_by(df: DataFrame, pcols: Sequence[str]) -> None:
             )
 
 
-def _decode_hive_value(raw: str, simple_type: str):
-    """One hive path component's value → the JSON-safe recorded form."""
+def _encode_tag_column(col: Column) -> Column:
+    """Injective string encoding of a partition value for the staged
+    ``partitionBy`` tag: ``N`` for null, ``V`` + the value's string form
+    otherwise. Spark's own hive layout collapses null, ``''`` AND the
+    literal string ``__HIVE_DEFAULT_PARTITION__`` into ONE directory
+    (verified empirically — all three land in ``k=__HIVE_DEFAULT_
+    PARTITION__``, MIXED in the same files), so decoding raw hive
+    components back to values is unsound: a dir whose rows hold ``''``
+    would be recorded as the null partition, silently mis-pruning
+    ``col = ''`` scans and mis-targeting isnull DROP PARTITIONs. The
+    prefix makes every tag non-null and non-empty, so Spark never takes
+    its sentinel path and the leaf name round-trips exactly."""
+    return F.when(col.isNull(), F.lit("N")).otherwise(
+        F.concat(F.lit("V"), col.cast("string"))
+    )
+
+
+def _decode_tag_value(raw: str, simple_type: str):
+    """One staged-tag path component (written by
+    :func:`_encode_tag_column`, hive-escaped by Spark) → the JSON-safe
+    recorded partition value."""
     from urllib.parse import unquote
 
-    if raw == _PARTITION_NULL:
-        return None
     raw = unquote(raw)
+    if raw == "N":
+        return None
+    if not raw.startswith("V"):  # pragma: no cover - write-path bug
+        raise ValueError(
+            f"malformed partition tag component {raw!r} — staged "
+            "partition dirs are always N/V-encoded"
+        )
+    raw = raw[1:]
     if simple_type in ("tinyint", "smallint", "int", "bigint"):
         return int(raw)
     if simple_type == "boolean":
@@ -1277,7 +1300,7 @@ def _write_partitioned_dirs(
     tags = {p: f"__vtp_{i}" for i, p in enumerate(ppcols)}
     staged = phys
     for p, t in tags.items():
-        staged = staged.withColumn(t, F.col(p))
+        staged = staged.withColumn(t, _encode_tag_column(F.col(p)))
     staging = os.path.join(path, f".staging_{uuid.uuid4().hex[:12]}")
     out: list[tuple] = []
     try:
@@ -1312,7 +1335,7 @@ def _write_partitioned_dirs(
                 # result fallback writes the plain empty dir
                 continue
             pvals = {
-                p: _decode_hive_value(by_tag[tags[p]], types[p])
+                p: _decode_tag_value(by_tag[tags[p]], types[p])
                 for p in ppcols
             }
             d = f"{prefix}_{uuid.uuid4().hex[:12]}"

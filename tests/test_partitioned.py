@@ -132,6 +132,53 @@ class TestPartitionedWrite:
         plan = vt_scan_plan(path, predicate=("g", "notnull", None))
         assert plan["partition_pruned"] == 1
 
+    def test_empty_string_and_sentinel_literal_roundtrip(
+        self, spark, tmp_path
+    ):
+        """Spark's own hive layout collapses null, '' and the literal
+        string __HIVE_DEFAULT_PARTITION__ into ONE directory name; the
+        N/V tag encoding (_encode_tag_column) keeps them distinct, so
+        each gets its own dir with the EXACT recorded value — '' scans
+        prune correctly and an isnull DROP PARTITION targets only the
+        true-null dir (r13 advice, high)."""
+        sentinel = "__HIVE_DEFAULT_PARTITION__"
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, sentinel), (4, "x")],
+            "id long, g string",
+        )
+        v = vt_write(spark, path, df, partition_by=["g"])
+        m = _read_manifest(path, v)
+        assert sorted(
+            (pv["g"] is None, pv["g"] or "<null>")
+            for pv in m["partitions"].values()
+        ) == [(False, "<null>"), (False, sentinel), (False, "x"),
+              (True, "<null>")]
+        # exact pruning on each of the three colliding values
+        for pred, ids in [
+            (("g", "=", ""), [1]),
+            (("g", "isnull", None), [2]),
+            (("g", "=", sentinel), [3]),
+        ]:
+            plan = vt_scan_plan(path, predicate=pred)
+            assert plan["partition_pruned"] == 3, pred
+            got = [r["id"] for r in vt_read(spark, path, predicate=pred)
+                   .collect()]
+            assert got == ids, pred
+        # metadata-only COUNT distinguishes '' from null
+        from dynamicqueryengine_spark.sources.versioned import vt_count
+
+        assert vt_count(spark, path, predicate=("g", "=", "")) == 1
+        assert vt_count(spark, path, predicate=("g", "isnull", None)) == 1
+        # isnull DROP PARTITION deletes ONLY the null row, metadata-only
+        v2 = vt_delete(spark, path, ("g", "isnull", None))
+        blob = _read_manifest(path, v2)["delete"]
+        assert blob["rows_dropped"] == 1
+        assert blob["files_rewritten"] == 0
+        assert blob["dirs_dropped"] == 1
+        left = {(r["id"], r["g"]) for r in vt_read(spark, path).collect()}
+        assert left == {(1, ""), (3, sentinel), (4, "x")}
+
     def test_unsupported_types_and_missing_column_refused(
         self, spark, tmp_path
     ):
