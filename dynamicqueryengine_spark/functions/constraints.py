@@ -40,25 +40,57 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["constraint_report", "constraint_report_sql"]
 
 
-def validate_expr_types(df: DataFrame, constraints: Sequence[Mapping]) -> None:
-    """Resolve every ``expr`` constraint against ``df``'s schema and
-    refuse non-boolean expressions — driver-side analysis only, no job.
-    Without this, a spec typo (``"amount"`` instead of ``"amount > 0"``)
-    would be silently coerced by a boolean cast into nonzero-is-true
-    semantics, and the SQL mirror could disagree (Delta parses CHECK
-    expressions and rejects non-boolean results the same way)."""
+def validate_expr_types(
+    df: DataFrame,
+    constraints: Sequence[Mapping],
+    on_nonboolean: str = "raise",
+) -> list:
+    """Resolve every ``expr`` constraint against ``df``'s schema —
+    driver-side analysis only, no job — and return the (possibly
+    rewritten) spec list. Without this, a spec typo (``"amount"``
+    instead of ``"amount > 0"``) would be silently coerced by a boolean
+    cast into nonzero-is-true semantics, and the SQL mirror could
+    disagree (Delta parses CHECK expressions and rejects non-boolean
+    results the same way).
+
+    ``on_nonboolean`` picks the policy for a non-boolean expression:
+
+    * ``"raise"`` — refuse with ``ValueError`` (registration-time
+      strictness: new specs entering a table's manifest must be
+      boolean predicates);
+    * ``"coerce"`` — mark the spec ``_legacy_coerce`` so
+      :func:`_row_violation` applies the pre-r13 ``cast('boolean')``
+      nonzero-is-true semantics. This is the COMPATIBILITY path for
+      specs already recorded in a table manifest before boolean-ness
+      was enforced: such tables stay writable (appends/merges/updates
+      keep enforcing the constraint exactly as the version that
+      recorded it did) instead of hard-failing with no migration path.
+      Dropping and re-adding the constraint upgrades it to the strict
+      form.
+    """
     from pyspark.sql.types import BooleanType
 
+    out: list = []
     for c in constraints:
-        if c.get("kind") != "expr":
-            continue
-        dt = df.select(F.expr(c["expr"]).alias("_e")).schema[0].dataType
-        if not isinstance(dt, BooleanType):
-            raise ValueError(
-                f"CHECK constraint {c.get('name')!r}: expression "
-                f"{c['expr']!r} resolves to {dt.simpleString()}, not "
-                "boolean — a CHECK expression must be a boolean predicate"
-            )
+        if c.get("kind") == "expr":
+            dt = df.select(
+                F.expr(c["expr"]).alias("_e")
+            ).schema[0].dataType
+            if not isinstance(dt, BooleanType):
+                if on_nonboolean == "coerce":
+                    c = {**c, "_legacy_coerce": True}
+                else:
+                    raise ValueError(
+                        f"CHECK constraint {c.get('name')!r}: expression "
+                        f"{c['expr']!r} resolves to {dt.simpleString()}, "
+                        "not boolean — a CHECK expression must be a "
+                        "boolean predicate (legacy tables with a "
+                        "recorded non-boolean constraint keep their "
+                        "original coercing semantics on the write path; "
+                        "DROP and re-ADD the constraint to upgrade it)"
+                    )
+        out.append(c)
+    return out
 
 
 def _row_violation(c: Mapping) -> F.Column:
@@ -72,8 +104,14 @@ def _row_violation(c: Mapping) -> F.Column:
         # violated only when the expression evaluates FALSE on the row;
         # NULL passes (unknown is not a violation). The expression's
         # boolean-ness is enforced by validate_expr_types at every
-        # enforcement/registration site — no silent cast here.
-        return ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+        # enforcement/registration site; the only cast is the
+        # _legacy_coerce marker that validate set for a pre-strictness
+        # RECORDED spec (nonzero-is-true, the semantics its table was
+        # written under).
+        e = F.expr(c["expr"])
+        if c.get("_legacy_coerce"):
+            e = e.cast("boolean")
+        return ~F.coalesce(e, F.lit(True))
     col = F.col(c["col"])
     if kind == "not_null":
         return col.isNull()
@@ -92,8 +130,11 @@ def _row_violation(c: Mapping) -> F.Column:
 
 
 def constraint_report(df: DataFrame, constraints: Sequence[Mapping]) -> DataFrame:
-    """(name, kind, n_checked, n_violations, passed) per constraint."""
-    validate_expr_types(df, constraints)
+    """(name, kind, n_checked, n_violations, passed) per constraint.
+    Strict on expr boolean-ness (pass specs through
+    ``validate_expr_types(df, specs, on_nonboolean="coerce")`` first to
+    audit a legacy table's recorded non-boolean constraint)."""
+    constraints = validate_expr_types(df, constraints)
     row_cs = [c for c in constraints if c["kind"] not in ("unique", "foreign_key")]
     uniq_cs = [c for c in constraints if c["kind"] == "unique"]
     fk_cs = [c for c in constraints if c["kind"] == "foreign_key"]

@@ -424,6 +424,22 @@ class _VtBatchWriter(DataSourceArrowWriter):
         files = sorted(
             m.file for m in messages if m is not None and m.file
         )
+        # tasks write straight into the shared staging dir, so a failed
+        # or speculative attempt can leave a partial/duplicate file that
+        # no commit message names. The committed d_* dir is read WHOLE
+        # by unfiltered scans (the dir path, not the file list, reaches
+        # the reader), so reap every staged file the commit messages do
+        # not claim BEFORE the rename — otherwise an orphan's duplicate
+        # or truncated rows would be served while vt_count answers from
+        # the manifest (r13 advice, medium).
+        claimed = set(files)
+        for n in os.listdir(self._staged):
+            if n not in claimed:
+                fp = os.path.join(self._staged, n)
+                if os.path.isfile(fp):
+                    os.unlink(fp)
+                else:  # pragma: no cover - tasks only write flat files
+                    shutil.rmtree(fp, ignore_errors=True)
         new_dir = f"d_{_uuid.uuid4().hex[:12]}"
         os.rename(self._staged, os.path.join(self._path, new_dir))
         try:
@@ -543,9 +559,21 @@ def _check_writable(prev, schema_json, mode: str, path: str) -> None:
 
 def vt_register(spark) -> None:
     """Register the batch ``vt`` source (idempotent) so
-    ``spark.read.format("vt")`` resolves, and enable Python-source
-    filter pushdown so its scans prune with the table's metadata; the
-    streaming ``vt_changes`` source registers separately
-    (streaming/source.py)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ``spark.read.format("vt")`` resolves, and — only when the session
+    has not already taken a position — enable Python-source filter
+    pushdown so its scans prune with the table's metadata. A session
+    that EXPLICITLY set ``spark.sql.python.filterPushdown.enabled``
+    (either way) is left alone: the flag is session-global and governs
+    every registered Python data source, so silently flipping it would
+    change other sources' planning behind the caller's back; the
+    non-pushdown reader keeps ``format('vt')`` correct (full scan,
+    Spark filters post-scan) when the flag is off. The streaming
+    ``vt_changes`` source registers separately (streaming/source.py)."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        explicitly_set = bool(spark.conf._jconf.contains(key))
+    except Exception:  # pragma: no cover - non-JVM conf backends
+        explicitly_set = False
+    if not explicitly_set:
+        spark.conf.set(key, "true")
     spark.dataSource.register(VersionedTableDataSource)

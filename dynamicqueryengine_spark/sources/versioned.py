@@ -1570,20 +1570,32 @@ def _validate_constraint_specs(specs: list) -> None:
             raise ValueError(f"constraint needs name and col: {c!r}")
 
 
-def _enforce_constraints(df: DataFrame, specs: list) -> None:
+def _enforce_constraints(
+    df: DataFrame, specs: list, recorded: bool = False
+) -> None:
     """One conditional-aggregation pass over the INCOMING rows (row-level
     constraints make incoming-only validation complete: committed rows
     were validated by their own commits). Raises ConstraintViolation
     naming every violated constraint and its row count; the caller has
-    written nothing yet, so the table is untouched."""
+    written nothing yet, so the table is untouched.
+
+    ``recorded=True`` marks specs read back from a table manifest: a
+    non-boolean expr among them predates boolean-ness enforcement
+    (ADVICE r12) and keeps its original nonzero-is-true coercion so the
+    table stays writable (ADVICE r13: no-migration-path hard fail);
+    NEW specs entering the manifest stay strict."""
     if not specs:
         return
     from ..functions.constraints import _row_violation, validate_expr_types
 
     # refuse non-boolean expr constraints BEFORE building the violation
     # aggregation — schema-only analysis, no job (ADVICE r12: a typo'd
-    # spec like "amount" must not silently coerce to nonzero-is-true)
-    validate_expr_types(df, specs)
+    # spec like "amount" must not silently coerce to nonzero-is-true);
+    # recorded legacy specs downgrade to the coercion they were
+    # registered under instead of raising
+    specs = validate_expr_types(
+        df, specs, on_nonboolean="coerce" if recorded else "raise"
+    )
     row = df.agg(
         *[
             F.sum(
@@ -1826,7 +1838,9 @@ def vt_write(
                     for c in df.columns
                 ]
             )
-    _enforce_constraints(df, effective_constraints)
+    _enforce_constraints(
+        df, effective_constraints, recorded=constraints is None
+    )
     if bloom_cols is not None:
         eff_bloom_cols = list(bloom_cols)
     else:
@@ -2086,7 +2100,9 @@ def vt_write(
                 if new_constraints != effective_constraints:
                     effective_constraints = new_constraints
                     try:
-                        _enforce_constraints(df, effective_constraints)
+                        _enforce_constraints(
+                            df, effective_constraints, recorded=True
+                        )
                     except ConstraintViolation:
                         _discard_written()
                         raise
@@ -3818,7 +3834,7 @@ def vt_merge(
         specs = (manifest or {}).get("constraints") or []
         gen = (manifest or {}).get("generated") or {}
         if not _enforced_against or _enforced_against[0] != (specs, gen):
-            _enforce_constraints(ups, specs)
+            _enforce_constraints(ups, specs, recorded=True)
             if gen:
                 # merge upserts carry every column explicitly (the
                 # reconcile contract) — generated columns validate
@@ -4447,7 +4463,9 @@ def _dv_update_attempt(
             for f in target.fields
         ]
     )
-    _enforce_constraints(post, manifest.get("constraints") or [])
+    _enforce_constraints(
+        post, manifest.get("constraints") or [], recorded=True
+    )
     if manifest.get("generated"):
         _validate_generated(
             post, manifest["generated"], set(post.columns)
@@ -5195,7 +5213,9 @@ def vt_update(
         touched.persist()
         change_dir = None
         try:
-            _enforce_constraints(post_rows, vt_constraints(path))
+            _enforce_constraints(
+                post_rows, vt_constraints(path), recorded=True
+            )
             gen_specs = manifest.get("generated") or {}
             if gen_specs:
                 # an assignment that leaves a generated column stale

@@ -307,3 +307,50 @@ class TestBatchWrite:
         assert vt_versions(path) == [1]
         assert vt_read(spark, path).count() == 6
         assert not glob.glob(_os.path.join(path, ".fmtstage_*"))
+
+    def test_unclaimed_staged_files_reaped_at_commit(
+        self, registered, tmp_path
+    ):
+        """ADVICE r13 (medium): tasks write straight into the shared
+        staging dir, so a failed or SPECULATIVE attempt leaves a file
+        no commit message names. The committed d_* dir is scanned
+        whole, so commit must unlink every unclaimed file before the
+        rename — otherwise its duplicate/truncated rows get served
+        while vt_count answers from the manifest."""
+        import glob
+        import os as _os
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from dynamicqueryengine_spark.sources.datasource import (
+            VersionedTableDataSource,
+        )
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+        )
+
+        spark = registered
+        path = str(tmp_path / "t")
+        schema = _df(spark, 1).schema
+        target = to_arrow_schema(schema)
+        src = VersionedTableDataSource({"path": path})
+        w = src.writer(schema, True)
+        batches = list(_df(spark, 4).toArrow().cast(target).to_batches())
+        msg = w.write(iter(batches))
+        # a speculative duplicate attempt writes the same rows but its
+        # message never reaches the driver; plus a truncated partial
+        w.write(iter(batches))
+        stage = glob.glob(_os.path.join(path, ".fmtstage_*"))[0]
+        open(_os.path.join(stage, "part-partial.parquet"), "wb").write(
+            b"PAR1garbage"
+        )
+        w.commit([msg])
+        m = _read_manifest(path, 1)
+        d = m["dirs"][0]
+        on_disk = sorted(
+            _os.path.basename(p)
+            for p in glob.glob(_os.path.join(path, d, "*"))
+        )
+        assert on_disk == [msg.file] == m["files"][d]
+        assert vt_read(spark, path).count() == 4 == vt_count(spark, path)

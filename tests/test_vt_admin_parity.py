@@ -676,6 +676,50 @@ class TestExprConstraintTypeGate:
         )
         assert vt_count(spark, path) == 1
 
+    def test_legacy_recorded_non_boolean_stays_writable(
+        self, spark, tmp_path
+    ):
+        """ADVICE r13 (low): a table whose MANIFEST already records a
+        non-boolean expr constraint (written before boolean-ness was
+        enforced) must not become unwritable — the recorded spec keeps
+        its original nonzero-is-true coercion on the write path, while
+        NEW registrations stay strict."""
+        path = str(tmp_path / "t")
+        vt_write(
+            spark, path, _df(spark, [(1, 2, 3.0)]),
+            constraints=[
+                {"name": "q", "kind": "expr", "expr": "qty > 0"}
+            ],
+        )
+        # simulate the pre-strictness table: rewrite the recorded spec
+        # to a bare numeric expression, as an old version could have
+        mp = os.path.join(path, "_vlog", "00000001.json")
+        m = json.load(open(mp))
+        m["constraints"] = [{"name": "q", "kind": "expr", "expr": "qty"}]
+        json.dump(m, open(mp, "w"))
+        # append enforces the legacy spec under coercion: qty=5 passes
+        vt_write(
+            spark, path, _df(spark, [(2, 5, 1.0)]), mode="append"
+        )
+        assert vt_count(spark, path) == 2
+        # ... and still ENFORCES it: qty=0 coerces false -> violation
+        from dynamicqueryengine_spark.sources.versioned import (
+            ConstraintViolation,
+        )
+
+        with pytest.raises(ConstraintViolation):
+            vt_write(
+                spark, path, _df(spark, [(3, 0, 1.0)]), mode="append"
+            )
+        # registering the same non-boolean spec anew is still refused
+        with pytest.raises(ValueError, match="not boolean"):
+            vt_write(
+                spark, path, _df(spark, [(4, 1, 1.0)]), mode="append",
+                constraints=[
+                    {"name": "q", "kind": "expr", "expr": "qty"}
+                ],
+            )
+
 
 class TestManifestExportGates:
     def test_schema_heterogeneous_snapshot_refused(self, spark, tmp_path):
