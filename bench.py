@@ -25,6 +25,42 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from dynamicqueryengine_spark import get_spark  # noqa: E402
 
 
+def _shuffle_probe_seconds(spark) -> float:
+    """CODE-FROZEN shuffle-class calibration probe (r13 verdict ask #5:
+    the three scan/Arrow probes read flat while the shuffle/memory-bound
+    pair-mining family swung 3× under tenancy — contention on shuffle
+    and memory bandwidth is invisible to scan thermometers). Fixed-size
+    synthetic self-equijoin in the banded pair-mining shape: 4M rows,
+    ~10 per key, sort-merge-hinted so the plan always shuffles both
+    sides, ~18M joined pairs compared and aggregated. Data derives from
+    ``spark.range`` so the probe is identical at every SF and immune to
+    testdata regeneration. DO NOT EDIT — its cross-round comparability
+    is the point."""
+    from pyspark.sql import functions as F
+
+    start = time.perf_counter()
+    n, k = 4_000_000, 400_009
+    base = spark.range(n).select(
+        (F.col("id") % k).alias("k"),
+        F.col("id").alias("a"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    )
+    (
+        base.alias("l")
+        .hint("merge")
+        .join(base.alias("r"), "k")
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(
+            F.when(F.col("l.h") < F.col("r.h"), 1)
+            .otherwise(0)
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return time.perf_counter() - start
+
+
 def main() -> None:
     run_started = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,10 +183,44 @@ def main() -> None:
     host_factor = (
         round(ratios[len(ratios) // 2], 3) if ratios else None
     )
+    # shuffle-class thermometer (r13 verdict ask #5): run the frozen
+    # probe warmup + 2 timed (min), same scrub protocol as the queries.
+    # Reference = idle-host min observed when the probe was pinned
+    # (r14). A run where shuffle_factor diverges from host_factor is a
+    # contended-host run on exactly the workload class the scan probes
+    # cannot see — the per-class factors make that legible in the
+    # artifact instead of needing per-round forensics.
+    _SHUFFLE_REF = 2.36
+    shuffle_runs: list[float] = []
+    try:
+        for i in range(3):
+            scrub()
+            t = _shuffle_probe_seconds(spark)
+            if i > 0:  # first run pays codegen warmup
+                shuffle_runs.append(round(t, 4))
+    except Exception as exc:  # pragma: no cover - probe is best-effort
+        print(f"shuffle probe failed: {exc}", file=sys.stderr)
+    shuffle_obs = min(shuffle_runs) if shuffle_runs else None
+    shuffle_factor = (
+        round(shuffle_obs / _SHUFFLE_REF, 3) if shuffle_obs else None
+    )
     calibration = {
         "probes": probe_obs,
         "reference": _CALIBRATION_REF,
         "host_factor": host_factor,
+        "classes": {
+            "scan_arrow": {
+                "probes": probe_obs,
+                "reference": _CALIBRATION_REF,
+                "factor": host_factor,
+            },
+            "shuffle": {
+                "probes": {"synthetic_pair_join": shuffle_obs},
+                "runs": shuffle_runs,
+                "reference": {"synthetic_pair_join": _SHUFFLE_REF},
+                "factor": shuffle_factor,
+            },
+        },
         "total_min2_normalized": (
             round(total / host_factor, 4)
             if host_factor and host_factor > 0

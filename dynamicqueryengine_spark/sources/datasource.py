@@ -323,62 +323,116 @@ class VersionedTableDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         import uuid as _uuid
 
-        from .versioned import _read_manifest, vt_versions
+        from .versioned import (
+            _PARTITION_TYPES,
+            _read_manifest,
+            vt_versions,
+        )
 
         # early feature gate (best effort — re-checked atomically with
         # the commit, where a racing DDL is caught)
         versions = vt_versions(self._path)
-        if versions:
+        prev = (
+            _read_manifest(self._path, versions[-1]) if versions else None
+        )
+        schema_json = json.loads(schema.json())
+        if prev is not None:
             _check_writable(
-                _read_manifest(self._path, versions[-1]),
-                json.loads(schema.json()),
+                prev,
+                schema_json,
                 "overwrite" if overwrite else "append",
                 self._path,
             )
+        # the table's partitioning and bloom columns are resolved ONCE
+        # here and staged under; commit re-reads the head and refuses if
+        # a racing overwrite re-partitioned the table (the staged split
+        # would no longer match)
+        pby = list((prev or {}).get("partition_by") or [])
+        types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        for c in pby:
+            if c not in types or types[c] not in _PARTITION_TYPES:
+                raise ValueError(
+                    f"table at {self._path} is partitioned by {c!r} but "
+                    "the incoming frame lacks it (or carries an "
+                    "unsupported type) — partition columns must be "
+                    "present with types "
+                    f"{', '.join(_PARTITION_TYPES)}"
+                )
+        bloom_cols = list((prev or {}).get("bloom_cols") or [])
         staged = os.path.join(
             self._path, f".fmtstage_{_uuid.uuid4().hex[:12]}"
         )
         os.makedirs(staged)
-        return _VtBatchWriter(self._path, staged, overwrite, schema)
+        return _VtBatchWriter(
+            self._path, staged, overwrite, schema,
+            pby=pby, bloom_cols=bloom_cols,
+        )
 
 
 @dataclass
 class _VtWriteMessage(WriterCommitMessage):
-    """Per-task commit message: the staged file's name and its row
-    count (empty name = the task received no rows)."""
+    """Per-task commit message: the staged files this task wrote, as
+    ``(file, partition_json, rows)`` tuples — one entry per partition
+    value present in the task's input (``partition_json`` is the
+    sort-keyed JSON of the dir's exact partition values, ``""`` on an
+    unpartitioned table), empty on a task that received no rows."""
 
-    file: str = ""
-    rows: int = 0
+    entries: tuple = ()
 
 
 # table features a FORMAT writer cannot maintain: each needs driver-side
 # Spark work (constraint aggregation, generated/identity computation,
-# physical-name projection, per-partition splitting, bloom harvesting)
-# that the Python DataSourceWriter's executor-side row stream cannot
-# express — a blind
-# format write would silently break the feature's invariant, so the
-# writer REFUSES, pointing at vt_write (the same reasoning as the
-# manifest's min_writer protocol gate).
+# physical-name projection) that the Python DataSourceWriter's
+# executor-side row stream cannot express — a blind format write would
+# silently break the feature's invariant, so the writer REFUSES,
+# pointing at vt_write (the same reasoning as the manifest's min_writer
+# protocol gate). partition_by and bloom_cols are NOT here (r13 verdict
+# ask #1): tasks split their row stream per partition value (the
+# no-mixed-files invariant holds file-granularly) and commit harvests
+# blooms with the gateway-free Arrow harvester.
 _WRITER_BLOCKING = (
     "constraints", "generated", "identity", "column_mapping",
-    "partition_by", "bloom_cols",
 )
+
+
+def _json_safe_pval(v):
+    """A partition value read from an Arrow batch → the JSON-safe
+    recorded form (the same normalization vt_write records: dates as
+    ISO strings; string/int/bool/None as themselves)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):  # pragma: no cover - refused type
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
 
 
 class _VtBatchWriter(DataSourceArrowWriter):
     """``df.write.format("vt")`` — tasks stream their Arrow batches into
-    one staged parquet file each; the driver-side ``commit`` turns the
-    staged directory into an immutable ``d_*`` dir, harvests footer
-    stats, and runs the same optimistic append/overwrite commit loop as
-    ``vt_write`` (append-vs-append races retry, non-commuting losers
-    raise). ``abort`` removes the staging — the version slot was never
-    claimed, so a failed job leaves the table byte-identical."""
+    staged parquet files (ONE per partition value present in the task's
+    input — the no-mixed-files invariant that keeps DROP PARTITION
+    metadata-only — or one file total on an unpartitioned table); the
+    driver-side ``commit`` turns the staged files into immutable
+    ``d_*`` dirs (one per partition value across all tasks), harvests
+    footer stats and blooms, and runs the same optimistic
+    append/overwrite commit loop as ``vt_write`` (append-vs-append
+    races retry, non-commuting losers raise). ``abort`` removes the
+    staging — the version slot was never claimed, so a failed job
+    leaves the table byte-identical."""
 
-    def __init__(self, path: str, staged: str, overwrite: bool, schema):
+    def __init__(
+        self, path: str, staged: str, overwrite: bool, schema,
+        pby=None, bloom_cols=None,
+    ):
         self._path = path
         self._staged = staged
         self._overwrite = overwrite
         self._schema_json = schema.json()
+        self._pby = list(pby or [])
+        self._bloom_cols = list(bloom_cols or [])
 
     # -- executor side --------------------------------------------------
     def write(self, iterator):
@@ -392,22 +446,76 @@ class _VtBatchWriter(DataSourceArrowWriter):
         target = to_arrow_schema(
             StructType.fromJson(json.loads(self._schema_json))
         )
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        writer = None
-        n = 0
+        # one open ParquetWriter per partition value seen by this task
+        # (key "" = the unpartitioned whole); values stay exact — the
+        # split is on the column VALUES, not a lossy path encoding
+        writers: dict = {}
+        counts: dict = {}
+        names: dict = {}
+
+        def _sink(pjson: str, tbl: pa.Table) -> None:
+            w = writers.get(pjson)
+            if w is None:
+                names[pjson] = f"part-{_uuid.uuid4().hex}.parquet"
+                w = writers[pjson] = pq.ParquetWriter(
+                    os.path.join(self._staged, names[pjson]), target
+                )
+                counts[pjson] = 0
+            w.write_table(tbl)
+            counts[pjson] += tbl.num_rows
+
         try:
             for batch in iterator:
                 tbl = pa.Table.from_batches([batch]).cast(target)
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(self._staged, name), target
+                if not self._pby:
+                    _sink("", tbl)
+                    continue
+                if tbl.num_rows == 0:
+                    continue
+                import pyarrow.compute as pc
+
+                combos = (
+                    tbl.select(self._pby)
+                    .group_by(self._pby)
+                    .aggregate([])
+                    .to_pylist()
+                )
+                for combo in combos:
+                    mask = None
+                    for c in self._pby:
+                        col = tbl.column(c)
+                        part = (
+                            pc.is_null(col)
+                            if combo[c] is None
+                            else pc.equal(
+                                col,
+                                pa.scalar(
+                                    combo[c],
+                                    type=target.field(c).type,
+                                ),
+                            )
+                        )
+                        mask = (
+                            part
+                            if mask is None
+                            else pc.and_kleene(mask, part)
+                        )
+                    pjson = json.dumps(
+                        {
+                            c: _json_safe_pval(combo[c])
+                            for c in self._pby
+                        },
+                        sort_keys=True,
                     )
-                writer.write_table(tbl)
-                n += tbl.num_rows
+                    _sink(pjson, tbl.filter(mask))
         finally:
-            if writer is not None:
-                writer.close()
-        return _VtWriteMessage(file=name if n or writer else "", rows=n)
+            for w in writers.values():
+                w.close()
+        return _VtWriteMessage(
+            entries=tuple(
+                (names[pj], pj, counts[pj]) for pj in sorted(names)
+            )
+        )
 
     # -- driver side -----------------------------------------------------
     def commit(self, messages):
@@ -416,23 +524,27 @@ class _VtBatchWriter(DataSourceArrowWriter):
 
         from .versioned import (
             _commit,
+            _harvest_blooms_arrow,
             _harvest_stats,
             _read_manifest,
             vt_versions,
         )
 
-        files = sorted(
-            m.file for m in messages if m is not None and m.file
+        entries = sorted(
+            e
+            for m in messages
+            if m is not None
+            for e in m.entries
         )
         # tasks write straight into the shared staging dir, so a failed
         # or speculative attempt can leave a partial/duplicate file that
-        # no commit message names. The committed d_* dir is read WHOLE
-        # by unfiltered scans (the dir path, not the file list, reaches
+        # no commit message names. Committed d_* dirs are read WHOLE by
+        # unfiltered scans (the dir path, not the file list, reaches
         # the reader), so reap every staged file the commit messages do
-        # not claim BEFORE the rename — otherwise an orphan's duplicate
-        # or truncated rows would be served while vt_count answers from
-        # the manifest (r13 advice, medium).
-        claimed = set(files)
+        # not claim BEFORE materializing — otherwise an orphan's
+        # duplicate or truncated rows would be served while vt_count
+        # answers from the manifest (r13 advice, medium).
+        claimed = {e[0] for e in entries}
         for n in os.listdir(self._staged):
             if n not in claimed:
                 fp = os.path.join(self._staged, n)
@@ -440,13 +552,63 @@ class _VtBatchWriter(DataSourceArrowWriter):
                     os.unlink(fp)
                 else:  # pragma: no cover - tasks only write flat files
                     shutil.rmtree(fp, ignore_errors=True)
-        new_dir = f"d_{_uuid.uuid4().hex[:12]}"
-        os.rename(self._staged, os.path.join(self._path, new_dir))
+        # one immutable d_* dir per partition value across all tasks
+        # (a single "" group on an unpartitioned table) — every file
+        # already holds exactly one value tuple, so grouping by the
+        # tasks' partition JSON preserves the no-mixed-files invariant
+        by_pjson: dict = {}
+        for fname, pjson, _rows in entries:
+            by_pjson.setdefault(pjson, []).append(fname)
+        new_dirs: list = []
+        new_partitions: dict = {}
+        all_files: dict = {}
+        if not by_pjson:
+            # zero-row job: commit one empty dir so an overwrite can
+            # record an empty snapshot (vt_write's empty-frame shape)
+            d = f"d_{_uuid.uuid4().hex[:12]}"
+            os.rename(self._staged, os.path.join(self._path, d))
+            new_dirs.append(d)
+            all_files[d] = []
+        else:
+            for pjson in sorted(by_pjson):
+                d = f"d_{_uuid.uuid4().hex[:12]}"
+                os.makedirs(os.path.join(self._path, d))
+                for fname in sorted(by_pjson[pjson]):
+                    os.rename(
+                        os.path.join(self._staged, fname),
+                        os.path.join(self._path, d, fname),
+                    )
+                new_dirs.append(d)
+                all_files[d] = sorted(by_pjson[pjson])
+                if pjson:
+                    new_partitions[d] = json.loads(pjson)
+            shutil.rmtree(self._staged, ignore_errors=True)
         try:
-            stats, fstats, frows = _harvest_stats(
-                os.path.join(self._path, new_dir)
-            )
             schema_json = json.loads(self._schema_json)
+            new_stats: dict = {}
+            new_fstats: dict = {}
+            new_frows: dict = {}
+            new_blooms: dict = {}
+            jtypes = {
+                f["name"]: f["type"]
+                for f in schema_json.get("fields", [])
+                if isinstance(f.get("type"), str)
+            }
+            for d in new_dirs:
+                full = os.path.join(self._path, d)
+                stats, fstats, frows = _harvest_stats(full)
+                if stats:
+                    new_stats[d] = stats
+                if fstats:
+                    new_fstats[d] = fstats
+                if frows:
+                    new_frows[d] = frows
+                if self._bloom_cols and all_files[d]:
+                    b = _harvest_blooms_arrow(
+                        full, self._bloom_cols, jtypes
+                    )
+                    if b:
+                        new_blooms[d] = b
             mode = "overwrite" if self._overwrite else "append"
             for _ in range(5):
                 head = vt_versions(self._path)
@@ -456,12 +618,17 @@ class _VtBatchWriter(DataSourceArrowWriter):
                     if expected
                     else None
                 )
-                _check_writable(prev, schema_json, mode, self._path)
-                dirs = [new_dir]
-                all_stats = {new_dir: stats} if stats else {}
-                all_fstats = {new_dir: fstats} if fstats else {}
-                all_files = {new_dir: files}
-                all_frows = {new_dir: frows} if frows else {}
+                _check_writable(
+                    prev, schema_json, mode, self._path,
+                    staged_pby=self._pby,
+                )
+                dirs = list(new_dirs)
+                all_stats = dict(new_stats)
+                all_fstats = dict(new_fstats)
+                files_map = dict(all_files)
+                all_frows = dict(new_frows)
+                all_blooms = dict(new_blooms)
+                partitions = dict(new_partitions)
                 partial = None
                 if mode == "append" and prev is not None:
                     dirs = prev["dirs"] + dirs
@@ -469,8 +636,12 @@ class _VtBatchWriter(DataSourceArrowWriter):
                     all_fstats = {
                         **prev.get("file_stats", {}), **all_fstats
                     }
-                    all_files = {**prev.get("files", {}), **all_files}
+                    files_map = {**prev.get("files", {}), **files_map}
                     all_frows = {**prev.get("file_rows", {}), **all_frows}
+                    all_blooms = {**prev.get("blooms", {}), **all_blooms}
+                    partitions = {
+                        **prev.get("partitions", {}), **partitions
+                    }
                     partial = prev.get("partial_dirs")
                 try:
                     _commit(
@@ -480,17 +651,20 @@ class _VtBatchWriter(DataSourceArrowWriter):
                         expected,
                         all_stats,
                         file_stats=all_fstats or None,
-                        files=all_files,
+                        files=files_map,
                         schema=schema_json,
                         heterogeneous=(
                             bool(prev.get("schema_heterogeneous"))
                             if mode == "append" and prev is not None
                             else False
                         ),
+                        blooms=all_blooms or None,
                         file_rows=all_frows or None,
                         partial_dirs=partial,
                         partitions=(
-                            {} if mode == "overwrite" else None
+                            partitions if mode == "overwrite" else (
+                                partitions or None
+                            )
                         ),
                     )
                     return
@@ -510,9 +684,10 @@ class _VtBatchWriter(DataSourceArrowWriter):
                 f"format('vt') write at {self._path} lost 5 commit races"
             )
         except BaseException:
-            shutil.rmtree(
-                os.path.join(self._path, new_dir), ignore_errors=True
-            )
+            for d in new_dirs:
+                shutil.rmtree(
+                    os.path.join(self._path, d), ignore_errors=True
+                )
             raise
 
     def abort(self, messages):
@@ -521,12 +696,28 @@ class _VtBatchWriter(DataSourceArrowWriter):
         shutil.rmtree(self._staged, ignore_errors=True)
 
 
-def _check_writable(prev, schema_json, mode: str, path: str) -> None:
+def _check_writable(
+    prev, schema_json, mode: str, path: str, staged_pby=None
+) -> None:
     """Refuse format writes a blind writer cannot maintain (see
     _WRITER_BLOCKING) and appends whose schema differs from the table's
     (format('vt') has no merge_schema surface — evolution is
     vt_write's). Re-checked on every commit-race retry: a racing DDL
-    can add a feature between attempts."""
+    can add a feature between attempts. ``staged_pby`` (commit-time
+    only) is the partition split the tasks actually wrote under — a
+    racing overwrite that re-partitioned the table makes the staged
+    files wrong-shaped, so a mismatch refuses rather than committing
+    mixed layouts."""
+    if staged_pby is not None and list(
+        (prev or {}).get("partition_by") or []
+    ) != list(staged_pby):
+        raise ValueError(
+            f"table at {path} was re-partitioned while this "
+            "format('vt') write was in flight (staged split "
+            f"{list(staged_pby)!r} vs recorded "
+            f"{list((prev or {}).get('partition_by') or [])!r}) — "
+            "rerun the write"
+        )
     if prev is None:
         return
     # both modes: an overwrite would CARRY the declared features forward

@@ -1034,6 +1034,56 @@ def _harvest_blooms(
     return {"m": _BLOOM_M, "k": _BLOOM_K, "files": files}
 
 
+def _harvest_blooms_arrow(
+    full_dir: str, bloom_cols: Sequence[str], col_types: dict
+) -> dict:
+    """SparkSession-free bloom harvest for the ``format('vt')`` writer's
+    commit, which runs in Spark's driver-side Python worker where no
+    gateway (and so no JVM job) is reachable: pyarrow reads each new
+    file's bloom columns and hashes their UNIQUE values with the same
+    md5-slice scheme as :func:`_harvest_blooms`, so the recorded
+    positions are byte-identical to the JVM harvest's for every column
+    the probe side may actually prune on. Only string/integral columns
+    are harvested — :func:`_bloom_probe_sound` keeps files on every
+    other type anyway, so omitting them loses nothing (missing blooms
+    always keep). ``col_types`` maps physical column name → manifest
+    json type string."""
+    import glob as _glob
+
+    try:
+        import pyarrow.dataset as ds
+    except ImportError:  # pragma: no cover - pyarrow is a hard dep
+        return {}
+
+    cols = [
+        c
+        for c in bloom_cols
+        if col_types.get(c) == "string"
+        or col_types.get(c) in _BLOOM_INTEGRAL_TYPES
+    ]
+    if not cols:
+        return {}
+    files: dict = {}
+    for fp in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
+        tbl = ds.dataset(fp, format="parquet").to_table(columns=cols)
+        per: dict = {}
+        for c in cols:
+            pos: set = set()
+            for v in tbl.column(c).unique().to_pylist():
+                if v is None:
+                    continue
+                pos.update(_bloom_positions_py(v))
+                if len(pos) > _BLOOM_SATURATION:
+                    break
+            if pos and len(pos) <= _BLOOM_SATURATION:
+                per[c] = sorted(pos)
+        if per:
+            files[os.path.basename(fp)] = per
+    if not files:
+        return {}
+    return {"m": _BLOOM_M, "k": _BLOOM_K, "files": files}
+
+
 def _bloom_may_match(
     file_blooms: dict, op: str, value, col_type: str | None = None
 ) -> bool:

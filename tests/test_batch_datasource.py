@@ -268,7 +268,6 @@ class TestBatchWrite:
                     ]
                 },
             ),
-            ("partition_by", {"partition_by": ["g"]}),
             ("identity", {"identity": {"rid": {"start": 1}}}),
         ):
             path = str(tmp_path / f"t_{feature}")
@@ -277,6 +276,175 @@ class TestBatchWrite:
                 _df(spark, 2).write.format("vt").mode("append").option(
                     "path", path
                 ).save()
+
+    def test_partitioned_append_splits_per_value(
+        self, registered, tmp_path
+    ):
+        """r13 verdict ask #1: the format writer splits appends by the
+        recorded partition_by — one file per value per task, one d_*
+        dir per value per commit — so exact pruning and metadata-only
+        DROP PARTITION survive external writes."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_count,
+            vt_delete,
+            vt_scan_plan,
+            vt_versions,
+        )
+
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 12), partition_by=["g"])
+        _df(spark, 9).withColumn(
+            "x", F.col("x") + 100.0
+        ).write.format("vt").mode("append").option("path", path).save()
+        v = vt_versions(path)[-1]
+        m = _read_manifest(path, v)
+        # every dir carries exact partition values; no dir mixes them
+        assert m["partition_by"] == ["g"]
+        assert set(m["dirs"]) == set(m["partitions"])
+        assert sorted(
+            {pv["g"] for pv in m["partitions"].values()}
+        ) == ["g0", "g1", "g2"]
+        assert vt_count(spark, path) == 21
+        # exact dir pruning still holds across vt_write + format dirs
+        plan = vt_scan_plan(path, predicate=("g", "=", "g1"))
+        assert plan["partition_pruned"] == len(m["dirs"]) - plan[
+            "dirs_kept"
+        ] and plan["dirs_kept"] < len(m["dirs"])
+        got = sorted(
+            r["id"]
+            for r in vt_read(
+                spark, path, predicate=("g", "=", "g1")
+            ).collect()
+        )
+        assert got == sorted(
+            [i for i in range(12) if i % 3 == 1]
+            + [i for i in range(9) if i % 3 == 1]
+        )
+        # DROP PARTITION stays metadata-only after the format append
+        v2 = vt_delete(spark, path, ("g", "=", "g2"))
+        blob = _read_manifest(path, v2)["delete"]
+        assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] >= 2
+        assert vt_count(spark, path) == 21 - 7
+
+    def test_partitioned_overwrite_and_null_values(
+        self, registered, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_scan_plan,
+            vt_versions,
+        )
+
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6), partition_by=["g"])
+        spark.createDataFrame(
+            [(1, None, 1.0), (2, "", 2.0), (3, "z", 3.0)],
+            "id long, g string, x double",
+        ).write.format("vt").mode("overwrite").option(
+            "path", path
+        ).save()
+        m = _read_manifest(path, vt_versions(path)[-1])
+        assert m["partition_by"] == ["g"]  # property carried
+        vals = sorted(
+            (pv["g"] is None, pv["g"] or "<null>")
+            for pv in m["partitions"].values()
+        )
+        assert vals == [
+            (False, "<null>"), (False, "z"), (True, "<null>")
+        ]
+        plan = vt_scan_plan(path, predicate=("g", "isnull", None))
+        assert plan["partition_pruned"] == 2
+        assert [
+            r["id"]
+            for r in vt_read(
+                spark, path, predicate=("g", "=", "")
+            ).collect()
+        ] == [2]
+
+    def test_bloom_cols_harvested_at_parity(self, registered, tmp_path):
+        """The gateway-free Arrow bloom harvest must record the same
+        positions as vt_write's JVM harvest for the same rows, and the
+        format-written files must bloom-prune (value-interleaved so
+        min/max stats cannot)."""
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_scan_plan,
+            vt_versions,
+        )
+
+        spark = registered
+        rows_a = [(1, "aa", 1.0), (2, "cc", 2.0)]
+        rows_b = [(3, "bb", 3.0), (4, "dd", 4.0)]
+        schema = "id long, g string, x double"
+        native, fmt = str(tmp_path / "n"), str(tmp_path / "f")
+        vt_write(
+            spark,
+            native,
+            spark.createDataFrame(rows_a, schema).coalesce(1),
+            bloom_cols=["g"],
+        )
+        vt_write(
+            spark,
+            fmt,
+            spark.createDataFrame([], schema),
+            bloom_cols=["g"],
+        )
+        spark.createDataFrame(rows_a, schema).coalesce(1).write.format(
+            "vt"
+        ).mode("append").option("path", fmt).save()
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.format(
+            "vt"
+        ).mode("append").option("path", fmt).save()
+
+        def positions(path, version):
+            m = _read_manifest(path, version)
+            out = []
+            for d in sorted(m.get("blooms", {})):
+                b = m["blooms"][d]
+                assert (b["m"], b["k"]) == (4096, 4)
+                for f in sorted(b["files"]):
+                    out.append(b["files"][f].get("g"))
+            return out
+
+        # rows_a harvested identically by both write paths
+        assert positions(native, 1) == positions(fmt, 2)
+        # interleaved ranges: stats keep both data files, blooms prune
+        # the one without 'bb'
+        plan = vt_scan_plan(fmt, predicate=("g", "=", "bb"))
+        assert plan["bloom_pruned"] == 1
+        assert plan["files_kept"] == plan["files_total"] - 1
+        assert vt_read(
+            spark, fmt, predicate=("g", "=", "bb")
+        ).count() == 1
+
+    def test_repartition_race_refused_at_commit(
+        self, registered, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.datasource import (
+            _check_writable,
+        )
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+            vt_versions,
+        )
+
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6), partition_by=["g"])
+        prev = _read_manifest(path, vt_versions(path)[-1])
+        schema_json = {"fields": []}
+        # staged under the recorded split: fine
+        _check_writable(
+            prev, schema_json, "overwrite", path, staged_pby=["g"]
+        )
+        # a racing overwrite re-partitioned the table: refuse
+        with pytest.raises(ValueError, match="re-partitioned"):
+            _check_writable(
+                prev, schema_json, "overwrite", path, staged_pby=[]
+            )
 
     def test_failed_job_leaves_table_untouched(
         self, registered, tmp_path
@@ -352,5 +520,5 @@ class TestBatchWrite:
             _os.path.basename(p)
             for p in glob.glob(_os.path.join(path, d, "*"))
         )
-        assert on_disk == [msg.file] == m["files"][d]
+        assert on_disk == [msg.entries[0][0]] == m["files"][d]
         assert vt_read(spark, path).count() == 4 == vt_count(spark, path)
