@@ -252,245 +252,269 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
     # -- planning (driver, metadata only) ---------------------------------
     def partitions(self, start: dict, end: dict):
-        from ..sources.versioned import (
-            _load_dv_positions,
-            _read_manifest,
-            vt_scan_plan,
-            vt_versions,
-        )
-
         lo, hi = int(start["version"]), int(end["version"])
         # partitions() is where a restarted reader first learns the real
         # checkpointed cursor — fold it into the rate-limit base
         self._last = max(self._last or 0, hi)
-        versions = vt_versions(self._path)
-        parts: list[_ChangePartition] = []
-
-        def dv_of(v: int) -> dict:
-            # the replayed snapshot's deletion vectors, loaded ONCE on
-            # the driver (sidecars are small by the merge-on-read
-            # contract) and shipped per-partition as plain positions
-            m = _read_manifest(self._path, v)
-            dvm = m.get("dv")
-            return _load_dv_positions(self._path, dvm) if dvm else {}
-
-        def colmap_of(v: int) -> dict | None:
-            return _read_manifest(self._path, v).get("column_mapping")
-
-        def snapshot_parts(v: int, tag: str):
-            # honors partial_dirs / authoritative file lists, and the
-            # snapshot's deletion vectors (DV'd rows are not part of the
-            # snapshot being replayed)
-            loaded = dv_of(v)
-            for p in vt_scan_plan(self._path, v)["paths"]:
-                parts.append(
-                    _ChangePartition(
-                        path=p,
-                        version=v,
-                        change_type=tag,
-                        dv=_dv_for_path(p, loaded),
-                    )
-                )
-
-        for v in range(lo + 1, hi + 1):
-            if v not in versions:
-                raise ValueError(
-                    f"version {v} was vacuumed: the change-stream range "
-                    f"({lo}, {hi}] is no longer reconstructable"
-                )
-            m = _read_manifest(self._path, v)
-            op = m.get("op")
-            if op in (
-                "optimize", "analyze",
-                "rename_column", "drop_column", "add_column",
-                "widen_column",
-            ):
-                # no logical ROW change (the schema ops relabel/project
-                # columns; this stream's schema is fixed at query start
-                # — restart to pick up renamed/added names, the same
-                # contract as merge_schema evolution)
-                continue
-            if op == "append":
-                prev = (
-                    set(_read_manifest(self._path, v - 1)["dirs"])
-                    if v - 1 in versions
-                    else set()
-                )
-                if v - 1 > 0 and v - 1 not in versions:
-                    raise ValueError(
-                        f"version {v - 1} was vacuumed: cannot "
-                        f"reconstruct changes for version {v}"
-                    )
-                flists = m.get("files", {})
-                for d in m["dirs"]:
-                    if d in prev:
-                        continue
-                    fl = flists.get(d)
-                    if fl:
-                        for f in fl:
-                            parts.append(
-                                _ChangePartition(
-                                    path=os.path.join(self._path, d, f),
-                                    version=v,
-                                    change_type="insert",
-                                )
-                            )
-                    else:
-                        parts.append(
-                            _ChangePartition(
-                                path=os.path.join(self._path, d),
-                                version=v,
-                                change_type="insert",
-                            )
-                        )
-            elif op in ("merge", "delete", "update"):
-                cd = m.get("changes")
-                if cd is not None:
-                    parts.append(
-                        _ChangePartition(
-                            path=os.path.join(self._path, cd),
-                            version=v,
-                            change_type=None,
-                        )
-                    )
-                elif op == "delete" and (m.get("delete") or {}).get(
-                    "predicate"
-                ):
-                    pred = m["delete"]["predicate"]
-                    if v - 1 > 0 and v - 1 not in versions:
-                        raise ValueError(
-                            f"version {v - 1} was vacuumed: cannot "
-                            f"replay the delete at version {v}"
-                        )
-                    # replay = PREVIOUS snapshot ∩ predicate; the
-                    # previous snapshot's own DVs must apply first or
-                    # rows an earlier merge-on-read delete removed could
-                    # re-match and stream as phantom deletes
-                    prev_loaded = dv_of(v - 1)
-                    cm_prev = colmap_of(v - 1)
-                    if cm_prev:
-                        # the predicate was recorded in LOGICAL names;
-                        # the files hold physical ones
-                        pred = [
-                            [cm_prev.get(c, c), o, val]
-                            for c, o, val in pred
-                        ]
-                    for p in vt_scan_plan(self._path, v - 1)["paths"]:
-                        parts.append(
-                            _ChangePartition(
-                                path=p,
-                                version=v,
-                                change_type="delete",
-                                predicate=pred,
-                                dv=_dv_for_path(p, prev_loaded),
-                            )
-                        )
-                else:
-                    raise ValueError(
-                        f"version {v} is a {op} committed without "
-                        "change_feed=True: its row-level changes were "
-                        "not recorded"
-                    )
-            elif op in ("overwrite", "restore", "clone"):
-                if v - 1 > 0:
-                    if v - 1 not in versions:
-                        raise ValueError(
-                            f"version {v - 1} was vacuumed: cannot "
-                            f"reconstruct changes for version {v}"
-                        )
-                    snapshot_parts(v - 1, "delete")
-                snapshot_parts(v, "insert")
-            else:  # pragma: no cover - future ops must opt in
-                raise ValueError(f"version {v}: unknown op {op!r}")
-        return parts
+        return _plan_change_partitions(self._path, lo, hi)
 
     # -- reading (executor, one file per partition) ------------------------
     def read(self, partition: _ChangePartition):
-        import glob as _glob
-
-        import pyarrow as pa
-        import pyarrow.dataset as ds
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
-        paths = (
-            sorted(
-                _glob.glob(os.path.join(partition.path, "*.parquet"))
-            )
-            if os.path.isdir(partition.path)
-            else [partition.path]
+        yield from _read_change_partition(
+            partition, to_arrow_schema(self._schema), self._colmap
         )
-        for p in paths:
-            dset = ds.dataset(p, format="parquet")
-            expr = (
-                _pa_filter(partition.predicate)
-                if partition.predicate
-                else None
-            )
-            dvpos = (partition.dv or {}).get(os.path.basename(p))
-            if dvpos:
-                # deletion vectors address PHYSICAL row positions, so
-                # the file is read unfiltered, DV'd rows are masked
-                # out, and only then does any replay predicate apply
-                import numpy as np
-
-                tbl = dset.to_table()
-                pos = np.asarray(dvpos, dtype=np.int64)
-                if pos.size and (
-                    int(pos.max()) >= tbl.num_rows or int(pos.min()) < 0
-                ):
-                    # a corrupt/stale sidecar would otherwise surface as
-                    # an opaque numpy IndexError on an executor — name
-                    # the file and the bad position instead (ADVICE r11)
-                    raise ValueError(
-                        f"deletion-vector position {int(pos.max())} out "
-                        f"of range for {p} ({tbl.num_rows} rows) — "
-                        "corrupt or mismatched DV sidecar"
-                    )
-                mask = np.ones(tbl.num_rows, dtype=bool)
-                mask[pos] = False
-                tbl = tbl.filter(pa.array(mask))
-                if expr is not None:
-                    tbl = tbl.filter(expr)
-            else:
-                tbl = dset.to_table(filter=expr)
-            n = tbl.num_rows
-            colmap = self._colmap
-            cols = []
-            for f in target:
-                # column-mapped tables: the stream schema is LOGICAL,
-                # the file columns PHYSICAL — resolve through the
-                # STREAM-ERA map (identity when unmapped); physical
-                # identity is stable across renames, so the one map is
-                # valid for every emitted version
-                lookup = colmap.get(f.name, f.name)
-                if f.name == "_change_type":
-                    if partition.change_type is not None:
-                        col = pa.array(
-                            [partition.change_type] * n, type=f.type
-                        )
-                    else:
-                        col = tbl.column("_change_type").cast(f.type)
-                elif f.name == "_commit_version":
-                    col = pa.array(
-                        [partition.version] * n, type=f.type
-                    )
-                elif lookup in tbl.column_names:
-                    col = tbl.column(lookup).cast(f.type)
-                else:
-                    # pre-evolution file: typed nulls, same reconciliation
-                    # as vt_read/_read_plan
-                    col = pa.nulls(n, type=f.type)
-                cols.append(col)
-            out = pa.table(cols, schema=target)
-            for batch in out.to_batches():
-                yield batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side
 
     def stop(self) -> None:
         pass
+
+
+def _plan_change_partitions(
+    path: str, lo: int, hi: int
+) -> "list[_ChangePartition]":
+    """Plan the row-level change output of every commit in ``(lo, hi]``
+    as one ``_ChangePartition`` per (commit, file) — manifest metadata
+    only, no data file opened. Shared by the ``vt_changes`` streaming
+    source (per micro-batch offset range) and the batch reader's
+    ``readChangeFeed`` option (r13 verdict ask #3), so both surfaces
+    emit byte-identical change sets for the same version range."""
+    from ..sources.versioned import (
+        _load_dv_positions,
+        _read_manifest,
+        vt_scan_plan,
+        vt_versions,
+    )
+
+    versions = vt_versions(path)
+    parts: list[_ChangePartition] = []
+
+    def dv_of(v: int) -> dict:
+        # the replayed snapshot's deletion vectors, loaded ONCE on
+        # the driver (sidecars are small by the merge-on-read
+        # contract) and shipped per-partition as plain positions
+        m = _read_manifest(path, v)
+        dvm = m.get("dv")
+        return _load_dv_positions(path, dvm) if dvm else {}
+
+    def colmap_of(v: int) -> dict | None:
+        return _read_manifest(path, v).get("column_mapping")
+
+    def snapshot_parts(v: int, tag: str):
+        # honors partial_dirs / authoritative file lists, and the
+        # snapshot's deletion vectors (DV'd rows are not part of the
+        # snapshot being replayed)
+        loaded = dv_of(v)
+        for p in vt_scan_plan(path, v)["paths"]:
+            parts.append(
+                _ChangePartition(
+                    path=p,
+                    version=v,
+                    change_type=tag,
+                    dv=_dv_for_path(p, loaded),
+                )
+            )
+
+    for v in range(lo + 1, hi + 1):
+        if v not in versions:
+            raise ValueError(
+                f"version {v} was vacuumed: the change-stream range "
+                f"({lo}, {hi}] is no longer reconstructable"
+            )
+        m = _read_manifest(path, v)
+        op = m.get("op")
+        if op in (
+            "optimize", "analyze",
+            "rename_column", "drop_column", "add_column",
+            "widen_column",
+        ):
+            # no logical ROW change (the schema ops relabel/project
+            # columns; this stream's schema is fixed at query start
+            # — restart to pick up renamed/added names, the same
+            # contract as merge_schema evolution)
+            continue
+        if op == "append":
+            prev = (
+                set(_read_manifest(path, v - 1)["dirs"])
+                if v - 1 in versions
+                else set()
+            )
+            if v - 1 > 0 and v - 1 not in versions:
+                raise ValueError(
+                    f"version {v - 1} was vacuumed: cannot "
+                    f"reconstruct changes for version {v}"
+                )
+            flists = m.get("files", {})
+            for d in m["dirs"]:
+                if d in prev:
+                    continue
+                fl = flists.get(d)
+                if fl:
+                    for f in fl:
+                        parts.append(
+                            _ChangePartition(
+                                path=os.path.join(path, d, f),
+                                version=v,
+                                change_type="insert",
+                            )
+                        )
+                else:
+                    parts.append(
+                        _ChangePartition(
+                            path=os.path.join(path, d),
+                            version=v,
+                            change_type="insert",
+                        )
+                    )
+        elif op in ("merge", "delete", "update"):
+            cd = m.get("changes")
+            if cd is not None:
+                parts.append(
+                    _ChangePartition(
+                        path=os.path.join(path, cd),
+                        version=v,
+                        change_type=None,
+                    )
+                )
+            elif op == "delete" and (m.get("delete") or {}).get(
+                "predicate"
+            ):
+                pred = m["delete"]["predicate"]
+                if v - 1 > 0 and v - 1 not in versions:
+                    raise ValueError(
+                        f"version {v - 1} was vacuumed: cannot "
+                        f"replay the delete at version {v}"
+                    )
+                # replay = PREVIOUS snapshot ∩ predicate; the
+                # previous snapshot's own DVs must apply first or
+                # rows an earlier merge-on-read delete removed could
+                # re-match and stream as phantom deletes
+                prev_loaded = dv_of(v - 1)
+                cm_prev = colmap_of(v - 1)
+                if cm_prev:
+                    # the predicate was recorded in LOGICAL names;
+                    # the files hold physical ones
+                    pred = [
+                        [cm_prev.get(c, c), o, val]
+                        for c, o, val in pred
+                    ]
+                for p in vt_scan_plan(path, v - 1)["paths"]:
+                    parts.append(
+                        _ChangePartition(
+                            path=p,
+                            version=v,
+                            change_type="delete",
+                            predicate=pred,
+                            dv=_dv_for_path(p, prev_loaded),
+                        )
+                    )
+            else:
+                raise ValueError(
+                    f"version {v} is a {op} committed without "
+                    "change_feed=True: its row-level changes were "
+                    "not recorded"
+                )
+        elif op in ("overwrite", "restore", "clone"):
+            if v - 1 > 0:
+                if v - 1 not in versions:
+                    raise ValueError(
+                        f"version {v - 1} was vacuumed: cannot "
+                        f"reconstruct changes for version {v}"
+                    )
+                snapshot_parts(v - 1, "delete")
+            snapshot_parts(v, "insert")
+        else:  # pragma: no cover - future ops must opt in
+            raise ValueError(f"version {v}: unknown op {op!r}")
+    return parts
+
+
+def _read_change_partition(
+    partition: _ChangePartition, target, colmap: dict
+):
+    """Executor-side: read one change partition with pyarrow and yield
+    ``target``-schema Arrow batches — DV mask first, replay predicate
+    second, then reconciliation to the reader's logical schema through
+    ``colmap`` ({logical → physical}; identity when unmapped). Shared
+    by the streaming source and the batch ``readChangeFeed`` reader."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    paths = (
+        sorted(
+            _glob.glob(os.path.join(partition.path, "*.parquet"))
+        )
+        if os.path.isdir(partition.path)
+        else [partition.path]
+    )
+    for p in paths:
+        dset = ds.dataset(p, format="parquet")
+        expr = (
+            _pa_filter(partition.predicate)
+            if partition.predicate
+            else None
+        )
+        dvpos = (partition.dv or {}).get(os.path.basename(p))
+        if dvpos:
+            # deletion vectors address PHYSICAL row positions, so
+            # the file is read unfiltered, DV'd rows are masked
+            # out, and only then does any replay predicate apply
+            import numpy as np
+
+            tbl = dset.to_table()
+            pos = np.asarray(dvpos, dtype=np.int64)
+            if pos.size and (
+                int(pos.max()) >= tbl.num_rows or int(pos.min()) < 0
+            ):
+                # a corrupt/stale sidecar would otherwise surface as
+                # an opaque numpy IndexError on an executor — name
+                # the file and the bad position instead (ADVICE r11)
+                raise ValueError(
+                    f"deletion-vector position {int(pos.max())} out "
+                    f"of range for {p} ({tbl.num_rows} rows) — "
+                    "corrupt or mismatched DV sidecar"
+                )
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[pos] = False
+            tbl = tbl.filter(pa.array(mask))
+            if expr is not None:
+                tbl = tbl.filter(expr)
+        else:
+            tbl = dset.to_table(filter=expr)
+        n = tbl.num_rows
+        cols = []
+        for f in target:
+            # column-mapped tables: the reader schema is LOGICAL,
+            # the file columns PHYSICAL — resolve through the
+            # reader-era map (identity when unmapped); physical
+            # identity is stable across renames, so the one map is
+            # valid for every emitted version
+            lookup = colmap.get(f.name, f.name)
+            if f.name == "_change_type":
+                if partition.change_type is not None:
+                    col = pa.array(
+                        [partition.change_type] * n, type=f.type
+                    )
+                else:
+                    col = tbl.column("_change_type").cast(f.type)
+            elif f.name == "_commit_version":
+                col = pa.array(
+                    [partition.version] * n, type=f.type
+                )
+            elif lookup in tbl.column_names:
+                col = tbl.column(lookup).cast(f.type)
+            else:
+                # pre-evolution file: typed nulls, same reconciliation
+                # as vt_read/_read_plan
+                col = pa.nulls(n, type=f.type)
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        for batch in out.to_batches():
+            yield batch
 
 
 class VersionedChangesDataSource(DataSource):

@@ -6773,6 +6773,136 @@ LLM_QUERIES["events_vt_format_write"] = FnWorkload(
 )
 
 
+def _events_vt_format_changefeed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH CHANGE-DATA-FEED THROUGH THE FORMAT READER, EXECUTED
+    (``spark.read.format("vt").option("readChangeFeed", "true")``, r14
+    — verdict ask #3: Delta's batch-CDF option on the Python data
+    source): events staged as a vt table, then a merge-on-read DV
+    DELETE, a column RENAME (mapping), and a change-feed UPDATE — and
+    the whole history is read back as one batch DataFrame with
+    ``startingVersion=1``. The reader plans the range through the SAME
+    per-(commit, file) planner as the ``vt_changes`` streaming source
+    and reconciles to the ENDING version's schema, so the renamed
+    column's data flows under its final name with pre/post images
+    intact.
+
+    Pinned INSIDE the oracle hash: ``batch_equals_package`` (the format
+    CDF equals vt_read_changes over the full range, both directions of
+    exceptAll empty) and ``sub_range_scoped`` (an explicit
+    startingVersion/endingVersion window returns exactly that window's
+    commits). The returned aggregate is computed from the format CDF
+    frame."""
+    from ..sources.datasource import vt_register
+    from ..sources.versioned import (
+        vt_delete,
+        vt_read_changes,
+        vt_rename_column,
+        vt_update,
+        vt_versions,
+        vt_write,
+    )
+
+    vt_register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    path = os.path.join(_scratch_dir("vtfmtcdf", sf_dir), "ev")
+    vt_write(spark, path, ev)                                    # v1
+    lims = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    vt_delete(spark, path, ("event_id", "=", lims["lo"]), mode="dv")
+    vt_rename_column(path, "v", "amount")                        # v3
+    vt_update(                                                   # v4
+        spark,
+        path,
+        ("event_id", "=", lims["hi"]),
+        {"amount": "amount + 1"},
+        change_feed=True,
+    )
+    head = vt_versions(path)[-1]
+    fmt = (
+        spark.read.format("vt")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    native = vt_read_changes(spark, path, 0, head)
+    batch_equals_package = (
+        fmt.exceptAll(native).count() == 0
+        and native.exceptAll(fmt).count() == 0
+    )
+    window = (
+        spark.read.format("vt")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .option("endingVersion", "2")
+        .load()
+    )
+    sub_range_scoped = (
+        {
+            r["_change_type"]
+            for r in window.select("_change_type").distinct().collect()
+        }
+        == {"delete"}
+        and window.count() == 1
+    )
+    return (
+        fmt.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 6).cast("double").alias(
+                "sum_amount"
+            ),
+        )
+        .select(
+            "_change_type",
+            "n",
+            "sum_amount",
+            F.lit(bool(batch_equals_package)).alias(
+                "batch_equals_package"
+            ),
+            F.lit(bool(sub_range_scoped)).alias("sub_range_scoped"),
+        )
+    )
+
+
+_EVENTS_VT_FORMAT_CHANGEFEED_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")}),
+t AS (
+  SELECT event_id, CAST(value AS DECIMAL(38,12)) AS amount FROM ev
+),
+lim AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM t),
+changes AS (
+  SELECT 'insert' AS _change_type, amount FROM t
+  UNION ALL
+  SELECT 'delete', amount FROM t, lim WHERE event_id = lo
+  UNION ALL
+  SELECT 'update_preimage', amount FROM t, lim WHERE event_id = hi
+  UNION ALL
+  SELECT 'update_postimage', amount + 1 FROM t, lim
+  WHERE event_id = hi
+)
+SELECT _change_type, count(*) AS n,
+       CAST(round(sum(amount), 6) AS DOUBLE) AS sum_amount,
+       TRUE AS batch_equals_package,
+       TRUE AS sub_range_scoped
+FROM changes
+GROUP BY _change_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_format_changefeed"] = FnWorkload(
+    _events_vt_format_changefeed, _EVENTS_VT_FORMAT_CHANGEFEED_SQL
+)
+
+
 def _rule_nested_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOTTED RULE PROPERTIES over struct columns, EXECUTED (r13,
     beyond-reference — the reference's RuleValidator resolves flat

@@ -446,6 +446,13 @@ class TestBatchWrite:
                 prev, schema_json, "overwrite", path, staged_pby=[]
             )
 
+    def test_cdf_option_refused_on_write(self, registered, tmp_path):
+        spark = registered
+        with pytest.raises(Exception, match="read option"):
+            _df(spark, 2).write.format("vt").mode("append").option(
+                "path", str(tmp_path / "t")
+            ).option("readChangeFeed", "true").save()
+
     def test_failed_job_leaves_table_untouched(
         self, registered, tmp_path
     ):
@@ -522,3 +529,122 @@ class TestBatchWrite:
         )
         assert on_disk == [msg.entries[0][0]] == m["files"][d]
         assert vt_read(spark, path).count() == 4 == vt_count(spark, path)
+
+
+class TestReadChangeFeed:
+    """Batch CDF through the format reader (r14, verdict ask #3):
+    option("readChangeFeed","true") + startingVersion/endingVersion
+    must equal the package-level vt_read_changes over the same range —
+    including DV deletes, column mapping, merges with recorded change
+    dirs, and overwrite synthesis."""
+
+    def _stage_history(self, spark, path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_merge,
+            vt_update,
+        )
+
+        vt_write(spark, path, _df(spark, 6))                      # v1
+        vt_write(                                                 # v2
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, "g9", 9.0)], "id long, g string, x double"
+            ),
+            mode="append",
+        )
+        vt_delete(spark, path, ("id", "=", 2), mode="dv")         # v3
+        vt_rename_column(path, "x", "amount")                     # v4 (no rows)
+        vt_merge(                                                 # v5
+            spark,
+            path,
+            spark.createDataFrame(
+                [(0, "gz", 50.0), (200, "gn", 7.0)],
+                "id long, g string, amount double",
+            ),
+            ["id"],
+            change_feed=True,
+        )
+        vt_update(                                                # v6
+            spark,
+            path,
+            ("id", "=", 100),
+            {"amount": "amount + 1"},
+            change_feed=True,
+        )
+        return path
+
+    def _norm(self, df):
+        return sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    def test_equals_vt_read_changes_full_history(
+        self, registered, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+            vt_versions,
+        )
+
+        spark = registered
+        path = self._stage_history(spark, str(tmp_path / "t"))
+        head = vt_versions(path)[-1]
+        fmt = (
+            spark.read.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .load()
+        )
+        native = vt_read_changes(spark, path, 0, head)
+        assert fmt.columns == native.columns
+        assert self._norm(fmt) == self._norm(native)
+        # the feed saw every change-bearing commit
+        assert {
+            r["_commit_version"]
+            for r in fmt.select("_commit_version").distinct().collect()
+        } == {1, 2, 3, 5, 6}
+
+    def test_sub_range_and_defaults(self, registered, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_read_changes,
+        )
+
+        spark = registered
+        path = self._stage_history(spark, str(tmp_path / "t"))
+        fmt = (
+            spark.read.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "3")
+            .option("endingVersion", "5")
+            .load()
+        )
+        native = vt_read_changes(spark, path, 2, 5)
+        assert self._norm(fmt) == self._norm(native)
+        # rename inside the range: renamed column's data keeps flowing
+        # under the ending version's name
+        assert "amount" in fmt.columns and "x" not in fmt.columns
+
+    def test_option_validation(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+
+        def rd(**opts):
+            r = (
+                spark.read.format("vt")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load().collect()
+
+        with pytest.raises(Exception, match="startingVersion"):
+            rd()
+        with pytest.raises(Exception, match="not committed"):
+            rd(startingVersion="1", endingVersion="9")
+        with pytest.raises(Exception, match="not versionAsOf"):
+            rd(startingVersion="1", versionAsOf="1")
