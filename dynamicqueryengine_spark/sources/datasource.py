@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -488,6 +489,77 @@ class VersionedTableDataSource(DataSource):
             pby=pby, bloom_cols=bloom_cols,
         )
 
+    def streamWriter(self, schema, overwrite: bool):
+        import uuid as _uuid
+
+        from .versioned import (
+            _PARTITION_TYPES,
+            _read_manifest,
+            vt_versions,
+        )
+
+        if self._cdf:
+            raise ValueError(
+                "readChangeFeed is a read option — format('vt') "
+                "writes never take it"
+            )
+        if overwrite:
+            raise ValueError(
+                "format('vt') streaming sink supports APPEND output "
+                "mode only (complete/update would overwrite the table "
+                "every micro-batch)"
+            )
+        app = self.options.get("txnappid")
+        if not app:
+            ckpt = self.options.get("checkpointlocation")
+            if ckpt:
+                app = f"vtstream:{ckpt}"
+            else:
+                raise ValueError(
+                    "format('vt') streaming sink needs a stable "
+                    "exactly-once identity: set option('txnAppId', …) "
+                    "or a checkpointLocation"
+                )
+        versions = vt_versions(self._path)
+        prev = (
+            _read_manifest(self._path, versions[-1]) if versions else None
+        )
+        schema_json = json.loads(schema.json())
+        if prev is not None:
+            _check_writable(prev, schema_json, "append", self._path)
+        pby = list((prev or {}).get("partition_by") or [])
+        types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        for c in pby:
+            if c not in types or types[c] not in _PARTITION_TYPES:
+                raise ValueError(
+                    f"table at {self._path} is partitioned by {c!r} but "
+                    "the stream lacks it (or carries an unsupported "
+                    "type) — partition columns must be present with "
+                    f"types {', '.join(_PARTITION_TYPES)}"
+                )
+        bloom_cols = list((prev or {}).get("bloom_cols") or [])
+        # DETERMINISTIC staging (keyed by the stream's txn identity):
+        # Spark instantiates this data source separately in the
+        # task-side write worker and in the driver-side commit runner,
+        # so a uuid-random staging dir would differ between the two and
+        # the commit could never find the tasks' files. One active
+        # query per txn identity (Spark locks the checkpoint), so the
+        # dir is single-writer; a restart reuses it and the commit-time
+        # reap clears any crashed attempt's leftovers.
+        import hashlib as _hashlib
+
+        staged = os.path.join(
+            self._path,
+            ".fmtstage_stream_"
+            + _hashlib.sha1(app.encode("utf-8")).hexdigest()[:12],
+        )
+        os.makedirs(staged, exist_ok=True)
+        return _VtStreamWriter(
+            self._path, staged, schema, pby, bloom_cols, app
+        )
+
 
 @dataclass
 class _VtWriteMessage(WriterCommitMessage):
@@ -637,14 +709,31 @@ class _VtBatchWriter(DataSourceArrowWriter):
 
     # -- driver side -----------------------------------------------------
     def commit(self, messages):
+        self._materialize_and_commit(
+            messages, "overwrite" if self._overwrite else "append"
+        )
+
+    def _materialize_and_commit(
+        self, messages, mode: str, txn=None, keep_staging: bool = False
+    ):
+        """Turn the tasks' staged files into committed ``d_*`` dirs and
+        run the optimistic commit loop. ``txn`` = ``(app, version)``
+        marks the commit with the exactly-once transaction guard (the
+        streaming sink's batchId replay protection); a replayed txn is
+        a clean no-op — the materialized dirs are removed and the table
+        is untouched. ``keep_staging`` re-creates the (now empty)
+        staging dir after materialization so the next micro-batch's
+        tasks can write into it."""
         import shutil
         import uuid as _uuid
 
         from .versioned import (
+            TxnReplayed,
             _commit,
             _harvest_blooms_arrow,
             _harvest_stats,
             _read_manifest,
+            vt_last_txn,
             vt_versions,
         )
 
@@ -670,6 +759,20 @@ class _VtBatchWriter(DataSourceArrowWriter):
                     os.unlink(fp)
                 else:  # pragma: no cover - tasks only write flat files
                     shutil.rmtree(fp, ignore_errors=True)
+        if txn is not None and entries:
+            # exactly-once fast path: a restarted stream replaying an
+            # already-committed batchId skips materialization entirely
+            # (the in-commit guard below remains the authoritative
+            # cross-process check — r13 multiprocess stress)
+            last = vt_last_txn(self._path, txn[0])
+            if last is not None and txn[1] <= last:
+                for n in os.listdir(self._staged):
+                    os.unlink(os.path.join(self._staged, n))
+                return
+        if txn is not None and not entries:
+            # zero-row micro-batch: nothing to commit, nothing to
+            # replay-protect (a replay of an empty batch is empty)
+            return
         # one immutable d_* dir per partition value across all tasks
         # (a single "" group on an unpartitioned table) — every file
         # already holds exactly one value tuple, so grouping by the
@@ -700,7 +803,11 @@ class _VtBatchWriter(DataSourceArrowWriter):
                 all_files[d] = sorted(by_pjson[pjson])
                 if pjson:
                     new_partitions[d] = json.loads(pjson)
-            shutil.rmtree(self._staged, ignore_errors=True)
+            if keep_staging:
+                # now-empty staging stays for the next micro-batch
+                os.makedirs(self._staged, exist_ok=True)
+            else:
+                shutil.rmtree(self._staged, ignore_errors=True)
         try:
             schema_json = json.loads(self._schema_json)
             new_stats: dict = {}
@@ -727,7 +834,6 @@ class _VtBatchWriter(DataSourceArrowWriter):
                     )
                     if b:
                         new_blooms[d] = b
-            mode = "overwrite" if self._overwrite else "append"
             for _ in range(5):
                 head = vt_versions(self._path)
                 expected = head[-1] if head else 0
@@ -768,6 +874,11 @@ class _VtBatchWriter(DataSourceArrowWriter):
                         mode,
                         expected,
                         all_stats,
+                        txn=(
+                            {"app": txn[0], "version": int(txn[1])}
+                            if txn
+                            else None
+                        ),
                         file_stats=all_fstats or None,
                         files=files_map,
                         schema=schema_json,
@@ -785,6 +896,16 @@ class _VtBatchWriter(DataSourceArrowWriter):
                             )
                         ),
                     )
+                    return
+                except TxnReplayed:
+                    # a concurrent replica of this producer committed
+                    # the same batch first — exactly-once means no-op;
+                    # remove the dirs this attempt materialized
+                    for d in new_dirs:
+                        shutil.rmtree(
+                            os.path.join(self._path, d),
+                            ignore_errors=True,
+                        )
                     return
                 except FileExistsError:
                     new_head = vt_versions(self._path)[-1]
@@ -812,6 +933,58 @@ class _VtBatchWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self._staged, ignore_errors=True)
+
+
+class _VtStreamWriter(_VtBatchWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("vt")`` (r13 verdict ask #2) — the
+    streaming sink half: every micro-batch appends through the SAME
+    task-side Arrow split (per-partition-value staged files, inherited
+    from :class:`_VtBatchWriter`) and the same materialize-and-commit
+    loop, marked with the exactly-once transaction guard
+    ``(txnAppId, batchId)``. A restarted query replaying an
+    already-committed batch is a clean no-op (the marker fast path
+    skips materialization; the in-commit guard stays authoritative
+    across processes), so the sink is idempotent under Spark's
+    at-least-once micro-batch replay — the foreachBatch + vt_write
+    pattern (test_partitioned.py) without the boilerplate.
+
+    ``txnAppId`` resolution: an explicit ``option("txnAppId", …)``
+    wins; otherwise the query's ``checkpointLocation`` scopes the
+    marker (each checkpoint is one logical stream — Delta's
+    txnAppId/txnVersion idempotent-writer pattern). Only append output
+    mode is supported."""
+
+    def __init__(
+        self, path: str, staged: str, schema, pby, bloom_cols,
+        app: str,
+    ):
+        super().__init__(
+            path, staged, False, schema, pby=pby,
+            bloom_cols=bloom_cols,
+        )
+        self._app = app
+
+    # write() inherited: Arrow batches → per-partition staged files
+
+    def commit(self, messages, batchId: int):
+        self._materialize_and_commit(
+            messages,
+            "append",
+            txn=(self._app, int(batchId)),
+            keep_staging=True,
+        )
+
+    def abort(self, messages, batchId: int):
+        # clear the staged attempt but KEEP the staging dir: Spark
+        # retries the same batch and its tasks need somewhere to write
+        import shutil
+
+        for n in os.listdir(self._staged):
+            fp = os.path.join(self._staged, n)
+            if os.path.isfile(fp):
+                os.unlink(fp)
+            else:  # pragma: no cover - tasks only write flat files
+                shutil.rmtree(fp, ignore_errors=True)
 
 
 def _check_writable(
