@@ -129,7 +129,23 @@ def _read_snapshot_path(
         for f in target:
             lookup = colmap.get(f.name, f.name)
             if lookup in tbl.column_names:
-                cols.append(tbl.column(lookup).cast(f.type))
+                col = tbl.column(lookup)
+                if pa.types.is_struct(f.type):
+                    # struct children match by PHYSICAL name (nested
+                    # renames), null-fill (pre-evolution arity), and
+                    # cast leaves — pyarrow's own struct cast is
+                    # strict name/arity and would refuse both
+                    from .versioned import (
+                        _arrow_reconcile_struct,
+                        _nested_rel_map,
+                    )
+
+                    col = _arrow_reconcile_struct(
+                        col, f.type, _nested_rel_map(colmap, f.name)
+                    )
+                else:
+                    col = col.cast(f.type)
+                cols.append(col)
             else:
                 cols.append(pa.nulls(n, type=f.type))
         out = pa.table(cols, schema=target)

@@ -319,24 +319,136 @@ def _phys(mapping: dict | None, col: str) -> str:
     return (mapping or {}).get(col, col)
 
 
+def _phys_path(mapping: dict | None, col: str) -> str:
+    """Physical DOTTED path of a (possibly nested) logical path,
+    resolved by LONGEST MAPPED PREFIX: nested renames record full
+    dotted entries (``{"payload.val": "payload.v"}``, r14) and a
+    top-level rename re-prefixes them, so the deepest explicit entry
+    wins and unmapped suffix segments pass through as identity."""
+    if not mapping:
+        return col
+    if col in mapping:
+        return mapping[col]
+    if "." in col:
+        parent, leaf = col.rsplit(".", 1)
+        return _phys_path(mapping, parent) + "." + leaf
+    return col
+
+
 def _map_conjuncts(conjuncts, mapping: dict | None):
     """Translate a skip-grammar conjunction's column names logical →
     physical for probing file stats / blooms (both keyed by the names
-    actually written to parquet). No-op without a mapping."""
+    actually written to parquet — dotted leaf paths for nested fields).
+    No-op without a mapping."""
     if not mapping or not conjuncts:
         return conjuncts
-    return [(mapping.get(c, c), op, v) for c, op, v in conjuncts]
+    return [(_phys_path(mapping, c), op, v) for c, op, v in conjuncts]
+
+
+def _nested_rel_map(mapping: dict | None, top: str) -> dict:
+    """Relative nested rename map for one top-level logical column:
+    ``{relative logical dotted path: physical LEAF name}`` for every
+    dotted mapping entry under ``top`` whose leaf name actually
+    differs. Empty for tables/columns without nested renames — every
+    caller's fast path."""
+    if not mapping:
+        return {}
+    out: dict = {}
+    prefix = top + "."
+    for k, v in mapping.items():
+        if k.startswith(prefix):
+            rel = k[len(prefix):]
+            leaf = v.rsplit(".", 1)[-1]
+            if leaf != rel.rsplit(".", 1)[-1]:
+                out[rel] = leaf
+    return out
+
+
+def _rename_struct_leaves(dtype, rel_map: dict, _prefix: str = ""):
+    """A copy of ``dtype`` with nested struct field names rewritten per
+    ``rel_map`` ({relative logical dotted path: new leaf name}).
+    Renames live only inside plain struct nesting (the rename DDL
+    refuses paths through arrays/maps), so only StructType recurses."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not isinstance(dtype, StructType) or not rel_map:
+        return dtype
+    fields = []
+    for f in dtype.fields:
+        p = _prefix + f.name if not _prefix else _prefix + "." + f.name
+        fields.append(
+            StructField(
+                rel_map.get(p, f.name),
+                _rename_struct_leaves(f.dataType, rel_map, p),
+                f.nullable,
+                f.metadata,
+            )
+        )
+    return StructType(fields)
+
+
+def _arrow_reconcile_struct(col, target_type, rel_phys: dict,
+                            _prefix: str = ""):
+    """Arrow-side struct reconciliation for the Python data sources
+    (batch snapshot reader, change feed): file struct children are
+    matched by PHYSICAL name — identity unless ``rel_phys`` maps the
+    relative logical path to a renamed leaf (r14 nested column
+    mapping) — missing children null-fill (pre-evolution files), and
+    leaves cast to the target's types (nested widening). pyarrow's own
+    struct cast matches strictly by name/arity, so renamed or evolved
+    structs need this walk."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_struct(target_type):
+        return col.cast(target_type)
+    n = len(col)
+    arrays = []
+    names = []
+    src_is_struct = pa.types.is_struct(col.type)
+    for i in range(target_type.num_fields):
+        f = target_type.field(i)
+        p = f.name if not _prefix else f"{_prefix}.{f.name}"
+        phys_leaf = rel_phys.get(p, f.name)
+        if (
+            src_is_struct
+            and col.type.get_field_index(phys_leaf) >= 0
+        ):
+            arrays.append(
+                _arrow_reconcile_struct(
+                    col.field(phys_leaf), f.type, rel_phys, p
+                )
+            )
+        else:
+            arrays.append(pa.nulls(n, type=f.type))
+        names.append(f.name)
+    mask = None
+    if src_is_struct and col.null_count:
+        mask = col.is_null()
+        if isinstance(mask, pa.ChunkedArray):  # pragma: no cover
+            mask = mask.combine_chunks()
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
 
 
 def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     """Rename a LOGICAL-named DataFrame to physical names for writing.
     Columns without a mapping entry (metadata columns like
-    ``_change_type``) pass through unchanged."""
+    ``_change_type``) pass through unchanged. Columns with nested
+    renames (dotted mapping entries, r14) CAST to the physically-named
+    struct type — Spark's struct cast is positional, so this is a pure
+    leaf relabel of the frame's own types."""
     if not mapping:
         return df
-    return df.select(
-        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
-    )
+    cols = []
+    for c in df.columns:
+        rel = _nested_rel_map(mapping, c)
+        if rel:
+            ptype = _rename_struct_leaves(df.schema[c].dataType, rel)
+            cols.append(F.col(c).cast(ptype).alias(mapping.get(c, c)))
+        else:
+            cols.append(F.col(c).alias(mapping.get(c, c)))
+    return df.select(*cols)
 
 
 def _fresh_physical(col: str) -> str:
@@ -1913,6 +2025,14 @@ def vt_write(
         for c in df.columns:
             if c not in write_mapping:
                 write_mapping[c] = _fresh_physical(c)
+        # Nested no-resurrection holds structurally: struct CHILDREN
+        # cannot be added after the fact (_can_widen requires identical
+        # field-name lists, so a merge_schema append carrying an extra
+        # child refuses), which means a renamed-away leaf's physical
+        # bytes can never be re-addressed under a re-added logical name
+        # — the collision the top-level _fresh_physical guards against
+        # has no nested entry point (pinned by
+        # test_column_mapping.TestNestedRename).
     commit_mapping = (
         {} if (base_mapping is not None and mode == "overwrite")
         else write_mapping
@@ -2544,7 +2664,11 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
         phys_schema = StructType(
             [
                 StructField(
-                    cm_read.get(f.name, f.name), f.dataType, True
+                    cm_read.get(f.name, f.name),
+                    _rename_struct_leaves(
+                        f.dataType, _nested_rel_map(cm_read, f.name)
+                    ),
+                    True,
                 )
                 for f in StructType.fromJson(sj_read).fields
             ]
@@ -2631,15 +2755,21 @@ def _read_plan(spark, plan: dict, keep_positions: bool = False) -> DataFrame:
         cmap = plan.get("column_mapping") or {}
         have = set(df.columns)
         # mapped tables: parquet holds PHYSICAL names — project each
-        # back to its logical name (a rename is just this alias); a
+        # back to its logical name (a rename is just this alias; a
+        # NESTED rename additionally casts the struct back to its
+        # logically-named type — positional, a pure leaf relabel since
+        # the explicit read schema already upcast the types); a
         # physical column present in no scanned file (metadata-only ADD
         # COLUMN, pre-evolution dirs) reconciles to typed nulls
-        cols = [
-            F.col(cmap.get(f.name, f.name)).alias(f.name)
-            if cmap.get(f.name, f.name) in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target.fields
-        ]
+        def back(f):
+            phys = cmap.get(f.name, f.name)
+            if phys not in have:
+                return F.lit(None).cast(f.dataType).alias(f.name)
+            if _nested_rel_map(cmap, f.name):
+                return F.col(phys).cast(f.dataType).alias(f.name)
+            return F.col(phys).alias(f.name)
+
+        cols = [back(f) for f in target.fields]
         if keep_positions:
             cols += [F.col("_vt_file_key"), F.col("_vt_pos")]
         df = df.select(*cols)
@@ -2872,6 +3002,7 @@ def vt_read_changes(
                     p: l for l, p in (_col_mapping(src) or {}).items()
                 }
             have = set(df.columns)
+            frame_types = {x.name: x.dataType for x in df.schema.fields}
             cols = []
             for f in target.fields:
                 phys = to_mapping.get(f.name, f.name)
@@ -2880,11 +3011,23 @@ def vt_read_changes(
                     if phys_to_src is None
                     else phys_to_src.get(phys, phys)
                 )
-                cols.append(
-                    F.col(lookup).alias(f.name)
-                    if lookup in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                )
+                if lookup not in have:
+                    cols.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                elif (
+                    _nested_rel_map(to_mapping, f.name)
+                    and frame_types.get(lookup) != f.dataType
+                ):
+                    # a nested rename inside the range: the frame's
+                    # struct carries the emitting era's (physical)
+                    # leaf names — positional cast relabels them to
+                    # the TO version's (types already agree)
+                    cols.append(
+                        F.col(lookup).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(lookup).alias(f.name))
         else:
             cols = [F.col(c) for c in df.columns if c != "_change_type"]
         return df.select(
@@ -5618,6 +5761,82 @@ def _mapping_or_identity(manifest: dict) -> dict:
     }
 
 
+def _mutate_nested_rename(manifest: dict, old: str, new: str):
+    """The nested-field leg of :func:`vt_rename_column` (r14): rename a
+    struct child at dotted path ``old`` to leaf name ``new``,
+    metadata-only. The mapping gains a full-dotted entry
+    ``{new logical path: stable physical path}`` (longest-prefix
+    resolved by ``_phys_path``); data files, footer stats (keyed by
+    physical dotted leaf paths) and deletion vectors stay untouched.
+    Paths through arrays/maps refuse — renames live in plain struct
+    nesting, same boundary as ``vt_widen_column``."""
+    if "." in new:
+        raise ValueError(
+            f"nested rename takes the NEW LEAF NAME, not a path "
+            f"(got {new!r})"
+        )
+    schema_json = json.loads(json.dumps(manifest["schema"]))
+    segs = old.split(".")
+    node_list = schema_json.get("fields", [])
+    walked: list = []
+    for i, s in enumerate(segs):
+        match = next(
+            (f for f in node_list if f.get("name") == s), None
+        )
+        if match is None:
+            raise ValueError(
+                f"no nested field {old!r} (missing segment {s!r})"
+            )
+        walked.append(match)
+        if i < len(segs) - 1:
+            t = match.get("type")
+            if not (
+                isinstance(t, dict) and t.get("type") == "struct"
+            ):
+                raise ValueError(
+                    f"cannot rename through "
+                    f"{'.'.join(segs[: i + 1])!r}: nested renames "
+                    "cover plain struct nesting only (arrays/maps "
+                    "restructure via overwrite)"
+                )
+            node_list = t.get("fields", [])
+    if any(f.get("name") == new for f in node_list):
+        raise ValueError(
+            f"field {new!r} already exists in "
+            f"{'.'.join(segs[:-1]) or 'the row'}"
+        )
+    refs = _constraint_references(manifest, old)
+    if refs:
+        raise ValueError(
+            f"nested field {old!r} is referenced by CHECK "
+            f"constraint(s) {refs}: drop them before renaming"
+        )
+    frefs = _feature_references(manifest, old)
+    if frefs:
+        raise ValueError(
+            f"nested field {old!r} is pinned by table feature(s) "
+            f"{frefs}: clear the property before renaming"
+        )
+    mapping = _mapping_or_identity(manifest)
+    phys = _phys_path(mapping, old)
+    mapping.pop(old, None)
+    new_path = ".".join(segs[:-1] + [new])
+    # deeper renames under a renamed STRUCT node keep their physical
+    # identity — only their logical key prefix changes
+    for k in [k for k in mapping if k.startswith(old + ".")]:
+        mapping[new_path + k[len(old):]] = mapping.pop(k)
+    mapping[new_path] = phys
+    walked[-1]["name"] = new
+    blob = {"from": old, "to": new_path, "physical": phys}
+    return (
+        schema_json,
+        mapping,
+        None,
+        manifest.get("schema_heterogeneous", False),
+        blob,
+    )
+
+
 def vt_rename_column(path: str, old: str, new: str,
                      max_retries: int = 5) -> int:
     """RENAME COLUMN as a METADATA-ONLY commit — Delta's ``ALTER TABLE …
@@ -5646,16 +5865,13 @@ def vt_rename_column(path: str, old: str, new: str,
         names = [f["name"] for f in fields]
         if old not in names:
             if "." in old and old.split(".", 1)[0] in names:
-                # nested WIDEN is metadata-only (dotted paths recurse),
-                # but nested RENAME would need every reader to rebuild
-                # the struct from per-leaf physical names — an explicit
-                # boundary, not an oversight (restructure via overwrite)
-                raise ValueError(
-                    f"cannot rename nested field {old!r}: column "
-                    "mapping covers top-level columns (nested type "
-                    "WIDENING is supported via vt_widen_column; "
-                    "restructure nested fields with an overwrite)"
-                )
+                # NESTED rename (r14, verdict ask #4): metadata-only
+                # like the top-level case — the mapping records the
+                # full dotted logical path against its stable physical
+                # dotted path, readers request physical leaf names and
+                # cast the struct back positionally (JVM) or match
+                # children by physical name (Arrow).
+                return _mutate_nested_rename(manifest, old, new)
             raise ValueError(f"no column {old!r} in {sorted(names)}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
@@ -5674,6 +5890,11 @@ def vt_rename_column(path: str, old: str, new: str,
             )
         mapping = _mapping_or_identity(manifest)
         mapping[new] = mapping.pop(old)
+        # nested-rename entries are keyed by full LOGICAL dotted paths:
+        # a top-level rename of their root re-prefixes the keys (the
+        # physical paths they map to are stable and stay)
+        for k in [k for k in mapping if k.startswith(old + ".")]:
+            mapping[new + k[len(old):]] = mapping.pop(k)
         schema_json = json.loads(json.dumps(manifest["schema"]))
         for f in schema_json["fields"]:
             if f["name"] == old:
@@ -5730,6 +5951,9 @@ def vt_drop_column(path: str, col: str, max_retries: int = 5) -> int:
             )
         mapping = _mapping_or_identity(manifest)
         phys = mapping.pop(col)
+        # nested-rename entries under the dropped column expire with it
+        for k in [k for k in mapping if k.startswith(col + ".")]:
+            mapping.pop(k)
         schema_json = json.loads(json.dumps(manifest["schema"]))
         schema_json["fields"] = [
             f for f in schema_json["fields"] if f["name"] != col

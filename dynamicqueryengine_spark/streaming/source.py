@@ -206,7 +206,13 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # the pre-mapping identity era
             phys = tuple(cm.get(c, c) for c in data_names)
             if chosen is None:
-                chosen = {c: cm.get(c, c) for c in data_names}
+                # dotted entries (nested renames, r14) ride along so
+                # the Arrow reconcile can match struct children by
+                # their physical leaf names
+                chosen = {
+                    **{c: cm.get(c, c) for c in data_names},
+                    **{k: v for k, v in cm.items() if "." in k},
+                }
                 chosen_phys = phys
             elif phys != chosen_phys:
                 raise ValueError(
@@ -506,7 +512,22 @@ def _read_change_partition(
                     [partition.version] * n, type=f.type
                 )
             elif lookup in tbl.column_names:
-                col = tbl.column(lookup).cast(f.type)
+                if pa.types.is_struct(f.type):
+                    # struct children match by PHYSICAL name (nested
+                    # renames), null-fill (pre-evolution arity), cast
+                    # leaves — pyarrow's own struct cast is strict
+                    from ..sources.versioned import (
+                        _arrow_reconcile_struct,
+                        _nested_rel_map,
+                    )
+
+                    col = _arrow_reconcile_struct(
+                        tbl.column(lookup),
+                        f.type,
+                        _nested_rel_map(colmap, f.name),
+                    )
+                else:
+                    col = tbl.column(lookup).cast(f.type)
             else:
                 # pre-evolution file: typed nulls, same reconciliation
                 # as vt_read/_read_plan

@@ -7187,12 +7187,32 @@ def _events_vt_nested_widen(
         out.filter(F.col("event_id") == 10**9 + 1).count() == 1
     )
     assert vt_versions(path)[-1] >= 4
+    # NESTED RENAME leg (r14, verdict ask #4): the widened leaf renames
+    # metadata-only — full dotted mapping entry, zero data movement —
+    # and the final aggregate SUMS THROUGH THE RENAMED LEAF, so the
+    # rename sits inside the oracle's value hash, not just a boolean.
+    from ..sources.versioned import vt_rename_column
+
+    dirs_pre_rename = _read_manifest(path, vt_versions(path)[-1])[
+        "dirs"
+    ]
+    rv = vt_rename_column(path, "payload.cents", "amount_cents")
+    rm = _read_manifest(path, rv)
+    rename_metadata_only = (
+        rm["dirs"] == dirs_pre_rename
+        and rm["column_mapping"]["payload.amount_cents"]
+        == "payload.cents"
+    )
+    out = vt_read(spark, path)
+    renamed_leaf_served = out.schema["payload"].dataType.fieldNames() == [
+        "tag", "amount_cents"
+    ]
     return (
         out.filter(F.col("event_id") < 10**9)
         .groupBy(F.col("payload.tag").alias("tag"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("payload.cents")).alias("sum_cents"),
+            F.sum(F.col("payload.amount_cents")).alias("sum_cents"),
         )
         .select(
             "tag",
@@ -7201,6 +7221,12 @@ def _events_vt_nested_widen(
             F.lit(bool(metadata_only)).alias("metadata_only"),
             F.lit(bool(upcast_served)).alias("upcast_served"),
             F.lit(bool(narrow_append_ok)).alias("narrow_append_ok"),
+            F.lit(bool(rename_metadata_only)).alias(
+                "rename_metadata_only"
+            ),
+            F.lit(bool(renamed_leaf_served)).alias(
+                "renamed_leaf_served"
+            ),
         )
     )
 
@@ -7215,7 +7241,9 @@ t AS (
 SELECT tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
        TRUE AS metadata_only,
        TRUE AS upcast_served,
-       TRUE AS narrow_append_ok
+       TRUE AS narrow_append_ok,
+       TRUE AS rename_metadata_only,
+       TRUE AS renamed_leaf_served
 FROM t
 GROUP BY tag
 """.strip()

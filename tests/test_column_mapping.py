@@ -852,3 +852,212 @@ class TestDdlConcurrency:
             assert got.filter("id = 7").count() == 0
             assert got.filter("total != qty * 2").count() == 0
         assert vt_count(spark, dst) == 19  # metadata count on the clone
+
+
+class TestNestedRename:
+    """r14 (verdict ask #4): struct-leaf renames are metadata-only —
+    the mapping records full dotted logical → physical paths, readers
+    request physical leaf names and relabel positionally (JVM cast) or
+    by physical-name matching (Arrow readers)."""
+
+    def _table(self, spark, path):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        df = spark.createDataFrame(
+            [(1, (10, "a")), (2, (20, "b")), (3, (30, "c"))],
+            "id long, payload struct<v:int, w:string>",
+        )
+        vt_write(spark, path, df)
+        return vt_rename_column(path, "payload.v", "val")
+
+    def test_rename_read_append_and_time_travel(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        v = self._table(spark, path)
+        m = _read_manifest(path, v)
+        assert m["column_mapping"]["payload.val"] == "payload.v"
+        out = vt_read(spark, path)
+        assert out.schema["payload"].dataType.fieldNames() == [
+            "val", "w"
+        ]
+        assert out.filter(F.col("payload.val") > 15).count() == 2
+        # appends carry the LOGICAL leaf; files get the physical one
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(4, (40, "d"))],
+                "id long, payload struct<val:int, w:string>",
+            ),
+            mode="append",
+        )
+        got = sorted(
+            (r["id"], r["payload"]["val"])
+            for r in vt_read(spark, path).collect()
+        )
+        assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
+        # the appended file's struct child is PHYSICALLY named v
+        import glob
+
+        import pyarrow.parquet as pq
+
+        m2 = _read_manifest(path, vt_head(path))
+        new_dir = [d for d in m2["dirs"] if d not in m["dirs"]][0]
+        fp = glob.glob(os.path.join(path, new_dir, "*.parquet"))[0]
+        sch = pq.read_schema(fp)
+        assert sch.field("payload").type.field(0).name == "v"
+        # time travel serves the OLD leaf name
+        old = vt_read(spark, path, version=1)
+        assert old.schema["payload"].dataType.fieldNames() == [
+            "v", "w"
+        ]
+
+    def test_format_reader_change_feed_and_stream(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.datasource import (
+            vt_register,
+        )
+
+        vt_register(spark)
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        vt_delete(spark, path, ("id", "=", 2), mode="dv")
+        fmt = spark.read.format("vt").option("path", path).load()
+        assert fmt.schema["payload"].dataType.fieldNames() == [
+            "val", "w"
+        ]
+        assert sorted(
+            (r["id"], r["payload"]["val"]) for r in fmt.collect()
+        ) == [(1, 10), (3, 30)]
+        # batch CDF reconciles the pre-rename insert files to the
+        # ending version's leaf names
+        cdf = (
+            spark.read.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "1")
+            .load()
+        )
+        ins = {
+            (r["id"], r["payload"]["val"])
+            for r in cdf.filter("_change_type = 'insert'").collect()
+        }
+        assert ins == {(1, 10), (2, 20), (3, 30)}
+        native = vt_read_changes(spark, path, 0, vt_head(path))
+        assert sorted(tuple(r) for r in cdf.collect()) == sorted(
+            tuple(r) for r in native.collect()
+        )
+
+    def test_no_resurrection_readd_refused(self, spark, tmp_path):
+        """rename payload.v→val, then try to re-add a child named v
+        via merge_schema: refused (struct children cannot be added
+        post-hoc — _can_widen requires identical field-name lists), so
+        a renamed-away leaf's bytes can never be re-addressed under a
+        re-added logical name. The no-resurrection property holds
+        structurally."""
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        with pytest.raises(ValueError, match="incompatible type"):
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(4, (40, "d", 99))],
+                    "id long, payload struct<val:int, w:string, v:int>",
+                ),
+                mode="append",
+                merge_schema=True,
+            )
+        # table unchanged, original leaf intact
+        assert {
+            r["id"]: r["payload"]["val"]
+            for r in vt_read(spark, path).collect()
+        } == {1: 10, 2: 20, 3: 30}
+
+    def test_struct_node_and_deep_leaf_rename(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, ((5, "x"),))],
+                "id long, a struct<b:struct<c:int, d:string>>",
+            ),
+        )
+        vt_rename_column(path, "a.b.c", "cc")
+        vt_rename_column(path, "a.b", "bb")  # struct node rename
+        m = _read_manifest(path, vt_head(path))
+        assert m["column_mapping"]["a.bb"] == "a.b"
+        assert m["column_mapping"]["a.bb.cc"] == "a.b.c"
+        out = vt_read(spark, path)
+        assert out.collect()[0]["a"]["bb"]["cc"] == 5
+        # top-level rename re-prefixes the dotted entries
+        vt_rename_column(path, "a", "z")
+        m2 = _read_manifest(path, vt_head(path))
+        assert m2["column_mapping"]["z.bb.cc"] == "a.b.c"
+        assert vt_read(spark, path).collect()[0]["z"]["bb"]["cc"] == 5
+
+    def test_dml_maintenance_and_drop_under_nested_rename(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_compact,
+        )
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        vt_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, (200, "B")), (9, (90, "z"))],
+                "id long, payload struct<val:int, w:string>",
+            ),
+            ["id"],
+        )
+        got = {
+            r["id"]: r["payload"]["val"]
+            for r in vt_read(spark, path).collect()
+        }
+        assert got == {1: 10, 2: 200, 3: 30, 9: 90}
+        vt_compact(spark, path)
+        assert {
+            r["id"]: r["payload"]["val"]
+            for r in vt_read(spark, path).collect()
+        } == got
+        # dropping the whole column expires its dotted entries
+        vt_drop_column(path, "payload")
+        m = _read_manifest(path, vt_head(path))
+        assert not any("." in k for k in m["column_mapping"])
+        assert vt_read(spark, path).columns == ["id"]
+
+    def test_refusals(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, (2, 3), [1, 2])],
+                "id long, p struct<a:int, b:int>, arr array<int>",
+            ),
+            constraints=[
+                {"name": "pa", "kind": "expr", "expr": "p.a > 0"}
+            ],
+        )
+        with pytest.raises(ValueError, match="NEW LEAF NAME"):
+            vt_rename_column(path, "p.b", "p.c")
+        with pytest.raises(ValueError, match="already exists"):
+            vt_rename_column(path, "p.b", "a")
+        with pytest.raises(ValueError, match="missing segment"):
+            vt_rename_column(path, "p.nope", "x")
+        with pytest.raises(ValueError, match="struct nesting"):
+            vt_rename_column(path, "arr.x", "y")
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            vt_rename_column(path, "p.a", "aa")
+        # the un-constrained sibling renames fine
+        vt_rename_column(path, "p.b", "bb")
+        assert vt_read(spark, path).schema[
+            "p"
+        ].dataType.fieldNames() == ["a", "bb"]

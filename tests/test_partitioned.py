@@ -586,7 +586,10 @@ class TestPartitionCli:
 
 
 class TestNestedRenameBoundary:
-    def test_nested_rename_refused_with_guidance(self, spark, tmp_path):
+    def test_nested_rename_is_metadata_only(self, spark, tmp_path):
+        """r14 (verdict ask #4): the r13 refusal is lifted — a struct
+        leaf renames metadata-only, the dotted mapping entry records
+        its stable physical path, and reads serve the new name."""
         path = str(tmp_path / "t")
         vt_write(
             spark,
@@ -596,8 +599,15 @@ class TestNestedRenameBoundary:
                 "id long, payload struct<a int, b double>",
             ),
         )
-        with pytest.raises(ValueError, match="nested field"):
-            vt_rename_column(path, "payload.a", "aa")
+        v = vt_rename_column(path, "payload.a", "aa")
+        m = _read_manifest(path, v)
+        assert m["column_mapping"]["payload.aa"] == "payload.a"
+        assert len(m["dirs"]) == 1  # no data rewrite
+        out = vt_read(spark, path)
+        assert out.schema["payload"].dataType.fieldNames() == [
+            "aa", "b"
+        ]
+        assert out.collect()[0]["payload"]["aa"] == 2
 
 
 class TestPartitionMetadataCount:
