@@ -109,6 +109,7 @@ __all__ = [
     "vt_drop_column",
     "vt_add_column",
     "vt_widen_column",
+    "vt_set_partition_spec",
     "ConstraintViolation",
 ]
 
@@ -2900,7 +2901,7 @@ def vt_read_delta(
         if op not in (
             "append", "analyze",
             "rename_column", "drop_column", "add_column",
-            "widen_column",
+            "widen_column", "set_partition_spec",
         ):
             raise ValueError(
                 f"version {v} is op={op!r}: delta reads require "
@@ -3056,7 +3057,7 @@ def vt_read_changes(
         if op in (
             "optimize", "analyze",
             "rename_column", "drop_column", "add_column",
-            "widen_column",
+            "widen_column", "set_partition_spec",
         ):
             # no logical ROW change: optimize rewrites layout, analyze
             # records statistics, and the schema ops relabel/project
@@ -5759,6 +5760,97 @@ def _mapping_or_identity(manifest: dict) -> dict:
         f["name"]: f["name"]
         for f in manifest["schema"].get("fields", [])
     }
+
+
+def vt_set_partition_spec(
+    path: str, partition_by: Sequence[str], max_retries: int = 5
+) -> int:
+    """PARTITION-SPEC EVOLUTION as a METADATA-ONLY commit (r13 verdict
+    ask #6 — Iceberg's ``ALTER TABLE … ADD/DROP PARTITION FIELD``
+    semantics in the flat-directory model): record a NEW
+    ``partition_by`` for FUTURE appends without rewriting a byte.
+    ``[]`` clears partitioning.
+
+    Mixed-spec correctness is structural, not special-cased: per-dir
+    partition VALUES are self-describing (``manifest["partitions"]``
+    records exactly the columns each dir was split under), and every
+    proof consults the dir's own recorded values —
+    ``_partition_refutes`` keeps pruning old-spec dirs EXACTLY on the
+    old spec's columns, ``_partition_proves_all`` grants metadata-only
+    DROP PARTITION / COUNT per-dir only when that dir's values prove
+    the predicate, and dirs that can't prove fall back to file stats /
+    row-level scans (sound, never wrong). Maintenance rewrites
+    (compact/reorg/OPTIMIZE) re-split their output under the CURRENT
+    spec, so the layout migrates lazily exactly as Iceberg documents.
+
+    Appends still may not change the spec implicitly (``vt_write``'s
+    explicit-partition_by mismatch check stands); this DDL is the
+    opt-in. A spec change does NOT commute with in-flight appends —
+    the append's staged split follows the old spec — so racing appends
+    lose their commit race and retry under the new head's spec."""
+    pby = list(partition_by)
+    from pyspark.sql.types import StructType as _SpecSt
+
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        sj = manifest.get("schema")
+        if sj is None:
+            raise ValueError(
+                "set_partition_spec requires a table with a recorded "
+                "schema"
+            )
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in _SpecSt.fromJson(sj).fields
+        }
+        for c in pby:
+            if c not in types:
+                raise ValueError(
+                    f"partition column {c!r} is not in the table's "
+                    "schema"
+                )
+            if types[c] not in _PARTITION_TYPES:
+                raise ValueError(
+                    f"partition column {c!r} has type {types[c]} — "
+                    "supported partition types: "
+                    f"{', '.join(_PARTITION_TYPES)}"
+                )
+        old_pby = manifest.get("partition_by") or []
+        if pby == old_pby:
+            return expected  # no-op: spec already in effect
+        try:
+            return _commit(
+                path,
+                list(manifest["dirs"]),
+                "set_partition_spec",
+                expected,
+                manifest.get("stats") or {},
+                None,
+                manifest.get("file_stats"),
+                manifest.get("files"),
+                schema=sj,
+                heterogeneous=manifest.get(
+                    "schema_heterogeneous", False
+                ),
+                blooms=manifest.get("blooms"),
+                file_rows=manifest.get("file_rows"),
+                partial_dirs=manifest.get("partial_dirs"),
+                extra={
+                    "set_partition_spec": {
+                        "from": old_pby, "to": pby,
+                    }
+                },
+                partition_by=pby,
+            )
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"set_partition_spec at {path} lost {max_retries} commit races"
+    )
 
 
 def _mutate_nested_rename(manifest: dict, old: str, new: str):

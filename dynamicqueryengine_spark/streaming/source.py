@@ -335,7 +335,7 @@ def _plan_change_partitions(
         if op in (
             "optimize", "analyze",
             "rename_column", "drop_column", "add_column",
-            "widen_column",
+            "widen_column", "set_partition_spec",
         ):
             # no logical ROW change (the schema ops relabel/project
             # columns; this stream's schema is fixed at query start

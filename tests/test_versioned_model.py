@@ -96,6 +96,14 @@ _OP = st.one_of(
     # difference, which is the invariant
     st.tuples(st.just("partition_toggle"), st.just(0)),
     st.tuples(st.just("partition_drop"), st.integers(0, 4)),
+    # r14 partition-spec EVOLUTION: toggle PARTITIONED BY metadata-only
+    # (vt_set_partition_spec — Iceberg's lazy-migration semantics). Old
+    # dirs keep their recorded values and prune on the OLD spec's
+    # columns; later appends split under the new spec; partition_drop
+    # over the MIXED layout must equal model-side list surgery whether
+    # it hits old-spec dirs (row scan), new-spec dirs (metadata drop)
+    # or both — the model cannot tell, which is the invariant
+    st.tuples(st.just("spec_evolve"), st.just(0)),
 )
 
 
@@ -370,6 +378,15 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
             head += 1
             versions[head] = snap_rows
             meta[head] = (vn, False, not pby)
+        elif kind == "spec_evolve":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_set_partition_spec,
+            )
+
+            vt_set_partition_spec(path, [] if pby else [vn])
+            head += 1
+            versions[head] = list(versions[head - 1])
+            meta[head] = (vn, wide, not pby)
         elif kind == "partition_drop":
             from dynamicqueryengine_spark.sources.versioned import (
                 vt_delete,
