@@ -5853,6 +5853,35 @@ def vt_set_partition_spec(
     )
 
 
+def _walk_nested_parent(manifest: dict, dotted: str):
+    """Deep-copy the manifest's schema json and walk the dotted path's
+    PARENT segments through plain struct nesting. Returns
+    ``(schema_json_copy, parent_fields_list, segments)`` — the fields
+    list is the live list inside the copy, so callers mutate in place.
+    Refuses missing segments and paths through arrays/maps (the same
+    boundary as nested rename/widen)."""
+    schema_json = json.loads(json.dumps(manifest["schema"]))
+    segs = dotted.split(".")
+    node_list = schema_json.get("fields", [])
+    for i, s in enumerate(segs[:-1]):
+        match = next(
+            (f for f in node_list if f.get("name") == s), None
+        )
+        if match is None:
+            raise ValueError(
+                f"no nested field {dotted!r} (missing segment {s!r})"
+            )
+        t = match.get("type")
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"cannot walk through {'.'.join(segs[: i + 1])!r}: "
+                "nested DDL covers plain struct nesting only "
+                "(arrays/maps restructure via overwrite)"
+            )
+        node_list = t.setdefault("fields", [])
+    return schema_json, node_list, segs
+
+
 def _mutate_nested_rename(manifest: dict, old: str, new: str):
     """The nested-field leg of :func:`vt_rename_column` (r14): rename a
     struct child at dotted path ``old`` to leaf name ``new``,
@@ -6025,6 +6054,55 @@ def vt_drop_column(path: str, col: str, max_retries: int = 5) -> int:
     def mutate(manifest: dict):
         fields = manifest["schema"].get("fields", [])
         names = [f["name"] for f in fields]
+        if col not in names and "." in col:
+            # NESTED child DROP (r14): the projection entry vanishes
+            # from the logical schema — readers stop requesting the
+            # physical leaf (old files keep its bytes until their
+            # normal lifecycle), and a later nested ADD of the same
+            # name gets a FRESH physical leaf, so the dropped data can
+            # never resurrect.
+            schema_json, node_list, segs = _walk_nested_parent(
+                manifest, col
+            )
+            leaf = segs[-1]
+            if not any(f.get("name") == leaf for f in node_list):
+                raise ValueError(
+                    f"no nested field {col!r} in "
+                    f"{sorted(f.get('name') for f in node_list)}"
+                )
+            if len(node_list) == 1:
+                raise ValueError(
+                    f"cannot drop the only child of "
+                    f"{'.'.join(segs[:-1])!r} — drop the whole column"
+                )
+            refs = _constraint_references(manifest, col)
+            if refs:
+                raise ValueError(
+                    f"nested field {col!r} is referenced by CHECK "
+                    f"constraint(s) {refs}: drop them first"
+                )
+            frefs = _feature_references(manifest, col)
+            if frefs:
+                raise ValueError(
+                    f"nested field {col!r} is pinned by table "
+                    f"feature(s) {frefs}: clear the property first"
+                )
+            mapping = _mapping_or_identity(manifest)
+            phys = _phys_path(mapping, col)
+            mapping.pop(col, None)
+            for k in [k for k in mapping if k.startswith(col + ".")]:
+                mapping.pop(k)
+            node_list[:] = [
+                f for f in node_list if f.get("name") != leaf
+            ]
+            blob = {"column": col, "physical": phys}
+            return (
+                schema_json,
+                mapping,
+                None,
+                manifest.get("schema_heterogeneous", False),
+                blob,
+            )
         if col not in names:
             raise ValueError(f"no column {col!r} in {sorted(names)}")
         if len(names) == 1:
@@ -6090,6 +6168,39 @@ def vt_add_column(path: str, col: str, dtype,
         dt = _parse_datatype_string(str(dtype))
 
     def mutate(manifest: dict):
+        if "." in col:
+            # NESTED child ADD (r14): metadata-only like the top-level
+            # case — the new leaf gets a FRESH physical name recorded
+            # as a dotted mapping entry, so it can never alias the
+            # bytes of a previously dropped or renamed-away child;
+            # pre-add files null-fill the missing physical leaf.
+            schema_json, node_list, segs = _walk_nested_parent(
+                manifest, col
+            )
+            leaf = segs[-1]
+            if any(f.get("name") == leaf for f in node_list):
+                raise ValueError(f"field {col!r} already exists")
+            mapping = _mapping_or_identity(manifest)
+            parent = ".".join(segs[:-1])
+            mapping[col] = (
+                _phys_path(mapping, parent)
+                + "."
+                + _fresh_physical(leaf)
+            )
+            node_list.append(
+                {
+                    "name": leaf,
+                    "type": json.loads(dt.json()),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+            blob = {
+                "column": col,
+                "type": dt.simpleString(),
+                "physical": mapping[col],
+            }
+            return schema_json, mapping, None, True, blob
         fields = manifest["schema"].get("fields", [])
         names = [f["name"] for f in fields]
         if col in names:

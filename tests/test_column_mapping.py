@@ -1061,3 +1061,115 @@ class TestNestedRename:
         assert vt_read(spark, path).schema[
             "p"
         ].dataType.fieldNames() == ["a", "bb"]
+
+
+class TestNestedAddDrop:
+    """r14: nested column mapping completed — metadata-only ADD/DROP of
+    struct children (vt_add_column / vt_drop_column with dotted paths),
+    fresh physical leaves on add so dropped/renamed-away bytes can
+    never resurrect."""
+
+    def test_nested_add_is_metadata_only_with_fresh_physical(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, (10, "a"))],
+                "id long, payload struct<v:int, w:string>",
+            ),
+        )
+        dirs1 = _read_manifest(path, 1)["dirs"]
+        v = vt_add_column(path, "payload.note", "string")
+        m = _read_manifest(path, v)
+        assert m["dirs"] == dirs1  # zero data movement
+        fresh = m["column_mapping"]["payload.note"]
+        assert fresh.startswith("payload.note_") and fresh != (
+            "payload.note"
+        )
+        out = vt_read(spark, path)
+        assert out.schema["payload"].dataType.fieldNames() == [
+            "v", "w", "note"
+        ]
+        assert out.collect()[0]["payload"]["note"] is None
+        # appends carry the logical leaf; the file gets the fresh
+        # physical name
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, (20, "b", "hello"))],
+                "id long, payload struct<v:int, w:string, note:string>",
+            ),
+            mode="append",
+        )
+        rows = {
+            r["id"]: r["payload"]["note"]
+            for r in vt_read(spark, path).collect()
+        }
+        assert rows == {1: None, 2: "hello"}
+        import glob
+
+        import pyarrow.parquet as pq
+
+        m2 = _read_manifest(path, vt_head(path))
+        new_dir = [d for d in m2["dirs"] if d not in dirs1][0]
+        fp = glob.glob(os.path.join(path, new_dir, "*.parquet"))[0]
+        pl = pq.read_schema(fp).field("payload").type
+        assert pl.field(2).name == fresh.rsplit(".", 1)[-1]
+
+    def test_nested_drop_and_no_resurrection_readd(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, (10, "secret"))],
+                "id long, payload struct<v:int, w:string>",
+            ),
+        )
+        v = vt_drop_column(path, "payload.w")
+        out = vt_read(spark, path)
+        assert out.schema["payload"].dataType.fieldNames() == ["v"]
+        # time travel still serves the dropped child
+        old = vt_read(spark, path, version=1)
+        assert old.collect()[0]["payload"]["w"] == "secret"
+        # re-adding the same logical name gets FRESH bytes, not the old
+        vt_add_column(path, "payload.w", "string")
+        m = _read_manifest(path, vt_head(path))
+        assert m["column_mapping"]["payload.w"] != "payload.w"
+        got = vt_read(spark, path).collect()[0]["payload"]
+        assert got["v"] == 10 and got["w"] is None  # NOT "secret"
+        # format reader agrees
+        from dynamicqueryengine_spark.sources.datasource import (
+            vt_register,
+        )
+
+        vt_register(spark)
+        fmt = spark.read.format("vt").option("path", path).load()
+        assert fmt.collect()[0]["payload"]["w"] is None
+        assert _read_manifest(path, v)["drop_column"]["column"] == (
+            "payload.w"
+        )
+
+    def test_nested_add_drop_refusals(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, (10,))], "id long, p struct<v:int>"
+            ),
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            vt_add_column(path, "p.v", "int")
+        with pytest.raises(ValueError, match="missing segment"):
+            vt_add_column(path, "q.x", "int")
+        with pytest.raises(ValueError, match="only child"):
+            vt_drop_column(path, "p.v")
+        with pytest.raises(ValueError, match="no nested field"):
+            vt_drop_column(path, "p.nope")
