@@ -7237,6 +7237,42 @@ def _events_vt_nested_widen(
     renamed_leaf_served = out.schema["payload"].dataType.fieldNames() == [
         "tag", "amount_cents"
     ]
+    # NESTED ADD/DROP leg (r14): vt_add_column / vt_drop_column with
+    # dotted paths complete the nested-mapping DDL. ADD is metadata-only
+    # (same dirs, fresh physical leaf); a populated leaf DROPped and
+    # re-ADDed serves NULL, never the old bytes (no-resurrection), and
+    # the re-add's physical name differs from the dropped one's.
+    from ..sources.versioned import vt_add_column, vt_drop_column
+
+    dirs_pre_add = rm["dirs"]
+    av = vt_add_column(path, "payload.bonus", "bigint")
+    am = _read_manifest(path, av)
+    add_metadata_only = (
+        am["dirs"] == dirs_pre_add
+        and am["column_mapping"]["payload.bonus"] != "payload.bonus"
+    )
+    phys_first = am["column_mapping"]["payload.bonus"]
+    vt_write(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(10**9 + 2, ("bonus", 7, 42))],
+            "event_id long, payload struct<tag string,"
+            " amount_cents long, bonus long>",
+        ),
+        mode="append",
+    )
+    vt_drop_column(path, "payload.bonus")
+    vt_add_column(path, "payload.bonus", "bigint")
+    fm = _read_manifest(path, vt_versions(path)[-1])
+    readd = vt_read(spark, path).filter(
+        F.col("event_id") == 10**9 + 2
+    ).collect()[0]["payload"]
+    no_resurrection = (
+        readd["bonus"] is None
+        and readd["amount_cents"] == 7
+        and fm["column_mapping"]["payload.bonus"] != phys_first
+    )
     return (
         out.filter(F.col("event_id") < 10**9)
         .groupBy(F.col("payload.tag").alias("tag"))
@@ -7257,6 +7293,8 @@ def _events_vt_nested_widen(
             F.lit(bool(renamed_leaf_served)).alias(
                 "renamed_leaf_served"
             ),
+            F.lit(bool(add_metadata_only)).alias("add_metadata_only"),
+            F.lit(bool(no_resurrection)).alias("no_resurrection"),
         )
     )
 
@@ -7273,7 +7311,9 @@ SELECT tag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
        TRUE AS upcast_served,
        TRUE AS narrow_append_ok,
        TRUE AS rename_metadata_only,
-       TRUE AS renamed_leaf_served
+       TRUE AS renamed_leaf_served,
+       TRUE AS add_metadata_only,
+       TRUE AS no_resurrection
 FROM t
 GROUP BY tag
 """.strip()
