@@ -401,7 +401,19 @@ class VersionedTableDataSource(DataSource):
         from .versioned import _read_manifest
 
         if self._cdf:
-            _, hi = self._resolve_cdf_range()
+            if (
+                self.options.get("startingversion") is None
+                and self.options.get("endingversion") is None
+            ):
+                # STREAMING-shaped CDF options (r14): no version range
+                # — the stream fixes its schema at the table head; a
+                # BATCH load without startingVersion still fails, at
+                # reader construction (_resolve_cdf_range)
+                from .versioned import vt_head
+
+                hi = vt_head(self._path)
+            else:
+                _, hi = self._resolve_cdf_range()
             m = _read_manifest(self._path, hi)
             if m.get("schema") is None:
                 raise ValueError(
@@ -504,6 +516,39 @@ class VersionedTableDataSource(DataSource):
             self._path, staged, overwrite, schema,
             pby=pby, bloom_cols=bloom_cols,
         )
+
+    def streamReader(self, schema):
+        """``spark.readStream.format("vt")`` (r14) — the read half of
+        the streaming matrix. Default: the TABLE as an append stream
+        (initial snapshot, then appends; ``skipChangeCommits`` /
+        ``startingVersion`` per Delta's source contract). With
+        ``option("readChangeFeed", "true")``: the row-level change
+        feed (``_change_type`` / ``_commit_version`` columns), the
+        same reader the ``vt_changes`` format exposes — default
+        startingVersion is the snapshot contract (current table as
+        inserts, then changes)."""
+        from ..streaming.source import (
+            _ChangesStreamReader,
+            _TableStreamReader,
+        )
+
+        if (
+            self.options.get("versionasof") is not None
+            or self.options.get("timestampasof") is not None
+        ):
+            raise ValueError(
+                "versionAsOf/timestampAsOf are batch read options — "
+                "a stream follows the table head (use startingVersion "
+                "to choose where it begins)"
+            )
+        if self.options.get("endingversion") is not None:
+            raise ValueError(
+                "endingVersion is a batch readChangeFeed option — "
+                "a stream follows the table head"
+            )
+        if self._cdf:
+            return _ChangesStreamReader(schema, self.options)
+        return _TableStreamReader(schema, self.options)
 
     def streamWriter(self, schema, overwrite: bool):
         import uuid as _uuid

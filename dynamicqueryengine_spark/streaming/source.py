@@ -36,6 +36,23 @@ plus ``_change_type``/``_commit_version``): older pre-evolution files
 reconcile with typed nulls per file; to pick up later-evolved columns,
 restart the query (Delta's streaming source makes the same choice).
 
+r14 additions, completing the format's batch/stream × read/write
+matrix:
+
+* **No ``startingVersion`` → initial snapshot** (Delta's default):
+  the first micro-batch is the table at query start, planned as
+  insert-tagged partitions from the snapshot scan plan (DVs honored),
+  then changes committed after it. The snapshot base rides in the
+  checkpointed offset (``{"version": v, "snapshot": "pending"}``), so
+  replay is deterministic.
+* **``spark.readStream.format("vt")``** (``_TableStreamReader``): the
+  table as an APPEND stream — same offsets/snapshot/rate-limit
+  machinery, schema without the change-metadata columns, and commits
+  that update or delete existing rows fail loudly unless
+  ``option("skipChangeCommits", "true")`` skips them wholesale. With
+  ``option("readChangeFeed", "true")`` the format serves this module's
+  change reader instead.
+
 Reference provenance: the reference engine (SURVEY.md §2) has no
 streaming surface; this module is part of the beyond-reference lakehouse
 deliverable (BASELINE.json north star), modeled on Delta's
@@ -148,7 +165,22 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("vt_changes requires option 'path'")
-        self._starting = int(options.get("startingversion", 0))
+        sv = options.get("startingversion")
+        if sv is None:
+            # No startingVersion (r14, Delta's streaming default): an
+            # INITIAL SNAPSHOT of the table at query start — planned as
+            # insert-tagged partitions in the first micro-batch — then
+            # changes committed after it. The snapshot base is fixed
+            # here (query start); restarts recover it from the offset
+            # log, never from a fresh vt_head (partitions() only ever
+            # sees checkpointed offsets).
+            from ..sources.versioned import vt_head
+
+            self._snapshot_base: int | None = vt_head(self._path)
+            self._starting = self._snapshot_base
+        else:
+            self._snapshot_base = None
+            self._starting = int(sv)
         mv = options.get("maxversionspertrigger")
         self._max_versions = int(mv) if mv else None
         self._schema = schema
@@ -235,6 +267,11 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # design (see the rationale in latestOffset: Spark only reveals
         # the checkpointed cursor to partitions()).
         self._last = self._starting
+        if self._snapshot_base is not None:
+            return {
+                "version": self._snapshot_base,
+                "snapshot": "pending",
+            }
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
@@ -262,6 +299,17 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # partitions() is where a restarted reader first learns the real
         # checkpointed cursor — fold it into the rate-limit base
         self._last = max(self._last or 0, hi)
+        parts: list[_ChangePartition] = []
+        if start.get("snapshot") == "pending":
+            # the initial-snapshot batch: the table at the offset-log's
+            # base version as inserts (deterministic on replay — the
+            # base rides in the checkpointed offset, not in reader
+            # state), then any changes committed since
+            parts.extend(_plan_snapshot_parts(self._path, lo))
+        parts.extend(self._plan_changes(lo, hi))
+        return parts
+
+    def _plan_changes(self, lo: int, hi: int):
         return _plan_change_partitions(self._path, lo, hi)
 
     # -- reading (executor, one file per partition) ------------------------
@@ -435,6 +483,101 @@ def _plan_change_partitions(
         else:  # pragma: no cover - future ops must opt in
             raise ValueError(f"version {v}: unknown op {op!r}")
     return parts
+
+
+def _plan_snapshot_parts(
+    path: str, v: int
+) -> "list[_ChangePartition]":
+    """The full snapshot at version ``v`` as ``insert``-tagged change
+    partitions — one per scan-plan path (partial_dirs / authoritative
+    file lists honored), the snapshot's deletion vectors applied. The
+    initial-snapshot batch of a no-``startingVersion`` stream (r14),
+    driver-side manifest metadata only."""
+    from ..sources.versioned import (
+        _load_dv_positions,
+        _read_manifest,
+        vt_scan_plan,
+    )
+
+    m = _read_manifest(path, v)
+    dvm = m.get("dv")
+    loaded = _load_dv_positions(path, dvm) if dvm else {}
+    return [
+        _ChangePartition(
+            path=p,
+            version=v,
+            change_type="insert",
+            dv=_dv_for_path(p, loaded),
+        )
+        for p in vt_scan_plan(path, v)["paths"]
+    ]
+
+
+class _TableStreamReader(_ChangesStreamReader):
+    """``spark.readStream.format("vt")`` WITHOUT ``readChangeFeed``
+    (r14) — the table itself as an APPEND stream, Delta's default
+    streaming-source contract: an initial snapshot of the table at
+    query start, then each append commit's new files as they land.
+    Schema is the table's logical schema (no ``_change_type`` /
+    ``_commit_version`` columns — ``_read_change_partition``
+    reconciles to whatever target schema it is handed); offsets,
+    snapshot planning, rate limiting (``maxVersionsPerTrigger``) and
+    the column-mapping-era resolution are all inherited from the
+    change reader.
+
+    Commits that update or delete existing rows (merge / delete /
+    update / overwrite / restore / clone) are not expressible as an
+    append stream: the query FAILS LOUDLY by default, or skips the
+    whole commit under ``option("skipChangeCommits", "true")`` —
+    Delta's option, same semantics. One documented divergence: Delta
+    lets an insert-only MERGE stream through; here the manifest does
+    not classify a merge's change file without reading it, so every
+    merge is treated as a change commit. ``startingVersion`` skips
+    the snapshot and streams appends after that version."""
+
+    def __init__(self, schema, options):
+        self._skip_change = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        super().__init__(schema, options)
+
+    def _plan_changes(self, lo: int, hi: int):
+        from ..sources.versioned import _read_manifest, vt_versions
+
+        versions = vt_versions(self._path)
+        parts: list[_ChangePartition] = []
+        for v in range(lo + 1, hi + 1):
+            if v not in versions:
+                raise ValueError(
+                    f"version {v} was vacuumed: the stream range "
+                    f"({lo}, {hi}] is no longer reconstructable"
+                )
+            # classify by the manifest op BEFORE planning, one commit
+            # at a time: a change commit must be skippable without
+            # tripping the change-planner's own requirements (e.g. a
+            # delete committed without change_feed has no recorded
+            # row-level changes — irrelevant when the commit is being
+            # skipped wholesale)
+            op = _read_manifest(self._path, v).get("op")
+            if op in (
+                "merge", "delete", "update",
+                "overwrite", "restore", "clone",
+            ):
+                if self._skip_change:
+                    continue
+                raise ValueError(
+                    f"format('vt') stream at {self._path}: commit "
+                    f"{v} ({op}) updates or deletes existing rows, "
+                    "which an append-shaped table stream cannot "
+                    "represent — set option('skipChangeCommits', "
+                    "'true') to skip such commits, or read row-level "
+                    "changes with option('readChangeFeed', 'true')"
+                )
+            parts.extend(
+                _plan_change_partitions(self._path, v - 1, v)
+            )
+        return parts
 
 
 def _read_change_partition(

@@ -7064,6 +7064,150 @@ LLM_QUERIES["events_stream_format_sink"] = FnWorkload(
 )
 
 
+def _events_vt_format_stream_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING READ THROUGH THE FORMAT, EXECUTED
+    (``spark.readStream.format("vt")``, r14 — the read half that
+    completes the format's batch/stream × read/write matrix): events
+    staged as a vt table in two commits, streamed with NO
+    ``startingVersion`` — Delta's default source contract, an initial
+    snapshot of the table at query start, then appends — through a
+    checkpointed ``availableNow`` query into a parquet sink.
+
+    Pinned INSIDE the oracle hash: ``snapshot_matches_table`` (the
+    first run's output equals ``vt_read``, both exceptAll directions
+    empty), ``incremental_exact`` (a checkpoint restart after a third
+    append delivers EXACTLY that slice — no snapshot re-emit, no
+    misses), ``skip_change_ok`` (a delete commit is skipped wholesale
+    under ``option("skipChangeCommits", "true")``, leaving the
+    append-stream output untouched), ``cdf_parity`` (the same format
+    with ``option("readChangeFeed", "true")`` from version 0 emits the
+    byte-identical row set as the batch ``vt_read_changes`` API). The
+    returned aggregate reads the STREAMED output."""
+    from ..sources.datasource import vt_register
+    from ..sources.versioned import (
+        vt_delete,
+        vt_read,
+        vt_read_changes,
+        vt_versions,
+        vt_write,
+    )
+
+    vt_register(spark)
+    base = _scratch_dir("vtfmtstream", sf_dir)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(38,12)").alias("v"),
+    )
+    vt_write(spark, src, ev.filter(F.col("event_id") % 3 == 1))
+    vt_write(
+        spark,
+        src,
+        ev.filter(F.col("event_id") % 3 == 2),
+        mode="append",
+    )
+
+    def run_stream(**opts) -> None:
+        reader = spark.readStream.format("vt").option("path", src)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    got = spark.read.parquet(out)
+    tbl = vt_read(spark, src)
+    snapshot_matches_table = (
+        got.exceptAll(tbl).count() == 0
+        and tbl.exceptAll(got).count() == 0
+    )
+    third = ev.filter(F.col("event_id") % 3 == 0)
+    vt_write(spark, src, third, mode="append")
+    run_stream()
+    got = spark.read.parquet(out)
+    incremental_exact = (
+        got.count() == ev.count()
+        and got.exceptAll(ev).count() == 0
+    )
+    victim = third.select(F.min("event_id")).first()[0]
+    vt_delete(spark, src, ("event_id", "=", victim))
+    run_stream(skipChangeCommits="true")
+    skip_change_ok = (
+        spark.read.parquet(out).count() == ev.count()
+    )
+    cdf = (
+        spark.readStream.format("vt")
+        .option("path", src)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    qn = f"vtfmtcdf_{os.getpid()}_{len(vt_versions(src))}"
+    q = (
+        cdf.writeStream.format("memory")
+        .queryName(qn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(qn)
+    batch = vt_read_changes(spark, src, 0, vt_versions(src)[-1])
+    cdf_parity = (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(snapshot_matches_table)).alias(
+                "snapshot_matches_table"
+            ),
+            F.lit(bool(incremental_exact)).alias("incremental_exact"),
+            F.lit(bool(skip_change_ok)).alias("skip_change_ok"),
+            F.lit(bool(cdf_parity)).alias("cdf_parity"),
+        )
+    )
+
+
+_EVENTS_VT_FORMAT_STREAM_READ_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS snapshot_matches_table,
+       TRUE AS incremental_exact,
+       TRUE AS skip_change_ok,
+       TRUE AS cdf_parity
+FROM ev
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_format_stream_read"] = FnWorkload(
+    _events_vt_format_stream_read, _EVENTS_VT_FORMAT_STREAM_READ_SQL
+)
+
+
 def _rule_nested_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOTTED RULE PROPERTIES over struct columns, EXECUTED (r13,
     beyond-reference — the reference's RuleValidator resolves flat

@@ -293,7 +293,10 @@ class TestReaderOffsetProtocol:
         )
 
         schema = vt_read(spark, src).schema
-        options = {"path": src}
+        # startingversion pinned at 0 — the pre-r14 default these
+        # offset-math checks were written against (no startingversion
+        # now means snapshot-at-head mode)
+        options = {"path": src, "startingversion": "0"}
         options.update({k.lower(): str(v) for k, v in opts.items()})
         return _ChangesStreamReader(schema, options)
 
@@ -632,8 +635,11 @@ class TestStreamMappedRename:
             StructField("_change_type", StringType(), False),
             StructField("_commit_version", IntegerType(), False),
         ]
+        # startingversion pinned at 0: these tests exercise the
+        # full-history era walk (the r14 no-option default is instead
+        # an initial snapshot at the head era)
         return _ChangesStreamReader(
-            StructType(fields), {"path": path}
+            StructType(fields), {"path": path, "startingversion": "0"}
         )
 
     def _rows(self, reader, parts):
@@ -708,3 +714,234 @@ class TestStreamMappedRename:
             reader, reader.partitions({"version": 0}, {"version": 1})
         )
         assert len(rows) == 4 and all(r["x"] is not None for r in rows)
+
+
+class TestFormatStreamRead:
+    """r14: spark.readStream.format("vt") — the read half of the
+    streaming matrix. Default = the TABLE as an append stream (initial
+    snapshot at query start, then appends; Delta's source contract);
+    option("readChangeFeed","true") = the row-level change feed, the
+    same reader the vt_changes format exposes."""
+
+    @staticmethod
+    def _register(spark):
+        from dynamicqueryengine_spark.sources.datasource import (
+            vt_register,
+        )
+
+        vt_register(spark)
+
+    @staticmethod
+    def _run_to_parquet(spark, reader_df, out, ck, timeout=120):
+        q = (
+            reader_df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+
+    def test_snapshot_then_incremental_appends(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = _df(spark, 6)
+        vt_write(spark, path, df.filter("id < 3"))
+        vt_write(spark, path, df.filter("id >= 3"), mode="append")
+        self._register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        src = (
+            spark.readStream.format("vt").option("path", path).load()
+        )
+        # no metadata columns on the table stream
+        assert set(src.columns) == {"id", "g", "x"}
+        self._run_to_parquet(spark, src, out, ck)
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == list(range(6))
+        # restart from the same checkpoint: ONLY the new append
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(100, "g0", 1.0)], _df(spark).schema),
+            mode="append",
+        )
+        src = (
+            spark.readStream.format("vt").option("path", path).load()
+        )
+        self._run_to_parquet(spark, src, out, ck)
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == list(range(6)) + [100]
+
+    def test_change_commit_fails_loudly_by_default(
+        self, spark, tmp_path
+    ):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6))
+        vt_delete(spark, path, ("id", "=", 2))
+        self._register(spark)
+        src = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("startingVersion", "1")
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(
+            StreamingQueryException, match="skipChangeCommits"
+        ):
+            q.awaitTermination(120)
+
+    def test_skip_change_commits_serves_later_appends(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6))            # v1
+        vt_delete(spark, path, ("id", "=", 2))          # v2 (change)
+        vt_merge(                                        # v3 (change)
+            spark,
+            path,
+            spark.createDataFrame([(0, "g0", 99.0)], _df(spark).schema),
+            ["id"],
+            change_feed=True,
+        )
+        vt_write(                                        # v4 (append)
+            spark,
+            path,
+            spark.createDataFrame([(7, "g1", 7.0)], _df(spark).schema),
+            mode="append",
+        )
+        self._register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        src = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("startingVersion", "1")
+            .option("skipChangeCommits", "true")
+            .load()
+        )
+        self._run_to_parquet(spark, src, out, ck)
+        # v2/v3 skipped wholesale; v4's append delivered
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == [7]
+
+    def test_starting_version_skips_snapshot(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 4))            # v1
+        vt_write(                                        # v2
+            spark,
+            path,
+            spark.createDataFrame([(50, "g2", 5.0)], _df(spark).schema),
+            mode="append",
+        )
+        self._register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        src = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("startingVersion", "1")
+            .load()
+        )
+        self._run_to_parquet(spark, src, out, ck)
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == [50]
+
+    def test_snapshot_honors_deletion_vectors(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 6))
+        vt_delete(spark, path, ("id", "=", 3), mode="dv")
+        self._register(spark)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        src = (
+            spark.readStream.format("vt").option("path", path).load()
+        )
+        self._run_to_parquet(spark, src, out, ck)
+        got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+        assert got == [0, 1, 2, 4, 5]
+
+    def test_cdf_stream_matches_vt_change_stream(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = _df(spark, 10)
+        vt_write(spark, path, df.filter("id < 5"))
+        vt_write(spark, path, df.filter("id >= 5"), mode="append")
+        vt_merge(
+            spark,
+            path,
+            df.filter("id = 3").withColumn("x", F.col("x") * 2),
+            ["id"],
+            change_feed=True,
+        )
+        vt_delete(spark, path, ("id", "=", 8))
+        self._register(spark)
+        fmt = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load()
+        )
+        qn_fmt = _drain_to_memory(fmt)
+        qn_pkg = _drain_to_memory(vt_change_stream(spark, path))
+        cols = "id, g, x, _change_type, _commit_version"
+        a = {
+            tuple(r)
+            for r in spark.sql(f"select {cols} from {qn_fmt}").collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.sql(f"select {cols} from {qn_pkg}").collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_cdf_default_is_snapshot_as_inserts(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import vt_head
+
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 4))
+        vt_delete(spark, path, ("id", "=", 1))
+        head = vt_head(path)
+        self._register(spark)
+        src = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        qn = _drain_to_memory(src)
+        rows = spark.sql(
+            f"select id, _change_type, _commit_version from {qn}"
+        ).collect()
+        # the CURRENT table (post-delete) as inserts stamped with the
+        # snapshot's version — history before query start not replayed
+        assert sorted(r["id"] for r in rows) == [0, 2, 3]
+        assert {(r["_change_type"], r["_commit_version"]) for r in rows} == {
+            ("insert", head)
+        }
+
+    def test_batch_options_refused_on_stream(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 4))
+        self._register(spark)
+        for opts in (
+            {"versionAsOf": "1"},
+            {"timestampAsOf": "2026-01-01"},
+            {"endingVersion": "1", "readChangeFeed": "true",
+             "startingVersion": "0"},
+        ):
+            reader = spark.readStream.format("vt").option("path", path)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            with pytest.raises(Exception, match="batch"):
+                _drain_to_memory(reader.load())
