@@ -508,6 +508,22 @@ class VersionedTableDataSource(DataSource):
                     f"{', '.join(_PARTITION_TYPES)}"
                 )
         bloom_cols = list((prev or {}).get("bloom_cols") or [])
+        rw = self.options.get("replacewhere")
+        replace_where = None
+        if rw is not None:
+            from .versioned import parse_predicate_sql
+
+            if not overwrite:
+                raise ValueError(
+                    "option('replaceWhere', …) requires "
+                    "mode('overwrite') — it REPLACES the predicate's "
+                    "region (Delta's contract)"
+                )
+            replace_where = (
+                [tuple(c) for c in json.loads(rw)]
+                if rw.lstrip().startswith("[")
+                else parse_predicate_sql(rw)
+            )
         staged = os.path.join(
             self._path, f".fmtstage_{_uuid.uuid4().hex[:12]}"
         )
@@ -515,6 +531,7 @@ class VersionedTableDataSource(DataSource):
         return _VtBatchWriter(
             self._path, staged, overwrite, schema,
             pby=pby, bloom_cols=bloom_cols,
+            replace_where=replace_where,
         )
 
     def streamReader(self, schema):
@@ -569,6 +586,11 @@ class VersionedTableDataSource(DataSource):
                 "format('vt') streaming sink supports APPEND output "
                 "mode only (complete/update would overwrite the table "
                 "every micro-batch)"
+            )
+        if self.options.get("replacewhere") is not None:
+            raise ValueError(
+                "replaceWhere is a batch overwrite option — a "
+                "streaming sink appends"
             )
         app = self.options.get("txnappid")
         if not app:
@@ -676,7 +698,7 @@ class _VtBatchWriter(DataSourceArrowWriter):
 
     def __init__(
         self, path: str, staged: str, overwrite: bool, schema,
-        pby=None, bloom_cols=None,
+        pby=None, bloom_cols=None, replace_where=None,
     ):
         self._path = path
         self._staged = staged
@@ -684,6 +706,12 @@ class _VtBatchWriter(DataSourceArrowWriter):
         self._schema_json = schema.json()
         self._pby = list(pby or [])
         self._bloom_cols = list(bloom_cols or [])
+        # parsed replaceWhere conjuncts (r14): tasks enforce row
+        # containment, commit swaps the predicate's region
+        # metadata-exactly (see _materialize_and_commit)
+        self._replace_where = (
+            [tuple(c) for c in replace_where] if replace_where else None
+        )
 
     # -- executor side --------------------------------------------------
     def write(self, iterator):
@@ -715,9 +743,28 @@ class _VtBatchWriter(DataSourceArrowWriter):
             w.write_table(tbl)
             counts[pjson] += tbl.num_rows
 
+        rw_expr = None
+        if self._replace_where is not None:
+            from ..streaming.source import _pa_filter
+
+            rw_expr = _pa_filter(self._replace_where)
         try:
             for batch in iterator:
                 tbl = pa.Table.from_batches([batch]).cast(target)
+                if rw_expr is not None and tbl.num_rows:
+                    # Delta's containment contract, enforced where the
+                    # rows are: every incoming row must satisfy the
+                    # replaceWhere predicate (NULL does not satisfy)
+                    kept = tbl.filter(rw_expr).num_rows
+                    if kept != tbl.num_rows:
+                        raise ValueError(
+                            "replaceWhere: the incoming frame holds "
+                            f"{tbl.num_rows - kept} row(s) that do "
+                            "not satisfy "
+                            f"{self._replace_where!r} — replaceWhere "
+                            "only writes rows inside the region it "
+                            "replaces"
+                        )
                 if not self._pby:
                     _sink("", tbl)
                     continue
@@ -915,6 +962,138 @@ class _VtBatchWriter(DataSourceArrowWriter):
                 all_blooms = dict(new_blooms)
                 partitions = dict(new_partitions)
                 partial = None
+                if self._replace_where is not None:
+                    # selective overwrite (r14, Delta's replaceWhere):
+                    # new snapshot = (previous MINUS the predicate's
+                    # region) + the staged dirs, ONE commit. The format
+                    # writer's contract is METADATA-EXACT removal only
+                    # — whole partition dirs the recorded values prove,
+                    # whole files the stats prove; a predicate whose
+                    # boundary files would need a row-level rewrite
+                    # refuses with a vt_replace_where pointer (the
+                    # driver-side commit hook must not launch rewrite
+                    # jobs). Partition-aligned backfills — the idiom
+                    # replaceWhere exists for — always satisfy it.
+                    from .versioned import (
+                        _bloom_col_types,
+                        _col_mapping,
+                        _file_fully_matches,
+                        _logical_rows_dropped,
+                        _map_conjuncts,
+                        _partition_proves_all,
+                        _partition_snapshot,
+                        _pred_touch_fn,
+                    )
+
+                    if prev is None:
+                        raise ValueError(
+                            "replaceWhere requires an existing table "
+                            f"at {self._path}"
+                        )
+                    if prev.get("schema") != schema_json:
+                        raise ValueError(
+                            "replaceWhere requires the table's exact "
+                            "schema — schema evolution is "
+                            "vt_write(merge_schema=True)'s"
+                        )
+                    cmap = _col_mapping(prev)
+                    pconj = _map_conjuncts(self._replace_where, cmap)
+                    touch = _pred_touch_fn(
+                        pconj, _bloom_col_types(prev)
+                    )
+                    _pv = prev.get("partitions") or {}
+
+                    def dir_dropper(d):
+                        pv = _pv.get(d)
+                        return pv is not None and \
+                            _partition_proves_all(pv, pconj)
+
+                    def dropper(d, entry, nrows):
+                        lc = pconj
+                        pv = _pv.get(d)
+                        if pv:
+                            lc = [
+                                c for c in lc
+                                if not (
+                                    c[0] in pv
+                                    and _partition_proves_all(pv, [c])
+                                )
+                            ]
+                            if not lc:
+                                return True
+                        return _file_fully_matches(lc, entry, nrows)
+
+                    part = _partition_snapshot(
+                        self._path, prev, touch,
+                        drop_file=dropper, drop_dir=dir_dropper,
+                    )
+                    if part["touched_paths"]:
+                        raise ValueError(
+                            "format('vt') replaceWhere removes "
+                            "metadata-exactly only, and "
+                            f"{len(part['touched_paths'])} file(s) "
+                            "would need a row-level rewrite (the "
+                            "predicate is not partition/stats-aligned)"
+                            " — use vt_replace_where for boundary "
+                            "rewrites"
+                        )
+                    dirs = part["dirs"] + dirs
+                    all_stats = {**part["stats"], **all_stats}
+                    all_fstats = {**part["file_stats"], **all_fstats}
+                    files_map = {**part["files"], **files_map}
+                    all_frows = {**part["file_rows"], **all_frows}
+                    all_blooms = {**part["blooms"], **all_blooms}
+                    prev_pvals = prev.get("partitions") or {}
+                    partitions = {
+                        **{
+                            d: prev_pvals[d]
+                            for d in part["dirs"]
+                            if d in prev_pvals
+                        },
+                        **partitions,
+                    }
+                    partial = part["partial_dirs"]
+                    rw_blob: dict = {
+                        "files_total": part["files_total"],
+                        "files_rewritten": 0,
+                        "new_dirs": list(new_dirs),
+                        "predicate": [
+                            list(c) for c in self._replace_where
+                        ],
+                    }
+                    if part["files_dropped"]:
+                        rw_blob["files_dropped"] = part[
+                            "files_dropped"
+                        ]
+                        rw_blob["rows_dropped"] = \
+                            _logical_rows_dropped(part, prev)
+                    if part["dirs_dropped"]:
+                        rw_blob["dirs_dropped"] = part["dirs_dropped"]
+                    try:
+                        _commit(
+                            self._path,
+                            dirs,
+                            "replace_where",
+                            expected,
+                            all_stats,
+                            txn=None,
+                            file_stats=all_fstats or None,
+                            files=files_map,
+                            schema=schema_json,
+                            heterogeneous=bool(
+                                prev.get("schema_heterogeneous")
+                            ),
+                            blooms=all_blooms or None,
+                            file_rows=all_frows or None,
+                            partial_dirs=partial,
+                            partitions=partitions or None,
+                            extra={"replace_where": rw_blob},
+                        )
+                        return
+                    except FileExistsError:
+                        # derived from the head it read: any race is
+                        # non-commuting — surface it (caller retries)
+                        raise
                 if mode == "append" and prev is not None:
                     dirs = prev["dirs"] + dirs
                     all_stats = {**prev.get("stats", {}), **all_stats}

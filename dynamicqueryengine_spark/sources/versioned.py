@@ -63,6 +63,7 @@ import base64
 import errno
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -77,6 +78,7 @@ __all__ = [
     "vt_read_changes",
     "vt_merge",
     "vt_delete",
+    "vt_replace_where",
     "vt_update",
     "vt_reorg",
     "vt_maintain",
@@ -2366,12 +2368,147 @@ def _file_fully_matches(conjuncts, entry: dict, nrows) -> bool:
     return True
 
 
+_PRED_SQL_TOKEN = re.compile(
+    r"""(?:
+        (?P<str>'(?:[^']|'')*')
+      | (?P<num>-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?)
+      | (?P<op><=|>=|<|>|=)
+      | (?P<lp>\() | (?P<rp>\)) | (?P<comma>,)
+      | (?P<ident>`[^`]+`|[A-Za-z_][\w.]*)
+    )""",
+    re.X,
+)
+
+
+def parse_predicate_sql(s: str) -> list[tuple]:
+    """A restricted SQL conjunction string — the shape Delta's
+    ``option("replaceWhere", "date >= '2017-01-01'")`` takes — parsed
+    into the skip grammar's ``(col, op, value)`` conjunct list (r14).
+    Supported per conjunct: ``col <op> literal`` with op in ``= < <=
+    > >=``, ``col IN (lit, …)``, ``col IS [NOT] NULL``, joined by
+    ``AND`` (case-insensitive keywords). Literals: single-quoted
+    strings (``''`` escapes a quote), numbers, TRUE/FALSE. Backquoted
+    identifiers allowed. Anything richer (OR, NOT, arithmetic,
+    functions, subqueries) is NOT the skip grammar and raises — the
+    predicate must be metadata-provable, that is the feature."""
+    toks: list[tuple[str, str]] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _PRED_SQL_TOKEN.match(s, i)
+        if not m:
+            raise ValueError(
+                f"replaceWhere predicate: cannot tokenize at "
+                f"{s[i:i + 20]!r}"
+            )
+        toks.append((m.lastgroup, m.group()))
+        i = m.end()
+    pos = 0
+
+    def peek_kw(*kws):
+        return (
+            pos < len(toks)
+            and toks[pos][0] == "ident"
+            and toks[pos][1].upper() in kws
+        )
+
+    def take(kind):
+        nonlocal pos
+        if pos >= len(toks) or toks[pos][0] != kind:
+            got = toks[pos][1] if pos < len(toks) else "<end>"
+            raise ValueError(
+                f"replaceWhere predicate: expected {kind}, got {got!r}"
+            )
+        t = toks[pos][1]
+        pos += 1
+        return t
+
+    def literal():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(
+                "replaceWhere predicate: expected a literal"
+            )
+        kind, text = toks[pos]
+        if kind == "str":
+            pos += 1
+            return text[1:-1].replace("''", "'")
+        if kind == "num":
+            pos += 1
+            f = float(text)
+            return int(text) if f == int(f) and "." not in text \
+                and "e" not in text.lower() else f
+        if kind == "ident" and text.upper() in ("TRUE", "FALSE"):
+            pos += 1
+            return text.upper() == "TRUE"
+        raise ValueError(
+            f"replaceWhere predicate: {text!r} is not a literal "
+            "(strings quote with ', NULL only in IS [NOT] NULL)"
+        )
+
+    conjuncts: list[tuple] = []
+    while True:
+        col = take("ident")
+        if col.startswith("`"):
+            col = col[1:-1]
+        if col.upper() in ("AND", "IS", "NOT", "NULL", "IN", "TRUE",
+                           "FALSE"):
+            raise ValueError(
+                f"replaceWhere predicate: expected a column name, "
+                f"got keyword {col!r}"
+            )
+        if peek_kw("IS"):
+            pos += 1
+            neg = False
+            if peek_kw("NOT"):
+                pos += 1
+                neg = True
+            if not peek_kw("NULL"):
+                raise ValueError(
+                    "replaceWhere predicate: IS must be followed by "
+                    "[NOT] NULL"
+                )
+            pos += 1
+            conjuncts.append((col, "notnull" if neg else "isnull",
+                              None))
+        elif peek_kw("IN"):
+            pos += 1
+            take("lp")
+            vals = [literal()]
+            while pos < len(toks) and toks[pos][0] == "comma":
+                pos += 1
+                vals.append(literal())
+            take("rp")
+            conjuncts.append((col, "in", vals))
+        else:
+            op = take("op")
+            conjuncts.append((col, op, literal()))
+        if peek_kw("AND"):
+            pos += 1
+            continue
+        break
+    if pos != len(toks):
+        raise ValueError(
+            f"replaceWhere predicate: trailing tokens at "
+            f"{toks[pos][1]!r} (only AND-conjunctions of the skip "
+            "grammar are supported)"
+        )
+    return conjuncts
+
+
 def _normalize_predicate(predicate) -> list[tuple] | None:
-    """One ``(col, op, value)`` tuple or a CONJUNCTION list of them →
-    validated list (None stays None). A conjunction prunes a file when
-    ANY conjunct's stats cannot match — every conjunct is required."""
+    """One ``(col, op, value)`` tuple or a CONJUNCTION list of them —
+    or a restricted SQL conjunction STRING (r14, Delta's replaceWhere
+    shape, see :func:`parse_predicate_sql`) → validated list (None
+    stays None). A conjunction prunes a file when ANY conjunct's stats
+    cannot match — every conjunct is required."""
     if predicate is None:
         return None
+    if isinstance(predicate, str):
+        predicate = parse_predicate_sql(predicate)
     conjuncts = (
         [predicate]
         if isinstance(predicate, tuple) and len(predicate) == 3
@@ -3191,6 +3328,55 @@ def vt_read_changes(
                     f"version {v} is a delete committed without "
                     "change_feed=True and without a replayable "
                     "predicate: its deletions were not recorded"
+                )
+        elif op == "replace_where":
+            # selective overwrite (r14): delete(previous ∩ predicate)
+            # + insert(the commit's recorded new data dirs) — NOT an
+            # append-diff (rewritten survivor dirs are new physically
+            # but their rows are unchanged logically)
+            blob = m.get("replace_where") or {}
+            change_dir = m.get("changes")
+            if change_dir is not None:
+                cf = spark.read.parquet(
+                    os.path.join(path, change_dir)
+                )
+                frames.append(reconcile(cf, None, v))
+            elif blob.get("predicate") is not None:
+                need_prev(v)
+                cond = None
+                for col, dop, value in blob["predicate"]:
+                    c = _conjunct_column(col, dop, value)
+                    cond = c if cond is None else (cond & c)
+                frames.append(
+                    reconcile(
+                        vt_read(spark, path, v - 1).filter(cond),
+                        "delete",
+                        v,
+                        src=_read_manifest(path, v - 1),
+                    )
+                )
+            else:  # pragma: no cover - writer always records one
+                raise ValueError(
+                    f"version {v} is a replace_where with neither a "
+                    "recorded predicate nor materialized changes"
+                )
+            new_dirs = blob.get("new_dirs") or []
+            if new_dirs:
+                plan = {
+                    "schema": m.get("schema"),
+                    "schema_heterogeneous": m.get(
+                        "schema_heterogeneous", False
+                    ),
+                    "paths": [
+                        os.path.join(path, d) for d in new_dirs
+                    ],
+                }
+                if _col_mapping(m):
+                    plan["column_mapping"] = _col_mapping(m)
+                frames.append(
+                    reconcile(
+                        _read_plan(spark, plan), "insert", v, src=m
+                    )
                 )
         elif op in ("overwrite", "restore", "clone"):
             # clone = the table's creation snapshot (v-1 is 0, so this
@@ -5173,6 +5359,331 @@ def vt_delete(
                     os.path.join(path, change_dir), ignore_errors=True
                 )
     raise RuntimeError(f"delete at {path} lost {max_retries} commit races")
+
+
+def vt_replace_where(
+    spark,
+    path: str,
+    df: DataFrame,
+    predicate,
+    change_feed: bool = False,
+    max_retries: int = 5,
+    bloom_cols: Sequence[str] | None = None,
+) -> int:
+    """SELECTIVE OVERWRITE in one atomic commit — Delta's
+    ``replaceWhere``: the new snapshot is (previous rows NOT matching
+    ``predicate``) ∪ ``df``, and every incoming row MUST satisfy the
+    predicate (raises before anything commits otherwise — Delta's
+    containment contract). The canonical 100 TB idiom this exists for
+    is the partition backfill: ``vt_replace_where(spark, p, day_df,
+    ("day", "=", d))`` on a day-partitioned table drops the old day's
+    directory METADATA-ONLY (the partition values prove the predicate,
+    no file read) and lands the recomputed day as a fresh partition
+    directory — two manifest-metadata operations and one data write,
+    never a table rewrite, and never the delete-then-append TWO-commit
+    window in which a reader sees the day missing.
+
+    ``predicate`` is the same skip-eligible grammar as
+    :func:`vt_delete` — one ``(col, op, value)`` conjunct or a
+    conjunction list. Removal reuses the delete classifier: directories
+    whose partition values prove the predicate drop metadata-only,
+    files whose stats prove every row matches drop metadata-only,
+    files the stats refute carry verbatim (stats/blooms/footer counts
+    preserved), and only boundary files are read and rewritten to
+    their surviving rows. Deletion vectors on retained files carry
+    forward; the touched read applies them first.
+
+    Table properties: recorded CHECK constraints are enforced on the
+    incoming rows, GENERATED columns are computed/validated (so a
+    generated partition column backfills naturally), partitioned
+    tables split the incoming frame one-directory-per-value exactly
+    like an append, bloom columns re-harvest on the new directories,
+    and column-mapped tables write under the existing physical names.
+    The incoming schema must equal the table's (after the same
+    narrow→wide store-assignment upcast an append applies) — schema
+    EVOLUTION stays with ``vt_write(merge_schema=True)``. IDENTITY
+    tables are refused (assignment belongs to the append path; compose
+    ``vt_delete`` + ``vt_write`` when you need both).
+
+    CDC: the commit records the predicate (and, under
+    ``change_feed=True`` or a non-JSON predicate value, materialized
+    deleted rows in a ``c_*`` directory) plus the inserted directories
+    in the manifest blob, so :func:`vt_read_changes` and the streaming
+    source emit delete(matched) + insert(df) exactly; the table-stream
+    reader classifies it as a change commit (skip or fail loudly).
+
+    Concurrency: derived from the head it read — any commit race
+    re-derives against the new head and retries, like DELETE.
+
+    Reference provenance: beyond-reference lakehouse surface
+    (SURVEY.md north star), modeled on Delta's documented
+    ``option("replaceWhere", …)`` INSERT OVERWRITE contract."""
+    conjuncts = _normalize_predicate(predicate)
+    if conjuncts is None:
+        raise ValueError("vt_replace_where requires a predicate")
+    cond = None
+    for col, op, value in conjuncts:
+        c = _conjunct_column(col, op, value)
+        cond = c if cond is None else (cond & c)
+    try:
+        json.dumps([[c, o, v] for c, o, v in conjuncts])
+        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
+    except (TypeError, ValueError):
+        pred_json = None  # non-JSON values: deletions must materialize
+    need_changes = change_feed or pred_json is None
+
+    for _ in range(max_retries):
+        head = vt_versions(path)
+        if not head:
+            raise FileNotFoundError(f"no committed versions at {path}")
+        expected = head[-1]
+        manifest = _read_manifest(path, expected)
+        if manifest.get("schema") is None:
+            raise ValueError(
+                "vt_replace_where requires a table with a recorded "
+                "schema (legacy tables: vt_delete + vt_write)"
+            )
+        if manifest.get("identity"):
+            raise ValueError(
+                "vt_replace_where refuses IDENTITY tables (value "
+                "assignment belongs to the append path) — compose "
+                "vt_delete + vt_write instead"
+            )
+        eff_generated = dict(manifest.get("generated") or {})
+        out_df = df
+        supplied_cols = set(out_df.columns)
+        if eff_generated:
+            out_df = _apply_generated(out_df, eff_generated)
+            _validate_generated(out_df, eff_generated, supplied_cols)
+        # store assignment (same implicit safe cast an append gets)
+        from pyspark.sql.types import StructType as _ST
+
+        base_st = _ST.fromJson(manifest["schema"])
+        base_types = {f.name: f.dataType for f in base_st.fields}
+        df_types = {f.name: f.dataType for f in out_df.schema.fields}
+        upcasts = {
+            c: base_types[c]
+            for c in out_df.columns
+            if c in base_types
+            and df_types[c] != base_types[c]
+            and _can_widen(df_types[c], base_types[c])
+        }
+        if upcasts:
+            out_df = out_df.select(
+                *[
+                    F.col(c).cast(upcasts[c]).alias(c)
+                    if c in upcasts
+                    else F.col(c)
+                    for c in out_df.columns
+                ]
+            )
+        if json.loads(out_df.schema.json()) != manifest["schema"]:
+            raise ValueError(
+                "vt_replace_where requires the table's exact schema "
+                f"(table {[f.name for f in base_st.fields]}, incoming "
+                f"{out_df.columns}) — schema evolution is "
+                "vt_write(merge_schema=True)'s"
+            )
+        # Delta's containment contract: every incoming row satisfies
+        # the predicate (a NULL predicate does not satisfy)
+        stray = (
+            out_df.filter(~F.coalesce(cond, F.lit(False)))
+            .limit(1)
+            .count()
+        )
+        if stray:
+            raise ValueError(
+                "vt_replace_where: the incoming frame holds rows that "
+                f"do not satisfy the predicate {conjuncts!r} — "
+                "replaceWhere only writes rows inside the region it "
+                "replaces"
+            )
+        _enforce_constraints(
+            out_df, manifest.get("constraints") or [], recorded=True
+        )
+        cmap = _col_mapping(manifest)
+        pconj = _map_conjuncts(conjuncts, cmap)
+        touch = _pred_touch_fn(pconj, _bloom_col_types(manifest))
+        dropper = None
+        dir_dropper = None
+        if not need_changes:
+            # metadata-only removal (see vt_delete's whole-file fast
+            # path): disabled when deleted rows must materialize
+            _pvals = manifest.get("partitions") or {}
+            if _pvals:
+                def dir_dropper(d, _pv=_pvals, _c=pconj):
+                    pv = _pv.get(d)
+                    return pv is not None and _partition_proves_all(
+                        pv, _c
+                    )
+
+            def dropper(d, entry, nrows, _c=pconj, _pv=_pvals):
+                lc = _c
+                pv = _pv.get(d)
+                if pv:
+                    lc = [
+                        c
+                        for c in lc
+                        if not (
+                            c[0] in pv and _partition_proves_all(pv, [c])
+                        )
+                    ]
+                    if not lc:
+                        return True
+                return _file_fully_matches(lc, entry, nrows)
+
+        part = _partition_snapshot(
+            path, manifest, touch, drop_file=dropper,
+            drop_dir=dir_dropper,
+        )
+        written_dirs: list[str] = []
+
+        def _discard() -> None:
+            for d in written_dirs:
+                shutil.rmtree(
+                    os.path.join(path, d), ignore_errors=True
+                )
+
+        change_dir = None
+        survivor: tuple | None = None
+        if part["touched_paths"]:
+            tplan = {
+                "paths": part["touched_paths"],
+                "schema": manifest["schema"],
+                "schema_heterogeneous": manifest.get(
+                    "schema_heterogeneous", False
+                ),
+            }
+            if cmap:
+                tplan["column_mapping"] = cmap
+            _attach_plan_dv(tplan, path, manifest)
+            touched = _read_plan(spark, tplan)
+            if need_changes:
+                touched.persist()
+            try:
+                if need_changes:
+                    deleted = touched.filter(
+                        F.coalesce(cond, F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    change_dir, _, _, _, _ = _write_data_dir(
+                        deleted, path, prefix="c", mapping=cmap
+                    )
+                    written_dirs.append(change_dir)
+                survivor = _write_data_dir(
+                    touched.filter(~F.coalesce(cond, F.lit(False))),
+                    path,
+                    mapping=cmap,
+                )
+                written_dirs.append(survivor[0])
+            finally:
+                if need_changes:
+                    touched.unpersist()
+        eff_pby = manifest.get("partition_by") or []
+        if eff_pby:
+            _validate_partition_by(out_df, eff_pby)
+            new_written = _write_partitioned_dirs(
+                out_df, path, eff_pby, mapping=cmap
+            )
+        else:
+            new_written = []
+        if not new_written:
+            # plain write — or a zero-row partitioned frame, which
+            # still needs a directory so the successor snapshot keeps
+            # a schema-bearing dir even when everything else dropped
+            d0, s0, fs0, fl0, fr0 = _write_data_dir(
+                out_df, path, mapping=cmap
+            )
+            new_written = [(d0, s0, fs0, fl0, fr0, None)]
+        written_dirs.extend(w[0] for w in new_written)
+        new_data_dirs = [w[0] for w in new_written]
+        dirs = list(part["dirs"])
+        stats = dict(part["stats"])
+        fstats = dict(part["file_stats"])
+        files = dict(part["files"])
+        frows = dict(part["file_rows"])
+        blooms = dict(part["blooms"])
+        prev_partitions = manifest.get("partitions") or {}
+        partitions = {
+            d: prev_partitions[d]
+            for d in dirs
+            if d in prev_partitions
+        }
+        if survivor is not None:
+            sdir, sstats, sfstats, sfiles, srows = survivor
+            dirs.append(sdir)
+            if sstats:
+                stats[sdir] = sstats
+            if sfstats:
+                fstats[sdir] = sfstats
+            files[sdir] = sfiles
+            if srows:
+                frows[sdir] = srows
+        for d, dstats, dfstats, dfiles, drows, pvals in new_written:
+            dirs.append(d)
+            if dstats:
+                stats[d] = dstats
+            if dfstats:
+                fstats[d] = dfstats
+            files[d] = dfiles
+            if drows:
+                frows[d] = drows
+            if pvals is not None:
+                partitions[d] = pvals
+        eff_bloom_cols = _effective_bloom_cols(bloom_cols, manifest)
+        if eff_bloom_cols:
+            harvest = list(new_data_dirs)
+            if survivor is not None:
+                harvest.append(survivor[0])
+            for d in harvest:
+                b = _harvest_blooms(
+                    spark, os.path.join(path, d), eff_bloom_cols,
+                    mapping=cmap,
+                )
+                if b:
+                    blooms[d] = b
+        blob: dict = {
+            "files_total": part["files_total"],
+            "files_rewritten": part["files_rewritten"],
+            "new_dirs": new_data_dirs,
+        }
+        if part["files_dropped"]:
+            blob["files_dropped"] = part["files_dropped"]
+            blob["rows_dropped"] = _logical_rows_dropped(
+                part, manifest
+            )
+        if part["dirs_dropped"]:
+            blob["dirs_dropped"] = part["dirs_dropped"]
+        if pred_json is not None:
+            blob["predicate"] = pred_json
+        if need_changes and not change_feed:
+            blob["materialized_changes"] = "predicate_not_replayable"
+        try:
+            return _commit(
+                path,
+                dirs,
+                "replace_where",
+                expected,
+                stats,
+                None,
+                fstats or None,
+                files,
+                schema=manifest["schema"],
+                heterogeneous=manifest.get(
+                    "schema_heterogeneous", False
+                ),
+                changes=change_dir,
+                blooms=blooms or None,
+                file_rows=frows or None,
+                partial_dirs=part["partial_dirs"],
+                partitions=partitions or None,
+                extra={"replace_where": blob},
+            )
+        except FileExistsError:
+            _discard()
+            continue  # lost the race — re-derive against the new head
+    raise RuntimeError(
+        f"replace_where at {path} lost {max_retries} commit races"
+    )
 
 
 def vt_update(

@@ -471,6 +471,70 @@ def _plan_change_partitions(
                     "change_feed=True: its row-level changes were "
                     "not recorded"
                 )
+        elif op == "replace_where":
+            # selective overwrite (r14): delete(previous ∩ predicate)
+            # + insert(recorded new data dirs) — never an append-diff,
+            # the rewritten survivor dirs hold logically-unchanged rows
+            blob = m.get("replace_where") or {}
+            cd = m.get("changes")
+            if cd is not None:
+                # materialized deletions (the file carries _change_type)
+                parts.append(
+                    _ChangePartition(
+                        path=os.path.join(path, cd),
+                        version=v,
+                        change_type=None,
+                    )
+                )
+            elif blob.get("predicate"):
+                pred = blob["predicate"]
+                if v - 1 > 0 and v - 1 not in versions:
+                    raise ValueError(
+                        f"version {v - 1} was vacuumed: cannot "
+                        f"replay the replace_where at version {v}"
+                    )
+                prev_loaded = dv_of(v - 1)
+                cm_prev = colmap_of(v - 1)
+                if cm_prev:
+                    pred = [
+                        [cm_prev.get(c, c), o, val]
+                        for c, o, val in pred
+                    ]
+                for p in vt_scan_plan(path, v - 1)["paths"]:
+                    parts.append(
+                        _ChangePartition(
+                            path=p,
+                            version=v,
+                            change_type="delete",
+                            predicate=pred,
+                            dv=_dv_for_path(p, prev_loaded),
+                        )
+                    )
+            else:  # pragma: no cover - writer always records one
+                raise ValueError(
+                    f"version {v} is a replace_where with neither a "
+                    "recorded predicate nor materialized changes"
+                )
+            flists = m.get("files", {})
+            for d in blob.get("new_dirs") or []:
+                fl = flists.get(d)
+                if fl:
+                    for f in fl:
+                        parts.append(
+                            _ChangePartition(
+                                path=os.path.join(path, d, f),
+                                version=v,
+                                change_type="insert",
+                            )
+                        )
+                else:
+                    parts.append(
+                        _ChangePartition(
+                            path=os.path.join(path, d),
+                            version=v,
+                            change_type="insert",
+                        )
+                    )
         elif op in ("overwrite", "restore", "clone"):
             if v - 1 > 0:
                 if v - 1 not in versions:
@@ -562,7 +626,7 @@ class _TableStreamReader(_ChangesStreamReader):
             op = _read_manifest(self._path, v).get("op")
             if op in (
                 "merge", "delete", "update",
-                "overwrite", "restore", "clone",
+                "overwrite", "restore", "clone", "replace_where",
             ):
                 if self._skip_change:
                     continue

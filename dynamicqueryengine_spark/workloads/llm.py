@@ -7228,6 +7228,149 @@ LLM_QUERIES["events_vt_format_stream_read"] = FnWorkload(
 )
 
 
+def _events_vt_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECTIVE OVERWRITE, EXECUTED (``vt_replace_where`` +
+    ``option("replaceWhere", …)``, r14 — Delta's replaceWhere, the
+    canonical 100 TB partition-backfill idiom): events staged as a vt
+    table PARTITIONED BY event_type, then ONE type's partition is
+    backfilled — the same rows with their value doubled — in a single
+    atomic commit: drop the old partition directory METADATA-ONLY
+    (the recorded partition values prove the predicate; zero files
+    read) and land the recomputed rows as a fresh valued directory.
+    No reader ever sees the two-commit delete-then-append gap.
+
+    Pinned INSIDE the oracle hash: ``backfill_metadata_only``
+    (``files_rewritten == 0`` and a whole directory dropped),
+    ``containment_refused`` (a frame holding a row OUTSIDE the
+    predicate region raises before anything commits — Delta's
+    containment contract — and the head is unchanged),
+    ``cdc_exact`` (``vt_read_changes`` over the commit emits exactly
+    delete(old partition) + insert(new partition)), ``format_parity``
+    (the same backfill through ``df.write.format("vt")
+    .option("replaceWhere", "event_type = '…'")`` on a second staged
+    table yields the byte-identical snapshot, both exceptAll
+    directions empty). The returned aggregate reads the backfilled
+    table."""
+    from ..sources.datasource import vt_register
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_head,
+        vt_read,
+        vt_read_changes,
+        vt_replace_where,
+        vt_write,
+    )
+
+    base = _scratch_dir("vtreplw", sf_dir)
+    src = os.path.join(base, "src")
+    fmt = os.path.join(base, "fmt")
+    # a 1/5 slice (see _events_stream_format_sink): the pinned
+    # invariants are commit-shape machinery, not volume
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 2)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(38,12)").alias("v"),
+        )
+    )
+    vt_write(spark, src, ev, partition_by=["event_type"])
+    vt_write(spark, fmt, ev, partition_by=["event_type"])
+    target = ev.select(F.min("event_type")).first()[0]
+    refill = ev.filter(F.col("event_type") == target).withColumn(
+        "v", (F.col("v") * 2).cast("decimal(38,12)")
+    )
+    n_old = refill.count()
+    v = vt_replace_where(
+        spark, src, refill, ("event_type", "=", target)
+    )
+    blob = _read_manifest(src, v)["replace_where"]
+    backfill_metadata_only = (
+        blob["files_rewritten"] == 0 and blob.get("dirs_dropped", 0) >= 1
+    )
+    head_before = vt_head(src)
+    try:
+        vt_replace_where(
+            spark,
+            src,
+            ev.limit(1).withColumn(
+                "event_type", F.lit(target + "_stray")
+            ),
+            ("event_type", "=", target),
+        )
+        containment_refused = False
+    except ValueError:
+        containment_refused = vt_head(src) == head_before
+    ch = vt_read_changes(spark, src, v - 1, v)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cdc_exact = counts == {"delete": n_old, "insert": n_old}
+    vt_register(spark)
+    (
+        refill.write.format("vt")
+        .option("path", fmt)
+        .option("replaceWhere", f"event_type = '{target}'")
+        .mode("overwrite")
+        .save()
+    )
+    a, b = vt_read(spark, src), vt_read(spark, fmt)
+    format_parity = (
+        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    )
+    return (
+        a.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(backfill_metadata_only)).alias(
+                "backfill_metadata_only"
+            ),
+            F.lit(bool(containment_refused)).alias(
+                "containment_refused"
+            ),
+            F.lit(bool(cdc_exact)).alias("cdc_exact"),
+            F.lit(bool(format_parity)).alias("format_parity"),
+        )
+    )
+
+
+_EVENTS_VT_REPLACE_WHERE_SQL = f"""
+WITH ev AS (
+  SELECT * FROM ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+  WHERE event_id % 5 = 2
+),
+m AS (SELECT min(event_type) AS t FROM ev)
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))
+                      * CASE WHEN event_type = (SELECT t FROM m)
+                             THEN 2 ELSE 1 END), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS backfill_metadata_only,
+       TRUE AS containment_refused,
+       TRUE AS cdc_exact,
+       TRUE AS format_parity
+FROM ev
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_replace_where"] = FnWorkload(
+    _events_vt_replace_where, _EVENTS_VT_REPLACE_WHERE_SQL
+)
+
+
 def _rule_nested_property(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOTTED RULE PROPERTIES over struct columns, EXECUTED (r13,
     beyond-reference — the reference's RuleValidator resolves flat
