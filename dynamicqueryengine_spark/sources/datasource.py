@@ -166,6 +166,15 @@ _FILTER_OPS = {
 }
 
 
+def _ts_opt(v: str):
+    """Option-string timestamp: epoch seconds when it parses
+    numerically, anything else handed to the ISO/datetime parser."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
 def _filter_to_conjunct(f):
     if isinstance(f, IsNull):
         a = f.attribute
@@ -309,33 +318,58 @@ class VersionedTableDataSource(DataSource):
         ).lower() == "true"
 
     def _resolve_cdf_range(self) -> tuple[int, int]:
-        """(lo, hi] for the change-feed read: ``startingVersion``
-        (INCLUSIVE, Delta's batch-CDF contract, required) through
-        ``endingVersion`` (inclusive, default: the table head)."""
-        from .versioned import vt_versions
+        """(lo, hi] for the change-feed read: ``startingVersion`` OR
+        ``startingTimestamp`` (inclusive, Delta's batch-CDF contract,
+        one required) through ``endingVersion`` / ``endingTimestamp``
+        (inclusive, default: the table head)."""
+        from .versioned import (
+            vt_version_after,
+            vt_version_at,
+            vt_versions,
+        )
 
         if (
             self.options.get("versionasof") is not None
             or self.options.get("timestampasof") is not None
         ):
             raise ValueError(
-                "readChangeFeed uses startingVersion/endingVersion, "
-                "not versionAsOf/timestampAsOf"
+                "readChangeFeed uses startingVersion/endingVersion "
+                "(or their Timestamp forms), not "
+                "versionAsOf/timestampAsOf"
             )
         sv = self.options.get("startingversion")
-        if sv is None:
+        sts = self.options.get("startingtimestamp")
+        if sv is not None and sts is not None:
+            raise ValueError(
+                "pass startingVersion or startingTimestamp, not both"
+            )
+        if sv is None and sts is None:
             raise ValueError(
                 "readChangeFeed requires option 'startingVersion' "
-                "(inclusive; 0 reads from table creation)"
+                "(inclusive; 0 reads from table creation) or "
+                "'startingTimestamp'"
             )
-        starting = int(sv)
+        if sts is not None:
+            # changes committed AT OR AFTER the moment (Delta's
+            # startingTimestamp; after-latest-commit raises there too)
+            starting = vt_version_after(self._path, _ts_opt(sts))
+        else:
+            starting = int(sv)
         versions = vt_versions(self._path)
         if not versions:
             raise FileNotFoundError(
                 f"no committed versions at {self._path}"
             )
         ev = self.options.get("endingversion")
-        ending = int(ev) if ev is not None else versions[-1]
+        ets = self.options.get("endingtimestamp")
+        if ev is not None and ets is not None:
+            raise ValueError(
+                "pass endingVersion or endingTimestamp, not both"
+            )
+        if ets is not None:
+            ending = vt_version_at(self._path, _ts_opt(ets))
+        else:
+            ending = int(ev) if ev is not None else versions[-1]
         if ending not in versions:
             raise ValueError(
                 f"endingVersion {ending} not committed at {self._path}"
@@ -369,13 +403,7 @@ class VersionedTableDataSource(DataSource):
                     f"version {version} not committed at {path}"
                 )
         elif ts_opt is not None:
-            # options arrive as strings: epoch seconds parse numerically,
-            # anything else is handed to the ISO/datetime parser
-            try:
-                ts_val = float(ts_opt)
-            except (TypeError, ValueError):
-                ts_val = ts_opt
-            version = vt_version_at(path, ts_val)
+            version = vt_version_at(path, _ts_opt(ts_opt))
         else:
             versions = vt_versions(path)
             if not versions:
@@ -401,9 +429,12 @@ class VersionedTableDataSource(DataSource):
         from .versioned import _read_manifest
 
         if self._cdf:
-            if (
-                self.options.get("startingversion") is None
-                and self.options.get("endingversion") is None
+            if all(
+                self.options.get(k) is None
+                for k in (
+                    "startingversion", "endingversion",
+                    "startingtimestamp", "endingtimestamp",
+                )
             ):
                 # STREAMING-shaped CDF options (r14): no version range
                 # — the stream fixes its schema at the table head; a
@@ -483,12 +514,17 @@ class VersionedTableDataSource(DataSource):
             _read_manifest(self._path, versions[-1]) if versions else None
         )
         schema_json = json.loads(schema.json())
+        merge_schema = (
+            str(self.options.get("mergeschema", "false")).lower()
+            == "true"
+        )
         if prev is not None:
             _check_writable(
                 prev,
                 schema_json,
                 "overwrite" if overwrite else "append",
                 self._path,
+                merge_schema=merge_schema,
             )
         # the table's partitioning and bloom columns are resolved ONCE
         # here and staged under; commit re-reads the head and refuses if
@@ -519,6 +555,11 @@ class VersionedTableDataSource(DataSource):
                     "mode('overwrite') — it REPLACES the predicate's "
                     "region (Delta's contract)"
                 )
+            if merge_schema:
+                raise ValueError(
+                    "replaceWhere requires the table's exact schema — "
+                    "it cannot combine with mergeSchema"
+                )
             replace_where = (
                 [tuple(c) for c in json.loads(rw)]
                 if rw.lstrip().startswith("[")
@@ -532,6 +573,7 @@ class VersionedTableDataSource(DataSource):
             self._path, staged, overwrite, schema,
             pby=pby, bloom_cols=bloom_cols,
             replace_where=replace_where,
+            merge_schema=merge_schema,
         )
 
     def streamReader(self, schema):
@@ -558,14 +600,36 @@ class VersionedTableDataSource(DataSource):
                 "a stream follows the table head (use startingVersion "
                 "to choose where it begins)"
             )
-        if self.options.get("endingversion") is not None:
+        if (
+            self.options.get("endingversion") is not None
+            or self.options.get("endingtimestamp") is not None
+        ):
             raise ValueError(
-                "endingVersion is a batch readChangeFeed option — "
-                "a stream follows the table head"
+                "endingVersion/endingTimestamp are batch "
+                "readChangeFeed options — a stream follows the table "
+                "head"
+            )
+        opts = self.options
+        sts = opts.get("startingtimestamp")
+        if sts is not None:
+            if opts.get("startingversion") is not None:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, "
+                    "not both"
+                )
+            from .versioned import vt_version_after
+
+            # "changes committed at or after the moment": the stream's
+            # startingversion offset is exclusive-at-v (the offset says
+            # v is already emitted), so back off by one to include the
+            # resolved version itself
+            opts = dict(opts)
+            opts["startingversion"] = str(
+                vt_version_after(self._path, _ts_opt(sts)) - 1
             )
         if self._cdf:
-            return _ChangesStreamReader(schema, self.options)
-        return _TableStreamReader(schema, self.options)
+            return _ChangesStreamReader(schema, opts)
+        return _TableStreamReader(schema, opts)
 
     def streamWriter(self, schema, overwrite: bool):
         import uuid as _uuid
@@ -608,8 +672,15 @@ class VersionedTableDataSource(DataSource):
             _read_manifest(self._path, versions[-1]) if versions else None
         )
         schema_json = json.loads(schema.json())
+        merge_schema = (
+            str(self.options.get("mergeschema", "false")).lower()
+            == "true"
+        )
         if prev is not None:
-            _check_writable(prev, schema_json, "append", self._path)
+            _check_writable(
+                prev, schema_json, "append", self._path,
+                merge_schema=merge_schema,
+            )
         pby = list((prev or {}).get("partition_by") or [])
         types = {
             f.name: f.dataType.simpleString() for f in schema.fields
@@ -640,7 +711,8 @@ class VersionedTableDataSource(DataSource):
         )
         os.makedirs(staged, exist_ok=True)
         return _VtStreamWriter(
-            self._path, staged, schema, pby, bloom_cols, app
+            self._path, staged, schema, pby, bloom_cols, app,
+            merge_schema=merge_schema,
         )
 
 
@@ -699,6 +771,7 @@ class _VtBatchWriter(DataSourceArrowWriter):
     def __init__(
         self, path: str, staged: str, overwrite: bool, schema,
         pby=None, bloom_cols=None, replace_where=None,
+        merge_schema: bool = False,
     ):
         self._path = path
         self._staged = staged
@@ -712,6 +785,11 @@ class _VtBatchWriter(DataSourceArrowWriter):
         self._replace_where = (
             [tuple(c) for c in replace_where] if replace_where else None
         )
+        # option("mergeSchema", "true") (r14): appends reconcile their
+        # schema via _evolve_schema at commit instead of requiring an
+        # exact match — add nullable columns, widen along the safe
+        # lattice, null-fill missing ones (Delta's mergeSchema)
+        self._merge_schema = bool(merge_schema)
 
     # -- executor side --------------------------------------------------
     def write(self, iterator):
@@ -953,7 +1031,32 @@ class _VtBatchWriter(DataSourceArrowWriter):
                 _check_writable(
                     prev, schema_json, mode, self._path,
                     staged_pby=self._pby,
+                    merge_schema=self._merge_schema,
                 )
+                commit_schema = schema_json
+                commit_hetero = (
+                    bool(prev.get("schema_heterogeneous"))
+                    if mode == "append" and prev is not None
+                    else False
+                )
+                if (
+                    mode == "append"
+                    and prev is not None
+                    and prev.get("schema") is not None
+                ):
+                    # mergeSchema evolution (r14): add nullable
+                    # columns, widen along the safe lattice, tolerate
+                    # narrower/missing incoming (readers reconcile);
+                    # without the option this is an exact-match
+                    # identity pass (_check_writable already refused
+                    # any difference)
+                    from .versioned import _evolve_schema
+
+                    commit_schema, changed = _evolve_schema(
+                        prev["schema"], schema_json,
+                        self._merge_schema,
+                    )
+                    commit_hetero = changed or commit_hetero
                 dirs = list(new_dirs)
                 all_stats = dict(new_stats)
                 all_fstats = dict(new_fstats)
@@ -1121,12 +1224,8 @@ class _VtBatchWriter(DataSourceArrowWriter):
                         ),
                         file_stats=all_fstats or None,
                         files=files_map,
-                        schema=schema_json,
-                        heterogeneous=(
-                            bool(prev.get("schema_heterogeneous"))
-                            if mode == "append" and prev is not None
-                            else False
-                        ),
+                        schema=commit_schema,
+                        heterogeneous=commit_hetero,
                         blooms=all_blooms or None,
                         file_rows=all_frows or None,
                         partial_dirs=partial,
@@ -1196,11 +1295,11 @@ class _VtStreamWriter(_VtBatchWriter, DataSourceStreamArrowWriter):
 
     def __init__(
         self, path: str, staged: str, schema, pby, bloom_cols,
-        app: str,
+        app: str, merge_schema: bool = False,
     ):
         super().__init__(
             path, staged, False, schema, pby=pby,
-            bloom_cols=bloom_cols,
+            bloom_cols=bloom_cols, merge_schema=merge_schema,
         )
         self._app = app
 
@@ -1228,12 +1327,14 @@ class _VtStreamWriter(_VtBatchWriter, DataSourceStreamArrowWriter):
 
 
 def _check_writable(
-    prev, schema_json, mode: str, path: str, staged_pby=None
+    prev, schema_json, mode: str, path: str, staged_pby=None,
+    merge_schema: bool = False,
 ) -> None:
     """Refuse format writes a blind writer cannot maintain (see
     _WRITER_BLOCKING) and appends whose schema differs from the table's
-    (format('vt') has no merge_schema surface — evolution is
-    vt_write's). Re-checked on every commit-race retry: a racing DDL
+    — unless ``merge_schema`` (``option("mergeSchema", "true")``, r14)
+    defers the reconciliation to ``_evolve_schema`` at commit time.
+    Re-checked on every commit-race retry: a racing DDL
     can add a feature between attempts. ``staged_pby`` (commit-time
     only) is the partition split the tasks actually wrote under — a
     racing overwrite that re-partitioned the table makes the staged
@@ -1262,7 +1363,7 @@ def _check_writable(
             "names, partition splitting need the full write path) — "
             "use vt_write"
         )
-    if mode == "append":
+    if mode == "append" and not merge_schema:
         base = prev.get("schema")
         if base is not None:
             from pyspark.sql.types import StructType
@@ -1274,8 +1375,9 @@ def _check_writable(
             ]:
                 raise ValueError(
                     "format('vt') append schema differs from the table "
-                    f"schema at {path} (exact name/type match required; "
-                    "schema evolution is vt_write(merge_schema=True)'s)"
+                    f"schema at {path} (exact name/type match "
+                    "required; pass option('mergeSchema', 'true') or "
+                    "use vt_write(merge_schema=True) to evolve)"
                 )
 
 

@@ -101,6 +101,7 @@ __all__ = [
     "vt_join",
     "vt_maintenance_plan",
     "vt_version_at",
+    "vt_version_after",
     "vt_clone",
     "vt_diff",
     "vt_savepoint",
@@ -2549,14 +2550,10 @@ def _resolve_version(path: str, version: int | None) -> int:
     return v
 
 
-def vt_version_at(path: str, timestamp) -> int:
-    """TIMESTAMP AS OF resolution (Delta's ``timestampAsOf``): the
-    highest retained version whose commit timestamp is ≤ ``timestamp``
-    — i.e. the snapshot a reader at that wall-clock moment would have
-    seen. Accepts epoch seconds (int/float), a ``datetime`` (naive =
-    UTC), or an ISO-8601 string. Raises ValueError for a timestamp
-    before the first retained commit (Delta's contract: nothing existed
-    to read). Metadata-only — one pass over the retained manifests."""
+def _ts_epoch(timestamp) -> float:
+    """Epoch seconds from int/float, ``datetime`` (naive = UTC), or an
+    ISO-8601 string — the one timestamp grammar every AS OF surface
+    shares."""
     import datetime as _dt
 
     ts = timestamp
@@ -2566,7 +2563,18 @@ def vt_version_at(path: str, timestamp) -> int:
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
         ts = ts.timestamp()
-    epoch = float(ts)
+    return float(ts)
+
+
+def vt_version_at(path: str, timestamp) -> int:
+    """TIMESTAMP AS OF resolution (Delta's ``timestampAsOf``): the
+    highest retained version whose commit timestamp is ≤ ``timestamp``
+    — i.e. the snapshot a reader at that wall-clock moment would have
+    seen. Accepts epoch seconds (int/float), a ``datetime`` (naive =
+    UTC), or an ISO-8601 string. Raises ValueError for a timestamp
+    before the first retained commit (Delta's contract: nothing existed
+    to read). Metadata-only — one pass over the retained manifests."""
+    epoch = _ts_epoch(timestamp)
     best = None
     for v in vt_versions(path):
         if float(_read_manifest(path, v).get("ts", 0.0)) <= epoch:
@@ -2576,6 +2584,23 @@ def vt_version_at(path: str, timestamp) -> int:
             f"no version at or before timestamp {timestamp!r} at {path}"
         )
     return best
+
+
+def vt_version_after(path: str, timestamp) -> int:
+    """The LOWEST retained version whose commit timestamp is ≥
+    ``timestamp`` — Delta's ``startingTimestamp`` resolution for
+    change-feed reads ("changes committed at or after this moment").
+    Same timestamp grammar as :func:`vt_version_at`; raises ValueError
+    when the timestamp is after the last retained commit (Delta's
+    timestamp-after-latest-commit error, r14)."""
+    epoch = _ts_epoch(timestamp)
+    for v in vt_versions(path):
+        if float(_read_manifest(path, v).get("ts", 0.0)) >= epoch:
+            return v
+    raise ValueError(
+        f"no version at or after timestamp {timestamp!r} at {path} — "
+        "the timestamp is after the latest commit"
+    )
 
 
 def vt_scan_plan(

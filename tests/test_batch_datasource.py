@@ -648,3 +648,257 @@ class TestReadChangeFeed:
             rd(startingVersion="1", endingVersion="9")
         with pytest.raises(Exception, match="not versionAsOf"):
             rd(startingVersion="1", versionAsOf="1")
+
+
+class TestTimestampOptions:
+    """r14: Delta's timestamp forms of the CDF/stream range options —
+    startingTimestamp (lowest version committed at/after, raising past
+    the latest commit) and endingTimestamp (highest version committed
+    at/before) on the batch reader; startingTimestamp on the stream."""
+
+    def _stage(self, spark, path):
+        import time as _t
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            _read_manifest,
+        )
+
+        vt_write(spark, path, _df(spark, 3))                      # v1
+        for i in range(2, 4):                                     # v2, v3
+            vt_write(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(100 + i, "gz", float(i))],
+                    "id long, g string, x double",
+                ),
+                mode="append",
+            )
+        return {
+            v: float(_read_manifest(path, v)["ts"]) for v in (1, 2, 3)
+        }
+
+    def test_batch_cdf_timestamp_range(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "t")
+        ts = self._stage(spark, path)
+        got = (
+            spark.read.format("vt")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingTimestamp", str(ts[2]))
+            .option("endingTimestamp", str(ts[2]))
+            .load()
+            .collect()
+        )
+        # exactly v2's insert
+        assert [(r["id"], r["_commit_version"]) for r in got] == [
+            (102, 2)
+        ]
+
+    def test_starting_timestamp_after_latest_raises(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        ts = self._stage(spark, path)
+        with pytest.raises(Exception, match="after the latest commit"):
+            (
+                spark.read.format("vt")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .option("startingTimestamp", str(ts[3] + 3600))
+                .load()
+                .collect()
+            )
+        with pytest.raises(Exception, match="not both"):
+            (
+                spark.read.format("vt")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", "1")
+                .option("startingTimestamp", str(ts[2]))
+                .load()
+                .collect()
+            )
+
+    def test_stream_starting_timestamp_inclusive(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        ts = self._stage(spark, path)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            spark.readStream.format("vt")
+            .option("path", path)
+            .option("startingTimestamp", str(ts[2]))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # v2 AND v3 appends (at-or-after is inclusive), no snapshot
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == [102, 103]
+
+
+class TestMergeSchemaOption:
+    """r14: option("mergeSchema", "true") on format('vt') writes —
+    Delta's contract: append may ADD nullable columns, WIDEN along the
+    safe lattice, and omit existing columns (readers reconcile with
+    typed nulls); incompatible changes still raise."""
+
+    def test_append_adds_column_and_null_fills(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        evolved = spark.createDataFrame(
+            [(100, "gz", 9.0, "note")],
+            "id long, g string, x double, note string",
+        )
+        (
+            evolved.write.format("vt")
+            .option("path", path)
+            .option("mergeSchema", "true")
+            .mode("append")
+            .save()
+        )
+        out = vt_read(spark, path)
+        assert out.columns == ["id", "g", "x", "note"]
+        rows = {r["id"]: r["note"] for r in out.collect()}
+        assert rows[100] == "note" and rows[0] is None
+
+    def test_append_missing_column_null_fills_new_rows(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        partial = spark.createDataFrame(
+            [(200, "gm")], "id long, g string"
+        )
+        (
+            partial.write.format("vt")
+            .option("path", path)
+            .option("mergeSchema", "true")
+            .mode("append")
+            .save()
+        )
+        out = vt_read(spark, path)
+        assert out.columns == ["id", "g", "x"]
+        assert (
+            out.filter("id = 200").collect()[0]["x"] is None
+        )
+
+    def test_append_widens_table_type(self, registered, tmp_path):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame([(1, 2)], "id int, n int"),
+        )
+        wide = spark.createDataFrame(
+            [(2, 3_000_000_000)], "id int, n long"
+        )
+        (
+            wide.write.format("vt")
+            .option("path", path)
+            .option("mergeSchema", "true")
+            .mode("append")
+            .save()
+        )
+        out = vt_read(spark, path)
+        assert out.schema["n"].dataType.simpleString() == "bigint"
+        assert out.filter("n = 3000000000").count() == 1
+
+    def test_incompatible_change_still_raises(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        bad = spark.createDataFrame(
+            [(1, 2, 3.0)], "id long, g int, x double"
+        )
+        with pytest.raises(Exception, match="incompatible"):
+            (
+                bad.write.format("vt")
+                .option("path", path)
+                .option("mergeSchema", "true")
+                .mode("append")
+                .save()
+            )
+
+    def test_without_option_still_exact_match(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        evolved = spark.createDataFrame(
+            [(1, "g", 1.0, "n")],
+            "id long, g string, x double, note string",
+        )
+        with pytest.raises(Exception, match="mergeSchema"):
+            (
+                evolved.write.format("vt")
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+    def test_replace_where_refuses_merge_schema(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark, 3))
+        with pytest.raises(Exception, match="cannot combine"):
+            (
+                _df(spark, 1).write.format("vt")
+                .option("path", path)
+                .option("replaceWhere", "id < 1")
+                .option("mergeSchema", "true")
+                .mode("overwrite")
+                .save()
+            )
+
+    def test_streaming_sink_merge_schema(self, registered, tmp_path):
+        from dynamicqueryengine_spark.streaming.source import (
+            vt_change_stream,
+        )
+
+        spark = registered
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        vt_write(spark, dst, _df(spark, 2))
+        vt_write(
+            spark,
+            src,
+            spark.createDataFrame(
+                [(500, "gs", 5.0, "tag")],
+                "id long, g string, x double, note string",
+            ),
+        )
+        q = (
+            vt_change_stream(spark, src)
+            .select("id", "g", "x", "note")
+            .writeStream.format("vt")
+            .option("path", dst)
+            .option("mergeSchema", "true")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = vt_read(spark, dst)
+        assert out.columns == ["id", "g", "x", "note"]
+        assert out.filter("note = 'tag'").count() == 1

@@ -104,6 +104,14 @@ _OP = st.one_of(
     # it hits old-spec dirs (row scan), new-spec dirs (metadata drop)
     # or both — the model cannot tell, which is the invariant
     st.tuples(st.just("spec_evolve"), st.just(0)),
+    # r14 replaceWhere: atomic (previous MINUS region) + incoming.
+    # The id-range variant exercises stats classification and boundary
+    # rewrites; the partition-value variant exercises the metadata-only
+    # directory drop on partitioned states and the valued landing of
+    # the incoming rows — under ANY interleaving with DML/DDL/restore,
+    # including mapped (post-rename) and widened states
+    st.tuples(st.just("replace_where"), st.integers(0, 9)),
+    st.tuples(st.just("replace_partition"), st.integers(0, 4)),
 )
 
 
@@ -405,6 +413,42 @@ def test_random_histories_match_model(spark, tmp_path_factory, ops):
                     head += 1
                     versions[head] = survivors
                     meta[head] = (vn, wide, pby)
+        elif kind == "replace_where":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_replace_where,
+            )
+
+            incoming = [
+                (i, f"rw{step}n{i}") for i in range(min(seed, 3))
+            ]
+            vt_replace_where(
+                spark, path, df_of(incoming, vn), ("id", "<", seed)
+            )
+            head += 1
+            versions[head] = [
+                t for t in versions[head - 1] if not (t[0] < seed)
+            ] + incoming
+            meta[head] = (vn, wide, pby)
+        elif kind == "replace_partition":
+            from dynamicqueryengine_spark.sources.versioned import (
+                vt_replace_where,
+            )
+
+            vals = sorted({t[1] for t in versions[head]})
+            if vals:
+                victim = vals[seed % len(vals)]
+                incoming = [
+                    (900 + step * 3 + i, victim) for i in range(2)
+                ]
+                vt_replace_where(
+                    spark, path, df_of(incoming, vn),
+                    (vn, "=", victim),
+                )
+                head += 1
+                versions[head] = [
+                    t for t in versions[head - 1] if t[1] != victim
+                ] + incoming
+                meta[head] = (vn, wide, pby)
         elif kind == "checkpoint":
             vt_checkpoint(spark, path)
         elif kind == "vacuum":
