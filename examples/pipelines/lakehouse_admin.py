@@ -207,6 +207,38 @@ def main() -> None:
         f"{len(dirs_before)} dirs); reads serve 'amount' + a bigint "
         f"'priority' ({n_after_ddl} rows, sum={total:.2f})"
     )
+    # 9. atomic day backfill (replaceWhere): drop the old day's
+    #    partition directory METADATA-ONLY and land the recomputed day
+    #    — ONE commit, no reader ever sees the day missing
+    from dynamicqueryengine_spark.sources.versioned import (
+        vt_replace_where,
+    )
+
+    days = os.path.join(root, "days")
+    by_day = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("d"), (F.col("event_id") % 5).cast("string")
+        ).alias("day"),
+        "value",
+    )
+    vt_write(spark, days, by_day, partition_by=["day"])
+    recomputed = by_day.filter(F.col("day") == "d3").withColumn(
+        "value", F.col("value") * 2
+    )
+    v = vt_replace_where(spark, days, recomputed, "day = 'd3'")
+    blob = _read_manifest(days, v)["replace_where"]
+    assert blob["files_rewritten"] == 0 and blob["dirs_dropped"] == 1
+    new_d = blob["new_dirs"][0]
+    assert _read_manifest(days, v)["partitions"][new_d] == {
+        "day": "d3"
+    }
+    print(
+        f"[9] replaceWhere backfill of day d3: dropped "
+        f"{blob['files_dropped']} file(s) metadata-only "
+        f"(files_rewritten=0), landed the recomputed day as a valued "
+        "partition dir — one atomic commit"
+    )
     print("lakehouse-admin tour: all stages verified")
 
 
