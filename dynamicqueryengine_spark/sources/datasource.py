@@ -18,12 +18,25 @@ Contract (Delta's batch reader in miniature):
   layouts reconciled to the recorded logical schema with typed nulls
   and scan-side upcasts (type widening);
 * CHANGE FEED (``option("readChangeFeed", "true")``, r14): batch CDF
-  with Delta's contract — ``startingVersion`` (inclusive, required)
-  through ``endingVersion`` (inclusive, default head), schema = the
-  ending version's row columns + ``_change_type``/``_commit_version``.
-  Plans and reads through the SAME partition planner and pyarrow
-  reconciliation as the ``vt_changes`` streaming source, so batch and
-  stream emit identical change sets for a range;
+  with Delta's contract — ``startingVersion`` or
+  ``startingTimestamp`` (inclusive, one required) through
+  ``endingVersion`` / ``endingTimestamp`` (inclusive, default head),
+  schema = the ending version's row columns +
+  ``_change_type``/``_commit_version``. Plans and reads through the
+  SAME partition planner and pyarrow reconciliation as the
+  ``vt_changes`` streaming source, so batch and stream emit identical
+  change sets for a range;
+* STREAMING (late r14, completing the batch/stream × read/write
+  matrix under one format name): ``spark.readStream.format("vt")``
+  streams the TABLE (initial snapshot then appends;
+  ``skipChangeCommits`` / ``startingVersion`` / ``startingTimestamp``)
+  or, with ``readChangeFeed``, the row-level change feed;
+  ``df.writeStream.format("vt")`` appends micro-batches exactly-once;
+* WRITES: ``df.write.format("vt")`` append/overwrite with partitioned
+  and bloom-indexed tables, ``option("replaceWhere", "<restricted SQL
+  conjunction>")`` for metadata-exact selective overwrite, and
+  ``option("mergeSchema", "true")`` for commit-time schema evolution
+  (both batch and streaming writes);
 * FILTER PUSHDOWN (``DataSourceReader.pushFilters``, Spark 4.1):
   supported equality/range/in/null filters are translated to the same
   skip-grammar conjunction ``vt_read(predicate=…)`` prunes with, so a
