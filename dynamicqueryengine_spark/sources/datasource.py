@@ -321,10 +321,15 @@ class VersionedTableDataSource(DataSource):
 
     def __init__(self, options):
         super().__init__(options)
-        path = options.get("path")
+        # DataFrameReader passes "path"; a catalog-backed table
+        # (CREATE TABLE … USING vt) stores it as the table LOCATION
+        # and re-instantiates with that key instead (r14)
+        path = options.get("path") or options.get("location")
         if not path:
             raise ValueError("format('vt') requires option 'path'")
-        self._path = path
+        from .versioned import _local_path
+
+        self._path = _local_path(path)
         self._version: int | None = None
         self._cdf = str(
             options.get("readchangefeed", "false")

@@ -127,6 +127,18 @@ _DEC = "decimal(38,12)"
 _DV_LITERAL_MAX = 128
 
 
+def _local_path(p: str) -> str:
+    """Normalize a ``file:`` URI to a filesystem path. The SQL catalog
+    (``CREATE TABLE … USING vt OPTIONS (path '…')``) hands the path
+    option through as a qualified URI (``file:/tmp/t``) while
+    DataFrameReader users pass plain paths — accept both (r14)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_vlog")
 

@@ -165,6 +165,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("vt_changes requires option 'path'")
+        from ..sources.versioned import _local_path
+
+        self._path = _local_path(self._path)
         sv = options.get("startingversion")
         if sv is None:
             # No startingVersion (r14, Delta's streaming default): an
@@ -761,11 +764,16 @@ class VersionedChangesDataSource(DataSource):
             StructType,
         )
 
-        from ..sources.versioned import _read_manifest, vt_head
+        from ..sources.versioned import (
+            _local_path,
+            _read_manifest,
+            vt_head,
+        )
 
         path = self.options.get("path")
         if not path:
             raise ValueError("vt_changes requires option 'path'")
+        path = _local_path(path)
         m = _read_manifest(path, vt_head(path))
         if m.get("schema") is None:
             raise ValueError(
