@@ -282,6 +282,39 @@ WHERE {_hex_fraction_sql("t." + id_col)} < rates.rate
 """.strip()
 
 
+def epoch_order(
+    df: DataFrame, seed: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE (r14): a reproducible global
+    permutation of the corpus keyed by ``md5('<seed>:' || id)`` —
+    epoch N of a training run reads the same order on every engine,
+    every rerun, and every cluster size, and different seeds give
+    decorrelated orders (the property data-order-sensitive training
+    needs; shuffling per epoch without a materialized permutation
+    table).
+
+    Scale shape: ORDER BY a computed hash is Spark's range-partitioned
+    sort — the exchange SAMPLES the key space, so output partitions
+    balance regardless of the corpus's own key skew; no window
+    function, no per-stratum single task, no driver state. Writing the
+    ordered frame gives the epoch's shard files directly; a ``LIMIT``
+    on top plans as TakeOrdered (no full sort materialized). Returns
+    ``df`` plus ``epoch_key``, ordered by ``(epoch_key, id)``."""
+    key = F.md5(
+        F.concat(
+            F.lit(f"{int(seed)}:"), F.col(id_col).cast("string")
+        )
+    )
+    return df.withColumn("epoch_key", key).orderBy(
+        "epoch_key", id_col
+    )
+
+
+def epoch_order_sql(seed: int, id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`epoch_order`'s key (same md5 string)."""
+    return f"md5(concat('{int(seed)}:', CAST({id_expr} AS VARCHAR)))"
+
+
 def split_leakage_safe(
     docs: DataFrame,
     pairs: DataFrame,

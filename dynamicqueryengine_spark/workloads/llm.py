@@ -454,6 +454,64 @@ def _dedup_clusters_sql() -> str:
     )
 
 
+def _docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE (functions/sampling.py epoch_order,
+    r14): the corpus's epoch-1 permutation keyed by md5('1:' || id) —
+    reproducible across engines, reruns and cluster sizes, the
+    data-order contract order-sensitive training needs. Returns the
+    first 20 positions of the epoch-1 order (pos, doc_id, key prefix)
+    with two properties pinned INSIDE the value hash: ``reproducible``
+    (two independent evaluations of the ordering agree on the whole
+    prefix) and ``seed_decorrelated`` (epoch 2's first-20 id SEQUENCE
+    differs from epoch 1's — different seeds give different orders).
+    The LIMIT plans as TakeOrdered, so this query never materializes a
+    full sort; the operator's write path (no LIMIT) is a
+    range-partitioned sort that balances by sampling the hash keys."""
+    def prefix(seed: int):
+        ordered = SM.epoch_order(_docs(spark, sf_dir), seed)
+        return [
+            (r["doc_id"], r["epoch_key"])
+            for r in ordered.select("doc_id", "epoch_key")
+            .limit(20)
+            .collect()
+        ]
+
+    p1 = prefix(1)
+    reproducible = prefix(1) == p1
+    seed_decorrelated = [d for d, _ in prefix(2)] != [
+        d for d, _ in p1
+    ]
+    rows = [
+        (i + 1, int(doc), key[:8]) for i, (doc, key) in enumerate(p1)
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "pos int, doc_id long, key8 string"
+        )
+        .select(
+            "pos",
+            "doc_id",
+            "key8",
+            F.lit(bool(reproducible)).alias("reproducible"),
+            F.lit(bool(seed_decorrelated)).alias("seed_decorrelated"),
+        )
+    )
+
+
+def _docs_epoch_shuffle_sql() -> str:
+    key = SM.epoch_order_sql(1)
+    return f"""
+SELECT ROW_NUMBER() OVER (ORDER BY {key}, doc_id) AS pos,
+       doc_id,
+       substr({key}, 1, 8) AS key8,
+       TRUE AS reproducible,
+       TRUE AS seed_decorrelated
+FROM documents
+ORDER BY pos
+LIMIT 20
+""".strip()
+
+
 def _docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split (functions/sampling.py
     split_leakage_safe): near-dup clusters (transitive closure of the
@@ -1418,6 +1476,9 @@ LLM_QUERIES: dict[str, FnWorkload] = {
     "dedup_cluster_assign": FnWorkload(_dedup_clusters, _dedup_clusters_sql()),
     "docs_split_leakage_safe": FnWorkload(
         _docs_split_leakage_safe, _docs_split_leakage_safe_sql()
+    ),
+    "docs_epoch_shuffle": FnWorkload(
+        _docs_epoch_shuffle, _docs_epoch_shuffle_sql()
     ),
     "decontaminate_flags": FnWorkload(_decontaminate_flags, _decontaminate_sql()),
     "docs_repetition_filter": FnWorkload(_docs_repetition, _docs_repetition_sql()),

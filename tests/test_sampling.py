@@ -111,3 +111,59 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     }
     n_test = sum(1 for r in rows.values() if r["split"] == "test")
     assert 0.1 < n_test / 500 < 0.3
+
+
+class TestEpochOrder:
+    """r14: deterministic epoch shuffle — reproducible global
+    permutation keyed by md5(seed:id), seed-decorrelated, and the
+    LIMIT form plans as TakeOrdered (no full sort materialized)."""
+
+    def _docs(self, spark, n=50):
+        return spark.createDataFrame(
+            [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_reproducible_and_total(self, spark):
+        from dynamicqueryengine_spark.functions.sampling import (
+            epoch_order,
+        )
+
+        df = self._docs(spark)
+        a = [r["doc_id"] for r in epoch_order(df, 7).collect()]
+        b = [r["doc_id"] for r in epoch_order(df, 7).collect()]
+        assert a == b
+        assert sorted(a) == list(range(50))  # a true permutation
+
+    def test_seeds_decorrelated(self, spark):
+        from dynamicqueryengine_spark.functions.sampling import (
+            epoch_order,
+        )
+
+        df = self._docs(spark)
+        a = [r["doc_id"] for r in epoch_order(df, 1).collect()]
+        b = [r["doc_id"] for r in epoch_order(df, 2).collect()]
+        assert a != b
+        # positional agreement should be near-chance, not near-total
+        agree = sum(1 for x, y in zip(a, b) if x == y)
+        assert agree < 10
+
+    def test_limit_plans_take_ordered(self, spark):
+        from dynamicqueryengine_spark.functions.sampling import (
+            epoch_order,
+        )
+
+        plan = (
+            epoch_order(self._docs(spark), 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Sort" in plan  # the write path is a global sort
+        lplan = (
+            epoch_order(self._docs(spark), 1)
+            .limit(5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrdered" in lplan
