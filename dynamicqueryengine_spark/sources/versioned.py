@@ -1321,6 +1321,101 @@ def _norm_partition_val(v):
     return v
 
 
+_GEN_DATE_FORMAT = re.compile(
+    r"^\s*date_format\s*\(\s*`?(?P<col>\w+)`?\s*,\s*"
+    r"'(?P<fmt>yyyy-MM-dd|yyyy-MM|yyyy)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+_GEN_TO_DATE = re.compile(
+    r"^\s*(?:to_date\s*\(\s*`?(?P<col>\w+)`?\s*\)"
+    r"|cast\s*\(\s*`?(?P<col2>\w+)`?\s+as\s+date\s*\))\s*$",
+    re.IGNORECASE,
+)
+_GEN_FMT_PY = {
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM": "%Y-%m",
+    "yyyy": "%Y",
+}
+
+
+def _gen_date_str(value, fmt: str) -> str | None:
+    """``date_format(value, fmt)`` computed driver-side (UTC — the
+    session timezone this package pins everywhere). None = value not a
+    timestamp/date-like → no derivation."""
+    import datetime as _dt
+
+    v = value
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
+        return v.strftime(fmt)
+    if isinstance(v, _dt.date):
+        return v.strftime(fmt)
+    return None
+
+
+def _augment_generated_conjuncts(manifest: dict, conjuncts):
+    """Delta's generated-column partition pruning (r14): when a
+    PARTITION column is GENERATED by a recognized MONOTONE date
+    transform of a base column — ``date_format(ts, 'yyyy-MM-dd' |
+    'yyyy-MM' | 'yyyy')``, ``to_date(ts)``, ``CAST(ts AS DATE)`` —
+    every range/equality conjunct on the BASE column implies one on
+    the partition column. Append the implied conjuncts so a query
+    filtering only on ``ts`` still prunes day directories exactly.
+
+    Soundness: the transforms are NON-DECREASING (under the UTC
+    session timezone the package pins), so ``ts >= v ⇒ day >=
+    f(v)``, ``ts <[=] v ⇒ day <= f(v)`` (strict < weakens to <=:
+    earlier rows of f(v)'s own day still match), ``ts = v ⇒ day =
+    f(v)``, and the null ops carry (f(null) is null). All derived
+    formats compare lexicographically in date order. The derived
+    conjuncts are implied — adding them never changes which rows
+    match, only which directories must be read."""
+    gen = manifest.get("generated") or {}
+    pby = manifest.get("partition_by") or []
+    if not gen or not pby or not conjuncts:
+        return conjuncts
+    derived: list[tuple] = []
+    for pcol in pby:
+        expr = gen.get(pcol)
+        if not expr:
+            continue
+        m = _GEN_DATE_FORMAT.match(expr)
+        if m:
+            base, fmt = m.group("col"), _GEN_FMT_PY[m.group("fmt")]
+        else:
+            m2 = _GEN_TO_DATE.match(expr)
+            if not m2:
+                continue
+            base = m2.group("col") or m2.group("col2")
+            fmt = "%Y-%m-%d"
+        for col, op, value in conjuncts:
+            if col != base:
+                continue
+            if op in ("isnull", "notnull"):
+                derived.append((pcol, op, None))
+            elif op == "in":
+                mapped = [_gen_date_str(x, fmt) for x in value]
+                if mapped and all(x is not None for x in mapped):
+                    derived.append((pcol, "in", mapped))
+            elif op in ("=", "<", "<=", ">", ">="):
+                dv = _gen_date_str(value, fmt)
+                if dv is None:
+                    continue
+                if op == "=":
+                    derived.append((pcol, "=", dv))
+                elif op in ("<", "<="):
+                    derived.append((pcol, "<=", dv))
+                else:
+                    derived.append((pcol, ">=", dv))
+    return conjuncts + derived
+
+
 def _partition_refutes(pvals: dict, conjuncts) -> bool:
     """True when a directory's recorded partition values PROVE no row
     can satisfy the conjunction — exact, not may-match: every row of the
@@ -2682,6 +2777,11 @@ def vt_scan_plan(
         _attach_plan_dv(plan, path, manifest)
         return plan
 
+    # generated-column partition pruning (r14): conjuncts on the BASE
+    # of a monotone date transform imply conjuncts on the generated
+    # partition column — append them so filtering on ts alone prunes
+    # day directories
+    conjuncts = _augment_generated_conjuncts(manifest, conjuncts)
     pconj = _map_conjuncts(conjuncts, cmap)
 
     def may_match(col_stats: dict) -> bool:
@@ -3604,6 +3704,13 @@ def vt_count(
         conjuncts = _normalize_predicate(predicate)
         if part_vals and conjuncts:
             cmap_m = _col_mapping(manifest)
+            # derived generated-partition conjuncts refute dirs a ts
+            # predicate alone could not (the metadata-only proof below
+            # still needs every conjunct partition-proven, so a mid-day
+            # bound correctly falls through to row evidence)
+            conjuncts = _augment_generated_conjuncts(
+                manifest, conjuncts
+            )
             pconj = _map_conjuncts(conjuncts, cmap_m)
             frows = manifest.get("file_rows", {})
             flists = manifest.get("files", {})

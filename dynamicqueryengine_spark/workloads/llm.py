@@ -6490,6 +6490,117 @@ LLM_QUERIES["events_vt_optimize_where"] = FnWorkload(
 )
 
 
+def _events_vt_generated_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED-COLUMN PARTITION PRUNING, EXECUTED
+    (``_augment_generated_conjuncts``, r14 — Delta's derived partition
+    predicates): events staged partitioned by a GENERATED
+    ``day = date_format(ts, 'yyyy-MM-dd')`` column, then scanned with
+    a predicate on **ts alone** — the recognized monotone transform
+    lets the planner imply ``day >= f(lo) AND day <= f(hi)`` and prune
+    whole day directories the ts predicate never mentions.
+
+    Pinned INSIDE the oracle hash: ``derived_pruning_exact`` — the
+    plan keeps EXACTLY the directories whose recorded day falls inside
+    the implied day window (computed independently from the manifest's
+    partition values) and prunes every other one. The aggregate
+    (per-day counts and value sums over the ts range) equals the SQL
+    mirror's plain WHERE on ts."""
+    import datetime as _dt
+
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_head,
+        vt_scan_plan,
+        vt_write,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 3)
+        .select(
+            "event_id",
+            "ts",
+            F.col("value").cast("decimal(38,12)").alias("v"),
+        )
+    )
+    path = os.path.join(_scratch_dir("vtgenpart", sf_dir), "ev")
+    vt_write(
+        spark,
+        path,
+        ev,
+        generated={"day": "date_format(ts, 'yyyy-MM-dd')"},
+        partition_by=["day"],
+    )
+    t0 = ev.select(F.min("ts")).first()[0]
+    lo = t0 + _dt.timedelta(days=3, hours=6)
+    hi = t0 + _dt.timedelta(days=6, hours=18)
+    plan = vt_scan_plan(
+        path, predicate=[("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    m = _read_manifest(path, vt_head(path))
+    d_lo, d_hi = lo.strftime("%Y-%m-%d"), hi.strftime("%Y-%m-%d")
+    expected_kept = sum(
+        1
+        for pv in (m.get("partitions") or {}).values()
+        if d_lo <= pv["day"] <= d_hi
+    )
+    total_dirs = len(m["dirs"])
+    derived_pruning_exact = (
+        plan["dirs_kept"] == expected_kept
+        and plan.get("partition_pruned", 0)
+        == total_dirs - expected_kept
+        and 0 < expected_kept < total_dirs
+    )
+    from ..sources.versioned import vt_read
+
+    return (
+        vt_read(spark, path)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
+        )
+        .select(
+            "day",
+            "n",
+            "sum_value",
+            F.lit(bool(derived_pruning_exact)).alias(
+                "derived_pruning_exact"
+            ),
+        )
+    )
+
+
+_EVENTS_VT_GENERATED_PARTITION_PRUNE_SQL = f"""
+WITH ev AS (
+  SELECT * FROM ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+  WHERE event_id % 5 = 3
+),
+b AS (
+  SELECT min(ts) + INTERVAL 3 DAY + INTERVAL 6 HOUR AS lo,
+         min(ts) + INTERVAL 6 DAY + INTERVAL 18 HOUR AS hi
+  FROM ev
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS derived_pruning_exact
+FROM ev, b
+WHERE ts >= b.lo AND ts < b.hi
+GROUP BY day
+""".strip()
+
+
+LLM_QUERIES["events_vt_generated_partition_prune"] = FnWorkload(
+    _events_vt_generated_partition_prune,
+    _EVENTS_VT_GENERATED_PARTITION_PRUNE_SQL,
+)
+
+
 def _events_vt_partitioned(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

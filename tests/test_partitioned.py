@@ -703,6 +703,110 @@ class TestGeneratedPartitionColumn:
         assert vt_read(spark, path).count() == 7
 
 
+class TestGeneratedPartitionPruning:
+    """r14, Delta's generated-column partition pruning: a predicate on
+    the BASE column of a monotone date transform implies a conjunct on
+    the generated PARTITION column — filtering on ts alone prunes day
+    directories exactly."""
+
+    def _table(self, spark, tmp_path, expr="date_format(ts, 'yyyy-MM-dd')"):
+        import datetime
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                (i, datetime.datetime(2020, 1, 1 + i % 10, 12, 0, 0))
+                for i in range(40)
+            ],
+            "id long, ts timestamp",
+        )
+        vt_write(
+            spark, path, df,
+            generated={"day": expr}, partition_by=["day"],
+        )
+        return path
+
+    def test_ts_range_prunes_day_dirs(self, spark, tmp_path):
+        import datetime
+
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_scan_plan,
+        )
+
+        path = self._table(spark, tmp_path)
+        plan = vt_scan_plan(
+            path,
+            predicate=[
+                ("ts", ">=", datetime.datetime(2020, 1, 3, 0, 0)),
+                ("ts", "<", datetime.datetime(2020, 1, 5, 6, 0)),
+            ],
+        )
+        # days 03, 04, 05 survive (the < bound weakens to <= its day);
+        # 7 of 10 directories never planned
+        assert plan["dirs_kept"] == 3
+        got = vt_read(spark, path).filter(
+            "ts >= timestamp'2020-01-03 00:00:00' and "
+            "ts < timestamp'2020-01-05 06:00:00'"
+        )
+        assert got.count() == 8  # days 3,4 fully (4 each) — day 5's 12:00 rows excluded
+
+    def test_iso_string_and_equality(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_scan_plan,
+        )
+
+        path = self._table(spark, tmp_path)
+        plan = vt_scan_plan(
+            path, predicate=("ts", "=", "2020-01-07 12:00:00")
+        )
+        assert plan["dirs_kept"] == 1
+
+    def test_to_date_shape(self, spark, tmp_path):
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_scan_plan,
+        )
+
+        path = self._table(spark, tmp_path, expr="to_date(ts)")
+        plan = vt_scan_plan(
+            path, predicate=("ts", ">=", "2020-01-09 00:00:00")
+        )
+        assert plan["dirs_kept"] == 2  # days 09 and 10
+
+    def test_format_reader_pushdown_prunes(self, spark, tmp_path):
+        import datetime
+
+        from dynamicqueryengine_spark.sources.datasource import (
+            vt_register,
+        )
+
+        path = self._table(spark, tmp_path)
+        vt_register(spark)
+        got = (
+            spark.read.format("vt")
+            .option("path", path)
+            .load()
+            .filter(
+                F.col("ts")
+                >= datetime.datetime(2020, 1, 9, 0, 0)
+            )
+        )
+        assert got.count() == 8  # days 09 + 10
+        # unrecognized transform shapes must NOT derive (no pruning,
+        # full correctness)
+        path2 = self._table(
+            spark, tmp_path.joinpath("u"),
+            expr="date_format(ts + INTERVAL 1 DAY, 'yyyy-MM-dd')",
+        )
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_scan_plan,
+        )
+
+        plan = vt_scan_plan(
+            path2, predicate=("ts", ">=", "2020-01-09 00:00:00")
+        )
+        assert plan["dirs_kept"] == 10  # conservative: nothing derived
+
+
 class TestPartitionCompositions:
     def test_rule_document_drives_partition_drop(self, spark, tmp_path):
         """The engine's flagship surface composes: a rule DOCUMENT whose
