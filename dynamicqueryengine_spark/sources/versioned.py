@@ -5509,10 +5509,12 @@ def vt_replace_where(
     spark,
     path: str,
     df: DataFrame,
-    predicate,
+    predicate=None,
     change_feed: bool = False,
     max_retries: int = 5,
     bloom_cols: Sequence[str] | None = None,
+    rule=None,
+    external_params=None,
 ) -> int:
     """SELECTIVE OVERWRITE in one atomic commit — Delta's
     ``replaceWhere``: the new snapshot is (previous rows NOT matching
@@ -5559,22 +5561,53 @@ def vt_replace_where(
     Concurrency: derived from the head it read — any commit race
     re-derives against the new head and retries, like DELETE.
 
+    ``rule=`` (mutually exclusive with ``predicate``, r14 late): the
+    engine's rule DOCUMENTS drive the replaced region exactly as they
+    drive :func:`vt_delete` — the rule's skip-eligible conjuncts prune
+    untouchable files, the FULL compiled predicate decides which rows
+    leave and validates the incoming rows' containment; a rule the
+    skip grammar renders EXACTLY keeps the metadata-only drop path and
+    stream-replayable CDC, anything richer materializes its deleted
+    rows (the same division vt_delete documents).
+
     Reference provenance: beyond-reference lakehouse surface
     (SURVEY.md north star), modeled on Delta's documented
     ``option("replaceWhere", …)`` INSERT OVERWRITE contract."""
-    conjuncts = _normalize_predicate(predicate)
-    if conjuncts is None:
-        raise ValueError("vt_replace_where requires a predicate")
-    cond = None
-    for col, op, value in conjuncts:
-        c = _conjunct_column(col, op, value)
-        cond = c if cond is None else (cond & c)
-    try:
-        json.dumps([[c, o, v] for c, o, v in conjuncts])
-        pred_json: list | None = [[c, o, v] for c, o, v in conjuncts]
-    except (TypeError, ValueError):
-        pred_json = None  # non-JSON values: deletions must materialize
-    need_changes = change_feed or pred_json is None
+    from collections.abc import Mapping as _Mapping
+
+    rule_doc = None
+    if rule is not None:
+        if predicate is not None:
+            raise ValueError("pass predicate= or rule=, not both")
+        from ..plans.model import RuleDefinition
+
+        if isinstance(rule, _Mapping):
+            rule_doc = dict(rule)
+            rule = RuleDefinition.from_dict(rule)
+        conjuncts = None
+        cond = None
+        pred_json = None
+        try:
+            json.dumps([rule_doc, dict(external_params or {})])
+        except (TypeError, ValueError):
+            rule_doc = None  # non-JSON params: CDC needs change rows
+    else:
+        conjuncts = _normalize_predicate(predicate)
+        if conjuncts is None:
+            raise ValueError(
+                "vt_replace_where requires a predicate or a rule"
+            )
+        cond = None
+        for col, op, value in conjuncts:
+            c = _conjunct_column(col, op, value)
+            cond = c if cond is None else (cond & c)
+        try:
+            json.dumps([[c, o, v] for c, o, v in conjuncts])
+            pred_json: list | None = [
+                [c, o, v] for c, o, v in conjuncts
+            ]
+        except (TypeError, ValueError):
+            pred_json = None  # non-JSON values: must materialize
 
     for _ in range(max_retries):
         head = vt_versions(path)
@@ -5628,40 +5661,81 @@ def vt_replace_where(
                 f"{out_df.columns}) — schema evolution is "
                 "vt_write(merge_schema=True)'s"
             )
+        exact = None
+        rule_pred_json = None
+        if rule is not None:
+            from pyspark.sql.types import StructType as _RST
+
+            from ..operators.predicates import (
+                compile_predicate,
+                rule_exact_conjuncts,
+                rule_skip_conjuncts,
+            )
+
+            schema_st = _RST.fromJson(manifest["schema"])
+            loop_conjuncts = (
+                rule_skip_conjuncts(rule, schema_st, external_params)
+                or []
+            )
+            cond = compile_predicate(
+                rule.conditions, schema_st, external_params
+            )
+            exact = rule_exact_conjuncts(
+                rule, schema_st, external_params
+            )
+            if exact is not None:
+                try:
+                    json.dumps([[c, o, v] for c, o, v in exact])
+                    rule_pred_json = [
+                        [c, o, v] for c, o, v in exact
+                    ]
+                except (TypeError, ValueError):
+                    rule_pred_json = None
+        else:
+            loop_conjuncts = conjuncts
+        eff_pred_json = pred_json if rule is None else rule_pred_json
+        # a region the manifest cannot replay (non-JSON values, or a
+        # rule beyond the skip grammar) materializes its deleted rows —
+        # the same stream-replayability line vt_delete draws
+        need_changes = change_feed or eff_pred_json is None
         # Delta's containment contract: every incoming row satisfies
-        # the predicate (a NULL predicate does not satisfy)
+        # the region predicate (a NULL predicate does not satisfy)
         stray = (
             out_df.filter(~F.coalesce(cond, F.lit(False)))
             .limit(1)
             .count()
         )
         if stray:
+            region = conjuncts if rule is None else "the rule"
             raise ValueError(
                 "vt_replace_where: the incoming frame holds rows that "
-                f"do not satisfy the predicate {conjuncts!r} — "
-                "replaceWhere only writes rows inside the region it "
-                "replaces"
+                f"do not satisfy {region!r} — replaceWhere only "
+                "writes rows inside the region it replaces"
             )
         _enforce_constraints(
             out_df, manifest.get("constraints") or [], recorded=True
         )
         cmap = _col_mapping(manifest)
-        pconj = _map_conjuncts(conjuncts, cmap)
+        pconj = _map_conjuncts(loop_conjuncts, cmap)
         touch = _pred_touch_fn(pconj, _bloom_col_types(manifest))
         dropper = None
         dir_dropper = None
-        if not need_changes:
+        prove = conjuncts if rule is None else exact
+        if not need_changes and prove:
             # metadata-only removal (see vt_delete's whole-file fast
-            # path): disabled when deleted rows must materialize
+            # path): needs FULL-MATCH proof conjuncts (the predicate
+            # itself, or the rule's exact skip-grammar rendering) and
+            # is disabled when deleted rows must materialize
+            pprove = _map_conjuncts(prove, cmap)
             _pvals = manifest.get("partitions") or {}
             if _pvals:
-                def dir_dropper(d, _pv=_pvals, _c=pconj):
+                def dir_dropper(d, _pv=_pvals, _c=pprove):
                     pv = _pv.get(d)
                     return pv is not None and _partition_proves_all(
                         pv, _c
                     )
 
-            def dropper(d, entry, nrows, _c=pconj, _pv=_pvals):
+            def dropper(d, entry, nrows, _c=pprove, _pv=_pvals):
                 lc = _c
                 pv = _pv.get(d)
                 if pv:
@@ -5797,10 +5871,13 @@ def vt_replace_where(
             )
         if part["dirs_dropped"]:
             blob["dirs_dropped"] = part["dirs_dropped"]
-        if pred_json is not None:
-            blob["predicate"] = pred_json
+        if eff_pred_json is not None:
+            blob["predicate"] = eff_pred_json
+        if rule_doc is not None:
+            blob["rule"] = rule_doc
+            blob["external_params"] = dict(external_params or {})
         if need_changes and not change_feed:
-            blob["materialized_changes"] = "predicate_not_replayable"
+            blob["materialized_changes"] = "region_not_replayable"
         try:
             return _commit(
                 path,

@@ -413,3 +413,95 @@ class TestFormatWriterReplaceWhere:
                 .mode("append")
                 .save()
             )
+
+
+class TestRuleDrivenReplace:
+    """r14 late: the engine's rule DOCUMENTS drive the replaced region
+    (parity with vt_delete's rule surface) — an exact skip-grammar
+    rule keeps metadata-only drops + replayable CDC; a richer rule
+    materializes its deleted rows and replaces per the FULL compiled
+    operator semantics."""
+
+    def test_exact_rule_metadata_only(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark), partition_by=["day"])
+        nd = spark.createDataFrame(
+            [(300, "d1", 3.0)], _df(spark).schema
+        )
+        doc = {
+            "Conditions": {
+                "Conditions": [
+                    {
+                        "Property": "day",
+                        "Operator": "Equal",
+                        "Value": "d1",
+                    }
+                ]
+            }
+        }
+        v = vt_replace_where(spark, path, nd, rule=doc)
+        blob = _read_manifest(path, v)["replace_where"]
+        assert blob["files_rewritten"] == 0
+        assert blob["dirs_dropped"] == 1
+        assert blob["predicate"] == [["day", "=", "d1"]]
+        assert blob["rule"] == doc
+        out = vt_read(spark, path)
+        assert [
+            r["id"] for r in out.filter("day = 'd1'").collect()
+        ] == [300]
+        # CDC replays from the recorded exact predicate
+        ch = vt_read_changes(spark, path, v - 1, v)
+        assert ch.filter("_change_type = 'delete'").count() == 10
+
+    def test_rich_rule_materializes_and_replaces(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(i, f"u{i}@{'corp' if i % 2 else 'edu'}.x", float(i))
+                 for i in range(10)],
+                "id long, email string, x double",
+            ),
+        )
+        doc = {
+            "Conditions": {
+                "Conditions": [
+                    {
+                        "Property": "email",
+                        "Operator": "Contains",
+                        "Value": "@corp",
+                    }
+                ]
+            }
+        }
+        nd = spark.createDataFrame(
+            [(100, "new@corp.x", 1.0)],
+            "id long, email string, x double",
+        )
+        v = vt_replace_where(spark, path, nd, rule=doc)
+        m = _read_manifest(path, v)
+        assert m.get("changes")  # deleted rows materialized
+        assert m["replace_where"].get("materialized_changes")
+        out = vt_read(spark, path)
+        assert out.filter("email LIKE '%@corp%'").count() == 1
+        assert out.count() == 6  # 5 edu rows + the replacement
+        # containment: a row OUTSIDE the rule's region refuses
+        head = _read_manifest(path, v)["version"] if "version" in m else v
+        bad = spark.createDataFrame(
+            [(7, "x@edu.x", 1.0)], "id long, email string, x double"
+        )
+        with pytest.raises(ValueError, match="satisfy"):
+            vt_replace_where(spark, path, bad, rule=doc)
+
+    def test_predicate_and_rule_exclusive(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        vt_write(spark, path, _df(spark))
+        with pytest.raises(ValueError, match="not both"):
+            vt_replace_where(
+                spark,
+                path,
+                _df(spark, 1),
+                ("day", "=", "d0"),
+                rule={"Conditions": {"Conditions": []}},
+            )
