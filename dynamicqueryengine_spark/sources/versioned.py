@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "vt_write",
+    "vt_convert",
     "vt_read",
     "vt_read_delta",
     "vt_read_changes",
@@ -5503,6 +5504,108 @@ def vt_delete(
                     os.path.join(path, change_dir), ignore_errors=True
                 )
     raise RuntimeError(f"delete at {path} lost {max_retries} commit races")
+
+
+def vt_convert(
+    spark, src: str, path: str
+) -> int:
+    """CONVERT TO vt (r14) — Delta's ``CONVERT TO DELTA``, the
+    migration path: create a versioned table AROUND existing parquet
+    data without rewriting a byte. ``src`` is a parquet FILE or a FLAT
+    directory of parquet files; every file is HARD-LINKED into the new
+    table's immutable ``d_*`` directory (zero-copy on the same
+    filesystem, copy fallback across devices — the source files are
+    left untouched either way), footer stats / per-file row counts are
+    harvested with pyarrow (no Spark job reads the data), and ONE
+    creation commit records the authoritative file list. From that
+    commit on, the full surface applies: time travel, DML, OPTIMIZE,
+    constraints, the format reader/writer, streams.
+
+    Hive-partitioned layouts (``day=…/`` subdirectories) are REFUSED:
+    the format requires partition columns present in the data files
+    (reads never reconstruct values from lossy path names — the
+    ''-vs-null collision class); import flat and repartition with
+    ``vt_write(partition_by=…)``. Files with DISAGREEING schemas are
+    refused too (convert then evolve with merge_schema appends).
+
+    At 100 TB this is the operation that makes adoption free: a
+    petabyte parquet lake becomes a transactional table for the cost
+    of reading its footers and writing one manifest."""
+    import pyarrow.parquet as _pq
+
+    if os.path.isfile(src):
+        files = [src]
+    elif os.path.isdir(src):
+        files = []
+        for e in sorted(os.listdir(src)):
+            fe = os.path.join(src, e)
+            if os.path.isdir(fe):
+                if "=" in e:
+                    raise ValueError(
+                        f"{src!r} is hive-partitioned ({e!r}): the "
+                        "format keeps partition columns IN the data "
+                        "files (path names are lossy) — import flat "
+                        "and repartition with vt_write(partition_by=…)"
+                    )
+                raise ValueError(
+                    f"vt_convert takes a FLAT parquet directory; "
+                    f"{e!r} is a subdirectory"
+                )
+            if e.endswith(".parquet"):
+                files.append(fe)
+        if not files:
+            raise ValueError(f"no parquet files under {src!r}")
+    else:
+        raise FileNotFoundError(src)
+    if vt_versions(path):
+        raise ValueError(
+            f"{path!r} is already a versioned table — convert into a "
+            "fresh path"
+        )
+    schemas = {str(_pq.read_schema(f)) for f in files}
+    if len(schemas) > 1:
+        raise ValueError(
+            f"{src!r} holds {len(schemas)} distinct parquet schemas — "
+            "convert a schema-homogeneous set, then evolve with "
+            "vt_write(merge_schema=True) appends"
+        )
+    schema_json = json.loads(spark.read.parquet(files[0]).schema.json())
+    d = f"d_{uuid.uuid4().hex[:12]}"
+    full = os.path.join(path, d)
+    os.makedirs(full)
+    names = []
+    try:
+        for f in files:
+            dst = os.path.join(full, os.path.basename(f))
+            try:
+                os.link(f, dst)  # zero-copy: same inode, no bytes move
+            except OSError:
+                shutil.copy2(f, dst)
+            names.append(os.path.basename(f))
+        stats, fstats, frows = _harvest_stats(full)
+        return _commit(
+            path,
+            [d],
+            "overwrite",
+            0,
+            {d: stats} if stats else None,
+            None,
+            {d: fstats} if fstats else None,
+            {d: names},
+            schema=schema_json,
+            heterogeneous=False,
+            file_rows={d: frows} if frows else None,
+            extra={
+                "convert": {
+                    "source": os.path.abspath(src),
+                    "files": len(names),
+                    "linked": True,
+                }
+            },
+        )
+    except BaseException:
+        shutil.rmtree(full, ignore_errors=True)
+        raise
 
 
 def vt_replace_where(

@@ -627,6 +627,14 @@ class _TableStreamReader(_ChangesStreamReader):
             # row-level changes — irrelevant when the commit is being
             # skipped wholesale)
             op = _read_manifest(self._path, v).get("op")
+            if v == 1 and op in ("overwrite", "clone"):
+                # the CREATION commit deletes nothing (no predecessor)
+                # — an append-shaped stream serves it as inserts; the
+                # change planner below already yields insert-only
+                # partitions for v=1
+                parts_v = _plan_change_partitions(self._path, 0, 1)
+                parts.extend(parts_v)
+                continue
             if op in (
                 "merge", "delete", "update",
                 "overwrite", "restore", "clone", "replace_where",

@@ -6490,6 +6490,90 @@ LLM_QUERIES["events_vt_optimize_where"] = FnWorkload(
 )
 
 
+def _events_vt_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT TO vt, EXECUTED (``vt_convert``, r14 — Delta's CONVERT
+    TO DELTA, the adoption path): the testdata's own
+    ``events.parquet`` becomes a versioned table WITHOUT a byte of
+    data read or rewritten — files hard-linked into the table's
+    immutable directory, footer stats/row counts harvested driver-side
+    with pyarrow, one creation commit.
+
+    Pinned INSIDE the oracle hash: ``zero_copy`` (every table file
+    shares its source file's INODE — the link, not a copy, and the
+    source is untouched), ``metadata_count_exact`` (``vt_count``
+    answers from harvested footers, no scan, and equals the row
+    count), ``stats_prune_works`` (an impossible range plans ZERO
+    files — the harvested stats drive skipping immediately). The
+    aggregate reads the converted table through the format reader."""
+    from ..sources.datasource import vt_register
+    from ..sources.versioned import (
+        _read_manifest,
+        vt_convert,
+        vt_count,
+        vt_scan_plan,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    path = os.path.join(_scratch_dir("vtconv", sf_dir), "ev")
+    v = vt_convert(spark, src, path)
+    m = _read_manifest(path, v)
+    d = m["dirs"][0]
+    zero_copy = all(
+        os.stat(os.path.join(path, d, f)).st_ino
+        == os.stat(src).st_ino
+        for f in m["files"][d]
+    )
+    n = vt_count(spark, path)
+    plan = vt_scan_plan(
+        path, predicate=("event_id", "<", -1)
+    )
+    stats_prune_works = plan["files_kept"] == 0
+    vt_register(spark)
+    fmt = (
+        spark.read.format("vt").option("path", path).load()
+    )
+    metadata_count_exact = n == fmt.count()
+    return (
+        fmt.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,12)")), 6
+            ).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            F.lit(bool(zero_copy)).alias("zero_copy"),
+            F.lit(bool(metadata_count_exact)).alias(
+                "metadata_count_exact"
+            ),
+            F.lit(bool(stats_prune_works)).alias("stats_prune_works"),
+        )
+    )
+
+
+_EVENTS_VT_CONVERT_SQL = f"""
+WITH ev AS ({_EVENTS_ORACLE_SOURCE.removesuffix(" AS events")})
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS sum_value,
+       TRUE AS zero_copy,
+       TRUE AS metadata_count_exact,
+       TRUE AS stats_prune_works
+FROM ev
+GROUP BY event_type
+""".strip()
+
+
+LLM_QUERIES["events_vt_convert"] = FnWorkload(
+    _events_vt_convert, _EVENTS_VT_CONVERT_SQL
+)
+
+
 def _events_vt_generated_partition_prune(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
