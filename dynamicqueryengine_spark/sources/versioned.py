@@ -5530,7 +5530,12 @@ def vt_convert(
 
     At 100 TB this is the operation that makes adoption free: a
     petabyte parquet lake becomes a transactional table for the cost
-    of reading its footers and writing one manifest."""
+    of reading its footers and writing one manifest.
+
+    Hard links share BYTES with the source: the table's immutability
+    contract extends to the source files — a producer that rewrites
+    one in place corrupts both copies. Delete the originals after
+    converting (normal), or convert across filesystems (copies)."""
     import pyarrow.parquet as _pq
 
     if os.path.isfile(src):
@@ -5562,7 +5567,15 @@ def vt_convert(
             f"{path!r} is already a versioned table — convert into a "
             "fresh path"
         )
-    schemas = {str(_pq.read_schema(f)) for f in files}
+    # compare by (name, type) pairs, NOT str(schema) — writer metadata
+    # (pandas blobs, created_by) differs between producers without
+    # changing the logical shape
+    schemas = {
+        tuple(
+            (f.name, str(f.type)) for f in _pq.read_schema(f_)
+        )
+        for f_ in files
+    }
     if len(schemas) > 1:
         raise ValueError(
             f"{src!r} holds {len(schemas)} distinct parquet schemas — "
