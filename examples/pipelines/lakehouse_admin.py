@@ -65,6 +65,22 @@ def main() -> None:
     facts = os.path.join(root, "facts")
     dim = os.path.join(root, "dim")
 
+    # 0. adopt an existing parquet lake ZERO-COPY: hard-link the files
+    #    into a versioned table, harvest footers, one manifest write —
+    #    no Spark job reads the data
+    from dynamicqueryengine_spark.sources.versioned import vt_convert
+
+    lake = os.path.join(root, "lake_src")
+    ev.limit(2000).write.parquet(lake)
+    adopted = os.path.join(root, "adopted")
+    vt_convert(spark, lake, adopted)
+    n_adopted = vt_count(spark, adopted)  # answered from footers
+    assert n_adopted == spark.read.parquet(lake).count()
+    print(
+        f"[0] vt_convert adopted {n_adopted} rows zero-copy "
+        "(hard links + footer harvest; vt_count needs no scan)"
+    )
+
     # 1. a streaming-style ingest: four small appends fragment the table
     for i in range(4):
         vt_write(
