@@ -91,13 +91,26 @@ def minhash_index_batch(
         id_col=id_col,
         delta_sigs=sig_delta,
     )
-    vt_write(
-        spark, pairs_path, pairs, mode="append",
-        txn=(_APP_PAIRS, batch_id),
-    )
-    vt_write(
-        spark, docs_path, batch, mode="append", txn=(_APP_DOCS, batch_id)
-    )
+    # pairs and docs land on INDEPENDENT tables and neither orders
+    # against the other (each append is individually replay-idempotent
+    # via its txn marker); run their write jobs concurrently so the
+    # second job's tasks back-fill executors the first job's tail frees
+    # (guide §2.6 overlap-independent-jobs). Only the SIGNATURE commit
+    # is ordered: it must land LAST so a replayed batch still probes a
+    # base index that excludes itself (module docstring).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pairs = pool.submit(
+            vt_write, spark, pairs_path, pairs, mode="append",
+            txn=(_APP_PAIRS, batch_id),
+        )
+        f_docs = pool.submit(
+            vt_write, spark, docs_path, batch, mode="append",
+            txn=(_APP_DOCS, batch_id),
+        )
+        f_pairs.result()
+        f_docs.result()
     vt_write(
         spark, sigs_path, sig_delta, mode="append",
         txn=(_APP_SIGS, batch_id),

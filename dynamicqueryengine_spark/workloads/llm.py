@@ -1978,18 +1978,43 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the recall numbers themselves are value-oracled —
     a quality regression in any index (bucketing, probing, codebooks)
     becomes a hash mismatch, not a silent degradation."""
-    brute = _ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
     methods = {
         "lsh": _ann_topk_lsh,
         "ivf": _ann_topk_ivf,
         "pq": _ann_topk_pq,
     }
+    # ONE brute-force pass, persisted (r14 — it used to be recomputed by
+    # the distinct-count AND inside each of the three per-method join
+    # jobs), and ONE method-tagged join+aggregate job instead of three
+    # separate join-count jobs: the three approx frames union with a
+    # method label and share a single broadcast of the exact top-k.
+    brute = (
+        _ann_topk_brute(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     n_q = brute.select("query_id").distinct().count()  # bounded scalar
-    reports = []
+    tagged = None
     for name, fn in methods.items():
-        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        hits = approx.join(brute, ["query_id", "neighbor_id"]).count()
-        reports.append((name, hits, n_q, float(hits) / float(n_q * 10)))
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("method", F.lit(name))
+        )
+        tagged = approx if tagged is None else tagged.unionByName(approx)
+    hit_rows = (
+        tagged.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    )
+    brute.unpersist()
+    by_method = {r["method"]: int(r["hits"]) for r in hit_rows}
+    reports = [
+        (name, by_method.get(name, 0), n_q,
+         float(by_method.get(name, 0)) / float(n_q * 10))
+        for name in methods
+    ]
     return spark.createDataFrame(
         reports, "method string, hits long, n_queries long, recall_at_10 double"
     )
@@ -6907,8 +6932,15 @@ def _events_vt_format_read(
     vt_rename_column(path, "v", "amount")
     fmt = spark.read.format("vt").option("path", path).load()
     native = vt_read(spark, path)
+    # the dv_applied probe rides the SAME format-scan aggregate as the
+    # count/sum parity (was a second full Python-datasource scan job
+    # just to count rows matching the deleted key)
     a = fmt.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").alias("s"),
+        F.sum(
+            F.when(F.col("event_id") == victim, 1).otherwise(0)
+        ).alias("victim_rows"),
     ).collect()[0]
     b = native.agg(
         F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s")
@@ -6922,9 +6954,7 @@ def _events_vt_format_read(
         .count()
     )
     time_travel_option = pre == vt_count(spark, path, 1) == a["n"] + 1
-    dv_applied = (
-        fmt.filter(F.col("event_id") == victim).count() == 0
-    )
+    dv_applied = a["victim_rows"] == 0
     return (
         fmt.groupBy("event_type")
         .agg(
@@ -7032,11 +7062,14 @@ def _events_vt_format_write(
             "files", {}
         ).values()
     ) and all(d in m2.get("blooms", {}) for d in new_dirs)
-    n_total = ev.count()
+    # one aggregation job yields both driver scalars (was a count job
+    # plus a separate min job over the same source scan)
+    row0 = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.min("event_type").alias("lo")
+    ).collect()[0]
+    n_total = row0["n"]
     count_parity = vt_count(spark, path) == n_total
-    dropped = ev.agg(F.min("event_type").alias("lo")).collect()[0][
-        "lo"
-    ]
+    dropped = row0["lo"]
     vt_delete(spark, path, ("event_type", "=", dropped))
     blob = vt_history(path)[0]["delete"]
     drop_partition_metadata_only = (
@@ -7158,14 +7191,12 @@ def _events_vt_format_changefeed(
         .option("endingVersion", "2")
         .load()
     )
-    sub_range_scoped = (
-        {
-            r["_change_type"]
-            for r in window.select("_change_type").distinct().collect()
-        }
-        == {"delete"}
-        and window.count() == 1
-    )
+    # one job for both facets of the pin (was distinct-collect + count)
+    wrow = window.agg(
+        F.collect_set("_change_type").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    sub_range_scoped = set(wrow["s"]) == {"delete"} and wrow["n"] == 1
     return (
         fmt.groupBy("_change_type")
         .agg(
