@@ -1293,7 +1293,14 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    slim = df.select(id_col, vec_col)
+    # persist the slim projection: it is referenced by the sizing count
+    # PLUS the tile collect and the streaming map side (single-tile) or
+    # both replicated grid sides (multi-tile) — without the cache an
+    # upstream that is itself an aggregation (e.g. the hashing-trick
+    # embedding build) re-runs its shuffle once per reference (r14;
+    # measured 3 evaluations). Cache-managed and recomputable, released
+    # with the module's other internal caches.
+    slim = _register_cache(df.select(id_col, vec_col).persist())
     n = slim.count()
 
     def pair_block(a_ids, a_mat, b_ids, b_mat):
