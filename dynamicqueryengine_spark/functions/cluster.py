@@ -99,6 +99,12 @@ def connected_components(
                 ]
             ),
         )
+    # Fall-through: release the collected probe (up to 1,000,001 Row
+    # objects — far more driver heap than the raw ~16 MB once per-Row
+    # Python overhead is counted) BEFORE the iterative rounds start,
+    # instead of holding it live for the whole distributed computation
+    # (r15, ADVICE r14).
+    del probe
     # Size-aware parallelism for the distributed path: iterative rounds
     # pay fixed cost per task — one partition per ~2M edges (the label
     # table is ≤ the edge table), bounded by the session's parallelism.

@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import spread
+from ..util import spread_pinned as spread
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,

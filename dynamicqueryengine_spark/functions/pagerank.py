@@ -143,6 +143,10 @@ def pagerank(
                 damping,
                 iterations,
             )
+        # fall-through: release the collected probe (up to max+1 Row
+        # objects, well beyond the raw bytes once per-Row Python
+        # overhead counts) before the iterative rounds (r15, ADVICE r14)
+        del probe
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(outdeg, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()

@@ -22,9 +22,26 @@ Exactly-once under at-least-once replay: each of the three table
 appends (pairs, docs, signatures) carries a ``txn=(app, batch_id)``
 SetTransaction marker committed atomically with its manifest, so a
 crash between any two appends replays as per-table no-ops — the same
-guard ``events_stream_upsert_totals`` pins for the upsert sink.
-Ordering makes the replayed PROBE deterministic too: signatures commit
-LAST, so a replayed batch still sees a base index that excludes itself.
+guard ``events_stream_upsert_totals`` pins for the upsert sink. The
+three appends are INDEPENDENT and run concurrently (r15, guide §2.6 —
+the r14 form ordered the signature commit last and serialized it):
+
+* a batch is skipped wholesale only when ALL THREE markers cover it;
+  any partially-committed batch re-runs, and each table's own marker
+  turns its already-landed append into a no-op;
+* the replayed PROBE is insensitive to its own signatures having
+  committed: probing the delta against a base that already contains it
+  only duplicates candidate rows the post-join ``distinct`` collapses,
+  so the flagged pair set is bit-identical (pinned by
+  ``test_partially_committed_batch_replays_exactly``);
+* the verification side skips the batch union when the docs append
+  already landed, so replayed candidates are never re-shingled against
+  duplicated document rows.
+
+A permanently-failing append leaves its own table behind while the
+other two advance — visible in the markers, converged by the next
+successful replay; the r14 sequential form could not produce that
+state but paid a full serial commit chain for it.
 
 Flagged-set completeness: a pair (a, b) is emitted by exactly one
 batch — the one where the LATER document arrives (both-in-one-batch
@@ -66,8 +83,16 @@ def minhash_index_batch(
     from ..sources.versioned import vt_last_txn, vt_read, vt_versions, vt_write
 
     batch = batch_df.select(id_col, text_col)
-    if vt_last_txn(sigs_path, _APP_SIGS) is not None and (
-        vt_last_txn(sigs_path, _APP_SIGS) >= batch_id
+
+    def _done(path: str, app: str) -> bool:
+        last = vt_last_txn(path, app)
+        return last is not None and last >= batch_id
+
+    docs_done = _done(docs_path, _APP_DOCS)
+    if (
+        _done(sigs_path, _APP_SIGS)
+        and docs_done
+        and _done(pairs_path, _APP_PAIRS)
     ):
         return  # full replay of an already-completed batch
     sig_delta = D.minhash_signatures(
@@ -80,7 +105,10 @@ def minhash_index_batch(
     base_docs = (
         vt_read(spark, docs_path) if vt_versions(docs_path) else batch.limit(0)
     )
-    all_docs = base_docs.unionByName(batch)
+    # replay of a partially-committed batch whose DOCS append already
+    # landed: the base table contains the batch, so unioning it again
+    # would re-shingle duplicated rows in the verifier (module docstring)
+    all_docs = base_docs if docs_done else base_docs.unionByName(batch)
     pairs = D.minhash_lsh_pairs_delta(
         all_docs,
         base_sigs,
@@ -91,30 +119,37 @@ def minhash_index_batch(
         id_col=id_col,
         delta_sigs=sig_delta,
     )
-    # pairs and docs land on INDEPENDENT tables and neither orders
-    # against the other (each append is individually replay-idempotent
-    # via its txn marker); run their write jobs concurrently so the
-    # second job's tasks back-fill executors the first job's tail frees
-    # (guide §2.6 overlap-independent-jobs). Only the SIGNATURE commit
-    # is ordered: it must land LAST so a replayed batch still probes a
-    # base index that excludes itself (module docstring).
+    # all three appends land on INDEPENDENT tables: each is individually
+    # replay-idempotent via its own txn marker, and the skip gate above
+    # requires all three markers, so no inter-append ordering is needed
+    # for exactly-once (module docstring's replay argument). Run the
+    # three write jobs concurrently so each job's tasks back-fill
+    # executors another job's tail frees (guide §2.6) — the r14 form
+    # serialized the signature commit behind the other two.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_pairs = pool.submit(
-            vt_write, spark, pairs_path, pairs, mode="append",
-            txn=(_APP_PAIRS, batch_id),
-        )
-        f_docs = pool.submit(
-            vt_write, spark, docs_path, batch, mode="append",
-            txn=(_APP_DOCS, batch_id),
-        )
-        f_pairs.result()
-        f_docs.result()
-    vt_write(
-        spark, sigs_path, sig_delta, mode="append",
-        txn=(_APP_SIGS, batch_id),
-    )
+    from ..util import spark_thread_target
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(
+                spark_thread_target(spark, vt_write),
+                spark, pairs_path, pairs, mode="append",
+                txn=(_APP_PAIRS, batch_id),
+            ),
+            pool.submit(
+                spark_thread_target(spark, vt_write),
+                spark, docs_path, batch, mode="append",
+                txn=(_APP_DOCS, batch_id),
+            ),
+            pool.submit(
+                spark_thread_target(spark, vt_write),
+                spark, sigs_path, sig_delta, mode="append",
+                txn=(_APP_SIGS, batch_id),
+            ),
+        ]
+        for f in futures:
+            f.result()
     sig_delta.unpersist()
     D.release_internal_caches()  # per-batch miner caches must not outlive
 

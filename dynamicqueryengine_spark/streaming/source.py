@@ -816,7 +816,15 @@ def vt_change_stream(
     continuous tail that must not swallow a backlog in one micro-batch);
     under ``availableNow`` Spark pins the end offset at query start, so
     a cap would stop the catch-up early — leave it unset there."""
-    spark.dataSource.register(VersionedChangesDataSource)
+    try:
+        spark.dataSource.register(VersionedChangesDataSource)
+    except Exception as exc:  # concurrent registration race (r15): a
+        # sequential re-register silently overwrites, but two driver
+        # threads registering at once can trip the JVM manager's
+        # exists-check — the source being registered IS the desired
+        # state, so the race loser proceeds
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
     reader = (
         spark.readStream.format(CHANGE_SOURCE_NAME)
         .option("path", path)

@@ -770,7 +770,10 @@ def _customer_ltv_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.filter("_cuts", lambda c: F.col("ltv") > c)),
     )
     w = Window.orderBy(F.desc("ltv"), F.asc("o_custkey"))
-    tiled = bucketed.withColumn("decile", F.ntile(10).over(w))
+    # persisted: the disagreement audit and the decile report both read
+    # the ntile frame; without the cache the global window sort — the
+    # exact twin's whole cost — executed twice (r15, guide §5)
+    tiled = bucketed.withColumn("decile", F.ntile(10).over(w)).persist()
 
     # verification: true rank interval of each cut value from the value
     # histogram (ties included: _rhi − _rlo = tie-group size)
@@ -799,11 +802,18 @@ def _customer_ltv_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("_gk_ok").alias("approx_ok"),
         F.sum("_slack1").alias("_budget"),
     )
-    dis = tiled.agg(
+    # 1-row audit scalars: collect once, return literals (r15, guide
+    # §1.2 — the r14 form crossJoined them as broadcast subtrees, each
+    # an extra job re-deriving the window). The disagreement agg doubles
+    # as the tiled cache's eager materialization.
+    checks_row = checks.collect()[0]
+    ndis = tiled.agg(
         F.sum(
             F.when(F.col("decile") != F.col("approx_decile"), 1).otherwise(0)
         ).alias("_ndis")
-    )
+    ).collect()[0]["_ndis"]
+    approx_ok = bool(checks_row["approx_ok"])
+    disagree_ok = bool(ndis <= checks_row["_budget"])
     report = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("n_orders").alias("n_orders"),
@@ -811,19 +821,15 @@ def _customer_ltv_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ltv"), 2).cast("double").alias("min_ltv"),
         F.round(F.max("ltv"), 2).cast("double").alias("max_ltv"),
     )
-    return (
-        report.crossJoin(F.broadcast(checks))
-        .crossJoin(F.broadcast(dis))
-        .select(
-            "decile",
-            "n_customers",
-            "n_orders",
-            "total_ltv",
-            "min_ltv",
-            "max_ltv",
-            "approx_ok",
-            (F.col("_ndis") <= F.col("_budget")).alias("disagree_ok"),
-        )
+    return report.select(
+        "decile",
+        "n_customers",
+        "n_orders",
+        "total_ltv",
+        "min_ltv",
+        "max_ltv",
+        F.lit(approx_ok).alias("approx_ok"),
+        F.lit(disagree_ok).alias("disagree_ok"),
     )
 
 
@@ -1278,12 +1284,16 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
     f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
     m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    # persisted: the disagreement audit and the segment report both read
+    # the three-ntile frame; without the cache the three global window
+    # sorts — the exact twin's whole cost — executed TWICE (r15, guide
+    # §5; this was the r14 verdict's "approx costs 3× its exact twin")
     scored = b.select(
         "*",
         F.ntile(K).over(r_w).alias("r"),
         F.ntile(K).over(f_w).alias("f"),
         F.ntile(K).over(m_w).alias("m"),
-    )
+    ).persist()
 
     # verification: per-dimension cut-rank intervals from value histograms
     def _dim_checks(c: str) -> DataFrame:
@@ -1317,17 +1327,36 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("_s1").alias(f"_budget_{c}"),
         )
 
-    checks = _dim_checks("recency_days").crossJoin(
-        _dim_checks("frequency")
-    ).crossJoin(_dim_checks("monetary"))
+    # Both audit scalars are 1-row aggregates: collect them ONCE and
+    # return the booleans as literals (r15, guide §1.2) — the r14 form
+    # crossJoined them as broadcast subtrees, each an extra job whose
+    # plan re-derived per_cust/scored. The disagreement agg doubles as
+    # the eager materialization of the scored cache, so the report job
+    # below reads the windows from memory instead of re-sorting.
+    checks_row = (
+        _dim_checks("recency_days")
+        .crossJoin(_dim_checks("frequency"))
+        .crossJoin(_dim_checks("monetary"))
+        .collect()[0]
+    )
     ntile_of = {"recency_days": "r", "frequency": "f", "monetary": "m"}
-    dis = scored.agg(
+    nd = scored.agg(
         *[
             F.sum(
                 F.when(F.col(ntile_of[c]) != F.col(f"_aq_{c}"), 1).otherwise(0)
             ).alias(f"_nd_{c}")
             for c, _ in dims
         ]
+    ).collect()[0]
+    approx_ok = bool(
+        checks_row["_ok_recency_days"]
+        and checks_row["_ok_frequency"]
+        and checks_row["_ok_monetary"]
+    )
+    disagree_ok = bool(
+        nd["_nd_recency_days"] <= checks_row["_budget_recency_days"]
+        and nd["_nd_frequency"] <= checks_row["_budget_frequency"]
+        and nd["_nd_monetary"] <= checks_row["_budget_monetary"]
     )
 
     report = scored.groupBy(
@@ -1336,24 +1365,12 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("segment_value"),
     )
-    return (
-        report.crossJoin(F.broadcast(checks))
-        .crossJoin(F.broadcast(dis))
-        .select(
-            "segment",
-            "n_customers",
-            "segment_value",
-            (
-                F.col("_ok_recency_days")
-                & F.col("_ok_frequency")
-                & F.col("_ok_monetary")
-            ).alias("approx_ok"),
-            (
-                (F.col("_nd_recency_days") <= F.col("_budget_recency_days"))
-                & (F.col("_nd_frequency") <= F.col("_budget_frequency"))
-                & (F.col("_nd_monetary") <= F.col("_budget_monetary"))
-            ).alias("disagree_ok"),
-        )
+    return report.select(
+        "segment",
+        "n_customers",
+        "segment_value",
+        F.lit(approx_ok).alias("approx_ok"),
+        F.lit(disagree_ok).alias("disagree_ok"),
     )
 
 

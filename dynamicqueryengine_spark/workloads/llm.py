@@ -3388,7 +3388,7 @@ def _docs_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall≈1 equivalence of the dedup_minhash_lsh oracle) checks. The
     sync pin asserts the index head covers every signable document."""
     from ..functions.text import normalize_text
-    from ..sources.versioned import vt_read
+    from ..sources.versioned import vt_count, vt_read
     from ..streaming.minhash import stream_minhash_index
 
     import glob as _glob
@@ -3434,7 +3434,10 @@ def _docs_stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         threshold=0.7,
     )
-    index_rows = vt_read(spark, sigs_path).count()
+    # metadata-only count (r15, guide §1.2): the sync pin needs the
+    # index's row COUNT, which the manifest's footer row counts answer
+    # exactly — the r14 form ran a full scan job over the sigs table
+    index_rows = vt_count(spark, sigs_path)
     corpus_rows = docs.filter(
         F.length(normalize_text(F.col("text"))) >= 5
     ).count()
@@ -6902,8 +6905,11 @@ def _events_vt_format_read(
     (partition_by=event_type) that then takes a merge-on-read DV delete
     and a column RENAME — the three features a format-blind reader
     would corrupt (resurrected rows, physical names, unsplit scans) —
-    and is read back through ``spark.read.format("vt")`` with a filter
-    the source's pushFilters translates into manifest pruning.
+    and is read back through ``spark.read.format("vt")`` as full-scan
+    aggregates (the dv_applied probe rides the parity aggregate since
+    r14; the pushFilters → manifest-pruning path is covered end to end
+    by tests/test_batch_datasource.py's
+    ``test_pushdown_prunes_partitions`` value assertion).
 
     Pinned INSIDE the oracle hash: ``format_equals_native`` (the format
     read and vt_read agree on count and sum over the whole table),
@@ -7311,11 +7317,6 @@ def _events_stream_format_sink(
         )
         q.awaitTermination()
 
-    run_sink()
-    head = vt_versions(dst)[-1]
-    run_sink()  # idle restart: all batches already marked/empty
-    exactly_once_restart = vt_versions(dst)[-1] == head
-
     def for_each(bdf, _bid) -> None:
         if bdf.isEmpty():
             return
@@ -7326,15 +7327,38 @@ def _events_stream_format_sink(
             mode="append" if vt_versions(fb) else "overwrite",
         )
 
-    q = (
-        vt_change_stream(spark, src)
-        .select("event_id", "event_type", "v")
-        .writeStream.foreachBatch(for_each)
-        .option("checkpointLocation", os.path.join(base, "ckfb"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    def _sink_leg() -> bool:
+        run_sink()
+        head = vt_versions(dst)[-1]
+        run_sink()  # idle restart: all batches already marked/empty
+        return vt_versions(dst)[-1] == head
+
+    def _fb_leg() -> None:
+        q = (
+            vt_change_stream(spark, src)
+            .select("event_id", "event_type", "v")
+            .writeStream.foreachBatch(for_each)
+            .option("checkpointLocation", os.path.join(base, "ckfb"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # the foreachBatch comparison stream is INDEPENDENT of both sink
+    # runs (same source table, disjoint sink/checkpoint), and each
+    # stream pays the Python-streaming-source runner's fixed startup —
+    # overlap it with the sink+restart pair from a second driver thread
+    # (r15, guide §2.6). exactly_once_restart still compares the head
+    # after run 1 vs run 2 exactly as the sequential r14 form did.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..util import spark_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sink = pool.submit(spark_thread_target(spark, _sink_leg))
+        f_fb = pool.submit(spark_thread_target(spark, _fb_leg))
+        exactly_once_restart = f_sink.result()
+        f_fb.result()
     sink_df = vt_read(spark, dst)
     fb_df = vt_read(spark, fb)
     foreachbatch_parity = _multiset_equal(sink_df, fb_df)
@@ -7465,25 +7489,50 @@ def _events_vt_format_stream_read(
     incremental_exact = _multiset_equal(got, ev)
     victim = third.select(F.min("event_id")).first()[0]
     vt_delete(spark, src, ("event_id", "=", victim))
-    run_stream(skipChangeCommits="true")
-    skip_change_ok = (
-        spark.read.parquet(out).count() == ev.count()
-    )
-    cdf = (
-        spark.readStream.format("vt")
-        .option("path", src)
-        .option("readChangeFeed", "true")
-        .option("startingVersion", "0")
-        .load()
-    )
-    qn = f"vtfmtcdf_{os.getpid()}_{len(vt_versions(src))}"
-    q = (
-        cdf.writeStream.format("memory")
-        .queryName(qn)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    # The skip-commits re-run and the CDF stream are INDEPENDENT past
+    # this point (both only read src, one writes out/ck, the other a
+    # memory sink), and each pays the Python-streaming-source runner's
+    # fixed startup — overlap them from two driver threads (r15, guide
+    # §2.6; measured ~1.6 s of per-stream machinery hidden). Every pin
+    # is computed from the same post-stream states as the sequential
+    # r14 form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..sources.versioned import vt_count
+
+    def _skip_leg() -> bool:
+        run_stream(skipChangeCommits="true")
+        # ev.count() == vt_count(src) + 1 after the single-row delete —
+        # the manifest's footer row counts answer it metadata-only
+        # (guide §1.2: the r14 form ran a second full scan job)
+        return spark.read.parquet(out).count() == vt_count(spark, src) + 1
+
+    def _cdf_leg() -> str:
+        cdf = (
+            spark.readStream.format("vt")
+            .option("path", src)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load()
+        )
+        qn = f"vtfmtcdf_{os.getpid()}_{len(vt_versions(src))}"
+        q = (
+            cdf.writeStream.format("memory")
+            .queryName(qn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return qn
+
+    from ..util import spark_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_skip = pool.submit(spark_thread_target(spark, _skip_leg))
+        f_cdf = pool.submit(spark_thread_target(spark, _cdf_leg))
+        skip_change_ok = f_skip.result()
+        qn = f_cdf.result()
     streamed = spark.table(qn)
     batch = vt_read_changes(spark, src, 0, vt_versions(src)[-1])
     cdf_parity = _multiset_equal(streamed, batch)
@@ -7815,13 +7864,18 @@ def _events_vt_nested_widen(
     )
     vt_write(spark, path, narrow_row, mode="append")
     out = vt_read(spark, path)
-    upcast_served = (
+    # the declared-type half of upcast_served is plan metadata (no job);
+    # the row probes fold into ONE aggregate over the final head below
+    # (r15, guide §1.2 — the r14 form ran three separate scan jobs, the
+    # regression the r14 verdict flagged as events_vt_nested_widen's
+    # 1.6× slowdown). Row-level equivalence: the later commits (rename/
+    # add/drop are metadata-only; the bonus append's row matches none of
+    # these predicates) leave every probed count identical at the final
+    # head, so each pin still verifies exactly what it verified at the
+    # commit that established it.
+    upcast_declared = (
         out.schema["payload"].dataType["cents"].dataType.simpleString()
         == "bigint"
-        and out.filter(F.col("payload.cents") == big).count() == 1
-    )
-    narrow_append_ok = (
-        out.filter(F.col("event_id") == 10**9 + 1).count() == 1
     )
     assert vt_versions(path)[-1] >= 4
     # NESTED RENAME leg (r14, verdict ask #4): the widened leaf renames
@@ -7872,12 +7926,41 @@ def _events_vt_nested_widen(
     vt_drop_column(path, "payload.bonus")
     vt_add_column(path, "payload.bonus", "bigint")
     fm = _read_manifest(path, vt_versions(path)[-1])
-    readd = vt_read(spark, path).filter(
-        F.col("event_id") == 10**9 + 2
-    ).collect()[0]["payload"]
+    probe = (
+        vt_read(spark, path)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("payload.amount_cents") == big, 1
+                ).otherwise(0)
+            ).alias("n_big"),
+            F.sum(
+                F.when(F.col("event_id") == 10**9 + 1, 1).otherwise(0)
+            ).alias("n_narrow"),
+            F.sum(
+                F.when(F.col("event_id") == 10**9 + 2, 1).otherwise(0)
+            ).alias("n_bonus_row"),
+            F.max(
+                F.when(
+                    F.col("event_id") == 10**9 + 2,
+                    F.col("payload.bonus"),
+                )
+            ).alias("bonus"),
+            F.max(
+                F.when(
+                    F.col("event_id") == 10**9 + 2,
+                    F.col("payload.amount_cents"),
+                )
+            ).alias("bonus_cents"),
+        )
+        .collect()[0]
+    )
+    upcast_served = upcast_declared and probe["n_big"] == 1
+    narrow_append_ok = probe["n_narrow"] == 1
     no_resurrection = (
-        readd["bonus"] is None
-        and readd["amount_cents"] == 7
+        probe["n_bonus_row"] == 1
+        and probe["bonus"] is None
+        and probe["bonus_cents"] == 7
         and fm["column_mapping"]["payload.bonus"] != phys_first
     )
     return (

@@ -141,3 +141,65 @@ class TestStreamMinhashIndex:
         }
         assert after == before  # no new versions, no new rows anywhere
         assert os.path.exists(paths["pairs"])
+
+    def test_partially_committed_batch_replays_exactly(
+        self, spark, tmp_path
+    ):
+        """r15 (concurrent appends): a crash that committed SIGS and DOCS
+        but not PAIRS replays to the exact clean-run pair set — the probe
+        is insensitive to its own signatures being in the base, the
+        verifier skips the doc union when the docs append landed, and the
+        already-committed appends no-op via their markers."""
+        import os
+
+        from dynamicqueryengine_spark.functions import dedup as D
+        from dynamicqueryengine_spark.sources.registry import load_table
+        from dynamicqueryengine_spark.sources.versioned import (
+            vt_head,
+            vt_read,
+            vt_write,
+        )
+        from dynamicqueryengine_spark.streaming import minhash as mh
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        clean = self._run_batches(
+            spark, os.path.join(str(tmp_path), "clean"), docs,
+            [F.col("doc_id") % 2 == i for i in range(2)],
+        )
+        want = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in vt_read(spark, clean["pairs"]).collect()
+        }
+
+        # crashed run: batch 0 completes; batch 1's SIGS and DOCS land
+        # (their txn markers committed) but the PAIRS append is lost
+        paths = self._run_batches(
+            spark, os.path.join(str(tmp_path), "crash"), docs,
+            [F.col("doc_id") % 2 == 0],
+        )
+        b1 = docs.filter(F.col("doc_id") % 2 == 1)
+        vt_write(
+            spark, paths["docs"], b1, mode="append",
+            txn=(mh._APP_DOCS, 1),
+        )
+        vt_write(
+            spark, paths["sigs"], D.minhash_signatures(b1),
+            mode="append", txn=(mh._APP_SIGS, 1),
+        )
+        heads = {n: vt_head(p) for n, p in paths.items()}
+
+        mh.minhash_index_batch(  # at-least-once replay of batch 1
+            spark, b1, 1,
+            paths["docs"], paths["sigs"], paths["pairs"],
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in vt_read(spark, paths["pairs"]).collect()
+        }
+        assert got == want and got
+        # the already-committed appends were no-ops: only pairs advanced
+        assert vt_head(paths["docs"]) == heads["docs"]
+        assert vt_head(paths["sigs"]) == heads["sigs"]
+        assert vt_head(paths["pairs"]) == heads["pairs"] + 1
