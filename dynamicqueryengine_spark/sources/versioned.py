@@ -4595,12 +4595,44 @@ def vt_merge(
                     change_rows = upserts.withColumn(
                         "_change_type", F.lit("insert")
                     )
-                change_dir, _, _, _, _ = _write_data_dir(
-                    change_rows, path, prefix="c", mapping=cmap
+                if touched_cached:
+                    # materialize the cache with ONE compute pass, then
+                    # run the two independent directory writes (change
+                    # rows, merged snapshot) CONCURRENTLY — they read
+                    # the cached touched files, and overlapping them
+                    # hides one write job's scheduling tail behind the
+                    # other (r15, guide §2.6). Sequentially this cost
+                    # compute+write, then cache-read+write.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    from ..util import spark_thread_target
+
+                    touched.count()
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_c = pool.submit(
+                            spark_thread_target(spark, _write_data_dir),
+                            change_rows, path, "c", cmap,
+                        )
+                        f_n = pool.submit(
+                            spark_thread_target(spark, _write_data_dir),
+                            merged_new, path, "d", cmap,
+                        )
+                        change_dir = f_c.result()[0]
+                        (
+                            new_dir, new_stats, new_fstats,
+                            new_files, new_rows,
+                        ) = f_n.result()
+                else:
+                    change_dir, _, _, _, _ = _write_data_dir(
+                        change_rows, path, prefix="c", mapping=cmap
+                    )
+                    new_dir, new_stats, new_fstats, new_files, new_rows = (
+                        _write_data_dir(merged_new, path, mapping=cmap)
+                    )
+            else:
+                new_dir, new_stats, new_fstats, new_files, new_rows = (
+                    _write_data_dir(merged_new, path, mapping=cmap)
                 )
-            new_dir, new_stats, new_fstats, new_files, new_rows = (
-                _write_data_dir(merged_new, path, mapping=cmap)
-            )
         finally:
             if touched_cached:
                 touched.unpersist()

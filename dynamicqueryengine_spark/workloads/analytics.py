@@ -1295,36 +1295,88 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.ntile(K).over(m_w).alias("m"),
     ).persist()
 
-    # verification: per-dimension cut-rank intervals from value histograms
-    def _dim_checks(c: str) -> DataFrame:
-        cuts = scalars.select(
-            "_n", F.posexplode(f"_cuts_{c}").alias("_i", "_cv")
+    # verification: per-dimension cut-rank intervals from value
+    # histograms, ALL THREE DIMENSIONS IN ONE PASS (r15, guide §1.2):
+    # the r14 form ran one histogram aggregation per dimension and
+    # crossJoined three 1-row aggregates — three shuffle jobs where one
+    # long-format explode (dim, value) suffices. Values compare as
+    # doubles on BOTH sides of every </<= (the cut values come from the
+    # same column's data), so each dimension's rank intervals — and
+    # therefore both pinned booleans — are bit-identical to the
+    # per-dimension form (int/long/decimal(18,2) at these magnitudes
+    # round-trip doubles exactly).
+    def _dim_checks_all() -> DataFrame:
+        lf = per_cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_dim"),
+                            F.col(c).cast("double").alias("_v"),
+                        )
+                        for c, _ in dims
+                    ]
+                )
+            ).alias("e")
+        ).select("e._dim", "e._v")
+        hist = lf.groupBy("_dim", "_v").agg(
+            F.count(F.lit(1)).alias("_c")
         )
-        hist = per_cust.groupBy(c).agg(F.count(F.lit(1)).alias("_c"))
-        ranks = hist.crossJoin(F.broadcast(cuts)).groupBy(
-            "_i", "_cv", "_n"
-        ).agg(
-            F.sum(
-                F.when(F.col(c) < F.col("_cv"), F.col("_c")).otherwise(0)
-            ).alias("_rlo"),
-            F.sum(
-                F.when(F.col(c) <= F.col("_cv"), F.col("_c")).otherwise(0)
-            ).alias("_rhi"),
+        cuts = scalars.select(
+            "_n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_dim"),
+                            F.lit(i).alias("_i"),
+                            F.element_at(f"_cuts_{c}", i + 1)
+                            .cast("double")
+                            .alias("_cv"),
+                        )
+                        for c, _ in dims
+                        for i in range(len(ps))
+                    ]
+                )
+            ).alias("e"),
+        ).select("_n", "e._dim", "e._i", "e._cv")
+        ranks = (
+            hist.join(F.broadcast(cuts), "_dim")
+            .groupBy("_dim", "_i", "_cv", "_n")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_v") < F.col("_cv"), F.col("_c")
+                    ).otherwise(0)
+                ).alias("_rlo"),
+                F.sum(
+                    F.when(
+                        F.col("_v") <= F.col("_cv"), F.col("_c")
+                    ).otherwise(0)
+                ).alias("_rhi"),
+            )
         )
         t = F.ceil((F.col("_i") + 1) / F.lit(float(K)) * F.col("_n"))
         eps_n = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(accuracy)))
-        return ranks.select(
-            (
-                (F.col("_rhi") > F.col("_rlo"))
-                & (F.col("_rhi") >= t - eps_n)
-                & (F.col("_rlo") + 1 <= t + eps_n)
-            ).alias("_gk"),
-            (
-                F.greatest(F.col("_rhi"), t) - F.least(F.col("_rlo"), t) + 1
-            ).alias("_s1"),
-        ).agg(
-            F.bool_and("_gk").alias(f"_ok_{c}"),
-            F.sum("_s1").alias(f"_budget_{c}"),
+        return (
+            ranks.select(
+                "_dim",
+                (
+                    (F.col("_rhi") > F.col("_rlo"))
+                    & (F.col("_rhi") >= t - eps_n)
+                    & (F.col("_rlo") + 1 <= t + eps_n)
+                ).alias("_gk"),
+                (
+                    F.greatest(F.col("_rhi"), t)
+                    - F.least(F.col("_rlo"), t)
+                    + 1
+                ).alias("_s1"),
+            )
+            .groupBy("_dim")
+            .agg(
+                F.bool_and("_gk").alias("_ok"),
+                F.sum("_s1").alias("_budget"),
+            )
         )
 
     # Both audit scalars are 1-row aggregates: collect them ONCE and
@@ -1333,12 +1385,10 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     # plan re-derived per_cust/scored. The disagreement agg doubles as
     # the eager materialization of the scored cache, so the report job
     # below reads the windows from memory instead of re-sorting.
-    checks_row = (
-        _dim_checks("recency_days")
-        .crossJoin(_dim_checks("frequency"))
-        .crossJoin(_dim_checks("monetary"))
-        .collect()[0]
-    )
+    by_dim = {
+        r["_dim"]: (bool(r["_ok"]), r["_budget"])
+        for r in _dim_checks_all().collect()
+    }
     ntile_of = {"recency_days": "r", "frequency": "f", "monetary": "m"}
     nd = scored.agg(
         *[
@@ -1348,15 +1398,9 @@ def _customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             for c, _ in dims
         ]
     ).collect()[0]
-    approx_ok = bool(
-        checks_row["_ok_recency_days"]
-        and checks_row["_ok_frequency"]
-        and checks_row["_ok_monetary"]
-    )
-    disagree_ok = bool(
-        nd["_nd_recency_days"] <= checks_row["_budget_recency_days"]
-        and nd["_nd_frequency"] <= checks_row["_budget_frequency"]
-        and nd["_nd_monetary"] <= checks_row["_budget_monetary"]
+    approx_ok = all(by_dim[c][0] for c, _ in dims)
+    disagree_ok = all(
+        nd[f"_nd_{c}"] <= by_dim[c][1] for c, _ in dims
     )
 
     report = scored.groupBy(
