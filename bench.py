@@ -61,6 +61,53 @@ def _shuffle_probe_seconds(spark) -> float:
     return time.perf_counter() - start
 
 
+def _distributed_route_probe_seconds(spark) -> dict:
+    """CODE-FROZEN distributed graph-route probe (r14 verdict ask #2):
+    at bench SF every pair-mining contract query resolves to a driver
+    fast path (union-find CC gate since r9, DRIVER_PAGERANK_MAX_EDGES
+    since r14, the dense jaccard tile), so no bench number exercised
+    the distributed power-iteration / pointer-jumping plans — a
+    regression in the 100 TB graph routes was invisible. This probe
+    runs BOTH distributed routes with their driver gates forced OFF
+    over a fixed synthetic graph derived from ``spark.range`` (60k
+    nodes in 16-node chain components plus deterministic star links
+    inside each 64-node group — bounded diameter, so the probe times
+    the per-round distributed machinery, not a pathological round
+    count), identical at every SF and immune to testdata regeneration.
+    DO NOT EDIT — cross-round comparability is the point. Returns
+    {"pagerank": sec, "cc": sec} for one timed run."""
+    from pyspark.sql import functions as F
+
+    from dynamicqueryengine_spark.functions import cluster as _cluster
+    from dynamicqueryengine_spark.functions.pagerank import pagerank
+
+    n = 60_000
+    base = spark.range(n)
+    chains = base.filter((F.col("id") + 1) % 16 != 0).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stars = base.filter(F.col("id") % 64 != 0).select(
+        (F.col("id") - F.col("id") % 64).alias("id_a"),
+        F.col("id").alias("id_b"),
+    )
+    pairs = chains.unionByName(stars)
+
+    out: dict = {}
+    start = time.perf_counter()
+    pagerank(pairs, iterations=5, driver_max_edges=0).count()
+    out["pagerank"] = round(time.perf_counter() - start, 4)
+
+    gate = _cluster.DRIVER_CC_MAX_EDGES
+    _cluster.DRIVER_CC_MAX_EDGES = 0  # force the pointer-jumping route
+    try:
+        start = time.perf_counter()
+        _cluster.connected_components(pairs).count()
+        out["cc"] = round(time.perf_counter() - start, 4)
+    finally:
+        _cluster.DRIVER_CC_MAX_EDGES = gate
+    return out
+
+
 def main() -> None:
     run_started = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,6 +251,37 @@ def main() -> None:
     shuffle_factor = (
         round(shuffle_obs / _SHUFFLE_REF, 3) if shuffle_obs else None
     )
+    # distributed graph-route probe (r15, r14 verdict ask #2): the
+    # driver fast paths took the pagerank/CC contract queries off the
+    # distributed plans at bench SF, so these two gate-off runs are the
+    # ONLY per-round numbers covering the 100 TB power-iteration and
+    # pointer-jumping routes. Same protocol as the shuffle probe: one
+    # codegen-warmup run discarded, then 2 timed runs, min recorded.
+    # References pinned r15 (min-of-2 on the r15 measurement host).
+    _DISTRIBUTED_REF = {"pagerank": 2.44, "cc": 3.08}
+    dist_runs: list[dict] = []
+    try:
+        for i in range(3):
+            scrub()
+            r = _distributed_route_probe_seconds(spark)
+            if i > 0:  # first run pays codegen warmup
+                dist_runs.append(r)
+    except Exception as exc:  # pragma: no cover - probe is best-effort
+        print(f"distributed route probe failed: {exc}", file=sys.stderr)
+    dist_obs = (
+        {k: min(r[k] for r in dist_runs) for k in _DISTRIBUTED_REF}
+        if dist_runs
+        else None
+    )
+    dist_factor = (
+        round(
+            sum(dist_obs[k] / _DISTRIBUTED_REF[k] for k in dist_obs)
+            / len(dist_obs),
+            3,
+        )
+        if dist_obs
+        else None
+    )
     calibration = {
         "probes": probe_obs,
         "reference": _CALIBRATION_REF,
@@ -219,6 +297,12 @@ def main() -> None:
                 "runs": shuffle_runs,
                 "reference": {"synthetic_pair_join": _SHUFFLE_REF},
                 "factor": shuffle_factor,
+            },
+            "distributed_graph": {
+                "probes": dist_obs,
+                "runs": dist_runs,
+                "reference": _DISTRIBUTED_REF,
+                "factor": dist_factor,
             },
         },
         "total_min2_normalized": (

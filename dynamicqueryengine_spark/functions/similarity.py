@@ -254,10 +254,19 @@ def kmeans_centroids(
     import numpy as np
 
     spark = corpus.sparkSession
-    init = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    # persisted (r15, guide §5): every Lloyd iteration re-read this
+    # spread projection — iterations × one corpus scan; the seed collect
+    # doubles as the cache's materialization, so no extra job
+    cached = spread(corpus.select(id_col, vec_col)).persist()
+    init = (
+        cached.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
     centroids = np.stack([np.array(r[0], dtype=np.float64) for r in init])
 
-    data = spread(corpus.select(vec_col))
+    data = cached.select(vec_col)
     for _ in range(iterations):
         bc = spark.sparkContext.broadcast(centroids)
 
@@ -301,6 +310,7 @@ def kmeans_centroids(
             if row["n"] > 0:
                 new[row["cell"]] = np.array(row["s"]) / row["n"]
         centroids = new
+    cached.unpersist()
     return centroids.tolist()
 
 
@@ -337,11 +347,19 @@ def kmeans_centroids_exact(
     import pandas as pd
 
     spark = corpus.sparkSession
-    init = corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    # the seed collect doubles as the cache's materialization (r15,
+    # guide §1.2): the r14 form scanned the corpus once for the seeds
+    # and AGAIN for an eager count of the cached projection
+    cached = spread(corpus.select(id_col, vec_col)).persist()
+    init = (
+        cached.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
     cents = [np.asarray(r[0], dtype=np.float64) for r in init]
 
-    data = spread(corpus.select(vec_col)).persist()
-    data.count()
+    data = cached.select(vec_col)
     for _ in range(iterations):
         carr = np.stack(cents)
         bc = spark.sparkContext.broadcast(carr)
@@ -384,7 +402,7 @@ def kmeans_centroids_exact(
             new[cell] = np.array([dims[d] for d in sorted(dims)])
         cents = new
         bc.unpersist()
-    data.unpersist()
+    cached.unpersist()
     return [c.tolist() for c in cents]
 
 

@@ -137,6 +137,62 @@ def _multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     )
 
 
+def _signed_fold_zero(parts) -> bool:
+    """ONE-job check that a ±-weighted multiset SUM is empty (r15, guide
+    §1.2): ``parts`` is [(df, weight), ...] over identical columns; true
+    iff every row group's net weight is 0. Generalizes
+    :func:`_multiset_equal` (the two-frame ±1 case) to replay identities
+    like ``base ⊎ inserts ∖ deletes == target`` — which the r14 form
+    computed as an ``exceptAll`` join feeding a second multiset-equality
+    job. The signed form is one union + one aggregation, and STRICTER:
+    ``exceptAll`` clamps at zero, so a phantom delete of a non-existent
+    row could cancel invisibly there but nets negative here."""
+    cols = parts[0][0].columns
+    tagged = None
+    for df, w in parts:
+        piece = df.select(*cols, F.lit(int(w)).alias("_w"))
+        tagged = piece if tagged is None else tagged.unionByName(piece)
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_w").alias("_n"))
+        .filter(F.col("_n") != 0)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
+def _staged_minmax(path: str, col: str, version: int | None = None):
+    """(min, max) of ``col`` over the staged table, answered
+    METADATA-ONLY from the manifest's footer-harvested per-directory
+    stats (r15, guide §1.2/§6): every staging site whose later steps —
+    but not the staging writes themselves — need the column bounds was
+    paying a full aggregate scan job over the source table for a number
+    the freshly-written footers already hold exactly. Raises when a
+    non-empty directory lacks stats for the column (never silently
+    wrong); empty directories contribute nothing by definition."""
+    from ..sources.versioned import _read_manifest, vt_head
+
+    m = _read_manifest(
+        path, version if version is not None else vt_head(path)
+    )
+    rows = m.get("file_rows") or {}
+    los, his = [], []
+    for d in m["dirs"]:
+        st = (m.get("stats") or {}).get(d, {}).get(col)
+        if st is None:
+            if rows.get(d) and sum(rows[d].values()) == 0:
+                continue
+            raise ValueError(
+                f"no footer stats for {col!r} in {d} at {path}"
+            )
+        los.append(st[0])
+        his.append(st[1])
+    if not los:
+        raise ValueError(f"no directory stats for {col!r} at {path}")
+    return min(los), max(his)
+
+
 def _pair_memo_key(sf_dir: str, k: int, threshold: float):
     import os
 
@@ -2829,16 +2885,15 @@ def _events_vt_optimize_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    bounds = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]  # two bounded scalars (drive the deterministic probe)
-    probe = bounds["lo"] + ((bounds["hi"] - bounds["lo"]) * 7) // 8
-
     path = os.path.join(_scratch_dir("vtopt", sf_dir), "ev")
     vt_write(spark, path, ev.filter(F.col("event_id") % 2 == 0))
     vt_write(
         spark, path, ev.filter(F.col("event_id") % 2 == 1), mode="append"
     )
+    # metadata-only bounds from the staged footers (r15, guide §1.2 —
+    # was a full aggregate scan job over the source table)
+    lo, hi = _staged_minmax(path, "event_id")
+    probe = lo + ((hi - lo) * 7) // 8
     pre = vt_scan_plan(path, predicate=("event_id", ">", probe))
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     post = vt_scan_plan(path, predicate=("event_id", ">", probe))
@@ -2910,15 +2965,14 @@ def _events_vt_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    b = ev.agg(
-        F.min("event_id").alias("elo"), F.max("event_id").alias("ehi"),
-        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
-    ).collect()[0]  # four bounded scalars driving deterministic probes
-    probe_e = b["elo"] + ((b["ehi"] - b["elo"]) * 7) // 8
-    probe_u = b["ulo"] + ((b["uhi"] - b["ulo"]) * 7) // 8
-
     path = os.path.join(_scratch_dir("vtzorder", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2 —
+    # was a four-scalar aggregate scan job over the source table)
+    elo, ehi = _staged_minmax(path, "event_id")
+    ulo, uhi = _staged_minmax(path, "user_id")
+    probe_e = elo + ((ehi - elo) * 7) // 8
+    probe_u = ulo + ((uhi - ulo) * 7) // 8
     vt_optimize(
         spark, path, ["user_id", "event_id"], n_partitions=8,
         method="zorder",
@@ -2995,13 +3049,11 @@ def _events_vt_rule_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    bounds = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]  # two bounded scalars (drive the deterministic probe)
-    probe = bounds["lo"] + ((bounds["hi"] - bounds["lo"]) * 3) // 4
-
     path = os.path.join(_scratch_dir("vtrule", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    probe = lo + ((hi - lo) * 3) // 4
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
 
     rule = RuleDefinition.from_dict(
@@ -4664,13 +4716,11 @@ def _events_vt_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    bounds = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 4
-
     path = os.path.join(_scratch_dir("vtdelete", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    cut = lo + (hi - lo) // 4
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     vt_delete(spark, path, ("event_id", "<", cut))
     blob = vt_history(path)[0]["delete"]
@@ -4737,15 +4787,12 @@ def _events_vt_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    bounds = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
-    cut = lo + (hi - lo) // 16
-    shift = hi - lo + 1
-
     path = os.path.join(_scratch_dir("vtmergefg", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    cut = lo + (hi - lo) // 16
+    shift = hi - lo + 1
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     low = ev.filter(F.col("event_id") <= cut)
     updates = low.select(
@@ -4856,10 +4903,17 @@ def _events_vt_merge_delete_clause(
     minus = ch.filter(
         F.col("_change_type").isin("delete", "update_preimage")
     ).select("event_id", "event_type", "v")
-    replayed = (
-        vt_read(spark, path, v - 1).unionByName(plus).exceptAll(minus)
+    # one signed fold instead of exceptAll + multiset-equal (two join
+    # jobs → one union+agg job, r15 guide §1.2; also stricter — see
+    # _signed_fold_zero on phantom deletes)
+    replay_exact = _signed_fold_zero(
+        [
+            (vt_read(spark, path, v - 1), 1),
+            (plus, 1),
+            (minus, -1),
+            (vt_read(spark, path, v), -1),
+        ]
     )
-    replay_exact = _multiset_equal(replayed, vt_read(spark, path, v))
     return (
         vt_read(spark, path, v)
         .groupBy("event_type")
@@ -5085,13 +5139,11 @@ def _events_vt_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    bounds = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 4
-
     path = os.path.join(_scratch_dir("vtupdate", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    cut = lo + (hi - lo) // 4
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     vt_update(spark, path, ("event_id", "<", cut), {"v": "v * 3"})
     blob = vt_history(path)[0]["update"]
@@ -5278,9 +5330,10 @@ def _events_vt_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    lo = ev.agg(F.min("event_id").alias("lo")).collect()[0]["lo"]
     path = os.path.join(_scratch_dir("vtdeletedv", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo = _staged_minmax(path, "event_id")[0]
     pre_v = vt_optimize(spark, path, ["event_id"], n_partitions=8)
     n_before = vt_count(spark, path)
     v = vt_delete(spark, path, ("event_id", "<=", lo), mode="dv")
@@ -5363,9 +5416,10 @@ def _events_vt_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    hi = ev.agg(F.max("event_id").alias("hi")).collect()[0]["hi"]
     path = os.path.join(_scratch_dir("vtupdatedv", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    hi = _staged_minmax(path, "event_id")[1]
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     n_before = vt_count(spark, path)
     vt_update(
@@ -5569,12 +5623,10 @@ def _events_vt_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    b = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    lo, hi = b["lo"], b["hi"]
     path = os.path.join(_scratch_dir("vtmergedv", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
     vt_optimize(spark, path, ["event_id"], n_partitions=8)
     n_before = vt_count(spark, path)
     ups = spark.createDataFrame(
@@ -5679,9 +5731,10 @@ def _events_vt_compact_incremental(
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    hi = ev.agg(F.max("event_id").alias("hi")).collect()[0]["hi"]
     path = os.path.join(_scratch_dir("vtcompact", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    hi = _staged_minmax(path, "event_id")[1]
     vt_optimize(spark, path, ["event_id"], n_partitions=1)
     big = _read_manifest(path, 2)
     [big_dir] = big["dirs"]
@@ -5798,12 +5851,11 @@ def _events_vt_reorg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    b = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    cut = b["lo"] + (b["hi"] - b["lo"]) // 20
     path = os.path.join(_scratch_dir("vtreorg", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    cut = lo + (hi - lo) // 20
     pre_v = vt_optimize(spark, path, ["event_id"], n_partitions=8)
     n_before = vt_count(spark, path)
     vt_delete(spark, path, ("event_id", "<=", cut), mode="dv")
@@ -5911,7 +5963,6 @@ def _events_vt_dv_consolidate(
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    lo = ev.agg(F.min("event_id").alias("lo")).collect()[0]["lo"]
     path = os.path.join(_scratch_dir("vtdvconsol", sf_dir), "ev")
     for k in range(5):
         vt_write(
@@ -5920,6 +5971,8 @@ def _events_vt_dv_consolidate(
             ev.filter(F.col("event_id") % 5 == k).coalesce(1),
             mode="append" if k else "overwrite",
         )
+    # metadata-only bounds across the five staged dirs (r15, guide §1.2)
+    lo = _staged_minmax(path, "event_id")[0]
     n_before = vt_count(spark, path)
     matched = 0
     for i in range(5):
@@ -6031,12 +6084,11 @@ def _events_vt_column_mapping(
         "event_type",
         F.col("value").cast("decimal(38,12)").alias("v"),
     )
-    b = ev.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]
-    cut = b["lo"] + (b["hi"] - b["lo"]) // 20
     path = os.path.join(_scratch_dir("vtcolmap", sf_dir), "ev")
     vt_write(spark, path, ev)
+    # metadata-only bounds from the staged footers (r15, guide §1.2)
+    lo, hi = _staged_minmax(path, "event_id")
+    cut = lo + (hi - lo) // 20
     opt_v = vt_optimize(spark, path, ["event_id"], n_partitions=6)
     opt_dirs = _read_manifest(path, opt_v)["dirs"]
     r1 = vt_rename_column(path, "event_id", "eid")
@@ -6933,7 +6985,9 @@ def _events_vt_format_read(
     )
     path = os.path.join(_scratch_dir("vtformat", sf_dir), "ev")
     vt_write(spark, path, ev, partition_by=["event_type"])
-    victim = ev.agg(F.min("event_id").alias("lo")).collect()[0]["lo"]
+    # metadata-only bounds (r15, guide §1.2): the staged footers hold
+    # min(event_id) exactly — no aggregate scan job
+    victim = _staged_minmax(path, "event_id")[0]
     vt_delete(spark, path, ("event_id", "=", victim), mode="dv")
     vt_rename_column(path, "v", "amount")
     fmt = spark.read.format("vt").option("path", path).load()

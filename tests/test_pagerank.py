@@ -67,8 +67,11 @@ def test_driver_route_equals_distributed_exactly(spark):
 
 def test_default_route_is_distributed(spark):
     # driver_max_edges defaults to 0: even a tiny graph must go through
-    # the join/agg loop (lazy plan, no eager count/collect on call) so
-    # benchmarks measure the 100 TB design, never a driver loop.
+    # the join/agg loop (lazy plan, no eager count/collect on call).
+    # Note the CONTRACT QUERY opts into the driver gate at bench SF
+    # (r14), so the bench's coverage of the distributed route comes
+    # from bench.py's code-frozen gate-off probe
+    # (_distributed_route_probe_seconds), not from the contract query.
     from dynamicqueryengine_spark.functions.pagerank import pagerank
 
     out = pagerank(_pairs(spark, EDGES), iterations=3)
